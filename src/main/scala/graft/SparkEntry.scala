@@ -1,13 +1,612 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Embedder, TextFunctions, VectorFunctions}
+import graft.operators._
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-data-pipeline family), with an equivalent DuckDB
+  * SQL oracle wherever the operator is ANSI-SQL-expressible.
+  *
+  * Conventions shared by every (query, oracle) pair so the driver's
+  * sort-columns-then-hash compare is stable:
+  *  - every floating-point output is `round(x, 4)` (or 2) on BOTH sides;
+  *  - every query ends in a deterministic total ORDER BY (unique tiebreak);
+  *  - count-ish outputs are BIGINT on both sides (DuckDB sums of ints are
+  *    cast down from HUGEINT), rank/page-ish outputs are INT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events fixture stores TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects by default; read nanos as long and truncate to micros (exactly
+    * what DuckDB's ns->us read does, so oracles agree). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** SQL fragment: the reference stoplist (app/app.py:55), quoted for DuckDB. */
+  private val stopSql: String =
+    TextFunctions.Stopwords.map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
+
+  private val fixedPrompt = "fast spark table scan query"
+  private val promptKw = Seq("fast", "spark", "table", "scan", "query")
+  private val promptKwSql = promptKw.map(w => s"'$w'").mkString(", ")
+
+  /** Flagship E2E (reference E1+E2 lifecycles, SURVEY.md §3): ingest the
+    * documents fixture (chunk -> cleanse -> embed -> key), exact KNN top-k
+    * for a prompt, deterministic rerank, answer projection. Driver
+    * smoke-checks rows > 0 on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val docs = t(spark, dir, "documents")
+      .select(col("source").as("document_path"), col("text"))
+    val records = IndexTable.ingestRecords(docs, alias = "smoke", pageSize = 32)
+    val qvec = Embedder.embedQuery(fixedPrompt)
+    val hits = KnnSearch.topK(records, qvec, k = 50)
+    Rerank.answers(hits, fixedPrompt, topN = 10, threshold = 40)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------- relational core (Catalyst built-ins) ----------------
+
+    // groupBy/agg with map-side partial aggregation; filter pushed to scan.
+    "q1_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // predicate + projection pushdown to parquet (TPC-H Q6 shape).
+    "q2_filter_sum" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1994-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // two broadcast joins (small dims) -> one shuffle on the group keys.
+    "q3_join_broadcast" -> ((s, d) => {
+      val region = t(s, d, "region"); val nation = t(s, d, "nation")
+      t(s, d, "customer")
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 4).as("sum_acctbal"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // shuffle join orders⨝lineitem + top-k on the aggregate (AQE-friendly).
+    "q4_join_topk_revenue" -> ((s, d) => {
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(desc("revenue"), asc("o_orderkey"))
+        .limit(10)
+    }),
+
+    // window functions: rank + running sum, one shuffle on the partition key.
+    "q5_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      t(s, d, "lineitem")
+        .where(col("l_suppkey") <= 100)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          row_number().over(w).as("rn"),
+          round(sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).as("running_qty"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    }),
+
+    // top-k: plans as TakeOrderedAndProject (per-partition partial top-k).
+    "q6_topk_orders" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)
+    }),
+
+    // set operators (INTERSECT / EXCEPT / UNION-distinct).
+    "q7_setops" -> ((s, d) => {
+      val bldg = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_nationkey").as("nationkey"))
+      val auto = t(s, d, "customer").where(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_nationkey").as("nationkey"))
+      val supp = t(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      bldg.intersect(supp).union(auto.except(supp)).distinct()
+        .orderBy(col("nationkey"))
+    }),
+
+    // rollup grouping sets.
+    "q8_rollup" -> ((s, d) => {
+      val nation = t(s, d, "nation"); val region = t(s, d, "region")
+      t(s, d, "customer")
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 4).as("sum_acctbal"))
+        .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+          coalesce(col("n_name"), lit("(all)")).as("nation"),
+          col("n"), col("sum_acctbal"))
+        .orderBy(col("region"), col("nation"))
+    }),
+
+    // ---------------- reference operators (SURVEY.md §2) ----------------
+
+    // S2: 300-word chunker (here pageSize=32 to exercise multi-page docs),
+    // incl. the reference's `//n + 1` possible-empty-tail semantics.
+    "chunk_pages" -> ((s, d) => {
+      Chunker.chunk(t(s, d, "documents").select(col("doc_id"), col("text")), "text", 32)
+        .select(col("doc_id"), col("page_number"), col("page_content"))
+        .orderBy(col("doc_id"), col("page_number"))
+    }),
+
+    // P1: single-pass cleanse (\n -> ' ', one '  ' -> ' ' sweep).
+    "cleanse_text" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.cleanseText(col("text")).as("cleansed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // T1: keyword extraction (stoplist app/app.py:55), duplicates+order kept.
+    "keyword_extract" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          array_join(TextFunctions.keywordList(col("text")), "|").as("keywords"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // T2: keyword highlight span-wrap.
+    "keyword_highlight" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.highlightKeywords(typedlit(promptKw), col("text")).as("highlighted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // P5/D4 analogue with a DuckDB-checkable digest (md5); sha1 twin below.
+    "doc_keys_md5" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(concat_ws("_", col("source"), col("doc_id"))).as("doc_key"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // P5/D4 exact reference digest: sha1(path + '_' + i) (utilities.py:344).
+    // DuckDB 1.0 has no sha1 -> rows-only check.
+    "doc_keys_sha1" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          sha1(concat_ws("_", col("source"), col("doc_id"))).as("doc_key"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Q1-Q3: exact KNN top-k under cosine, query vector = embeddings[vec_id=0].
+    "knn_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+      emb.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("similarity",
+          round(VectorFunctions.cosineSimilarity(col("embedding"), col("q_vec")), 4))
+        .select(col("vec_id"), col("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+        .limit(10)
+    }),
+
+    // R1-R4 + P7: deterministic rerank pipeline on the documents fixture.
+    "rerank_answers" -> ((s, d) => {
+      t(s, d, "documents")
+        .withColumn("score", Rerank.overlapScore(fixedPrompt)(col("text")))
+        .where(col("score") >= Rerank.ScoreThreshold)
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("score"),
+          substring(col("text"), 1, Rerank.AnswerLen).as("answer"))
+    }),
+
+    // E1+E2 full vector pipeline (embedder UDF -> not SQL-expressible).
+    "vector_search_e2e" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("source").as("document_path"), col("text"))
+      val records = IndexTable.ingestRecords(docs, alias = "t", pageSize = 32)
+      val hits = KnnSearch.topK(records, Embedder.embedQuery(fixedPrompt), k = 50)
+      Rerank.answers(hits, fixedPrompt, topN = 10, threshold = 40)
+    }),
+
+    // P3: the deterministic embedder itself (rows-only; properties in tests).
+    "embed_documents" -> ((s, d) => {
+      t(s, d, "documents")
+        .withColumn("embedding", Embedder.embedCol(col("text")))
+        .select(col("doc_id"), size(col("embedding")).as("dim"),
+          round(VectorFunctions.l2Norm(col("embedding")), 4).as("norm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------- dedup family (training-data pipeline) ----------------
+
+    "dedup_exact" -> ((s, d) => {
+      Dedup.exact(t(s, d, "documents"), "text", "doc_id")
+        .orderBy(col("fingerprint"))
+    }),
+
+    "dedup_minhash_lsh" -> ((s, d) => {
+      Dedup.minhashNearDupPairs(t(s, d, "documents"), "text", "doc_id",
+        numHashes = 12, bands = 4, threshold = 0.30)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    "dedup_simhash" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .where(size(TextFunctions.wsTokens(lower(col("text")))) > 0)
+      docs.select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_jaccard_ngram" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
+        n = 2, threshold = 0.30)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    "dedup_embedding_cosine" -> ((s, d) => {
+      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
+        threshold = 0.45)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // ---------------- similarity search (ANN) ----------------
+
+    "ann_bruteforce_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      SimilaritySearch.bruteForceTopK(emb, qs, k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // approximate (recall<1 by design, like the reference's HNSW) -> rows-only.
+    "ann_lsh_bucketed" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      SimilaritySearch.lshTopK(emb, qs, k = 10, nBits = 4, dim = 64)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    "ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      SimilaritySearch.ivfTopK(emb, qs, k = 10, nCentroids = 8, nprobe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // ---------------- text analysis ----------------
+
+    "lang_id" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "quality_score" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "token_count" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCountWs(col("text")).as("n_tokens_ws"),
+          TextFunctions.tokenCountBpe(col("text")).as("n_tokens_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "doc_fingerprint" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------- events: windows, JSON, sessions, history ----------------
+
+    "events_window_agg" -> ((s, d) => {
+      EventsOps.tumblingAgg(events(s, d), "1 hour")
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    "events_json_extract" -> ((s, d) => {
+      EventsOps.jsonProp(events(s, d), "k")
+        .orderBy(col("event_id"))
+    }),
+
+    "events_sessionize" -> ((s, d) => {
+      EventsOps.sessionize(events(s, d), gapSeconds = 1800L)
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // H2: newest-first history, top row per group (app/app.py:309-334 shape).
+    "history_latest_order" -> ((s, d) => {
+      EventsOps.latestPerGroup(t(s, d, "orders"), "o_custkey",
+        Seq("o_orderdate", "o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // ---------------- streaming + multimodal ----------------
+
+    "streaming_window_agg" -> ((s, d) => {
+      graft.streaming.StreamingOps
+        .windowAggOnce(s, s"$d/events.parquet", "1 hour", queryName = "graft_verify_stream")
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    "multimodal_features" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.asMediaTable(
+        t(s, d, "documents"), "doc_id", "text", "source")
+      graft.multimodal.Multimodal.extractFeatures(s, media, featureDim = 8)
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty,
+        | round(sum(l_extendedprice),4) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),4) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty, round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc, count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_sum" ->
+      """SELECT round(sum(l_extendedprice*l_discount),4) AS revenue, count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q3_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal),4) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q4_join_topk_revenue" ->
+      """SELECT o_orderkey, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(row_number() OVER w AS INT) AS rn,
+        | round(sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),4) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 100
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, rn""".stripMargin,
+
+    "q6_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q7_setops" ->
+      """(SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        | INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION
+        |(SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        | EXCEPT SELECT s_nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin,
+
+    "q8_rollup" ->
+      """SELECT coalesce(r_name, '(all)') AS region, coalesce(n_name, '(all)') AS nation,
+        | count(*) AS n, round(sum(c_acctbal),4) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
+
+    "chunk_pages" ->
+      """SELECT doc_id, CAST(g AS INT) AS page_number,
+        | coalesce(array_to_string(words[(g*32+1):(g*32+32)], ' '), '') AS page_content
+        |FROM (SELECT doc_id, words, unnest(generate_series(0, CAST(len(words) // 32 AS BIGINT))) AS g
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
+        |ORDER BY doc_id, page_number""".stripMargin,
+
+    "cleanse_text" ->
+      """SELECT doc_id, replace(replace(text, chr(10), ' '), '  ', ' ') AS cleansed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "keyword_extract" ->
+      s"""SELECT doc_id, array_to_string(list_transform(list_filter(
+         |  string_split_regex(regexp_replace(text, '[.\\-=?!]', ' ', 'g'), '\\s+'),
+         |  w -> len(w) > 0 AND lower(w) NOT IN ($stopSql)), w -> lower(w)), '|') AS keywords
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "keyword_highlight" ->
+      s"""SELECT doc_id, array_to_string(list_transform(string_split(text, ' '),
+         |  w -> CASE WHEN lower(w) IN ($promptKwSql)
+         |            THEN '<span style="background-color: #ffff99">' || w || '</span>'
+         |            ELSE w END), ' ') AS highlighted
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_keys_md5" ->
+      """SELECT doc_id, md5(source || '_' || CAST(doc_id AS VARCHAR)) AS doc_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "knn_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |z AS (SELECT e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+        |      FROM embeddings e, q WHERE e.vec_id <> 0),
+        |s AS (SELECT vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
+        |             sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
+        |             sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
+        |      FROM z GROUP BY vec_id)
+        |SELECT vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity
+        |FROM s ORDER BY similarity DESC, vec_id LIMIT 10""".stripMargin,
+
+    "rerank_answers" ->
+      s"""WITH ws AS (SELECT doc_id, text,
+         |  list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0)) AS words
+         |  FROM documents),
+         |scored AS (SELECT doc_id, text,
+         |  CAST(floor(100.0 * len(list_filter([$promptKwSql], k -> list_contains(words, k))) / 5) AS INT) AS score
+         |  FROM ws)
+         |SELECT doc_id, score, substr(text, 1, 160) AS answer FROM scored
+         |WHERE score >= 50 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+        | min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [] ELSE list_distinct(list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])) END AS sh FROM w),
+        |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 11), i -> list_min(list_transform(sh, s -> md5(s || '#' || CAST(i AS VARCHAR))))) AS sig FROM sh WHERE len(sh) > 0),
+        |bk AS (SELECT doc_id, sh, list_transform(generate_series(0, 3), b -> md5(array_to_string(sig[(b*3+1):(b*3+3)], ','))) AS bks FROM sig),
+        |banded AS (SELECT doc_id, sh, b AS band_idx, bks[b+1] AS band_key FROM bk, generate_series(0, 3) AS t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.sh AS sh1, b.sh AS sh2
+        |         FROM banded a JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |j AS (SELECT id1, id2,
+        |        CAST(len(list_filter(sh1, s -> list_contains(sh2, s))) AS DOUBLE) AS inter,
+        |        len(sh1) AS n1, len(sh2) AS n2 FROM cand)
+        |SELECT id1, id2, round(inter / (n1 + n2 - inter), 4) AS jaccard FROM j
+        |WHERE round(inter / (n1 + n2 - inter), 4) >= 0.30 ORDER BY id1, id2""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |e AS (SELECT doc_id, unnest(ws) AS wd FROM w WHERE len(ws) > 0),
+        |bits AS (SELECT doc_id, j,
+        |   CASE WHEN sum(CASE WHEN substr(md5(wd), CAST(j AS INT), 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END AS bit
+        |   FROM e, generate_series(1, 32) AS t(j) GROUP BY doc_id, j)
+        |SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_jaccard_ngram" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1]))) AS shingle FROM w WHERE len(ws) > 1),
+        |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id1, id2, round(CAST(shared AS DOUBLE) / (c1.n + c2.n - shared), 4) AS jaccard
+        |FROM inter JOIN counts c1 ON id1 = c1.doc_id JOIN counts c2 ON id2 = c2.doc_id
+        |WHERE round(CAST(shared AS DOUBLE) / (c1.n + c2.n - shared), 4) >= 0.30 ORDER BY id1, id2""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      """WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS v1, b.embedding AS v2
+        |           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |z AS (SELECT id1, id2, unnest(v1) AS x, unnest(v2) AS y FROM p),
+        |s AS (SELECT id1, id2, sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) AS dp,
+        |             sqrt(sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS na,
+        |             sqrt(sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))) AS nb
+        |      FROM z GROUP BY id1, id2)
+        |SELECT id1, id2, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS cosine
+        |FROM s WHERE round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) >= 0.45
+        |ORDER BY id1, id2""".stripMargin,
+
+    "ann_bruteforce_batch" ->
+      """WITH qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |z AS (SELECT q.q_id, e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+        |      FROM embeddings e, qs q WHERE e.vec_id <> q.q_id),
+        |s AS (SELECT q_id, vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
+        |             sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
+        |             sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
+        |      FROM z GROUP BY q_id, vec_id),
+        |r AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM s),
+        |rr AS (SELECT q_id, vec_id, similarity,
+        |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)
+        |SELECT q_id, vec_id, similarity, rank FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "lang_id" ->
+      """WITH w AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |sc AS (SELECT doc_id, text,
+        |  len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','was','for','with'))) AS s_en,
+        |  len(list_filter(ws, x -> x IN ('el','la','de','y','en','es','un','una','por','con'))) AS s_es,
+        |  len(list_filter(ws, x -> x IN ('der','die','das','und','ist','ein','eine','mit','von','zu'))) AS s_de,
+        |  len(list_filter(ws, x -> x IN ('le','les','et','est','dans','pour','que','qui','sur','pas'))) AS s_fr
+        |  FROM w),
+        |p AS (SELECT doc_id, text, greatest(s_en, s_es, s_de, s_fr) AS best, s_en, s_es, s_de, s_fr FROM sc)
+        |SELECT doc_id, CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |  WHEN s_en = best AND best > 0 THEN 'en'
+        |  WHEN s_es = best AND best > 0 THEN 'es'
+        |  WHEN s_de = best AND best > 0 THEN 'de'
+        |  WHEN s_fr = best AND best > 0 THEN 'fr'
+        |  ELSE 'und' END AS lang_pred
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "quality_score" ->
+      s"""WITH w AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ws FROM documents),
+         |m AS (SELECT doc_id, text, CAST(len(ws) AS DOUBLE) AS nw,
+         |   CAST(len(list_filter(ws, x -> lower(x) IN ($stopSql))) AS DOUBLE) AS stop_hits,
+         |   CAST(len(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) AS alnum,
+         |   CAST(len(text) AS DOUBLE) AS total FROM w)
+         |SELECT doc_id, round(40.0 * least(nw/100.0, 1.0)
+         |  + CASE WHEN nw = 0 THEN 0 ELSE 30.0 * least(3.0*stop_hits/nw, 1.0) END
+         |  + CASE WHEN total = 0 THEN 0 ELSE 30.0 * alnum/total END, 2) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS INT) AS n_tokens_ws,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tokens_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "events_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | count(*) AS n, round(sum(value),4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "events_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM g)
+        |SELECT user_id, session_seq, count(*) AS n_events, min(ts) AS session_start,
+        | max(ts) AS session_end, round(sum(value),4) AS session_value
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "history_latest_order" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        | SELECT o_custkey, o_orderkey, o_orderdate,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        | FROM orders) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "streaming_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | count(*) AS n, round(sum(value),4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+  )
 }

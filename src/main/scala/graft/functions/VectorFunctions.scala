@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType(FloatType)` columns, composed from Spark's
+  * codegen'd higher-order functions (`zip_with`/`aggregate`/`transform`) so
+  * the whole expression stays inside whole-stage codegen — no UDF, no
+  * serialization boundary.
+  *
+  * All arithmetic is promoted to Double before accumulation: the stored
+  * vectors are float32 (reference `modules/utilities.py:274,301,377`) but
+  * accumulating in float drifts vs any oracle computing in double.
+  */
+object VectorFunctions {
+
+  private def toDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Sequential-order dot product (same accumulation order as a scalar loop,
+    * so results are reproducible across partitionings). */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), _ * _), lit(0.0), _ + _)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(toDouble(a), lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm (the reference's
+    * HNSW/COSINE metric never indexes zero vectors, so this is a safe total
+    * extension). Reference metric: `modules/utilities.py:276`. */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dotProduct(a, b) / denom)
+  }
+
+  /** Cosine distance = 1 - similarity; the reference converts the other way
+    * at `modules/utilities.py:394`. */
+  def cosineDistance(a: Column, b: Column): Column =
+    lit(1.0) - cosineSimilarity(a, b)
+
+  /** L2-normalize to unit length, output float32 (index storage dtype). */
+  def l2Normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n === 0.0, a)
+      .otherwise(transform(a, x => (x.cast("double") / n).cast("float")))
+  }
+
+  def euclideanDistance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), _ + _))
+}

@@ -1,0 +1,68 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque `binary`
+  * columns with typed metadata, plus a partition-batched feature-extraction
+  * operator. The decode step is STUBBED with a deterministic fake (this
+  * container ships no image/audio codecs) — the Spark-side contract (schema,
+  * batch shape, partitioning) is real and tested.
+  *
+  * Schema: media(media_id BIGINT, kind STRING in {image,audio,video},
+  * payload BINARY, meta STRUCT<source STRING, n_bytes BIGINT>).
+  */
+object Multimodal {
+
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long, features: Array[Float])
+
+  /** Build a media table from any (id, text-ish payload, source) frame —
+    * used by tests to synthesize binary payloads from the documents fixture. */
+  def asMediaTable(df: DataFrame, idCol: String, payloadTextCol: String,
+                   sourceCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      element_at(typedlit(Seq("image", "audio", "video")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("kind"),
+      col(payloadTextCol).cast("binary").as("payload"),
+      struct(col(sourceCol).as("source"),
+        length(col(payloadTextCol)).cast("long").as("n_bytes")).as("meta"))
+
+  /** STUB decode: a real implementation would decode the payload (JPEG
+    * decode / audio PCM / video frame-sample) inside this per-partition
+    * batch loop; here it derives `featureDim` deterministic pseudo-features
+    * from payload bytes so the pipeline shape (mapPartitions batching, no
+    * per-row setup cost, stable output schema) is real and testable. */
+  def fakeDecodeFeatures(payload: Array[Byte], featureDim: Int): Array[Float] = {
+    val out = new Array[Float](featureDim)
+    if (payload != null && payload.nonEmpty) {
+      var i = 0
+      while (i < payload.length) {
+        out(i % featureDim) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      var j = 0
+      while (j < featureDim) { out(j) /= payload.length; j += 1 }
+    }
+    out
+  }
+
+  /** Feature extraction over the media table. `mapPartitions` so any real
+    * decoder is initialized once per partition (codec contexts are
+    * expensive), and rows stream through in batches — the Scala analogue of
+    * a pandas-batched UDF. */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+                      featureDim: Int = 8): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("kind"), col("payload"), col("meta.n_bytes").as("n_bytes"))
+      .as[(Long, String, Array[Byte], Long)]
+      .mapPartitions { rows =>
+        // real impl: val decoder = Codec.open(kind)  — once per partition
+        rows.map { case (id, kind, payload, nBytes) =>
+          MediaFeatures(id, kind, nBytes, fakeDecodeFeatures(payload, featureDim))
+        }
+      }
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-size word chunker — the reference's DOCX "synthetic page" splitter
+  * (reference `modules/utilities.py:49-78`): split the whole text on single
+  * spaces, regroup into pages of `pageSize` words (default 300,
+  * `modules/utilities.py:51`), assign 0-based synthetic page numbers.
+  *
+  * Bit-faithful quirk kept on purpose: the reference loops
+  * `range(len(words)//300 + 1)` (`modules/utilities.py:62`), so a text whose
+  * word count is an exact multiple of the page size yields one trailing
+  * EMPTY page. We reproduce that (documented) so the DuckDB oracle can
+  * express the identical computation; callers who want the intended
+  * semantics filter with `TextFunctions.nonEmpty`.
+  *
+  * Spark shape: `split` -> `sequence`/`slice`/`array_join` (all codegen'd
+  * built-ins) -> `posexplode`. The per-document loop of the reference becomes
+  * rows; no shuffle — this is a narrow map + generate.
+  */
+object Chunker {
+
+  val DefaultPageSize = 300
+
+  /** Array of page texts for one document text column. */
+  def pageChunks(text: Column, pageSize: Int = DefaultPageSize): Column = {
+    val words = split(text, " ") // literal single-space split, keeps empties — Python str.split(' ')
+    val nPages = (floor(size(words) / pageSize) + 1).cast("int") // //pageSize + 1 semantics
+    transform(
+      sequence(lit(0), nPages - 1),
+      i => array_join(slice(words, i * pageSize + 1, lit(pageSize)), " "))
+  }
+
+  /** Explode a document table into (original cols..., page_number, page_content). */
+  def chunk(df: DataFrame, textCol: String, pageSize: Int = DefaultPageSize,
+            keepCols: Seq[String] = Nil): DataFrame = {
+    val keep = if (keepCols.nonEmpty) keepCols else df.columns.filterNot(_ == textCol).toSeq
+    df.select(keep.map(col) :+ posexplode(pageChunks(col(textCol), pageSize)): _*)
+      .withColumnRenamed("pos", "page_number")
+      .withColumnRenamed("col", "page_content")
+  }
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operator family for the large-scale training-data pipeline.
+  * The reference dedups implicitly — its sha1 row key makes Redis HSET
+  * overwrite identical (path, page) records (reference
+  * `modules/utilities.py:344,304-309`); here dedup is a first-class set of
+  * operators, each designed around its shuffle profile at 100 TB.
+  *
+  * All hash primitives are engine-portable (md5 hex strings + string min),
+  * so every variant except the murmur-based ones is expressible in ANSI SQL
+  * for the DuckDB oracle.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical-text fingerprint -> keep the lowest-id row per
+    * fingerprint. One hash-partition shuffle on the fingerprint; map-side
+    * partial aggregation via min_by. At 100 TB this is the cheapest possible
+    * exact dedup (no sort, no window). */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = TextFunctions.fingerprintMd5(col(textCol))
+    df.withColumn("fingerprint", fp)
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+  }
+
+  /** Word n-gram shingles (distinct, order preserved by first occurrence
+    * irrelevant — set semantics). */
+  def shingles(text: Column, n: Int = 2): Column = {
+    val words = TextFunctions.wsTokens(lower(text))
+    val k = size(words) - (n - 1)
+    // NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty —
+    // guard the short-text case explicitly.
+    when(k < 1, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), k),
+          i => array_join(slice(words, i, lit(n)), " "))))
+  }
+
+  /** MinHash signature: sig_i = min over shingles of md5(shingle || '#' || i).
+    * A string-min hash family — portable across engines (md5 + lexicographic
+    * min are identical everywhere), order-independent, deterministic. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingleCol, s => md5(concat(s, lit("#"), i.cast("string"))))))
+
+  /** LSH band keys: hash each band (contiguous rows of the signature) to one
+    * bucket key. Docs sharing ANY band key are candidate near-dups. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))))
+
+  /** MinHash-LSH near-dup pairs: shingle -> minhash -> band -> bucket
+    * self-join -> exact Jaccard verify on the candidates only.
+    *
+    * Scale shape: the only shuffle is the groupBy on (band_idx, band_key);
+    * candidate verification touches candidate pairs, not the n^2 cross
+    * product. Skewed buckets (boilerplate docs) are bounded by dropping
+    * buckets above `maxBucket`. */
+  def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                          numHashes: Int = 12, bands: Int = 4,
+                          threshold: Double = 0.5, ngram: Int = 2,
+                          maxBucket: Int = 1000): DataFrame = {
+    val withSig = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("sh", shingles(col("text"), ngram))
+      .where(size(col("sh")) > 0)
+      .withColumn("band_keys", lshBandKeys(
+        minhashSignature(col("sh"), numHashes), bands, numHashes / bands))
+    val banded = withSig.select(col("doc_id"), col("sh"),
+      posexplode(col("band_keys")).as(Seq("band_idx", "band_key")))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val candidates = a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+      .dropDuplicates("id1", "id2")
+    candidates
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", round(
+        col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** 32-bit SimHash as a bit string, from the high bit of each md5 hex char:
+    * bit_j = sign of sum over tokens of (+1 if hex digit j of md5(token) >= 8
+    * else -1). Portable to ANSI SQL (same md5, same substring, same sums). */
+  def simhash32(text: Column): Column = {
+    val words = TextFunctions.wsTokens(lower(text))
+    array_join(
+      transform(sequence(lit(1), lit(32)), j => {
+        val s = aggregate(words, lit(0),
+          (acc, w) => acc + when(
+            md5(w).substr(j, lit(1)).isInCollection(Seq("8", "9", "a", "b", "c", "d", "e", "f")),
+            1).otherwise(-1))
+        when(s >= 0, lit("1")).otherwise(lit("0"))
+      }),
+      "")
+  }
+
+  /** Exact n-gram Jaccard self-join (the quadratic baseline that LSH
+    * replaces at scale; useful as ground truth and for small candidate sets).
+    * Computed via shingle explode + equi-join on shingle + group-by pair —
+    * shuffles on shingle then on (id1, id2), never materializing n^2. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 2, threshold: Double = 0.5): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("shingle"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(counts.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
+      .join(counts.withColumnRenamed("doc_id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** Embedding-cosine near-dup pairs over a vector table. Exact all-pairs
+    * above a similarity threshold; the small side is broadcast in blocks.
+    * At 100 TB scale the LSH bucketing in [[graft.operators.SimilaritySearch]]
+    * pre-partitions candidates; this exact form is the verify stage. */
+  def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
+                            threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions
+    val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.join(broadcast(b), col("id1") < col("id2"))
+      .withColumn("cosine", round(VectorFunctions.cosineSimilarity(col("v1"), col("v2")), 4))
+      .where(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+}

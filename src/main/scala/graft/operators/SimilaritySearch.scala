@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column — the scale
+  * path for the reference's HNSW index (reference
+  * `modules/utilities.py:272-278`). Three tiers:
+  *
+  *  1. [[bruteForceTopK]] — exact; broadcast the (small) query set against
+  *     the (huge) corpus; per-query top-k via window rank. The corpus scan is
+  *     embarrassingly parallel; the only shuffle is the rank on (query_id),
+  *     bounded to candidates.
+  *  2. [[lshTopK]] — random-hyperplane LSH: sign-bit bucket per vector;
+  *     queries probe their own bucket (+ optional 1-bit-flip neighbors).
+  *     Bucket assignment is a narrow map; the join is bucket-pruned, so the
+  *     probe cost is corpus/2^bits per query instead of the full scan — the
+  *     HNSW-recall-tradeoff analogue, but shardable over 1000 executors.
+  *  3. [[ivfTopK]] — IVF: k-means-lite centroids (deterministic init + fixed
+  *     Lloyd iterations), vectors partitioned by nearest centroid; queries
+  *     probe the `nprobe` nearest centroids. Centroids are tiny => broadcast;
+  *     corpus is bucketed by centroid id => co-located probe joins.
+  */
+object SimilaritySearch {
+
+  /** Exact top-k for each query vector. `queries` must be small enough to
+    * broadcast (true for interactive search; for batch query loads partition
+    * both sides by an LSH prefix instead). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     corpusVec: String = "embedding", corpusId: String = "vec_id",
+                     queryVec: String = "q_vec", queryId: String = "q_id",
+                     excludeSelf: Boolean = true): DataFrame = {
+    val joined = corpus.join(
+      broadcast(queries.select(col(queryId), col(queryVec))),
+      if (excludeSelf) col(corpusId) =!= col(queryId) else lit(true))
+    val scored = joined.withColumn("similarity",
+      round(VectorFunctions.cosineSimilarity(col(corpusVec), col(queryVec)), 4))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(desc("similarity"), asc(corpusId))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("similarity"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes: `nBits` planes in `dim` dims, seeded.
+    * Pure-Scala PRNG => stable across JVMs. */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+  }
+
+  /** Sign-bit LSH bucket key for a vector column. */
+  def lshBucket(vec: org.apache.spark.sql.Column, planes: Array[Array[Float]]): org.apache.spark.sql.Column = {
+    val bits = planes.map { p =>
+      when(VectorFunctions.dotProduct(vec, typedlit(p.toSeq)) >= 0, "1").otherwise("0")
+    }
+    concat(bits.toSeq: _*)
+  }
+
+  /** Approximate top-k: bucket corpus and queries with the same hyperplanes,
+    * join on bucket, exact-rerank within bucket. Multi-probe (the standard
+    * recall lever, cf. multi-probe LSH): each query also probes every bucket
+    * within hamming distance `multiProbe` of its own, trading
+    * (1 + nBits) / 2^nBits of the corpus scanned for much higher recall —
+    * still a bucket-pruned, shardable join at 100 TB, unlike a graph index. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int,
+              dim: Int, seed: Long = 42L, multiProbe: Int = 1,
+              corpusVec: String = "embedding", corpusId: String = "vec_id",
+              queryVec: String = "q_vec", queryId: String = "q_id"): DataFrame = {
+    val planes = hyperplanes(nBits, dim, seed)
+    val bucketed = corpus.withColumn("bucket", lshBucket(col(corpusVec), planes))
+    val base = lshBucket(col(queryVec), planes)
+    val probes: Seq[org.apache.spark.sql.Column] =
+      if (multiProbe < 1) Seq(base)
+      else base +: (1 to nBits).map { i =>
+        val bit = substring(base, i, 1)
+        concat(substring(base, 1, i - 1),
+          when(bit === "1", "0").otherwise("1"),
+          substring(base, i + 1, nBits - i))
+      }
+    val qb = queries.withColumn("bucket", explode(array(probes: _*)))
+    val joined = bucketed.join(broadcast(qb), Seq("bucket"))
+      .where(col(corpusId) =!= col(queryId))
+    val scored = joined.withColumn("similarity",
+      round(VectorFunctions.cosineSimilarity(col(corpusVec), col(queryVec)), 4))
+    val w = Window.partitionBy(col(queryId)).orderBy(desc("similarity"), asc(corpusId))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("similarity"), col("rank"))
+  }
+
+  /** IVF index build: deterministic centroid init (every (n/c)-th vector by
+    * id order) + `iters` Lloyd iterations as DataFrame aggregations.
+    * Returns (centroids dataframe: centroid_id, centroid). */
+  def ivfCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 2,
+                   vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val n = corpus.count()
+    val stride = math.max(1L, n / nCentroids)
+    var centroids = corpus
+      .where(pmod(col(idCol), lit(stride)) === 0)
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(monotonically_increasing_id().as("centroid_id"), col(vecCol).as("centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = assignToCentroid(corpus, centroids, vecCol, idCol)
+      centroids = assigned
+        .groupBy("centroid_id")
+        .agg(collect_list(col(vecCol)).as("members"))
+        .withColumn("centroid",
+          transform(sequence(lit(0), size(element_at(col("members"), 1)) - 1),
+            i => aggregate(col("members"), lit(0.0d),
+              (acc, v) => acc + element_at(v, i + 1).cast("double"))
+              .cast("double") / size(col("members"))))
+        .withColumn("centroid", transform(col("centroid"), _.cast("float")))
+        .select("centroid_id", "centroid")
+    }
+    centroids
+  }
+
+  /** Assign each corpus vector to its nearest centroid (centroids broadcast;
+    * min_by over the centroid set — a narrow map at any corpus size). */
+  def assignToCentroid(corpus: DataFrame, centroids: DataFrame,
+                       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(asc("dist"), asc("centroid_id"))
+    corpus.join(broadcast(centroids))
+      .withColumn("dist", VectorFunctions.euclideanDistance(col(vecCol), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn", "dist", "centroid")
+  }
+
+  /** IVF probe: route each query to its `nprobe` nearest centroids, scan only
+    * those inverted lists, exact-rerank. At scale the corpus is written
+    * bucketed by centroid_id so the probe join is co-located. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nprobe: Int = 2,
+              corpusVec: String = "embedding", corpusId: String = "vec_id",
+              queryVec: String = "q_vec", queryId: String = "q_id"): DataFrame = {
+    val centroids = ivfCentroids(corpus, nCentroids, iters = 1, corpusVec, corpusId).cache()
+    val assigned = assignToCentroid(corpus, centroids, corpusVec, corpusId)
+    val qw = Window.partitionBy(col(queryId)).orderBy(asc("qdist"), asc("centroid_id"))
+    val probes = queries.join(broadcast(centroids))
+      .withColumn("qdist", VectorFunctions.euclideanDistance(col(queryVec), col("centroid")))
+      .withColumn("rn", row_number().over(qw))
+      .where(col("rn") <= nprobe)
+      .select(col(queryId), col(queryVec), col("centroid_id"))
+    val joined = assigned.join(probes, Seq("centroid_id"))
+      .where(col(corpusId) =!= col(queryId))
+    val scored = joined.withColumn("similarity",
+      round(VectorFunctions.cosineSimilarity(col(corpusVec), col(queryVec)), 4))
+    val w = Window.partitionBy(col(queryId)).orderBy(desc("similarity"), asc(corpusId))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("similarity"), col("rank"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming twin of the batch ingestion/aggregation path — the
+  * reference is pure batch (SURVEY.md §1.4), so this is the north-star
+  * streaming variant: `readStream` -> event-time windowed aggregation ->
+  * sink. At scale this runs continuously with watermarked state; for the
+  * finite test fixture we drive it with `processAllAvailable` on a memory
+  * sink in complete mode so the result equals the batch aggregation
+  * (oracle-checkable).
+  */
+object StreamingOps {
+
+  /** Stream-read the events fixture; its `ts` is TIMESTAMP(NANOS), which
+    * Spark reads only as long (nanosAsLong) — truncate to micros, matching
+    * DuckDB's ns->us read so the batch oracle agrees. */
+  private def readEvents(spark: SparkSession, eventsPath: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsPath).schema
+    // readStream wants a directory; point it at the parent and glob-filter
+    // down to the events file(s).
+    val p = new org.apache.hadoop.fs.Path(eventsPath)
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", p.getName)
+      .parquet(p.getParent.toString)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Run the tumbling-window streaming aggregation over a (finite) parquet
+    * events directory and return the materialized result. */
+  def windowAggOnce(spark: SparkSession, eventsPath: String,
+                    every: String = "1 hour",
+                    queryName: String = "graft_stream_agg"): DataFrame = {
+    val stream = readEvents(spark, eventsPath)
+    val agg = stream
+      .groupBy(window(col("ts"), every).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** Watermarked append-mode variant (the production shape at scale: bounded
+    * state, late data dropped past the watermark). Emits only closed windows,
+    * so for a finite fixture the final window is withheld — production
+    * semantics, not oracle-comparable; covered by ScalaTest. */
+  def windowAggWatermarked(spark: SparkSession, eventsPath: String,
+                           every: String = "1 hour", watermark: String = "2 hours",
+                           queryName: String = "graft_stream_agg_wm"): DataFrame = {
+    val stream = readEvents(spark, eventsPath)
+    val agg = stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), every).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

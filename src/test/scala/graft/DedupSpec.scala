@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The  quick BROWN fox jumps over the lazy dog!"), // exact dup modulo noise
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup
+    (4L, "completely different content about spark engines and parquet files")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups formatting-variant duplicates") {
+    val got = Dedup.exact(docs, "text", "doc_id")
+      .where($"dup_count" > 1).as[(String, Long, Long)].collect()
+    assert(got.length === 1)
+    assert(got.head._2 === 1L) // keeps min id
+    assert(got.head._3 === 2L)
+  }
+
+  test("shingles: word bigrams, distinct; single-word text has none") {
+    val sh = Seq("a b c a b").toDF("text")
+      .select(Dedup.shingles($"text", 2).as("s")).as[Seq[String]].head()
+    assert(sh.toSet === Set("a b", "b c", "c a"))
+    val none = Seq("single").toDF("text")
+      .select(Dedup.shingles($"text", 2).as("s")).as[Seq[String]].head()
+    assert(none.isEmpty)
+  }
+
+  test("minhash-LSH surfaces the near-dup pair and skips unrelated docs") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+      numHashes = 12, bands = 6, threshold = 0.4)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash jaccard estimate matches exact jaccard on candidates") {
+    val mh = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+      numHashes = 12, bands = 6, threshold = 0.0)
+      .select($"id1", $"id2", $"jaccard").as[(Long, Long, Double)].collect().toMap2
+    val ex = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 2, threshold = 0.0)
+      .select($"id1", $"id2", $"jaccard").as[(Long, Long, Double)].collect().toMap2
+    // candidate pairs carry the EXACT jaccard (verify stage) -> must agree
+    mh.keySet.intersect(ex.keySet).foreach { k => assert(mh(k) === ex(k)) }
+  }
+
+  private implicit class Tup3Ops(rows: Array[(Long, Long, Double)]) {
+    def toMap2: Map[(Long, Long), Double] = rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
+
+  test("simhash: similar docs have small hamming distance, dissimilar large") {
+    def hamming(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    val h = docs.select($"doc_id", Dedup.simhash32($"text").as("sh"))
+      .as[(Long, String)].collect().toMap
+    assert(h(1L).length === 32)
+    assert(hamming(h(1L), h(3L)) < hamming(h(1L), h(4L)))
+  }
+
+  test("embedding near-dup pairs finds identical vectors") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(1f, 0.01f, 0f)), (3L, Seq(0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id", 0.99)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}

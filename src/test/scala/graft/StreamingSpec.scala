@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventsOps
+import graft.streaming.StreamingOps
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def batchEvents = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  test("streaming complete-mode window agg equals the batch tumbling agg") {
+    val streamed = StreamingOps.windowAggOnce(spark,
+      s"${TestSpark.sf}/events.parquet", "1 hour", queryName = "t_stream_eq")
+      .orderBy($"window_start", $"event_type").collect().toSeq
+    val batch = EventsOps.tumblingAgg(batchEvents, "1 hour")
+      .orderBy($"window_start", $"event_type").collect().toSeq
+    assert(streamed === batch)
+  }
+
+  test("watermarked append-mode variant runs and emits only closed windows") {
+    val wm = StreamingOps.windowAggWatermarked(spark,
+      s"${TestSpark.sf}/events.parquet", "1 hour", "2 hours",
+      queryName = "t_stream_wm")
+    // append mode withholds windows not yet past the watermark; with a single
+    // finite batch the final window(s) stay open -> strictly fewer rows than
+    // the complete-mode result, and no duplicates.
+    val n = wm.count()
+    val total = EventsOps.tumblingAgg(batchEvents, "1 hour").count()
+    assert(n < total)
+    assert(wm.groupBy($"window_start", $"event_type").count()
+      .where($"count" > 1).count() === 0)
+  }
+}
