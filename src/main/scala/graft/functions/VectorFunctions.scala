@@ -16,9 +16,14 @@ object VectorFunctions {
 
   private def toDouble(a: Column): Column = transform(a, _.cast("double"))
 
-  /** Sequential-order dot product (same accumulation order as a scalar loop,
-    * so results are reproducible across partitionings). */
+  /** Sequential-order dot product. Delegates to the codegen'd Catalyst
+    * expression ([[graft.plans.DotProductExpr]]); [[dotProductHof]] is the
+    * equivalent built-in composition (identical double math, interpreted
+    * lambdas — kept for cross-checking). */
   def dotProduct(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.dotProduct(a, b)
+
+  def dotProductHof(a: Column, b: Column): Column =
     aggregate(zip_with(toDouble(a), toDouble(b), _ * _), lit(0.0), _ + _)
 
   def l2Norm(a: Column): Column =
@@ -26,10 +31,15 @@ object VectorFunctions {
 
   /** Cosine similarity; 0.0 when either vector has zero norm (the reference's
     * HNSW/COSINE metric never indexes zero vectors, so this is a safe total
-    * extension). Reference metric: `modules/utilities.py:276`. */
-  def cosineSimilarity(a: Column, b: Column): Column = {
+    * extension). Reference metric: `modules/utilities.py:276`.
+    * Codegen'd ([[graft.plans.CosineSimilarityExpr]]); same accumulation
+    * order as [[cosineSimilarityHof]], so results are bit-identical. */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.cosineSim(a, b)
+
+  def cosineSimilarityHof(a: Column, b: Column): Column = {
     val denom = l2Norm(a) * l2Norm(b)
-    when(denom === 0.0, lit(0.0)).otherwise(dotProduct(a, b) / denom)
+    when(denom === 0.0, lit(0.0)).otherwise(dotProductHof(a, b) / denom)
   }
 
   /** Cosine distance = 1 - similarity; the reference converts the other way
@@ -45,6 +55,5 @@ object VectorFunctions {
   }
 
   def euclideanDistance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), _ + _))
+    sqrt(graft.plans.VectorExpressions.squaredL2(a, b))
 }

@@ -66,24 +66,40 @@ object Dedup {
                           numHashes: Int = 12, bands: Int = 4,
                           threshold: Double = 0.5, ngram: Int = 2,
                           maxBucket: Int = 1000): DataFrame = {
-    val withSig = df
-      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .withColumn("sh", shingles(col("text"), ngram))
+    val rpb = numHashes / bands
+    // Shape note: the declarative array form ([[minhashSignature]] +
+    // [[lshBandKeys]]) evaluates md5 inside interpreted lambda functions —
+    // measured ~50s at 500 docs. This explode/groupBy formulation computes
+    // the SAME signatures and band keys (min over md5(shingle#i), band =
+    // md5 of i-ordered signature slice) through codegen'd projections and
+    // two hash aggregations instead, and scales linearly with total
+    // shingle count.
+    val sh = df
+      .select(col(idCol).as("doc_id"), shingles(col(textCol), ngram).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("band_keys", lshBandKeys(
-        minhashSignature(col("sh"), numHashes), bands, numHashes / bands))
-    val banded = withSig.select(col("doc_id"), col("sh"),
-      posexplode(col("band_keys")).as(Seq("band_idx", "band_key")))
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("s"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("i"))
+    val sig = exploded
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(md5(concat(col("s"), lit("#"), col("i").cast("string")))).as("mh"))
+    val banded = sig
+      .withColumn("band_idx", (col("i") / rpb).cast("int"))
+      .groupBy(col("doc_id"), col("band_idx"))
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+          x => x.getField("mh")))).as("band_key"))
     val a = banded.alias("a")
     val b = banded.alias("b")
     val candidates = a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .dropDuplicates("id1", "id2")
     candidates
+      .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("jaccard", round(
         col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")), 4))
@@ -93,18 +109,23 @@ object Dedup {
 
   /** 32-bit SimHash as a bit string, from the high bit of each md5 hex char:
     * bit_j = sign of sum over tokens of (+1 if hex digit j of md5(token) >= 8
-    * else -1). Portable to ANSI SQL (same md5, same substring, same sums). */
+    * else -1). Portable to ANSI SQL (same md5, same substring, same sums).
+    *
+    * Shape note: md5 is computed ONCE per token (outer `transform`), then a
+    * single `aggregate` folds a 32-wide count array — the naive
+    * "aggregate-per-bit" formulation recomputes md5 32x per token and was
+    * measured ~20x slower. */
   def simhash32(text: Column): Column = {
-    val words = TextFunctions.wsTokens(lower(text))
-    array_join(
-      transform(sequence(lit(1), lit(32)), j => {
-        val s = aggregate(words, lit(0),
-          (acc, w) => acc + when(
-            md5(w).substr(j, lit(1)).isInCollection(Seq("8", "9", "a", "b", "c", "d", "e", "f")),
-            1).otherwise(-1))
-        when(s >= 0, lit("1")).otherwise(lit("0"))
-      }),
-      "")
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val hashes = transform(TextFunctions.wsTokens(lower(text)), w => md5(w))
+    val counts = aggregate(
+      hashes,
+      array_repeat(lit(0), 32),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(1), lit(32)),
+          j => when(h.substr(j, lit(1)).isInCollection(hexHigh), 1).otherwise(-1)),
+        _ + _))
+    array_join(transform(counts, c => when(c >= 0, lit("1")).otherwise(lit("0"))), "")
   }
 
   /** Exact n-gram Jaccard self-join (the quadratic baseline that LSH
