@@ -152,7 +152,66 @@ object SparkEntry {
         .orderBy(col("region"), col("nation"))
     }),
 
+    // semi/anti joins (EXISTS / NOT EXISTS shapes).
+    "q9_exists" -> ((s, d) => {
+      val customer = t(s, d, "customer"); val orders = t(s, d, "orders")
+      val withOrder = customer.join(orders,
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      val noFinal = withOrder.join(
+        orders.where(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      noFinal.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // date-truncated aggregation over the orders timeline.
+    "q10_monthly_orders" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("sum_price"))
+        .orderBy(col("month"))
+    }),
+
     // ---------------- reference operators (SURVEY.md §2) ----------------
+
+    // S3: extension dispatch — lowercased last '.'-segment routes to a loader
+    // (reference getDocumentExtension modules/utilities.py:121-126 + the
+    // dispatch at :157-165). Paths synthesized deterministically from the
+    // fixture.
+    "doc_extension_dispatch" -> ((s, d) => {
+      val path = concat(col("source"), lit("/file_"), col("doc_id"),
+        element_at(typedlit(Seq(".pdf", ".docx", ".txt")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
+      t(s, d, "documents")
+        .select(col("doc_id"), path.as("path"))
+        .withColumn("ext",
+          lower(element_at(split(element_at(split(col("path"), "/"), -1), "\\."), -1)))
+        .withColumn("loader",
+          when(col("ext") === "pdf", "readPDF")
+            .when(col("ext") === "docx", "readMSWord")
+            .otherwise("unsupported"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // K1 upsert semantics: Redis HSET last-write-wins by key, realized as
+    // latest-record-per-key on read (two synthetic ingest generations).
+    "index_upsert_latest" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val key = md5(concat_ws("_", col("source"), col("doc_id")))
+      val gen1 = docs.select(key.as("key"),
+        col("text").as("content"), lit(1).as("ingest_seq"))
+      val gen2 = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+        .select(key.as("key"),
+          upper(col("text")).as("content"), lit(2).as("ingest_seq"))
+      val w = Window.partitionBy(col("key")).orderBy(desc("ingest_seq"))
+      gen1.union(gen2)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("key"), col("ingest_seq"), md5(col("content")).as("content_md5"))
+        .orderBy(col("key"))
+    }),
 
     // S2: 300-word chunker (here pageSize=32 to exercise multi-page docs),
     // incl. the reference's `//n + 1` possible-empty-tail semantics.
@@ -264,9 +323,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // n=3: with this fixture's ~30-word vocabulary, bigram shingles occur in
+    // ~5% of all docs each and the candidate join degenerates toward n^2;
+    // trigrams keep the same 25 planted near-dup pairs at ~100x fewer
+    // candidate rows (shingle selectivity is the scale lever here, LSH below
+    // is the sub-quadratic one).
     "dedup_jaccard_ngram" -> ((s, d) => {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
-        n = 2, threshold = 0.30)
+        n = 3, threshold = 0.30)
         .orderBy(col("id1"), col("id2"))
     }),
 
@@ -429,6 +493,38 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
 
+    "q9_exists" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q10_monthly_orders" ->
+      """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders,
+        | round(sum(o_totalprice),4) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    "doc_extension_dispatch" ->
+      """WITH p AS (SELECT doc_id,
+        |  source || '/file_' || CAST(doc_id AS VARCHAR) ||
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN '.pdf' WHEN 1 THEN '.docx' ELSE '.txt' END AS path
+        |  FROM documents)
+        |SELECT doc_id, path,
+        | lower(string_split(string_split(path, '/')[-1], '.')[-1]) AS ext,
+        | CASE lower(string_split(string_split(path, '/')[-1], '.')[-1])
+        |   WHEN 'pdf' THEN 'readPDF' WHEN 'docx' THEN 'readMSWord' ELSE 'unsupported' END AS loader
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "index_upsert_latest" ->
+      """WITH gen AS (
+        | SELECT md5(source || '_' || CAST(doc_id AS VARCHAR)) AS key, text AS content, 1 AS ingest_seq FROM documents
+        | UNION ALL
+        | SELECT md5(source || '_' || CAST(doc_id AS VARCHAR)), upper(text), 2 FROM documents WHERE doc_id % 5 = 0),
+        |r AS (SELECT key, ingest_seq, content,
+        |  row_number() OVER (PARTITION BY key ORDER BY ingest_seq DESC) AS rn FROM gen)
+        |SELECT key, ingest_seq, md5(content) AS content_md5 FROM r WHERE rn = 1
+        |ORDER BY key""".stripMargin,
+
     "chunk_pages" ->
       """SELECT doc_id, CAST(g AS INT) AS page_number,
         | coalesce(array_to_string(words[(g*32+1):(g*32+32)], ' '), '') AS page_content
@@ -507,7 +603,7 @@ object SparkEntry {
 
     "dedup_jaccard_ngram" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1]))) AS shingle FROM w WHERE len(ws) > 1),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' ')))) AS shingle FROM w WHERE len(ws) > 2),
         |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)

@@ -18,6 +18,17 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Spread a (possibly single-file, single-partition) input across the
+    * cluster before compute-heavy fan-out. A small-file parquet scan yields
+    * ONE input partition, serializing the whole explode/join map stage onto
+    * one task; this one cheap shuffle of the narrow input buys full
+    * parallelism for the expensive stage after it. At real 100 TB scale
+    * inputs arrive already partitioned and this is a no-op cost-wise. */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Exact dedup: canonical-text fingerprint -> keep the lowest-id row per
     * fingerprint. One hash-partition shuffle on the fingerprint; map-side
     * partial aggregation via min_by. At 100 TB this is the cheapest possible
@@ -69,26 +80,30 @@ object Dedup {
     val rpb = numHashes / bands
     // Shape note: the declarative array form ([[minhashSignature]] +
     // [[lshBandKeys]]) evaluates md5 inside interpreted lambda functions —
-    // measured ~50s at 500 docs. This explode/groupBy formulation computes
-    // the SAME signatures and band keys (min over md5(shingle#i), band =
-    // md5 of i-ordered signature slice) through codegen'd projections and
-    // two hash aggregations instead, and scales linearly with total
-    // shingle count.
-    val sh = df
+    // measured ~50s at 500 docs. Here the SAME signatures (min over
+    // md5(shingle#i)) come from ONE codegen'd pass over the exploded
+    // shingles with numHashes parallel min-aggregates: map-side partial
+    // aggregation reduces the shuffle to (docs x numHashes) strings, and no
+    // per-(doc, i) second shuffle exists at all.
+    // sh is read 3x (signature build + two verify join-backs) and banded 2x
+    // (self-join sides); persist both — they are tiny relative to the work
+    // that derives them (docs x shingle-array, docs x bands rows).
+    val sh = spread(df)
       .select(col(idCol).as("doc_id"), shingles(col(textCol), ngram).as("sh"))
       .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), col("s"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("i"))
-    val sig = exploded
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(md5(concat(col("s"), lit("#"), col("i").cast("string")))).as("mh"))
+    val minAggs = (0 until numHashes).map(i =>
+      min(md5(concat(col("s"), lit("#" + i)))).as(s"m$i"))
+    val sig = exploded.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandKeyCols = (0 until bands).map(b =>
+      md5(concat_ws(",", (0 until rpb).map(r => col(s"m${b * rpb + r}")): _*)).as(s"bk$b"))
     val banded = sig
-      .withColumn("band_idx", (col("i") / rpb).cast("int"))
-      .groupBy(col("doc_id"), col("band_idx"))
-      .agg(md5(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          x => x.getField("mh")))).as("band_key"))
+      .select(col("doc_id") +: bandKeyCols: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(b => col(s"bk$b")): _*))
+          .as(Seq("band_idx", "band_key")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.alias("a")
     val b = banded.alias("b")
     val candidates = a.join(b,
@@ -134,7 +149,7 @@ object Dedup {
     * shuffles on shingle then on (id1, id2), never materializing n^2. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 2, threshold: Double = 0.5): DataFrame = {
-    val sh = df
+    val sh = spread(df)
       .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("shingle"))
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.alias("a")
@@ -158,7 +173,7 @@ object Dedup {
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions
-    val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val a = spread(df).select(col(idCol).as("id1"), col(vecCol).as("v1"))
     val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
     a.join(broadcast(b), col("id1") < col("id2"))
       .withColumn("cosine", round(VectorFunctions.cosineSimilarity(col("v1"), col("v2")), 4))

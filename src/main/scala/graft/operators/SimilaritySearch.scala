@@ -33,7 +33,7 @@ object SimilaritySearch {
                      corpusVec: String = "embedding", corpusId: String = "vec_id",
                      queryVec: String = "q_vec", queryId: String = "q_id",
                      excludeSelf: Boolean = true): DataFrame = {
-    val joined = corpus.join(
+    val joined = Dedup.spread(corpus).join(
       broadcast(queries.select(col(queryId), col(queryVec))),
       if (excludeSelf) col(corpusId) =!= col(queryId) else lit(true))
     val scored = joined.withColumn("similarity",
@@ -71,7 +71,8 @@ object SimilaritySearch {
               corpusVec: String = "embedding", corpusId: String = "vec_id",
               queryVec: String = "q_vec", queryId: String = "q_id"): DataFrame = {
     val planes = hyperplanes(nBits, dim, seed)
-    val bucketed = corpus.withColumn("bucket", lshBucket(col(corpusVec), planes))
+    val bucketed = Dedup.spread(corpus)
+      .withColumn("bucket", lshBucket(col(corpusVec), planes))
     val base = lshBucket(col(queryVec), planes)
     val probes: Seq[org.apache.spark.sql.Column] =
       if (multiProbe < 1) Seq(base)
@@ -124,7 +125,7 @@ object SimilaritySearch {
   def assignToCentroid(corpus: DataFrame, centroids: DataFrame,
                        vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(asc("dist"), asc("centroid_id"))
-    corpus.join(broadcast(centroids))
+    Dedup.spread(corpus).join(broadcast(centroids))
       .withColumn("dist", VectorFunctions.euclideanDistance(col(vecCol), col("centroid")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)

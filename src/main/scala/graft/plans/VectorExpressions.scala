@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -18,21 +18,37 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * order, so results are bit-identical to the composed form and to the
   * DuckDB oracle) but run as one fused whole-stage-codegen'd loop.
   *
+  * Inputs may be `array<float>` (the index storage dtype, reference
+  * `modules/utilities.py:274`) or `array<double>` (SQL array literals).
+  *
   * This is the engine's one justified custom expression family (SURVEY.md
   * §7.4): the capability it accelerates is the reference's HNSW/COSINE
   * distance metric (reference `modules/utilities.py:273-276`).
   */
 abstract class FloatVectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case _ =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"expected (array<float>, array<float>), got (${left.dataType}, ${right.dataType})")
-    }
+
+  private def elemOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
   }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected (array<float|double>, array<float|double>), got (${left.dataType}, ${right.dataType})")
+
+  protected def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  protected def elem(a: ArrayData, i: Int, float: Boolean): Double =
+    if (float) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Java source for element i of array variable `v`, as double. */
+  protected def elemJava(v: String, i: String, float: Boolean): String =
+    if (float) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
 }
 
 /** cosine_sim(a, b): dot(a,b) / (|a| * |b|), 0.0 when either norm is 0. */
@@ -44,12 +60,13 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    val (fa, fb) = (isFloat(left), isFloat(right))
     val n = math.min(a.numElements(), b.numElements())
     var dp = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = elem(a, i, fa)
+      val y = elem(b, i, fb)
       dp += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -67,8 +84,8 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dp = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
+         |  double $x = ${elemJava(a, i, isFloat(left))};
+         |  double $y = ${elemJava(b, i, isFloat(right))};
          |  $dp += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
@@ -89,10 +106,11 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    val (fa, fb) = (isFloat(left), isFloat(right))
     val n = math.min(a.numElements(), b.numElements())
     var dp = 0.0
     var i = 0
-    while (i < n) { dp += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) { dp += elem(a, i, fa) * elem(b, i, fb); i += 1 }
     dp
   }
 
@@ -104,7 +122,7 @@ case class DotProductExpr(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dp = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dp += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $dp += ${elemJava(a, i, isFloat(left))} * ${elemJava(b, i, isFloat(right))};
          |}
          |${ev.value} = $dp;
        """.stripMargin
@@ -123,11 +141,12 @@ case class SquaredL2Expr(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    val (fa, fb) = (isFloat(left), isFloat(right))
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      val d = elem(a, i, fa) - elem(b, i, fb)
       s += d * d; i += 1
     }
     s
@@ -141,7 +160,7 @@ case class SquaredL2Expr(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  double $d = ${elemJava(a, i, isFloat(left))} - ${elemJava(b, i, isFloat(right))};
          |  $s += $d * $d;
          |}
          |${ev.value} = $s;
