@@ -412,6 +412,24 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // As-of join (custom composite operator, see [[AsOfJoin]]): each event
+    // picks up the user's most recent order at or before the event time.
+    "events_asof_orders" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(desc("o_orderkey"))
+      val dedupedOrders = t(s, d, "orders")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      AsOfJoin.asOfBackward(
+        events(s, d).select(col("event_id"), col("user_id"), col("ts")),
+        dedupedOrders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTs = "ts", rightTs = "o_orderdate",
+        rightPayload = Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy(col("event_id"))
+    }),
+
     // H2: newest-first history, top row per group (app/app.py:309-334 shape).
     "history_latest_order" -> ((s, d) => {
       EventsOps.latestPerGroup(t(s, d, "orders"), "o_custkey",
@@ -693,6 +711,14 @@ object SparkEntry {
         |SELECT user_id, session_seq, count(*) AS n_events, min(ts) AS session_start,
         | max(ts) AS session_end, round(sum(value),4) AS session_value
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "events_asof_orders" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |             row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+        |           FROM orders QUALIFY rn = 1)
+        |SELECT e.event_id, e.user_id, o.o_orderkey, round(o.o_totalprice, 4) AS o_totalprice
+        |FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
 
     "history_latest_order" ->
       """SELECT o_custkey, o_orderkey, o_orderdate FROM (
