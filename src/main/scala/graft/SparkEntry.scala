@@ -36,6 +36,19 @@ object SparkEntry {
   private val stopSql: String =
     TextFunctions.Stopwords.map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
 
+  /** Shared by the window and flatMapGroupsWithState sessionize queries —
+    * both must produce exactly these sessions. */
+  private val SessionizeOracleSql: String =
+    """WITH g AS (SELECT user_id, ts, event_id, value,
+      |  CASE WHEN lag(ts) OVER w IS NULL OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts, value,
+      |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM g)
+      |SELECT user_id, session_seq, count(*) AS n_events, min(ts) AS session_start,
+      | max(ts) AS session_end, round(sum(value),4) AS session_value
+      |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
+
   private val fixedPrompt = "fast spark table scan query"
   private val promptKw = Seq("fast", "spark", "table", "scan", "query")
   private val promptKwSql = promptKw.map(w => s"'$w'").mkString(", ")
@@ -412,6 +425,14 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // Same sessionization through flatMapGroupsWithState (custom streaming
+    // state API, run in batch mode) — must equal the window formulation.
+    "events_sessionize_stateful" -> ((s, d) => {
+      graft.streaming.StatefulSessionize.sessionize(s, events(s, d), gapSeconds = 1800L)
+        .toDF()
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
     // As-of join (custom composite operator, see [[AsOfJoin]]): each event
     // picks up the user's most recent order at or before the event time.
     "events_asof_orders" -> ((s, d) => {
@@ -701,16 +722,9 @@ object SparkEntry {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
 
-    "events_sessionize" ->
-      """WITH g AS (SELECT user_id, ts, event_id, value,
-        |  CASE WHEN lag(ts) OVER w IS NULL OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_session
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |s AS (SELECT user_id, ts, value,
-        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-        |  FROM g)
-        |SELECT user_id, session_seq, count(*) AS n_events, min(ts) AS session_start,
-        | max(ts) AS session_end, round(sum(value),4) AS session_value
-        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "events_sessionize_stateful" -> SessionizeOracleSql,
+
+    "events_sessionize" -> SessionizeOracleSql,
 
     "events_asof_orders" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
