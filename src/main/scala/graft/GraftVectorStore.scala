@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.ModelRegistry
+import graft.functions.Embedder
+import graft.operators.{IndexTable, KnnSearch, Rerank}
+
+/** User-facing facade — the one-object surface a user of the reference
+  * application needs to switch: every operation the reference exposes
+  * (index lifecycle, document ingestion, vector search, reranked answers,
+  * session history) as one call each, over a parquet-backed store.
+  *
+  * Reference surface mapping:
+  *  - createIndex / indexExists / dropIndex  <-> `createRedisIndex` /
+  *    `checkRedisIndexExists` / `dropRedisIndex` (modules/utilities.py:232-295)
+  *  - addDocument                            <-> upload flow `getEmbeddingEntireDoc`
+  *    + `addDocumentToRedis` (app/app.py:130-190)
+  *  - search                                 <-> `queryRedis` (modules/utilities.py:368-401)
+  *  - answers                                <-> `getResult` incl. map_rerank +
+  *    threshold + top-n (app/app.py:64-113)
+  *  - history                                <-> session query log (app/app.py:291-334)
+  */
+final class GraftVectorStore(
+    spark: SparkSession,
+    indexPath: String,
+    model: String = ModelRegistry.default,
+    seed: Int = Embedder.DefaultSeed,
+    encryptAlias: Boolean = false) {
+
+  private def resolveAlias(alias: String): String =
+    if (encryptAlias) IndexTable.encodeAlias(alias) else alias
+
+  /** Idempotent index creation (D1). */
+  def createIndex(): Unit = IndexTable.create(spark, indexPath)
+
+  /** D2. */
+  def indexExists(): Boolean = IndexTable.exists(spark, indexPath)
+
+  /** D3. */
+  def dropIndex(): Unit = IndexTable.drop(spark, indexPath)
+
+  /** E1: ingest a document table (document_path, text) into a namespace. */
+  def addDocuments(docs: DataFrame, alias: String,
+                   pageSize: Int = operators.Chunker.DefaultPageSize): Unit = {
+    createIndex()
+    IndexTable.append(
+      IndexTable.ingestRecords(docs, resolveAlias(alias), model, seed, pageSize),
+      indexPath)
+  }
+
+  /** E2 retrieval: exact cosine top-k scored chunks for a prompt. */
+  def search(prompt: String, alias: String, topN: Int = 10): DataFrame =
+    KnnSearch.topK(
+      IndexTable.read(spark, indexPath, resolveAlias(alias)),
+      Embedder.embedQuery(prompt, model, seed), topN)
+      .select(col("id"), col("index_alias"), col("document_path"),
+        col("page_number"), col("page_content"), col("similarity"))
+
+  /** E2 full answer pipeline: retrieve, rerank, threshold, project answers. */
+  def answers(prompt: String, alias: String, topN: Int = 10,
+              fanout: Int = 50, threshold: Int = Rerank.ScoreThreshold): DataFrame =
+    Rerank.answers(search(prompt, alias, fanout), prompt, topN, threshold)
+
+  // H1: session query log (the reference keeps it in Streamlit session
+  // state, app/app.py:291-296; here an in-memory append log).
+  private val log = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+
+  def logQuery(question: String, answerCount: Long): Unit =
+    log.synchronized { log += ((log.size, question, answerCount)) }
+
+  /** H2: newest-first history. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    log.synchronized { log.toSeq }.toDF("seq", "question", "n_answers")
+      .orderBy(desc("seq"))
+  }
+}

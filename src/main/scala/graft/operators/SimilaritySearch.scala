@@ -106,16 +106,17 @@ object SimilaritySearch {
       .select(monotonically_increasing_id().as("centroid_id"), col(vecCol).as("centroid"))
     for (_ <- 1 to iters) {
       val assigned = assignToCentroid(corpus, centroids, vecCol, idCol)
+      // Lloyd update at scale: never collect member vectors per centroid
+      // (that's O(cluster size) rows in one aggregation buffer). Explode to
+      // (centroid, dim, component), average with map-side partial agg, and
+      // reassemble the tiny (centroids x dim) result.
       centroids = assigned
-        .groupBy("centroid_id")
-        .agg(collect_list(col(vecCol)).as("members"))
-        .withColumn("centroid",
-          transform(sequence(lit(0), size(element_at(col("members"), 1)) - 1),
-            i => aggregate(col("members"), lit(0.0d),
-              (acc, v) => acc + element_at(v, i + 1).cast("double"))
-              .cast("double") / size(col("members"))))
-        .withColumn("centroid", transform(col("centroid"), _.cast("float")))
-        .select("centroid_id", "centroid")
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy(col("centroid_id"), col("dim"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m").cast("float")).as("centroid"))
     }
     centroids
   }

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.functions.{Embedder, TextFunctions}
+import graft.operators.Chunker
+
+/** Streaming variant of the E1 ingestion lifecycle (SURVEY.md §3/§7): the
+  * same chunk -> cleanse -> filter -> embed -> key pipeline, driven by
+  * `readStream` over a landing directory and appended to the parquet index
+  * with exactly-once file-sink semantics (checkpointed). At scale this is
+  * the continuous-ingest deployment: new document files land, micro-batches
+  * embed and append them; the batch path ([[graft.operators.IndexTable
+  * .ingestRecords]]) stays the backfill path — both produce identical rows
+  * because every transform is deterministic.
+  */
+object StreamingIngest {
+
+  /** The shared transform chain, identical to IndexTable.ingestRecords but
+    * expressed over an arbitrary (streaming or batch) DataFrame. */
+  def transform(docs: DataFrame, alias: String,
+                model: String = graft.core.ModelRegistry.default,
+                seed: Int = Embedder.DefaultSeed,
+                pageSize: Int = Chunker.DefaultPageSize): DataFrame =
+    Chunker.chunk(docs.select(col("document_path"), col("text")), "text", pageSize)
+      .withColumn("page_content_cleansed", TextFunctions.cleanseText(col("page_content")))
+      .where(TextFunctions.nonEmpty(col("page_content_cleansed")))
+      .withColumn("page_content_vector", Embedder.embedCol(col("page_content_cleansed"), model, seed))
+      .withColumn("id", sha1(concat_ws("_", col("document_path"), col("page_number"))))
+      .withColumn("index_alias", lit(alias))
+      .select("id", "index_alias", "document_path", "page_number", "page_content",
+        "page_content_vector")
+
+  /** Drain a (finite) landing directory into the index once; returns rows
+    * written. A production deployment runs the same query without
+    * AvailableNow and leaves it running. */
+  def ingestOnce(spark: SparkSession, landingDir: String, globFilter: String,
+                 indexPath: String, checkpointDir: String, alias: String,
+                 pageSize: Int = Chunker.DefaultPageSize): Long = {
+    val schema = spark.read.option("pathGlobFilter", globFilter).parquet(landingDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", globFilter).parquet(landingDir)
+      .withColumnRenamed("source", "document_path")
+    val records = transform(stream, alias, pageSize = pageSize)
+    val q = records.writeStream
+      .format("parquet")
+      .option("path", indexPath)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("index_alias")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(indexPath).where(col("index_alias") === alias).count()
+  }
+}

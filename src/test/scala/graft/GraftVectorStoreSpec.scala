@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftVectorStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("full reference lifecycle through the facade: create -> add -> search -> answers -> history -> drop") {
+    val path = java.nio.file.Files.createTempDirectory("graft_store").toString + "/idx"
+    val store = new GraftVectorStore(spark, path)
+    assert(!store.indexExists())
+
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select($"source".as("document_path"), $"text")
+    store.addDocuments(docs, alias = "tenant_a", pageSize = 32)
+    assert(store.indexExists())
+
+    val hits = store.search("fast spark table scan query", "tenant_a", topN = 5)
+    assert(hits.count() === 5)
+    val sims = hits.select($"similarity").as[Double].collect().toSeq
+    assert(sims === sims.sorted.reverse)
+
+    val ans = store.answers("fast spark table scan query", "tenant_a", topN = 3, threshold = 40)
+    val n = ans.count()
+    assert(n > 0 && n <= 3)
+    assert(ans.columns.toSeq === Seq("answer", "score", "content", "source", "similarity", "page"))
+
+    store.logQuery("fast spark table scan query", n)
+    assert(store.history().count() === 1)
+
+    store.dropIndex()
+    assert(!store.indexExists())
+  }
+
+  test("multi-tenant isolation via partition pruning + alias encryption") {
+    val path = java.nio.file.Files.createTempDirectory("graft_store2").toString + "/idx"
+    val store = new GraftVectorStore(spark, path, encryptAlias = true)
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select($"source".as("document_path"), $"text")
+    store.addDocuments(docs.limit(10), "tenant_a", pageSize = 32)
+    store.addDocuments(docs.limit(20), "tenant_b", pageSize = 32)
+    val a = store.search("spark", "tenant_a", topN = 100).count()
+    val b = store.search("spark", "tenant_b", topN = 100).count()
+    assert(a < b) // tenant scans are isolated slices, not the union
+    // the physical plan prunes on the partition column
+    val plan = store.search("spark", "tenant_a", topN = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("index_alias"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IndexTable, Skew}
+import graft.streaming.StreamingIngest
+
+class StreamingIngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming ingest produces exactly the batch ingest rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_ingest").toString
+    val n = StreamingIngest.ingestOnce(spark,
+      landingDir = TestSpark.sf, globFilter = "documents.parquet",
+      indexPath = s"$tmp/index", checkpointDir = s"$tmp/ckpt",
+      alias = "stream", pageSize = 32)
+
+    val batch = IndexTable.ingestRecords(
+      spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+        .select($"source".as("document_path"), $"text"),
+      alias = "stream", pageSize = 32)
+    assert(n === batch.count())
+
+    // identical rows, not just identical counts: same ids and vectors
+    val streamed = spark.read.parquet(s"$tmp/index")
+      .select($"id", $"page_content").orderBy($"id")
+    val expected = batch.select($"id", $"page_content").orderBy($"id")
+    assert(streamed.collect().toSeq === expected.collect().toSeq)
+  }
+
+  test("salted join equals plain inner join") {
+    val left = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+      .select($"l_orderkey", $"l_quantity").limit(5000)
+    val right = spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+    val plain = left.join(right, "l_orderkey")
+      .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"), sum($"l_quantity").as("q"))
+      .orderBy($"o_orderpriority").collect().toSeq
+    val salted = Skew.saltedJoin(left, right, "l_orderkey", salt = 8)
+      .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"), sum($"l_quantity").as("q"))
+      .orderBy($"o_orderpriority").collect().toSeq
+    assert(salted === plain)
+  }
+}
