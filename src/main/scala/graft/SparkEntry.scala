@@ -187,6 +187,49 @@ object SparkEntry {
         .orderBy(col("month"))
     }),
 
+    // exact interpolated percentiles (sort-based; Catalyst plans a single
+    // shuffle per group).
+    "q11_percentile" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          round(expr("percentile(l_discount, 0.25)"), 4).as("p25_disc"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // date part extraction + arithmetic.
+    "q12_dates" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(dayofmonth(col("o_orderdate"))).as("active_days"))
+        .orderBy(col("y"), col("m"))
+    }),
+
+    // pivot as portable conditional aggregation.
+    "q13_pivot_flags" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          round(sum(when(col("l_returnflag") === "A", col("l_quantity")).otherwise(0.0)), 4).as("qty_a"),
+          round(sum(when(col("l_returnflag") === "N", col("l_quantity")).otherwise(0.0)), 4).as("qty_n"),
+          round(sum(when(col("l_returnflag") === "R", col("l_quantity")).otherwise(0.0)), 4).as("qty_r"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // cube grouping sets over part attributes.
+    "q14_cube" -> ((s, d) => {
+      t(s, d, "part")
+        .cube(col("p_brand"), col("p_size"))
+        .agg(count(lit(1)).as("n"), round(avg(col("p_retailprice")), 4).as("avg_price"))
+        .select(coalesce(col("p_brand"), lit("(all)")).as("brand"),
+          coalesce(col("p_size").cast("string"), lit("(all)")).as("size"),
+          col("n"), col("avg_price"))
+        .orderBy(col("brand"), col("size"))
+    }),
+
     // ---------------- reference operators (SURVEY.md §2) ----------------
 
     // S3: extension dispatch — lowercased last '.'-segment routes to a loader
@@ -531,6 +574,30 @@ object SparkEntry {
         | count(*) AS n, round(sum(c_acctbal),4) AS sum_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
+
+    "q11_percentile" ->
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5),4) AS median_qty,
+        | round(quantile_cont(l_extendedprice, 0.9),4) AS p90_price,
+        | round(quantile_cont(l_discount, 0.25),4) AS p25_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q12_dates" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+        | count(*) AS n, count(DISTINCT day(o_orderdate)) AS active_days
+        |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+
+    "q13_pivot_flags" ->
+      """SELECT l_linestatus,
+        | round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0.0 END),4) AS qty_a,
+        | round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0.0 END),4) AS qty_n,
+        | round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END),4) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q14_cube" ->
+      """SELECT coalesce(p_brand, '(all)') AS brand,
+        | coalesce(CAST(p_size AS VARCHAR), '(all)') AS size,
+        | count(*) AS n, round(avg(p_retailprice),4) AS avg_price
+        |FROM part GROUP BY CUBE (p_brand, p_size) ORDER BY brand, size""".stripMargin,
 
     "q9_exists" ->
       """SELECT c_mktsegment, count(*) AS n_customers FROM customer

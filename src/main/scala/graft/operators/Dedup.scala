@@ -149,8 +149,10 @@ object Dedup {
     * shuffles on shingle then on (id1, id2), never materializing n^2. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 2, threshold: Double = 0.5): DataFrame = {
+    // read 3x (join sides + per-doc counts) — persist once.
     val sh = spread(df)
       .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.alias("a")
       .join(sh.alias("b"),
