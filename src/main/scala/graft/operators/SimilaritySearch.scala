@@ -104,19 +104,16 @@ object SimilaritySearch {
       .where(pmod(col(idCol), lit(stride)) === 0)
       .orderBy(col(idCol)).limit(nCentroids)
       .select(monotonically_increasing_id().as("centroid_id"), col(vecCol).as("centroid"))
+    val vectorAvg = udaf(graft.functions.VectorAvg)
     for (_ <- 1 to iters) {
       val assigned = assignToCentroid(corpus, centroids, vecCol, idCol)
-      // Lloyd update at scale: never collect member vectors per centroid
-      // (that's O(cluster size) rows in one aggregation buffer). Explode to
-      // (centroid, dim, component), average with map-side partial agg, and
-      // reassemble the tiny (centroids x dim) result.
+      // Lloyd update at scale: single-pass mergeable vector-mean UDAF
+      // ([[graft.functions.VectorAvg]]) — map-side partial sums mean the
+      // shuffle carries (partitions x centroids x dim) doubles, never member
+      // vectors; no posexplode row blow-up at high dim.
       centroids = assigned
-        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
-        .groupBy(col("centroid_id"), col("dim"))
-        .agg(avg(col("x").cast("double")).as("m"))
         .groupBy(col("centroid_id"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          s => s.getField("m").cast("float")).as("centroid"))
+        .agg(vectorAvg(col(vecCol)).as("centroid"))
     }
     centroids
   }

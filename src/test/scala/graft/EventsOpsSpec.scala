@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventsOps
+import graft.streaming.StatefulSessionize
+
+class EventsOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val evs = Seq(
+    // user 1: gap of exactly 1800s -> SAME session; 1801s -> new session
+    (1L, ts("2024-01-01 00:00:00"), 1L, 1.0),
+    (1L, ts("2024-01-01 00:30:00"), 2L, 2.0),  // +1800s, same session
+    (1L, ts("2024-01-01 01:00:01"), 3L, 4.0),  // +1801s, new session
+    // user 2: single event
+    (2L, ts("2024-01-01 12:00:00"), 4L, 8.0)
+  ).toDF("user_id", "ts", "event_id", "value")
+
+  test("sessionize gap boundary: exactly gap stays, gap+1 splits") {
+    val got = EventsOps.sessionize(evs, gapSeconds = 1800L)
+      .select($"user_id", $"session_seq", $"n_events", $"session_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 4.0), (2L, 1L, 1L, 8.0)))
+  }
+
+  test("stateful sessionize matches window sessionize on the edge cases") {
+    val a = EventsOps.sessionize(evs, 1800L)
+      .orderBy($"user_id", $"session_seq").collect().toSeq
+    val b = StatefulSessionize.sessionize(spark, evs, 1800L).toDF()
+      .orderBy($"user_id", $"session_seq").collect().toSeq
+    assert(a === b)
+  }
+
+  test("tumbling agg windows are epoch-aligned to the hour (date_trunc parity)") {
+    val typed = evs.withColumn("event_type", lit("click"))
+    val got = EventsOps.tumblingAgg(typed, "1 hour")
+      .select($"window_start", $"n").as[(Timestamp, Long)].collect().toMap
+    assert(got === Map(
+      ts("2024-01-01 00:00:00") -> 2L,  // 00:00:00 and 00:30:00
+      ts("2024-01-01 01:00:00") -> 1L,  // 01:00:01
+      ts("2024-01-01 12:00:00") -> 1L))
+  }
+
+  test("latestPerGroup keeps exactly one newest row per key") {
+    val got = EventsOps.latestPerGroup(evs, "user_id", Seq("ts", "event_id"))
+      .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L), (2L, 4L)))
+  }
+}
