@@ -16,8 +16,10 @@ import graft.plans.{CosineSimilarityExpr, DotProductExpr, SquaredL2Expr}
   *    and by Verify/Bench, whose sessions exist before this library loads).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => graft.plans.LshTopKPruneRule)
+  }
 }
 
 object GraftExtensions {
@@ -33,12 +35,17 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SquaredL2Expr].getName, "squared_l2"),
       (args: Seq[Expression]) => SquaredL2Expr(args(0), args(1))))
 
-  /** Register on an already-built session. */
+  /** Register on an already-built session (functions into the registry, the
+    * LSH prune rule via experimental extraOptimizations). */
   def register(spark: SparkSession): Unit = {
-    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val registry = classic.sessionState.functionRegistry
     functions.foreach { case (ident, inf, builder) =>
       registry.registerFunction(ident, inf, builder)
+    }
+    if (!classic.experimental.extraOptimizations.contains(graft.plans.LshTopKPruneRule)) {
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations :+ graft.plans.LshTopKPruneRule
     }
   }
 }
