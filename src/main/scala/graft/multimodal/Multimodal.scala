@@ -48,6 +48,27 @@ object Multimodal {
     out
   }
 
+  /** Video-style frame sampling: treat the payload as fixed-size frames,
+    * keep every `stride`-th frame, one output row per sampled frame with
+    * per-frame stub features. The row-explosion shape (media -> frames) is
+    * the real contract; the decode is the same deterministic stub. */
+  def sampleFrames(spark: SparkSession, media: DataFrame, frameBytes: Int,
+                   stride: Int, featureDim: Int = 4): DataFrame = {
+    import spark.implicits._
+    media.where(col("kind") === "video")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val p = if (payload == null) Array.emptyByteArray else payload
+        val nFrames = (p.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by stride).map { f =>
+          val frame = p.slice(f * frameBytes, math.min((f + 1) * frameBytes, p.length))
+          (id, f, frame.length, fakeDecodeFeatures(frame, featureDim))
+        }
+      }
+      .toDF("media_id", "frame_no", "frame_bytes", "features")
+  }
+
   /** Feature extraction over the media table. `mapPartitions` so any real
     * decoder is initialized once per partition (codec contexts are
     * expensive), and rows stream through in batches — the Scala analogue of

@@ -52,6 +52,28 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup: `dropDuplicates` on the content key with a
+    * watermark bounding the dedup state (the production continuous-dedup
+    * shape — state holds only keys newer than the watermark). Driven once
+    * over the finite fixture for testing. */
+  def dedupStreamOnce(spark: SparkSession, eventsPath: String,
+                      keyCols: Seq[String], watermark: String = "1 hour",
+                      queryName: String = "graft_stream_dedup"): DataFrame = {
+    val stream = readEvents(spark, eventsPath)
+    val q = stream
+      .withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Watermarked append-mode variant (the production shape at scale: bounded
     * state, late data dropped past the watermark). Emits only closed windows,
     * so for a finite fixture the final window is withheld — production

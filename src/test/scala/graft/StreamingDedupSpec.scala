@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.streaming.StreamingOps
+
+class StreamingDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming dropDuplicates equals batch distinct on the same keys") {
+    val streamed = StreamingOps.dedupStreamOnce(spark,
+      s"${TestSpark.sf}/events.parquet", Seq("user_id", "event_type"),
+      queryName = "t_dedup_stream")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .dropDuplicates(Seq("user_id", "event_type", "ts"))
+    assert(streamed.count() === batch.count())
+  }
+
+  test("frame sampling yields every stride-th frame with stub features") {
+    val media = Multimodal.asMediaTable(
+      spark.read.parquet(s"${TestSpark.sf}/documents.parquet"),
+      "doc_id", "text", "source")
+    val frames = Multimodal.sampleFrames(spark, media, frameBytes = 32, stride = 2)
+    assert(frames.count() > 0)
+    val perMedia = frames.groupBy($"media_id")
+      .agg(count(lit(1)).as("n"), max($"frame_no").as("mx"))
+      .as[(Long, Long, Int)].collect()
+    perMedia.foreach { case (_, n, mx) =>
+      assert(mx % 2 === 0)            // only even frame numbers at stride 2
+      assert(n === mx / 2 + 1)        // contiguous every-2nd sampling
+    }
+    val dims = frames.select(size($"features")).distinct().as[Int].collect().toSeq
+    assert(dims === Seq(4))
+  }
+}
