@@ -50,10 +50,12 @@ final class GraftVectorStore(
       indexPath)
   }
 
-  /** E2 retrieval: exact cosine top-k scored chunks for a prompt. */
+  /** E2 retrieval: exact cosine top-k scored chunks for a prompt.
+    * Reads with HSET-upsert semantics — a re-ingested document's newest
+    * record wins, duplicates never reach the top-k. */
   def search(prompt: String, alias: String, topN: Int = 10): DataFrame =
     KnnSearch.topK(
-      IndexTable.read(spark, indexPath, resolveAlias(alias)),
+      IndexTable.readLatest(spark, indexPath, resolveAlias(alias)),
       Embedder.embedQuery(prompt, model, seed), topN)
       .select(col("id"), col("index_alias"), col("document_path"),
         col("page_number"), col("page_content"), col("similarity"))

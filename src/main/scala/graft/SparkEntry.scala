@@ -230,6 +230,26 @@ object SparkEntry {
         .orderBy(col("brand"), col("size"))
     }),
 
+    // correlated scalar subquery, exercised through the spark.sql surface
+    // (Catalyst decorrelates it into an aggregate + join).
+    "q15_scalar_subquery" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("graft_customer_v")
+      s.sql("""SELECT c_nationkey, count(*) AS n_above_avg
+              |FROM graft_customer_v c1
+              |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM graft_customer_v c2
+              |                   WHERE c2.c_nationkey = c1.c_nationkey)
+              |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+    }),
+
+    // ordered string aggregation (portable listagg shape).
+    "q16_listagg" -> ((s, d) => {
+      t(s, d, "region").join(t(s, d, "nation"),
+          col("r_regionkey") === col("n_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+        .orderBy(col("r_name"))
+    }),
+
     // ---------------- reference operators (SURVEY.md §2) ----------------
 
     // S3: extension dispatch — lowercased last '.'-segment routes to a loader
@@ -574,6 +594,18 @@ object SparkEntry {
         | count(*) AS n, round(sum(c_acctbal),4) AS sum_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin,
+
+    "q15_scalar_subquery" ->
+      """SELECT c_nationkey, count(*) AS n_above_avg
+        |FROM customer c1
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c1.c_nationkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q16_listagg" ->
+      """SELECT r_name, array_to_string(list_sort(list(n_name)), ',') AS nations
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     "q11_percentile" ->
       """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5),4) AS median_qty,

@@ -28,7 +28,10 @@ object IndexTable {
     StructField("document_path", StringType),
     StructField("page_number", IntegerType),
     StructField("page_content", StringType),
-    StructField("page_content_vector", ArrayType(FloatType))))
+    StructField("page_content_vector", ArrayType(FloatType)),
+    // ingest generation stamp (monotonic per append) — powers the
+    // HSET-last-write-wins upsert semantics of readLatest.
+    StructField("ingest_seq", LongType)))
 
   /** D2: existence probe (reference `checkRedisIndexExists`,
     * `modules/utilities.py:232-240`). */
@@ -85,23 +88,35 @@ object IndexTable {
         "page_content_vector")
   }
 
-  /** K1/K2: append records. Upsert semantics of Redis HSET (last write wins
-    * by key) are realized on read via [[readLatest]]. */
-  def append(records: DataFrame, path: String): Unit =
-    records.write.mode(SaveMode.Append).partitionBy("index_alias").parquet(path)
+  /** K1/K2: append records, stamped with a monotonically increasing ingest
+    * generation so Redis-HSET upsert semantics (last write wins by key) can
+    * be realized on read via [[readLatest]]. */
+  private val ingestCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def append(records: DataFrame, path: String): Unit = {
+    // millis << 10 + per-process counter: strictly increasing even for
+    // appends within the same millisecond.
+    val gen = (System.currentTimeMillis() << 10) | (ingestCounter.incrementAndGet() & 0x3ff)
+    val stamped =
+      if (records.columns.contains("ingest_seq")) records
+      else records.withColumn("ingest_seq", lit(gen))
+    stamped.write.mode(SaveMode.Append).partitionBy("index_alias").parquet(path)
+  }
 
   /** Read one tenant's slice — partition-pruned scan. */
   def read(spark: SparkSession, path: String, alias: String): DataFrame =
     spark.read.parquet(path).where(col("index_alias") === alias)
 
-  /** Read with HSET-overwrite semantics: newest record per id wins. Uses a
-    * single hash aggregation (max_by over an ingest ordinal), not a window —
-    * one shuffle on the key, map-side partial aggregation applies. */
+  /** Read with HSET-overwrite semantics: newest record per id wins (by the
+    * ingest generation stamp; one shuffle on the key). */
   def readLatest(spark: SparkSession, path: String, alias: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("id")).orderBy(col("ingest_seq").desc)
     val df = read(spark, path, alias)
     if (!df.columns.contains("ingest_seq")) df.dropDuplicates("id")
-    else df.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    else {
+      val w = Window.partitionBy(col("id")).orderBy(col("ingest_seq").desc)
+      df.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .drop("rn", "ingest_seq")
+    }
   }
 }

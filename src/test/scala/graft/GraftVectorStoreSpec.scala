@@ -34,6 +34,20 @@ class GraftVectorStoreSpec extends AnyFunSuite {
     assert(!store.indexExists())
   }
 
+  test("re-ingesting a document upserts: newest record wins, no duplicate ids in search") {
+    val path = java.nio.file.Files.createTempDirectory("graft_store3").toString + "/idx"
+    val store = new GraftVectorStore(spark, path)
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select($"source".as("document_path"), $"text").limit(10)
+    store.addDocuments(docs, "t", pageSize = 32)
+    store.addDocuments(docs.withColumn("text", upper($"text")), "t", pageSize = 32)
+    val hits = store.search("fast spark table scan query", "t", topN = 100)
+    assert(hits.groupBy($"id").count().where($"count" > 1).count() === 0)
+    // the surviving content is the second generation (uppercased)
+    val contents = hits.select($"page_content").as[String].collect()
+    assert(contents.forall(c => c == c.toUpperCase))
+  }
+
   test("multi-tenant isolation via partition pruning + alias encryption") {
     val path = java.nio.file.Files.createTempDirectory("graft_store2").toString + "/idx"
     val store = new GraftVectorStore(spark, path, encryptAlias = true)
