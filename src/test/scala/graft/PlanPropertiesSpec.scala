@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks the physical-plan properties the engine is designed around (see
+  * PLANS.md): scan pushdown, pruned read schemas, partial top-k, broadcast
+  * strategy for small dims. A regression that silently de-optimizes a plan
+  * fails here even though results stay correct.
+  */
+class PlanPropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+
+  test("filters reach the parquet scan (q2)") {
+    val p = planOf("q2_filter_sum")
+    // toString truncates the filter list; the leading entries prove pushdown
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+  }
+
+  test("projection prunes the read schema to referenced columns (q2)") {
+    val p = planOf("q2_filter_sum")
+    assert(!p.contains("l_returnflag"), "q2 must not read unreferenced columns")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not sort+limit (q6, knn)") {
+    assert(planOf("q6_topk_orders").contains("TakeOrderedAndProject"))
+    assert(planOf("knn_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("small dims broadcast (q3)") {
+    val p = planOf("q3_join_broadcast")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("aggregations partial-aggregate map-side before the shuffle (q1)") {
+    val p = planOf("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
+  test("the cosine expression compiles into whole-stage codegen (knn)") {
+    val df = SparkEntry.queries("knn_topk")(spark, TestSpark.sf)
+    df.collect() // finalize the adaptive plan so codegen stages materialize
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("cosine_sim"), p)
+    // whole-stage-codegen'd operators print with the "*(n)" marker
+    assert(p.contains("*("), p)
+  }
+}
