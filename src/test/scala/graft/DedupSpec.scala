@@ -24,6 +24,20 @@ class DedupSpec extends AnyFunSuite {
     assert(got.head._3 === 2L)
   }
 
+  test("shinglesFast UDF equals the declarative shingles column on the fixture") {
+    val docsFx = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(100)
+    val both = docsFx.select(
+      Dedup.shingles($"text", 2).as("a"),
+      Dedup.shinglesFast(2)($"text").as("b"))
+      .as[(Seq[String], Seq[String])].collect()
+    both.foreach { case (a, b) => assert(a === b) }
+    val tri = docsFx.select(
+      Dedup.shingles($"text", 3).as("a"),
+      Dedup.shinglesFast(3)($"text").as("b"))
+      .as[(Seq[String], Seq[String])].collect()
+    tri.foreach { case (a, b) => assert(a === b) }
+  }
+
   test("shingles: word bigrams, distinct; single-word text has none") {
     val sh = Seq("a b c a b").toDF("text")
       .select(Dedup.shingles($"text", 2).as("s")).as[Seq[String]].head()
