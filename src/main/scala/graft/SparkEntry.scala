@@ -478,6 +478,16 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // sliding (hopping) windows: 1h length, 30m hop — every event lands in
+    // exactly two windows.
+    "events_sliding_window" -> ((s, d) => {
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     "events_json_extract" -> ((s, d) => {
       EventsOps.jsonProp(events(s, d), "k")
         .orderBy(col("event_id"))
@@ -816,6 +826,14 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS n, round(sum(value),4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "events_sliding_window" ->
+      """WITH e2 AS (
+        | SELECT event_type, value, time_bucket(INTERVAL '30 minutes', ts) AS w FROM events
+        | UNION ALL
+        | SELECT event_type, value, time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events)
+        |SELECT w AS window_start, event_type, count(*) AS n, round(sum(value),4) AS sum_value
+        |FROM e2 GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "events_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
