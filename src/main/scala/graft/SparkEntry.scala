@@ -221,12 +221,15 @@ object SparkEntry {
 
     // cube grouping sets over part attributes.
     "q14_cube" -> ((s, d) => {
+      // sum, not avg: averages of 2-decimal money over tiny cube cells land
+      // exactly on the round-half boundary (e.g. 941.73125) where engines'
+      // double-rounding disagrees; sums stay on the 2-decimal grid.
       t(s, d, "part")
         .cube(col("p_brand"), col("p_size"))
-        .agg(count(lit(1)).as("n"), round(avg(col("p_retailprice")), 4).as("avg_price"))
+        .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 2).as("sum_price"))
         .select(coalesce(col("p_brand"), lit("(all)")).as("brand"),
           coalesce(col("p_size").cast("string"), lit("(all)")).as("size"),
-          col("n"), col("avg_price"))
+          col("n"), col("sum_price"))
         .orderBy(col("brand"), col("size"))
     }),
 
@@ -638,7 +641,7 @@ object SparkEntry {
     "q14_cube" ->
       """SELECT coalesce(p_brand, '(all)') AS brand,
         | coalesce(CAST(p_size AS VARCHAR), '(all)') AS size,
-        | count(*) AS n, round(avg(p_retailprice),4) AS avg_price
+        | count(*) AS n, round(sum(p_retailprice),2) AS sum_price
         |FROM part GROUP BY CUBE (p_brand, p_size) ORDER BY brand, size""".stripMargin,
 
     "q9_exists" ->
