@@ -23,13 +23,20 @@ object Chunker {
 
   val DefaultPageSize = 300
 
-  /** Array of page texts for one document text column. */
+  /** Array of page texts for one document text column. NULL text yields an
+    * empty (non-null) page list. */
   def pageChunks(text: Column, pageSize: Int = DefaultPageSize): Column = {
+    require(pageSize > 0, s"pageSize must be positive, got $pageSize")
     val words = split(text, " ") // literal single-space split, keeps empties — Python str.split(' ')
     val nPages = (floor(size(words) / pageSize) + 1).cast("int") // //pageSize + 1 semantics
-    transform(
-      sequence(lit(0), nPages - 1),
-      i => array_join(slice(words, i * pageSize + 1, lit(pageSize)), " "))
+    // Under ANSI (this engine's default) size(NULL) is NULL and the whole
+    // expression nulls out; with ANSI off it is -1 and Spark's
+    // sequence(0, -1) DESCENDS. Guard every nonpositive-nPages cause to an
+    // empty page list either way.
+    when(text.isNull || nPages < 1, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), nPages - 1),
+        i => array_join(slice(words, i * pageSize + 1, lit(pageSize)), " ")))
   }
 
   /** Explode a document table into (original cols..., page_number, page_content). */

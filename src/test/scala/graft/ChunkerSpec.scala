@@ -36,6 +36,18 @@ class ChunkerSpec extends AnyFunSuite {
     assert(got === Seq((0, "a  b"))) // 3 words: "a", "", "b" -> rejoined
   }
 
+  test("null text yields an empty non-null page array (robust with or without ANSI)") {
+    // assert on pageChunks directly: through chunk()/posexplode a NULL array
+    // and an empty array are indistinguishable (both explode to no rows)
+    val arrs = Seq(Option.empty[String], Some("a b")).toDF("text")
+      .select(Chunker.pageChunks($"text", 300).as("p"))
+      .as[Seq[String]].collect().toSeq
+    assert(arrs === Seq(Seq.empty, Seq("a b")))
+    assertThrows[IllegalArgumentException] {
+      Chunker.pageChunks(lit("a"), 0)
+    }
+  }
+
   test("chunk pages concatenate back to the original word sequence") {
     val text = (1 to 100).map(i => s"t$i").mkString(" ")
     val got = pages(text, 7).map(_._2).filter(_.nonEmpty).mkString(" ")
