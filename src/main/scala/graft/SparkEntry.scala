@@ -717,7 +717,7 @@ object SparkEntry {
 
     "rerank_answers" ->
       s"""WITH ws AS (SELECT doc_id, text,
-         |  list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), w -> len(w) > 0)) AS words
+         |  list_distinct(list_filter(string_split_regex(lower(regexp_replace(text, '[.\\-=?!]', ' ', 'g')), '\\s+'), w -> len(w) > 0)) AS words
          |  FROM documents),
          |scored AS (SELECT doc_id, text,
          |  CAST(floor(100.0 * len(list_filter([$promptKwSql], k -> list_contains(words, k))) / 5) AS INT) AS score

@@ -93,6 +93,8 @@ object Dedup {
                           numHashes: Int = 12, bands: Int = 4,
                           threshold: Double = 0.5, ngram: Int = 2,
                           maxBucket: Int = 1000): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
     val rpb = numHashes / bands
     // Shape note: the declarative array form ([[minhashSignature]] +
     // [[lshBandKeys]]) evaluates md5 inside interpreted lambda functions —
@@ -120,8 +122,16 @@ object Dedup {
         posexplode(array((0 until bands).map(b => col(s"bk$b")): _*))
           .as(Seq("band_idx", "band_key")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = banded.alias("a")
-    val b = banded.alias("b")
+    // Skew bound: a bucket of size B yields B^2/2 candidate pairs; drop
+    // buckets above maxBucket (boilerplate shared by thousands of docs
+    // carries no dedup signal and would OOM the self-join at scale).
+    val bucketSizes = banded.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("__bn"))
+    val bounded = banded.join(bucketSizes, Seq("band_idx", "band_key"))
+      .where(col("__bn") <= maxBucket)
+      .drop("__bn")
+    val a = bounded.alias("a")
+    val b = bounded.alias("b")
     val candidates = a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&

@@ -103,9 +103,26 @@ object IndexTable {
     stamped.write.mode(SaveMode.Append).partitionBy("index_alias").parquet(path)
   }
 
-  /** Read one tenant's slice — partition-pruned scan. */
+  /** True when the index path holds at least one ingested partition.
+    * A freshly created index is _SUCCESS-only (dynamic partitioning emits no
+    * part files for an empty frame), which the parquet reader cannot infer
+    * a schema from. */
+  private def hasData(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("index_alias="))
+  }
+
+  /** Read one tenant's slice — partition-pruned scan. An existing-but-empty
+    * index reads as zero rows (the reference's empty Redis index returns no
+    * hits, not an error). */
   def read(spark: SparkSession, path: String, alias: String): DataFrame =
-    spark.read.parquet(path).where(col("index_alias") === alias)
+    if (!hasData(spark, path))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .where(col("index_alias") === alias)
+    else spark.read.parquet(path).where(col("index_alias") === alias)
 
   /** Read with HSET-overwrite semantics: newest record per id wins (by the
     * ingest generation stamp; one shuffle on the key). */

@@ -40,7 +40,9 @@ object KnnSearch {
              model: String = graft.core.ModelRegistry.default,
              seed: Int = Embedder.DefaultSeed): DataFrame = {
     val qvec = Embedder.embedQuery(prompt, model, seed)
-    topK(IndexTable.read(spark, indexPath, alias), qvec, k)
+    // readLatest: re-ingested documents must not surface stale versions
+    // (HSET last-write-wins, modules/utilities.py:304-309)
+    topK(IndexTable.readLatest(spark, indexPath, alias), qvec, k)
       .select(col("id"), col("index_alias"), col("document_path"),
         col("page_number"), col("page_content"), col("similarity"))
   }

@@ -26,9 +26,11 @@ object RangeJoin {
     val l = left.withColumn("__bucket", floor(col(pointCol) / w).cast("long"))
     val r = right
       .withColumn("__b0", floor(col(startCol) / w).cast("long"))
-      // end is exclusive: the last covered bucket is the one containing the
-      // largest value strictly below end.
-      .withColumn("__b1", floor((col(endCol) - lit(1e-9) * w) / w).cast("long"))
+      // floor(end/w) may include one bucket past an exclusive end that sits
+      // exactly on a boundary — harmless, the exact predicate below filters
+      // it. (An epsilon-subtraction "optimization" here silently DROPS the
+      // last bucket when end is fractionally above a boundary.)
+      .withColumn("__b1", floor(col(endCol) / w).cast("long"))
       .withColumn("__bucket", explode(sequence(col("__b0"), greatest(col("__b0"), col("__b1")))))
       .drop("__b0", "__b1")
     l.join(r, Seq("__bucket") ++ extraJoinKeys)

@@ -36,7 +36,10 @@ object Rerank {
       .distinct.toSeq
     if (kws.isEmpty) lit(0)
     else {
-      val words = array_distinct(TextFunctions.wsTokens(lower(content)))
+      // strip the same [.-=?!] punctuation from the content that the prompt
+      // keywords get — otherwise "sandwich." never matches keyword "sandwich"
+      val words = array_distinct(TextFunctions.wsTokens(
+        lower(regexp_replace(content, "[.\\-=?!]", " "))))
       floor(lit(100.0) * size(array_intersect(words, typedlit(kws))) / kws.size)
         .cast("int")
     }

@@ -62,8 +62,9 @@ object SimilaritySearch {
 
   /** Approximate top-k: bucket corpus and queries with the same hyperplanes,
     * join on bucket, exact-rerank within bucket. Multi-probe (the standard
-    * recall lever, cf. multi-probe LSH): each query also probes every bucket
-    * within hamming distance `multiProbe` of its own, trading
+    * recall lever, cf. multi-probe LSH): with `multiProbe >= 1` each query
+    * also probes every bucket at hamming distance EXACTLY 1 from its own
+    * (higher distances are not currently expanded), trading
     * (1 + nBits) / 2^nBits of the corpus scanned for much higher recall —
     * still a bucket-pruned, shardable join at 100 TB, unlike a graph index. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int,
@@ -100,9 +101,14 @@ object SimilaritySearch {
                    vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val n = corpus.count()
     val stride = math.max(1L, n / nCentroids)
-    var centroids = corpus
-      .where(pmod(col(idCol), lit(stride)) === 0)
+    // seed selection hashes the id so it is insensitive to id density/offsets
+    // (pmod(id, stride) == 0 selects nothing when ids are sparse or shifted);
+    // fall back to the first nCentroids when the hash filter under-selects.
+    var seeds = corpus
+      .where(pmod(hash(col(idCol)), lit(stride)) === 0)
       .orderBy(col(idCol)).limit(nCentroids)
+    if (seeds.limit(1).isEmpty) seeds = corpus.orderBy(col(idCol)).limit(nCentroids)
+    var centroids = seeds
       .select(monotonically_increasing_id().as("centroid_id"), col(vecCol).as("centroid"))
     val vectorAvg = udaf(graft.functions.VectorAvg)
     for (_ <- 1 to iters) {
@@ -118,16 +124,22 @@ object SimilaritySearch {
     centroids
   }
 
-  /** Assign each corpus vector to its nearest centroid (centroids broadcast;
-    * min_by over the centroid set — a narrow map at any corpus size). */
+  /** Assign each corpus vector to its nearest centroid. Broadcast join +
+    * min(struct(dist, centroid_id)) aggregation: the expanded
+    * (corpus x centroids) rows are reduced MAP-SIDE by partial aggregation,
+    * so the shuffle carries ~one row per vector — unlike a window
+    * formulation, which would shuffle the full expansion. Tie-break is the
+    * lexicographic (dist, centroid_id) struct order, deterministic. */
   def assignToCentroid(corpus: DataFrame, centroids: DataFrame,
                        vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(asc("dist"), asc("centroid_id"))
+    val otherCols = corpus.columns.filterNot(c => c == idCol || c == vecCol)
     Dedup.spread(corpus).join(broadcast(centroids))
-      .withColumn("dist", VectorFunctions.euclideanDistance(col(vecCol), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .drop("rn", "dist", "centroid")
+      .withColumn("dist", graft.plans.VectorExpressions.squaredL2(col(vecCol), col("centroid")))
+      .groupBy(col(idCol))
+      .agg(
+        min(struct(col("dist"), col("centroid_id"))).getField("centroid_id").as("centroid_id"),
+        (first(col(vecCol)).as(vecCol) +:
+          otherCols.map(c => first(col(c)).as(c))): _*)
   }
 
   /** IVF probe: route each query to its `nprobe` nearest centroids, scan only

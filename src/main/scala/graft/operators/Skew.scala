@@ -20,8 +20,11 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salt: Int): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
+    // salt by row POSITION (monotonic id), not row content: identical hot-key
+    // rows must spread over reducers, and content-hashing would send them
+    // all to the same one.
     val l = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(salt)))
+      pmod(hash(monotonically_increasing_id()), lit(salt)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, Seq(key, "__salt")).drop("__salt")

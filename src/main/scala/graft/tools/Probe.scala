@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, SimilaritySearch}
+import graft.operators.{Dedup, RangeJoin, SimilaritySearch}
 
 /** Ad-hoc profiling/evidence mains (not part of the driver contract).
   * `runMain graft.tools.Probe minhash <sfDir>`   — stage-by-stage timings
@@ -46,6 +46,17 @@ object Probe {
         time("signatures")(sig.write.mode("overwrite").format("noop").save())
         time("full operator")(
           Dedup.minhashNearDupPairs(docs, "text", "doc_id", 12, 4, 0.30).count())
+
+      case "edges" =>
+        // review-fix drive: empty-index search + range-join boundary epsilon
+        val store = new graft.GraftVectorStore(spark,
+          java.nio.file.Files.createTempDirectory("probe_idx").toString + "/idx")
+        store.createIndex()
+        println("EMPTY-SEARCH-ROWS=" + store.search("fast spark scan", "t", 5).count())
+        val pts = Seq((1L, 2.0)).toDF("id", "v")
+        val iv = Seq((0.0, 2.0000000005, "band")).toDF("lo", "hi", "b")
+        println("RANGE-EDGE-ROWS=" + RangeJoin.pointInInterval(
+          pts, "v", iv, "lo", "hi", 1.0).count())
 
       case "recall" =>
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()

@@ -37,6 +37,17 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!plan.contains("NestedLoop"), plan)
   }
 
+  test("end fractionally above a bucket boundary still matches points in the last bucket") {
+    // regression: an epsilon-subtraction in bucket expansion dropped the
+    // final bucket for intervals like [0, 2.0000000005) at width 1.0,
+    // silently losing the point 2.0
+    val p = Seq((1L, 2.0)).toDF("id", "v")
+    val iv = Seq((0.0, 2.0000000005, "band")).toDF("lo", "hi", "band")
+    val got = RangeJoin.pointInInterval(p, "v", iv, "lo", "hi", 1.0)
+      .select($"id", $"band").as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "band")))
+  }
+
   test("boundary semantics: start inclusive, end exclusive") {
     val p = Seq((1L, 50000.0), (2L, 49999.99)).toDF("id", "v")
     val got = RangeJoin.pointInInterval(p, "v", bands, "lo", "hi", 1000.0)
