@@ -82,6 +82,49 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => md5(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))))
 
+  /** Signature + band keys in ONE narrow per-document pass (the hot path).
+    * Bit-identical to [[minhashSignature]] + [[lshBandKeys]]: per hash i the
+    * minimum of md5(shingle || '#' || i) under lexicographic hex order — which
+    * equals unsigned-byte order on the raw 16-byte digests, so the mins are
+    * tracked on raw digests and hex-encoded once at the end. Replaces an
+    * explode(shingles) + numHashes-way min-aggregate shuffle with zero
+    * shuffles: at 100 TB the signature stage becomes embarrassingly parallel
+    * map work and the only remaining shuffle in MinHash-LSH is the bucket
+    * self-join itself. */
+  def minhashBandKeysFast(numHashes: Int, bands: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (shingles: Seq[String]) =>
+      val rpb = numHashes / bands
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val mins = Array.fill[Array[Byte]](numHashes)(null)
+      val suffixes = Array.tabulate(numHashes)(i => ("#" + i).getBytes("UTF-8"))
+      shingles.foreach { s =>
+        val sb = s.getBytes("UTF-8")
+        var i = 0
+        while (i < numHashes) {
+          md.reset(); md.update(sb); md.update(suffixes(i))
+          val d = md.digest()
+          if (mins(i) == null || unsignedLt(d, mins(i))) mins(i) = d
+          i += 1
+        }
+      }
+      val hex = mins.map(m => if (m == null) "" else m.map("%02x".format(_)).mkString)
+      Array.tabulate(bands) { b =>
+        val bandStr = (0 until rpb).map(r => hex(b * rpb + r)).mkString(",")
+        md.reset()
+        md.digest(bandStr.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+    }
+
+  private def unsignedLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+
   /** MinHash-LSH near-dup pairs: shingle -> minhash -> band -> bucket
     * self-join -> exact Jaccard verify on the candidates only.
     *
@@ -95,31 +138,21 @@ object Dedup {
                           maxBucket: Int = 1000): DataFrame = {
     require(bands >= 1 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
-    val rpb = numHashes / bands
-    // Shape note: the declarative array form ([[minhashSignature]] +
-    // [[lshBandKeys]]) evaluates md5 inside interpreted lambda functions —
-    // measured ~50s at 500 docs. Here the SAME signatures (min over
-    // md5(shingle#i)) come from ONE codegen'd pass over the exploded
-    // shingles with numHashes parallel min-aggregates: map-side partial
-    // aggregation reduces the shuffle to (docs x numHashes) strings, and no
-    // per-(doc, i) second shuffle exists at all.
-    // sh is read 3x (signature build + two verify join-backs) and banded 2x
+    // Shape note: signatures come from [[minhashBandKeysFast]], one narrow
+    // per-document pass with NO shuffle (the round-1 shape — explode +
+    // numHashes min-aggregates — shuffled (docs x numHashes) strings and was
+    // the single slowest stage of the whole bench; the declarative array form
+    // is ~50s at 500 docs because HOF lambdas are interpreted).
+    // sh is read 3x (band-key build + two verify join-backs) and banded 2x
     // (self-join sides); persist both — they are tiny relative to the work
     // that derives them (docs x shingle-array, docs x bands rows).
     val sh = spread(df)
       .select(col(idCol).as("doc_id"), shinglesFast(ngram)(col(textCol)).as("sh"))
       .where(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val minAggs = (0 until numHashes).map(i =>
-      min(md5(concat(col("s"), lit("#" + i)))).as(s"m$i"))
-    val sig = exploded.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-    val bandKeyCols = (0 until bands).map(b =>
-      md5(concat_ws(",", (0 until rpb).map(r => col(s"m${b * rpb + r}")): _*)).as(s"bk$b"))
-    val banded = sig
-      .select(col("doc_id") +: bandKeyCols: _*)
+    val banded = sh
       .select(col("doc_id"),
-        posexplode(array((0 until bands).map(b => col(s"bk$b")): _*))
+        posexplode(minhashBandKeysFast(numHashes, bands)(col("sh")))
           .as(Seq("band_idx", "band_key")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Skew bound: a bucket of size B yields B^2/2 candidate pairs; drop

@@ -47,6 +47,18 @@ class DedupSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("minhashBandKeysFast UDF equals the declarative signature+band pipeline") {
+    val docsFx = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(100)
+    val sh = docsFx.select(Dedup.shinglesFast(2)($"text").as("sh"))
+      .where(size($"sh") > 0)
+    val both = sh.select(
+      Dedup.lshBandKeys(Dedup.minhashSignature($"sh", 12), bands = 4, rowsPerBand = 3).as("a"),
+      Dedup.minhashBandKeysFast(12, 4)($"sh").as("b"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (a, b) => assert(a === b) }
+  }
+
   test("minhash-LSH surfaces the near-dup pair and skips unrelated docs") {
     val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
       numHashes = 12, bands = 6, threshold = 0.4)
