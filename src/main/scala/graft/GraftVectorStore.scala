@@ -27,10 +27,17 @@ final class GraftVectorStore(
     indexPath: String,
     model: String = ModelRegistry.default,
     seed: Int = Embedder.DefaultSeed,
-    encryptAlias: Boolean = false) {
+    encryptAlias: Boolean = false,
+    // Some(bits): store the index partitioned by (index_alias, __lsh_bucket)
+    // and enable the approximate search path — the scale analogue of the
+    // reference's HNSW index (reference modules/utilities.py:272-278).
+    lshBits: Option[Int] = None,
+    lshSeed: Long = IndexTable.DefaultLshSeed) {
 
   private def resolveAlias(alias: String): String =
     if (encryptAlias) IndexTable.encodeAlias(alias) else alias
+
+  private def dim: Int = ModelRegistry.dim(model)
 
   /** Idempotent index creation (D1). */
   def createIndex(): Unit = IndexTable.create(spark, indexPath)
@@ -45,20 +52,37 @@ final class GraftVectorStore(
   def addDocuments(docs: DataFrame, alias: String,
                    pageSize: Int = operators.Chunker.DefaultPageSize): Unit = {
     createIndex()
-    IndexTable.append(
-      IndexTable.ingestRecords(docs, resolveAlias(alias), model, seed, pageSize),
-      indexPath)
+    val records = IndexTable.ingestRecords(docs, resolveAlias(alias), model, seed, pageSize)
+    lshBits match {
+      case Some(bits) => IndexTable.appendBucketed(records, indexPath, bits, dim, lshSeed)
+      case None       => IndexTable.append(records, indexPath)
+    }
   }
 
   /** E2 retrieval: exact cosine top-k scored chunks for a prompt.
     * Reads with HSET-upsert semantics — a re-ingested document's newest
-    * record wins, duplicates never reach the top-k. */
-  def search(prompt: String, alias: String, topN: Int = 10): DataFrame =
-    KnnSearch.topK(
-      IndexTable.readLatest(spark, indexPath, resolveAlias(alias)),
-      Embedder.embedQuery(prompt, model, seed), topN)
+    * record wins, duplicates never reach the top-k.
+    *
+    * `approximate = true` (requires `lshBits`): probe only the query's LSH
+    * bucket plus its hamming-1 neighbors — (1 + bits)/2^bits of the tenant's
+    * FILES, pruned at the partition level before any row is read. Same
+    * recall/cost dial as the reference's HNSW, shardable over any number of
+    * executors. */
+  def search(prompt: String, alias: String, topN: Int = 10,
+             approximate: Boolean = false): DataFrame = {
+    val qvec = Embedder.embedQuery(prompt, model, seed)
+    val slice =
+      if (!approximate) IndexTable.readLatest(spark, indexPath, resolveAlias(alias))
+      else {
+        val bits = lshBits.getOrElse(throw new IllegalArgumentException(
+          "approximate search requires the store to be built with lshBits"))
+        val probes = graft.plans.LshTopKPruneRule.probeBuckets(qvec, bits, dim, lshSeed)
+        IndexTable.readLatestPruned(spark, indexPath, resolveAlias(alias), probes.toSeq)
+      }
+    KnnSearch.topK(slice, qvec, topN)
       .select(col("id"), col("index_alias"), col("document_path"),
         col("page_number"), col("page_content"), col("similarity"))
+  }
 
   /** E2 full answer pipeline: retrieve, rerank, threshold, project answers. */
   def answers(prompt: String, alias: String, topN: Int = 10,

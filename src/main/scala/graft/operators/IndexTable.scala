@@ -93,14 +93,46 @@ object IndexTable {
     * be realized on read via [[readLatest]]. */
   private val ingestCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  def append(records: DataFrame, path: String): Unit = {
+  private def stampIngest(records: DataFrame): DataFrame = {
     // millis << 10 + per-process counter: strictly increasing even for
     // appends within the same millisecond.
     val gen = (System.currentTimeMillis() << 10) | (ingestCounter.incrementAndGet() & 0x3ff)
-    val stamped =
-      if (records.columns.contains("ingest_seq")) records
-      else records.withColumn("ingest_seq", lit(gen))
-    stamped.write.mode(SaveMode.Append).partitionBy("index_alias").parquet(path)
+    if (records.columns.contains("ingest_seq")) records
+    else records.withColumn("ingest_seq", lit(gen))
+  }
+
+  def append(records: DataFrame, path: String): Unit =
+    stampIngest(records)
+      .write.mode(SaveMode.Append).partitionBy("index_alias").parquet(path)
+
+  /** Conventional LSH bucket partition column (shared with
+    * [[graft.plans.LshTopKPruneRule]]). */
+  val BucketCol: String = graft.plans.LshTopKPruneRule.BucketCol
+
+  /** Default hyperplane seed for the bucketed layout — distinct from the
+    * embedder seed; must match between write and probe time. */
+  val DefaultLshSeed: Long = 42L
+
+  /** K1 at the 100 TB scale point: append with the vector's sign-LSH bucket
+    * as a SECOND partition column. A probe-time filter on [[BucketCol]] then
+    * prunes at the FILE level (Catalyst `PruneFileSourcePartitions` turns the
+    * `IN` probe list into PartitionFilters), so an approximate search touches
+    * (1 + bits)/2^bits of the tenant's files instead of scanning and
+    * discarding rows — the on-disk analogue of the reference's HNSW candidate
+    * narrowing (reference `modules/utilities.py:272-278`). */
+  /** Disk encoding of a bucket bit-string. The "b" prefix is load-bearing:
+    * a bare bit-string directory name (`__lsh_bucket=0110`) is type-inferred
+    * as an INTEGER partition column on read, silently dropping leading zeros
+    * — probe strings then never match leading-zero buckets. */
+  private def diskBucket(bitString: String): String = "b" + bitString
+
+  def appendBucketed(records: DataFrame, path: String, bits: Int, dim: Int,
+                     lshSeed: Long = DefaultLshSeed): Unit = {
+    val planes = SimilaritySearch.hyperplanes(bits, dim, lshSeed)
+    stampIngest(records)
+      .withColumn(BucketCol,
+        concat(lit("b"), SimilaritySearch.lshBucket(col("page_content_vector"), planes)))
+      .write.mode(SaveMode.Append).partitionBy("index_alias", BucketCol).parquet(path)
   }
 
   /** True when the index path holds at least one ingested partition.
@@ -126,9 +158,28 @@ object IndexTable {
 
   /** Read with HSET-overwrite semantics: newest record per id wins (by the
     * ingest generation stamp; one shuffle on the key). */
-  def readLatest(spark: SparkSession, path: String, alias: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def readLatest(spark: SparkSession, path: String, alias: String): DataFrame =
+    latestPerId(read(spark, path, alias))
+
+  /** Bucket-pruned tenant read for a bucketed index ([[appendBucketed]]):
+    * only the probe buckets' files are listed and scanned. Latest-per-id is
+    * resolved WITHIN the pruned slice — correct because a record's bucket is
+    * a pure function of its vector, so re-ingests of identical content land
+    * in the same bucket; a document whose content (hence vector) changed may
+    * briefly surface its previous version from a non-probed bucket, the same
+    * staleness window an HNSW rebuild has. */
+  def readLatestPruned(spark: SparkSession, path: String, alias: String,
+                       probes: Seq[String]): DataFrame = {
     val df = read(spark, path, alias)
+    val diskProbes = probes.map(diskBucket)
+    val pruned =
+      if (df.columns.contains(BucketCol)) df.where(col(BucketCol).isin(diskProbes: _*))
+      else df.where(lit(false)) // empty/unbucketed index: no approximate hits
+    latestPerId(pruned).drop(BucketCol)
+  }
+
+  private def latestPerId(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     if (!df.columns.contains("ingest_seq")) df.dropDuplicates("id")
     else {
       val w = Window.partitionBy(col("id")).orderBy(col("ingest_seq").desc)

@@ -48,6 +48,46 @@ class GraftVectorStoreSpec extends AnyFunSuite {
     assert(contents.forall(c => c == c.toUpperCase))
   }
 
+  test("bucketed store: approximate search prunes at the partition (file) level") {
+    val path = java.nio.file.Files.createTempDirectory("graft_store4").toString + "/idx"
+    // bits=2: hamming-1 probes cover 3 of 4 buckets — high recall on the
+    // near-uniform fixture (RECALL.md: recall tracks probed fraction there)
+    // while still exercising real file-level pruning of the 4th bucket.
+    val bits = 2
+    val store = new GraftVectorStore(spark, path, lshBits = Some(bits))
+    // document_path must be unique per doc here: `source` has only 20
+    // distinct values, so sha1(path_page) ids collide across docs and the
+    // latest-per-id tie-break (equal ingest_seq) is nondeterministic per
+    // read — exact and approx would then score different surviving rows.
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(concat_ws("/", $"source", $"doc_id").as("document_path"), $"text")
+    store.addDocuments(docs, "tenant_a", pageSize = 32)
+
+    // layout really is partitioned by bucket under the alias
+    val aliasDir = new java.io.File(s"$path/index_alias=tenant_a")
+    val bucketDirs = aliasDir.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("__lsh_bucket=")).map(_.getName)
+    assert(bucketDirs.length > 1, s"expected multiple bucket partitions, got ${bucketDirs.toSeq}")
+
+    val approx = store.search("fast spark table scan query", "tenant_a",
+      topN = 10, approximate = true)
+    // the probe IN-list lands in the scan's PartitionFilters -> file pruning,
+    // not a post-scan row filter
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__lsh_bucket"),
+      s"expected __lsh_bucket in PartitionFilters:\n$plan")
+
+    val approxIds = approx.select($"id").as[String].collect().toSet
+    assert(approxIds.nonEmpty && approxIds.size <= 10)
+    // high-recall subset of the exact top-k (3 of 4 buckets probed)
+    val exactIds = store.search("fast spark table scan query", "tenant_a", topN = 10)
+      .select($"id").as[String].collect().toSet
+    assert(approxIds.intersect(exactIds).size >= 4,
+      s"approx=$approxIds exact=$exactIds")
+    // every approximate hit must also be a real record of the tenant slice
+    assert(approx.where($"index_alias" =!= "tenant_a").count() === 0)
+  }
+
   test("multi-tenant isolation via partition pruning + alias encryption") {
     val path = java.nio.file.Files.createTempDirectory("graft_store2").toString + "/idx"
     val store = new GraftVectorStore(spark, path, encryptAlias = true)
