@@ -527,6 +527,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Range join (custom composite operator, see [[RangeJoin]]): click
+    // events falling inside [error_ts, error_ts + 10 min) per user — the
+    // bucketed-expansion hash join, not a nested-loop. Interval arithmetic
+    // runs on integer epoch-micros so the window boundary is exact on both
+    // engines (fractional-second doubles would round near the boundary).
+    "events_range_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("t"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          unix_micros(col("ts")).as("w_start"),
+          (unix_micros(col("ts")) + lit(600000000L)).as("w_end"))
+      RangeJoin.pointInInterval(clicks, "t", errors, "w_start", "w_end",
+          bucketWidth = 600e6, extraJoinKeys = Seq("user_id"))
+        .select(col("user_id"), col("click_id"), col("error_id"))
+        .orderBy(col("user_id"), col("click_id"), col("error_id"))
+    }),
+
     // H2: newest-first history, top row per group (app/app.py:309-334 shape).
     "history_latest_order" -> ((s, d) => {
       EventsOps.latestPerGroup(t(s, d, "orders"), "o_custkey",
@@ -541,6 +561,16 @@ object SparkEntry {
       graft.streaming.StreamingOps
         .windowAggOnce(s, s"$d/events.parquet", "1 hour", queryName = "graft_verify_stream")
         .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // Stream-stream interval join (see [[graft.streaming.StreamingOps
+    // .attributionJoinOnce]]): inner join over a finite fixture equals the
+    // batch interval join, so it oracle-checks like any batch query.
+    "streaming_join_attrib" -> ((s, d) => {
+      graft.streaming.StreamingOps
+        .attributionJoinOnce(s, s"$d/events.parquet", withinSeconds = 1800L,
+          queryName = "graft_verify_stream_attrib")
+        .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
     }),
 
     "multimodal_features" -> ((s, d) => {
@@ -863,6 +893,22 @@ object SparkEntry {
     "streaming_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS n, round(sum(value),4) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "events_range_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+        |e AS (SELECT user_id AS e_user_id, event_id AS error_id, ts AS error_ts FROM events WHERE event_type = 'error')
+        |SELECT c.user_id, click_id, error_id
+        |FROM c JOIN e ON c.user_id = e.e_user_id
+        | AND c.click_ts >= e.error_ts AND c.click_ts < e.error_ts + INTERVAL 600 SECOND
+        |ORDER BY user_id, click_id, error_id""".stripMargin,
+
+    "streaming_join_attrib" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id AS p_user_id, event_id AS purchase_id, ts AS purchase_ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, view_id, purchase_id, round(value, 4) AS purchase_value
+        |FROM v JOIN p ON v.user_id = p.p_user_id
+        | AND p.purchase_ts >= v.view_ts AND p.purchase_ts < v.view_ts + INTERVAL 1800 SECOND
+        |ORDER BY user_id, view_id, purchase_id""".stripMargin
   )
 }

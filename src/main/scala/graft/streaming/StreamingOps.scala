@@ -74,6 +74,44 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Stream-stream INNER join with an event-time interval condition:
+    * view -> purchase attribution within `withinSeconds`, per user. Both
+    * sides carry watermarks and the join condition bounds purchase_ts to a
+    * window around view_ts, so each side's buffered state is GC'd once the
+    * other side's watermark passes — the production shape (an unconstrained
+    * stream-stream join would buffer both streams forever). Inner-join
+    * output over a finite fixture is exactly the batch interval join, so the
+    * result is DuckDB-oracle-checkable. */
+  def attributionJoinOnce(spark: SparkSession, eventsPath: String,
+                          withinSeconds: Long = 1800L,
+                          delay: String = "1 hour",
+                          queryName: String = "graft_stream_attrib"): DataFrame = {
+    val views = readEvents(spark, eventsPath)
+      .where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", delay)
+    val purchases = readEvents(spark, eventsPath)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", delay)
+    val joined = views.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") < col("view_ts") + expr(s"INTERVAL $withinSeconds SECONDS"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        round(col("value"), 4).as("purchase_value"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Watermarked append-mode variant (the production shape at scale: bounded
     * state, late data dropped past the watermark). Emits only closed windows,
     * so for a finite fixture the final window is withheld — production

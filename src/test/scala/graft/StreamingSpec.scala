@@ -25,6 +25,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = StreamingOps.attributionJoinOnce(spark,
+      s"${TestSpark.sf}/events.parquet", queryName = "t_stream_join")
+      .orderBy($"user_id", $"view_id", $"purchase_id").collect().toSeq
+    val ev = batchEvents
+    val v = ev.where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+    val p = ev.where($"event_type" === "purchase")
+      .select($"user_id".as("p_user_id"), $"event_id".as("purchase_id"),
+        $"ts".as("purchase_ts"), $"value")
+    val batch = v.join(p, $"user_id" === $"p_user_id" &&
+        $"purchase_ts" >= $"view_ts" &&
+        $"purchase_ts" < $"view_ts" + expr("INTERVAL 1800 SECONDS"))
+      .select($"user_id", $"view_id", $"purchase_id",
+        round($"value", 4).as("purchase_value"))
+      .orderBy($"user_id", $"view_id", $"purchase_id").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("watermarked append-mode variant runs and emits only closed windows") {
     val wm = StreamingOps.windowAggWatermarked(spark,
       s"${TestSpark.sf}/events.parquet", "1 hour", "2 hours",
