@@ -382,6 +382,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Left ANTI join — the complement of q9's semi/EXISTS: distinct viewers
+    // with no purchase above 90. Plans as a broadcast anti join on the
+    // filtered (small) right side, not a nested loop.
+    "q17_anti_join" -> ((s, d) => {
+      val ev = events(s, d)
+      val viewers = ev.where(col("event_type") === "view")
+        .select(col("user_id")).distinct()
+      val bigBuyers = ev.where(col("event_type") === "purchase" && col("value") > 90)
+        .select(col("user_id"))
+      viewers.join(bigBuyers, Seq("user_id"), "left_anti")
+        .orderBy(col("user_id"))
+    }),
+
+    // HLL++ sketch (approx_count_distinct): the mergeable-sketch answer to
+    // COUNT(DISTINCT) at 100 TB — map-side partial sketches, tiny shuffle,
+    // no exact-distinct re-shuffle. Estimates are engine-specific so there
+    // is no cross-engine oracle (rows-only check); EventsOpsSpec pins the
+    // relative error against the exact count.
+    "events_approx_distinct" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---------------- dedup family (training-data pipeline) ----------------
 
     "dedup_exact" -> ((s, d) => {
@@ -902,6 +928,12 @@ object SparkEntry {
         |FROM c JOIN e ON c.user_id = e.e_user_id
         | AND c.click_ts >= e.error_ts AND c.click_ts < e.error_ts + INTERVAL 600 SECOND
         |ORDER BY user_id, click_id, error_id""".stripMargin,
+
+    "q17_anti_join" ->
+      """SELECT DISTINCT user_id FROM events v WHERE v.event_type = 'view'
+        | AND NOT EXISTS (SELECT 1 FROM events p
+        |   WHERE p.event_type = 'purchase' AND p.user_id = v.user_id AND p.value > 90)
+        |ORDER BY user_id""".stripMargin,
 
     "streaming_join_attrib" ->
       """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts FROM events WHERE event_type = 'view'),

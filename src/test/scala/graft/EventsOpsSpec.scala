@@ -53,4 +53,18 @@ class EventsOpsSpec extends AnyFunSuite {
       .select($"user_id", $"event_id").as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 3L), (2L, 4L)))
   }
+
+  test("HLL++ approx distinct is within the declared rsd of the exact count") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+    val rows = ev.groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", rsd = 0.02).as("approx"),
+        countDistinct($"user_id").as("exact"))
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, approx, exact) =>
+      val relErr = math.abs(approx - exact).toDouble / exact
+      assert(relErr <= 0.05, s"$et: approx=$approx exact=$exact relErr=$relErr")
+    }
+  }
 }
