@@ -99,15 +99,13 @@ object SimilaritySearch {
     * Returns (centroids dataframe: centroid_id, centroid). */
   def ivfCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 2,
                    vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val n = corpus.count()
-    val stride = math.max(1L, n / nCentroids)
-    // seed selection hashes the id so it is insensitive to id density/offsets
-    // (pmod(id, stride) == 0 selects nothing when ids are sparse or shifted);
-    // fall back to the first nCentroids when the hash filter under-selects.
-    var seeds = corpus
-      .where(pmod(hash(col(idCol)), lit(stride)) === 0)
-      .orderBy(col(idCol)).limit(nCentroids)
-    if (seeds.limit(1).isEmpty) seeds = corpus.orderBy(col(idCol)).limit(nCentroids)
+    // Seed selection: the nCentroids lowest (hash(id), id) rows — a
+    // deterministic pseudo-random sample that is insensitive to id density,
+    // offsets, and partitioning, needs no corpus count() or emptiness-probe
+    // job (the round-1 stride filter cost two extra jobs per build), and
+    // plans as a single TakeOrdered (per-partition partial top-k).
+    val seeds = corpus
+      .orderBy(hash(col(idCol)), col(idCol)).limit(nCentroids)
     var centroids = seeds
       .select(monotonically_increasing_id().as("centroid_id"), col(vecCol).as("centroid"))
     val vectorAvg = udaf(graft.functions.VectorAvg)

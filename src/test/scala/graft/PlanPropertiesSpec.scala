@@ -48,4 +48,20 @@ class PlanPropertiesSpec extends AnyFunSuite {
     // whole-stage-codegen'd operators print with the "*(n)" marker
     assert(p.contains("*("), p)
   }
+
+  test("anti join plans as a hash anti join, never a nested loop (q17)") {
+    val df = SparkEntry.queries("q17_anti_join")(spark, TestSpark.sf)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("range join plans as an equi hash join on the bucket, not BNLJ") {
+    val df = SparkEntry.queries("events_range_join")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
 }
