@@ -445,6 +445,18 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // Pair graph -> transitive closure: the stage after pair generation in a
+    // real dedup pipeline (near-dup intent is transitive; keep-one-per-PAIR
+    // under-dedups chains a~b~c). cluster_id = min reachable doc_id = the
+    // canonical keep under keep-lowest-id.
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.30)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---------------- similarity search (ANN) ----------------
 
     "ann_bruteforce_batch" -> ((s, d) => {
@@ -817,6 +829,22 @@ object SparkEntry {
         |SELECT id1, id2, round(CAST(shared AS DOUBLE) / (c1.n + c2.n - shared), 4) AS jaccard
         |FROM inter JOIN counts c1 ON id1 = c1.doc_id JOIN counts c2 ON id2 = c2.doc_id
         |WHERE round(CAST(shared AS DOUBLE) / (c1.n + c2.n - shared), 4) >= 0.30 ORDER BY id1, id2""".stripMargin,
+
+    // Same trigram-jaccard pair CTEs as dedup_jaccard_ngram, then transitive
+    // closure as a recursive CTE (min reachable id per node).
+    "dedup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' ')))) AS shingle FROM w WHERE len(ws) > 2),
+        |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id1, id2 FROM inter JOIN counts c1 ON id1 = c1.doc_id JOIN counts c2 ON id2 = c2.doc_id
+        |          WHERE round(CAST(shared AS DOUBLE) / (c1.n + c2.n - shared), 4) >= 0.30),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION SELECT id2, id1 FROM pairs),
+        |reach(id, comp) AS (SELECT src, src FROM edges
+        |                    UNION
+        |                    SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding_cosine" ->
       """WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS v1, b.embedding AS v2

@@ -208,9 +208,17 @@ object Dedup {
     * shuffles on shingle then on (id1, id2), never materializing n^2. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 2, threshold: Double = 0.5): DataFrame = {
+    // Join key is xxhash64(shingle), not the shingle string: the self-join
+    // shuffle moves 8-byte longs instead of ~n-word strings (the dominant
+    // shuffle of this operator — at 100 TB the shingle table is ~10x the
+    // corpus). Per-doc shingles are distinct, so counts and intersection
+    // sizes are preserved exactly unless two distinct shingles collide in
+    // 64 bits (p ~ k^2/2^65; ~1e-8 at 10^6 shingles, and each collision
+    // perturbs one pair's count by 1 — harmless for near-dup semantics).
     // read 3x (join sides + per-doc counts) — persist once.
     val sh = spread(df)
       .select(col(idCol).as("doc_id"), explode(shinglesFast(n)(col(textCol))).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.alias("a")
@@ -240,5 +248,63 @@ object Dedup {
       .withColumn("cosine", round(VectorFunctions.cosineSimilarity(col("v1"), col("v2")), 4))
       .where(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
+  }
+
+  /** Connected components over a near-dup pair graph: label every node with
+    * the minimum id reachable from it (= its cluster id, which is also the
+    * canonical "keep" doc under keep-lowest-id policy). This is the stage a
+    * real dedup pipeline runs AFTER pair generation — near-dup is transitive
+    * in intent (a~b, b~c => one cluster) even when the pairwise threshold
+    * isn't, so keep-one-per-pair alone under-dedups.
+    *
+    * Algorithm: min-label propagation with one pointer-jumping hop per round
+    * (label(v) <- min over neighbors of their labels, then label(v) <-
+    * label(label(v))). The jump makes convergence O(log diameter) rounds
+    * instead of O(diameter) — on a pathological 1M-long chain that is ~20
+    * shuffle rounds, not 1M. Near-dup components are overwhelmingly small
+    * cliques, so in practice 2-3 rounds converge. Each round is two
+    * hash-partition shuffles sized by |edges| and |nodes|, never by n^2;
+    * lineage is truncated per round (localCheckpoint) so plans stay flat —
+    * on a multi-executor cluster use `spark.sparkContext.setCheckpointDir`
+    * + reliable checkpoints for fault tolerance instead.
+    *
+    * Input: a pair DataFrame with two id columns (any near-dup pair source:
+    * [[minhashNearDupPairs]], [[ngramJaccardPairs]], [[embeddingNearDupPairs]]).
+    * Output: (id, comp) for every node that appears in a pair. */
+  def connectedComponents(pairs: DataFrame, idCol1: String = "id1",
+                          idCol2: String = "id2", maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idCol1).as("src"), col(idCol2).as("dst"))
+      .union(pairs.select(col(idCol2).as("src"), col(idCol1).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      // Round part 1: neighbor min — comp(v) <- min(comp(v), min_{u~v} comp(u)).
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("comp").as("src_comp")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("src_comp")).as("nbr_comp"))
+      val afterNbr = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      // Round part 2: pointer jump — comp(v) <- comp(comp(v)). Labels always
+      // point at smaller ids, so chains halve every round.
+      val next = afterNbr
+        .join(afterNbr.select(col("id").as("comp"), col("comp").as("parent_comp")),
+          Seq("comp"), "left")
+        .select(col("id"), coalesce(col("parent_comp"), col("comp")).as("comp"))
+        .localCheckpoint()
+      done = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .where(col("comp") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
   }
 }

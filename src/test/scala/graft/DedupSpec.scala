@@ -97,4 +97,21 @@ class DedupSpec extends AnyFunSuite {
       .select($"id1", $"id2").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("connected components: chain merges transitively, disjoint pair stays apart") {
+    val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("id1", "id2")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps === Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L))
+  }
+
+  test("connected components: 64-node chain converges via pointer jumping") {
+    // worst-case topology for plain min-propagation (diameter 63); pointer
+    // jumping must still resolve everything to the chain head
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val comps = Dedup.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(comps.size === 64)
+    assert(comps.values.toSet === Set(1L))
+  }
 }
