@@ -262,24 +262,49 @@ object Dedup {
     * label(label(v))). The jump makes convergence O(log diameter) rounds
     * instead of O(diameter) — on a pathological 1M-long chain that is ~20
     * shuffle rounds, not 1M. Near-dup components are overwhelmingly small
-    * cliques, so in practice 2-3 rounds converge. Each round is two
-    * hash-partition shuffles sized by |edges| and |nodes|, never by n^2;
-    * lineage is truncated per round (localCheckpoint) so plans stay flat —
-    * on a multi-executor cluster use `spark.sparkContext.setCheckpointDir`
-    * + reliable checkpoints for fault tolerance instead.
+    * cliques, so in practice 1-2 rounds converge. Two round-cost trims:
+    * round 0 is fused into initialization (labels start at least(v,
+    * min-neighbor) from one groupBy over the symmetrized edges — no join
+    * against an identity label table), and convergence is detected by an
+    * exact decimal checksum of the label column instead of a change-join:
+    * labels only ever decrease, so sum(comp) is strictly decreasing until
+    * the fixpoint, and the checksum is a narrow aggregate over the
+    * just-materialized labels (no shuffle) where the join was two. Each
+    * round is two hash-partition shuffles sized by |edges| and |nodes|,
+    * never by n^2; lineage is truncated per round (localCheckpoint) so
+    * plans stay flat — on a multi-executor cluster use
+    * `spark.sparkContext.setCheckpointDir` + reliable checkpoints for
+    * fault tolerance instead.
     *
     * Input: a pair DataFrame with two id columns (any near-dup pair source:
     * [[minhashNearDupPairs]], [[ngramJaccardPairs]], [[embeddingNearDupPairs]]).
     * Output: (id, comp) for every node that appears in a pair. */
   def connectedComponents(pairs: DataFrame, idCol1: String = "id1",
                           idCol2: String = "id2", maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(idCol1).as("src"), col(idCol2).as("dst"))
-      .union(pairs.select(col(idCol2).as("src"), col(idCol1).as("dst")))
-      .distinct()
+    // Symmetrize in ONE scan of `pairs` (explode, not union: a union's two
+    // branches each re-run the whole upstream pair-generation plan when the
+    // caller hands us an unpersisted pipeline — for jaccard pairs that is
+    // the expensive shingle self-join, twice). No distinct(): duplicate
+    // edges cannot change a min-aggregation, so deduplicating them is a
+    // pure extra shuffle of the edge table.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(idCol1).as("src"), col(idCol2).as("dst")),
+        struct(col(idCol2).as("src"), col(idCol1).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // comp only decreases, so sum(comp) strictly decreases until fixpoint;
+    // exact decimal keeps the check overflow-safe for arbitrary long ids.
+    def checksum(labels: DataFrame): java.math.BigDecimal = labels
+      .agg(sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      .head.getDecimal(0)
+    // Fused round 0: every node appears as src (edges are symmetrized), so
+    // one groupBy seeds comp(v) = least(v, min neighbor).
+    var labels = edges.groupBy("src")
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("src").as("id"), least(col("src"), col("nbr")).as("comp"))
       .localCheckpoint()
+    var prev = checksum(labels)
     var it = 0
     var done = false
     while (!done && it < maxIter) {
@@ -298,8 +323,9 @@ object Dedup {
           Seq("comp"), "left")
         .select(col("id"), coalesce(col("parent_comp"), col("comp")).as("comp"))
         .localCheckpoint()
-      done = next.join(labels.withColumnRenamed("comp", "old"), "id")
-        .where(col("comp") =!= col("old")).isEmpty
+      val cur = checksum(next)
+      done = cur.compareTo(prev) == 0
+      prev = cur
       labels.unpersist()
       labels = next
       it += 1
