@@ -58,6 +58,42 @@ object Probe {
         println("RANGE-EDGE-ROWS=" + RangeJoin.pointInInterval(
           pts, "v", iv, "lo", "hi", 1.0).count())
 
+      case "store" =>
+        // Bucketed on-disk store: end-to-end recall + latency of
+        // `search(approximate = true)` (partition-pruned probe of the
+        // query bucket + hamming-1 neighbors) vs the exact full-tenant
+        // scan, over the SAME store files. This is the sf0.1 evidence for
+        // the RECALL.md table: the in-memory lshTopK numbers there measure
+        // the math; this measures the storage layout actually doing the
+        // pruning.
+        val docsRaw = spark.read.parquet(s"$sfDir/documents.parquet")
+        val docs = docsRaw
+          .select(concat(lit("doc_"), col("doc_id")).as("document_path"), col("text"))
+        val prompts = docsRaw.where(col("doc_id") % 200 === 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+          .map { case (_, t) => t.split("\\s+").take(12).mkString(" ") }
+        println(s"prompts=${prompts.length}")
+        println("config,recall_at_10,file_frac,s_exact_per_q,s_approx_per_q")
+        for (bits <- Seq(4, 6, 8)) {
+          val path = java.nio.file.Files
+            .createTempDirectory(s"probe_store_b$bits").toString + "/idx"
+          val store = new graft.GraftVectorStore(spark, path, lshBits = Some(bits))
+          time(s"ingest bits=$bits")(store.addDocuments(docs, "tenant"))
+          var inter = 0; var tot = 0; var tEx = 0.0; var tAp = 0.0
+          prompts.foreach { p =>
+            val t0 = System.nanoTime
+            val ex = store.search(p, "tenant", 10).select("id").as[String].collect().toSet
+            val t1 = System.nanoTime
+            val ap = store.search(p, "tenant", 10, approximate = true)
+              .select("id").as[String].collect().toSet
+            tEx += (t1 - t0) / 1e9; tAp += (System.nanoTime - t1) / 1e9
+            inter += ex.intersect(ap).size; tot += ex.size
+          }
+          val frac = (1.0 + bits) / (1 << bits)
+          println(f"store bits=$bits,${inter.toDouble / tot}%.3f,$frac%.3f," +
+            f"${tEx / prompts.length}%.3f,${tAp / prompts.length}%.3f")
+        }
+
       case "recall" =>
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
         emb.count()
