@@ -611,6 +611,17 @@ object SparkEntry {
         .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
     }),
 
+    // Watermark-bounded streaming dedup, one event per (user, type, day):
+    // only key columns are projected (the surviving physical row is
+    // execution-order-dependent; the key set equals batch DISTINCT).
+    "streaming_dedup_daily" -> ((s, d) => {
+      graft.streaming.StreamingOps
+        .dedupByBucketOnce(s, s"$d/events.parquet", Seq("user_id", "event_type"),
+          bucket = "day", queryName = "graft_verify_stream_dedup")
+        .withColumnRenamed("ts_bucket", "day")
+        .orderBy(col("user_id"), col("event_type"), col("day"))
+    }),
+
     "multimodal_features" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.asMediaTable(
         t(s, d, "documents"), "doc_id", "text", "source")
@@ -962,6 +973,10 @@ object SparkEntry {
         | AND NOT EXISTS (SELECT 1 FROM events p
         |   WHERE p.event_type = 'purchase' AND p.user_id = v.user_id AND p.value > 90)
         |ORDER BY user_id""".stripMargin,
+
+    "streaming_dedup_daily" ->
+      """SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS day
+        |FROM events ORDER BY user_id, event_type, day""".stripMargin,
 
     "streaming_join_attrib" ->
       """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts FROM events WHERE event_type = 'view'),

@@ -74,6 +74,35 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streaming dedup on (keys, event-time bucket): keep one event per key
+    * per `bucket` of event time — the continuous form of "one sample per
+    * user per day" training-data downsampling. The truncated event-time
+    * column carries the watermark AND is part of the dedup key, so the
+    * dedup state for a bucket is evicted once the watermark passes it —
+    * bounded state however long the stream runs. Only the key columns are
+    * projected: which physical row survives a collision is
+    * execution-order-dependent, but the surviving KEY SET is deterministic
+    * and equals batch DISTINCT (oracle-checkable). */
+  def dedupByBucketOnce(spark: SparkSession, eventsPath: String,
+                        keyCols: Seq[String], bucket: String = "day",
+                        watermark: String = "1 hour",
+                        queryName: String = "graft_stream_dedup_bucket"): DataFrame = {
+    val deduped = readEvents(spark, eventsPath)
+      .withColumn("ts_bucket", date_trunc(bucket, col("ts")))
+      .withWatermark("ts_bucket", watermark)
+      .dropDuplicates(keyCols :+ "ts_bucket")
+      .select(keyCols.map(col) :+ col("ts_bucket"): _*)
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Stream-stream INNER join with an event-time interval condition:
     * view -> purchase attribution within `withinSeconds`, per user. Both
     * sides carry watermarks and the join condition bounds purchase_ts to a

@@ -21,6 +21,21 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(streamed.count() === batch.count())
   }
 
+  test("bucketed streaming dedup key set equals batch DISTINCT per day") {
+    val streamed = StreamingOps.dedupByBucketOnce(spark,
+      s"${TestSpark.sf}/events.parquet", Seq("user_id", "event_type"),
+      bucket = "day", queryName = "t_dedup_bucket_stream")
+      .as[(Long, String, java.sql.Timestamp)].collect().toSet
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select($"user_id", $"event_type", date_trunc("day", $"ts").as("d"))
+      .distinct()
+      .as[(Long, String, java.sql.Timestamp)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.size < spark.read.parquet(s"${TestSpark.sf}/events.parquet").count())
+  }
+
   test("frame sampling yields every stride-th frame with stub features") {
     val media = Multimodal.asMediaTable(
       spark.read.parquet(s"${TestSpark.sf}/documents.parquet"),
