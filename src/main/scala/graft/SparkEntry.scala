@@ -395,6 +395,23 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Salted join (skew mitigation): Skew.saltedJoin spreads a hot key over
+    // `salt` reducers (left side salted by row position, right side
+    // replicated salt times). Inner-join-equivalent for any salt, which is
+    // exactly what the oracle checks — the plain-join SQL below must
+    // hash-match this salted plan's result.
+    "q18_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = t(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Skew.saltedJoin(li, ord, "l_orderkey", salt = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // HLL++ sketch (approx_count_distinct): the mergeable-sketch answer to
     // COUNT(DISTINCT) at 100 TB — map-side partial sketches, tiny shuffle,
     // no exact-distinct re-shuffle. Estimates are engine-specific so there
@@ -967,6 +984,12 @@ object SparkEntry {
         |FROM c JOIN e ON c.user_id = e.e_user_id
         | AND c.click_ts >= e.error_ts AND c.click_ts < e.error_ts + INTERVAL 600 SECOND
         |ORDER BY user_id, click_id, error_id""".stripMargin,
+
+    "q18_salted_join" ->
+      """SELECT o_orderpriority, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+        | count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q17_anti_join" ->
       """SELECT DISTINCT user_id FROM events v WHERE v.event_type = 'view'
