@@ -425,6 +425,40 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // -------- sampling & packing (training-data pipeline) --------
+
+    // Deterministic hash-Bernoulli sample: reproducible across engines, runs
+    // and repartitions (rand(seed) is none of those) — the held-out-split
+    // primitive. Pure per-row predicate, no shuffle, pushed into the scan.
+    "sample_bernoulli" -> ((s, d) => {
+      Sampling.bernoulli(t(s, d, "documents"), col("doc_id"), rate = 0.2, salt = "s1")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stratified (per-source) rates — mixture reweighting by downsampling;
+    // the config-sized rate table is broadcast.
+    "sample_stratified" -> ((s, d) => {
+      val rates = (0 until 20)
+        .map(i => (s"src$i", if (i % 2 == 0) 0.5 else 0.1)).toMap
+      Sampling.stratified(t(s, d, "documents"), col("doc_id"), col("source"),
+        rates, salt = "s2")
+        .groupBy(col("source")).agg(count(lit(1)).as("kept"))
+        .orderBy(col("source"))
+    }),
+
+    // GPT-style sequence packing: cut the concatenated token stream into
+    // capacity-sized training sequences via a two-level distributed prefix
+    // sum (never a global single-partition window — see Packing scaladoc).
+    "pack_sequences" -> ((s, d) => {
+      val toks = t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      Packing.packOffsets(toks, "doc_id", "n_tok", capacity = 512, bucketWidth = 50)
+        .select(col("doc_id"), col("n_tok"), col("start_off"),
+          col("seq_first"), col("seq_last"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---------------- dedup family (training-data pipeline) ----------------
 
     "dedup_exact" -> ((s, d) => {
@@ -820,6 +854,36 @@ object SparkEntry {
          |  FROM ws)
          |SELECT doc_id, score, substr(text, 1, 160) AS answer FROM scored
          |WHERE score >= 50 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "sample_bernoulli" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8) < '33333333'
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT source, count(*) AS kept FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':s2'), 1, 8) <
+        |  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN '80000000' ELSE '19999999' END
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok,
+        |         doc_id // 50 AS b
+        |  FROM documents WHERE len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) > 0),
+        |local_ord AS (
+        |  SELECT doc_id, n_tok, b,
+        |    CAST(sum(n_tok) OVER (PARTITION BY b ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS lstart
+        |  FROM toks),
+        |btot AS (SELECT b, CAST(sum(n_tok) AS BIGINT) AS tot FROM toks GROUP BY b),
+        |boff AS (
+        |  SELECT b, CAST(sum(tot) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tot AS BIGINT) AS off
+        |  FROM btot)
+        |SELECT l.doc_id, l.n_tok, (o.off + l.lstart) AS start_off,
+        |  (o.off + l.lstart) // 512 AS seq_first,
+        |  (o.off + l.lstart + l.n_tok - 1) // 512 AS seq_last
+        |FROM local_ord l JOIN boff o ON l.b = o.b
+        |ORDER BY l.doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint,

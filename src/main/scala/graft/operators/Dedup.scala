@@ -295,16 +295,22 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // comp only decreases, so sum(comp) strictly decreases until fixpoint;
     // exact decimal keeps the check overflow-safe for arbitrary long ids.
-    def checksum(labels: DataFrame): java.math.BigDecimal = labels
-      .agg(sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-      .head.getDecimal(0)
+    // The checksum rides along the checkpoint materialization via observe()
+    // — zero extra jobs per round (an agg-and-head was a second pass over
+    // the labels, doubling the per-round fixed job cost on small graphs).
+    def checkpointWithChecksum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val cp = df
+        .observe(obs, sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("cs"))
+        .localCheckpoint()
+      (cp, obs.get("cs").asInstanceOf[java.math.BigDecimal])
+    }
     // Fused round 0: every node appears as src (edges are symmetrized), so
     // one groupBy seeds comp(v) = least(v, min neighbor).
-    var labels = edges.groupBy("src")
-      .agg(min(col("dst")).as("nbr"))
-      .select(col("src").as("id"), least(col("src"), col("nbr")).as("comp"))
-      .localCheckpoint()
-    var prev = checksum(labels)
+    var (labels, prev) = checkpointWithChecksum(
+      edges.groupBy("src")
+        .agg(min(col("dst")).as("nbr"))
+        .select(col("src").as("id"), least(col("src"), col("nbr")).as("comp")))
     var it = 0
     var done = false
     while (!done && it < maxIter) {
@@ -318,12 +324,10 @@ object Dedup {
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
       // Round part 2: pointer jump — comp(v) <- comp(comp(v)). Labels always
       // point at smaller ids, so chains halve every round.
-      val next = afterNbr
+      val (next, cur) = checkpointWithChecksum(afterNbr
         .join(afterNbr.select(col("id").as("comp"), col("comp").as("parent_comp")),
           Seq("comp"), "left")
-        .select(col("id"), coalesce(col("parent_comp"), col("comp")).as("comp"))
-        .localCheckpoint()
-      val cur = checksum(next)
+        .select(col("id"), coalesce(col("parent_comp"), col("comp")).as("comp")))
       done = cur.compareTo(prev) == 0
       prev = cur
       labels.unpersist()

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet(s"${TestSpark.sf}/documents.parquet").cache()
+
+  test("hexThreshold maps rates to fixed-width hex; >=1 keeps everything") {
+    assert(Sampling.hexThreshold(0.0) === "00000000")
+    assert(Sampling.hexThreshold(0.2) === "33333333")
+    assert(Sampling.hexThreshold(0.5) === "80000000")
+    assert(Sampling.hexThreshold(1.0) === "g")
+    assert(Sampling.hexThreshold(1.5) === "g")
+  }
+
+  test("bernoulli is deterministic, ~rate sized, and repartition-invariant") {
+    val a = Sampling.bernoulli(docs, $"doc_id", 0.3, "t1")
+      .select($"doc_id").as[Long].collect().toSet
+    val b = Sampling.bernoulli(docs.repartition(7), $"doc_id", 0.3, "t1")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a === b)
+    val n = docs.count().toDouble
+    assert(math.abs(a.size / n - 0.3) < 0.15, s"kept ${a.size} of $n")
+  }
+
+  test("different salts draw (near-)independently") {
+    val a = Sampling.bernoulli(docs, $"doc_id", 0.5, "saltA")
+      .select($"doc_id").as[Long].collect().toSet
+    val b = Sampling.bernoulli(docs, $"doc_id", 0.5, "saltB")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a !== b)
+    // overlap should look like rate^2, not rate
+    val overlap = (a intersect b).size.toDouble / docs.count()
+    assert(overlap > 0.05 && overlap < 0.5, s"overlap $overlap")
+  }
+
+  test("split is a partition: disjoint, exhaustive, complements align") {
+    val (keep, drop) = Sampling.split(docs, $"doc_id", 0.4, "t2")
+    val k = keep.select($"doc_id").as[Long].collect().toSet
+    val d = drop.select($"doc_id").as[Long].collect().toSet
+    assert((k intersect d).isEmpty)
+    assert(k.size + d.size === docs.count())
+  }
+
+  test("stratified applies per-stratum rates; default rate drops unknowns") {
+    val rates = Map("src0" -> 1.0, "src1" -> 0.0)
+    val out = Sampling.stratified(docs, $"doc_id", $"source", rates, "t3")
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(out("src0") === totals("src0"))      // rate 1.0 keeps all
+    assert(!out.contains("src1"))               // rate 0.0 keeps none
+    assert(!out.contains("src5"))               // absent stratum -> default 0.0
+  }
+}
