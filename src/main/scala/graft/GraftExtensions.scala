@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CosineSimilarityExpr, DotProductExpr, SquaredL2Expr}
+import graft.plans.{CosineSimilarityExpr, DotProductExpr, EmbedTextExpr, SquaredL2Expr}
 
 /** SQL surface for the engine's custom expressions: `cosine_sim`,
   * `dot_product`, `squared_l2` become callable from `spark.sql(...)`.
@@ -33,7 +33,19 @@ object GraftExtensions {
       (args: Seq[Expression]) => DotProductExpr(args(0), args(1))),
     (FunctionIdentifier("squared_l2"),
       new ExpressionInfo(classOf[SquaredL2Expr].getName, "squared_l2"),
-      (args: Seq[Expression]) => SquaredL2Expr(args(0), args(1))))
+      (args: Seq[Expression]) => SquaredL2Expr(args(0), args(1))),
+    (FunctionIdentifier("embed_text"),
+      new ExpressionInfo(classOf[EmbedTextExpr].getName, "embed_text"),
+      (args: Seq[Expression]) => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            s"embed_text: $what must be an integer literal")
+        }
+        EmbedTextExpr(args(0), intLit(args(1), "dim"),
+          if (args.length > 2) intLit(args(2), "seed")
+          else graft.functions.Embedder.DefaultSeed)
+      }))
 
   /** Register on an already-built session (functions into the registry, the
     * LSH prune rule via experimental extraOptimizations). */

@@ -59,9 +59,13 @@ object Embedder {
   def embedUdf(dim: Int, seed: Int = DefaultSeed): UserDefinedFunction =
     udf((s: String) => if (s == null) null else embed(s, dim, seed))
 
+  /** Column form — the codegen Catalyst expression
+    * ([[graft.plans.EmbedTextExpr]]); bit-identical to [[embedUdf]] (the
+    * spec cross-checks) but stays inside the whole-stage-codegen span
+    * instead of fencing it. */
   def embedCol(c: Column, model: String = ModelRegistry.default,
                seed: Int = DefaultSeed): Column =
-    embedUdf(ModelRegistry.dim(model), seed)(c)
+    graft.plans.EmbedExpr.embedText(c, ModelRegistry.dim(model), seed)
 
   /** Driver-side single-text embed (for query prompts — reference
     * `modules/utilities.py:376-377` embeds the prompt before the KNN call). */

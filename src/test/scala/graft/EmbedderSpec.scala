@@ -51,6 +51,42 @@ class EmbedderSpec extends AnyFunSuite {
     assert(cos(base, near) > cos(base, far))
   }
 
+  test("codegen expression is bit-identical to the UDF and to the kernel") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val texts = Seq("the quick brown fox", "", "!!! ...", "alpha beta gamma",
+      "Ünïcode tëxt with  spaces\nand lines", "x")
+    val df = texts.toDF("t")
+    val viaExpr = df.select(graft.plans.EmbedExpr.embedText(col("t"), 32, 42))
+      .as[Array[Float]].collect()
+    val viaUdf = df.select(Embedder.embedUdf(32, 42)(col("t")))
+      .as[Array[Float]].collect()
+    texts.indices.foreach { i =>
+      assert(viaExpr(i).toSeq === viaUdf(i).toSeq, s"text=${texts(i)}")
+      assert(viaExpr(i).toSeq === Embedder.embed(texts(i), 32, 42).toSeq)
+    }
+  }
+
+  test("embed_text is callable from SQL and the plan stays in codegen") {
+    val spark = TestSpark.spark
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(("a b c", 1)).toDF("t", "k").createOrReplaceTempView("embed_probe")
+    val df = spark.sql("SELECT embed_text(t, 16) AS v, embed_text(t, 16, 7) AS v7 FROM embed_probe")
+    val row = df.as[(Array[Float], Array[Float])].collect().head
+    assert(row._1.toSeq === Embedder.embed("a b c", 16, Embedder.DefaultSeed).toSeq)
+    assert(row._2.toSeq === Embedder.embed("a b c", 16, 7).toSeq)
+    // codegen-span assertion needs a real scan (a literal table constant-folds
+    // to LocalTableScan — itself proof the expression evaluates natively)
+    import org.apache.spark.sql.functions.col
+    val onParquet = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(graft.plans.EmbedExpr.embedText(col("text"), 16, 42).as("v"))
+    // whole-stage-codegen'd operators print with the "*(n)" marker
+    val physical = onParquet.queryExecution.executedPlan.toString
+    assert(physical.contains("*(1) Project [embed_text"), physical)
+  }
+
   test("property: embedding norm is 0 or ~1 over random strings") {
     val gen = Gen.asciiPrintableStr
     (0 until 200).foreach { i =>
