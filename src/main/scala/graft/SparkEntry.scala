@@ -508,6 +508,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Full dedup pipeline end-to-end: pairs -> clusters -> elect one keeper
+    // per cluster by quality score (tie-break lowest id). The arg-max is a
+    // map-side-partial max_by, not a window sort.
+    "dedup_resolve" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.30)
+      val clusters = Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      val scored = docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      Dedup.resolveKeepBest(clusters, scored)
+        .orderBy(col("cluster_id"))
+    }),
+
     // ---------------- similarity search (ANN) ----------------
 
     "ann_bruteforce_batch" -> ((s, d) => {
@@ -937,6 +952,34 @@ object SparkEntry {
         |                    UNION
         |                    SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "dedup_resolve" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ws FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' ')))) AS shingle FROM w WHERE len(ws) > 2),
+         |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT id1, id2 FROM inter JOIN counts c1 ON id1 = c1.doc_id JOIN counts c2 ON id2 = c2.doc_id
+         |          WHERE round(CAST(shared AS DOUBLE) / (c1.n + c2.n - shared), 4) >= 0.30),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION SELECT id2, id1 FROM pairs),
+         |reach(id, comp) AS (SELECT src, src FROM edges
+         |                    UNION
+         |                    SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+         |clusters AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id),
+         |wq AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ws FROM documents),
+         |mq AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS nw,
+         |   CAST(len(list_filter(ws, x -> lower(x) IN ($stopSql))) AS DOUBLE) AS stop_hits,
+         |   CAST(len(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) AS alnum,
+         |   CAST(len(text) AS DOUBLE) AS total FROM wq),
+         |quality AS (SELECT doc_id, round(40.0 * least(nw/100.0, 1.0)
+         |  + CASE WHEN nw = 0 THEN 0 ELSE 30.0 * least(3.0*stop_hits/nw, 1.0) END
+         |  + CASE WHEN total = 0 THEN 0 ELSE 30.0 * alnum/total END, 2) AS quality FROM mq),
+         |j AS (SELECT c.cluster_id, c.doc_id, q.quality FROM clusters c JOIN quality q USING (doc_id)),
+         |r AS (SELECT cluster_id, doc_id, quality,
+         |        row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY cluster_id) AS n_members FROM j)
+         |SELECT cluster_id, doc_id AS keep_id, quality AS keep_quality, CAST(n_members AS BIGINT) AS n_members
+         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     "dedup_embedding_cosine" ->
       """WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS v1, b.embedding AS v2

@@ -250,6 +250,25 @@ object Dedup {
       .select("id1", "id2", "cosine")
   }
 
+  /** Keep-best resolution — the final stage of the dedup pipeline: given
+    * cluster labels (from [[connectedComponents]]) and a per-document score
+    * (e.g. [[graft.functions.TextFunctions.qualityScore]]), elect one keeper
+    * per cluster: highest score, ties broken by lowest id (the score is on a
+    * fixed decimal grid on both engines, so the arg-max is deterministic
+    * cross-engine). One hash shuffle on the id join + one on the cluster
+    * groupBy, with map-side partial max_by — no window, no sort. */
+  def resolveKeepBest(clusters: DataFrame, scored: DataFrame,
+                      idCol: String = "doc_id", clusterCol: String = "cluster_id",
+                      scoreCol: String = "quality"): DataFrame =
+    clusters.join(scored, idCol)
+      .groupBy(col(clusterCol))
+      .agg(
+        max_by(struct(col(idCol), col(scoreCol)),
+          struct(col(scoreCol), -col(idCol))).as("__keep"),
+        count(lit(1)).as("n_members"))
+      .select(col(clusterCol), col("__keep")(idCol).as("keep_id"),
+        col("__keep")(scoreCol).as("keep_quality"), col("n_members"))
+
   /** Connected components over a near-dup pair graph: label every node with
     * the minimum id reachable from it (= its cluster id, which is also the
     * canonical "keep" doc under keep-lowest-id policy). This is the stage a

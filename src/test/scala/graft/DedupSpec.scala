@@ -98,6 +98,18 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("resolveKeepBest elects highest score per cluster, lowest id on ties") {
+    import graft.operators.Dedup
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val scored = Seq((1L, 10.0), (2L, 50.0), (3L, 50.0), (7L, 5.0), (8L, 5.0))
+      .toDF("doc_id", "quality")
+    val got = Dedup.resolveKeepBest(clusters, scored)
+      .select($"cluster_id", $"keep_id", $"keep_quality", $"n_members")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 2L, 50.0, 3L), (7L, 7L, 5.0, 2L)))
+  }
+
   test("connected components: chain merges transitively, disjoint pair stays apart") {
     val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("id1", "id2")
     val comps = Dedup.connectedComponents(pairs)
