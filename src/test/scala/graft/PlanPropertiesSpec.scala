@@ -64,4 +64,32 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
+
+  test("hash-Bernoulli sampling plans with no exchange at all") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.Sampling.bernoulli(
+      spark.read.parquet(s"${TestSpark.sf}/documents.parquet"),
+      col("doc_id"), 0.2, "s1").select("doc_id")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p) // pure map-side predicate
+  }
+
+  test("packing's only single-partition exchange carries the tiny bucket-totals table") {
+    import org.apache.spark.sql.functions.col
+    val toks = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
+    val df = graft.operators.Packing.packOffsets(toks, "doc_id", "n_tok", 512, 50)
+    df.collect()
+    // AQE's toString appends the pre-adaptive "Initial Plan" — count nodes in
+    // the finalized section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // exactly one SinglePartition exchange (the per-bucket totals), and the
+    // data-sized side hash-partitions on the bucket id
+    assert("SinglePartition".r.findAllIn(p).size === 1, p)
+    assert(p.contains("hashpartitioning(__b"), p)
+    // bucket offsets come back via broadcast, not a second big shuffle
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+  }
 }
