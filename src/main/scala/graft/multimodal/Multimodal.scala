@@ -69,6 +69,39 @@ object Multimodal {
       .toDF("media_id", "frame_no", "frame_bytes", "features")
   }
 
+  /** Image-style resize: map the payload onto a fixed (w, h) byte grid by
+    * nearest-neighbor sampling over the source bytes — the deterministic
+    * stand-in for a real pixel resample (same contract: bounded output size
+    * per row, meta records both source and target dims). Resize-on-ingest is
+    * the standard normalization step before batching images into training
+    * shards; the property that matters at 100 TB is that output rows have a
+    * KNOWN bounded size, so downstream shuffle partitions can be sized
+    * deterministically. */
+  def resizeStub(spark: SparkSession, media: DataFrame,
+                 targetBytes: Int): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    import spark.implicits._
+    media.where(col("kind") === "image")
+      .select(col("media_id"), col("payload"), col("meta.n_bytes").as("n_bytes"))
+      .as[(Long, Array[Byte], Long)]
+      .mapPartitions { rows =>
+        // real impl: one codec/interpolator per partition
+        rows.map { case (id, payload, nBytes) =>
+          val p = if (payload == null) Array.emptyByteArray else payload
+          val out = new Array[Byte](targetBytes)
+          if (p.nonEmpty) {
+            var i = 0
+            while (i < targetBytes) {
+              out(i) = p((i.toLong * p.length / targetBytes).toInt)
+              i += 1
+            }
+          }
+          (id, nBytes, targetBytes.toLong, out)
+        }
+      }
+      .toDF("media_id", "src_bytes", "dst_bytes", "payload")
+  }
+
   /** Feature extraction over the media table. `mapPartitions` so any real
     * decoder is initialized once per partition (codec contexts are
     * expensive), and rows stream through in batches — the Scala analogue of

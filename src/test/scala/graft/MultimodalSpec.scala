@@ -29,6 +29,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.forall(r => r.n_bytes > 0))
   }
 
+  test("resize yields exactly targetBytes per image, order-preserving sample") {
+    val out = Multimodal.resizeStub(spark, media, targetBytes = 16)
+      .as[(Long, Long, Long, Array[Byte])].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_._4.length == 16))
+    assert(out.forall(_._3 == 16L))
+    // nearest-neighbor keeps byte order: first output byte is the first
+    // source byte, and outputs are drawn from the source alphabet
+    val byId = media.where($"kind" === "image")
+      .select($"media_id", $"payload").as[(Long, Array[Byte])].collect().toMap
+    out.foreach { case (id, srcBytes, _, resized) =>
+      val src = byId(id)
+      assert(srcBytes === src.length.toLong)
+      assert(resized.head === src.head)
+      assert(resized.toSet.subsetOf(src.toSet))
+    }
+  }
+
   test("stub decode maps payload bytes into bounded [0,1] features") {
     val feats = Multimodal.fakeDecodeFeatures("hello world".getBytes("UTF-8"), 4)
     assert(feats.length === 4)
