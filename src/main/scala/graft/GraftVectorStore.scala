@@ -64,19 +64,21 @@ final class GraftVectorStore(
     * record wins, duplicates never reach the top-k.
     *
     * `approximate = true` (requires `lshBits`): probe only the query's LSH
-    * bucket plus its hamming-1 neighbors — (1 + bits)/2^bits of the tenant's
-    * FILES, pruned at the partition level before any row is read. Same
-    * recall/cost dial as the reference's HNSW, shardable over any number of
+    * bucket plus its hamming<=probeDepth neighbors — at depth 1 that is
+    * (1 + bits)/2^bits of the tenant's FILES, pruned at the partition level
+    * before any row is read; depth is the recall/cost dial, the same dial
+    * the reference's HNSW turns with efSearch. Shardable over any number of
     * executors. */
   def search(prompt: String, alias: String, topN: Int = 10,
-             approximate: Boolean = false): DataFrame = {
+             approximate: Boolean = false, probeDepth: Int = 1): DataFrame = {
     val qvec = Embedder.embedQuery(prompt, model, seed)
     val slice =
       if (!approximate) IndexTable.readLatest(spark, indexPath, resolveAlias(alias))
       else {
         val bits = lshBits.getOrElse(throw new IllegalArgumentException(
           "approximate search requires the store to be built with lshBits"))
-        val probes = graft.plans.LshTopKPruneRule.probeBuckets(qvec, bits, dim, lshSeed)
+        val probes = graft.plans.LshTopKPruneRule
+          .probeBuckets(qvec, bits, dim, lshSeed, probeDepth)
         IndexTable.readLatestPruned(spark, indexPath, resolveAlias(alias), probes.toSeq)
       }
     KnnSearch.topK(slice, qvec, topN)

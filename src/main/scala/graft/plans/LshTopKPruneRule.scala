@@ -84,8 +84,15 @@ object LshTopKPruneRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Query bucket + all hamming-distance-1 buckets (multi-probe). */
-  def probeBuckets(q: Array[Float], bits: Int, dim: Int, seed: Long): Array[String] = {
+  /** Query bucket + all buckets within hamming distance `depth` (multi-probe).
+    * depth is THE recall/cost dial of the bucketed store: probe count is
+    * sum_{d<=depth} C(bits, d), so depth 1 reads (1+bits)/2^bits of the
+    * tenant's files, depth 2 adds bits*(bits-1)/2 more buckets. The sort
+    * order is base bucket first, then increasing flip combinations — stable
+    * for tests and partition-filter literals. */
+  def probeBuckets(q: Array[Float], bits: Int, dim: Int, seed: Long,
+                   depth: Int = 1): Array[String] = {
+    require(depth >= 0, s"depth must be >= 0, got $depth")
     val planes = SimilaritySearch.hyperplanes(bits, dim, seed)
     val base = planes.map { p =>
       var dp = 0.0
@@ -94,11 +101,12 @@ object LshTopKPruneRule extends Rule[LogicalPlan] {
       while (i < n) { dp += p(i).toDouble * q(i); i += 1 }
       if (dp >= 0) '1' else '0'
     }
-    val baseStr = new String(base)
-    baseStr +: Array.tabulate(bits) { i =>
-      val c = base.clone()
-      c(i) = if (c(i) == '1') '0' else '1'
-      new String(c)
-    }
+    (0 to math.min(depth, bits)).iterator.flatMap { d =>
+      (0 until bits).combinations(d).map { flips =>
+        val c = base.clone()
+        flips.foreach(i => c(i) = if (c(i) == '1') '0' else '1')
+        new String(c)
+      }
+    }.toArray
   }
 }

@@ -79,19 +79,23 @@ object Probe {
             .createTempDirectory(s"probe_store_b$bits").toString + "/idx"
           val store = new graft.GraftVectorStore(spark, path, lshBits = Some(bits))
           time(s"ingest bits=$bits")(store.addDocuments(docs, "tenant"))
-          var inter = 0; var tot = 0; var tEx = 0.0; var tAp = 0.0
-          prompts.foreach { p =>
-            val t0 = System.nanoTime
-            val ex = store.search(p, "tenant", 10).select("id").as[String].collect().toSet
-            val t1 = System.nanoTime
-            val ap = store.search(p, "tenant", 10, approximate = true)
-              .select("id").as[String].collect().toSet
-            tEx += (t1 - t0) / 1e9; tAp += (System.nanoTime - t1) / 1e9
-            inter += ex.intersect(ap).size; tot += ex.size
+          for (depth <- Seq(1, 2)) {
+            var inter = 0; var tot = 0; var tEx = 0.0; var tAp = 0.0
+            prompts.foreach { p =>
+              val t0 = System.nanoTime
+              val ex = store.search(p, "tenant", 10).select("id").as[String].collect().toSet
+              val t1 = System.nanoTime
+              val ap = store.search(p, "tenant", 10, approximate = true, probeDepth = depth)
+                .select("id").as[String].collect().toSet
+              tEx += (t1 - t0) / 1e9; tAp += (System.nanoTime - t1) / 1e9
+              inter += ex.intersect(ap).size; tot += ex.size
+            }
+            val nProbes = (0 to depth).map(d =>
+              (0 until bits).combinations(d).size).sum
+            val frac = nProbes.toDouble / (1 << bits)
+            println(f"store bits=$bits depth=$depth,${inter.toDouble / tot}%.3f,$frac%.3f," +
+              f"${tEx / prompts.length}%.3f,${tAp / prompts.length}%.3f")
           }
-          val frac = (1.0 + bits) / (1 << bits)
-          println(f"store bits=$bits,${inter.toDouble / tot}%.3f,$frac%.3f," +
-            f"${tEx / prompts.length}%.3f,${tAp / prompts.length}%.3f")
         }
 
       case "recall" =>
