@@ -459,6 +459,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Vocabulary top-k: the canonical shuffle-heavy corpus statistic (word
+    // count). Map-side partial aggregation shrinks the shuffle to
+    // distinct-words-per-partition; the final top-k is TakeOrderedAndProject,
+    // never a global sort of the vocabulary.
+    "vocab_topk" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(explode(TextFunctions.wsTokens(lower(col("text")))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), col("word")).limit(100)
+    }),
+
+    // Train/eval decontamination: eval set = deterministic hash sample
+    // (Sampling semantics — the same split is reproducible forever); a train
+    // doc is contaminated if its prefix fingerprint (md5 of the first 8
+    // words — the n-gram-overlap style used by real decontamination) appears
+    // in eval. The eval fingerprint set is sample-sized, so at 100 TB it
+    // broadcasts (or becomes a bloom filter) — the train side never shuffles.
+    "decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val prefixFp = md5(array_join(
+        slice(TextFunctions.wsTokens(lower(col("text"))), 1, 8), " "))
+      val fp = docs.select(col("doc_id"), prefixFp.as("fp"),
+        (Sampling.hashDraw(col("doc_id"), "eval") <
+          lit(Sampling.hexThreshold(0.2))).as("is_eval"))
+      val evalFps = fp.where(col("is_eval")).select(col("fp")).distinct()
+      fp.where(!col("is_eval"))
+        .join(broadcast(evalFps), Seq("fp"), "left_semi")
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---------------- dedup family (training-data pipeline) ----------------
 
     "dedup_exact" -> ((s, d) => {
@@ -869,6 +900,20 @@ object SparkEntry {
          |  FROM ws)
          |SELECT doc_id, score, substr(text, 1, 160) AS answer FROM scored
          |WHERE score >= 50 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "vocab_topk" ->
+      """SELECT word, count(*) AS freq
+        |FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS word FROM documents)
+        |GROUP BY word ORDER BY freq DESC, word LIMIT 100""".stripMargin,
+
+    "decontaminate" ->
+      """WITH fp AS (SELECT doc_id,
+        |  md5(coalesce(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)[1:8], ' '), '')) AS fp,
+        |  substr(md5(CAST(doc_id AS VARCHAR) || ':eval'), 1, 8) < '33333333' AS is_eval
+        | FROM documents),
+        |ev AS (SELECT DISTINCT fp FROM fp WHERE is_eval)
+        |SELECT f.doc_id, f.fp FROM fp f JOIN ev USING (fp) WHERE NOT f.is_eval
+        |ORDER BY f.doc_id""".stripMargin,
 
     "sample_bernoulli" ->
       """SELECT doc_id, source FROM documents
