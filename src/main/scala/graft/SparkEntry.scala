@@ -483,9 +483,8 @@ object SparkEntry {
       val fp = docs.select(col("doc_id"), prefixFp.as("fp"),
         (Sampling.hashDraw(col("doc_id"), "eval") <
           lit(Sampling.hexThreshold(0.2))).as("is_eval"))
-      val evalFps = fp.where(col("is_eval")).select(col("fp")).distinct()
-      fp.where(!col("is_eval"))
-        .join(broadcast(evalFps), Seq("fp"), "left_semi")
+      val evalFps = fp.where(col("is_eval")).select(col("fp"))
+      Decontaminate.contaminatedExact(fp.where(!col("is_eval")), col("fp"), evalFps)
         .select(col("doc_id"), col("fp"))
         .orderBy(col("doc_id"))
     }),
