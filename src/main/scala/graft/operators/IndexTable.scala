@@ -135,6 +135,78 @@ object IndexTable {
       .write.mode(SaveMode.Append).partitionBy("index_alias", BucketCol).parquet(path)
   }
 
+  // ---------------- IVF-partitioned layout ----------------
+
+  /** IVF cell partition column (centroid-partitioned store — the second
+    * approximate layout next to the LSH-bucketed one). */
+  val CellCol: String = "__ivf_cell"
+
+  /** Centroids live under an underscore-prefixed sibling dir INSIDE the
+    * index path: parquet scans ignore `_`-prefixed directories, so the main
+    * table read never sees them, yet drop(path) removes everything. */
+  private def centroidsPath(path: String): String = s"$path/_graft_centroids"
+
+  private def diskCell(centroidId: Long): String = "c" + centroidId
+
+  /** K1 at the IVF scale point: assign every record's vector to its nearest
+    * centroid and write with the cell as a SECOND partition column — the
+    * inverted-file layout on disk. Centroids are built from this batch
+    * (deterministic seeding + Lloyd, [[SimilaritySearch.ivfCentroids]])
+    * unless the store already has them (appends after the first reuse the
+    * existing codebook so cells stay stable across generations). */
+  def appendIvf(records: DataFrame, path: String, nCentroids: Int,
+                iters: Int = 2): Unit = {
+    val spark = records.sparkSession
+    val centroids = readCentroids(spark, path).getOrElse {
+      val c = SimilaritySearch.ivfCentroids(records, nCentroids, iters,
+        vecCol = "page_content_vector", idCol = "id")
+      c.coalesce(1).write.mode(SaveMode.Overwrite).parquet(centroidsPath(path))
+      c
+    }
+    val celled = SimilaritySearch
+      .assignToCentroid(stampIngest(records), centroids,
+        vecCol = "page_content_vector", idCol = "id")
+      .withColumn(CellCol, concat(lit("c"), col("centroid_id")))
+      .drop("centroid_id")
+    celled.write.mode(SaveMode.Append)
+      .partitionBy("index_alias", CellCol).parquet(path)
+  }
+
+  /** The store's codebook, if this is an IVF-partitioned index. */
+  def readCentroids(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(centroidsPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(centroidsPath(path))) else None
+  }
+
+  /** Cell-pruned tenant read: rank the codebook by distance to the query
+    * vector (centroids are config-sized — a driver-side collect, the same
+    * way a real IVF index keeps its codebook in memory) and scan only the
+    * `nprobe` nearest cells' FILES. Latest-per-id within the pruned slice,
+    * same staleness caveat as [[readLatestPruned]]. */
+  def readLatestPrunedIvf(spark: SparkSession, path: String, alias: String,
+                          queryVec: Array[Float], nprobe: Int): DataFrame = {
+    val cells = readCentroids(spark, path) match {
+      case None => Seq.empty[String]
+      case Some(cdf) =>
+        cdf.collect().map { r =>
+          val id = r.getLong(r.fieldIndex("centroid_id"))
+          val c = r.getSeq[Float](r.fieldIndex("centroid"))
+          var s = 0.0
+          var i = 0
+          val n = math.min(c.length, queryVec.length)
+          while (i < n) { val d = c(i) - queryVec(i); s += d * d; i += 1 }
+          (s, id)
+        }.sortBy(identity).take(nprobe).map(t => diskCell(t._2)).toSeq
+    }
+    val df = read(spark, path, alias)
+    val pruned =
+      if (cells.nonEmpty && df.columns.contains(CellCol))
+        df.where(col(CellCol).isin(cells: _*))
+      else df.where(lit(false))
+    latestPerId(pruned).drop(CellCol)
+  }
+
   /** True when the index path holds at least one ingested partition.
     * A freshly created index is _SUCCESS-only (dynamic partitioning emits no
     * part files for an empty frame), which the parquet reader cannot infer

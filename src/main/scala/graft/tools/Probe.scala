@@ -98,6 +98,47 @@ object Probe {
           }
         }
 
+      case "storeivf" =>
+        // IVF-partitioned on-disk store: recall of the cell-pruned read
+        // (readLatestPrunedIvf + exact top-k over the slice) vs the exact
+        // full-tenant scan — the centroid-partitioned counterpart of the
+        // "store" sweep above.
+        import graft.operators.{IndexTable, KnnSearch}
+        import graft.functions.Embedder
+        val docsRaw = spark.read.parquet(s"$sfDir/documents.parquet")
+        val docs = docsRaw
+          .select(concat(lit("doc_"), col("doc_id")).as("document_path"), col("text"))
+        val prompts = docsRaw.where(col("doc_id") % 200 === 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+          .map { case (_, t) => t.split("\\s+").take(12).mkString(" ") }
+        println(s"prompts=${prompts.length}")
+        println("config,recall_at_10,cell_frac,s_exact_per_q,s_approx_per_q")
+        for (cells <- Seq(8, 16)) {
+          val path = java.nio.file.Files
+            .createTempDirectory(s"probe_storeivf_c$cells").toString + "/idx"
+          val records = IndexTable.ingestRecords(docs, "tenant")
+          time(s"ingest c=$cells")(IndexTable.appendIvf(records, path, cells))
+          for (nprobe <- Seq(1, 2, 4)) {
+            var inter = 0; var tot = 0; var tEx = 0.0; var tAp = 0.0
+            prompts.foreach { p =>
+              val qv = Embedder.embedQuery(p)
+              val t0 = System.nanoTime
+              val ex = KnnSearch.topK(
+                  IndexTable.readLatest(spark, path, "tenant"), qv, 10)
+                .select("id").as[String].collect().toSet
+              val t1 = System.nanoTime
+              val ap = KnnSearch.topK(
+                  IndexTable.readLatestPrunedIvf(spark, path, "tenant", qv, nprobe), qv, 10)
+                .select("id").as[String].collect().toSet
+              tEx += (t1 - t0) / 1e9; tAp += (System.nanoTime - t1) / 1e9
+              inter += ex.intersect(ap).size; tot += ex.size
+            }
+            println(f"storeivf c=$cells nprobe=$nprobe,${inter.toDouble / tot}%.3f," +
+              f"${nprobe.toDouble / cells}%.3f,${tEx / prompts.length}%.3f," +
+              f"${tAp / prompts.length}%.3f")
+          }
+        }
+
       case "recall" =>
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
         emb.count()
