@@ -32,7 +32,15 @@ final class GraftVectorStore(
     // and enable the approximate search path — the scale analogue of the
     // reference's HNSW index (reference modules/utilities.py:272-278).
     lshBits: Option[Int] = None,
-    lshSeed: Long = IndexTable.DefaultLshSeed) {
+    lshSeed: Long = IndexTable.DefaultLshSeed,
+    // Some(cells): IVF layout instead — partitioned by (index_alias,
+    // __ivf_cell), Lloyd codebook persisted with the store. Mutually
+    // exclusive with lshBits; `approximate = true` then probes the
+    // probeDepth (= nprobe) nearest cells.
+    ivfCells: Option[Int] = None) {
+
+  require(lshBits.isEmpty || ivfCells.isEmpty,
+    "choose ONE approximate layout: lshBits (sign-LSH buckets) or ivfCells (IVF cells)")
 
   private def resolveAlias(alias: String): String =
     if (encryptAlias) IndexTable.encodeAlias(alias) else alias
@@ -53,9 +61,10 @@ final class GraftVectorStore(
                    pageSize: Int = operators.Chunker.DefaultPageSize): Unit = {
     createIndex()
     val records = IndexTable.ingestRecords(docs, resolveAlias(alias), model, seed, pageSize)
-    lshBits match {
-      case Some(bits) => IndexTable.appendBucketed(records, indexPath, bits, dim, lshSeed)
-      case None       => IndexTable.append(records, indexPath)
+    (lshBits, ivfCells) match {
+      case (Some(bits), _) => IndexTable.appendBucketed(records, indexPath, bits, dim, lshSeed)
+      case (_, Some(cells)) => IndexTable.appendIvf(records, indexPath, cells)
+      case _ => IndexTable.append(records, indexPath)
     }
   }
 
@@ -74,12 +83,16 @@ final class GraftVectorStore(
     val qvec = Embedder.embedQuery(prompt, model, seed)
     val slice =
       if (!approximate) IndexTable.readLatest(spark, indexPath, resolveAlias(alias))
-      else {
-        val bits = lshBits.getOrElse(throw new IllegalArgumentException(
-          "approximate search requires the store to be built with lshBits"))
-        val probes = graft.plans.LshTopKPruneRule
-          .probeBuckets(qvec, bits, dim, lshSeed, probeDepth)
-        IndexTable.readLatestPruned(spark, indexPath, resolveAlias(alias), probes.toSeq)
+      else (lshBits, ivfCells) match {
+        case (Some(bits), _) =>
+          val probes = graft.plans.LshTopKPruneRule
+            .probeBuckets(qvec, bits, dim, lshSeed, probeDepth)
+          IndexTable.readLatestPruned(spark, indexPath, resolveAlias(alias), probes.toSeq)
+        case (_, Some(_)) =>
+          IndexTable.readLatestPrunedIvf(spark, indexPath, resolveAlias(alias),
+            qvec, nprobe = probeDepth)
+        case _ => throw new IllegalArgumentException(
+          "approximate search requires the store to be built with lshBits or ivfCells")
       }
     KnnSearch.topK(slice, qvec, topN)
       .select(col("id"), col("index_alias"), col("document_path"),

@@ -88,6 +88,37 @@ class GraftVectorStoreSpec extends AnyFunSuite {
     assert(approx.where($"index_alias" =!= "tenant_a").count() === 0)
   }
 
+  test("ivf store: facade approximate search probes nprobe cells via PartitionFilters") {
+    val path = java.nio.file.Files.createTempDirectory("graft_store5").toString + "/idx"
+    val store = new GraftVectorStore(spark, path, ivfCells = Some(4))
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(concat_ws("/", $"source", $"doc_id").as("document_path"), $"text")
+    store.addDocuments(docs, "tenant_a", pageSize = 32)
+
+    val aliasDir = new java.io.File(s"$path/index_alias=tenant_a")
+    val cellDirs = aliasDir.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("__ivf_cell=")).map(_.getName)
+    assert(cellDirs.length > 1, s"expected multiple cell partitions, got ${cellDirs.toSeq}")
+
+    // probeDepth doubles as nprobe on the IVF layout: 3 of 4 cells
+    val approx = store.search("fast spark table scan query", "tenant_a",
+      topN = 10, approximate = true, probeDepth = 3)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__ivf_cell"),
+      s"expected __ivf_cell in PartitionFilters:\n$plan")
+    val approxIds = approx.select($"id").as[String].collect().toSet
+    val exactIds = store.search("fast spark table scan query", "tenant_a", topN = 10)
+      .select($"id").as[String].collect().toSet
+    assert(approxIds.nonEmpty && approxIds.intersect(exactIds).size >= 4,
+      s"approx=$approxIds exact=$exactIds")
+  }
+
+  test("one approximate layout at a time") {
+    intercept[IllegalArgumentException] {
+      new GraftVectorStore(spark, "/tmp/nope", lshBits = Some(4), ivfCells = Some(8))
+    }
+  }
+
   test("multi-tenant isolation via partition pruning + alias encryption") {
     val path = java.nio.file.Files.createTempDirectory("graft_store2").toString + "/idx"
     val store = new GraftVectorStore(spark, path, encryptAlias = true)
