@@ -425,6 +425,20 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Quantile sketch (approx_percentile): the mergeable answer to exact
+    // percentiles (q11) at 100 TB — map-side partial sketches, no global
+    // sort. Sketch internals are engine-specific -> rows-only; the spec pins
+    // the error bound against the exact quantiles.
+    "events_approx_percentile" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(percentile_approx(col("value"), lit(0.5), lit(10000)), 4).as("p50_approx"),
+          round(percentile_approx(col("value"), lit(0.95), lit(10000)), 4).as("p95_approx"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // -------- sampling & packing (training-data pipeline) --------
 
     // Deterministic hash-Bernoulli sample: reproducible across engines, runs

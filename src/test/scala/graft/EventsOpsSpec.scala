@@ -54,6 +54,20 @@ class EventsOpsSpec extends AnyFunSuite {
     assert(got === Set((1L, 3L), (2L, 4L)))
   }
 
+  test("approx_percentile tracks the exact quantiles closely") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+    val rows = ev.groupBy($"event_type")
+      .agg(percentile_approx($"value", lit(0.5), lit(10000)).as("approx"),
+        expr("percentile(value, 0.5)").as("exact"))
+      .as[(String, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, approx, exact) =>
+      val relErr = math.abs(approx - exact) / math.max(math.abs(exact), 1e-9)
+      assert(relErr <= 0.02, s"$et: approx=$approx exact=$exact relErr=$relErr")
+    }
+  }
+
   test("HLL++ approx distinct is within the declared rsd of the exact count") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
