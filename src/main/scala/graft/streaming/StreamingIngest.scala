@@ -56,4 +56,32 @@ object StreamingIngest {
     q.stop()
     spark.read.parquet(indexPath).where(col("index_alias") === alias).count()
   }
+
+  /** Continuous ingest INTO THE LSH-BUCKETED LAYOUT: the parquet file sink
+    * cannot compute the bucket partition column, so each micro-batch goes
+    * through `foreachBatch` -> [[graft.operators.IndexTable.appendBucketed]]
+    * — the same write path the batch ingest uses, so layout and probe
+    * semantics are identical. foreachBatch replays a batch after a crash
+    * (at-least-once appends); the store's latest-per-id read makes replays
+    * invisible, the same idempotence Redis HSET gives the reference. */
+  def ingestOnceBucketed(spark: SparkSession, landingDir: String, globFilter: String,
+                         indexPath: String, checkpointDir: String, alias: String,
+                         bits: Int, dim: Int,
+                         pageSize: Int = Chunker.DefaultPageSize): Long = {
+    val schema = spark.read.option("pathGlobFilter", globFilter).parquet(landingDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", globFilter).parquet(landingDir)
+      .withColumnRenamed("source", "document_path")
+    val records = transform(stream, alias, pageSize = pageSize)
+    val q = records.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.IndexTable.appendBucketed(batch.toDF(), indexPath, bits, dim)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(indexPath).where(col("index_alias") === alias).count()
+  }
 }

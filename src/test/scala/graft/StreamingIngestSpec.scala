@@ -30,6 +30,34 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(streamed.collect().toSeq === expected.collect().toSeq)
   }
 
+  test("streaming ingest into the bucketed layout matches batch appendBucketed") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_bucketed").toString
+    val bits = 2
+    val dim = graft.core.ModelRegistry.dim(graft.core.ModelRegistry.default)
+    val n = StreamingIngest.ingestOnceBucketed(spark,
+      landingDir = TestSpark.sf, globFilter = "documents.parquet",
+      indexPath = s"$tmp/index", checkpointDir = s"$tmp/ckpt",
+      alias = "stream", bits = bits, dim = dim, pageSize = 32)
+
+    // layout: bucket partition dirs exist under the alias
+    val aliasDir = new java.io.File(s"$tmp/index/index_alias=stream")
+    val bucketDirs = aliasDir.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("__lsh_bucket=")).map(_.getName)
+    assert(bucketDirs.length > 1, s"expected bucket partitions, got ${bucketDirs.toSeq}")
+
+    // content: identical (id, bucket) pairs to the batch bucketed write
+    val batchPath = s"$tmp/batch_index"
+    IndexTable.appendBucketed(IndexTable.ingestRecords(
+      spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+        .select($"source".as("document_path"), $"text"),
+      alias = "stream", pageSize = 32), batchPath, bits, dim)
+    def idBuckets(p: String) = spark.read.parquet(p)
+      .select($"id", col(IndexTable.BucketCol)).distinct()
+      .as[(String, String)].collect().toSet
+    assert(n === spark.read.parquet(batchPath).count())
+    assert(idBuckets(s"$tmp/index") === idBuckets(batchPath))
+  }
+
   test("salted join equals plain inner join") {
     val left = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
       .select($"l_orderkey", $"l_quantity").limit(5000)
