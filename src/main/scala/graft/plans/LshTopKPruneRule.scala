@@ -40,6 +40,9 @@ object LshTopKPruneRule extends Rule[LogicalPlan] {
     val bits = confB("spark.graft.lsh.bits", "8").toInt
     val dim = confB("spark.graft.lsh.dim", "64").toInt
     val seed = confB("spark.graft.lsh.seed", "42").toLong
+    // recall/cost dial (hamming radius of the probe set), same semantics as
+    // GraftVectorStore.search(probeDepth = ...)
+    val depth = confB("spark.graft.lsh.probeDepth", "1").toInt
 
     plan.transform {
       case gl @ GlobalLimit(_, ll @ LocalLimit(_,
@@ -48,7 +51,7 @@ object LshTopKPruneRule extends Rule[LogicalPlan] {
         queryVectorOf(key, child) match {
           case Some(qvec) if qvec.length == dim =>
             val bucketAttr = child.output.find(_.name == BucketCol).get
-            val probes = probeBuckets(qvec, bits, dim, seed)
+            val probes = probeBuckets(qvec, bits, dim, seed, depth)
             val filtered = Filter(
               In(bucketAttr, probes.map(Literal(_)).toSeq), child)
             gl.copy(child = ll.copy(child = sort.copy(child = filtered)))

@@ -69,4 +69,34 @@ class LshTopKPruneRuleSpec extends AnyFunSuite {
       assert(p.zip(base).count { case (a, b) => a != b } === 1)
     }
   }
+
+  test("probe depth widens the set to all hamming<=d buckets") {
+    val d2 = LshTopKPruneRule.probeBuckets(qvec, bits, dim, seed, depth = 2)
+    assert(d2.length === 1 + bits + bits * (bits - 1) / 2)
+    assert(d2.distinct.length === d2.length)
+    val base = d2.head
+    assert(d2.forall(p => p.zip(base).count { case (a, b) => a != b } <= 2))
+    // depth 0 is just the base bucket; depth >= bits is the whole space
+    assert(LshTopKPruneRule.probeBuckets(qvec, bits, dim, seed, 0).toSeq === Seq(base))
+    assert(LshTopKPruneRule.probeBuckets(qvec, bits, dim, seed, bits).length === (1 << bits))
+  }
+
+  test("the rule honors spark.graft.lsh.probeDepth") {
+    GraftExtensions.register(spark)
+    spark.conf.set("spark.graft.lsh.autoPrune", "true")
+    spark.conf.set("spark.graft.lsh.bits", bits.toString)
+    spark.conf.set("spark.graft.lsh.dim", dim.toString)
+    spark.conf.set("spark.graft.lsh.seed", seed.toString)
+    spark.conf.set("spark.graft.lsh.probeDepth", "2")
+    try {
+      val plan = topkPlan(qvec).queryExecution.optimizedPlan.toString
+      // at depth 2 the IN-list holds 1 + 4 + 6 = 11 of the 16 buckets
+      val inList = "__lsh_bucket[^)]*IN \\(([^)]*)\\)".r
+        .findFirstMatchIn(plan).map(_.group(1)).getOrElse(fail(plan))
+      assert(inList.split(",").length === 11, inList)
+    } finally {
+      spark.conf.set("spark.graft.lsh.autoPrune", "false")
+      spark.conf.unset("spark.graft.lsh.probeDepth")
+    }
+  }
 }
