@@ -218,6 +218,40 @@ object IndexTable {
       s.isDirectory && s.getPath.getName.startsWith("index_alias="))
   }
 
+  /** Compact one tenant's partition: apply the HSET-upsert semantics
+    * PHYSICALLY (latest record per id survives, stale generations are
+    * dropped) and rewrite the slice as fresh files — the OPTIMIZE/VACUUM
+    * analogue every append-only store needs once streaming ingest starts
+    * producing a small file per micro-batch. Layout-preserving: the LSH
+    * bucket / IVF cell partition column is kept if present, so pruned reads
+    * behave identically after compaction.
+    *
+    * The rewrite lands in an underscore-prefixed staging dir INSIDE the
+    * index (invisible to concurrent reads), then swaps in with two
+    * filesystem renames. Readers racing the swap see the old or the new
+    * complete partition, never a mix; as with any non-transactional store,
+    * writers must not append to the tenant mid-compaction.
+    *
+    * Returns the number of rows surviving compaction. */
+  def compact(spark: SparkSession, path: String, alias: String): Long = {
+    val slice = read(spark, path, alias)
+    val resolved = latestPerId(slice)
+    val layoutCols = Seq(BucketCol, CellCol).filter(resolved.columns.contains)
+    val staging = s"$path/_compact_staging"
+    stampIngest(resolved)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(("index_alias" +: layoutCols): _*)
+      .parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(path, s"index_alias=$alias")
+    val fresh = new org.apache.hadoop.fs.Path(staging, s"index_alias=$alias")
+    if (fs.exists(live)) fs.delete(live, true)
+    if (fs.exists(fresh)) fs.rename(fresh, live)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    spark.read.parquet(path).where(col("index_alias") === alias).count()
+  }
+
   /** Read one tenant's slice — partition-pruned scan. An existing-but-empty
     * index reads as zero rows (the reference's empty Redis index returns no
     * hits, not an error). */
