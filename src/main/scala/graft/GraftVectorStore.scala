@@ -99,6 +99,11 @@ final class GraftVectorStore(
         col("page_number"), col("page_content"), col("similarity"))
   }
 
+  /** Store maintenance: physically apply upserts and rewrite the tenant's
+    * files (see [[IndexTable.compact]]). Returns surviving row count. */
+  def compactIndex(alias: String): Long =
+    IndexTable.compact(spark, indexPath, resolveAlias(alias))
+
   /** E2 full answer pipeline: retrieve, rerank, threshold, project answers. */
   def answers(prompt: String, alias: String, topN: Int = 10,
               fanout: Int = 50, threshold: Int = Rerank.ScoreThreshold): DataFrame =

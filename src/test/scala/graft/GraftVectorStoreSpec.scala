@@ -46,6 +46,16 @@ class GraftVectorStoreSpec extends AnyFunSuite {
     // the surviving content is the second generation (uppercased)
     val contents = hits.select($"page_content").as[String].collect()
     assert(contents.forall(c => c == c.toUpperCase))
+
+    // compaction applies the upserts physically; search results unchanged
+    // (materialize BEFORE compacting — the old files are deleted by the swap)
+    val beforeCompact = hits.select($"id", $"page_content")
+      .as[(String, String)].collect().toSet
+    val survivors = store.compactIndex("t")
+    assert(survivors === spark.read.parquet(path).count())
+    val after = store.search("fast spark table scan query", "t", topN = 100)
+      .select($"id", $"page_content").as[(String, String)].collect().toSet
+    assert(after === beforeCompact)
   }
 
   test("bucketed store: approximate search prunes at the partition (file) level") {
