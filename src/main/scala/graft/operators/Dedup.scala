@@ -322,7 +322,11 @@ object Dedup {
       val cp = df
         .observe(obs, sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("cs"))
         .localCheckpoint()
-      (cp, obs.get("cs").asInstanceOf[java.math.BigDecimal])
+      // sum over ZERO rows observes null — a corpus with no near-dup pairs
+      // must converge to an empty label frame, not NPE in compareTo.
+      val cs = obs.get("cs")
+      (cp, if (cs == null) java.math.BigDecimal.ZERO
+           else cs.asInstanceOf[java.math.BigDecimal])
     }
     // Fused round 0: every node appears as src (edges are symmetrized), so
     // one groupBy seeds comp(v) = least(v, min neighbor).

@@ -161,7 +161,12 @@ object IndexTable {
       val c = SimilaritySearch.ivfCentroids(records, nCentroids, iters,
         vecCol = "page_content_vector", idCol = "id")
       c.coalesce(1).write.mode(SaveMode.Overwrite).parquet(centroidsPath(path))
-      c
+      // Assign from the PERSISTED codebook, not the lazy plan: the plan
+      // contains monotonically_increasing_id, so a second execution (AQE
+      // re-planning, different partitioning) could stamp centroid_ids that
+      // disagree with what was just written, silently mis-routing
+      // readLatestPrunedIvf for the first batch.
+      spark.read.parquet(centroidsPath(path))
     }
     val celled = SimilaritySearch
       .assignToCentroid(stampIngest(records), centroids,
@@ -227,10 +232,16 @@ object IndexTable {
     * behave identically after compaction.
     *
     * The rewrite lands in an underscore-prefixed staging dir INSIDE the
-    * index (invisible to concurrent reads), then swaps in with two
-    * filesystem renames. Readers racing the swap see the old or the new
-    * complete partition, never a mix; as with any non-transactional store,
-    * writers must not append to the tenant mid-compaction.
+    * index (invisible to concurrent reads); the swap is rename-aside:
+    * live -> `_compact_old`, fresh -> live, then delete `_compact_old`.
+    * Both moves are filesystem renames (metadata ops), so the window in
+    * which a racing reader can observe a missing tenant partition is two
+    * renames wide — not a recursive delete — and a crash mid-swap never
+    * loses the only copy: the previous generation survives intact under
+    * `_compact_old` (underscore-prefixed, invisible to scans) until the
+    * fresh partition is in place. This is still not a transaction log: a
+    * reader hitting exactly the inter-rename window sees zero rows for the
+    * tenant, and writers must not append to the tenant mid-compaction.
     *
     * Returns the number of rows surviving compaction. */
   def compact(spark: SparkSession, path: String, alias: String): Long = {
@@ -246,8 +257,13 @@ object IndexTable {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(path, s"index_alias=$alias")
     val fresh = new org.apache.hadoop.fs.Path(staging, s"index_alias=$alias")
-    if (fs.exists(live)) fs.delete(live, true)
-    if (fs.exists(fresh)) fs.rename(fresh, live)
+    val old = new org.apache.hadoop.fs.Path(path, "_compact_old")
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a crashed swap
+    if (fs.exists(fresh)) {
+      if (fs.exists(live)) fs.rename(live, old)
+      fs.rename(fresh, live)
+      fs.delete(old, true)
+    }
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     spark.read.parquet(path).where(col("index_alias") === alias).count()
   }

@@ -41,8 +41,12 @@ object StatefulUserStats {
               St(acc.n + 1, acc.total + e.value, math.max(acc.lastMs, e.ts.getTime))
             }
             state.update(merged)
-            // close this user once the watermark passes last-event + gap
-            state.setTimeoutTimestamp(merged.lastMs + gapMs)
+            // close this user once the watermark passes last-event + gap;
+            // clamp to watermark + 1: an allowed-late event with a small gap
+            // can put lastMs + gapMs BEHIND the current watermark, and Spark
+            // throws (killing the query) on a timeout in the past.
+            state.setTimeoutTimestamp(
+              math.max(merged.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
             Stat(uid, merged.n, merged.total, closed = false)
           }
       }

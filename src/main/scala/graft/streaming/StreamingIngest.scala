@@ -67,15 +67,19 @@ object StreamingIngest {
   def ingestOnceBucketed(spark: SparkSession, landingDir: String, globFilter: String,
                          indexPath: String, checkpointDir: String, alias: String,
                          bits: Int, dim: Int,
-                         pageSize: Int = Chunker.DefaultPageSize): Long = {
+                         pageSize: Int = Chunker.DefaultPageSize,
+                         lshSeed: Long = graft.operators.IndexTable.DefaultLshSeed): Long = {
     val schema = spark.read.option("pathGlobFilter", globFilter).parquet(landingDir).schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", globFilter).parquet(landingDir)
       .withColumnRenamed("source", "document_path")
     val records = transform(stream, alias, pageSize = pageSize)
+    // lshSeed MUST match the store's write/probe seed: buckets written under
+    // different hyperplanes than probe time uses silently miss every
+    // streamed document in approximate search.
     val q = records.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.IndexTable.appendBucketed(batch.toDF(), indexPath, bits, dim)
+        graft.operators.IndexTable.appendBucketed(batch.toDF(), indexPath, bits, dim, lshSeed)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

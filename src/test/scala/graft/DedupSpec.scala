@@ -117,6 +117,14 @@ class DedupSpec extends AnyFunSuite {
     assert(comps === Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L))
   }
 
+  test("connected components: empty pair graph yields an empty label frame") {
+    // a corpus with no near-dup pairs must produce zero clusters, not NPE
+    // (sum(comp) over zero rows observes null — ADVICE r2 regression)
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val comps = Dedup.connectedComponents(empty).as[(Long, Long)].collect()
+    assert(comps.isEmpty)
+  }
+
   test("connected components: 64-node chain converges via pointer jumping") {
     // worst-case topology for plain min-propagation (diameter 63); pointer
     // jumping must still resolve everything to the chain head

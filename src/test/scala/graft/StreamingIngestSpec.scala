@@ -34,10 +34,14 @@ class StreamingIngestSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_bucketed").toString
     val bits = 2
     val dim = graft.core.ModelRegistry.dim(graft.core.ModelRegistry.default)
+    // non-default seed on BOTH paths: pins that the streaming path threads
+    // lshSeed through to appendBucketed (a hardcoded default seed would land
+    // streamed docs in different buckets than probe time computes)
+    val seed = 7L
     val n = StreamingIngest.ingestOnceBucketed(spark,
       landingDir = TestSpark.sf, globFilter = "documents.parquet",
       indexPath = s"$tmp/index", checkpointDir = s"$tmp/ckpt",
-      alias = "stream", bits = bits, dim = dim, pageSize = 32)
+      alias = "stream", bits = bits, dim = dim, pageSize = 32, lshSeed = seed)
 
     // layout: bucket partition dirs exist under the alias
     val aliasDir = new java.io.File(s"$tmp/index/index_alias=stream")
@@ -50,7 +54,7 @@ class StreamingIngestSpec extends AnyFunSuite {
     IndexTable.appendBucketed(IndexTable.ingestRecords(
       spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
         .select($"source".as("document_path"), $"text"),
-      alias = "stream", pageSize = 32), batchPath, bits, dim)
+      alias = "stream", pageSize = 32), batchPath, bits, dim, seed)
     def idBuckets(p: String) = spark.read.parquet(p)
       .select($"id", col(IndexTable.BucketCol)).distinct()
       .as[(String, String)].collect().toSet
