@@ -516,10 +516,13 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // simhash32Fast = compiled one-pass twin of the declarative simhash32
+    // (bit-identity pinned in DedupSpec); the oracle below IS the
+    // declarative form in SQL.
     "dedup_simhash" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .where(size(TextFunctions.wsTokens(lower(col("text")))) > 0)
-      docs.select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+      docs.select(col("doc_id"), Dedup.simhash32Fast(col("text")).as("simhash"))
         .orderBy(col("doc_id"))
     }),
 

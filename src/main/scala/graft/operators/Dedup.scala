@@ -202,6 +202,38 @@ object Dedup {
     array_join(transform(counts, c => when(c >= 0, lit("1")).otherwise(lit("0"))), "")
   }
 
+  /** Fast UDF twin of [[simhash32]] — bit-identical output (cross-checked in
+    * DedupSpec), one MessageDigest pass per token instead of an interpreted
+    * HOF lambda per (token x bit). The hex-digit-high-bit test becomes a
+    * nibble test on the raw 16-byte digest. Same tradeoff call as
+    * [[shinglesFast]]: per-element-heavy work belongs in compiled scalar
+    * code, the declarative form stays as the oracle-shaped reference. */
+  def simhash32Fast: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (text: String) =>
+      if (text == null) null
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val counts = new Array[Int](32)
+        text.toLowerCase.split("\\s+").foreach { tok =>
+          if (tok.nonEmpty) {
+            md.reset()
+            val d = md.digest(tok.getBytes("UTF-8"))
+            var j = 0
+            while (j < 32) {
+              // hex digit j of the md5 hex string = nibble j of the digest
+              val nib = if (j % 2 == 0) (d(j / 2) >> 4) & 0xf else d(j / 2) & 0xf
+              if (nib >= 8) counts(j) += 1 else counts(j) -= 1
+              j += 1
+            }
+          }
+        }
+        val sb = new java.lang.StringBuilder(32)
+        var j = 0
+        while (j < 32) { sb.append(if (counts(j) >= 0) '1' else '0'); j += 1 }
+        sb.toString
+      }
+    }
+
   /** Exact n-gram Jaccard self-join (the quadratic baseline that LSH
     * replaces at scale; useful as ground truth and for small candidate sets).
     * Computed via shingle explode + equi-join on shingle + group-by pair —
@@ -215,12 +247,18 @@ object Dedup {
     // sizes are preserved exactly unless two distinct shingles collide in
     // 64 bits (p ~ k^2/2^65; ~1e-8 at 10^6 shingles, and each collision
     // perturbs one pair's count by 1 — harmless for near-dup semantics).
-    // read 3x (join sides + per-doc counts) — persist once.
-    val sh = spread(df)
-      .select(col(idCol).as("doc_id"), explode(shinglesFast(n)(col(textCol))).as("shingle"))
+    // Per-doc shingle counts come from size() on the un-exploded array (a
+    // narrow map over the doc-sized frame) — NOT a groupBy over the exploded
+    // shingle table, which would be a second full shuffle of the largest
+    // intermediate in the operator.
+    val shArr = spread(df)
+      .select(col(idCol).as("doc_id"), shinglesFast(n)(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = shArr.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+    val sh = shArr
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = sh.alias("a")
       .join(sh.alias("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

@@ -81,6 +81,16 @@ class DedupSpec extends AnyFunSuite {
     def toMap2: Map[(Long, Long), Double] = rows.map(r => (r._1, r._2) -> r._3).toMap
   }
 
+  test("simhash32Fast UDF is bit-identical to the declarative simhash32") {
+    val docsFx = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(200)
+    val both = docsFx.select(
+      Dedup.simhash32($"text").as("a"),
+      Dedup.simhash32Fast($"text").as("b"))
+      .as[(String, String)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (a, b) => assert(a === b) }
+  }
+
   test("simhash: similar docs have small hamming distance, dissimilar large") {
     def hamming(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
     val h = docs.select($"doc_id", Dedup.simhash32($"text").as("sh"))
