@@ -274,6 +274,61 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // S1-family source breadth: the documents pipeline ingests from CSV and
+    // JSON landings, not just parquet — round-trip the fixture through the
+    // Spark writer+reader (explicit schema, RFC quoting) and return the full
+    // rows. The DuckDB oracle derives the same rows from the parquet fixture
+    // directly, so any type, quoting, or null corruption in the source path
+    // hash-fails the query. At 100 TB this is the "raw landing zone" read:
+    // splittable line formats, schema declared, no inference scan.
+    "source_csv_roundtrip" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("text"), col("n_chars"))
+      val tmp = s"/tmp/graft_source_csv_${new java.io.File(d).getName}"
+      docs.write.mode("overwrite")
+        .option("header", "true").option("escape", "\"").csv(tmp)
+      s.read.schema(docs.schema)
+        .option("header", "true").option("escape", "\"").option("multiLine", "true")
+        .csv(tmp)
+        .orderBy(col("doc_id"))
+    }),
+
+    "source_json_roundtrip" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("text"), col("n_chars"))
+      val tmp = s"/tmp/graft_source_json_${new java.io.File(d).getName}"
+      docs.write.mode("overwrite").json(tmp)
+      s.read.schema(docs.schema).json(tmp).orderBy(col("doc_id"))
+    }),
+
+    // Store lifecycle THROUGH the gate: two append generations into a real
+    // on-disk store (the second re-ingests every 5th document — same ids,
+    // same content), compact the tenant, then RAW-read the store files.
+    // Physical-upsert proof: if compaction left stale generations on disk
+    // the row count doubles for re-ingested docs and the hash compare
+    // fails; the oracle re-derives the expected chunk rows from the
+    // parquet fixture (chunk -> non-empty-cleansed filter, as E1 ingests).
+    "store_compact_upsert" -> ((s, d) => {
+      val tmp = s"/tmp/graft_store_compact_${new java.io.File(d).getName}"
+      IndexTable.drop(s, tmp)
+      // a quarter of the corpus: the lifecycle (append/upsert/compact/read)
+      // is what's under test, not embedding throughput — that's embed_documents
+      val docs = t(s, d, "documents")
+        .where(pmod(col("doc_id"), lit(4)) === 0)
+        .select(concat_ws("/", col("source"), col("doc_id")).as("document_path"),
+          col("text"), col("doc_id"))
+      IndexTable.append(IndexTable.ingestRecords(
+        docs.select(col("document_path"), col("text")), alias = "c", pageSize = 32), tmp)
+      IndexTable.append(IndexTable.ingestRecords(
+        docs.where(pmod(col("doc_id"), lit(20)) === 0)
+          .select(col("document_path"), col("text")), alias = "c", pageSize = 32), tmp)
+      IndexTable.compact(s, tmp, "c")
+      s.read.parquet(tmp).where(col("index_alias") === "c")
+        .select(col("document_path"), col("page_number"),
+          md5(col("page_content")).as("content_md5"))
+        .orderBy(col("document_path"), col("page_number"))
+    }),
+
     // K1 upsert semantics: Redis HSET last-write-wins by key, realized as
     // latest-record-per-key on read (two synthetic ingest generations).
     "index_upsert_latest" -> ((s, d) => {
@@ -857,6 +912,32 @@ object SparkEntry {
         | CASE lower(string_split(string_split(path, '/')[-1], '.')[-1])
         |   WHEN 'pdf' THEN 'readPDF' WHEN 'docx' THEN 'readMSWord' ELSE 'unsupported' END AS loader
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // The round-trips must reproduce the parquet fixture EXACTLY — the
+    // oracle is a plain projection of the source table.
+    "source_csv_roundtrip" ->
+      "SELECT doc_id, source, lang, text, n_chars FROM documents ORDER BY doc_id",
+
+    "source_json_roundtrip" ->
+      "SELECT doc_id, source, lang, text, n_chars FROM documents ORDER BY doc_id",
+
+    // Expected post-compaction store content = the E1 ingest rows derived
+    // straight from the fixture: chunk (pageSize 32, possible-empty-tail)
+    // then drop pages whose cleansed text is empty. Re-ingested generations
+    // carry identical content, so compaction must collapse to exactly this.
+    "store_compact_upsert" ->
+      """WITH pages AS (
+        | SELECT source || '/' || CAST(doc_id AS VARCHAR) AS document_path,
+        |   CAST(g AS INT) AS page_number,
+        |   coalesce(array_to_string(words[(g*32+1):(g*32+32)], ' '), '') AS page_content
+        | FROM (SELECT doc_id, source, words,
+        |         unnest(generate_series(0, CAST(len(words) // 32 AS BIGINT))) AS g
+        |       FROM (SELECT doc_id, source, string_split(text, ' ') AS words
+        |             FROM documents WHERE doc_id % 4 = 0)))
+        |SELECT document_path, page_number, md5(page_content) AS content_md5
+        |FROM pages
+        |WHERE length(trim(replace(replace(page_content, chr(10), ' '), '  ', ' '))) > 0
+        |ORDER BY document_path, page_number""".stripMargin,
 
     "index_upsert_latest" ->
       """WITH gen AS (
