@@ -274,6 +274,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Bucketed co-located join — THE shuffle-elimination lever at 100 TB:
+    // both fact tables are written bucketed by the join key (8 buckets,
+    // sorted within), so the join consumes each bucket pair in place and
+    // the physical plan carries ZERO shuffle exchanges for the join itself
+    // (pinned in PlanPropertiesSpec with broadcast disabled). On a real
+    // cluster this is the difference between re-shuffling 100 TB per join
+    // and reading pre-bucketed files; the oracle is the same aggregate from
+    // the unbucketed parquet, proving the layout changes nothing semantically.
+    "bucketed_join_colocated" -> ((s, d) => {
+      val wh = s"/tmp/graft_bucketed_${new java.io.File(d).getName}"
+      s.sql("DROP TABLE IF EXISTS graft_li_b")
+      s.sql("DROP TABLE IF EXISTS graft_ord_b")
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.mode("overwrite").option("path", s"$wh/li")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("graft_li_b")
+      t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").option("path", s"$wh/ord")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("graft_ord_b")
+      s.table("graft_li_b")
+        .join(s.table("graft_ord_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // S1-family source breadth: the documents pipeline ingests from CSV and
     // JSON landings, not just parquet — round-trip the fixture through the
     // Spark writer+reader (explicit schema, RFC quoting) and return the full
@@ -912,6 +938,15 @@ object SparkEntry {
         | CASE lower(string_split(string_split(path, '/')[-1], '.')[-1])
         |   WHEN 'pdf' THEN 'readPDF' WHEN 'docx' THEN 'readMSWord' ELSE 'unsupported' END AS loader
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // The bucketed layout must not change the join's semantics: same
+    // aggregate over the unbucketed parquet.
+    "bucketed_join_colocated" ->
+      """SELECT o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // The round-trips must reproduce the parquet fixture EXACTLY — the
     // oracle is a plain projection of the source table.

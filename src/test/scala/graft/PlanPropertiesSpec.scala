@@ -75,6 +75,27 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p) // pure map-side predicate
   }
 
+  test("bucketed co-located join carries no shuffle exchange for the join") {
+    // the whole point of the bucketed layout: with broadcast off, the join
+    // over the two 8-bucket tables must read buckets in place — any
+    // ShuffleExchange before the join means the layout was ignored
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // build the bucketed tables via the query itself, then inspect the
+      // bare join (the query's groupBy legitimately shuffles on the group key)
+      SparkEntry.queries("bucketed_join_colocated")(spark, TestSpark.sf).collect()
+      import org.apache.spark.sql.functions.col
+      val join = spark.table("graft_li_b")
+        .join(spark.table("graft_ord_b"), col("l_orderkey") === col("o_orderkey"))
+      join.collect()
+      val p = join.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("ShuffleExchange"), p)
+      assert(!p.contains("Exchange hashpartitioning"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("packing's only single-partition exchange carries the tiny bucket-totals table") {
     import org.apache.spark.sql.functions.col
     val toks = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
