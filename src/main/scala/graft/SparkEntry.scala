@@ -292,10 +292,16 @@ object SparkEntry {
       t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
         .write.mode("overwrite").option("path", s"$wh/ord")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("graft_ord_b")
+      // revenue in EXACT integer units (cents x discount-percent = 1e-4
+      // dollars): the bucketed join accumulates in a completely different
+      // row order than the oracle's plain join, and at ~6e9 magnitude the
+      // double sum drifts past the round-4 grid boundary (observed 1e-4 off
+      // at sf0.1). Integer sums are order-independent and exact.
       s.table("graft_li_b")
         .join(s.table("graft_ord_b"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+            round((lit(1) - col("l_discount")) * 100).cast("long")).as("revenue_e4"),
           countDistinct(col("o_orderkey")).as("n_orders"))
         .orderBy(col("o_orderpriority"))
     }),
@@ -653,6 +659,24 @@ object SparkEntry {
 
     // ---------------- similarity search (ANN) ----------------
 
+    // SQ8 scalar quantization of the embedding column — the 4x storage
+    // shrink a 100 TB vector store runs on (int8 codes + one scale per
+    // vector instead of float32). Codes are exact-deterministic (floor
+    // half-up on double math), so the digest hash-matches the SQL oracle;
+    // the scale is exported on a fixed 1e-4 grid via floor (never round —
+    // engine-specific half handling). Recall/error bounds are pinned in
+    // VectorFunctionsSpec.
+    "embedding_sq8" -> ((s, d) => {
+      val scale = VectorFunctions.sq8Scale(col("embedding"))
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          floor(scale * 10000).cast("long").as("scale_e4"),
+          md5(concat_ws(",",
+            transform(VectorFunctions.sq8Quantize(col("embedding"), scale),
+              _.cast("string")))).as("codes_md5"))
+        .orderBy(col("vec_id"))
+    }),
+
     "ann_bruteforce_batch" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val qs = emb.where(col("vec_id") < 5)
@@ -943,7 +967,8 @@ object SparkEntry {
     // aggregate over the unbucketed parquet.
     "bucketed_join_colocated" ->
       """SELECT o_orderpriority,
-        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |          CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
         | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
@@ -1011,6 +1036,18 @@ object SparkEntry {
     "doc_keys_md5" ->
       """SELECT doc_id, md5(source || '_' || CAST(doc_id AS VARCHAR)) AS doc_key
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "embedding_sq8" ->
+      """SELECT vec_id,
+        | CAST(floor((CASE WHEN m = 0 THEN 0 ELSE 127.0 / m END) * 10000) AS BIGINT) AS scale_e4,
+        | md5(array_to_string(list_transform(embedding,
+        |   x -> CAST(CASE WHEN m = 0 THEN 0
+        |             ELSE greatest(-127, least(127, floor(CAST(x AS DOUBLE) * (127.0 / m) + 0.5)))
+        |             END AS INT)), ',')) AS codes_md5
+        |FROM (SELECT vec_id, embedding,
+        |        list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS m
+        |      FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
 
     "knn_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

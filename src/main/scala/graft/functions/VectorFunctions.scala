@@ -56,4 +56,30 @@ object VectorFunctions {
 
   def euclideanDistance(a: Column, b: Column): Column =
     sqrt(graft.plans.VectorExpressions.squaredL2(a, b))
+
+  // ---------------- SQ8 scalar quantization ----------------
+  // The 4x storage shrink for a large vector store: per-vector symmetric
+  // int8 codes, q_i = floor(x_i * scale + 0.5) clamped to [-127, 127] with
+  // scale = 127 / max|x|. floor(.. + 0.5) instead of round(): half-up on
+  // the raw double is identical in Spark and ANSI SQL, while round()'s
+  // half-even/half-up behavior is engine-specific. A zero vector gets
+  // scale 0 and all-zero codes (dequantizes to the zero vector).
+
+  /** Per-vector quantization scale (double; 0.0 for the zero vector). */
+  def sq8Scale(a: Column): Column = {
+    val maxAbs = aggregate(toDouble(a), lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    when(maxAbs === 0.0, lit(0.0)).otherwise(lit(127.0) / maxAbs)
+  }
+
+  /** int8 codes (as array<int> for portability; values fit in a byte). */
+  def sq8Quantize(a: Column, scale: Column): Column =
+    when(scale === 0.0, transform(a, _ => lit(0)))
+      .otherwise(transform(toDouble(a), x =>
+        greatest(lit(-127), least(lit(127), floor(x * scale + lit(0.5)))).cast("int")))
+
+  /** Reconstruct float32 vectors from codes; error is bounded by
+    * 0.5 / scale per element. */
+  def sq8Dequantize(q: Column, scale: Column): Column =
+    when(scale === 0.0, transform(q, _ => lit(0.0f)))
+      .otherwise(transform(q, c => (c.cast("double") / scale).cast("float")))
 }

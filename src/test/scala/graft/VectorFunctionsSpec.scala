@@ -40,6 +40,46 @@ class VectorFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("sq8: per-element error bounded by 0.5/scale; zero vector round-trips to zero") {
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet").limit(200)
+    val rows = emb.select($"embedding",
+        sq8Scale($"embedding").as("s"),
+        sq8Dequantize(sq8Quantize($"embedding", sq8Scale($"embedding")),
+          sq8Scale($"embedding")).as("deq"))
+      .as[(Seq[Float], Double, Seq[Float])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (x, s, deq) =>
+      assert(s > 0.0)
+      x.zip(deq).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 0.5 / s + 1e-6, s"err beyond SQ8 bound at scale $s")
+      }
+    }
+    val z = Seq(Seq(0f, 0f, 0f)).toDF("embedding")
+      .select(sq8Dequantize(sq8Quantize($"embedding", sq8Scale($"embedding")),
+        sq8Scale($"embedding")).as("deq")).as[Seq[Float]].head()
+    assert(z === Seq(0f, 0f, 0f))
+  }
+
+  test("sq8: cosine on dequantized vectors tracks exact cosine (top-k recall holds)") {
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet").limit(300)
+      .select($"vec_id", $"embedding",
+        sq8Dequantize(sq8Quantize($"embedding", sq8Scale($"embedding")),
+          sq8Scale($"embedding")).as("deq"))
+    val q = emb.where($"vec_id" === 0)
+      .select($"embedding".as("qv"), $"deq".as("qdeq")).cache()
+    val scored = emb.crossJoin(q)
+      .select($"vec_id",
+        cosineSimilarity($"embedding", $"qv").as("exact"),
+        cosineSimilarity($"deq", $"qdeq").as("quant"))
+      .as[(Long, Double, Double)].collect()
+    // pointwise: int8 codes keep cosine within ~1% on these 64-dim vectors
+    scored.foreach { case (_, e, qc) => assert(math.abs(e - qc) < 0.02, s"$e vs $qc") }
+    // rank-level: top-10 by quantized cosine recovers >= 8 of the exact top-10
+    val exactTop = scored.sortBy(-_._2).take(10).map(_._1).toSet
+    val quantTop = scored.sortBy(-_._3).take(10).map(_._1).toSet
+    assert(exactTop.intersect(quantTop).size >= 8, s"$exactTop vs $quantTop")
+  }
+
   test("l2Normalize produces unit vectors; euclidean distance of equal vectors is 0") {
     val n = Seq(Seq(3f, 4f)).toDF("a")
       .select(l2Norm(l2Normalize($"a")).as("n")).as[Double].head()
