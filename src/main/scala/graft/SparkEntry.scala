@@ -355,7 +355,11 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(20)) === 0)
           .select(col("document_path"), col("text")), alias = "c", pageSize = 32), tmp)
       IndexTable.compact(s, tmp, "c")
-      s.read.parquet(tmp).where(col("index_alias") === "c")
+      // IndexTable.read is the PHYSICAL view (newest complete generation +
+      // delta zone, no latest-per-id resolution): if compaction left stale
+      // generations visible the re-ingested docs appear twice and the hash
+      // compare fails.
+      IndexTable.read(s, tmp, "c")
         .select(col("document_path"), col("page_number"),
           md5(col("page_content")).as("content_md5"))
         .orderBy(col("document_path"), col("page_number"))

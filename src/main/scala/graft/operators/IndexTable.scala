@@ -212,71 +212,252 @@ object IndexTable {
     latestPerId(pruned).drop(CellCol)
   }
 
-  /** True when the index path holds at least one ingested partition.
-    * A freshly created index is _SUCCESS-only (dynamic partitioning emits no
-    * part files for an empty frame), which the parquet reader cannot infer
-    * a schema from. */
-  private def hasData(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(s =>
-      s.isDirectory && s.getPath.getName.startsWith("index_alias="))
+  // ---------------- compaction: generation zone + folded-delta manifest ----
+
+  /** Base-zone root: compacted generations live under an underscore-prefixed
+    * dir INSIDE the index path, so raw parquet scans of `path` never see
+    * them and `drop` removes everything. Each compaction writes one whole
+    * new generation dir `gen_<id>` (strictly increasing `id`, exactly one
+    * tenant per generation) holding:
+    *
+    *   - `index_alias=<a>/...` — the tenant's resolved rows (Spark-written,
+    *     layout partition columns preserved);
+    *   - `_folded_deltas` — manifest of the delta-zone files whose rows were
+    *     folded into this generation (paths relative to the index root);
+    *   - `_graft_committed` — the commit marker, created LAST. A generation
+    *     without it is invisible to every reader.
+    *
+    * Readers pick, per tenant, the highest-numbered committed generation and
+    * union it with the delta files NOT named in its manifest. Nothing live
+    * is ever renamed or deleted at publish time: folded delta files stay on
+    * disk (excluded via the manifest) until the NEXT generation is
+    * published, and the previous generation is likewise retained for one
+    * cycle — so an in-flight reader's snapshot (its file list) stays
+    * readable for a full compaction cycle after it is superseded. A crash
+    * at ANY point leaves either a partial generation without the marker
+    * (ignored by readers, removed by the next compaction) or a committed
+    * generation (readers switch atomically on the marker's existence).
+    * Concurrent APPENDS during compaction are safe — their files are in no
+    * manifest, so they stay visible as delta; concurrent compactions of the
+    * SAME tenant are not (single compactor per tenant, as with any
+    * OPTIMIZE). */
+  private def baseRoot(path: String): String = s"$path/_graft_base"
+
+  private val CommitMarker = "_graft_committed"
+  private val FoldedManifest = "_folded_deltas"
+
+  private val genCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def nextGenId(): Long =
+    (System.currentTimeMillis() << 10) | (genCounter.incrementAndGet() & 0x3ff)
+
+  private def genIdOf(name: String): Long =
+    scala.util.Try(name.stripPrefix("gen_").toLong).getOrElse(-1L)
+
+  private def aliasDirName(alias: String): String = s"index_alias=$alias"
+
+  private def fileSystem(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Generation dirs holding `alias`, newest first; `committedOnly` filters
+    * to marker-committed (reader-visible) generations. */
+  private def gensFor(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                      alias: String, committedOnly: Boolean): Seq[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(baseRoot(path))
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen_"))
+      .filter { s =>
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, aliasDirName(alias))) &&
+          (!committedOnly ||
+            fs.exists(new org.apache.hadoop.fs.Path(s.getPath, CommitMarker)))
+      }
+      .sortBy(s => -genIdOf(s.getPath.getName))
+      .map(_.getPath)
   }
 
-  /** Compact one tenant's partition: apply the HSET-upsert semantics
-    * PHYSICALLY (latest record per id survives, stale generations are
-    * dropped) and rewrite the slice as fresh files — the OPTIMIZE/VACUUM
-    * analogue every append-only store needs once streaming ingest starts
-    * producing a small file per micro-batch. Layout-preserving: the LSH
-    * bucket / IVF cell partition column is kept if present, so pruned reads
-    * behave identically after compaction.
-    *
-    * The rewrite lands in an underscore-prefixed staging dir INSIDE the
-    * index (invisible to concurrent reads); the swap is rename-aside:
-    * live -> `_compact_old`, fresh -> live, then delete `_compact_old`.
-    * Both moves are filesystem renames (metadata ops), so the window in
-    * which a racing reader can observe a missing tenant partition is two
-    * renames wide — not a recursive delete — and a crash mid-swap never
-    * loses the only copy: the previous generation survives intact under
-    * `_compact_old` (underscore-prefixed, invisible to scans) until the
-    * fresh partition is in place. This is still not a transaction log: a
-    * reader hitting exactly the inter-rename window sees zero rows for the
-    * tenant, and writers must not append to the tenant mid-compaction.
+  /** Data files currently in the tenant's delta partition, as paths relative
+    * to the index root (stable across fs-qualification differences). */
+  private def listDeltaFiles(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                             alias: String): Seq[String] = {
+    val tenantDir = new org.apache.hadoop.fs.Path(path, aliasDirName(alias))
+    if (!fs.exists(tenantDir)) Seq.empty
+    else {
+      val rootPrefix = fs.makeQualified(new org.apache.hadoop.fs.Path(path)).toString + "/"
+      val out = Seq.newBuilder[String]
+      val it = fs.listFiles(tenantDir, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith("."))
+          out += f.getPath.toString.stripPrefix(rootPrefix)
+      }
+      out.result()
+    }
+  }
+
+  private def readFolded(fs: org.apache.hadoop.fs.FileSystem,
+                         gen: org.apache.hadoop.fs.Path): Set[String] = {
+    val m = new org.apache.hadoop.fs.Path(gen, FoldedManifest)
+    if (!fs.exists(m)) Set.empty
+    else {
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  private def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** One consistent snapshot of a tenant: its newest committed generation
+    * (if any), the delta files not yet folded into it (the ACTIVE deltas),
+    * and the full on-disk delta listing (active + files folded earlier but
+    * retained for in-flight readers). Shared by read() and compact() so
+    * both act on the same frozen file set. */
+  private def tenantView(spark: SparkSession, path: String, alias: String)
+      : (Option[org.apache.hadoop.fs.Path], Seq[String], Seq[String]) = {
+    val fs = fileSystem(spark, path)
+    val gen = gensFor(fs, path, alias, committedOnly = true).headOption
+    val folded = gen.map(readFolded(fs, _)).getOrElse(Set.empty[String])
+    val all = listDeltaFiles(fs, path, alias)
+    (gen, all.filterNot(folded), all)
+  }
+
+  private def viewFrame(spark: SparkSession, path: String, alias: String,
+                        gen: Option[org.apache.hadoop.fs.Path],
+                        deltas: Seq[String]): DataFrame = {
+    val base = gen.map(g => spark.read.parquet(g.toString)
+      .where(col("index_alias") === alias))
+    val delta =
+      if (deltas.isEmpty) None
+      // basePath keeps partition-column discovery (index_alias + layout
+      // cols) rooted at the index even though we hand Spark leaf files.
+      else Some(spark.read.option("basePath", path)
+        .parquet(deltas.map(d => s"$path/$d"): _*))
+    (base, delta) match {
+      case (Some(b), Some(d)) => b.unionByName(d, allowMissingColumns = true)
+      case (Some(b), None) => b
+      case (None, Some(d)) => d
+      case (None, None) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          .where(col("index_alias") === alias)
+    }
+  }
+
+  /** Remove now-empty delta directories bottom-up (layout subdirs, then the
+    * tenant dir). Never touches a non-empty dir, so concurrent appends are
+    * safe. Returns true when `dir` is gone. */
+  private def pruneEmptyDirs(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: org.apache.hadoop.fs.Path): Boolean = {
+    if (!fs.exists(dir)) true
+    else {
+      val emptied = fs.listStatus(dir).forall(s =>
+        s.isDirectory && pruneEmptyDirs(fs, s.getPath))
+      if (emptied) fs.delete(dir, false)
+      emptied
+    }
+  }
+
+  /** Default retirement retention: superseded files stay on disk this long
+    * after their replacement is committed, so an in-flight reader's frozen
+    * file list stays readable — the VACUUM-retention pattern of every
+    * production table format. Size it above the longest expected query. */
+  val DefaultRetainMillis: Long = 10L * 60 * 1000
+
+  /** Compact one tenant: apply the HSET-upsert semantics PHYSICALLY (latest
+    * record per id survives, stale rows are dropped) and rewrite the slice
+    * as fresh files — the OPTIMIZE/VACUUM analogue every append-only store
+    * needs once streaming ingest starts producing a small file per
+    * micro-batch. Layout-preserving: the LSH bucket / IVF cell partition
+    * column is kept if present, so pruned reads behave identically after
+    * compaction. Publication follows the generation + manifest protocol
+    * documented at [[baseRoot]]; retirement is retention-gated: a
+    * superseded generation (and the delta files its successor folded) is
+    * deleted only once the successor has been committed for at least
+    * `retainMillis`, so no reader that started inside the retention window
+    * can lose a file from under its snapshot. A crash at any point never
+    * loses the only copy of a row. `retainMillis = 0` reproduces immediate
+    * retirement (only safe with no concurrent readers).
     *
     * Returns the number of rows surviving compaction. */
-  def compact(spark: SparkSession, path: String, alias: String): Long = {
-    val slice = read(spark, path, alias)
-    val resolved = latestPerId(slice)
+  def compact(spark: SparkSession, path: String, alias: String,
+              retainMillis: Long = DefaultRetainMillis): Long = {
+    val fs = fileSystem(spark, path)
+    val (prevGen, active, allDeltas) = tenantView(spark, path, alias)
+    val resolved = latestPerId(viewFrame(spark, path, alias, prevGen, active))
     val layoutCols = Seq(BucketCol, CellCol).filter(resolved.columns.contains)
-    val staging = s"$path/_compact_staging"
+    val genDir = new org.apache.hadoop.fs.Path(baseRoot(path), s"gen_${nextGenId()}")
     stampIngest(resolved)
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy(("index_alias" +: layoutCols): _*)
-      .parquet(staging)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(path, s"index_alias=$alias")
-    val fresh = new org.apache.hadoop.fs.Path(staging, s"index_alias=$alias")
-    val old = new org.apache.hadoop.fs.Path(path, "_compact_old")
-    if (fs.exists(old)) fs.delete(old, true) // leftover from a crashed swap
-    if (fs.exists(fresh)) {
-      if (fs.exists(live)) fs.rename(live, old)
-      fs.rename(fresh, live)
-      fs.delete(old, true)
+      .write.partitionBy(("index_alias" +: layoutCols): _*)
+      .parquet(genDir.toString)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(genDir, aliasDirName(alias)))) {
+      // Empty tenant: a zero-row dynamic-partition write emits no tenant
+      // dir, so there is nothing to publish — remove the empty generation
+      // and leave the store untouched.
+      fs.delete(genDir, true)
+      return 0L
     }
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    spark.read.parquet(path).where(col("index_alias") === alias).count()
+    // The manifest lists EVERY delta file on disk at snapshot time — the
+    // ones folded now AND the ones folded by earlier generations but still
+    // retained: all their rows are inside this generation, so the new view
+    // must exclude all of them or a reader would double-count. Files from
+    // appends racing this compaction are in no manifest and stay visible.
+    writeSmallFile(fs, new org.apache.hadoop.fs.Path(genDir, FoldedManifest),
+      allDeltas.mkString("\n"))
+    // The commit marker is the publish point: its creation atomically flips
+    // readers from (prevGen + active deltas) to this generation.
+    writeSmallFile(fs, new org.apache.hadoop.fs.Path(genDir, CommitMarker), "")
+    vacuum(spark, path, alias, retainMillis)
+    read(spark, path, alias).count()
   }
 
-  /** Read one tenant's slice — partition-pruned scan. An existing-but-empty
-    * index reads as zero rows (the reference's empty Redis index returns no
-    * hits, not an error). */
-  def read(spark: SparkSession, path: String, alias: String): DataFrame =
-    if (!hasData(spark, path))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .where(col("index_alias") === alias)
-    else spark.read.parquet(path).where(col("index_alias") === alias)
+  /** Retention-gated retirement of superseded files (see [[compact]]):
+    * for each adjacent committed-generation pair, once the newer one has
+    * been committed for `retainMillis` no reader can still hold the older
+    * view — delete the older generation, the delta files the newer one
+    * folded, and any uncommitted same-tenant debris older than the window
+    * (a crashed compaction's partial write; never reader-visible). */
+  def vacuum(spark: SparkSession, path: String, alias: String,
+             retainMillis: Long = DefaultRetainMillis): Unit = {
+    val fs = fileSystem(spark, path)
+    val now = System.currentTimeMillis()
+    def ageOf(p: org.apache.hadoop.fs.Path): Long =
+      now - fs.getFileStatus(p).getModificationTime
+    val committed = gensFor(fs, path, alias, committedOnly = true)
+    def aged(g: org.apache.hadoop.fs.Path): Boolean =
+      ageOf(new org.apache.hadoop.fs.Path(g, CommitMarker)) >= retainMillis
+    // Folded delta files: only pre-G views reference the files G folded, so
+    // they are deletable once G itself has been committed for the window.
+    committed.filter(aged).foreach(g => readFolded(fs, g).foreach(rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$rel"), false)))
+    // Superseded generations: deletable once their SUCCESSOR has aged.
+    committed.sliding(2).foreach {
+      case Seq(newer, older) if aged(newer) => fs.delete(older, true)
+      case _ => ()
+    }
+    pruneEmptyDirs(fs, new org.apache.hadoop.fs.Path(path, aliasDirName(alias)))
+    gensFor(fs, path, alias, committedOnly = false)
+      .filter(g => !fs.exists(new org.apache.hadoop.fs.Path(g, CommitMarker)) &&
+        ageOf(g) >= retainMillis)
+      .foreach(g => fs.delete(g, true))
+  }
+
+  /** Read one tenant's slice — the union of its newest committed compacted
+    * generation (if any) and the unfolded delta files, both partition-
+    * pruned. PHYSICAL rows: upsert resolution is [[readLatest]]'s job, so a
+    * compaction bug that leaves stale rows visible shows up here. An
+    * existing-but-empty index reads as zero rows (the reference's empty
+    * Redis index returns no hits, not an error). */
+  def read(spark: SparkSession, path: String, alias: String): DataFrame = {
+    val (gen, active, _) = tenantView(spark, path, alias)
+    viewFrame(spark, path, alias, gen, active)
+  }
 
   /** Read with HSET-overwrite semantics: newest record per id wins (by the
     * ingest generation stamp; one shuffle on the key). */

@@ -15,6 +15,15 @@ class CompactSpec extends AnyFunSuite {
     walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
   }
 
+  /** Generation dirs under the base zone that hold tenant `alias`. */
+  private def genDirsFor(path: String, alias: String): Seq[java.io.File] = {
+    val root = new java.io.File(s"$path/_graft_base")
+    if (!root.isDirectory) Seq.empty
+    else root.listFiles().toSeq.filter(g =>
+      g.isDirectory && g.getName.startsWith("gen_") &&
+        new java.io.File(g, s"index_alias=$alias").isDirectory)
+  }
+
   private lazy val docs = spark.read
     .parquet(s"${TestSpark.sf}/documents.parquet")
     .select(concat_ws("/", $"source", $"doc_id").as("document_path"), $"text")
@@ -26,7 +35,7 @@ class CompactSpec extends AnyFunSuite {
     IndexTable.append(IndexTable.ingestRecords(docs, "t", pageSize = 32), path)
     val before = IndexTable.readLatest(spark, path, "t")
       .select($"id", $"page_content").as[(String, String)].collect().toSet
-    val rawBefore = spark.read.parquet(path).count()
+    val rawBefore = IndexTable.read(spark, path, "t").count()
     val filesBefore = parquetFiles(s"$path/index_alias=t")
 
     val survivors = IndexTable.compact(spark, path, "t")
@@ -36,7 +45,21 @@ class CompactSpec extends AnyFunSuite {
     assert(after === before, "latest-per-id content must be unchanged")
     assert(survivors === before.size.toLong)
     assert(survivors < rawBefore, "stale generations must be physically dropped")
-    assert(parquetFiles(s"$path/index_alias=t") < filesBefore)
+    assert(IndexTable.read(spark, path, "t").count() === survivors,
+      "physical view after compaction must hold exactly the survivors")
+    val gens = genDirsFor(path, "t")
+    assert(gens.size === 1)
+    assert(parquetFiles(gens.head.toString) < filesBefore)
+
+    // folded delta files are retained for in-flight readers (default
+    // retention window), then vacuumed once the window has passed
+    assert(new java.io.File(s"$path/index_alias=t").exists(),
+      "folded delta files are retained inside the retention window")
+    IndexTable.vacuum(spark, path, "t", retainMillis = 0)
+    assert(!new java.io.File(s"$path/index_alias=t").exists(),
+      "superseded delta partition must be retired after the retention window")
+    assert(IndexTable.readLatest(spark, path, "t")
+      .select($"id", $"page_content").as[(String, String)].collect().toSet === before)
   }
 
   test("compact preserves the bucketed layout and its pruned reads") {
@@ -56,11 +79,85 @@ class CompactSpec extends AnyFunSuite {
 
     IndexTable.compact(spark, path, "t")
 
-    val bucketDirs = new java.io.File(s"$path/index_alias=t").listFiles()
+    val gens = genDirsFor(path, "t")
+    assert(gens.size === 1)
+    val bucketDirs = new java.io.File(gens.head, "index_alias=t").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("__lsh_bucket=")).map(_.getName)
     assert(bucketDirs.length > 1, s"bucket layout lost: ${bucketDirs.toSeq}")
     val after = IndexTable.readLatestPruned(spark, path, "t", probes.toSeq)
       .select($"id").as[String].collect().toSet
     assert(after === before, "pruned reads must be unchanged by compaction")
+  }
+
+  test("a concurrent reader never observes a missing or doubled tenant during compaction") {
+    val path = java.nio.file.Files.createTempDirectory("compact_race").toString + "/idx"
+    IndexTable.append(IndexTable.ingestRecords(docs, "t", pageSize = 32), path)
+    IndexTable.append(IndexTable.ingestRecords(docs, "t", pageSize = 32), path)
+    val expected = IndexTable.readLatest(spark, path, "t").count()
+    assert(expected > 0)
+
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get())
+        observed.add(
+          try IndexTable.readLatest(spark, path, "t").count()
+          catch { case _: Throwable => -1L }) // a failed read is a violation too
+    })
+    reader.start()
+    try {
+      // several cycles so reads land inside the publish/retire sequence
+      (1 to 3).foreach(_ => IndexTable.compact(spark, path, "t"))
+    } finally {
+      stop.set(true)
+      reader.join(60000)
+    }
+    val counts = observed.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+    assert(counts.nonEmpty, "reader thread never completed a read")
+    assert(counts.forall(_ === expected),
+      s"reader saw inconsistent counts: ${counts.distinct} (expected $expected)")
+  }
+
+  test("a crashed compaction is invisible to readers and cleaned by the next run") {
+    val path = java.nio.file.Files.createTempDirectory("compact_crash").toString + "/idx"
+    IndexTable.append(IndexTable.ingestRecords(docs, "t", pageSize = 32), path)
+    IndexTable.append(IndexTable.ingestRecords(docs, "t", pageSize = 32), path)
+    val before = IndexTable.readLatest(spark, path, "t")
+      .select($"id", $"page_content").as[(String, String)].collect().toSet
+
+    // Simulate a compaction that died mid-write: a generation dir with
+    // tenant data but NO _SUCCESS marker (readers must ignore it).
+    val partial = new java.io.File(s"$path/_graft_base/gen_999999999999999/index_alias=t")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(partial, "part-corrupt.parquet").toPath,
+      Array[Byte](1, 2, 3))
+
+    val mid = IndexTable.readLatest(spark, path, "t")
+      .select($"id", $"page_content").as[(String, String)].collect().toSet
+    assert(mid === before, "partial generation must be invisible to readers")
+
+    val survivors = IndexTable.compact(spark, path, "t", retainMillis = 0)
+    assert(survivors === before.size.toLong)
+    assert(!partial.getParentFile.exists(),
+      "crashed-compaction debris must be removed by the next compaction")
+    val after = IndexTable.readLatest(spark, path, "t")
+      .select($"id", $"page_content").as[(String, String)].collect().toSet
+    assert(after === before)
+  }
+
+  test("repeated compaction with an expired retention window keeps exactly one generation") {
+    val path = java.nio.file.Files.createTempDirectory("compact_gens").toString + "/idx"
+    IndexTable.append(IndexTable.ingestRecords(docs, "t", pageSize = 32), path)
+    (1 to 3).foreach { _ =>
+      IndexTable.append(IndexTable.ingestRecords(
+        docs.limit(5), "t", pageSize = 32), path)
+      IndexTable.compact(spark, path, "t", retainMillis = 0)
+    }
+    val gens = genDirsFor(path, "t")
+    assert(gens.size === 1, s"generations must not accumulate: ${gens.map(_.getName)}")
+    // and the newest generation alone carries the full resolved content
+    val expected = IndexTable.readLatest(spark, path, "t").count()
+    assert(IndexTable.read(spark, path, "t").count() === expected)
   }
 }

@@ -48,11 +48,12 @@ class GraftVectorStoreSpec extends AnyFunSuite {
     assert(contents.forall(c => c == c.toUpperCase))
 
     // compaction applies the upserts physically; search results unchanged
-    // (materialize BEFORE compacting — the old files are deleted by the swap)
     val beforeCompact = hits.select($"id", $"page_content")
       .as[(String, String)].collect().toSet
     val survivors = store.compactIndex("t")
-    assert(survivors === spark.read.parquet(path).count())
+    // IndexTable.read is the physical post-compaction view (newest committed
+    // generation + unfolded deltas): exactly the survivors, no stale copies
+    assert(survivors === operators.IndexTable.read(spark, path, "t").count())
     val after = store.search("fast spark table scan query", "t", topN = 100)
       .select($"id", $"page_content").as[(String, String)].collect().toSet
     assert(after === beforeCompact)
