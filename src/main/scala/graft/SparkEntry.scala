@@ -628,9 +628,13 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // Sign-LSH bucketed candidates (4 bits x 24 tables, recall 1 at the
+    // fixture SFs — see Dedup scaladoc for the threshold-selectivity math)
+    // + exact cosine verify; the oracle is the full all-pairs computation,
+    // so ANY missed candidate hash-fails the query.
     "dedup_embedding_cosine" -> ((s, d) => {
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
-        threshold = 0.45)
+        threshold = 0.45, dim = 64)
         .orderBy(col("id1"), col("id2"))
     }),
 

@@ -273,12 +273,70 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
-  /** Embedding-cosine near-dup pairs over a vector table. Exact all-pairs
-    * above a similarity threshold; the small side is broadcast in blocks.
-    * At 100 TB scale the LSH bucketing in [[graft.operators.SimilaritySearch]]
-    * pre-partitions candidates; this exact form is the verify stage. */
+  /** Candidate near-dup pairs from `nTables` independent sign-LSH tables of
+    * `nBits` hyperplanes each (seeded `seed + t`, so the family is
+    * deterministic): a pair is a candidate iff it lands in the same bucket
+    * in ANY table. The only shuffles are the bucket self-join (keyed on
+    * table:bucket — never all-pairs) and the candidate dedup; buckets above
+    * `maxBucket` are dropped, bounding the join's worst case exactly like
+    * [[minhashNearDupPairs]]'s band join.
+    *
+    * Selectivity is threshold-bound: a pair at cosine t collides per
+    * hyperplane with p = 1 - acos(t)/pi, per table with p^nBits, and is
+    * missed by all tables with (1 - p^nBits)^nTables. At production
+    * near-dup thresholds (t >= 0.85, p >= 0.82) a few 8-bit tables prune
+    * the candidate set to a sliver of n^2; at loose thresholds (t ~ 0.45,
+    * p ~ 0.65) recall-1 forces small codes and the candidate set approaches
+    * all-pairs — the pruning power is a property of the threshold, not the
+    * operator. Defaults (4, 24) give recall 1 at the gate thresholds. */
+  def embeddingCandidatePairs(df: DataFrame, vecCol: String, idCol: String,
+                              dim: Int, nBits: Int = 4, nTables: Int = 24,
+                              seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
+    val tableBuckets = array((0 until nTables).map { t =>
+      concat(lit(s"$t:"), SimilaritySearch.lshBucket(col("__v"),
+        SimilaritySearch.hyperplanes(nBits, dim, seed + t)))
+    }: _*)
+    val banded = spread(df)
+      .select(col(idCol).as("doc_id"), col(vecCol).as("__v"))
+      .select(col("doc_id"), explode(tableBuckets).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = banded.groupBy(col("bucket")).agg(count(lit(1)).as("__bn"))
+    val bounded = banded.join(sizes, Seq("bucket"))
+      .where(col("__bn") <= maxBucket)
+      .drop("__bn")
+    bounded.alias("a").join(bounded.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .dropDuplicates("id1", "id2")
+  }
+
+  /** Embedding-cosine near-dup pairs over a vector table: sign-LSH bucketed
+    * candidate generation ([[embeddingCandidatePairs]]) + exact cosine
+    * verify on the candidates only. Neither side is broadcast and nothing
+    * is O(n^2) in the plan: the candidate join is bucket-keyed and the
+    * verify joins vectors back by id — at 100 TB every stage shards over
+    * executors by hash. The all-pairs form survives as
+    * [[embeddingNearDupPairsExact]] (ground truth / small candidate sets). */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
-                            threshold: Double): DataFrame = {
+                            threshold: Double, dim: Int,
+                            nBits: Int = 4, nTables: Int = 24,
+                            seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
+    import graft.functions.VectorFunctions
+    val v = df.select(col(idCol).as("doc_id"), col(vecCol).as("__v"))
+    embeddingCandidatePairs(df, vecCol, idCol, dim, nBits, nTables, seed, maxBucket)
+      .join(v.select(col("doc_id").as("id1"), col("__v").as("v1")), "id1")
+      .join(v.select(col("doc_id").as("id2"), col("__v").as("v2")), "id2")
+      .withColumn("cosine", round(VectorFunctions.cosineSimilarity(col("v1"), col("v2")), 4))
+      .where(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+
+  /** Exact all-pairs embedding near-dup (broadcast nested-loop). O(n^2)
+    * compares and a whole-corpus broadcast: ONLY for ground truth at test
+    * scale or as the verify stage over an already-bucketed candidate slice
+    * — the registered operator is the bucketed [[embeddingNearDupPairs]]. */
+  def embeddingNearDupPairsExact(df: DataFrame, vecCol: String, idCol: String,
+                                 threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions
     val a = spread(df).select(col(idCol).as("id1"), col(vecCol).as("v1"))
     val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))

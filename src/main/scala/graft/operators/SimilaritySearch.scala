@@ -26,6 +26,23 @@ import graft.functions.VectorFunctions
   */
 object SimilaritySearch {
 
+  /** Per-query top-k via the bounded-buffer aggregate
+    * ([[graft.functions.TopKBy]]): partial aggregation keeps <= k candidates
+    * per partition per query, so the exchange carries (partitions x k) rows
+    * per query — never the full scored expansion that a
+    * `row_number().over(partitionBy(queryId))` window would shuffle before
+    * discarding all but k. Ids must be numeric (the tie-break is (similarity
+    * desc, id asc), matching the SQL oracles). */
+  private def topKPerQuery(scored: DataFrame, k: Int,
+                           queryId: String, corpusId: String): DataFrame = {
+    val topk = udaf(graft.functions.TopKBy(k))
+    scored.groupBy(col(queryId))
+      .agg(topk(col("similarity"), col(corpusId).cast("long")).as("__topk"))
+      .select(col(queryId), posexplode(col("__topk")))
+      .select(col(queryId), col("col._2").as(corpusId),
+        col("col._1").as("similarity"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Exact top-k for each query vector. `queries` must be small enough to
     * broadcast (true for interactive search; for batch query loads partition
     * both sides by an LSH prefix instead). */
@@ -38,11 +55,7 @@ object SimilaritySearch {
       if (excludeSelf) col(corpusId) =!= col(queryId) else lit(true))
     val scored = joined.withColumn("similarity",
       round(VectorFunctions.cosineSimilarity(col(corpusVec), col(queryVec)), 4))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(desc("similarity"), asc(corpusId))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(queryId), col(corpusId), col("similarity"), col("rank"))
+    topKPerQuery(scored, k, queryId, corpusId)
   }
 
   /** Deterministic random hyperplanes: `nBits` planes in `dim` dims, seeded.
@@ -86,12 +99,11 @@ object SimilaritySearch {
     val qb = queries.withColumn("bucket", explode(array(probes: _*)))
     val joined = bucketed.join(broadcast(qb), Seq("bucket"))
       .where(col(corpusId) =!= col(queryId))
+    // no pair dedup needed: each corpus vector has exactly ONE bucket, so a
+    // (corpus, query) pair meets at most one of the query's probe buckets
     val scored = joined.withColumn("similarity",
       round(VectorFunctions.cosineSimilarity(col(corpusVec), col(queryVec)), 4))
-    val w = Window.partitionBy(col(queryId)).orderBy(desc("similarity"), asc(corpusId))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(queryId), col(corpusId), col("similarity"), col("rank"))
+    topKPerQuery(scored, k, queryId, corpusId)
   }
 
   /** IVF index build: deterministic centroid init (every (n/c)-th vector by
@@ -140,6 +152,35 @@ object SimilaritySearch {
           otherCols.map(c => first(col(c)).as(c))): _*)
   }
 
+  /** IVF index build returning (centroids, assigned corpus). The inverted
+    * lists ARE the final iteration's assignment (cached), and each list's
+    * routing centroid is that list's mean — exactly how a real IVF index
+    * stores (list, list-centroid) pairs. This folds a whole corpus pass out
+    * of the query path: build = seed TakeOrdered + `iters` assignment
+    * passes, and the probe join consumes the CACHED final assignment
+    * instead of re-assigning against the updated codebook. Each iteration
+    * is materialized before the previous one is released, so peak cache is
+    * one corpus copy. */
+  def ivfIndex(corpus: DataFrame, nCentroids: Int, iters: Int = 1,
+               vecCol: String = "embedding", idCol: String = "vec_id")
+      : (DataFrame, DataFrame) = {
+    val seeds = corpus.orderBy(hash(col(idCol)), col(idCol)).limit(nCentroids)
+    var centroids = seeds
+      .select(monotonically_increasing_id().as("centroid_id"), col(vecCol).as("centroid"))
+    val vectorAvg = udaf(graft.functions.VectorAvg)
+    var assigned: DataFrame = null
+    for (_ <- 1 to math.max(1, iters)) {
+      val next = assignToCentroid(corpus, centroids, vecCol, idCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before releasing the previous iteration
+      if (assigned != null) assigned.unpersist(false)
+      assigned = next
+      centroids = assigned.groupBy(col("centroid_id"))
+        .agg(vectorAvg(col(vecCol)).as("centroid"))
+    }
+    (centroids, assigned)
+  }
+
   /** IVF probe: route each query to its `nprobe` nearest centroids, scan only
     * those inverted lists, exact-rerank. At scale the corpus is written
     * bucketed by centroid_id so the probe join is co-located. */
@@ -147,8 +188,8 @@ object SimilaritySearch {
               nCentroids: Int = 16, nprobe: Int = 2,
               corpusVec: String = "embedding", corpusId: String = "vec_id",
               queryVec: String = "q_vec", queryId: String = "q_id"): DataFrame = {
-    val centroids = ivfCentroids(corpus, nCentroids, iters = 1, corpusVec, corpusId).cache()
-    val assigned = assignToCentroid(corpus, centroids, corpusVec, corpusId)
+    val (centroids0, assigned) = ivfIndex(corpus, nCentroids, iters = 1, corpusVec, corpusId)
+    val centroids = centroids0.cache()
     val qw = Window.partitionBy(col(queryId)).orderBy(asc("qdist"), asc("centroid_id"))
     val probes = queries.join(broadcast(centroids))
       .withColumn("qdist", VectorFunctions.euclideanDistance(col(queryVec), col("centroid")))
@@ -159,9 +200,6 @@ object SimilaritySearch {
       .where(col(corpusId) =!= col(queryId))
     val scored = joined.withColumn("similarity",
       round(VectorFunctions.cosineSimilarity(col(corpusVec), col(queryVec)), 4))
-    val w = Window.partitionBy(col(queryId)).orderBy(desc("similarity"), asc(corpusId))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(queryId), col(corpusId), col("similarity"), col("rank"))
+    topKPerQuery(scored, k, queryId, corpusId)
   }
 }

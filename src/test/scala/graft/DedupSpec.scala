@@ -103,9 +103,40 @@ class DedupSpec extends AnyFunSuite {
     val vecs = Seq(
       (1L, Seq(1f, 0f, 0f)), (2L, Seq(1f, 0.01f, 0f)), (3L, Seq(0f, 1f, 0f))
     ).toDF("vec_id", "embedding")
-    val pairs = Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id", 0.99)
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id", 0.99, dim = 3)
       .select($"id1", $"id2").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
+  }
+
+  test("bucketed embedding near-dup has recall 1 vs the exact all-pairs form at gate parameters") {
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val exact = Dedup.embeddingNearDupPairsExact(emb, "embedding", "vec_id", 0.45)
+      .select($"id1", $"id2", $"cosine").as[(Long, Long, Double)].collect().toSet
+    val bucketed = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id", 0.45, dim = 64)
+      .select($"id1", $"id2", $"cosine").as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "fixture must contain near-dup pairs for this test to bite")
+    assert(bucketed === exact, "bucketed candidates must not miss any true pair")
+  }
+
+  test("embedding candidate generation prunes hard at production thresholds") {
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val n = emb.count()
+    val allPairs = n * (n - 1) / 2
+    // 8-bit codes, few tables: the configuration a 0.85+ threshold calls
+    // for (per-hyperplane p >= 0.82 -> p^8 ~ 0.2 per table). The candidate
+    // set must be a small fraction of n^2 — this is the property that makes
+    // the operator usable at 100 TB, where all-pairs is not a plan.
+    val cands = Dedup.embeddingCandidatePairs(emb, "embedding", "vec_id",
+      dim = 64, nBits = 8, nTables = 4).count()
+    assert(cands < allPairs / 4,
+      s"expected strong pruning: $cands candidates of $allPairs pairs")
+    // and the bucketed operator at that tight threshold still equals exact
+    val exact = Dedup.embeddingNearDupPairsExact(emb, "embedding", "vec_id", 0.90)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val bucketed = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id", 0.90,
+      dim = 64, nBits = 8, nTables = 4)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(exact), "verify stage must keep only true pairs")
   }
 
   test("resolveKeepBest elects highest score per cluster, lowest id on ties") {

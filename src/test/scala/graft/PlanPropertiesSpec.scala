@@ -96,6 +96,18 @@ class PlanPropertiesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ANN top-k partial-aggregates map-side; no window over the scored expansion") {
+    val df = SparkEntry.queries("ann_bruteforce_batch")(spark, TestSpark.sf)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the bounded-buffer TopKBy aggregate plans as ObjectHashAggregate with
+    // a partial pass before the exchange; a Window here would mean the full
+    // corpus x queries scored expansion is shuffled just to cut to k
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_topkby"), p)
+  }
+
   test("packing's only single-partition exchange carries the tiny bucket-totals table") {
     import org.apache.spark.sql.functions.col
     val toks = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
