@@ -23,6 +23,19 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-JVM nonce suffixing every /tmp path and session-catalog table the
+    * queries create: two harness runs against the same fixture in parallel
+    * must not clobber each other's scratch state. */
+  private val runNonce: String = java.lang.Long.toHexString(System.nanoTime())
+
+  private def scratch(d: String, tag: String): String =
+    s"/tmp/graft_${tag}_${new java.io.File(d).getName}_$runNonce"
+
+  /** Bucketed-layout table names (nonce-suffixed; PlanPropertiesSpec reads
+    * them back to inspect the bare join). */
+  val BucketedLineitemTable: String = s"graft_li_b_$runNonce"
+  val BucketedOrdersTable: String = s"graft_ord_b_$runNonce"
+
   /** The events fixture stores TIMESTAMP(NANOS) which Spark's parquet reader
     * rejects by default; read nanos as long and truncate to micros (exactly
     * what DuckDB's ns->us read does, so oracles agree). */
@@ -48,6 +61,18 @@ object SparkEntry {
       |SELECT user_id, session_seq, count(*) AS n_events, min(ts) AS session_start,
       | max(ts) AS session_end, round(sum(value),4) AS session_value
       |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
+
+  /** The ann_lsh_bucketed hyperplanes as SQL literals: the plane family is
+    * a pure function of (nBits=4, dim=64, seed=42), so the ORACLE can
+    * replicate the sign-LSH bucketing exactly and the "approximate" query
+    * becomes fully hash-checkable. Values print via Double.toString of the
+    * widened float — the exact double Spark's cast produces — so both
+    * engines dot against identical numbers. */
+  private val lshOraclePlaneValues: String =
+    operators.SimilaritySearch.hyperplanes(nBits = 4, dim = 64, seed = 42L)
+      .zipWithIndex.map { case (p, i) =>
+        s"($i, [${p.map(v => java.lang.Double.toString(v.toDouble)).mkString(", ")}])"
+      }.mkString(", ")
 
   private val fixedPrompt = "fast spark table scan query"
   private val promptKw = Seq("fast", "spark", "table", "scan", "query")
@@ -283,22 +308,22 @@ object SparkEntry {
     // and reading pre-bucketed files; the oracle is the same aggregate from
     // the unbucketed parquet, proving the layout changes nothing semantically.
     "bucketed_join_colocated" -> ((s, d) => {
-      val wh = s"/tmp/graft_bucketed_${new java.io.File(d).getName}"
-      s.sql("DROP TABLE IF EXISTS graft_li_b")
-      s.sql("DROP TABLE IF EXISTS graft_ord_b")
+      val wh = scratch(d, "bucketed")
+      s.sql(s"DROP TABLE IF EXISTS $BucketedLineitemTable")
+      s.sql(s"DROP TABLE IF EXISTS $BucketedOrdersTable")
       t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
         .write.mode("overwrite").option("path", s"$wh/li")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("graft_li_b")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(BucketedLineitemTable)
       t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
         .write.mode("overwrite").option("path", s"$wh/ord")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("graft_ord_b")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(BucketedOrdersTable)
       // revenue in EXACT integer units (cents x discount-percent = 1e-4
       // dollars): the bucketed join accumulates in a completely different
       // row order than the oracle's plain join, and at ~6e9 magnitude the
       // double sum drifts past the round-4 grid boundary (observed 1e-4 off
       // at sf0.1). Integer sums are order-independent and exact.
-      s.table("graft_li_b")
-        .join(s.table("graft_ord_b"), col("l_orderkey") === col("o_orderkey"))
+      s.table(BucketedLineitemTable)
+        .join(s.table(BucketedOrdersTable), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
             round((lit(1) - col("l_discount")) * 100).cast("long")).as("revenue_e4"),
@@ -316,9 +341,15 @@ object SparkEntry {
     "source_csv_roundtrip" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("text"), col("n_chars"))
-      val tmp = s"/tmp/graft_source_csv_${new java.io.File(d).getName}"
+      val tmp = scratch(d, "source_csv")
+      // whitespace trimming off on the WRITE side: Spark's CSV writer
+      // defaults silently trim unquoted fields with leading/trailing
+      // spaces, which would corrupt a byte-faithful round-trip.
       docs.write.mode("overwrite")
-        .option("header", "true").option("escape", "\"").csv(tmp)
+        .option("header", "true").option("escape", "\"")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(tmp)
       s.read.schema(docs.schema)
         .option("header", "true").option("escape", "\"").option("multiLine", "true")
         .csv(tmp)
@@ -328,9 +359,32 @@ object SparkEntry {
     "source_json_roundtrip" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("source"), col("lang"), col("text"), col("n_chars"))
-      val tmp = s"/tmp/graft_source_json_${new java.io.File(d).getName}"
+      val tmp = scratch(d, "source_json")
       docs.write.mode("overwrite").json(tmp)
       s.read.schema(docs.schema).json(tmp).orderBy(col("doc_id"))
+    }),
+
+    // S1 at the BYTE level: the fixture's documents are written out as one
+    // raw file per doc, re-ingested through spark.read.format("binaryFile")
+    // (distributed file source: decode + chunk run in executors), and
+    // cracked into the reference's synthetic pages. The oracle re-derives
+    // the identical pages from the parquet fixture, so any byte/decode/
+    // chunk corruption in the binary path hash-fails.
+    "source_binary_pages" -> ((s, d) => {
+      val tmp = scratch(d, "source_bin")
+      val dir = new java.io.File(tmp)
+      dir.mkdirs()
+      t(s, d, "documents").select(col("doc_id"), col("text"))
+        .collect().foreach { r =>
+          java.nio.file.Files.write(
+            new java.io.File(dir, f"doc_${r.getLong(0)}%08d.txt").toPath,
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      graft.sources.BinaryDocs.readPages(s, tmp, pageSize = 32)
+        .withColumn("doc_id",
+          regexp_extract(col("document_path"), "doc_(\\d+)\\.txt", 1).cast("long"))
+        .select(col("doc_id"), col("page_number"), col("page_content"))
+        .orderBy(col("doc_id"), col("page_number"))
     }),
 
     // Store lifecycle THROUGH the gate: two append generations into a real
@@ -341,7 +395,7 @@ object SparkEntry {
     // fails; the oracle re-derives the expected chunk rows from the
     // parquet fixture (chunk -> non-empty-cleansed filter, as E1 ingests).
     "store_compact_upsert" -> ((s, d) => {
-      val tmp = s"/tmp/graft_store_compact_${new java.io.File(d).getName}"
+      val tmp = scratch(d, "store_compact")
       IndexTable.drop(s, tmp)
       // a quarter of the corpus: the lifecycle (append/upsert/compact/read)
       // is what's under test, not embedding throughput — that's embed_documents
@@ -693,7 +747,10 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    // approximate (recall<1 by design, like the reference's HNSW) -> rows-only.
+    // approximate (recall<1 by design, like the reference's HNSW) — but the
+    // bucketing is a pure function of the seeded hyperplanes, so the oracle
+    // replicates it bit-for-bit from literal plane values: a fully
+    // hash-checked approximate query.
     "ann_lsh_bucketed" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val qs = emb.where(col("vec_id") < 5)
@@ -989,6 +1046,15 @@ object SparkEntry {
     "source_json_roundtrip" ->
       "SELECT doc_id, source, lang, text, n_chars FROM documents ORDER BY doc_id",
 
+    // identical page derivation to chunk_pages — the binary path must
+    // reproduce the parquet-derived pages byte-for-byte.
+    "source_binary_pages" ->
+      """SELECT doc_id, CAST(g AS INT) AS page_number,
+        | coalesce(array_to_string(words[(g*32+1):(g*32+32)], ' '), '') AS page_content
+        |FROM (SELECT doc_id, words, unnest(generate_series(0, CAST(len(words) // 32 AS BIGINT))) AS g
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
+        |ORDER BY doc_id, page_number""".stripMargin,
+
     // Expected post-compaction store content = the E1 ingest rows derived
     // straight from the fixture: chunk (pageSize 32, possible-empty-tail)
     // then drop pages whose cleansed text is empty. Re-ingested generations
@@ -1214,6 +1280,31 @@ object SparkEntry {
         |SELECT id1, id2, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS cosine
         |FROM s WHERE round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) >= 0.45
         |ORDER BY id1, id2""".stripMargin,
+
+    // Replicates the seeded sign-LSH end to end: literal hyperplanes ->
+    // 4-bit bucket per vector -> base + hamming-1 probe set per query ->
+    // bucket-joined candidates -> exact cosine -> rank. Any drift in the
+    // bucketing, probe expansion, or scoring hash-fails.
+    "ann_lsh_bucketed" ->
+      s"""WITH planes AS (SELECT * FROM (VALUES $lshOraclePlaneValues) AS t(pid, p)),
+         |emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |bits AS (SELECT e.vec_id, pl.pid, CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN '1' ELSE '0' END AS bit
+         |         FROM emb e CROSS JOIN planes pl),
+         |bucket AS (SELECT vec_id, string_agg(bit, '' ORDER BY pid) AS bucket FROM bits GROUP BY vec_id),
+         |qs AS (SELECT vec_id AS q_id, bucket AS qb FROM bucket WHERE vec_id < 5),
+         |probes AS (
+         |  SELECT q_id, qb AS probe FROM qs
+         |  UNION
+         |  SELECT q_id, substr(qb,1,i-1) || (CASE WHEN substr(qb,i,1)='1' THEN '0' ELSE '1' END) || substr(qb,i+1) AS probe
+         |  FROM qs, (SELECT unnest(generate_series(1,4)) AS i) t
+         |),
+         |cand AS (SELECT p.q_id, b.vec_id FROM probes p JOIN bucket b ON b.bucket = p.probe WHERE b.vec_id <> p.q_id),
+         |z AS (SELECT c.q_id, c.vec_id, list_dot_product(e1.v, e2.v) AS dp,
+         |      sqrt(list_dot_product(e1.v, e1.v)) AS na, sqrt(list_dot_product(e2.v, e2.v)) AS nb
+         |      FROM cand c JOIN emb e1 ON e1.vec_id = c.vec_id JOIN emb e2 ON e2.vec_id = c.q_id),
+         |r AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM z),
+         |rr AS (SELECT q_id, vec_id, similarity, CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)
+         |SELECT q_id, vec_id, similarity, rank FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     "ann_bruteforce_batch" ->
       """WITH qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),

@@ -171,7 +171,7 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .dropDuplicates("id1", "id2")
-    candidates
+    val pairs = candidates
       .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
@@ -179,6 +179,13 @@ object Dedup {
         col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")), 4))
       .where(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
+    // Materialize the (small) pair set eagerly, then RELEASE the persisted
+    // intermediates: repeated invocations in a long-lived session must not
+    // accumulate cached blocks until executor storage evicts them.
+    val out = pairs.localCheckpoint()
+    banded.unpersist(false)
+    sh.unpersist(false)
+    out
   }
 
   /** 32-bit SimHash as a bit string, from the high bit of each md5 hex char:
@@ -264,13 +271,19 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("inter"))
-    pairs
+    val result = pairs
       .join(counts.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
       .join(counts.withColumnRenamed("doc_id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")), 4))
       .where(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
+    // eager materialize + release, as in [[minhashNearDupPairs]]: no cached
+    // blocks survive the call.
+    val out = result.localCheckpoint()
+    sh.unpersist(false)
+    shArr.unpersist(false)
+    out
   }
 
   /** Candidate near-dup pairs from `nTables` independent sign-LSH tables of
@@ -304,10 +317,14 @@ object Dedup {
     val bounded = banded.join(sizes, Seq("bucket"))
       .where(col("__bn") <= maxBucket)
       .drop("__bn")
-    bounded.alias("a").join(bounded.alias("b"),
+    val cand = bounded.alias("a").join(bounded.alias("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .dropDuplicates("id1", "id2")
+    // eager materialize + release, as in [[minhashNearDupPairs]]
+    val out = cand.localCheckpoint()
+    banded.unpersist(false)
+    out
   }
 
   /** Embedding-cosine near-dup pairs over a vector table: sign-LSH bucketed

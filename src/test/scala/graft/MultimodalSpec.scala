@@ -47,6 +47,42 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real PNG bytes decode through ImageIO: band features match the pixels") {
+    // 8x8 PNG, top half black, bottom half white — with featureDim=2 the
+    // mean-luminance bands must read ~0.0 and ~1.0
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if (y < 4) 0x000000 else 0xffffff)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+
+    val direct = Multimodal.decodeImageFeatures(png, 2)
+    assert(direct.isDefined, "a real PNG must decode")
+    assert(direct.get(0) < 0.05f && direct.get(1) > 0.95f, direct.get.toSeq)
+
+    // and through the distributed pipeline: the image row takes the REAL
+    // decode path (features = pixel bands, not the byte-hash stub)
+    val media = Seq((1L, "image", png, ("gen", png.length.toLong)))
+      .toDF("media_id", "kind", "payload", "meta")
+      .select($"media_id", $"kind", $"payload",
+        struct($"meta._1".as("source"), $"meta._2".as("n_bytes")).as("meta"))
+    val out = Multimodal.extractFeatures(spark, media, featureDim = 2).collect()
+    assert(out.length === 1)
+    assert(out.head.features.toSeq === direct.get.toSeq)
+    assert(out.head.features.toSeq !== Multimodal.fakeDecodeFeatures(png, 2).toSeq)
+  }
+
+  test("non-image payloads under kind=image fall back to the deterministic stub") {
+    val junk = "definitely not an image".getBytes("UTF-8")
+    val media = Seq((7L, "image", junk, ("gen", junk.length.toLong)))
+      .toDF("media_id", "kind", "payload", "meta")
+      .select($"media_id", $"kind", $"payload",
+        struct($"meta._1".as("source"), $"meta._2".as("n_bytes")).as("meta"))
+    val out = Multimodal.extractFeatures(spark, media, featureDim = 4).collect()
+    assert(out.head.features.toSeq === Multimodal.fakeDecodeFeatures(junk, 4).toSeq)
+  }
+
   test("stub decode maps payload bytes into bounded [0,1] features") {
     val feats = Multimodal.fakeDecodeFeatures("hello world".getBytes("UTF-8"), 4)
     assert(feats.length === 4)

@@ -86,8 +86,9 @@ class PlanPropertiesSpec extends AnyFunSuite {
       // bare join (the query's groupBy legitimately shuffles on the group key)
       SparkEntry.queries("bucketed_join_colocated")(spark, TestSpark.sf).collect()
       import org.apache.spark.sql.functions.col
-      val join = spark.table("graft_li_b")
-        .join(spark.table("graft_ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val join = spark.table(SparkEntry.BucketedLineitemTable)
+        .join(spark.table(SparkEntry.BucketedOrdersTable),
+          col("l_orderkey") === col("o_orderkey"))
       join.collect()
       val p = join.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
