@@ -518,6 +518,18 @@ object SparkEntry {
       Rerank.answers(hits, fixedPrompt, topN = 10, threshold = 40)
     }),
 
+    // P3 oracle-checked twin: the hashing-trick embedding as a fully
+    // distributed SPARSE pipeline (explode -> map-side partial sum per
+    // (doc, bucket) -> per-doc norm join) with an engine-portable md5
+    // bucket/sign hash, so DuckDB replicates every component exactly. The
+    // murmur embedder (embed_documents below) stays the fast production
+    // path; this pins the embedding MATH end to end.
+    "embed_hashed_sparse" -> ((s, d) => {
+      Embedder.hashedComponents(t(s, d, "documents"), "text", "doc_id", dim = 64)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
     // P3: the deterministic embedder itself (rows-only; properties in tests).
     "embed_documents" -> ((s, d) => {
       t(s, d, "documents")
@@ -1110,6 +1122,20 @@ object SparkEntry {
     "doc_keys_md5" ->
       """SELECT doc_id, md5(source || '_' || CAST(doc_id AS VARCHAR)) AS doc_key
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "embed_hashed_sparse" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> len(t) > 0)) AS tok FROM documents),
+        |h AS (SELECT doc_id, md5(tok || '#42') AS hx FROM toks),
+        |w AS (SELECT doc_id,
+        |        CAST(((strpos('0123456789abcdef', substr(hx,1,1)) - 1) * 16 +
+        |              (strpos('0123456789abcdef', substr(hx,2,1)) - 1)) % 64 AS INT) AS bucket,
+        |        CASE WHEN (strpos('0123456789abcdef', substr(hx,3,1)) - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign
+        |      FROM h),
+        |agg AS (SELECT doc_id, bucket, sum(sign) AS w FROM w GROUP BY doc_id, bucket HAVING sum(sign) <> 0),
+        |n AS (SELECT doc_id, sqrt(sum(w*w)) AS norm FROM agg GROUP BY doc_id)
+        |SELECT a.doc_id, a.bucket, round(a.w / n.norm, 4) AS component
+        |FROM agg a JOIN n USING (doc_id)
+        |ORDER BY doc_id, bucket""".stripMargin,
 
     "embedding_sq8" ->
       """SELECT vec_id,

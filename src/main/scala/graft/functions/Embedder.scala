@@ -72,4 +72,39 @@ object Embedder {
   def embedQuery(prompt: String, model: String = ModelRegistry.default,
                  seed: Int = DefaultSeed): Array[Float] =
     embed(prompt, ModelRegistry.dim(model), seed)
+
+  /** Engine-portable hashing-trick twin of [[embed]], exposed as a fully
+    * DISTRIBUTED pipeline (the production murmur embedder stays the fast
+    * path; this is the oracle-shaped reference, the same fast-vs-portable
+    * pairing as simhash32Fast vs simhash32). Per token: md5(token#seed),
+    * bucket = first two hex digits (8 bits) mod `dim`, sign = parity of the
+    * third — all md5/substring/strpos arithmetic ANSI SQL can replicate
+    * exactly. Output is the SPARSE L2-normalized vector, one row per
+    * non-zero bucket: (id, bucket, component). Shape at scale: explode ->
+    * map-side partial sum per (id, bucket) -> per-id norm -> join back; the
+    * shuffle carries at most (docs x dim) tiny rows, no dense vectors. */
+  def hashedComponents(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       idCol: String, dim: Int, seed: Int = DefaultSeed)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hexVal: Column => Column = c => instr(lit("0123456789abcdef"), c) - 1
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "[^a-z0-9_]+")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .withColumn("h", md5(concat(col("tok"), lit("#" + seed))))
+    val weighted = toks
+      .withColumn("bucket",
+        pmod(hexVal(substring(col("h"), 1, 1)) * 16 +
+          hexVal(substring(col("h"), 2, 1)), lit(dim)).cast("int"))
+      .withColumn("sign",
+        when(pmod(hexVal(substring(col("h"), 3, 1)), lit(2)) === 0, 1.0).otherwise(-1.0))
+      .groupBy(col("id"), col("bucket"))
+      .agg(sum(col("sign")).as("w"))
+      .where(col("w") =!= 0.0)
+    val norms = weighted.groupBy(col("id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    weighted.join(norms, "id")
+      .select(col("id"), col("bucket"),
+        round(col("w") / col("norm"), 4).as("component"))
+  }
 }

@@ -448,6 +448,13 @@ object IndexTable {
       .foreach(g => fs.delete(g, true))
   }
 
+  /** Number of delta-zone data files currently visible (unfolded) for the
+    * tenant — the small-file-pressure gauge a compaction trigger reads
+    * (each streaming micro-batch appends at least one file; see
+    * [[graft.streaming.StreamingIngest]]). */
+  def deltaFileCount(spark: SparkSession, path: String, alias: String): Int =
+    tenantView(spark, path, alias)._2.size
+
   /** Read one tenant's slice — the union of its newest committed compacted
     * generation (if any) and the unfolded delta files, both partition-
     * pruned. PHYSICAL rows: upsert resolution is [[readLatest]]'s job, so a

@@ -68,7 +68,8 @@ object StreamingIngest {
                          indexPath: String, checkpointDir: String, alias: String,
                          bits: Int, dim: Int,
                          pageSize: Int = Chunker.DefaultPageSize,
-                         lshSeed: Long = graft.operators.IndexTable.DefaultLshSeed): Long = {
+                         lshSeed: Long = graft.operators.IndexTable.DefaultLshSeed,
+                         maxDeltaFiles: Int = Int.MaxValue): Long = {
     val schema = spark.read.option("pathGlobFilter", globFilter).parquet(landingDir).schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", globFilter).parquet(landingDir)
@@ -80,12 +81,24 @@ object StreamingIngest {
     val q = records.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.operators.IndexTable.appendBucketed(batch.toDF(), indexPath, bits, dim, lshSeed)
+        // Self-maintenance: micro-batch sinks land at least one small file
+        // per batch; once the tenant's delta zone passes the threshold,
+        // fold it into a fresh committed generation. Safe under concurrent
+        // readers (generation publish is atomic on the commit marker) and
+        // under foreachBatch replays (compaction is idempotent — a replayed
+        // batch's rows resolve by latest-per-id like any upsert).
+        if (graft.operators.IndexTable.deltaFileCount(spark, indexPath, alias) > maxDeltaFiles) {
+          graft.operators.IndexTable.compact(spark, indexPath, alias)
+          ()
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(indexPath).where(col("index_alias") === alias).count()
+    // the store view, not a raw scan: after a triggered compaction the
+    // tenant's rows live in a committed generation the raw scan cannot see
+    graft.operators.IndexTable.read(spark, indexPath, alias).count()
   }
 }

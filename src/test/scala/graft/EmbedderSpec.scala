@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.Embedder
 
 class EmbedderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
 
   test("deterministic across calls, dim from registry") {
     val a = Embedder.embed("the quick brown fox", 64, 42)
@@ -94,6 +95,21 @@ class EmbedderSpec extends AnyFunSuite {
       val v = Embedder.embed(s, 32, 42)
       val n = math.sqrt(v.map(x => x.toDouble * x).sum)
       assert(n < 1e-9 || math.abs(n - 1.0) < 1e-5, s"input=$s")
+    }
+  }
+
+  test("hashedComponents: sparse rows form unit-norm vectors, deterministic across runs") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val a = Embedder.hashedComponents(docs, "text", "doc_id", dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val b = Embedder.hashedComponents(docs, "text", "doc_id", dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(a.toSet === b.toSet, "must be deterministic")
+    assert(a.forall { case (_, bkt, _) => bkt >= 0 && bkt < 64 })
+    val norms = a.groupBy(_._1).view.mapValues(_.map(t => t._3 * t._3).sum)
+    norms.foreach { case (id, ss) =>
+      assert(math.abs(ss - 1.0) < 1e-2, s"doc $id norm^2 = $ss") // 4-decimal rounding slack
     }
   }
 }

@@ -62,6 +62,31 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(idBuckets(s"$tmp/index") === idBuckets(batchPath))
   }
 
+  test("ingest-triggered compaction folds the delta zone into a committed generation") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_compact").toString
+    val bits = 2
+    val dim = graft.core.ModelRegistry.dim(graft.core.ModelRegistry.default)
+    // threshold 0: every batch trips the trigger, so after the drain the
+    // tenant's rows live in a committed generation, not loose delta files
+    val n = StreamingIngest.ingestOnceBucketed(spark,
+      landingDir = TestSpark.sf, globFilter = "documents.parquet",
+      indexPath = s"$tmp/index", checkpointDir = s"$tmp/ckpt",
+      alias = "stream", bits = bits, dim = dim, pageSize = 32,
+      maxDeltaFiles = 0)
+    assert(n > 0)
+    assert(IndexTable.deltaFileCount(spark, s"$tmp/index", "stream") === 0,
+      "all delta files must be folded")
+    val gens = new java.io.File(s"$tmp/index/_graft_base")
+    assert(gens.isDirectory && gens.listFiles().exists(_.getName.startsWith("gen_")))
+    // and the resolved content equals the batch ingest, bucketed layout kept
+    val batch = IndexTable.ingestRecords(
+      spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+        .select($"source".as("document_path"), $"text"),
+      alias = "stream", pageSize = 32)
+    assert(IndexTable.readLatest(spark, s"$tmp/index", "stream").count() ===
+      batch.select($"id").distinct().count())
+  }
+
   test("salted join equals plain inner join") {
     val left = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
       .select($"l_orderkey", $"l_quantity").limit(5000)
