@@ -101,8 +101,16 @@ final class GraftVectorStore(
 
   /** Store maintenance: physically apply upserts and rewrite the tenant's
     * files (see [[IndexTable.compact]]). Returns surviving row count. */
-  def compactIndex(alias: String): Long =
-    IndexTable.compact(spark, indexPath, resolveAlias(alias))
+  def compactIndex(alias: String,
+                   retainMillis: Long = IndexTable.DefaultRetainMillis): Long =
+    IndexTable.compact(spark, indexPath, resolveAlias(alias), retainMillis)
+
+  /** Retention-gated removal of superseded generations and folded delta
+    * files (see [[IndexTable.vacuum]]) — run separately when compactions
+    * are frequent and space matters. */
+  def vacuumIndex(alias: String,
+                  retainMillis: Long = IndexTable.DefaultRetainMillis): Unit =
+    IndexTable.vacuum(spark, indexPath, resolveAlias(alias), retainMillis)
 
   /** E2 full answer pipeline: retrieve, rerank, threshold, project answers. */
   def answers(prompt: String, alias: String, topN: Int = 10,

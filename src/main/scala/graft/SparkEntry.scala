@@ -925,6 +925,20 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("n_bytes"),
           round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
         .orderBy(col("media_id"))
+    }),
+
+    // Video frame sampling through the gate: every video payload explodes
+    // into its strided frames. The fixture text is pure ASCII, so frame
+    // byte arithmetic (count, stride membership, short tail frame) is
+    // derivable from character counts and the oracle checks the explosion
+    // EXACTLY on integers; the float frame features stay ScalaTest-pinned.
+    "multimodal_frames" -> ((s, d) => {
+      val media = graft.multimodal.Multimodal.asMediaTable(
+        t(s, d, "documents"), "doc_id", "text", "source")
+      graft.multimodal.Multimodal.sampleFrames(s, media, frameBytes = 64, stride = 2)
+        .select(col("media_id"), col("frame_no").cast("int").as("frame_no"),
+          col("frame_bytes").cast("long").as("frame_bytes"))
+        .orderBy(col("media_id"), col("frame_no"))
     })
   )
 
@@ -1446,6 +1460,17 @@ object SparkEntry {
     "streaming_dedup_daily" ->
       """SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS day
         |FROM events ORDER BY user_id, event_type, day""".stripMargin,
+
+    // videos are doc_id % 3 == 2 (asMediaTable's kind assignment); frames
+    // of 64 bytes, stride 2, tail frame = the remaining bytes.
+    "multimodal_frames" ->
+      """WITH v AS (SELECT doc_id AS media_id, len(text) AS n FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT media_id, n,
+        |        unnest(generate_series(0, CAST((n + 63) // 64 - 1 AS BIGINT), 2)) AS frame_no
+        |      FROM v)
+        |SELECT media_id, CAST(frame_no AS INT) AS frame_no,
+        | CAST(least(64, n - frame_no * 64) AS BIGINT) AS frame_bytes
+        |FROM f ORDER BY media_id, frame_no""".stripMargin,
 
     "streaming_join_attrib" ->
       """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts FROM events WHERE event_type = 'view'),
