@@ -139,6 +139,30 @@ object Probe {
           }
         }
 
+      case "deduplsh" =>
+        // Selectivity/recall evidence for the bucketed embedding near-dup:
+        // candidate fraction and pair recall vs the exact all-pairs ground
+        // truth, across thresholds and table configurations — the measured
+        // form of the threshold-selectivity law in the Dedup scaladoc
+        // (p = 1 - acos(t)/pi per hyperplane).
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+        val n = emb.count()
+        val allPairs = n.toDouble * (n - 1) / 2.0
+        println("config,threshold,true_pairs,recall,candidate_frac")
+        for ((th, bits, tabs) <- Seq((0.45, 4, 24), (0.45, 8, 4),
+            (0.70, 8, 8), (0.90, 8, 4), (0.90, 12, 8))) {
+          val exact = Dedup.embeddingNearDupPairsExact(emb, "embedding", "vec_id", th)
+            .select(col("id1"), col("id2")).as[(Long, Long)].collect().toSet
+          val nc = Dedup.embeddingCandidatePairs(emb, "embedding", "vec_id",
+            dim = 64, nBits = bits, nTables = tabs).count()
+          val found = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id",
+            th, dim = 64, nBits = bits, nTables = tabs)
+            .select(col("id1"), col("id2")).as[(Long, Long)].collect().toSet
+          val rec = if (exact.isEmpty) 1.0
+            else exact.intersect(found).size.toDouble / exact.size
+          println(f"deduplsh b=$bits L=$tabs,$th%.2f,${exact.size}%d,$rec%.3f,${nc / allPairs}%.3f")
+        }
+
       case "recall" =>
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
         emb.count()
