@@ -569,6 +569,23 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Offset window functions (lead/lag/first_value) — the order-sensitive
+    // window family q5's rank/running-sum pair doesn't cover. One shuffle on
+    // the partition key; deterministic frame order via the unique orderkey.
+    "q19_lead_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .where(col("o_custkey") <= 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          first(col("o_orderkey")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).as("first_order"),
+          datediff(col("o_orderdate"),
+            lag(col("o_orderdate"), 1).over(w)).cast("int").as("days_since_prev"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // HLL++ sketch (approx_count_distinct): the mergeable-sketch answer to
     // COUNT(DISTINCT) at 100 TB — map-side partial sketches, tiny shuffle,
     // no exact-distinct re-shuffle. Estimates are engine-specific so there
@@ -1444,6 +1461,16 @@ object SparkEntry {
         |FROM c JOIN e ON c.user_id = e.e_user_id
         | AND c.click_ts >= e.error_ts AND c.click_ts < e.error_ts + INTERVAL 600 SECOND
         |ORDER BY user_id, click_id, error_id""".stripMargin,
+
+    "q19_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        | lag(o_orderkey, 1) OVER w AS prev_order,
+        | lead(o_orderkey, 1) OVER w AS next_order,
+        | first_value(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order,
+        | CAST(date_diff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS INT) AS days_since_prev
+        |FROM orders WHERE o_custkey <= 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q18_salted_join" ->
       """SELECT o_orderpriority, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
