@@ -33,11 +33,13 @@ object Bench {
     // readings several-fold (see NOTES_r3); the per-query minimum is the
     // stable signal a regression triage can trust.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val debug = sys.env.contains("SPARK_GRAFT_DEBUG")
     val results = selected.map { case (name, fn) =>
-      val best = (1 to reps).map { _ =>
+      val best = (1 to reps).map { r =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
+        if (debug) System.err.println(f"[bench] $name rep $r: $dt%.2f s")
         // operators may persist() reusable intermediates; drop them between
         // runs so cached blocks never leak work across timings.
         try {

@@ -530,6 +530,35 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("bucket"))
     }),
 
+    // The FULL reference lifecycle (E1 ingest + E2 search, SURVEY.md §3)
+    // with every stage hash-checked: chunk (pageSize 32) -> cleanse ->
+    // non-empty filter -> sparse md5-hashed embedding per chunk -> prompt
+    // embedded through the SAME pipeline on a 1-row frame -> cosine top-10.
+    // Cosine of two unit vectors = the sparse dot product, a bucket-keyed
+    // broadcast join + per-chunk sum — at 100 TB the corpus side never
+    // shuffles (the prompt components broadcast) and the top-k is
+    // TakeOrderedAndProject. vector_search_e2e (above) stays the murmur
+    // fast path; this twin makes the end-to-end retrieval MATH the oracle's
+    // problem, not a rows-only trust fall.
+    "vector_search_hashed_e2e" -> ((s, d) => {
+      val pages = Chunker.chunk(
+          t(s, d, "documents").select(col("doc_id"), col("text")), "text", 32)
+        .withColumn("cleansed", TextFunctions.cleanseText(col("page_content")))
+        .where(length(trim(col("cleansed"))) > 0)
+        .select(concat_ws("#", col("doc_id"), col("page_number")).as("chunk_id"),
+          col("cleansed"))
+      val comp = Embedder.hashedComponents(pages, "cleansed", "chunk_id", dim = 64)
+      val promptComp = Embedder.hashedComponents(
+        s.range(1).select(lit("q").as("qid"), lit(fixedPrompt).as("txt")),
+        "txt", "qid", dim = 64)
+        .select(col("bucket"), col("component").as("qc"))
+      comp.join(broadcast(promptComp), "bucket")
+        .groupBy(col("id").as("chunk_id"))
+        .agg(round(sum(col("component") * col("qc")), 4).as("similarity"))
+        .orderBy(desc("similarity"), col("chunk_id"))
+        .limit(10)
+    }),
+
     // P3: the deterministic embedder itself (rows-only; properties in tests).
     "embed_documents" -> ((s, d) => {
       t(s, d, "documents")
@@ -586,30 +615,98 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Explicit GROUPING SETS (the asymmetric grouping rollup/cube can't
+    // express) + grouping() disambiguation of real vs aggregate NULLs,
+    // through the spark.sql surface. One expand + one aggregate exchange.
+    "q20_grouping_sets" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .createOrReplaceTempView("graft_custnat_v")
+      s.sql("""SELECT coalesce(n_name, '(all)') AS nation,
+              |  coalesce(c_mktsegment, '(all)') AS segment,
+              |  CAST(grouping(n_name) AS INT) AS g_nation,
+              |  CAST(grouping(c_mktsegment) AS INT) AS g_segment,
+              |  count(*) AS n, round(sum(c_acctbal), 4) AS sum_bal
+              |FROM graft_custnat_v
+              |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+              |ORDER BY nation, segment""".stripMargin)
+    }),
+
+    // UNPIVOT (wide metrics -> long rows) — the inverse of q13's pivot,
+    // via the Dataset.unpivot operator (plans as a single Expand, no join
+    // or union of rescans).
+    "q21_unpivot" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 4).as("qty"),
+          round(sum(col("l_extendedprice")), 4).as("price"),
+          round(sum(col("l_discount")), 4).as("disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc")), "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))
+    }),
+
+    // TPC-H Q22 shape on the available columns: uncorrelated scalar
+    // subquery (global average -> broadcast 1-row relation) + NOT EXISTS
+    // over a filtered right side (broadcast anti join) + aggregate,
+    // composed through SQL.
+    "q22_no_order_outliers" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("graft_cust22_v")
+      t(s, d, "orders").createOrReplaceTempView("graft_ord22_v")
+      s.sql("""SELECT c_custkey % 10 AS code, count(*) AS numcust,
+              |  round(sum(c_acctbal), 4) AS totacctbal
+              |FROM graft_cust22_v c
+              |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM graft_cust22_v
+              |                   WHERE c_acctbal > 0)
+              |  AND NOT EXISTS (SELECT 1 FROM graft_ord22_v o
+              |                  WHERE o.o_custkey = c.c_custkey
+              |                    AND o.o_orderpriority = '1-URGENT')
+              |GROUP BY c_custkey % 10
+              |ORDER BY code""".stripMargin)
+    }),
+
     // HLL++ sketch (approx_count_distinct): the mergeable-sketch answer to
     // COUNT(DISTINCT) at 100 TB — map-side partial sketches, tiny shuffle,
-    // no exact-distinct re-shuffle. Estimates are engine-specific so there
-    // is no cross-engine oracle (rows-only check); EventsOpsSpec pins the
-    // relative error against the exact count.
+    // no exact-distinct re-shuffle. The estimate itself is engine-specific,
+    // so the hashed output carries the exact count plus an in-query
+    // |approx - exact| <= 3*rsd bound check the oracle asserts as TRUE —
+    // the sketch's accuracy contract is what's cross-engine-checkable.
+    // EventsOpsSpec additionally pins the tighter observed error.
     "events_approx_distinct" -> ((s, d) => {
       events(s, d)
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            greatest(lit(1L), round(col("exact_users") * 0.06).cast("long")))
+            .as("within_3rsd"))
         .orderBy(col("event_type"))
     }),
 
     // Quantile sketch (approx_percentile): the mergeable answer to exact
     // percentiles (q11) at 100 TB — map-side partial sketches, no global
-    // sort. Sketch internals are engine-specific -> rows-only; the spec pins
-    // the error bound against the exact quantiles.
+    // sort. Sketch output is engine-specific; the hashed output carries the
+    // exact interpolated percentiles plus in-query rank-tolerance flags
+    // (the approx value must land between the exact 49th/51st and
+    // 94th/96th percentiles — at accuracy 10000 the sketch's rank error is
+    // n/10000 < 0.01*n for every fixture group). Spec pins exact error.
     "events_approx_percentile" -> ((s, d) => {
       events(s, d)
         .groupBy(col("event_type"))
         .agg(
-          round(percentile_approx(col("value"), lit(0.5), lit(10000)), 4).as("p50_approx"),
-          round(percentile_approx(col("value"), lit(0.95), lit(10000)), 4).as("p95_approx"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("pa50"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("pa95"),
+          expr("percentile(value, 0.49)").as("q49"),
+          expr("percentile(value, 0.51)").as("q51"),
+          expr("percentile(value, 0.94)").as("q94"),
+          expr("percentile(value, 0.96)").as("q96"),
+          round(expr("percentile(value, 0.5)"), 4).as("p50_exact"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95_exact"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"), col("p50_exact"), col("p95_exact"),
+          (col("pa50") >= col("q49") && col("pa50") <= col("q51")).as("p50_in_band"),
+          (col("pa95") >= col("q94") && col("pa95") <= col("q96")).as("p95_in_band"))
         .orderBy(col("event_type"))
     }),
 
@@ -656,6 +753,15 @@ object SparkEntry {
         .select(explode(TextFunctions.wsTokens(lower(col("text")))).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("freq"))
         .orderBy(desc("freq"), col("word")).limit(100)
+    }),
+
+    // Corpus-level TF-IDF top terms per document (see [[TfIdf]]): tf from a
+    // map-side-partial count on (doc, term), df from the collapsed frame,
+    // N as a broadcast 1-row relation, per-doc top-k as a doc-bounded
+    // collect_list+sort (never a corpus-wide window).
+    "tfidf_topterms" -> ((s, d) => {
+      TfIdf.topTerms(t(s, d, "documents"), "text", "doc_id", k = 3)
+        .orderBy(col("doc_id"), col("rank"))
     }),
 
     // Train/eval decontamination: eval set = deterministic hash sample
@@ -708,6 +814,17 @@ object SparkEntry {
     "dedup_jaccard_ngram" -> ((s, d) => {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
         n = 3, threshold = 0.30)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // Edit-distance near-dup over the cleansed 128-char prefix window:
+    // length-bucket blocked self-join (bucketWidth 32 > maxDist 24 makes
+    // blocking lossless — see Dedup scaladoc) + Levenshtein verify on
+    // candidates only. The oracle is the all-pairs form, so the blocked
+    // rewrite is proven semantics-preserving (the q18 salted-join pattern).
+    "dedup_levenshtein" -> ((s, d) => {
+      Dedup.levenshteinNearDupPairs(t(s, d, "documents"), "text", "doc_id",
+        maxDist = 24, window = 128, bucketWidth = 32)
         .orderBy(col("id1"), col("id2"))
     }),
 
@@ -932,6 +1049,25 @@ object SparkEntry {
           bucket = "day", queryName = "graft_verify_stream_dedup")
         .withColumnRenamed("ts_bucket", "day")
         .orderBy(col("user_id"), col("event_type"), col("day"))
+    }),
+
+    // Native session_window streaming aggregation — the third sessionizer
+    // (window-batch, flatMapGroupsWithState, and now the built-in streaming
+    // session merge). session_seq is assigned afterwards on the session-
+    // sized result (one tiny window over per-user session counts, not over
+    // events). NOTE the gap boundary: session_window starts a new session
+    // at diff >= gap, so the oracle compares microseconds with >=, unlike
+    // events_sessionize's strict-> semantics (both are pinned).
+    "streaming_session_window" -> ((s, d) => {
+      val sessions = graft.streaming.StreamingOps
+        .sessionWindowAggOnce(s, s"$d/events.parquet", gap = "30 minutes",
+          queryName = "graft_verify_stream_sessions")
+      sessions
+        .withColumn("session_seq", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("session_start"))).cast("long"))
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          col("session_start"), col("session_end"), col("session_value"))
+        .orderBy(col("user_id"), col("session_seq"))
     }),
 
     "multimodal_features" -> ((s, d) => {
@@ -1505,6 +1641,132 @@ object SparkEntry {
         |SELECT v.user_id, view_id, purchase_id, round(value, 4) AS purchase_value
         |FROM v JOIN p ON v.user_id = p.p_user_id
         | AND p.purchase_ts >= v.view_ts AND p.purchase_ts < v.view_ts + INTERVAL 1800 SECOND
-        |ORDER BY user_id, view_id, purchase_id""".stripMargin
+        |ORDER BY user_id, view_id, purchase_id""".stripMargin,
+
+    "q20_grouping_sets" ->
+      """SELECT coalesce(n_name, '(all)') AS nation,
+        | coalesce(c_mktsegment, '(all)') AS segment,
+        | CAST(grouping(n_name) AS INT) AS g_nation,
+        | CAST(grouping(c_mktsegment) AS INT) AS g_segment,
+        | count(*) AS n, round(sum(c_acctbal), 4) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        |ORDER BY nation, segment""".stripMargin,
+
+    "q21_unpivot" ->
+      """WITH a AS (SELECT l_returnflag, round(sum(l_quantity),4) AS qty,
+        |  round(sum(l_extendedprice),4) AS price, round(sum(l_discount),4) AS disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'qty' AS metric, qty AS value FROM a
+        |  UNION ALL SELECT l_returnflag, 'price', price FROM a
+        |  UNION ALL SELECT l_returnflag, 'disc', disc FROM a)
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "q22_no_order_outliers" ->
+      """SELECT c_custkey % 10 AS code, count(*) AS numcust,
+        | round(sum(c_acctbal), 4) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_custkey % 10
+        |ORDER BY code""".stripMargin,
+
+    // The sketch estimate is engine-specific; the cross-engine contract is
+    // the exact count and the 3-sigma accuracy bound the query checks
+    // in-line (deterministic: HLL++ is a pure function of the input set).
+    "events_approx_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | TRUE AS within_3rsd
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_approx_percentile" ->
+      """SELECT event_type, count(*) AS n,
+        | round(quantile_cont(value, 0.5), 4) AS p50_exact,
+        | round(quantile_cont(value, 0.95), 4) AS p95_exact,
+        | TRUE AS p50_in_band, TRUE AS p95_in_band
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // All-pairs form of the length-blocked operator (blocking is lossless
+    // for edit distance; see Dedup.levenshteinNearDupPairs). The length
+    // prefilter is implied by the distance predicate (pure speedup).
+    "dedup_levenshtein" ->
+      """WITH p AS (SELECT doc_id,
+        |  substr(replace(replace(text, chr(10), ' '), '  ', ' '), 1, 128) AS pre
+        |  FROM documents)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        | CAST(levenshtein(a.pre, b.pre) AS INT) AS edit_dist
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |WHERE abs(length(a.pre) - length(b.pre)) <= 24
+        |  AND levenshtein(a.pre, b.pre) <= 24
+        |ORDER BY id1, id2""".stripMargin,
+
+    "tfidf_topterms" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, tf.term AS term,
+        |  round(tf * (ln((n_docs + 1) / (df_t + 1)) + 1), 4) AS score
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+        |SELECT doc_id, CAST(row_number() OVER w AS INT) AS rank, term, score
+        |FROM scored
+        |WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, term)
+        |QUALIFY row_number() OVER w <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    // Full E1+E2 lifecycle replicated in SQL: chunk (//32 + possible empty
+    // tail), cleanse, non-empty filter, md5 sparse embedding per chunk, the
+    // prompt embedded from its literal text, cosine = sparse dot, top-10.
+    "vector_search_hashed_e2e" ->
+      s"""WITH pages AS (
+         |  SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(g AS VARCHAR) AS chunk_id,
+         |    coalesce(array_to_string(words[(g*32+1):(g*32+32)], ' '), '') AS page_content
+         |  FROM (SELECT doc_id, words, unnest(generate_series(0, CAST(len(words) // 32 AS BIGINT))) AS g
+         |        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))),
+         |ne AS (SELECT chunk_id, replace(replace(page_content, chr(10), ' '), '  ', ' ') AS txt FROM pages),
+         |nef AS (SELECT chunk_id, txt FROM ne WHERE length(trim(txt)) > 0),
+         |toks AS (SELECT chunk_id, unnest(list_filter(string_split_regex(lower(txt), '[^a-z0-9_]+'), t -> len(t) > 0)) AS tok FROM nef),
+         |h AS (SELECT chunk_id, md5(tok || '#42') AS hx FROM toks),
+         |w AS (SELECT chunk_id,
+         |        CAST(((strpos('0123456789abcdef', substr(hx,1,1)) - 1) * 16 +
+         |              (strpos('0123456789abcdef', substr(hx,2,1)) - 1)) % 64 AS INT) AS bucket,
+         |        CASE WHEN (strpos('0123456789abcdef', substr(hx,3,1)) - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign
+         |      FROM h),
+         |agg AS (SELECT chunk_id, bucket, sum(sign) AS w FROM w GROUP BY chunk_id, bucket HAVING sum(sign) <> 0),
+         |nrm AS (SELECT chunk_id, sqrt(sum(w*w)) AS norm FROM agg GROUP BY chunk_id),
+         |comp AS (SELECT a.chunk_id, a.bucket, round(a.w / nrm.norm, 4) AS component
+         |         FROM agg a JOIN nrm USING (chunk_id)),
+         |ptoks AS (SELECT unnest(list_filter(string_split_regex(lower('$fixedPrompt'), '[^a-z0-9_]+'), t -> len(t) > 0)) AS tok),
+         |ph AS (SELECT md5(tok || '#42') AS hx FROM ptoks),
+         |pw AS (SELECT CAST(((strpos('0123456789abcdef', substr(hx,1,1)) - 1) * 16 +
+         |              (strpos('0123456789abcdef', substr(hx,2,1)) - 1)) % 64 AS INT) AS bucket,
+         |        CASE WHEN (strpos('0123456789abcdef', substr(hx,3,1)) - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign
+         |       FROM ph),
+         |pagg AS (SELECT bucket, sum(sign) AS w FROM pw GROUP BY bucket HAVING sum(sign) <> 0),
+         |pn AS (SELECT sqrt(sum(w*w)) AS norm FROM pagg),
+         |pcomp AS (SELECT bucket, round(w / (SELECT norm FROM pn), 4) AS qc FROM pagg)
+         |SELECT c.chunk_id, round(sum(c.component * p.qc), 4) AS similarity
+         |FROM comp c JOIN pcomp p USING (bucket)
+         |GROUP BY c.chunk_id
+         |ORDER BY similarity DESC, chunk_id LIMIT 10""".stripMargin,
+
+    // session_window semantics: a new session starts at gap >= 30 min
+    // (strictly-greater in events_sessionize; the equality case differs by
+    // design — see the query comment). Compared on integer microseconds.
+    "streaming_session_window" ->
+      """WITH g AS (SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM g)
+        |SELECT user_id, session_seq, count(*) AS n_events, min(ts) AS session_start,
+        | max(ts) AS session_end, round(sum(value),4) AS session_value
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
   )
 }

@@ -286,6 +286,90 @@ object Dedup {
     out
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs over a bounded prefix
+    * window, with length-bucket blocking instead of an all-pairs join.
+    *
+    * Distance is computed on the first `window` chars of the cleansed text
+    * (a fixed O(window·maxDist) per-candidate cost via the banded threshold
+    * algorithm — unbounded-length Levenshtein is quadratic in document size
+    * and has no place in a 100 TB plan).
+    *
+    * Blocking exploits the metric itself: edit distance <= maxDist implies
+    * the prefix lengths differ by <= maxDist, so with bucketWidth > maxDist
+    * a qualifying pair's length buckets differ by at most 1. The left side
+    * keeps its own bucket and the right side fans out to {own-1, own,
+    * own+1}, so every qualifying pair meets on EXACTLY one join key (the
+    * left row's own bucket) — no post-join de-dup shuffle — and the blocked
+    * join is EXACTLY equivalent to the all-pairs filter (the DuckDB oracle
+    * runs the all-pairs form, proving the rewrite preserves semantics, same
+    * pattern as the salted-join oracle).
+    *
+    * Candidates are pruned before the banded verify by a lossless
+    * char-histogram bound: one edit op changes a character multiset by at
+    * most 2 units of L1, so L1(bag(a), bag(b)) > 2·maxDist rules a pair out.
+    * The 27-bin bag (a-z + space, lowercased — a char-level projection can
+    * only shrink L1, so the bound survives it) is computed once per ROW;
+    * the per-pair check is a 27-element zip, orders cheaper than the banded
+    * distance it guards.
+    *
+    * Shuffle profile: one bucket-keyed self-join (never n^2) with the same
+    * `maxBucket` skew bound as the LSH operators (applied to own-bucket
+    * populations; an oversized bucket's key is skipped entirely), then a
+    * fused narrow filter chain — bag bound, then banded `levenshtein(p1,
+    * p2, maxDist)` (-1 past the threshold) — with nothing wider than the
+    * surviving pairs ever shuffled.
+    *
+    * The length-bucket key space is TINY (≈ window/bucketWidth values), so
+    * an unsalted join would put each bucket's whole pair loop on one task —
+    * a corpus whose lengths concentrate in one bucket (any corpus with most
+    * docs ≥ window chars!) would run ~serially no matter the cluster size.
+    * The join is therefore slice-salted like [[graft.operators.Skew]]: the
+    * right side hashes into `saltSlices` slices, the (narrow, pre-verify)
+    * left side replicates across all of them, and every pair still meets on
+    * exactly one key, now (bucket, slice). */
+  def levenshteinNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                              maxDist: Int = 24, window: Int = 128,
+                              bucketWidth: Int = 32, maxBucket: Int = 10000,
+                              saltSlices: Int = 32): DataFrame = {
+    require(bucketWidth > maxDist,
+      s"bucketWidth ($bucketWidth) must exceed maxDist ($maxDist) for lossless blocking")
+    val low = lower(col("pre"))
+    val bagBins = ('a' to 'z').map(_.toString) :+ " "
+    val pre = spread(df).select(col(idCol).as("doc_id"),
+        substring(TextFunctions.cleanseText(col(textCol)), 1, window).as("pre"))
+      .withColumn("bag", array(bagBins.map { ch =>
+        (length(low) - length(replace(low, lit(ch), lit("")))).cast("int")
+      }: _*))
+      .withColumn("own", floor(length(col("pre")) / bucketWidth).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val okBuckets = pre.groupBy(col("own").as("b"))
+      .agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") <= maxBucket)
+      .select(col("b"))
+    val left = pre.join(broadcast(okBuckets), col("own") === col("b")).drop("b")
+      .withColumn("s", explode(array((0 until saltSlices).map(lit): _*)))
+    val right = pre
+      .select(col("doc_id"), col("pre"), col("bag"),
+        explode(array(col("own") - 1, col("own"), col("own") + 1)).as("b"))
+      .join(broadcast(okBuckets), Seq("b"))
+      .withColumn("s", pmod(xxhash64(col("doc_id")), lit(saltSlices)).cast("int"))
+    val bagL1 = aggregate(
+      zip_with(col("a.bag"), col("c.bag"), (x, y) => abs(x - y)),
+      lit(0), (acc, x) => acc + x)
+    val pairs = left.alias("a").join(right.alias("c"),
+        col("a.own") === col("c.b") && col("a.s") === col("c.s") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .where(bagL1 <= lit(2 * maxDist))
+      .withColumn("edit_dist", graft.plans.StringEditExpressions
+        .bandedLevenshtein(col("a.pre"), col("c.pre"), maxDist))
+      .where(col("edit_dist") >= 0)
+      .select(col("a.doc_id").as("id1"), col("c.doc_id").as("id2"), col("edit_dist"))
+    // eager materialize + release, as in [[minhashNearDupPairs]]
+    val out = pairs.localCheckpoint()
+    pre.unpersist(false)
+    out
+  }
+
   /** Candidate near-dup pairs from `nTables` independent sign-LSH tables of
     * `nBits` hyperplanes each (seeded `seed + t`, so the family is
     * deterministic): a pair is a candidate iff it lands in the same bucket

@@ -141,6 +141,39 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streaming sessionization via the NATIVE `session_window` aggregation —
+    * the built-in complement to the flatMapGroupsWithState sessionizer
+    * ([[StatefulSessionize]]): Spark merges overlapping per-event windows
+    * [ts, ts+gap) into sessions inside the aggregation state, so a session
+    * closes exactly when the next event is >= gap after the previous one.
+    * NOTE the boundary differs from a `diff > gap` formulation by the
+    * equality case: a gap of exactly `gap` STARTS a new session here — the
+    * oracle must compare with `>=` at microsecond precision. Driven in
+    * complete mode over the finite fixture (production runs append mode
+    * with a watermark; state then holds only open sessions). */
+  def sessionWindowAggOnce(spark: SparkSession, eventsPath: String,
+                           gap: String = "30 minutes",
+                           queryName: String = "graft_stream_sessions"): DataFrame = {
+    val stream = readEvents(spark, eventsPath)
+    val agg = stream
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        round(sum(col("value")), 4).as("session_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("session_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Watermarked append-mode variant (the production shape at scale: bounded
     * state, late data dropped past the watermark). Emits only closed windows,
     * so for a finite fixture the final window is withheld — production

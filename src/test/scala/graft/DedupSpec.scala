@@ -166,6 +166,24 @@ class DedupSpec extends AnyFunSuite {
     assert(comps.isEmpty)
   }
 
+  test("levenshtein near-dup blocking+bag+banded pipeline is lossless vs brute force") {
+    // the blocked join (own-bucket left × {own-1,own,own+1} salted right),
+    // the char-bag L1 prefilter, and the early-exit banded verify must
+    // together return EXACTLY the all-pairs thresholded result
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val got = Dedup.levenshteinNearDupPairs(docs, "text", "doc_id",
+        maxDist = 24, window = 128, bucketWidth = 32)
+      .select("id1", "id2", "edit_dist")
+    val pre = docs.select(col("doc_id"),
+      substring(graft.functions.TextFunctions.cleanseText(col("text")), 1, 128).as("pre"))
+    val want = pre.alias("a").join(pre.alias("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        levenshtein(col("a.pre"), col("b.pre")).as("edit_dist"))
+      .where(col("edit_dist") <= 24)
+    assert(got.exceptAll(want).union(want.exceptAll(got)).count() === 0)
+    assert(got.count() > 0) // the fixture must actually exercise the verify
+  }
+
   test("connected components: 64-node chain converges via pointer jumping") {
     // worst-case topology for plain min-propagation (diameter 63); pointer
     // jumping must still resolve everything to the chain head

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{EditDistance, StringEditExpressions}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pins [[graft.plans.EditDistance.banded]] (the early-exit banded edit
+  * distance behind dedup_levenshtein's verify stage) to the built-in
+  * `levenshtein(l, r, threshold)` contract: the exact distance when <= k,
+  * -1 otherwise.
+  */
+class StringEditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def banded(a: String, b: String, k: Int): Int =
+    EditDistance.banded(UTF8String.fromString(a), UTF8String.fromString(b), k)
+
+  /** Reference: classic full-matrix Levenshtein, thresholded afterwards. */
+  private def ref(a: String, b: String, k: Int): Int = {
+    val n = a.length; val m = b.length
+    val dp = Array.tabulate(n + 1, m + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to n; j <- 1 to m) {
+      val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + cost)
+    }
+    if (dp(n)(m) > k) -1 else dp(n)(m)
+  }
+
+  test("edge cases") {
+    assert(banded("", "", 0) === 0)
+    assert(banded("", "abc", 3) === 3)
+    assert(banded("", "abc", 2) === -1)
+    assert(banded("abc", "abc", 0) === 0)
+    assert(banded("abc", "abd", 0) === -1)
+    assert(banded("abc", "abd", 1) === 1)
+    assert(banded("kitten", "sitting", 3) === 3)
+    assert(banded("kitten", "sitting", 2) === -1)
+    // length difference alone exceeds the band
+    assert(banded("a" * 40, "a" * 10, 24) === -1)
+    assert(banded("a", "b", -1) === -1)
+  }
+
+  test("matches full-matrix reference on random strings across thresholds") {
+    val alphabet = Gen.frequency(
+      (8, Gen.alphaLowerChar), (2, Gen.oneOf(' ', '.', 'é', 'ß', '中')))
+    (0 until 300).foreach { i =>
+      val seed = Seed(i.toLong)
+      val la = Gen.chooseNum(0, 60).pureApply(Gen.Parameters.default, seed)
+      val lb = Gen.chooseNum(0, 60).pureApply(Gen.Parameters.default, seed.next)
+      val a = Gen.listOfN(la, alphabet).pureApply(Gen.Parameters.default, seed).mkString
+      val b = Gen.listOfN(lb, alphabet).pureApply(Gen.Parameters.default, seed.next).mkString
+      for (k <- Seq(0, 1, 3, 8, 24, 100)) {
+        assert(banded(a, b, k) === ref(a, b, k), s"a='$a' b='$b' k=$k")
+      }
+    }
+  }
+
+  test("near-identical strings (the regime the early exit must not break)") {
+    val base = "The quick brown fox jumps over the lazy dog, twice daily."
+    val edits = Seq(
+      base,
+      base.replace("quick", "quack"),
+      base.drop(3),
+      "xy" + base,
+      base.take(20) + base.drop(25),
+      base.reverse)
+    for (x <- edits; y <- edits; k <- Seq(2, 5, 24)) {
+      assert(banded(x, y, k) === ref(x, y, k), s"x='$x' y='$y' k=$k")
+    }
+  }
+
+  test("column expression agrees with the built-in levenshtein(l, r, k)") {
+    val pairs = Seq(
+      ("hello world", "hello word"), ("abc", "zzz"), ("", "abc"),
+      ("same", "same"), ("a" * 50, "a" * 49 + "b"), ("a" * 50, "b" * 50))
+    val df = pairs.toDF("a", "b")
+    val got = df.select(
+      StringEditExpressions.bandedLevenshtein(col("a"), col("b"), 5).as("custom"),
+      levenshtein(col("a"), col("b"), 5).as("builtin"))
+    assert(got.where(col("custom") =!= col("builtin")).count() === 0)
+  }
+}
