@@ -31,6 +31,14 @@ object SparkEntry {
   private def scratch(d: String, tag: String): String =
     s"/tmp/graft_${tag}_${new java.io.File(d).getName}_$runNonce"
 
+  /** ANSI bit-interleave expression mirroring [[operators.ZOrder.zValue2]]
+    * term for term, so the zorder_cluster oracle checks the Morton code
+    * bit-exactly. */
+  private def zOracleExpr(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " | ", ")")
+
   /** Bucketed-layout table names (nonce-suffixed; PlanPropertiesSpec reads
     * them back to inspect the bare join). */
   val BucketedLineitemTable: String = s"graft_li_b_$runNonce"
@@ -364,6 +372,30 @@ object SparkEntry {
       s.read.schema(docs.schema).json(tmp).orderBy(col("doc_id"))
     }),
 
+    // Columnar landing-zone round-trip through Spark's second native
+    // columnar format (ORC): write + read back with the declared schema.
+    // The oracle reads the parquet fixture directly, so any encode/decode
+    // divergence in the ORC path hash-fails.
+    "source_orc_roundtrip" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("text"), col("n_chars"))
+      val tmp = scratch(d, "source_orc")
+      docs.write.mode("overwrite").orc(tmp)
+      s.read.schema(docs.schema).orc(tmp).orderBy(col("doc_id"))
+    }),
+
+    // OPTIMIZE ZORDER's arithmetic surface: min/max-normalized Morton
+    // interleave of (p_partkey, p_size) — the exact value
+    // ZOrder.clusterWrite range-partitions and sorts by. The oracle
+    // replicates normalization + interleave bit by bit (generated
+    // expression below); ZOrderSpec quantifies the file-skipping win of
+    // the clustered layout itself.
+    "zorder_cluster" -> ((s, d) => {
+      operators.ZOrder.scaledZ(t(s, d, "part"), "p_partkey", "p_size", bits = 10)
+        .select(col("p_partkey"), col("p_size"), col("zval"))
+        .orderBy(col("zval"), col("p_partkey"))
+    }),
+
     // S1 at the BYTE level: the fixture's documents are written out as one
     // raw file per doc, re-ingested through spark.read.format("binaryFile")
     // (distributed file source: decode + chunk run in executors), and
@@ -465,6 +497,28 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"),
           TextFunctions.highlightKeywords(typedlit(promptKw), col("text")).as("highlighted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII redaction: regex scrub of emails/phone numbers — the standard
+    // pre-training privacy pass. The fixture text is digit/@-free, so the
+    // redactable spans are synthesized deterministically from doc_id and
+    // prepended; the oracle re-runs the identical regexes (RE2/Java-common
+    // subset: no lookaround, no backrefs), proving both fire identically.
+    // Narrow, codegen'd regexp_replace — no shuffle at any scale.
+    "text_redact_pii" -> ((s, d) => {
+      val pii = concat_ws(" ",
+        concat(lit("contact: user"), col("doc_id"), lit("@mail.example.org")),
+        concat(lit("tel "),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(((col("doc_id") * 7) % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(((col("doc_id") * 31) % 10000).cast("string"), 4, "0")),
+        col("text"))
+      t(s, d, "documents").select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(pii,
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>").as("redacted"))
         .orderBy(col("doc_id"))
     }),
 
@@ -927,6 +981,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style repetition signals (see [[Repetition]]): top bigram /
+    // trigram share + duplicated-8-gram coverage, all doc-bounded
+    // aggregations with map-side partials.
+    "quality_repetition" -> ((s, d) => {
+      operators.Repetition.signals(t(s, d, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     "token_count" -> ((s, d) => {
       t(s, d, "documents")
         .select(col("doc_id"),
@@ -1224,6 +1286,58 @@ object SparkEntry {
 
     "source_json_roundtrip" ->
       "SELECT doc_id, source, lang, text, n_chars FROM documents ORDER BY doc_id",
+
+    "source_orc_roundtrip" ->
+      "SELECT doc_id, source, lang, text, n_chars FROM documents ORDER BY doc_id",
+
+    // bit-exact replica of ZOrder.scaledZ: min/max scaling (integer
+    // numerator, double division, floor — identical across engines) then
+    // the interleave generated term by term (same shift/mask arithmetic)
+    "zorder_cluster" ->
+      s"""WITH st AS (SELECT min(p_partkey) AS kmin, max(p_partkey) AS kmax,
+         |  min(p_size) AS smin, max(p_size) AS smax FROM part),
+         |sc AS (SELECT p_partkey, p_size,
+         |  CAST(floor((p_partkey - kmin) * 1023 / greatest(kmax - kmin, 1)) AS BIGINT) AS zx,
+         |  CAST(floor((p_size - smin) * 1023 / greatest(smax - smin, 1)) AS BIGINT) AS zy
+         |  FROM part CROSS JOIN st)
+         |SELECT p_partkey, p_size, ${zOracleExpr("zx", "zy", 10)} AS zval
+         |FROM sc ORDER BY zval, p_partkey""".stripMargin,
+
+    "text_redact_pii" ->
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(
+        |   'contact: user' || CAST(doc_id AS VARCHAR) || '@mail.example.org' || ' ' ||
+        |   'tel ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |   lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+        |   lpad(CAST((doc_id * 31) % 10000 AS VARCHAR), 4, '0') || ' ' || text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "quality_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |g2 AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram FROM
+        |  (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM toks WHERE len(t) >= 2)),
+        |c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+        |f2 AS (SELECT doc_id, round(max(cnt) / sum(cnt), 4) AS top_bigram_frac FROM c2 GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram FROM
+        |  (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks WHERE len(t) >= 3)),
+        |c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY doc_id, gram),
+        |f3 AS (SELECT doc_id, round(max(cnt) / sum(cnt), 4) AS top_trigram_frac FROM c3 GROUP BY doc_id),
+        |g8 AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS gram FROM
+        |  (SELECT doc_id, t, unnest(generate_series(1, len(t)-7)) AS i FROM toks WHERE len(t) >= 8)),
+        |c8 AS (SELECT doc_id, gram, count(*) AS cnt FROM g8 GROUP BY doc_id, gram),
+        |f8 AS (SELECT doc_id,
+        |  round(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) / sum(cnt), 4) AS dup_8gram_frac
+        |  FROM c8 GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+        | coalesce(top_trigram_frac, 0.0) AS top_trigram_frac,
+        | coalesce(dup_8gram_frac, 0.0) AS dup_8gram_frac
+        |FROM documents d LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id)
+        | LEFT JOIN f8 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // identical page derivation to chunk_pages — the binary path must
     // reproduce the parquet-derived pages byte-for-byte.
