@@ -1132,6 +1132,19 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // Stream-static enrichment: events stream joined per micro-batch to
+    // the static customer dimension (broadcast — the stream side never
+    // shuffles for the join), aggregated by the enriched segment. The
+    // third streaming join topology after stream-stream and batch.
+    "streaming_enrich_static" -> ((s, d) => {
+      val out = graft.streaming.StreamingOps.enrichStaticOnce(
+        s, s"$d/events.parquet",
+        t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        dimKey = "c_custkey",
+        queryName = "graft_verify_stream_enrich")
+      out.orderBy(col("segment"), col("event_type"))
+    }),
+
     "multimodal_features" -> ((s, d) => {
       val media = graft.multimodal.Multimodal.asMediaTable(
         t(s, d, "documents"), "doc_id", "text", "source")
@@ -1881,6 +1894,14 @@ object SparkEntry {
         |  FROM g)
         |SELECT user_id, session_seq, count(*) AS n_events, min(ts) AS session_start,
         | max(ts) AS session_end, round(sum(value),4) AS session_value
-        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "streaming_enrich_static" ->
+      """SELECT c_mktsegment AS segment, event_type,
+        | count(*) AS n_events, round(sum(value), 4) AS sum_value,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY segment, event_type""".stripMargin
   )
 }

@@ -52,6 +52,43 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Stream-static enrichment: the streaming events joined to a STATIC
+    * dimension (no state, no watermark — the dimension is a plain batch
+    * DataFrame re-planned per micro-batch, and at dimension sizes like
+    * these it broadcasts, so the stream side never shuffles for the join),
+    * then a streaming aggregation over the enriched rows. This is the
+    * third join topology next to the stream-stream interval join
+    * ([[joinAttributionOnce]]) and the batch joins: the production shape
+    * for "tag every event with its account's segment as it arrives". */
+  def enrichStaticOnce(spark: SparkSession, eventsPath: String, dim: DataFrame,
+                       dimKey: String, streamKey: String = "user_id",
+                       segCol: String = "c_mktsegment",
+                       queryName: String = "graft_stream_enrich"): DataFrame = {
+    val stream = readEvents(spark, eventsPath)
+    val enriched = stream.join(broadcast(dim),
+      col(streamKey) === col(dimKey), "inner")
+    // distinct aggregates are unsupported on streams: run the streaming agg
+    // at (segment, type, USER) grain — per-group state stays a few counters,
+    // keyspace is users x types — and fold to the final grain in a batch
+    // re-agg over the sink, where n_users is a plain row count.
+    val agg = enriched
+      .groupBy(col(segCol).as("segment"), col("event_type"), col(streamKey).as("uid"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .groupBy(col("segment"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        round(sum(col("sum_value")), 4).as("sum_value"),
+        count(lit(1)).as("n_users"))
+  }
+
   /** Streaming exact dedup: `dropDuplicates` on the content key with a
     * watermark bounding the dedup state (the production continuous-dedup
     * shape — state holds only keys newer than the watermark). Driven once
