@@ -112,6 +112,17 @@ final class GraftVectorStore(
                   retainMillis: Long = IndexTable.DefaultRetainMillis): Unit =
     IndexTable.vacuum(spark, indexPath, resolveAlias(alias), retainMillis)
 
+  /** Time-travel catalog: committed generation ids for the index, newest
+    * first (each is a consistent snapshot; the vacuum retention window
+    * bounds how far back the catalog reaches). */
+  def indexGenerations(alias: String): Seq[Long] =
+    IndexTable.generations(spark, indexPath, resolveAlias(alias))
+
+  /** Snapshot read of the index as of a committed generation (see
+    * [[IndexTable.readGeneration]]). */
+  def readIndexGeneration(alias: String, genId: Long): DataFrame =
+    IndexTable.readGeneration(spark, indexPath, resolveAlias(alias), genId)
+
   /** E2 full answer pipeline: retrieve, rerank, threshold, project answers. */
   def answers(prompt: String, alias: String, topN: Int = 10,
               fanout: Int = 50, threshold: Int = Rerank.ScoreThreshold): DataFrame =

@@ -455,6 +455,33 @@ object IndexTable {
   def deltaFileCount(spark: SparkSession, path: String, alias: String): Int =
     tenantView(spark, path, alias)._2.size
 
+  /** Committed generation ids for a tenant, newest first — the time-travel
+    * catalog. Each committed generation is a CONSISTENT snapshot (compact
+    * folds every delta file on disk into the new generation before the
+    * commit marker lands), so any retained id can be read as-of via
+    * [[readGeneration]]. [[vacuum]]'s retention window bounds how far back
+    * the catalog reaches — the table-format time-travel contract. */
+  def generations(spark: SparkSession, path: String, alias: String): Seq[Long] = {
+    val fs = fileSystem(spark, path)
+    gensFor(fs, path, alias, committedOnly = true).map(p => genIdOf(p.getName))
+  }
+
+  /** Snapshot (time-travel) read: the tenant exactly as folded at the given
+    * committed generation's publish — deltas appended and generations
+    * committed AFTER it are excluded, because the generation dir itself IS
+    * the folded state (no manifest chasing needed). Throws if the id is
+    * unknown, not committed, or already vacuumed past retention. */
+  def readGeneration(spark: SparkSession, path: String, alias: String,
+                     genId: Long): DataFrame = {
+    val fs = fileSystem(spark, path)
+    val gen = gensFor(fs, path, alias, committedOnly = true)
+      .find(p => genIdOf(p.getName) == genId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"generation $genId of '$alias' does not exist (committed ids: " +
+          s"${generations(spark, path, alias).mkString(", ")})"))
+    viewFrame(spark, path, alias, Some(gen), Seq.empty)
+  }
+
   /** Read one tenant's slice — the union of its newest committed compacted
     * generation (if any) and the unfolded delta files, both partition-
     * pruned. PHYSICAL rows: upsert resolution is [[readLatest]]'s job, so a

@@ -160,4 +160,40 @@ class CompactSpec extends AnyFunSuite {
     val expected = IndexTable.readLatest(spark, path, "t").count()
     assert(IndexTable.read(spark, path, "t").count() === expected)
   }
+
+  test("committed generations are time-travel snapshots until vacuumed") {
+    val path = java.nio.file.Files.createTempDirectory("compact_travel").toString + "/idx"
+    IndexTable.append(IndexTable.ingestRecords(docs, "t", pageSize = 32), path)
+    IndexTable.compact(spark, path, "t") // gen A = folded v1 state
+    val Seq(genA) = IndexTable.generations(spark, path, "t")
+    val stateA = IndexTable.readLatest(spark, path, "t")
+      .select($"id", $"page_content").as[(String, String)].collect().toSet
+
+    // overwrite every document (same paths -> same ids, new content), fold
+    val docs2 = docs.withColumn("text", concat($"text", lit(" updatedv2")))
+    IndexTable.append(IndexTable.ingestRecords(docs2, "t", pageSize = 32), path)
+    IndexTable.compact(spark, path, "t") // gen B
+    val gensNow = IndexTable.generations(spark, path, "t")
+    assert(gensNow.size === 2 && gensNow.last === genA && gensNow.head > genA,
+      "catalog must list both committed generations, newest first")
+
+    // as-of A: exactly the pre-overwrite content; current view: the v2 text
+    val travel = IndexTable.readGeneration(spark, path, "t", genA)
+      .select($"id", $"page_content").as[(String, String)].collect().toSet
+    assert(travel === stateA)
+    val current = IndexTable.readLatest(spark, path, "t")
+      .select($"page_content").as[String].collect()
+    assert(current.exists(_.contains("updatedv2")) && travel != current.toSet)
+
+    intercept[IllegalArgumentException] {
+      IndexTable.readGeneration(spark, path, "t", 12345L)
+    }
+
+    // vacuum past retention retires gen A: catalog shrinks, as-of A throws
+    IndexTable.vacuum(spark, path, "t", retainMillis = 0)
+    assert(IndexTable.generations(spark, path, "t") === Seq(gensNow.head))
+    intercept[IllegalArgumentException] {
+      IndexTable.readGeneration(spark, path, "t", genA)
+    }
+  }
 }
