@@ -669,6 +669,36 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // RANGE-frame window (value-based frame, not row-count): 30-day moving
+    // revenue per customer. RANGE includes ALL peers of the current day, so
+    // the frame content is a pure function of the data — deterministic
+    // under ties where a ROWS frame would not be. Cents-integer sum keeps
+    // the aggregate exact across engines (the q4 pattern).
+    "q23_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("days"))
+        .rangeBetween(-30, 0)
+      t(s, d, "orders")
+        .where(col("o_custkey") <= 200)
+        .withColumn("days", datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+        .select(col("o_custkey"), col("o_orderkey"), col("days"),
+          sum(round(col("o_totalprice") * 100).cast("long")).over(w).as("sum_30d_cents"))
+        .orderBy(col("o_custkey"), col("days"), col("o_orderkey"))
+    }),
+
+    // Distribution-rank window functions: ntile quartiles, percent_rank,
+    // cume_dist over a total (tie-broken) order — one shuffle on the
+    // partition key, no global sort.
+    "q24_rank_funcs" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 4).as("pct_rank"),
+          round(cume_dist().over(w), 4).as("cum_dist"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Explicit GROUPING SETS (the asymmetric grouping rollup/cube can't
     // express) + grouping() disambiguation of real vs aggregate NULLs,
     // through the spark.sql surface. One expand + one aggregate exchange.
@@ -1769,6 +1799,25 @@ object SparkEntry {
         |FROM v JOIN p ON v.user_id = p.p_user_id
         | AND p.purchase_ts >= v.view_ts AND p.purchase_ts < v.view_ts + INTERVAL 1800 SECOND
         |ORDER BY user_id, view_id, purchase_id""".stripMargin,
+
+    "q23_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        | date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS days,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |   PARTITION BY o_custkey
+        |   ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum_30d_cents
+        |FROM orders WHERE o_custkey <= 200
+        |ORDER BY o_custkey, days, o_orderkey""".stripMargin,
+
+    "q24_rank_funcs" ->
+      """SELECT c_custkey, c_mktsegment,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | round(percent_rank() OVER w, 4) AS pct_rank,
+        | round(cume_dist() OVER w, 4) AS cum_dist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q20_grouping_sets" ->
       """SELECT coalesce(n_name, '(all)') AS nation,
