@@ -27,31 +27,35 @@ object Repetition {
     * Documents too short for an n-gram score 0 for it (total extension).
     */
   def signals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = Dedup.spread(df).select(col(idCol).as("doc_id"),
-      TextFunctions.wsTokens(lower(col(textCol))).as("t"))
-
-    // (doc, gram) counts for word n-grams of size n; grams assembled per row
-    // (narrow), exploded, then hash-aggregated with map-side partials.
-    def gramCounts(n: Int): DataFrame = toks
-      .where(size(col("t")) >= n)
+    // every gram size is emitted from ONE tokenize pass (tagged structs,
+    // concatenated per row) — three separate derivations would re-scan and
+    // re-tokenize the corpus once per size, the dominant cost at scale; the
+    // (doc, tag, gram) shuffle carries the same bytes either way.
+    def grams(n: Int, tag: String): String =
+      s"""IF(size(t) >= $n,
+         |  transform(sequence(1, size(t) - ${n - 1}),
+         |    i -> named_struct('tag', '$tag', 'gram', array_join(slice(t, i, $n), ' '))),
+         |  array())""".stripMargin
+    val tagged = Dedup.spread(df)
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.wsTokens(lower(col(textCol))).as("t"))
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(t) - ${n - 1}), i -> array_join(slice(t, i, $n), ' '))"))
-        .as("gram"))
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
-
-    def topFrac(n: Int, out: String): DataFrame = gramCounts(n)
-      .groupBy(col("doc_id"))
-      .agg(round(max(col("cnt")) / sum(col("cnt")), 4).as(out))
-
-    val dupFrac = gramCounts(8)
-      .groupBy(col("doc_id"))
-      .agg(round(sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)) / sum(col("cnt")), 4)
-        .as("dup_8gram_frac"))
-
+        s"concat(${grams(2, "b")}, ${grams(3, "t")}, ${grams(8, "o")})")).as("g"))
+    // per-(doc, tag): share of the top gram + coverage of repeated grams,
+    // then fold the tags to columns with conditional aggregation (one more
+    // doc-keyed agg, no self-joins).
+    val byTag = tagged
+      .groupBy(col("doc_id"), col("g").as("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("g.tag").as("tag"))
+      .agg(round(max(col("cnt")) / sum(col("cnt")), 4).as("top_frac"),
+        round(sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)) / sum(col("cnt")), 4)
+          .as("dup_frac"))
+    val folded = byTag.groupBy(col("doc_id")).agg(
+      max(when(col("tag") === "b", col("top_frac"))).as("top_bigram_frac"),
+      max(when(col("tag") === "t", col("top_frac"))).as("top_trigram_frac"),
+      max(when(col("tag") === "o", col("dup_frac"))).as("dup_8gram_frac"))
     df.select(col(idCol).as("doc_id"))
-      .join(topFrac(2, "top_bigram_frac"), Seq("doc_id"), "left")
-      .join(topFrac(3, "top_trigram_frac"), Seq("doc_id"), "left")
-      .join(dupFrac, Seq("doc_id"), "left")
+      .join(folded, Seq("doc_id"), "left")
       .na.fill(0.0, Seq("top_bigram_frac", "top_trigram_frac", "dup_8gram_frac"))
   }
 }
