@@ -419,6 +419,49 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("page_number"))
     }),
 
+    // S1 with REAL PDF bytes: each fixture doc is encoded as an actual
+    // one-page PDF (Flate-compressed content stream, Tj text operators,
+    // valid xref — sources/DocCodecs.MiniPdf), landed, and ingested via
+    // binaryFile -> executor-side magic-dispatch decode -> chunker. The
+    // oracle derives the same pages from the parquet fixture, so any
+    // corruption anywhere in deflate/escape/parse round-trip hash-fails.
+    "source_pdf_pages" -> ((s, d) => {
+      val tmp = scratch(d, "source_pdf")
+      val dir = new java.io.File(tmp)
+      dir.mkdirs()
+      t(s, d, "documents").select(col("doc_id"), col("text"))
+        .collect().foreach { r =>
+          java.nio.file.Files.write(
+            new java.io.File(dir, f"doc_${r.getLong(0)}%08d.pdf").toPath,
+            graft.sources.MiniPdf.encode(r.getString(1)))
+        }
+      graft.sources.BinaryDocs.readPagesAuto(s, tmp, pageSize = 32, glob = "*.pdf")
+        .withColumn("doc_id",
+          regexp_extract(col("document_path"), "doc_(\\d+)\\.pdf", 1).cast("long"))
+        .select(col("doc_id"), col("page_number"), col("page_content"))
+        .orderBy(col("doc_id"), col("page_number"))
+    }),
+
+    // S2 with REAL DOCX bytes: OOXML zip container, w:p/w:t runs
+    // (sources/DocCodecs.MiniDocx), same landing-zone ingest and oracle
+    // derivation as the PDF twin.
+    "source_docx_pages" -> ((s, d) => {
+      val tmp = scratch(d, "source_docx")
+      val dir = new java.io.File(tmp)
+      dir.mkdirs()
+      t(s, d, "documents").select(col("doc_id"), col("text"))
+        .collect().foreach { r =>
+          java.nio.file.Files.write(
+            new java.io.File(dir, f"doc_${r.getLong(0)}%08d.docx").toPath,
+            graft.sources.MiniDocx.encode(r.getString(1)))
+        }
+      graft.sources.BinaryDocs.readPagesAuto(s, tmp, pageSize = 32, glob = "*.docx")
+        .withColumn("doc_id",
+          regexp_extract(col("document_path"), "doc_(\\d+)\\.docx", 1).cast("long"))
+        .select(col("doc_id"), col("page_number"), col("page_content"))
+        .orderBy(col("doc_id"), col("page_number"))
+    }),
+
     // Store lifecycle THROUGH the gate: two append generations into a real
     // on-disk store (the second re-ingests every 5th document — same ids,
     // same content), compact the tenant, then RAW-read the store files.
@@ -1385,6 +1428,23 @@ object SparkEntry {
     // identical page derivation to chunk_pages — the binary path must
     // reproduce the parquet-derived pages byte-for-byte.
     "source_binary_pages" ->
+      """SELECT doc_id, CAST(g AS INT) AS page_number,
+        | coalesce(array_to_string(words[(g*32+1):(g*32+32)], ' '), '') AS page_content
+        |FROM (SELECT doc_id, words, unnest(generate_series(0, CAST(len(words) // 32 AS BIGINT))) AS g
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
+        |ORDER BY doc_id, page_number""".stripMargin,
+
+    // format-bytes twins of source_binary_pages: the oracle never sees the
+    // PDF/DOCX bytes — it derives pages straight from the fixture, which is
+    // exactly why a decode divergence cannot hide.
+    "source_pdf_pages" ->
+      """SELECT doc_id, CAST(g AS INT) AS page_number,
+        | coalesce(array_to_string(words[(g*32+1):(g*32+32)], ' '), '') AS page_content
+        |FROM (SELECT doc_id, words, unnest(generate_series(0, CAST(len(words) // 32 AS BIGINT))) AS g
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
+        |ORDER BY doc_id, page_number""".stripMargin,
+
+    "source_docx_pages" ->
       """SELECT doc_id, CAST(g AS INT) AS page_number,
         | coalesce(array_to_string(words[(g*32+1):(g*32+32)], ' '), '') AS page_content
         |FROM (SELECT doc_id, words, unnest(generate_series(0, CAST(len(words) // 32 AS BIGINT))) AS g

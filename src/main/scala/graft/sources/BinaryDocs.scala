@@ -39,4 +39,20 @@ object BinaryDocs {
       .select(col("document_path"), decode(col("content"), "UTF-8").as("text"))
     Chunker.chunk(decoded, "text", pageSize)
   }
+
+  private val decodeAutoUdf = udf((b: Array[Byte]) => DocCodecs.decodeAuto(b))
+
+  /** Format-dispatched variant: PDF and DOCX payloads decode through the
+    * pure-JVM codecs ([[DocCodecs]] — Flate content streams, OOXML zip),
+    * anything else as UTF-8, chosen per FILE by magic bytes so one landing
+    * zone can mix formats. The decode is a black-box byte parser, the one
+    * place a scalar UDF (not an Expression) is the honest tool; it still
+    * runs fully distributed inside the scan's project. */
+  def readPagesAuto(spark: SparkSession, dir: String,
+                    pageSize: Int = Chunker.DefaultPageSize,
+                    glob: String = "*"): DataFrame = {
+    val decoded = readRaw(spark, dir, glob)
+      .select(col("document_path"), decodeAutoUdf(col("content")).as("text"))
+    Chunker.chunk(decoded, "text", pageSize)
+  }
 }

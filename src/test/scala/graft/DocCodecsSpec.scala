@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{BinaryDocs, DocCodecs, MiniDocx, MiniPdf}
+
+class DocCodecsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val nasty = Seq(
+    "plain words only",
+    "",
+    "parens (nested (deep)) and \\ backslashes \\( tricky",
+    "xml & entities < > &amp; fake",
+    "multi\nline\n\ntext with empty line",
+    "control\ttab and high-bit: café ß ÿ",
+    ")( unbalanced-looking ) (",
+    "a" * 5000)
+
+  test("MiniPdf round-trips every nasty string") {
+    nasty.foreach { t =>
+      val bytes = MiniPdf.encode(t)
+      assert(new String(bytes.take(5), "ISO-8859-1") === "%PDF-")
+      assert(MiniPdf.extractText(bytes) === t, s"pdf round-trip of '$t'")
+    }
+  }
+
+  test("MiniPdf rejects non-Latin-1 text (simple-font scope)") {
+    intercept[IllegalArgumentException](MiniPdf.encode("中文"))
+  }
+
+  test("MiniDocx round-trips every nasty string") {
+    nasty.foreach { t =>
+      val bytes = MiniDocx.encode(t)
+      assert(bytes(0) === 'P'.toByte && bytes(1) === 'K'.toByte)
+      assert(MiniDocx.extractText(bytes) === t, s"docx round-trip of '$t'")
+    }
+    // docx has no Latin-1 restriction — full unicode through the zip/xml
+    assert(MiniDocx.extractText(MiniDocx.encode("中文 ok")) === "中文 ok")
+  }
+
+  test("decodeAuto dispatches on magic bytes") {
+    assert(DocCodecs.decodeAuto(MiniPdf.encode("via pdf")) === "via pdf")
+    assert(DocCodecs.decodeAuto(MiniDocx.encode("via docx")) === "via docx")
+    assert(DocCodecs.decodeAuto("plain utf-8 é".getBytes("UTF-8")) === "plain utf-8 é")
+  }
+
+  test("a mixed-format landing zone ingests through the distributed auto path") {
+    val dir = Files.createTempDirectory("graft_codecs").toString
+    Files.write(new java.io.File(dir, "a.pdf").toPath,
+      MiniPdf.encode("alpha words from pdf"))
+    Files.write(new java.io.File(dir, "b.docx").toPath,
+      MiniDocx.encode("beta words from docx"))
+    Files.write(new java.io.File(dir, "c.txt").toPath,
+      "gamma words from text".getBytes("UTF-8"))
+    val pages = BinaryDocs.readPagesAuto(spark, dir, pageSize = 2)
+      .select(regexp_extract(col("document_path"), "([a-z])\\.[a-z]+$", 1).as("doc"),
+        col("page_number"), col("page_content"))
+      .as[(String, Int, String)].collect().toSet
+    assert(pages === Set(
+      ("a", 0, "alpha words"), ("a", 1, "from pdf"), ("a", 2, ""),
+      ("b", 0, "beta words"), ("b", 1, "from docx"), ("b", 2, ""),
+      ("c", 0, "gamma words"), ("c", 1, "from text"), ("c", 2, "")))
+  }
+}
