@@ -312,12 +312,16 @@ object Dedup {
     * the per-pair check is a 27-element zip, orders cheaper than the banded
     * distance it guards.
     *
-    * Shuffle profile: one bucket-keyed self-join (never n^2) with the same
-    * `maxBucket` skew bound as the LSH operators (applied to own-bucket
-    * populations; an oversized bucket's key is skipped entirely), then a
-    * fused narrow filter chain — bag bound, then banded `levenshtein(p1,
-    * p2, maxDist)` (-1 past the threshold) — with nothing wider than the
-    * surviving pairs ever shuffled.
+    * Shuffle profile: one bucket-keyed self-join, then a fused narrow
+    * filter chain — bag bound, then banded `levenshtein(p1, p2, maxDist)`
+    * (-1 past the threshold) — with nothing wider than the surviving pairs
+    * ever shuffled. Unlike the LSH operators there is deliberately NO
+    * maxBucket skip here: in this blocking scheme the dominant length
+    * bucket (every doc ≥ window chars) IS the workload, so skipping
+    * oversized buckets would silently zero the operator's recall the
+    * moment the corpus grows past the bound — candidate volume is
+    * inherently quadratic in the largest bucket's population, and the
+    * caller's dial for that is `window`/`maxDist`, not a silent drop.
     *
     * The length-bucket key space is TINY (≈ window/bucketWidth values), so
     * an unsalted join would put each bucket's whole pair loop on one task —
@@ -326,10 +330,11 @@ object Dedup {
     * The join is therefore slice-salted like [[graft.operators.Skew]]: the
     * right side hashes into `saltSlices` slices, the (narrow, pre-verify)
     * left side replicates across all of them, and every pair still meets on
-    * exactly one key, now (bucket, slice). */
+    * exactly one key, now (bucket, slice). Size `saltSlices` ≈ the target
+    * parallelism for the largest bucket's pair loop. */
   def levenshteinNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                               maxDist: Int = 24, window: Int = 128,
-                              bucketWidth: Int = 32, maxBucket: Int = 10000,
+                              bucketWidth: Int = 32,
                               saltSlices: Int = 32): DataFrame = {
     require(bucketWidth > maxDist,
       s"bucketWidth ($bucketWidth) must exceed maxDist ($maxDist) for lossless blocking")
@@ -342,16 +347,11 @@ object Dedup {
       }: _*))
       .withColumn("own", floor(length(col("pre")) / bucketWidth).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val okBuckets = pre.groupBy(col("own").as("b"))
-      .agg(count(lit(1)).as("__bn"))
-      .where(col("__bn") <= maxBucket)
-      .select(col("b"))
-    val left = pre.join(broadcast(okBuckets), col("own") === col("b")).drop("b")
+    val left = pre
       .withColumn("s", explode(array((0 until saltSlices).map(lit): _*)))
     val right = pre
       .select(col("doc_id"), col("pre"), col("bag"),
         explode(array(col("own") - 1, col("own"), col("own") + 1)).as("b"))
-      .join(broadcast(okBuckets), Seq("b"))
       .withColumn("s", pmod(xxhash64(col("doc_id")), lit(saltSlices)).cast("int"))
     val bagL1 = aggregate(
       zip_with(col("a.bag"), col("c.bag"), (x, y) => abs(x - y)),

@@ -27,15 +27,21 @@ object DocCodecs {
 
   /** Magic-byte dispatch: `%PDF-` → PDF, `PK\x03\x04` (zip) → DOCX,
     * anything else → UTF-8 plain text. Mirrors the reference's extension
-    * dispatch but on content, so mislabeled files still decode. */
-  def decodeAuto(bytes: Array[Byte]): String =
-    if (bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
-        bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-')
-      MiniPdf.extractText(bytes)
-    else if (bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'K' &&
-        bytes(2) == 3 && bytes(3) == 4)
-      MiniDocx.extractText(bytes)
-    else new String(bytes, UTF_8)
+    * dispatch but on content, so mislabeled files still decode — and a
+    * payload whose magic LIES (a non-DOCX zip, a truncated PDF) falls back
+    * to the UTF-8 reading instead of throwing: one poison file must not
+    * fail a million-file ingest job. */
+  def decodeAuto(bytes: Array[Byte]): String = {
+    val parsed: Option[String] =
+      if (bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
+          bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-')
+        scala.util.Try(MiniPdf.extractText(bytes)).toOption
+      else if (bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'K' &&
+          bytes(2) == 3 && bytes(3) == 4)
+        scala.util.Try(MiniDocx.extractText(bytes)).toOption
+      else None
+    parsed.getOrElse(new String(bytes, UTF_8))
+  }
 }
 
 object MiniPdf {
