@@ -49,6 +49,21 @@ class DocCodecsSpec extends AnyFunSuite {
     assert(DocCodecs.decodeAuto("plain utf-8 é".getBytes("UTF-8")) === "plain utf-8 é")
   }
 
+  test("decodeAuto survives lying magic bytes (poison files fall back, never throw)") {
+    // a zip that is NOT a docx: must not throw (one poison file must not
+    // fail a whole ingest job) — falls back to the UTF-8 reading
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new java.util.zip.ZipOutputStream(bos)
+    zip.putNextEntry(new java.util.zip.ZipEntry("data.bin"))
+    zip.write("not a docx".getBytes("UTF-8"))
+    zip.closeEntry(); zip.close()
+    assert(DocCodecs.decodeAuto(bos.toByteArray) != null)
+    // a truncated PDF: header promises PDF, body lies
+    val broken = "%PDF-1.4\n<< /Filter /FlateDecode /Length 50 >>\nstream\nxx"
+      .getBytes("ISO-8859-1")
+    assert(DocCodecs.decodeAuto(broken) != null)
+  }
+
   test("a mixed-format landing zone ingests through the distributed auto path") {
     val dir = Files.createTempDirectory("graft_codecs").toString
     Files.write(new java.io.File(dir, "a.pdf").toPath,
