@@ -99,6 +99,19 @@ final class GraftVectorStore(
         col("page_number"), col("page_content"), col("similarity"))
   }
 
+  /** Time-travel search: exact KNN over the index exactly as it stood at a
+    * committed generation (see [[IndexTable.readGeneration]]) — "what would
+    * this query have answered last week". Snapshots are already
+    * latest-per-id resolved at fold time, so no upsert window is applied. */
+  def searchAsOf(prompt: String, alias: String, genId: Long,
+                 topN: Int = 10): DataFrame = {
+    val qvec = Embedder.embedQuery(prompt, model, seed)
+    val slice = IndexTable.readGeneration(spark, indexPath, resolveAlias(alias), genId)
+    KnnSearch.topK(slice, qvec, topN)
+      .select(col("id"), col("index_alias"), col("document_path"),
+        col("page_number"), col("page_content"), col("similarity"))
+  }
+
   /** Store maintenance: physically apply upserts and rewrite the tenant's
     * files (see [[IndexTable.compact]]). Returns surviving row count. */
   def compactIndex(alias: String,

@@ -136,6 +136,49 @@ object Multimodal {
     }
   }
 
+  /** Real audio decode — `javax.sound.sampled` is in the JDK, so WAV/PCM
+    * payloads (the dominant uncompressed-audio interchange format) decode
+    * without any external codec: per-band mean absolute amplitude over
+    * `featureDim` equal time slices, mono-folded across channels and
+    * normalized to [0, 1]. Returns None for non-WAV/unsupported encodings
+    * (mp3/ogg need codecs this container doesn't ship) — the caller falls
+    * back to the deterministic stub, keeping the pipeline total. */
+  def decodeAudioFeatures(payload: Array[Byte], featureDim: Int): Option[Array[Float]] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) return None
+        val bytes = in.readAllBytes()
+        val channels = fmt.getChannels
+        val frameBytes = 2 * channels
+        val nFrames = bytes.length / frameBytes
+        if (nFrames == 0) return None
+        val order =
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN
+        val buf = java.nio.ByteBuffer.wrap(bytes).order(order).asShortBuffer()
+        val sums = new Array[Double](featureDim)
+        val counts = new Array[Long](featureDim)
+        var f = 0
+        while (f < nFrames) {
+          val band = (f.toLong * featureDim / nFrames).toInt
+          var c = 0
+          var acc = 0.0
+          while (c < channels) { acc += math.abs(buf.get(f * channels + c).toDouble); c += 1 }
+          sums(band) += acc / (channels * 32768.0)
+          counts(band) += 1
+          f += 1
+        }
+        Some(Array.tabulate(featureDim)(i =>
+          if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat))
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
   /** Feature extraction over the media table. `mapPartitions` so any real
     * decoder is initialized once per partition (codec contexts are
     * expensive), and rows stream through in batches — the Scala analogue of
@@ -154,11 +197,11 @@ object Multimodal {
         // the per-row cost to decode alone (the once-per-partition setup
         // point a real codec would also use)
         rows.map { case (id, kind, payload, nBytes) =>
-          val features =
-            if (kind == "image")
-              decodeImageFeatures(payload, featureDim)
-                .getOrElse(fakeDecodeFeatures(payload, featureDim))
-            else fakeDecodeFeatures(payload, featureDim)
+          val features = (kind match {
+            case "image" => decodeImageFeatures(payload, featureDim)
+            case "audio" => decodeAudioFeatures(payload, featureDim)
+            case _ => None
+          }).getOrElse(fakeDecodeFeatures(payload, featureDim))
           MediaFeatures(id, kind, nBytes, features)
         }
       }

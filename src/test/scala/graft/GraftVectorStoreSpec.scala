@@ -59,6 +59,31 @@ class GraftVectorStoreSpec extends AnyFunSuite {
     assert(after === beforeCompact)
   }
 
+  test("searchAsOf answers from the snapshot, search from the present") {
+    val path = java.nio.file.Files.createTempDirectory("graft_store_asof").toString + "/idx"
+    val store = new GraftVectorStore(spark, path)
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select($"source".as("document_path"), $"text").limit(10)
+    store.addDocuments(docs, "t", pageSize = 32)
+    store.compactIndex("t")
+    val Seq(genA) = store.indexGenerations("t")
+
+    // overwrite every doc with marker text, fold again
+    store.addDocuments(docs.withColumn("text",
+      concat(lit("asofmarker "), $"text")), "t", pageSize = 32)
+    store.compactIndex("t")
+    assert(store.indexGenerations("t").size === 2)
+
+    val now = store.search("fast spark table scan query", "t", topN = 5)
+      .select($"page_content").as[String].collect()
+    val asOf = store.searchAsOf("fast spark table scan query", "t", genA, topN = 5)
+      .select($"page_content").as[String].collect()
+    assert(now.exists(_.contains("asofmarker")),
+      "present-day search must see the overwrite")
+    assert(!asOf.exists(_.contains("asofmarker")),
+      "as-of search must answer from the pre-overwrite snapshot")
+  }
+
   test("bucketed store: approximate search prunes at the partition (file) level") {
     val path = java.nio.file.Files.createTempDirectory("graft_store4").toString + "/idx"
     // bits=2: hamming-1 probes cover 3 of 4 buckets — high recall on the

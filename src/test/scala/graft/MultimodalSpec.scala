@@ -73,6 +73,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.head.features.toSeq !== Multimodal.fakeDecodeFeatures(png, 2).toSeq)
   }
 
+  test("real WAV bytes decode through javax.sound: band amplitudes match the signal") {
+    // 16-bit PCM mono WAV, 2000 frames: first half silence, second half
+    // full-scale square wave — with featureDim=2 the mean-|amplitude|
+    // bands must read ~0.0 and ~1.0
+    val samples = new Array[Short](2000)
+    for (i <- 1000 until 2000) samples(i) = if (i % 2 == 0) 32767 else -32767
+    val bytes = new Array[Byte](samples.length * 2)
+    java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asShortBuffer().put(samples)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val wav = buf.toByteArray
+
+    val direct = Multimodal.decodeAudioFeatures(wav, 2)
+    assert(direct.isDefined, "a real WAV must decode")
+    assert(direct.get(0) < 0.01f && direct.get(1) > 0.95f, direct.get.toSeq)
+
+    // and through the distributed pipeline under kind=audio
+    val media = Seq((2L, "audio", wav, ("gen", wav.length.toLong)))
+      .toDF("media_id", "kind", "payload", "meta")
+      .select($"media_id", $"kind", $"payload",
+        struct($"meta._1".as("source"), $"meta._2".as("n_bytes")).as("meta"))
+    val out = Multimodal.extractFeatures(spark, media, featureDim = 2).collect()
+    assert(out.head.features.toSeq === direct.get.toSeq)
+    assert(out.head.features.toSeq !== Multimodal.fakeDecodeFeatures(wav, 2).toSeq)
+  }
+
+  test("non-WAV payloads under kind=audio fall back to the deterministic stub") {
+    val junk = "definitely not audio".getBytes("UTF-8")
+    val media = Seq((8L, "audio", junk, ("gen", junk.length.toLong)))
+      .toDF("media_id", "kind", "payload", "meta")
+      .select($"media_id", $"kind", $"payload",
+        struct($"meta._1".as("source"), $"meta._2".as("n_bytes")).as("meta"))
+    val out = Multimodal.extractFeatures(spark, media, featureDim = 4).collect()
+    assert(out.head.features.toSeq === Multimodal.fakeDecodeFeatures(junk, 4).toSeq)
+  }
+
   test("non-image payloads under kind=image fall back to the deterministic stub") {
     val junk = "definitely not an image".getBytes("UTF-8")
     val media = Seq((7L, "image", junk, ("gen", junk.length.toLong)))
