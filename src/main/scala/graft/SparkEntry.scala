@@ -1193,6 +1193,48 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"), col("day"))
     }),
 
+    // Ordered-funnel analysis (view -> click -> purchase): per-user stage
+    // timestamps via conditional min-cascades — each stage is one
+    // user-keyed aggregation joined forward (strictly-after semantics),
+    // NEVER a per-user window sort over raw events. Per-user state is one
+    // timestamp per stage; all three joins hash on user_id so the
+    // exchanges reuse partitioning.
+    "events_funnel" -> ((s, d) => {
+      val ev = events(s, d)
+      val tView = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val tClick = ev.where(col("event_type") === "click")
+        .join(tView, "user_id")
+        .where(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val tBuy = ev.where(col("event_type") === "purchase")
+        .join(tClick, "user_id")
+        .where(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_buy"))
+      tView.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+        .unionByName(tClick.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("stage"), col("n_users")))
+        .unionByName(tBuy.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("stage"), col("n_users")))
+        .orderBy(col("stage"))
+    }),
+
+    // Cohort retention matrix: cohort = each user's first active day;
+    // cells = distinct users active at each day offset. Two user-keyed
+    // aggregations + one (cohort, offset) distinct-count — no windows, no
+    // per-user sorts.
+    "events_retention" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .where(col("day_offset") <= 7)
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // Native session_window streaming aggregation — the third sessionizer
     // (window-batch, flatMapGroupsWithState, and now the built-in streaming
     // session merge). session_seq is assigned afterwards on the session-
@@ -1997,6 +2039,31 @@ object SparkEntry {
         |SELECT user_id, session_seq, count(*) AS n_events, min(ts) AS session_start,
         | max(ts) AS session_end, round(sum(value),4) AS session_value
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_buy FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
+
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT cohort_day,
+        | CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+        | count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |WHERE date_diff('day', cohort_day, day) <= 7
+        |GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "streaming_enrich_static" ->
       """SELECT c_mktsegment AS segment, event_type,
