@@ -1193,6 +1193,24 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"), col("day"))
     }),
 
+    // Equi-width value histogram (16 buckets over the observed range): the
+    // data-profiling primitive. One tiny min/max agg broadcast back, then
+    // a map-side-combinable bucket count — the entire corpus pass is
+    // narrow. Bucket arithmetic is plain double math both engines share.
+    "events_histogram" -> ((s, d) => {
+      val ev = events(s, d)
+      val st = ev.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      ev.crossJoin(broadcast(st))
+        .withColumn("bucket", least(
+          floor((col("value") - col("vmin")) * 16 / (col("vmax") - col("vmin"))),
+          lit(15L)).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 4).as("lo"),
+          round(max(col("value")), 4).as("hi"))
+        .orderBy(col("bucket"))
+    }),
+
     // Ordered-funnel analysis (view -> click -> purchase): per-user stage
     // timestamps via conditional min-cascades — each stage is one
     // user-keyed aggregation joined forward (strictly-after semantics),
@@ -2039,6 +2057,13 @@ object SparkEntry {
         |SELECT user_id, session_seq, count(*) AS n_events, min(ts) AS session_start,
         | max(ts) AS session_end, round(sum(value),4) AS session_value
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "events_histogram" ->
+      """WITH st AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events)
+        |SELECT CAST(least(floor((value - vmin) * 16 / (vmax - vmin)), 15) AS INT) AS bucket,
+        | count(*) AS n, round(min(value), 4) AS lo, round(max(value), 4) AS hi
+        |FROM events CROSS JOIN st
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "events_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
