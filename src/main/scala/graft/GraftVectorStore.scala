@@ -94,9 +94,7 @@ final class GraftVectorStore(
         case _ => throw new IllegalArgumentException(
           "approximate search requires the store to be built with lshBits or ivfCells")
       }
-    KnnSearch.topK(slice, qvec, topN)
-      .select(col("id"), col("index_alias"), col("document_path"),
-        col("page_number"), col("page_content"), col("similarity"))
+    KnnSearch.hitProjection(KnnSearch.topK(slice, qvec, topN))
   }
 
   /** Time-travel search: exact KNN over the index exactly as it stood at a
@@ -107,9 +105,7 @@ final class GraftVectorStore(
                  topN: Int = 10): DataFrame = {
     val qvec = Embedder.embedQuery(prompt, model, seed)
     val slice = IndexTable.readGeneration(spark, indexPath, resolveAlias(alias), genId)
-    KnnSearch.topK(slice, qvec, topN)
-      .select(col("id"), col("index_alias"), col("document_path"),
-        col("page_number"), col("page_content"), col("similarity"))
+    KnnSearch.hitProjection(KnnSearch.topK(slice, qvec, topN))
   }
 
   /** Store maintenance: physically apply upserts and rewrite the tenant's

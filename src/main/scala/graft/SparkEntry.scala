@@ -1198,12 +1198,17 @@ object SparkEntry {
     // a map-side-combinable bucket count — the entire corpus pass is
     // narrow. Bucket arithmetic is plain double math both engines share.
     "events_histogram" -> ((s, d) => {
-      val ev = events(s, d)
+      // NULL values are excluded up front (a profiling histogram that
+      // silently counts NULLs into a bucket lies about that bucket), and
+      // the zero-width range degenerates to bucket 0 instead of a
+      // DIVIDE_BY_ZERO under Spark 4's default ANSI mode.
+      val ev = events(s, d).where(col("value").isNotNull)
       val st = ev.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
       ev.crossJoin(broadcast(st))
-        .withColumn("bucket", least(
-          floor((col("value") - col("vmin")) * 16 / (col("vmax") - col("vmin"))),
-          lit(15L)).cast("int"))
+        .withColumn("bucket", when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(
+            floor((col("value") - col("vmin")) * 16 / (col("vmax") - col("vmin"))),
+            lit(15L))).cast("int"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
           round(min(col("value")), 4).as("lo"),
@@ -2059,10 +2064,12 @@ object SparkEntry {
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
 
     "events_histogram" ->
-      """WITH st AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events)
-        |SELECT CAST(least(floor((value - vmin) * 16 / (vmax - vmin)), 15) AS INT) AS bucket,
+      """WITH e AS (SELECT value FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT min(value) AS vmin, max(value) AS vmax FROM e)
+        |SELECT CAST(CASE WHEN vmax = vmin THEN 0
+        |  ELSE least(floor((value - vmin) * 16 / (vmax - vmin)), 15) END AS INT) AS bucket,
         | count(*) AS n, round(min(value), 4) AS lo, round(max(value), 4) AS hi
-        |FROM events CROSS JOIN st
+        |FROM e CROSS JOIN st
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "events_funnel" ->

@@ -5,9 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque `binary`
   * columns with typed metadata, plus a partition-batched feature-extraction
-  * operator. The decode step is STUBBED with a deterministic fake (this
-  * container ships no image/audio codecs) — the Spark-side contract (schema,
-  * batch shape, partitioning) is real and tested.
+  * operator. Image payloads decode for REAL via JDK ImageIO
+  * ([[Multimodal.decodeImageFeatures]]: PNG/JPEG/GIF/BMP → pixel-band
+  * luminance features) and audio via JDK javax.sound.sampled
+  * ([[Multimodal.decodeAudioFeatures]]: WAV/PCM16 → per-band amplitude);
+  * video and codec formats the JVM can't read fall back to a deterministic
+  * stub ([[Multimodal.fakeDecodeFeatures]]) so the pipeline stays total —
+  * the Spark-side contract (schema, batch shape, partitioning) is identical
+  * on every path.
   *
   * Schema: media(media_id BIGINT, kind STRING in {image,audio,video},
   * payload BINARY, meta STRUCT<source STRING, n_bytes BIGINT>).

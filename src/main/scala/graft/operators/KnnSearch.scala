@@ -35,6 +35,13 @@ object KnnSearch {
   /** E2 search entry (reference `queryRedis`, `modules/utilities.py:368-401`):
     * embed the prompt (Q1, `:376-377`), partition-pruned scan, exact top-k,
     * result projection (P6, `:385,393-395`). */
+  /** The hit-result schema every search surface returns (P6 result
+    * projection) — ONE definition so `search`, the facade's `search`, and
+    * `searchAsOf` cannot drift apart. */
+  def hitProjection(hits: DataFrame): DataFrame =
+    hits.select(col("id"), col("index_alias"), col("document_path"),
+      col("page_number"), col("page_content"), col("similarity"))
+
   def search(spark: SparkSession, indexPath: String, alias: String,
              prompt: String, k: Int,
              model: String = graft.core.ModelRegistry.default,
@@ -42,8 +49,6 @@ object KnnSearch {
     val qvec = Embedder.embedQuery(prompt, model, seed)
     // readLatest: re-ingested documents must not surface stale versions
     // (HSET last-write-wins, modules/utilities.py:304-309)
-    topK(IndexTable.readLatest(spark, indexPath, alias), qvec, k)
-      .select(col("id"), col("index_alias"), col("document_path"),
-        col("page_number"), col("page_content"), col("similarity"))
+    hitProjection(topK(IndexTable.readLatest(spark, indexPath, alias), qvec, k))
   }
 }
