@@ -308,9 +308,13 @@ object Dedup {
     * char-histogram bound: one edit op changes a character multiset by at
     * most 2 units of L1, so L1(bag(a), bag(b)) > 2·maxDist rules a pair out.
     * The 27-bin bag (a-z + space, lowercased — a char-level projection can
-    * only shrink L1, so the bound survives it) is computed once per ROW;
-    * the per-pair check is a 27-element zip, orders cheaper than the banded
-    * distance it guards.
+    * only shrink L1, so the bound survives it) is computed once per ROW as
+    * a 27-byte `binary` ([[graft.plans.CharBagExpr]], one string pass); the
+    * per-pair check is a codegen early-exit byte compare
+    * ([[graft.plans.BagL1WithinExpr]]), orders cheaper than the banded
+    * distance it guards. A free `|len(a)-len(b)| <= maxDist` reject runs
+    * before it (the length blocking alone allows ~2x bucketWidth of
+    * spread).
     *
     * Shuffle profile: one bucket-keyed self-join, then a fused narrow
     * filter chain — bag bound, then banded `levenshtein(p1, p2, maxDist)`
@@ -338,13 +342,12 @@ object Dedup {
                               saltSlices: Int = 32): DataFrame = {
     require(bucketWidth > maxDist,
       s"bucketWidth ($bucketWidth) must exceed maxDist ($maxDist) for lossless blocking")
-    val low = lower(col("pre"))
-    val bagBins = ('a' to 'z').map(_.toString) :+ " "
+    // bag: single-pass 27-byte histogram (codegen CharBagExpr) — 27 bytes
+    // through the candidate shuffle instead of an int array, one string
+    // scan per row instead of 27
     val pre = spread(df).select(col(idCol).as("doc_id"),
         substring(TextFunctions.cleanseText(col(textCol)), 1, window).as("pre"))
-      .withColumn("bag", array(bagBins.map { ch =>
-        (length(low) - length(replace(low, lit(ch), lit("")))).cast("int")
-      }: _*))
+      .withColumn("bag", graft.plans.CharBagExpressions.charBag(col("pre")))
       .withColumn("own", floor(length(col("pre")) / bucketWidth).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val left = pre
@@ -353,13 +356,15 @@ object Dedup {
       .select(col("doc_id"), col("pre"), col("bag"),
         explode(array(col("own") - 1, col("own"), col("own") + 1)).as("b"))
       .withColumn("s", pmod(xxhash64(col("doc_id")), lit(saltSlices)).cast("int"))
-    val bagL1 = aggregate(
-      zip_with(col("a.bag"), col("c.bag"), (x, y) => abs(x - y)),
-      lit(0), (acc, x) => acc + x)
+    // filter ladder, cheapest first: |len diff| > k is a free reject the
+    // length blocking doesn't fully cover (buckets allow up to 2·bucketWidth
+    // of spread); then the early-exit bag bound; then the banded DP verify
     val pairs = left.alias("a").join(right.alias("c"),
         col("a.own") === col("c.b") && col("a.s") === col("c.s") &&
           col("a.doc_id") < col("c.doc_id"))
-      .where(bagL1 <= lit(2 * maxDist))
+      .where(abs(length(col("a.pre")) - length(col("c.pre"))) <= lit(maxDist))
+      .where(graft.plans.CharBagExpressions.bagL1Within(
+        col("a.bag"), col("c.bag"), 2 * maxDist))
       .withColumn("edit_dist", graft.plans.StringEditExpressions
         .bandedLevenshtein(col("a.pre"), col("c.pre"), maxDist))
       .where(col("edit_dist") >= 0)

@@ -163,6 +163,49 @@ object Probe {
           println(f"deduplsh b=$bits L=$tabs,$th%.2f,${exact.size}%d,$rec%.3f,${nc / allPairs}%.3f")
         }
 
+      case "lev" =>
+        // Stage-by-stage cost of the banded-Levenshtein near-dup at this SF:
+        // where do the seconds go — the salted join, the bag prefilter, or
+        // the banded verify? (Mirrors Dedup.levenshteinNearDupPairs with
+        // the fused filter chain split apart so each stage is timed alone.)
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        time("warmup count")(docs.count())
+        val window = 128; val bucketWidth = 32; val maxDist = 24; val slices = 32
+        val pre = docs.repartition(cpus.toInt)
+          .select(col("doc_id"),
+            substring(graft.functions.TextFunctions.cleanseText(col("text")), 1, window).as("pre"))
+          .withColumn("bag", graft.plans.CharBagExpressions.charBag(col("pre")))
+          .withColumn("own", floor(length(col("pre")) / bucketWidth).cast("int"))
+          .persist()
+        time("pre materialize")(pre.count())
+        val left = pre.withColumn("s", explode(array((0 until slices).map(lit): _*)))
+        val right = pre.select(col("doc_id"), col("pre"), col("bag"),
+            explode(array(col("own") - 1, col("own"), col("own") + 1)).as("b"))
+          .withColumn("s", pmod(xxhash64(col("doc_id")), lit(slices)).cast("int"))
+        val joined = left.alias("a").join(right.alias("c"),
+          col("a.own") === col("c.b") && col("a.s") === col("c.s") &&
+            col("a.doc_id") < col("c.doc_id"))
+        val nPairs = time("join only (count)")(joined.count())
+        println(s"[probe] candidate pairs: $nPairs")
+        val lenOk = abs(length(col("a.pre")) - length(col("c.pre"))) <= lit(maxDist)
+        val nLen = time("join + len filter")(joined.where(lenOk).count())
+        println(s"[probe] pairs past len bound: $nLen")
+        val bagOk = lenOk && graft.plans.CharBagExpressions.bagL1Within(
+          col("a.bag"), col("c.bag"), 2 * maxDist)
+        val nBag = time("join + len + bag filter")(joined.where(bagOk).count())
+        println(s"[probe] pairs past bag bound: $nBag")
+        val nVer = time("join + len + bag + verify")(
+          joined.where(bagOk)
+            .withColumn("edit_dist", graft.plans.StringEditExpressions
+              .bandedLevenshtein(col("a.pre"), col("c.pre"), maxDist))
+            .where(col("edit_dist") >= 0).count())
+        println(s"[probe] verified pairs: $nVer")
+        val nVerOnly = time("join + verify (no bag)")(
+          joined.withColumn("edit_dist", graft.plans.StringEditExpressions
+              .bandedLevenshtein(col("a.pre"), col("c.pre"), maxDist))
+            .where(col("edit_dist") >= 0).count())
+        println(s"[probe] verified (no bag): $nVerOnly")
+
       case "recall" =>
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
         emb.count()

@@ -63,6 +63,35 @@ class StringEditSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-word Myers path: long Latin-1 strings match the full-matrix reference") {
+    // lengths up to ~200 chars exercise 1-, 2-, and 4-word bit-vectors;
+    // é (U+00E9) stays on the Latin-1/Myers path, 中 forces the DP fallback
+    val latin1 = Gen.frequency(
+      (8, Gen.alphaLowerChar), (2, Gen.oneOf(' ', '.', 'é')))
+    val anyBmp = Gen.frequency(
+      (8, Gen.alphaLowerChar), (2, Gen.oneOf(' ', '中', 'é')))
+    for ((alpha, tag) <- Seq((latin1, "latin1"), (anyBmp, "bmp"))) {
+      (0 until 120).foreach { i =>
+        val seed = Seed(9000L + i)
+        val la = Gen.chooseNum(0, 200).pureApply(Gen.Parameters.default, seed)
+        val lb = Gen.chooseNum(0, 200).pureApply(Gen.Parameters.default, seed.next)
+        val a = Gen.listOfN(la, alpha).pureApply(Gen.Parameters.default, seed).mkString
+        val b = Gen.listOfN(lb, alpha).pureApply(Gen.Parameters.default, seed.next).mkString
+        for (k <- Seq(0, 3, 24, 64, 150, 500)) {
+          assert(banded(a, b, k) === ref(a, b, k), s"[$tag] a='$a' b='$b' k=$k")
+        }
+      }
+    }
+    // word-boundary lengths: 63/64/65/127/128/129 with 0-2 edits
+    for (n <- Seq(63, 64, 65, 127, 128, 129)) {
+      val s = (0 until n).map(i => ('a' + i % 26).toChar).mkString
+      val variants = Seq(s, s.dropRight(1), s.updated(n / 2, 'Z'), "q" + s, s.reverse)
+      for (x <- variants; k <- Seq(1, 2, 24)) {
+        assert(banded(s, x, k) === ref(s, x, k), s"n=$n x='${x.take(8)}…' k=$k")
+      }
+    }
+  }
+
   test("near-identical strings (the regime the early exit must not break)") {
     val base = "The quick brown fox jumps over the lazy dog, twice daily."
     val edits = Seq(
@@ -74,6 +103,43 @@ class StringEditSpec extends AnyFunSuite {
       base.reverse)
     for (x <- edits; y <- edits; k <- Seq(2, 5, 24)) {
       assert(banded(x, y, k) === ref(x, y, k), s"x='$x' y='$y' k=$k")
+    }
+  }
+
+  test("char bag matches the declarative 27-bin histogram and the L1 bound is admissible") {
+    import graft.plans.CharBag
+    val gen = Gen.frequency(
+      (8, Gen.alphaChar), (3, Gen.const(' ')), (1, Gen.oneOf('.', ',', '7', 'é')))
+    val strs = (0 until 200).map { i =>
+      val seed = Seed(1000L + i)
+      val n = Gen.chooseNum(0, 140).pureApply(Gen.Parameters.default, seed)
+      Gen.listOfN(n, gen).pureApply(Gen.Parameters.default, seed).mkString
+    }
+    // bag equals the 27-scan declarative definition
+    val bins = ('a' to 'z') :+ ' '
+    for (s <- strs) {
+      val want = bins.map(ch => s.toLowerCase.count(_ == ch).min(255))
+      val got = CharBag.bag(UTF8String.fromString(s)).map(_ & 0xff).toSeq
+      assert(got === want, s"bag mismatch for '$s'")
+    }
+    // admissibility: edit distance <= k implies the bag bound passes
+    // (pairs with banded(a,b,k) >= 0 must never be rejected by l1Within)
+    for (a <- strs.take(40); b <- strs.take(40); k <- Seq(3, 24)) {
+      if (banded(a, b, k) >= 0) {
+        assert(CharBag.l1Within(
+          CharBag.bag(UTF8String.fromString(a)),
+          CharBag.bag(UTF8String.fromString(b)), 2 * k),
+          s"bag bound rejected a qualifying pair: '$a' vs '$b' k=$k")
+      }
+    }
+    // early exit returns the same verdict as the plain sum
+    for (a <- strs.take(60); b <- strs.take(60)) {
+      val ba = CharBag.bag(UTF8String.fromString(a))
+      val bb = CharBag.bag(UTF8String.fromString(b))
+      val l1 = ba.zip(bb).map { case (x, y) => math.abs((x & 0xff) - (y & 0xff)) }.sum
+      for (bound <- Seq(0, 10, 48, 300)) {
+        assert(CharBag.l1Within(ba, bb, bound) === (l1 <= bound))
+      }
     }
   }
 
