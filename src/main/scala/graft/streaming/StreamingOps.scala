@@ -14,6 +14,30 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingOps {
 
+  /** Default state-store partition count for the stateful streaming
+    * queries. Stateful operators bake `spark.sql.shuffle.partitions` into
+    * the checkpoint as the state partition count, and every micro-batch
+    * pays task-scheduling plus state-store commit overhead PER PARTITION —
+    * so this must be sized to expected state volume (keys in state /
+    * target keys per store), NOT inherited from the session's batch
+    * shuffle parallelism. Inheriting a CPU-sized batch default (e.g. 32)
+    * measured ~9x slower end-to-end on the interval join than a
+    * state-sized count, with identical results. */
+  val DefaultStatePartitions = 8
+
+  /** Run `f` (which must both START and STOP its streaming query) with the
+    * session's shuffle-partition conf pinned to `n`, restoring the batch
+    * setting afterwards. The pinned value is captured by the query AT START
+    * and persists in its checkpoint; the surrounding batch plan is
+    * unaffected. Queries here run serially per session, so the temporary
+    * session-conf flip cannot leak into a concurrent batch plan. */
+  def withStatePartitions[A](spark: SparkSession,
+                             n: Int = DefaultStatePartitions)(f: => A): A = {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   /** Stream-read the events fixture; its `ts` is TIMESTAMP(NANOS), which
     * Spark reads only as long (nanosAsLong) — truncate to micros, matching
     * DuckDB's ns->us read so the batch oracle agrees. */
@@ -41,14 +65,16 @@ object StreamingOps {
       .groupBy(window(col("ts"), every).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -74,14 +100,16 @@ object StreamingOps {
     val agg = enriched
       .groupBy(col(segCol).as("segment"), col("event_type"), col(streamKey).as("uid"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(queryName)
       .groupBy(col("segment"), col("event_type"))
       .agg(sum(col("n_events")).as("n_events"),
@@ -97,17 +125,19 @@ object StreamingOps {
                       keyCols: Seq[String], watermark: String = "1 hour",
                       queryName: String = "graft_stream_dedup"): DataFrame = {
     val stream = readEvents(spark, eventsPath)
-    val q = stream
-      .withWatermark("ts", watermark)
-      .dropDuplicates(keyCols :+ "ts")
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark) {
+      val q = stream
+        .withWatermark("ts", watermark)
+        .dropDuplicates(keyCols :+ "ts")
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -129,14 +159,16 @@ object StreamingOps {
       .withWatermark("ts_bucket", watermark)
       .dropDuplicates(keyCols :+ "ts_bucket")
       .select(keyCols.map(col) :+ col("ts_bucket"): _*)
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark) {
+      val q = deduped.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -167,14 +199,16 @@ object StreamingOps {
         col("purchase_ts") < col("view_ts") + expr(s"INTERVAL $withinSeconds SECONDS"))
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         round(col("value"), 4).as("purchase_value"))
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -200,14 +234,16 @@ object StreamingOps {
         round(sum(col("value")), 4).as("session_value"))
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("session_value"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -224,14 +260,16 @@ object StreamingOps {
       .groupBy(window(col("ts"), every).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
-    val q = agg.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(queryName)
   }
 }
