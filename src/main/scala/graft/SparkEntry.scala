@@ -866,6 +866,34 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Training-order shuffle: deterministic pseudorandom total order by
+    // 128-bit hash draw (cross-engine stable — rerunning the pipeline can
+    // never silently reorder training data). The gate query takes the head
+    // of the order (TakeOrderedAndProject — no global sort); the full-
+    // corpus write path is Sampling.shuffled (one range exchange, even
+    // output files), pinned in SamplingSpec.
+    "sample_shuffle_order" -> ((s, d) => {
+      val draw = Sampling.shuffleKey(col("doc_id"), "ord1").as("draw")
+      t(s, d, "documents").select(col("doc_id"), draw)
+        .orderBy(col("draw"), col("doc_id")).limit(100)
+    }),
+
+    // Group-aware split: the draw is keyed on the DOCUMENT, so every page
+    // of a document lands on one side — the leakage guard for derived rows
+    // (a held-out doc's pages must never reach the training side). One row
+    // per (doc, side) with its page count; keying on the row instead would
+    // scatter pages across sides and change almost every row.
+    "sample_split_group" -> ((s, d) => {
+      val pages = Chunker.chunk(
+        t(s, d, "documents").select(col("doc_id"), col("text")), "text", 32)
+      val (train, heldOut) = Sampling.splitByGroup(pages, col("doc_id"), 0.3, "g1")
+      train.withColumn("side", lit("train"))
+        .unionByName(heldOut.withColumn("side", lit("held_out")))
+        .groupBy(col("doc_id"), col("side"))
+        .agg(count(lit(1)).as("n_pages"))
+        .orderBy(col("doc_id"))
+    }),
+
     // GPT-style sequence packing: cut the concatenated token stream into
     // capacity-sized training sequences via a two-level distributed prefix
     // sum (never a global single-partition window — see Packing scaladoc).
@@ -1625,6 +1653,20 @@ object SparkEntry {
         |ev AS (SELECT DISTINCT fp FROM fp WHERE is_eval)
         |SELECT f.doc_id, f.fp FROM fp f JOIN ev USING (fp) WHERE NOT f.is_eval
         |ORDER BY f.doc_id""".stripMargin,
+
+    "sample_shuffle_order" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':ord1') AS draw
+        |FROM documents ORDER BY draw, doc_id LIMIT 100""".stripMargin,
+
+    // side is a pure function of doc_id (the group key) and n_pages is the
+    // chunker's len//32+1 page count — the oracle re-derives both, proving
+    // no page can land on the other side of its document.
+    "sample_split_group" ->
+      """SELECT doc_id,
+        | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':g1'), 1, 8) < '4ccccccc'
+        |      THEN 'train' ELSE 'held_out' END AS side,
+        | CAST(len(string_split(text, ' ')) // 32 + 1 AS BIGINT) AS n_pages
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "sample_bernoulli" ->
       """SELECT doc_id, source FROM documents

@@ -47,6 +47,39 @@ object Sampling {
     (df.where(hashDraw(key, salt) < thr), df.where(!(hashDraw(key, salt) < thr)))
   }
 
+  /** Deterministic pseudorandom TOTAL ORDER key — the training-order
+    * shuffle. Full 128-bit md5 (collisions negligible at any corpus size;
+    * callers should still tiebreak on `key` so the order stays total), same
+    * cross-engine determinism contract as [[hashDraw]]: the shuffled order
+    * of a 100 TB corpus is identical on every engine, run, and input
+    * partitioning — re-running the pipeline cannot silently reorder
+    * training data. */
+  def shuffleKey(key: Column, salt: String): Column =
+    md5(concat(key.cast("string"), lit(":" + salt)))
+
+  /** Materialize the shuffled training order: ONE range-partitioning
+    * exchange on the shuffle key (Spark samples the key space, so output
+    * partitions are even regardless of corpus skew) + in-partition sort.
+    * Reading files in partition order then yields the deterministic global
+    * permutation — never a global single-partition sort, never a
+    * driver-side shuffle. */
+  def shuffled(df: DataFrame, key: Column, salt: String,
+               numPartitions: Int): DataFrame = {
+    val k = shuffleKey(key, salt)
+    df.repartitionByRange(numPartitions, k, key)
+      .sortWithinPartitions(k, key)
+  }
+
+  /** Group-aware split: key the draw on the GROUP (document, conversation,
+    * user...), not the row, so every row of a group lands on the same side
+    * — the leakage guard for derived rows (pages of a held-out document
+    * must never reach the training side). Semantically [[split]] with the
+    * group key; named because choosing the row key here is the classic
+    * train/test-contamination bug. */
+  def splitByGroup(df: DataFrame, groupKey: Column, rate: Double,
+                   salt: String): (DataFrame, DataFrame) =
+    split(df, groupKey, rate, salt)
+
   /** Per-stratum rates (mixture reweighting / stratified downsampling).
     * Strata absent from `rates` fall back to `defaultRate`. The rate table
     * is joined broadcast — it is config-sized, never data-sized. */

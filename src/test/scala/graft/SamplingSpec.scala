@@ -49,6 +49,38 @@ class SamplingSpec extends AnyFunSuite {
     assert(k.size + d.size === docs.count())
   }
 
+  test("shuffled yields a deterministic total order with even partitions") {
+    val n = docs.count()
+    def order(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      // partition-ordered read: collect per partition in partition index
+      // order — exactly what a file-by-file read of the written output sees
+      val parts = Sampling.shuffled(df, $"doc_id", "ord", 8)
+        .select($"doc_id").as[Long]
+        .rdd.glom().collect()
+      parts.flatten.toSeq
+    }
+    val a = order(docs)
+    val b = order(docs.repartition(13))
+    assert(a === b, "shuffle order must be input-partitioning-invariant")
+    assert(a.size.toLong === n)
+    assert(a !== a.sorted, "order must actually be shuffled, not id order")
+    // range partitioning on a uniform hash key -> roughly even partitions
+    val sizes = Sampling.shuffled(docs, $"doc_id", "ord", 8)
+      .rdd.glom().collect().map(_.length)
+    assert(sizes.max < 2.5 * (n.toDouble / 8), s"skewed partitions: ${sizes.mkString(",")}")
+  }
+
+  test("splitByGroup keeps every row of a group on one side") {
+    val pages = graft.operators.Chunker.chunk(
+      docs.select($"doc_id", $"text"), "text", 32)
+    val (train, held) = Sampling.splitByGroup(pages, $"doc_id", 0.3, "g")
+    val trainDocs = train.select($"doc_id").distinct().as[Long].collect().toSet
+    val heldDocs = held.select($"doc_id").distinct().as[Long].collect().toSet
+    assert((trainDocs intersect heldDocs).isEmpty,
+      "a document's pages leaked across the split")
+    assert(train.count() + held.count() === pages.count())
+  }
+
   test("stratified applies per-stratum rates; default rate drops unknowns") {
     val rates = Map("src0" -> 1.0, "src1" -> 0.0)
     val out = Sampling.stratified(docs, $"doc_id", $"source", rates, "t3")
