@@ -32,9 +32,6 @@ object KnnSearch {
       .orderBy(desc("similarity"), asc(tieBreak))
       .limit(k)
 
-  /** E2 search entry (reference `queryRedis`, `modules/utilities.py:368-401`):
-    * embed the prompt (Q1, `:376-377`), partition-pruned scan, exact top-k,
-    * result projection (P6, `:385,393-395`). */
   /** The hit-result schema every search surface returns (P6 result
     * projection) — ONE definition so `search`, the facade's `search`, and
     * `searchAsOf` cannot drift apart. */
@@ -42,6 +39,9 @@ object KnnSearch {
     hits.select(col("id"), col("index_alias"), col("document_path"),
       col("page_number"), col("page_content"), col("similarity"))
 
+  /** E2 search entry (reference `queryRedis`, `modules/utilities.py:368-401`):
+    * embed the prompt (Q1, `:376-377`), partition-pruned scan, exact top-k,
+    * result projection (P6, `:385,393-395`). */
   def search(spark: SparkSession, indexPath: String, alias: String,
              prompt: String, k: Int,
              model: String = graft.core.ModelRegistry.default,

@@ -34,23 +34,40 @@ object CharBag {
   val Bins = 27 // a-z + space
 
   /** Single-pass 27-bin byte histogram. Counts saturate at 255 (admissible:
-    * saturation only lowers the measured L1). */
+    * saturation only lowers the measured L1). ASCII input — the common case
+    * for cleansed corpus text — is read from the UTF8String's bytes in
+    * place, no String decode; the non-ASCII path pays one toString. */
   def bag(s: UTF8String): Array[Byte] = {
-    val str = s.toString
     val out = new Array[Byte](Bins)
-    var i = 0
-    val n = str.length
-    while (i < n) {
-      val c = str.charAt(i)
-      val bin =
-        if (c >= 'a' && c <= 'z') c - 'a'
-        else if (c >= 'A' && c <= 'Z') c - 'A'
-        else if (c == ' ') 26
-        else -1
-      if (bin >= 0 && (out(bin) & 0xff) < 0xff) out(bin) = (out(bin) + 1).toByte
-      i += 1
+    if (s.isFullAscii) {
+      val base = s.getBaseObject
+      val off = s.getBaseOffset
+      val n = s.numBytes
+      var i = 0
+      while (i < n) {
+        val c = (org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0x7f).toChar
+        addChar(out, c)
+        i += 1
+      }
+    } else {
+      val str = s.toString
+      var i = 0
+      val n = str.length
+      while (i < n) {
+        addChar(out, str.charAt(i))
+        i += 1
+      }
     }
     out
+  }
+
+  private def addChar(out: Array[Byte], c: Char): Unit = {
+    val bin =
+      if (c >= 'a' && c <= 'z') c - 'a'
+      else if (c >= 'A' && c <= 'Z') c - 'A'
+      else if (c == ' ') 26
+      else -1
+    if (bin >= 0 && (out(bin) & 0xff) < 0xff) out(bin) = (out(bin) + 1).toByte
   }
 
   /** True iff the L1 distance between two equal-length byte histograms is

@@ -72,8 +72,7 @@ object StreamingOps {
         .queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
-      q.stop()
+      try q.processAllAvailable() finally q.stop()
     }
     spark.table(queryName)
   }
@@ -107,8 +106,7 @@ object StreamingOps {
         .queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
-      q.stop()
+      try q.processAllAvailable() finally q.stop()
     }
     spark.table(queryName)
       .groupBy(col("segment"), col("event_type"))
@@ -135,8 +133,7 @@ object StreamingOps {
         .queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
-      q.stop()
+      try q.processAllAvailable() finally q.stop()
     }
     spark.table(queryName)
   }
@@ -166,8 +163,7 @@ object StreamingOps {
         .queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
-      q.stop()
+      try q.processAllAvailable() finally q.stop()
     }
     spark.table(queryName)
   }
@@ -206,8 +202,7 @@ object StreamingOps {
         .queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
-      q.stop()
+      try q.processAllAvailable() finally q.stop()
     }
     spark.table(queryName)
   }
@@ -241,8 +236,7 @@ object StreamingOps {
         .queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
-      q.stop()
+      try q.processAllAvailable() finally q.stop()
     }
     spark.table(queryName)
   }
@@ -267,8 +261,7 @@ object StreamingOps {
         .queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.processAllAvailable()
-      q.stop()
+      try q.processAllAvailable() finally q.stop()
     }
     spark.table(queryName)
   }

@@ -200,8 +200,11 @@ object Probe {
               .bandedLevenshtein(col("a.pre"), col("c.pre"), maxDist))
             .where(col("edit_dist") >= 0).count())
         println(s"[probe] verified pairs: $nVer")
-        val nVerOnly = time("join + verify (no bag)")(
-          joined.withColumn("edit_dist", graft.plans.StringEditExpressions
+        // bag-only baseline: keep the free length reject on both sides so
+        // the delta vs nVer isolates the BAG filter's marginal benefit
+        val nVerOnly = time("join + len + verify (no bag)")(
+          joined.where(lenOk)
+            .withColumn("edit_dist", graft.plans.StringEditExpressions
               .bandedLevenshtein(col("a.pre"), col("c.pre"), maxDist))
             .where(col("edit_dist") >= 0).count())
         println(s"[probe] verified (no bag): $nVerOnly")
