@@ -894,6 +894,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The whole training-data build as ONE composed plan — the showcase
+    // that the pipeline families are a single engine, not a query zoo:
+    // exact dedup (keep lowest-id row per content fingerprint, one
+    // min_by shuffle, no corpus join-back) -> quality gate (>= 50) ->
+    // decontaminate against a synthesized 20% eval split (8-token-prefix
+    // fingerprint, broadcast anti-join) -> per-source corpus stats.
+    // Every stage is the oracle-checked operator from its own family; the
+    // composite oracle replays all four in CTEs, so a semantics drift in
+    // ANY stage hash-fails this query too.
+    "pipeline_corpus_build" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val deduped = Dedup.exactKeepRows(docs, "text", "doc_id")
+      val qualityOk = deduped.where(TextFunctions.qualityScore(col("text")) >= 50.0)
+      val prefixFp = md5(array_join(
+        slice(TextFunctions.wsTokens(lower(col("text"))), 1, 8), " "))
+      val withFp = qualityOk.withColumn("fp", prefixFp)
+        .withColumn("is_eval", Sampling.hashDraw(col("doc_id"), "eval") <
+          lit(Sampling.hexThreshold(0.2)))
+      val evalFps = withFp.where(col("is_eval")).select(col("fp"))
+      val clean = Decontaminate.cleanExact(
+        withFp.where(!col("is_eval")), col("fp"), evalFps)
+      clean.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCountWs(col("text")).cast("long")).as("n_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // GPT-style sequence packing: cut the concatenated token stream into
     // capacity-sized training sequences via a two-level distributed prefix
     // sum (never a global single-partition window — see Packing scaladoc).
@@ -1653,6 +1680,28 @@ object SparkEntry {
         |ev AS (SELECT DISTINCT fp FROM fp WHERE is_eval)
         |SELECT f.doc_id, f.fp FROM fp f JOIN ev USING (fp) WHERE NOT f.is_eval
         |ORDER BY f.doc_id""".stripMargin,
+
+    // replays dedup-exact, quality-score, and decontaminate CTE by CTE —
+    // the same expressions as their standalone oracles
+    "pipeline_corpus_build" ->
+      s"""WITH keep AS (
+         |  SELECT min(doc_id) AS kid FROM documents
+         |  GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')))),
+         |dd AS (SELECT * FROM documents WHERE doc_id IN (SELECT kid FROM keep)),
+         |w AS (SELECT *, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ws FROM dd),
+         |m AS (SELECT *, CAST(len(ws) AS DOUBLE) AS nw,
+         |  CAST(len(list_filter(ws, x -> lower(x) IN ($stopSql))) AS DOUBLE) AS stop_hits,
+         |  CAST(len(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) AS alnum,
+         |  CAST(len(text) AS DOUBLE) AS total FROM w),
+         |q AS (SELECT * FROM m WHERE round(40.0 * least(nw/100.0, 1.0)
+         |  + CASE WHEN nw = 0 THEN 0 ELSE 30.0 * least(3.0*stop_hits/nw, 1.0) END
+         |  + CASE WHEN total = 0 THEN 0 ELSE 30.0 * alnum/total END, 2) >= 50.0),
+         |fp AS (SELECT *, md5(coalesce(array_to_string(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)[1:8], ' '), '')) AS fp,
+         |  substr(md5(CAST(doc_id AS VARCHAR) || ':eval'), 1, 8) < '33333333' AS is_eval FROM q),
+         |ev AS (SELECT DISTINCT fp AS efp FROM fp WHERE is_eval)
+         |SELECT source, count(*) AS n_docs, CAST(sum(len(ws)) AS BIGINT) AS n_tokens
+         |FROM fp WHERE NOT is_eval AND fp NOT IN (SELECT efp FROM ev)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "sample_shuffle_order" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':ord1') AS draw

@@ -28,6 +28,15 @@ object Decontaminate {
     train.join(broadcast(fps), fpCol === col("__fp"), "left_semi")
   }
 
+  /** Exact complement: train rows whose fingerprint does NOT appear in
+    * `evalFps` — the corpus that survives decontamination (broadcast
+    * anti-join, same scale envelope as [[contaminatedExact]]). */
+  def cleanExact(train: DataFrame, fpCol: Column,
+                 evalFps: DataFrame): DataFrame = {
+    val fps = evalFps.toDF("__fp").distinct()
+    train.join(broadcast(fps), fpCol === col("__fp"), "left_anti")
+  }
+
   /** Approximate with one-sided error: superset of [[contaminatedExact]],
     * expected |clean| * fpp rows of over-flagging.
     *

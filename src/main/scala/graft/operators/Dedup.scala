@@ -40,6 +40,17 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
   }
 
+  /** Exact dedup that keeps the surviving ROWS (lowest id per content
+    * fingerprint), not just their ids: one shuffle via map-side-partial
+    * `min_by` over the full row struct — no join-back against the corpus,
+    * which at 100 TB would be a second corpus-wide shuffle. */
+  def exactKeepRows(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val row = struct(df.columns.toIndexedSeq.map(col): _*)
+    df.groupBy(TextFunctions.fingerprintMd5(col(textCol)).as("__fp"))
+      .agg(min_by(row, col(idCol)).as("__r"))
+      .select(col("__r.*"))
+  }
+
   /** Word n-gram shingles as a compact UDF — the dedup hot path. The
     * declarative twin [[shingles]] computes the identical set through
     * `transform`/`slice`/`array_join`, but those lambdas are interpreted

@@ -149,7 +149,7 @@ object SimilaritySearch {
       .agg(
         min(struct(col("dist"), col("centroid_id"))).getField("centroid_id").as("centroid_id"),
         (first(col(vecCol)).as(vecCol) +:
-          otherCols.map(c => first(col(c)).as(c))): _*)
+          otherCols.toIndexedSeq.map(c => first(col(c)).as(c))): _*)
   }
 
   /** IVF index build returning (centroids, assigned corpus). The inverted

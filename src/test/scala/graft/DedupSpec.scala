@@ -24,6 +24,18 @@ class DedupSpec extends AnyFunSuite {
     assert(got.head._3 === 2L)
   }
 
+  test("exactKeepRows keeps exactly the lowest-id row per fingerprint, full schema") {
+    val kept = Dedup.exactKeepRows(docs, "text", "doc_id")
+    assert(kept.columns.toSeq === docs.columns.toSeq)
+    val keptIds = kept.select($"doc_id").as[Long].collect().toSet
+    val wantIds = Dedup.exact(docs, "text", "doc_id")
+      .select($"keep_id").as[Long].collect().toSet
+    assert(keptIds === wantIds)
+    // surviving rows are the original rows, not aggregates
+    val origById = docs.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    kept.collect().foreach(r => assert(r === origById(r.getAs[Long]("doc_id"))))
+  }
+
   test("shinglesFast UDF equals the declarative shingles column on the fixture") {
     val docsFx = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(100)
     val both = docsFx.select(

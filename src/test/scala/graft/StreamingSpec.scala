@@ -25,6 +25,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("RocksDB state store (the 100TB-state backend) yields identical results") {
+    // At production state volumes the HDFS-backed in-memory state store
+    // OOMs (all state lives on the executor heap); RocksDB spills state to
+    // local disk with the same exactly-once semantics. Pin that flipping
+    // the provider is purely operational: same query, same answer.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = StreamingOps.windowAggOnce(spark,
+        s"${TestSpark.sf}/events.parquet", "1 hour", queryName = "t_rocks_agg")
+        .orderBy($"window_start", $"event_type").collect().toSeq
+      val batch = EventsOps.tumblingAgg(batchEvents, "1 hour")
+        .orderBy($"window_start", $"event_type").collect().toSeq
+      assert(rocks === batch)
+    } finally {
+      before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = StreamingOps.attributionJoinOnce(spark,
       s"${TestSpark.sf}/events.parquet", queryName = "t_stream_join")
