@@ -894,6 +894,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic mixture UPSAMPLING — "2.5 epochs of src0, 0.5 of src1,
+    // 1.0 of the rest": each row emits floor(w) copies + one more iff its
+    // hash draw lands under frac(w), so realized multiplicity is a pure
+    // function of (doc_id, salt) and the oracle replays it exactly. Zero
+    // data-sized shuffles (broadcast weight table + explode).
+    "sample_mixture_weights" -> ((s, d) => {
+      Sampling.mixture(t(s, d, "documents"), col("doc_id"), col("source"),
+        Map("src0" -> 2.5, "src1" -> 0.5), salt = "mix1")
+        .select(col("doc_id"), col("source"), col("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
     // The whole training-data build as ONE composed plan — the showcase
     // that the pipeline families are a single engine, not a query zoo:
     // exact dedup (keep lowest-id row per content fingerprint, one
@@ -1054,6 +1066,19 @@ object SparkEntry {
         .orderBy(col("cluster_id"))
     }),
 
+    // Sub-document exact-substring dedup (Lee et al. style): cut every word
+    // span covered by an 8-gram occurring in >= 2 distinct docs — the
+    // boilerplate remover document-level dedup can't touch. See
+    // Dedup.removeDuplicatedSpans for the shuffle-native design (the text is
+    // never exploded to token rows; the only corpus-wide shuffle key is the
+    // 16-byte gram fingerprint).
+    "dedup_span_8gram" -> ((s, d) => {
+      Dedup.removeDuplicatedSpans(t(s, d, "documents"), "text", "doc_id",
+        n = 8, minDocs = 2)
+        .select(col("doc_id"), col("n_removed"), col("text_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---------------- similarity search (ANN) ----------------
 
     // SQ8 scalar quantization of the embedding column — the 4x storage
@@ -1099,6 +1124,22 @@ object SparkEntry {
       val qs = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       SimilaritySearch.ivfTopK(emb, qs, k = 10, nCentroids = 8, nprobe = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // IVF CONTRACT query: with nprobe = nCentroids every inverted list is
+    // probed, and since each corpus vector lives in exactly ONE list, every
+    // (query, corpus) pair is scored exactly once — the IVF machinery
+    // (deterministic seeds, Lloyd update, routing, list probe, bounded-heap
+    // rank) must therefore reproduce the exact brute-force top-k no matter
+    // where the centroids landed. The oracle is the exact-cosine SQL, which
+    // hash-checks the whole build/probe path; the recall-bearing
+    // nprobe < nCells configuration stays rows-only + spec-pinned (ann_ivf).
+    "ann_ivf_full_probe" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      SimilaritySearch.ivfTopK(emb, qs, k = 10, nCentroids = 8, nprobe = 8)
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -1369,6 +1410,23 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_no"))
     })
   )
+
+  /** Exact cosine top-k over the embeddings fixture (queries = vec_id < 5,
+    * self excluded, k = 10, tiebreak (similarity desc, vec_id asc)) — the
+    * oracle for `ann_bruteforce_batch` AND the `ann_ivf_full_probe`
+    * contract query, which must reproduce it exactly. */
+  private val exactAnnTopKSql: String =
+    """WITH qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+      |z AS (SELECT q.q_id, e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+      |      FROM embeddings e, qs q WHERE e.vec_id <> q.q_id),
+      |s AS (SELECT q_id, vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
+      |             sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
+      |             sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
+      |      FROM z GROUP BY q_id, vec_id),
+      |r AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM s),
+      |rr AS (SELECT q_id, vec_id, similarity,
+      |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)
+      |SELECT q_id, vec_id, similarity, rank FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1728,6 +1786,17 @@ object SparkEntry {
         |  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN '80000000' ELSE '19999999' END
         |GROUP BY source ORDER BY source""".stripMargin,
 
+    // replays the floor(w)+Bernoulli(frac) copy arithmetic exactly; default
+    // weight 1.0 = (1 copy, frac threshold 0) for unlisted sources
+    "sample_mixture_weights" ->
+      """WITH wt(src, fw, thr) AS (VALUES ('src0', 2, '80000000'), ('src1', 0, '80000000')),
+        |d AS (SELECT doc_id, source, substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 8) AS draw FROM documents),
+        |n AS (SELECT d.doc_id, d.source,
+        |      coalesce(w.fw, 1) + CASE WHEN d.draw < coalesce(w.thr, '00000000') THEN 1 ELSE 0 END AS nc
+        |      FROM d LEFT JOIN wt w ON d.source = w.src),
+        |x AS (SELECT doc_id, source, unnest(generate_series(1, nc)) AS copy_idx FROM n WHERE nc >= 1)
+        |SELECT doc_id, source, copy_idx FROM x ORDER BY doc_id, copy_idx""".stripMargin,
+
     "pack_sequences" ->
       """WITH toks AS (
         |  SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok,
@@ -1751,6 +1820,21 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint,
         | min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+    // grams on raw whitespace tokens (no case fold — spans are cut from the
+    // text itself); DuckDB lambda index is 1-based, matching Spark's i+1
+    "dedup_span_8gram" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |g AS (SELECT doc_id, ws, CASE WHEN len(ws) < 8 THEN [] ELSE list_transform(generate_series(1, len(ws)-7), i -> md5(array_to_string(ws[i:i+7], ' '))) END AS gr FROM w),
+        |st AS (SELECT doc_id, unnest(generate_series(1, len(gr))) AS s, unnest(gr) AS gram FROM g WHERE len(gr) > 0),
+        |dup AS (SELECT gram FROM st GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |ds AS (SELECT doc_id, list(s) AS starts FROM st WHERE gram IN (SELECT gram FROM dup) GROUP BY doc_id),
+        |cv AS (SELECT g.doc_id, g.ws, coalesce(list_distinct(flatten(list_transform(d.starts, s -> generate_series(s, s+7)))), []) AS cov
+        |       FROM g LEFT JOIN ds d USING (doc_id)),
+        |k AS (SELECT doc_id, ws, list_filter(ws, (x, i) -> NOT list_contains(cov, i)) AS kept FROM cv)
+        |SELECT doc_id, CAST(len(ws) - len(kept) AS INT) AS n_removed,
+        |  coalesce(array_to_string(kept, ' '), '') AS text_clean
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_lsh" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
@@ -1865,18 +1949,11 @@ object SparkEntry {
          |rr AS (SELECT q_id, vec_id, similarity, CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)
          |SELECT q_id, vec_id, similarity, rank FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
-    "ann_bruteforce_batch" ->
-      """WITH qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        |z AS (SELECT q.q_id, e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
-        |      FROM embeddings e, qs q WHERE e.vec_id <> q.q_id),
-        |s AS (SELECT q_id, vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
-        |             sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
-        |             sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
-        |      FROM z GROUP BY q_id, vec_id),
-        |r AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM s),
-        |rr AS (SELECT q_id, vec_id, similarity,
-        |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)
-        |SELECT q_id, vec_id, similarity, rank FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "ann_bruteforce_batch" -> exactAnnTopKSql,
+
+    // same oracle as the brute force: probing ALL inverted lists must
+    // reproduce the exact top-k (see the query's contract comment)
+    "ann_ivf_full_probe" -> exactAnnTopKSql,
 
     "lang_id" ->
       """WITH w AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),

@@ -51,6 +51,63 @@ object Dedup {
       .select(col("__r.*"))
   }
 
+  /** Exact duplicated-SPAN removal — sub-document dedup in the style of
+    * Lee et al., "Deduplicating Training Data Makes Language Models Better"
+    * (exact-substring dedup): any word span covered by an `n`-gram that
+    * occurs in >= `minDocs` DISTINCT documents is cut from every document
+    * containing it; the surviving words are reassembled in order. This is
+    * the operator that removes boilerplate (licenses, navigation chrome,
+    * quoted headers) that document-level dedup cannot touch because the
+    * surrounding text differs.
+    *
+    * Semantics pinned for the oracle: tokens are whitespace-split (no case
+    * folding — spans are removed from the text, so the unit must be the
+    * text's own words); a position p is covered iff some duplicated n-gram
+    * starts in [p-n+1, p]; ALL copies are cut (including the "first") —
+    * keep-one-copy policies compose via [[exactKeepRows]] upstream. Output:
+    * one row per input row with `n_removed` and the cleaned text.
+    *
+    * Scale shape (the suffix-array original is a single-machine design;
+    * this is the shuffle-native equivalent): per-doc gram fingerprints are a
+    * narrow map (md5 of each n-gram, position-indexed array — no token
+    * explosion); the corpus-wide duplicate set is ONE hash shuffle on the
+    * 16-byte gram key (count distinct docs) + a semi-join back on the same
+    * key (co-partitioned, AQE-friendly); covered positions are collected
+    * per doc (shuffle carries only duplicated START offsets, a sliver of
+    * the corpus) and the final cut is a declarative index-filter lambda on
+    * the token array — the full text is never exploded to (doc, pos, word)
+    * rows. */
+  def removeDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+                            n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val toks = TextFunctions.wsTokens(col(textCol))
+    val k = size(toks) - (n - 1)
+    val grams = when(k < 1, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), k),
+        i => md5(array_join(slice(toks, i, lit(n)), " "))))
+    val withGrams = spread(df).withColumn("__toks", toks)
+      .withColumn("__grams", grams)
+    val starts = withGrams
+      .select(col(idCol), posexplode(col("__grams")).as(Seq("__p0", "__gram")))
+      .select(col(idCol), (col("__p0") + 1).as("__start"), col("__gram"))
+    val dupGrams = starts.groupBy(col("__gram"))
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("__gram"))
+    val dupStarts = starts.join(dupGrams, Seq("__gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__start")).as("__starts"))
+    val covered = array_distinct(flatten(transform(col("__starts"),
+      s => sequence(s, s + (n - 1)))))
+    withGrams.join(dupStarts, Seq(idCol), "left")
+      .withColumn("__cov", coalesce(covered, array().cast("array<int>")))
+      .withColumn("__kept", filter(col("__toks"),
+        (_, i) => !array_contains(col("__cov"), i + 1)))
+      .withColumn("n_removed",
+        (size(col("__toks")) - size(col("__kept"))).cast("int"))
+      .withColumn("text_clean", array_join(col("__kept"), " "))
+      .drop("__toks", "__grams", "__starts", "__cov", "__kept")
+  }
+
   /** Word n-gram shingles as a compact UDF — the dedup hot path. The
     * declarative twin [[shingles]] computes the identical set through
     * `transform`/`slice`/`array_join`, but those lambdas are interpreted

@@ -80,6 +80,42 @@ object Sampling {
                    salt: String): (DataFrame, DataFrame) =
     split(df, groupKey, rate, salt)
 
+  /** Deterministic mixture weighting with UPSAMPLING — the data-mixing
+    * primitive of every LLM training run ("3.2 epochs of Wikipedia, 0.6 of
+    * CommonCrawl"). Weight w = ⌊w⌋ + frac: each row emits ⌊w⌋ copies plus
+    * one more iff its [[hashDraw]] lands under frac, so a stratum's expected
+    * multiplicity is exactly w and the realized copy set is a pure function
+    * of (key, salt) — stable across engines, runs, and repartitionings, and
+    * the fractional-copy subset is itself an unbiased hash-Bernoulli sample.
+    * `copy_idx` (1-based) is emitted so downstream shuffle/sort keys can
+    * separate the copies (e.g. feed it into [[shuffleKey]]'s salt).
+    *
+    * Scale shape: broadcast config-sized weight table + per-row
+    * `explode(sequence(...))` — zero data-sized shuffles; output size is the
+    * weighted corpus, which is the point. Weights < 1 downsample (0 copies
+    * for rows whose draw misses), weight 0 drops the stratum. */
+  def mixture(df: DataFrame, key: Column, stratum: Column,
+              weights: Map[String, Double], salt: String,
+              defaultWeight: Double = 1.0): DataFrame = {
+    require(weights.values.forall(_ >= 0.0), "mixture weights must be >= 0")
+    require(defaultWeight >= 0.0, "defaultWeight must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def parts(w: Double) = (math.floor(w).toLong, hexThreshold(w - math.floor(w)))
+    val (dInt, dThr) = parts(defaultWeight)
+    val wDf = weights.toSeq.map { case (s, w) =>
+      val (i, t) = parts(w); (s, i, t)
+    }.toDF("__stratum", "__w_int", "__w_thr")
+    val nCopies = coalesce(col("__w_int"), lit(dInt)) +
+      when(hashDraw(key, salt) < coalesce(col("__w_thr"), lit(dThr)), 1L).otherwise(0L)
+    df.join(broadcast(wDf), stratum === col("__stratum"), "left")
+      .withColumn("__n", nCopies)
+      // NB sequence(1, 0) is DESCENDING [1, 0], not empty — guard explicitly
+      .where(col("__n") >= 1)
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("__n"))))
+      .drop("__stratum", "__w_int", "__w_thr", "__n")
+  }
+
   /** Per-stratum rates (mixture reweighting / stratified downsampling).
     * Strata absent from `rates` fall back to `defaultRate`. The rate table
     * is joined broadcast — it is config-sized, never data-sized. */

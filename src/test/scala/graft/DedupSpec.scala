@@ -36,6 +36,43 @@ class DedupSpec extends AnyFunSuite {
     kept.collect().foreach(r => assert(r === origById(r.getAs[Long]("doc_id"))))
   }
 
+  test("removeDuplicatedSpans cuts exactly the positions covered by cross-doc 8-grams") {
+    val corpus = Seq(
+      // A and B share the 8-gram x1..x8 at different offsets
+      (1L, "x1 x2 x3 x4 x5 x6 x7 x8 a b c"),     // covered 1..8 -> keeps "a b c"
+      (2L, "p q x1 x2 x3 x4 x5 x6 x7 x8"),       // covered 3..10 -> keeps "p q"
+      // C and D are identical 9-word docs: grams at starts 1,2 both
+      // duplicated -> every position covered in BOTH copies
+      (3L, "m1 m2 m3 m4 m5 m6 m7 m8 m9"),
+      (4L, "m1 m2 m3 m4 m5 m6 m7 m8 m9"),
+      // identical but SHORT (<8 words): no grams, never touched
+      (5L, "s1 s2 s3"),
+      (6L, "s1 s2 s3"),
+      // no duplicated grams at all
+      (7L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(corpus, "text", "doc_id")
+      .select($"doc_id", $"n_removed", $"text_clean")
+      .as[(Long, Int, String)].collect().sortBy(_._1)
+    val want = Seq(
+      (1L, 8, "a b c"), (2L, 8, "p q"),
+      (3L, 9, ""), (4L, 9, ""),
+      (5L, 0, "s1 s2 s3"), (6L, 0, "s1 s2 s3"),
+      (7L, 0, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"))
+    assert(got.toSeq === want)
+  }
+
+  test("removeDuplicatedSpans honors minDocs and keeps within-doc repeats") {
+    // the 8-gram repeats WITHIN doc 1 only — one distinct doc, not cut
+    val corpus = Seq(
+      (1L, "r1 r2 r3 r4 r5 r6 r7 r8 z r1 r2 r3 r4 r5 r6 r7 r8"),
+      (2L, "unrelated words that do not collide with anything here at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(corpus, "text", "doc_id")
+      .where($"doc_id" === 1L).select($"n_removed").as[Int].head()
+    assert(got === 0, "within-document repeats must not count toward minDocs")
+  }
+
   test("shinglesFast UDF equals the declarative shingles column on the fixture") {
     val docsFx = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(100)
     val both = docsFx.select(

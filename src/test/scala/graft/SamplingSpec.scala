@@ -90,4 +90,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(!out.contains("src1"))               // rate 0.0 keeps none
     assert(!out.contains("src5"))               // absent stratum -> default 0.0
   }
+
+  test("mixture: floor copies are certain, fractional copy is a hash draw, " +
+       "copy_idx is dense from 1, and realized multiplicity is deterministic") {
+    val weights = Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0)
+    val out = Sampling.mixture(docs, $"doc_id", $"source", weights, "mx")
+    val perDoc = out.groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n"), max($"copy_idx").as("mx"), min($"copy_idx").as("mn"))
+      .as[(Long, String, Long, Long, Long)].collect()
+    perDoc.foreach { case (_, src, n, mx, mn) =>
+      assert(mn === 1L && mx === n, "copy_idx must be dense 1..n")
+      src match {
+        case "src0" => assert(n === 2L || n === 3L)
+        case "src1" => assert(n === 1L)         // the 0-copy rows are absent
+        case "src2" => fail("weight 0.0 stratum must emit no rows")
+        case _      => assert(n === 1L)         // defaultWeight 1.0 exactly
+      }
+    }
+    // expected multiplicity ~ w per stratum for the fractional weights
+    val bySrc = out.groupBy($"source").count().as[(String, Long)].collect().toMap
+    val tot = docs.groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(math.abs(bySrc("src0").toDouble / tot("src0") - 2.5) < 0.35)
+    assert(math.abs(bySrc("src1").toDouble / tot("src1") - 0.5) < 0.35)
+    // determinism + repartition invariance of the realized copy set
+    val a = out.select($"doc_id", $"copy_idx").as[(Long, Long)].collect().toSet
+    val b = Sampling.mixture(docs.repartition(7), $"doc_id", $"source", weights, "mx")
+      .select($"doc_id", $"copy_idx").as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
 }
