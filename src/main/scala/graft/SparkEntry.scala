@@ -894,6 +894,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-group quota (C4/RefinedWeb "max N docs per domain"): the kept
+    // subset is the n smallest hash draws per source — selected via the
+    // bounded-buffer TopKBy aggregate (map-side partials, shuffle carries
+    // <= partitions x n rows per group), never a row_number window over the
+    // group's full membership.
+    "sample_cap_per_source" -> ((s, d) => {
+      Sampling.capPerGroup(t(s, d, "documents"), col("doc_id"), col("source"),
+        n = 12, salt = "cap1")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic mixture UPSAMPLING — "2.5 epochs of src0, 0.5 of src1,
     // 1.0 of the rest": each row emits floor(w) copies + one more iff its
     // hash draw lands under frac(w), so realized multiplicity is a pure
@@ -1064,6 +1076,19 @@ object SparkEntry {
         TextFunctions.qualityScore(col("text")).as("quality"))
       Dedup.resolveKeepBest(clusters, scored)
         .orderBy(col("cluster_id"))
+    }),
+
+    // Incremental dedup — the daily-batch workflow: dedup the new batch
+    // (doc_id >= 250) within itself AND against the fingerprint store of
+    // everything already ingested (doc_id < 250). Survivors carry their
+    // fingerprint so the caller appends them to the seen store.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val seen = docs.where(col("doc_id") < 250)
+        .select(TextFunctions.fingerprintMd5(col("text")).as("fp")).distinct()
+      Dedup.incrementalExact(docs.where(col("doc_id") >= 250), "text", "doc_id", seen)
+        .select(col("doc_id"), col("source"), col("fingerprint"))
+        .orderBy(col("doc_id"))
     }),
 
     // Sub-document exact-substring dedup (Lee et al. style): cut every word
@@ -1786,6 +1811,11 @@ object SparkEntry {
         |  CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN '80000000' ELSE '19999999' END
         |GROUP BY source ORDER BY source""".stripMargin,
 
+    "sample_cap_per_source" ->
+      """WITH d AS (SELECT doc_id, source, substr(md5(CAST(doc_id AS VARCHAR) || ':cap1'), 1, 8) AS draw FROM documents),
+        |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY draw, doc_id) AS rn FROM d)
+        |SELECT doc_id, source FROM r WHERE rn <= 12 ORDER BY doc_id""".stripMargin,
+
     // replays the floor(w)+Bernoulli(frac) copy arithmetic exactly; default
     // weight 1.0 = (1 copy, frac threshold 0) for unlisted sources
     "sample_mixture_weights" ->
@@ -1820,6 +1850,13 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint,
         | min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH fp AS (SELECT doc_id, source, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint FROM documents),
+        |seen AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250),
+        |batch AS (SELECT fingerprint, min(doc_id) AS kid FROM fp WHERE doc_id >= 250 GROUP BY fingerprint)
+        |SELECT f.doc_id, f.source, f.fingerprint FROM fp f JOIN batch b ON f.doc_id = b.kid
+        |WHERE f.fingerprint NOT IN (SELECT fingerprint FROM seen) ORDER BY f.doc_id""".stripMargin,
 
     // grams on raw whitespace tokens (no case fold — spans are cut from the
     // text itself); DuckDB lambda index is 1-based, matching Spark's i+1

@@ -51,6 +51,28 @@ object Dedup {
       .select(col("__r.*"))
   }
 
+  /** INCREMENTAL exact dedup — how production dedup actually runs: each
+    * day's batch is deduped (a) within itself (keep lowest id per content
+    * fingerprint) and (b) against the accumulated fingerprint store of
+    * everything already ingested. Returns the surviving rows plus their
+    * `fingerprint` column so the caller can append it to the seen store —
+    * the loop that keeps the store current.
+    *
+    * Scale shape: within-batch dedup is [[exactKeepRows]]'s one min_by
+    * shuffle; the history check is a hash anti-join on the 32-char
+    * fingerprint. The seen store at 100 TB is corpus-sized — no broadcast
+    * assumption; when the batch is small relative to history, pre-filter
+    * with a Bloom filter built over `seenFps`
+    * ([[Decontaminate.contaminatedViaBloom]] pattern: no false negatives,
+    * so the anti-join stays exact) to skip the full history shuffle. */
+  def incrementalExact(newDf: DataFrame, textCol: String, idCol: String,
+                       seenFps: DataFrame): DataFrame = {
+    val batch = exactKeepRows(newDf, textCol, idCol)
+      .withColumn("fingerprint", TextFunctions.fingerprintMd5(col(textCol)))
+    batch.join(seenFps.toDF("__seen"),
+      col("fingerprint") === col("__seen"), "left_anti")
+  }
+
   /** Exact duplicated-SPAN removal — sub-document dedup in the style of
     * Lee et al., "Deduplicating Training Data Makes Language Models Better"
     * (exact-substring dedup): any word span covered by an `n`-gram that

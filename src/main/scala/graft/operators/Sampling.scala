@@ -116,6 +116,39 @@ object Sampling {
       .drop("__stratum", "__w_int", "__w_thr", "__n")
   }
 
+  /** Deterministic per-group quota — "keep at most `n` documents per
+    * domain/source", the C4/RefinedWeb guard against a single crawl host
+    * dominating the corpus. The kept subset is the `n` rows with the
+    * SMALLEST hash draws (tie-break: key asc), so it is a uniform sample of
+    * the group, stable across engines/runs/partitionings, and monotone in
+    * `n` (raising the cap only adds rows).
+    *
+    * Scale shape: the per-group selection is the bounded-buffer aggregate
+    * ([[graft.functions.TopKBy]]) — map-side partials keep <= n (draw, key)
+    * pairs per partition per group, so the selection shuffle carries <=
+    * (partitions x n) rows per group, never the group's full membership the
+    * `row_number().over(partitionBy(group))` formulation would sort and
+    * shuffle. Kept keys then semi-join back (hash join on the key — the
+    * kept set is quota-sized per group but corpus-sized overall, so no
+    * broadcast assumption). Keys must be numeric. */
+  def capPerGroup(df: DataFrame, key: Column, group: Column, n: Int,
+                  salt: String): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    val topk = udaf(graft.functions.TopKBy(n))
+    // 8 hex chars = 32 bits: exact in double; negate so TopKBy's
+    // (score desc) order = draw asc — smallest draws win, like the oracle's
+    // ORDER BY draw, key
+    val score = -conv(hashDraw(key, salt), 16, 10).cast("double")
+    val keptKeys = df
+      .select(group.as("__g"), score.as("__s"), key.cast("long").as("__k"))
+      .groupBy(col("__g"))
+      .agg(topk(col("__s"), col("__k")).as("__t"))
+      .select(col("__g"), explode(col("__t._2")).as("__keep"))
+    // join on (group, key): keys need not be globally unique across groups
+    df.join(keptKeys,
+      key.cast("long") === col("__keep") && group <=> col("__g"), "left_semi")
+  }
+
   /** Per-stratum rates (mixture reweighting / stratified downsampling).
     * Strata absent from `rates` fall back to `defaultRate`. The rate table
     * is joined broadcast — it is config-sized, never data-sized. */

@@ -36,6 +36,24 @@ class DedupSpec extends AnyFunSuite {
     kept.collect().foreach(r => assert(r === origById(r.getAs[Long]("doc_id"))))
   }
 
+  test("incrementalExact dedups within the batch and against the seen store") {
+    val seen = Seq("the quick brown fox jumps over the lazy dog")
+      .toDF("t").select(graft.functions.TextFunctions.fingerprintMd5($"t").as("fp"))
+    val batch = Seq(
+      (10L, "the QUICK brown fox jumps over the lazy dog"), // dup of history
+      (11L, "a genuinely new document"),
+      (12L, "A genuinely NEW document!!"),                  // in-batch dup of 11
+      (13L, "another new one")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(batch, "text", "doc_id", seen)
+    assert(got.select($"doc_id").as[Long].collect().toSet === Set(11L, 13L),
+      "keeps min-id per batch fingerprint, drops history dups")
+    // survivors carry the fingerprint the caller appends to the seen store
+    assert(got.columns.contains("fingerprint"))
+    val fps = got.select($"fingerprint").as[String].collect().toSet
+    assert(fps.size === 2)
+  }
+
   test("removeDuplicatedSpans cuts exactly the positions covered by cross-doc 8-grams") {
     val corpus = Seq(
       // A and B share the 8-gram x1..x8 at different offsets

@@ -91,6 +91,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(!out.contains("src5"))               // absent stratum -> default 0.0
   }
 
+  test("capPerGroup keeps at most n per group, deterministically, monotone in n") {
+    val cap5 = Sampling.capPerGroup(docs, $"doc_id", $"source", 5, "c")
+    val sizes = cap5.groupBy($"source").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy($"source").count().as[(String, Long)].collect().toMap
+    totals.foreach { case (src, tot) =>
+      assert(sizes.getOrElse(src, 0L) === math.min(5L, tot), s"group $src")
+    }
+    // kept rows are original rows (subset, not a transformation)
+    assert(cap5.columns.toSeq === docs.columns.toSeq)
+    val ids5 = cap5.select($"doc_id").as[Long].collect().toSet
+    // determinism + partitioning invariance
+    val again = Sampling.capPerGroup(docs.repartition(7), $"doc_id", $"source", 5, "c")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids5 === again)
+    // monotone: raising the cap only ADDS rows (stable under re-quota)
+    val ids9 = Sampling.capPerGroup(docs, $"doc_id", $"source", 9, "c")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids5.subsetOf(ids9))
+  }
+
   test("mixture: floor copies are certain, fractional copy is a hash draw, " +
        "copy_idx is dense from 1, and realized multiplicity is deterministic") {
     val weights = Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 0.0)
