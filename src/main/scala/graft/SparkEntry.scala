@@ -1433,6 +1433,69 @@ object SparkEntry {
         .select(col("media_id"), col("frame_no").cast("int").as("frame_no"),
           col("frame_bytes").cast("long").as("frame_bytes"))
         .orderBy(col("media_id"), col("frame_no"))
+    }),
+
+    // ------------- corpus LM / profiling / overlap-chunking -------------
+
+    // Sliding-window chunking with overlap (window 48 words, stride 32 —
+    // overlap 16): the RAG-standard splitter, of which the reference's
+    // non-overlapping pageChunks is the stride == window special case.
+    // Same narrow split/sequence/slice/posexplode shape, zero shuffles.
+    "chunk_sliding" -> ((s, d) => {
+      Chunker.slideChunk(t(s, d, "documents").select(col("doc_id"), col("text")),
+        "text", window = 48, stride = 32)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Corpus-trained bigram-LM cross-entropy per document (the CCNet-style
+    // perplexity filter). Train + score is ONE Catalyst plan; every
+    // aggregation has map-side partials and the score joins carry the
+    // MODEL (vocab-sized), never a second corpus pass — see LangModel.
+    "lm_cross_entropy" -> ((s, d) => {
+      LangModel.bigramCrossEntropy(t(s, d, "documents"), "text", "doc_id",
+        alpha = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // One-pass per-source corpus profile: doc counts, token volume,
+    // quality / language mix, short-doc share — one hash aggregation keyed
+    // by source (key space = number of sources).
+    "corpus_profile" -> ((s, d) => {
+      CorpusStats.profile(t(s, d, "documents"), "text", "source")
+        .orderBy(col("source"))
+    }),
+
+    // Cross-source contamination matrix on the decontamination fingerprint
+    // (md5 of the 8-word prefix): distinct (source, fp) then a
+    // fingerprint-keyed self-join — fan-out bounded by sources-per-fp.
+    "source_overlap" -> ((s, d) => {
+      val prefixFp = md5(array_join(
+        slice(TextFunctions.wsTokens(lower(col("text"))), 1, 8), " "))
+      CorpusStats.sourceOverlapMatrix(t(s, d, "documents"), prefixFp, "source")
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Cluster-size histogram over the trigram-jaccard dedup clusters: is
+    // duplication a long tail of pairs or a few megaclusters? Two
+    // metadata-keyed aggregations after the pair/CC stages.
+    "dedup_cluster_sizes" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.30)
+      val clusters = Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      CorpusStats.clusterSizeHistogram(clusters)
+        .orderBy(col("cluster_size"))
+    }),
+
+    // Per-label embedding outliers: the k members FARTHEST from their
+    // label's centroid under cosine (mislabel/garbage detection).
+    // Centroid = VectorAvg (map-side partial sums, float-cast output both
+    // engines reproduce bit-exactly), broadcast back; bottom-k = TopKBy
+    // bounded buffer — no corpus-wide window anywhere.
+    "embedding_outliers" -> ((s, d) => {
+      CorpusStats.centroidOutliers(t(s, d, "embeddings"), "embedding",
+        "vec_id", "label", k = 5)
+        .orderBy(col("label"), col("rank"))
     })
   )
 
@@ -2308,6 +2371,119 @@ object SparkEntry {
         | count(DISTINCT user_id) AS n_users
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
-        |ORDER BY segment, event_type""".stripMargin
+        |ORDER BY segment, event_type""".stripMargin,
+
+    // Sliding chunks: chunk g covers words [g*stride, g*stride+window);
+    // last start = (len-1) // stride — both operands nonnegative by
+    // construction, so DuckDB's floor-division matches Spark's truncation.
+    "chunk_sliding" ->
+      """WITH g AS (SELECT doc_id, words,
+        |  unnest(generate_series(0, CAST(greatest(len(words) - 1, 0) // 32 AS BIGINT))) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))
+        |SELECT doc_id, CAST(g AS INT) AS chunk_id, CAST(g * 32 AS INT) AS start_word,
+        | coalesce(array_to_string(words[(g*32+1):(g*32+48)], ' '), '') AS chunk_text
+        |FROM g ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Replays LangModel.bigramCrossEntropy: bigram counts, context counts
+    // derived FROM the bigram table, corpus vocab V, add-0.5 smoothing,
+    // mean -ln P per doc. Docs with < 2 tokens surface n_bigrams = 0 /
+    // NULL entropy via the left join.
+    "lm_cross_entropy" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])) AS bg
+        |       FROM w WHERE len(ws) >= 2),
+        |bc AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+        |cc AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM (SELECT unnest(ws) AS w FROM w)),
+        |sc AS (SELECT b.doc_id, count(*) AS n_bigrams,
+        |       round(avg(-ln((bc.c12 + 0.5) / (cc.c1 + 0.5 * v.v))), 4) AS cross_entropy
+        |       FROM bg b JOIN bc USING (bg) JOIN cc ON split_part(b.bg, ' ', 1) = cc.w1 CROSS JOIN v
+        |       GROUP BY b.doc_id)
+        |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.cross_entropy
+        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Per-source profile: replays tokenCountWs + qualityScore + langId
+    // (same expressions as their standalone oracles) then one GROUP BY.
+    "corpus_profile" ->
+      s"""WITH w AS (SELECT source, text,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ws,
+         |  list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS lws
+         |  FROM documents),
+         |m AS (SELECT source, text, CAST(len(ws) AS INT) AS n_tok,
+         |  CAST(len(ws) AS DOUBLE) AS nw,
+         |  CAST(len(list_filter(ws, x -> lower(x) IN ($stopSql))) AS DOUBLE) AS stop_hits,
+         |  CAST(len(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) AS alnum,
+         |  CAST(len(text) AS DOUBLE) AS total,
+         |  len(list_filter(lws, x -> x IN ('the','a','of','and','to','in','is','was','for','with'))) AS s_en,
+         |  len(list_filter(lws, x -> x IN ('el','la','de','y','en','es','un','una','por','con'))) AS s_es,
+         |  len(list_filter(lws, x -> x IN ('der','die','das','und','ist','ein','eine','mit','von','zu'))) AS s_de,
+         |  len(list_filter(lws, x -> x IN ('le','les','et','est','dans','pour','que','qui','sur','pas'))) AS s_fr
+         |  FROM w),
+         |q AS (SELECT source, n_tok,
+         |  round(40.0 * least(nw/100.0, 1.0)
+         |   + CASE WHEN nw = 0 THEN 0 ELSE 30.0 * least(3.0*stop_hits/nw, 1.0) END
+         |   + CASE WHEN total = 0 THEN 0 ELSE 30.0 * alnum/total END, 2) AS quality,
+         |  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+         |   WHEN s_en = greatest(s_en,s_es,s_de,s_fr) AND greatest(s_en,s_es,s_de,s_fr) > 0 THEN 'en'
+         |   WHEN s_es = greatest(s_en,s_es,s_de,s_fr) AND greatest(s_en,s_es,s_de,s_fr) > 0 THEN 'es'
+         |   WHEN s_de = greatest(s_en,s_es,s_de,s_fr) AND greatest(s_en,s_es,s_de,s_fr) > 0 THEN 'de'
+         |   WHEN s_fr = greatest(s_en,s_es,s_de,s_fr) AND greatest(s_en,s_es,s_de,s_fr) > 0 THEN 'fr'
+         |   ELSE 'und' END AS lang
+         |  FROM m)
+         |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         | round(avg(CAST(n_tok AS DOUBLE)), 2) AS avg_tokens, round(avg(quality), 2) AS avg_quality,
+         | CAST(sum(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+         | CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same 8-word-prefix fingerprint expression as the decontaminate
+    // oracle; distinct (source, fp) then the fp-keyed self-join.
+    "source_overlap" ->
+      """WITH fp AS (SELECT DISTINCT source,
+        |  md5(coalesce(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)[1:8], ' '), '')) AS fp
+        |  FROM documents)
+        |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+
+    // dedup_clusters' recursive-CTE closure, then the two histogram aggs.
+    "dedup_cluster_sizes" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' ')))) AS shingle FROM w WHERE len(ws) > 2),
+        |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id1, id2 FROM inter JOIN counts c1 ON id1 = c1.doc_id JOIN counts c2 ON id2 = c2.doc_id
+        |          WHERE round(CAST(shared AS DOUBLE) / (c1.n + c2.n - shared), 4) >= 0.30),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs UNION SELECT id2, id1 FROM pairs),
+        |reach(id, comp) AS (SELECT src, src FROM edges
+        |                    UNION
+        |                    SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |clusters AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id),
+        |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY cluster_id)
+        |SELECT cluster_size, count(*) AS n_clusters FROM sizes
+        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    // Per-label centroid = element-wise avg CAST TO FLOAT (exactly
+    // VectorAvg's finish step — the float cast absorbs summation-order
+    // ulps, making the centroid bit-identical across engines), then the
+    // standard double-cosine/round(4) recipe and a bottom-k per label.
+    "embedding_outliers" ->
+      """WITH e AS (SELECT label, CAST(vec_id AS BIGINT) AS vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |z AS (SELECT label, vec_id, unnest(v) AS x,
+        |      unnest(generate_series(1, len(v))) AS i FROM e),
+        |cent AS (SELECT label, i, CAST(CAST(avg(x) AS FLOAT) AS DOUBLE) AS c
+        |         FROM z GROUP BY label, i),
+        |s AS (SELECT z.label, z.vec_id, sum(z.x * cent.c) AS dp,
+        |      sqrt(sum(z.x * z.x)) AS na, sqrt(sum(cent.c * cent.c)) AS nb
+        |      FROM z JOIN cent ON z.label = cent.label AND z.i = cent.i
+        |      GROUP BY z.label, z.vec_id),
+        |sim AS (SELECT label, vec_id,
+        |        round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS centroid_sim FROM s),
+        |r AS (SELECT label, vec_id, centroid_sim,
+        |      CAST(row_number() OVER (PARTITION BY label ORDER BY centroid_sim ASC, vec_id ASC) AS INT) AS rank FROM sim)
+        |SELECT label, rank, vec_id, centroid_sim FROM r WHERE rank <= 5
+        |ORDER BY label, rank""".stripMargin
   )
 }

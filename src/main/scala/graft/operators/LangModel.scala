@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-trained n-gram language-model scoring — the CCNet/Gopher-style
+  * "perplexity filter" of LLM data pipelines: score every document by its
+  * cross-entropy under a bigram model with add-alpha smoothing, so a
+  * downstream filter can drop the gibberish tail (high cross-entropy) and
+  * the boilerplate head (abnormally low).
+  *
+  * Model: P(w2 | w1) = (c(w1 w2) + alpha) / (c(w1 *) + alpha * V), where
+  * c(w1 w2) is the corpus bigram count, c(w1 *) the count of w1 as a bigram
+  * context (= sum of its bigram counts), and V the corpus vocabulary size.
+  * Document score = mean over its bigram positions of -ln P — exactly
+  * reproducible in ANSI SQL, which is what makes the whole train+score path
+  * hash-checkable (real pipelines swap in a KenLM; the distributed shape is
+  * identical).
+  *
+  * Scale shape (the point — training touches every token of a 100 TB
+  * corpus):
+  *  - bigrams are formed per row with `zip_with` over the token array
+  *    (narrow, no explode until counting);
+  *  - both count tables are hash aggregations with MAP-SIDE partials — the
+  *    shuffle carries distinct-ngrams-per-partition, not the token stream;
+  *  - context counts derive from the (already aggregated) bigram table, not
+  *    from a second corpus pass;
+  *  - scoring re-joins the exploded bigram stream against the count tables
+  *    on the ngram key: two shuffle joins whose build side is the MODEL
+  *    (vocabulary-sized, far smaller than the corpus at scale) — never a
+  *    driver-side model collect, never a broadcast of an unbounded vocab;
+  *  - V and the smoothing constants travel as a broadcast 1-row relation.
+  */
+object LangModel {
+
+  /** (doc_id-keyed) bigram cross-entropy per document.
+    *
+    * Output: idCol, n_bigrams (long, 0 for docs with < 2 tokens),
+    * cross_entropy (double rounded to 4, NULL when n_bigrams = 0).
+    */
+  def bigramCrossEntropy(df: DataFrame, textCol: String, idCol: String,
+                         alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0, s"alpha must be > 0, got $alpha")
+    val id = col(idCol)
+    val ws = TextFunctions.wsTokens(lower(col(textCol)))
+
+    val toks = df.select(id, ws.as("ws"))
+
+    // bigram strings per doc: tokens are whitespace-split, so ' ' is a safe
+    // joiner and substring_index/split_part recovers the context word.
+    val bigrams = zip_with(
+      slice(col("ws"), lit(1), size(col("ws")) - 1),
+      slice(col("ws"), lit(2), size(col("ws")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+
+    val bgl = toks.where(size(col("ws")) >= 2)
+      .select(id, explode(bigrams).as("bg"))
+
+    // --- train ---
+    val bgCounts = bgl.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val ctxCounts = bgCounts
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val vocab = toks.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+
+    // --- score ---
+    val p = (col("c12") + lit(alpha)) / (col("c1") + lit(alpha) * col("v"))
+    val perDoc = bgl
+      .join(bgCounts, "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(ctxCounts, "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(p)), 4).as("cross_entropy"))
+
+    df.select(id).join(perDoc, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("cross_entropy"))
+  }
+}

@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Chunker, CorpusStats, LangModel}
+
+/** Specs for the corpus-pipeline additions: sliding-window chunking,
+  * bigram-LM cross-entropy, and the corpus observability operators. Each is
+  * pinned against an independent in-memory brute-force reference (the
+  * DuckDB oracles cover the fixture path; these cover the semantics on
+  * adversarial small inputs).
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---------------- sliding chunks ----------------
+
+  private def slide(text: String, window: Int, stride: Int): Seq[(Int, Int, String)] =
+    Seq((1L, text)).toDF("doc_id", "text")
+      .transform(df => Chunker.slideChunk(df, "text", window, stride))
+      .select($"chunk_id", $"start_word", $"chunk_text")
+      .as[(Int, Int, String)].collect().toSeq.sortBy(_._1)
+
+  /** Brute-force reference: Python-style split(' '), starts at every
+    * multiple of stride below max(len, 1). */
+  private def slideRef(text: String, window: Int, stride: Int): Seq[(Int, Int, String)] = {
+    val words = text.split(" ", -1).toSeq
+    val lastStart = math.max(words.length - 1, 0) / stride
+    (0 to lastStart).map(g =>
+      (g, g * stride, words.slice(g * stride, g * stride + window).mkString(" ")))
+  }
+
+  test("sliding chunks match the brute-force reference across shapes") {
+    for {
+      n <- Seq(1, 5, 31, 32, 33, 64, 97)
+      (w, s) <- Seq((8, 8), (8, 4), (5, 2), (48, 32), (3, 1))
+    } {
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      assert(slide(text, w, s) === slideRef(text, w, s), s"n=$n window=$w stride=$s")
+    }
+  }
+
+  test("consecutive sliding chunks overlap by window - stride words") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val got = slide(text, 48, 32)
+    got.sliding(2).foreach {
+      case Seq((_, s1, c1), (_, s2, c2)) =>
+        val w1 = c1.split(" ", -1).toSeq
+        val w2 = c2.split(" ", -1).toSeq
+        assert(s2 - s1 === 32)
+        // trailing 16 words of chunk g == leading 16 of chunk g+1
+        assert(w1.drop(32) === w2.take(math.min(16, w1.length - 32)))
+      case _ => ()
+    }
+  }
+
+  test("stride == window reproduces non-overlapping partitioning without empty tail") {
+    val text = (1 to 6).map(i => s"w$i").mkString(" ")
+    assert(slide(text, 3, 3).map(_._3) === Seq("w1 w2 w3", "w4 w5 w6"))
+  }
+
+  test("sliding chunk parameter guards") {
+    assertThrows[IllegalArgumentException](Chunker.slidingChunks(lit("a"), 0, 1))
+    assertThrows[IllegalArgumentException](Chunker.slidingChunks(lit("a"), 4, 5))
+    assertThrows[IllegalArgumentException](Chunker.slidingChunks(lit("a"), 4, 0))
+  }
+
+  // ---------------- bigram LM cross-entropy ----------------
+
+  test("bigram cross-entropy matches a brute-force add-alpha model") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran"),
+      (3L, "dogs bark"),
+      (4L, "single"),
+      (5L, "the cat sat on the mat")) // exact dup of doc 1
+    val alpha = 0.5
+
+    // reference model built imperatively
+    val tokens = docs.map { case (id, t) => id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+    val allBigrams = tokens.flatMap { case (_, ws) => ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")) }
+    val bgCount = allBigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctxCount = bgCount.groupBy(_._1.split(" ")(0)).view.mapValues(_.values.sum).toMap
+    val v = tokens.flatMap(_._2).distinct.size
+    def xent(ws: Seq[String]): Option[Double] = {
+      val bgs = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      if (bgs.isEmpty) None
+      else {
+        val nll = bgs.map { bg =>
+          val w1 = bg.split(" ")(0)
+          -math.log((bgCount(bg) + alpha) / (ctxCount(w1) + alpha * v))
+        }
+        Some(BigDecimal(nll.sum / nll.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+
+    val got = LangModel.bigramCrossEntropy(docs.toDF("doc_id", "text"), "text", "doc_id", alpha)
+      .select($"doc_id", $"n_bigrams", $"cross_entropy")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+
+    for ((id, ws) <- tokens) {
+      val (_, nBg, ce) = got(id.toInt - 1)
+      assert(nBg === math.max(ws.length - 1, 0), s"doc $id n_bigrams")
+      assert(ce === xent(ws), s"doc $id cross_entropy")
+    }
+    // identical docs score identically; the dup scores lower (more probable)
+    // than the singleton-bigram doc
+    assert(got(0)._3 === got(4)._3)
+    assert(got(0)._3.get < got(2)._3.get)
+  }
+
+  test("cross-entropy is invariant under repartitioning (deterministic aggregation)") {
+    val docs = (1L to 40L).map(i => (i, s"alpha b$i gamma alpha b${i % 7} delta")).toDF("doc_id", "text")
+    val a = LangModel.bigramCrossEntropy(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    val b = LangModel.bigramCrossEntropy(docs.repartition(7), "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  // ---------------- corpus stats ----------------
+
+  test("profile aggregates per-source doc/token/lang/short counts") {
+    val docs = Seq(
+      ("web", "the cat is on the mat and it is happy today"), // en, 11 words
+      ("web", "tiny"),                                        // short, und
+      ("books", "el gato es un animal y es muy bonito aqui")) // es
+      .toDF("source", "text").select($"source", $"text")
+    val got = CorpusStats.profile(docs, "text", "source")
+      .select($"source", $"n_docs", $"n_tokens", $"n_short", $"n_en")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(("books", 1L, 10L, 1L, 0L), ("web", 2L, 12L, 2L, 1L)))
+  }
+
+  test("source overlap counts distinct shared fingerprints once per source pair") {
+    val docs = Seq(
+      ("a", "x"), ("a", "x"), // duplicate fp within source a: counted once
+      ("b", "x"), ("c", "x"), // fp x shared by a,b,c -> 3 pairs
+      ("a", "y"), ("b", "y"), // fp y shared by a,b
+      ("c", "z"))             // unshared
+      .toDF("source", "text")
+    val got = CorpusStats.sourceOverlapMatrix(docs, md5($"text"), "source")
+      .as[(String, String, Long)].collect().sortBy(p => (p._1, p._2)).toSeq
+    assert(got === Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)))
+  }
+
+  test("cluster size histogram") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 6L))
+      .toDF("doc_id", "cluster_id")
+    val got = CorpusStats.clusterSizeHistogram(clusters)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("centroid outliers pick the k farthest members per group, rank ascending by similarity") {
+    // group g1: 9 vectors near (1,0), one antipodal outlier; g2: all aligned
+    val rows =
+      (1L to 9L).map(i => (i, "g1", Array(1f, 0.01f * i))) ++
+        Seq((10L, "g1", Array(-1f, 0f))) ++
+        (11L to 14L).map(i => (i, "g2", Array(0f, 1f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = CorpusStats.centroidOutliers(df, "embedding", "vec_id", "label", k = 3)
+      .select($"label", $"rank", $"vec_id", $"centroid_sim")
+      .as[(String, Int, Long, Double)].collect().toSeq
+
+    val g1 = got.filter(_._1 == "g1").sortBy(_._2)
+    assert(g1.head._3 === 10L)                   // antipodal vector is rank 1
+    assert(g1.map(_._4) === g1.map(_._4).sorted) // ascending similarity
+    assert(g1.size === 3)
+
+    val g2 = got.filter(_._1 == "g2").sortBy(_._2)
+    assert(g2.size === 3)                        // k caps the group
+    assert(g2.map(_._3) === Seq(11L, 12L, 13L))  // ties break by id ascending
+  }
+}
