@@ -1496,6 +1496,39 @@ object SparkEntry {
       CorpusStats.centroidOutliers(t(s, d, "embeddings"), "embedding",
         "vec_id", "label", k = 5)
         .orderBy(col("label"), col("rank"))
+    }),
+
+    // Any-window n-gram decontamination (GPT-3/PaLM style): a train doc is
+    // contaminated if ANY of its 8-grams appears anywhere in the eval split
+    // — strictly stronger than the prefix-fingerprint `decontaminate`.
+    // Eval gram set broadcasts; the only shuffle carries matched grams.
+    "decontaminate_ngram" -> ((s, d) => {
+      val split = t(s, d, "documents").select(col("doc_id"), col("text"),
+        (Sampling.hashDraw(col("doc_id"), "eval") <
+          lit(Sampling.hexThreshold(0.2))).as("is_eval"))
+      Decontaminate.ngramContaminated(
+        split.where(!col("is_eval")), "text", "doc_id",
+        split.where(col("is_eval")), "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Dataset.pivot surface: segment x order-priority count matrix in one
+    // pass (pivot compiles to a single hash aggregation whose grouping key
+    // is the row dim and whose values are first-class agg expressions — no
+    // per-priority scan). Explicit value list keeps the plan static;
+    // na.fill(0) gives absent cells the same 0 the oracle's count-CASE
+    // produces.
+    "q25_pivot" -> ((s, d) => {
+      t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .toDF("segment", "p1_urgent", "p2_high", "p3_medium",
+          "p4_not_specified", "p5_low")
+        .orderBy(col("segment"))
     })
   )
 
@@ -2484,6 +2517,33 @@ object SparkEntry {
         |r AS (SELECT label, vec_id, centroid_sim,
         |      CAST(row_number() OVER (PARTITION BY label ORDER BY centroid_sim ASC, vec_id ASC) AS INT) AS rank FROM sim)
         |SELECT label, rank, vec_id, centroid_sim FROM r WHERE rank <= 5
-        |ORDER BY label, rank""".stripMargin
+        |ORDER BY label, rank""".stripMargin,
+
+    // Same hash-eval split as the `decontaminate` oracle; grams are the
+    // distinct lowercased word 8-grams (ws[i:i+7] is 8 elements — DuckDB
+    // slices are inclusive). Per-doc grams and the eval set are both
+    // distinct, so the join count IS the distinct shared-gram count.
+    "decontaminate_ngram" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws,
+        |  substr(md5(CAST(doc_id AS VARCHAR) || ':eval'), 1, 8) < '33333333' AS is_eval
+        |  FROM documents),
+        |g AS (SELECT doc_id, is_eval,
+        |      unnest(list_distinct(list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' ')))) AS gram
+        |      FROM d WHERE len(ws) >= 8),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE is_eval)
+        |SELECT g.doc_id, count(*) AS n_hits
+        |FROM g JOIN ev USING (gram) WHERE NOT g.is_eval
+        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q25_pivot" ->
+      """SELECT c_mktsegment AS segment,
+        | count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1_urgent,
+        | count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2_high,
+        | count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3_medium,
+        | count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4_not_specified,
+        | count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5_low
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin
   )
 }

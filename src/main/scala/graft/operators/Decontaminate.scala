@@ -53,4 +53,34 @@ object Decontaminate {
     val mightContain = udf((fp: String) => fp != null && bcast.value.mightContainString(fp))
     train.where(mightContain(fpCol))
   }
+
+  /** Any-window n-gram decontamination — the GPT-3/PaLM-style check: a
+    * train document is contaminated if ANY of its word n-grams appears
+    * anywhere in the eval side (not just the document prefix, which is what
+    * the fingerprint form above checks). Output: one row per contaminated
+    * train doc with `n_hits` = how many DISTINCT eval n-grams it shares —
+    * the evidence count a triage pass sorts by.
+    *
+    * Scale shape: the eval n-gram set is benchmark-sized, so it broadcasts;
+    * the exploded train gram stream is cut down by the broadcast semi-join
+    * BEFORE the only shuffle (the per-doc count), which therefore carries
+    * only matched grams, not the corpus token stream. Per-doc grams are
+    * distinct ([[Dedup.shinglesFast]] semantics) and the eval set is
+    * distinct, so the join multiplicity is exactly 1 per shared gram. When
+    * the eval side outgrows a broadcast, swap the join for
+    * [[contaminatedViaBloom]] over the same exploded gram stream — one-sided
+    * error, same no-false-negative guarantee.
+    */
+  def ngramContaminated(train: DataFrame, textCol: String, idCol: String,
+                        evalDocs: DataFrame, evalTextCol: String,
+                        n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = graft.operators.Dedup.shinglesFast(n)
+    val ev = evalDocs
+      .select(explode(grams(col(evalTextCol))).as("__gram")).distinct()
+    train.select(col(idCol), explode(grams(col(textCol))).as("__gram"))
+      .join(broadcast(ev), "__gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
 }

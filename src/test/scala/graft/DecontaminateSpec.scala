@@ -42,4 +42,29 @@ class DecontaminateSpec extends AnyFunSuite {
       .select($"t.doc_id").as[Long].collect().toSet
     assert(exact === reference)
   }
+
+  test("ngram contamination matches brute-force window overlap") {
+    val docs = Seq(
+      // 1 shares the eval doc's middle 4-gram; 2 shares nothing; 3 is a
+      // verbatim copy (many hits); 4 is shorter than the window.
+      (1L, "x y the quick brown fox jumps z w", false),
+      (2L, "entirely different words in this document here now", false),
+      (3L, "the quick brown fox jumps over the lazy dog", false),
+      (4L, "too short", false),
+      (10L, "the quick brown fox jumps over the lazy dog", true))
+      .toDF("doc_id", "text", "is_eval")
+    val hits = Decontaminate.ngramContaminated(
+        docs.where(!$"is_eval"), "text", "doc_id",
+        docs.where($"is_eval"), "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+
+    def grams(t: String) =
+      t.split("\\s+").filter(_.nonEmpty).sliding(4).map(_.mkString(" ")).toSet
+    val ev = grams("the quick brown fox jumps over the lazy dog")
+    val expected = Map(
+      1L -> grams("x y the quick brown fox jumps z w").count(ev),
+      3L -> grams("the quick brown fox jumps over the lazy dog").count(ev))
+    assert(hits === expected.map { case (k, v) => k -> v.toLong })
+    assert(!hits.contains(2L) && !hits.contains(4L))
+  }
 }
