@@ -1512,6 +1512,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Product quantization accuracy contract: train PQ (m=32 2-dim
+    // subspaces x 64 centroids, 5 Lloyd rounds — ~10x compression), score
+    // by ADC table lookups, and compare against the exact brute-force
+    // top-10 IN-QUERY. Output per query: does the ADC top-10 contain >= 5
+    // of the exact top-10, and the exact best neighbor? The fixture is
+    // near-random (sim band 0.25-0.40 — a quantizer's hardest regime);
+    // measured overlap is 7-9/10 at both SFs, so the flags carry real
+    // margin. Same contract style as ann_ivf_full_probe /
+    // events_approx_percentile: the approx structure itself is
+    // engine-specific, but its accuracy obligations are hash-checkable.
+    "ann_pq_contract" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val cb = ProductQuantization.train(emb, "embedding", "vec_id",
+        m = 32, k = 64, iters = 5)
+      val exact = SimilaritySearch.bruteForceTopK(emb, qs, k = 10)
+        .select(col("q_id"), col("vec_id"), col("rank"))
+      val adc = ProductQuantization.adcTopK(emb, qs, cb, k = 10)
+        .select(col("q_id").as("aq"), col("vec_id").as("av"))
+      exact.join(adc,
+          col("q_id") === col("aq") && col("vec_id") === col("av"), "left")
+        .groupBy(col("q_id"))
+        .agg(
+          (sum(when(col("av").isNotNull, 1).otherwise(0)) >= 5).as("recall_ok"),
+          (max(when(col("rank") === 1 && col("av").isNotNull, 1).otherwise(0)) === 1)
+            .as("top1_found"))
+        .orderBy(col("q_id"))
+    }),
+
     // Dataset.pivot surface: segment x order-priority count matrix in one
     // pass (pivot compiles to a single hash aggregation whose grouping key
     // is the row dim and whose values are first-class agg expressions — no
@@ -2535,6 +2565,14 @@ object SparkEntry {
         |SELECT g.doc_id, count(*) AS n_hits
         |FROM g JOIN ev USING (gram) WHERE NOT g.is_eval
         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+
+    // The PQ structure is engine-specific; its accuracy CONTRACT is not.
+    // The oracle pins the query id set and asserts both flags TRUE —
+    // Spark-side flag arithmetic compares ADC against the exact top-10
+    // in-query, so a quality regression hash-fails the row.
+    "ann_pq_contract" ->
+      """SELECT vec_id AS q_id, TRUE AS recall_ok, TRUE AS top1_found
+        |FROM embeddings WHERE vec_id < 5 ORDER BY q_id""".stripMargin,
 
     "q25_pivot" ->
       """SELECT c_mktsegment AS segment,

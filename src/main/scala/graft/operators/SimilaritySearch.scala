@@ -33,8 +33,8 @@ object SimilaritySearch {
     * `row_number().over(partitionBy(queryId))` window would shuffle before
     * discarding all but k. Ids must be numeric (the tie-break is (similarity
     * desc, id asc), matching the SQL oracles). */
-  private def topKPerQuery(scored: DataFrame, k: Int,
-                           queryId: String, corpusId: String): DataFrame = {
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int,
+                                      queryId: String, corpusId: String): DataFrame = {
     val topk = udaf(graft.functions.TopKBy(k))
     scored.groupBy(col(queryId))
       .agg(topk(col("similarity"), col(corpusId).cast("long")).as("__topk"))
