@@ -1512,6 +1512,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Corrupt-record quarantine ingest — the PERMISSIVE-parse pattern a
+    // million-file JSON landing zone needs: rows that fail to parse land in
+    // the _corrupt column (poison rows never kill the job, unlike FAILFAST)
+    // and are counted per source; valid rows aggregate normally. The
+    // fixture's corrupt rows are synthesized deterministically (doc_id%7==3
+    // loses its closing brace) so the oracle re-derives exactly which rows
+    // quarantine via json_valid.
+    "source_json_quarantine" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val raw = t(s, d, "documents")
+        .withColumn("raw0", to_json(struct(col("doc_id"), col("n_chars"))))
+        .withColumn("raw", when(col("doc_id") % 7 === 3,
+          expr("substring(raw0, 1, length(raw0) - 1)")).otherwise(col("raw0")))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_chars", LongType),
+        StructField("_corrupt", StringType)))
+      raw.withColumn("p", from_json(col("raw"), schema,
+          Map("columnNameOfCorruptRecord" -> "_corrupt")))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("p._corrupt").isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
+          sum(when(col("p._corrupt").isNull, col("p.n_chars"))).as("n_chars_ok"))
+        .orderBy(col("source"))
+    }),
+
     // Product quantization accuracy contract: train PQ (m=32 2-dim
     // subspaces x 64 centroids, 5 Lloyd rounds — ~10x compression), score
     // by ADC table lookups, and compare against the exact brute-force
@@ -2565,6 +2590,20 @@ object SparkEntry {
         |SELECT g.doc_id, count(*) AS n_hits
         |FROM g JOIN ev USING (gram) WHERE NOT g.is_eval
         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+
+    // Rebuilds the same canonical JSON strings (BIGINT fields print
+    // identically in both engines) and re-derives quarantine membership
+    // with json_valid.
+    "source_json_quarantine" ->
+      """WITH j AS (SELECT source, n_chars,
+        |  CASE WHEN doc_id % 7 = 3
+        |    THEN '{"doc_id":' || doc_id || ',"n_chars":' || n_chars
+        |    ELSE '{"doc_id":' || doc_id || ',"n_chars":' || n_chars || '}' END AS raw
+        |  FROM documents)
+        |SELECT source, count(*) AS n_rows,
+        | CAST(sum(CASE WHEN NOT json_valid(raw) THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+        | CAST(sum(CASE WHEN json_valid(raw) THEN n_chars END) AS BIGINT) AS n_chars_ok
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     // The PQ structure is engine-specific; its accuracy CONTRACT is not.
     // The oracle pins the query id set and asserts both flags TRUE —
