@@ -79,13 +79,12 @@ object SparkEntry {
   val BucketedLineitemTable: String = s"graft_li_b_$runNonce"
   val BucketedOrdersTable: String = s"graft_ord_b_$runNonce"
 
-  /** The events fixture stores TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects by default; read nanos as long and truncate to micros (exactly
-    * what DuckDB's ns->us read does, so oracles agree). */
+  /** The events fixture's `ts` physical type varies by fixture generation
+    * (TIMESTAMP(NANOS) or timestamp[us]); normalize to TIMESTAMP micros so
+    * queries and DuckDB oracles agree either way. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.operators.EventsOps.withEventTs(t(s, dir, "events"))
   }
 
   /** SQL fragment: the reference stoplist (app/app.py:55), quoted for DuckDB. */

@@ -11,6 +11,23 @@ import org.apache.spark.sql.functions._
   */
 object EventsOps {
 
+  /** Normalize the events fixture's `ts` column to TIMESTAMP (LTZ, micros).
+    * The driver has shipped the column as TIMESTAMP(NANOS) (readable only as
+    * long nanos via `spark.sql.legacy.parquet.nanosAsLong`) and as plain
+    * `timestamp[us]` (which Spark reads as TIMESTAMP_NTZ) in different
+    * fixture generations. Both are wall-clock UTC; with the session timezone
+    * pinned to UTC the cast/truncate below yield bit-identical micros, so
+    * every downstream query and DuckDB oracle sees the same values
+    * regardless of fixture vintage. */
+  def withEventTs(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    events.schema("ts").dataType match {
+      case LongType => events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => events.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => events
+    }
+  }
+
   /** Tumbling-window aggregate (batch form; streaming twin in
     * [[graft.streaming.StreamingOps]]). One shuffle on (window, event_type)
     * with map-side partial aggregation. */

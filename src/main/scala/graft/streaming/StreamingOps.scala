@@ -38,9 +38,9 @@ object StreamingOps {
     try f finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
-  /** Stream-read the events fixture; its `ts` is TIMESTAMP(NANOS), which
-    * Spark reads only as long (nanosAsLong) — truncate to micros, matching
-    * DuckDB's ns->us read so the batch oracle agrees. */
+  /** Stream-read the events fixture; `ts` arrives as long nanos or
+    * TIMESTAMP_NTZ depending on fixture generation — normalize to TIMESTAMP
+    * (watermarks require the LTZ type) via the shared batch normalizer. */
   private def readEvents(spark: SparkSession, eventsPath: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema
@@ -50,9 +50,7 @@ object StreamingOps {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", p.getName)
       .parquet(p.getParent.toString)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    graft.operators.EventsOps.withEventTs(raw)
   }
 
   /** Run the tumbling-window streaming aggregation over a (finite) parquet

@@ -15,8 +15,8 @@ class StreamingDedupSpec extends AnyFunSuite {
       s"${TestSpark.sf}/events.parquet", Seq("user_id", "event_type"),
       queryName = "t_dedup_stream")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = graft.operators.EventsOps.withEventTs(
+      spark.read.parquet(s"${TestSpark.sf}/events.parquet"))
       .dropDuplicates(Seq("user_id", "event_type", "ts"))
     assert(streamed.count() === batch.count())
   }
@@ -27,8 +27,8 @@ class StreamingDedupSpec extends AnyFunSuite {
       bucket = "day", queryName = "t_dedup_bucket_stream")
       .as[(Long, String, java.sql.Timestamp)].collect().toSet
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = graft.operators.EventsOps.withEventTs(
+      spark.read.parquet(s"${TestSpark.sf}/events.parquet"))
       .select($"user_id", $"event_type", date_trunc("day", $"ts").as("d"))
       .distinct()
       .as[(Long, String, java.sql.Timestamp)].collect().toSet

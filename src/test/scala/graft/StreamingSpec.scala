@@ -12,8 +12,7 @@ class StreamingSpec extends AnyFunSuite {
 
   private def batchEvents = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"${TestSpark.sf}/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    EventsOps.withEventTs(spark.read.parquet(s"${TestSpark.sf}/events.parquet"))
   }
 
   test("streaming complete-mode window agg equals the batch tumbling agg") {
