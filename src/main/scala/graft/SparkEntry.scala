@@ -1583,6 +1583,89 @@ object SparkEntry {
         .toDF("segment", "p1_urgent", "p2_high", "p3_medium",
           "p4_not_specified", "p5_low")
         .orderBy(col("segment"))
+    }),
+
+    // Full outer join (the one join type the suite lacked): high-value
+    // viewer activity x high-value purchase activity per user. The > 97
+    // predicate makes both exclusive sides real (23 view-only / 22
+    // purchase-only users at sf0.01), so the nulls on BOTH sides are
+    // exercised, not vacuous. Shuffle-hash/sort-merge on user_id; both
+    // inputs pre-aggregated so the join carries user-count rows.
+    "q26_full_outer" -> ((s, d) => {
+      val hot = events(s, d).where(col("value") > 97)
+      val views = hot.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_views"))
+      val buys = hot.where(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value")), 4).as("purchase_value"))
+      views.join(buys, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_views"), lit(0L)).as("n_views"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          col("purchase_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Schema evolution in the landing zone: two parquet batches written
+    // with DIFFERENT column sets (an upstream producer added `lang` and
+    // dropped `n_chars` mid-stream), read back as ONE table via
+    // mergeSchema — missing columns surface as NULLs. This is the
+    // schema-drift tolerance a long-lived 100 TB ingest dir needs; the
+    // oracle re-derives the union-by-name semantics from the fixture.
+    "source_schema_evolution" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val root = scratch(d, "evolve")
+      docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$root/batch_a")
+      docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .write.mode("overwrite").parquet(s"$root/batch_b")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$root/batch_a", s"$root/batch_b")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR importance-weighted data selection (Xie et al. 2302.03169):
+    // target = the English slice, raw = the whole corpus; every doc scored
+    // by its hashed-bigram log-likelihood ratio and the top-100 selected.
+    // The model is two 256-bucket count tables (broadcast); the corpus
+    // never shuffles except the per-doc mean — see LangModel scaladoc. The
+    // rank window runs AFTER the top-k cut (TakeOrderedAndProject), so the
+    // single-partition window sees k rows, never the corpus.
+    "dsir_importance" -> ((s, d) => {
+      val scored = LangModel.importanceWeights(t(s, d, "documents"),
+          "text", "doc_id", isTarget = col("lang") === "en",
+          buckets = 256, alpha = 0.5, seed = 42)
+        .where(col("n_feats") > 0)
+        .orderBy(desc("imp_weight"), col("doc_id")).limit(100)
+      scored.withColumn("rank", row_number().over(
+          Window.orderBy(desc("imp_weight"), col("doc_id"))).cast("int"))
+        .orderBy(col("rank"))
+    }),
+
+    // Gopher-style quality rule battery (word count / mean word length /
+    // unique fraction / token-distribution entropy / stopword presence +
+    // one folded verdict). Entropy via H = ln N - (sum c ln c)/N — one
+    // (doc, word)-keyed agg with partials, everything else array-local.
+    "quality_gopher" -> ((s, d) => {
+      CorpusStats.gopherQuality(t(s, d, "documents"), "text", "doc_id",
+          stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "was",
+            "for", "with"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Source-pair similarity from MERGEABLE MinHash sketches: per-source
+    // signature = 32 min() aggregates over trigram shingles (one corpus
+    // pass, map-side partial mins, sketch state = 32 strings per source),
+    // pairwise signature agreement vs the exact distinct-shingle Jaccard
+    // as an in-query audit. The estimate column is what survives at
+    // 100 TB; the exact column is what proves the estimate honest here.
+    "source_sketch_jaccard" -> ((s, d) => {
+      CorpusStats.minhashSourceSimilarity(t(s, d, "documents"),
+          "text", "source", numHashes = 32, shingleN = 3)
+        .orderBy(col("source_a"), col("source_b"))
     })
   )
 
@@ -2620,6 +2703,91 @@ object SparkEntry {
         | count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4_not_specified,
         | count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5_low
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
+
+    "q26_full_outer" ->
+      """WITH v AS (SELECT user_id, count(*) AS n_views FROM events
+        |           WHERE event_type = 'view' AND value > 97 GROUP BY 1),
+        |p AS (SELECT user_id, count(*) AS n_purchases, round(sum(value),4) AS purchase_value
+        |      FROM events WHERE event_type = 'purchase' AND value > 97 GROUP BY 1)
+        |SELECT coalesce(v.user_id, p.user_id) AS user_id,
+        | coalesce(n_views, 0) AS n_views,
+        | coalesce(n_purchases, 0) AS n_purchases, purchase_value
+        |FROM v FULL OUTER JOIN p ON v.user_id = p.user_id
+        |ORDER BY user_id""".stripMargin,
+
+    // Union-by-name semantics of the two written batches, re-derived from
+    // the fixture: evens carry n_chars (lang NULL), odds carry lang
+    // (n_chars NULL).
+    "source_schema_evolution" ->
+      """SELECT doc_id, source, n_chars, CAST(NULL AS VARCHAR) AS lang
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, source, CAST(NULL AS BIGINT) AS n_chars, lang
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // Full DSIR replay: hashed-bigram bucket (md5-hex idiom), per-bucket
+    // raw/target counts, add-0.5 smoothing over 256 buckets (alpha*B =
+    // 128), per-doc mean log-ratio, rank on the ROUNDED weight
+    // (round-then-rank convention), top-100.
+    "dsir_importance" ->
+      """WITH w AS (SELECT doc_id, lang = 'en' AS is_t,
+        |           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |bg AS (SELECT doc_id, is_t, unnest(list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])) AS bg
+        |       FROM w WHERE len(ws) >= 2),
+        |o AS (SELECT doc_id, is_t,
+        |      CAST(((strpos('0123456789abcdef', substr(md5(bg || '#42'),1,1)) - 1) * 16 +
+        |            (strpos('0123456789abcdef', substr(md5(bg || '#42'),2,1)) - 1)) % 256 AS INT) AS b FROM bg),
+        |c AS (SELECT b, count(*) AS cr, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct FROM o GROUP BY b),
+        |tt AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM c),
+        |m AS (SELECT b, ln((ct + 0.5) / (nt + 128.0)) - ln((cr + 0.5) / (nr + 128.0)) AS lr FROM c, tt),
+        |sc AS (SELECT doc_id, count(*) AS n_feats, round(avg(lr), 4) AS imp_weight
+        |       FROM o JOIN m USING (b) GROUP BY doc_id),
+        |r AS (SELECT doc_id, n_feats, imp_weight,
+        |      CAST(row_number() OVER (ORDER BY imp_weight DESC, doc_id) AS INT) AS rank FROM sc)
+        |SELECT doc_id, n_feats, imp_weight, rank FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,
+
+    // Replays gopherQuality: token entropy via H = ln N - (sum c ln c)/N,
+    // verdict on the ROUNDED metrics (exactly the Spark columns), empty
+    // docs kept with NULL metrics and a false verdict.
+    "quality_gopher" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |cf AS (SELECT doc_id, wd, count(*) AS c FROM (SELECT doc_id, unnest(ws) AS wd FROM w) GROUP BY 1, 2),
+        |e AS (SELECT doc_id, count(*) AS n_unique, sum(c) AS n_tot,
+        |      sum(c * ln(c)) AS clnc FROM cf GROUP BY doc_id),
+        |m AS (SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |      CASE WHEN len(ws) > 0 THEN round(len(array_to_string(ws, '')) * 1.0 / len(ws), 4) END AS mean_word_len,
+        |      CASE WHEN e.n_tot > 0 THEN round(e.n_unique * 1.0 / e.n_tot, 4) END AS frac_unique,
+        |      CASE WHEN e.n_tot > 0 THEN round(ln(e.n_tot) - e.clnc / e.n_tot, 4) END AS token_entropy,
+        |      len(list_intersect(ws, ['the','a','of','and','to','in','is','was','for','with'])) >= 2 AS has_stopwords
+        |      FROM w LEFT JOIN e ON w.doc_id = e.doc_id)
+        |SELECT doc_id, n_words, mean_word_len, frac_unique, token_entropy, has_stopwords,
+        | (n_words >= 50 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |  AND frac_unique >= 0.2 AND has_stopwords) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Replays the sketch: per-source distinct trigram shingles, 32
+    // string-min md5 hashes, pairwise agreement rate + exact Jaccard.
+    "source_sketch_jaccard" ->
+      """WITH w AS (SELECT source, doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |shg AS (SELECT source, unnest(list_distinct(list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' ')))) AS sh
+        |        FROM w WHERE len(ws) > 2),
+        |hi AS (SELECT source, i, min(md5(sh || '#' || i)) AS m
+        |       FROM shg CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) GROUP BY source, i),
+        |est AS (SELECT a.source AS source_a, b.source AS source_b,
+        |        round(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) * 1.0 / 32, 4) AS jaccard_est
+        |        FROM hi a JOIN hi b ON a.i = b.i AND a.source < b.source GROUP BY 1, 2),
+        |ds AS (SELECT DISTINCT source, sh FROM shg),
+        |sz AS (SELECT source, count(*) AS sz FROM ds GROUP BY source),
+        |iv AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_inter
+        |       FROM ds a JOIN ds b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2)
+        |SELECT e.source_a, e.source_b, e.jaccard_est,
+        | round(coalesce(iv.n_inter, 0) * 1.0 / (sa.sz + sb.sz - coalesce(iv.n_inter, 0)), 4) AS jaccard_exact
+        |FROM est e
+        |LEFT JOIN iv ON e.source_a = iv.source_a AND e.source_b = iv.source_b
+        |JOIN sz sa ON e.source_a = sa.source
+        |JOIN sz sb ON e.source_b = sb.source
+        |ORDER BY e.source_a, e.source_b""".stripMargin
   )
 }

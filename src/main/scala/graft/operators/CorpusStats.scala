@@ -65,6 +65,105 @@ object CorpusStats {
     clusters.groupBy(col(clusterCol)).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
 
+  /** Gopher-style per-document quality rules (Rae et al. 2112.11446 §A1.1,
+    * the public heuristic battery every LLM curation pipeline reruns):
+    * word count, mean word length, unique-word fraction, token-distribution
+    * entropy (the repetition/gibberish axis: low = one word repeated, high =
+    * word soup), and a stopword-presence check, folded into one boolean
+    * verdict per doc.
+    *
+    * Scale shape: one narrow projection computes the array-local metrics
+    * (no shuffle); the entropy needs per-(doc, word) counts — ONE hash
+    * aggregation keyed (doc, word) with map-side partials, then a doc-keyed
+    * re-aggregation using the identity H = ln N - (Σ c·ln c)/N so no
+    * totals join is needed. Nothing here is corpus-global: every key is
+    * doc-bounded, so the operator scales linearly with corpus size.
+    *
+    * Empty docs (0 tokens) keep a row: NULL metrics, verdict false.
+    */
+  def gopherQuality(df: DataFrame, textCol: String, idCol: String,
+                    stopwords: Seq[String], minWords: Int = 50,
+                    minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                    minFracUnique: Double = 0.2, minStopwords: Int = 2): DataFrame = {
+    val id = col(idCol)
+    val base = df.select(id,
+        TextFunctions.wsTokens(lower(col(textCol))).as("ws"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+    // per-(doc, word) counts -> doc-keyed entropy; both aggs carry partials
+    val ent = base.select(id, explode(col("ws")).as("w"))
+      .groupBy(id, col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_unique"), sum(col("c")).as("n_tot"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clnc"))
+      .select(id, col("n_unique"), col("n_tot"),
+        round(log(col("n_tot").cast("double")) - col("clnc") / col("n_tot"), 4)
+          .as("token_entropy"))
+    val metrics = base.select(id, col("n_words"),
+        // total token chars in one builtin pass (array_join) / word count
+        when(col("n_words") > 0,
+          round(length(array_join(col("ws"), "")).cast("double") / col("n_words"), 4))
+          .as("mean_word_len"),
+        (size(array_intersect(col("ws"),
+          lit(stopwords.toArray))) >= minStopwords).as("has_stopwords"))
+      .join(ent, Seq(idCol), "left")
+      .withColumn("frac_unique",
+        when(col("n_tot") > 0, round(col("n_unique").cast("double") / col("n_tot"), 4)))
+    metrics.select(id, col("n_words"), col("mean_word_len"), col("frac_unique"),
+      col("token_entropy"), col("has_stopwords"),
+      (col("n_words") >= minWords &&
+        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+        col("frac_unique") >= minFracUnique && col("has_stopwords"))
+        .as("gopher_pass"))
+  }
+
+  /** Source-level similarity via MERGEABLE MinHash sketches: a k-hash
+    * signature per source (sig_i = min over the source's shingles of
+    * md5(shingle || '#' || i) — the same portable string-min family as
+    * [[Dedup.minhashSignature]], here as k min() AGGREGATES so the sketch
+    * builds in one corpus pass with map-side partial mins and unions
+    * associatively across partitions/batches), then pairwise
+    * estimated-vs-exact Jaccard for every source pair.
+    *
+    * This is the sketch the 100 TB shape needs: per-source state is k
+    * strings regardless of corpus size, the pairwise stage runs on
+    * #sources-sized tables, and only the exact-Jaccard audit columns touch
+    * the distinct-shingle sets (drop them and nothing corpus-sized crosses
+    * the pair join). Output: source_a < source_b, jaccard_est (signature
+    * agreement rate), jaccard_exact (distinct-shingle Jaccard).
+    */
+  def minhashSourceSimilarity(df: DataFrame, textCol: String, sourceCol: String,
+                              numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
+    require(numHashes > 0 && shingleN > 0)
+    val sh = df.select(col(sourceCol).as("source"),
+        explode(Dedup.shingles(col(textCol), shingleN)).as("sh"))
+    val sigCols = (0 until numHashes).map(i =>
+      min(md5(concat(col("sh"), lit("#" + i)))).as(s"m$i"))
+    val sigs = sh.groupBy(col("source")).agg(sigCols.head, sigCols.drop(1): _*)
+    val agree = (0 until numHashes).map(i =>
+        when(col(s"x.m$i") === col(s"y.m$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / numHashes
+    val est = sigs.as("x").join(sigs.as("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
+        round(agree, 4).as("jaccard_est"))
+    // exact audit: distinct shingles per source (source-keyed, partials)
+    val ds = sh.distinct()
+    val sizes = ds.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val inter = ds.as("a")
+      .join(ds.as("b"), col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    est
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .join(sizes.withColumnRenamed("source", "source_a").withColumnRenamed("sz", "sz_a"),
+        "source_a")
+      .join(sizes.withColumnRenamed("source", "source_b").withColumnRenamed("sz", "sz_b"),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("jaccard_est"),
+        round(coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("sz_a") + col("sz_b") - coalesce(col("n_inter"), lit(0L))), 4)
+          .as("jaccard_exact"))
+  }
+
   /** Per-group embedding outliers: the k members FARTHEST from their
     * group's centroid under cosine — mislabeled/garbage detection over an
     * embedded corpus ("this doc is nothing like the rest of its class").

@@ -82,4 +82,62 @@ object LangModel {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("cross_entropy"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2302.03169: Data Selection
+    * via Importance Resampling): score every raw document by how much more
+    * likely its HASHED bigram features are under the target distribution
+    * than under the raw pool, w(doc) = mean over bigram occurrences of
+    * ln p_target(bucket) - ln p_raw(bucket), with add-alpha smoothing over
+    * `buckets` hash buckets. High weight = looks like the target corpus;
+    * resampling by w is the selection step.
+    *
+    * The hashing trick is the point at scale: the MODEL is two
+    * `buckets`-sized count tables (never a vocabulary), so training is one
+    * corpus pass into a tiny hash aggregation and scoring re-joins each
+    * bigram occurrence against a BROADCAST model — the corpus itself never
+    * shuffles; the only doc-keyed exchange is the final per-doc mean.
+    *
+    * The bucket hash is the engine-portable md5-hex idiom (two hex chars =
+    * 0..255, mod `buckets`) shared with [[graft.functions.Embedder
+    * .hashedComponents]], so an ANSI oracle can replay the whole pipeline.
+    *
+    * Output: idCol, n_feats (bigram occurrences, 0 for <2-token docs),
+    * imp_weight (rounded 4, NULL when n_feats = 0).
+    */
+  def importanceWeights(df: DataFrame, textCol: String, idCol: String,
+                        isTarget: Column, buckets: Int = 256,
+                        alpha: Double = 0.5, seed: Int = 42): DataFrame = {
+    require(buckets >= 1 && buckets <= 256, s"buckets must be in [1,256], got $buckets")
+    require(alpha > 0.0, s"alpha must be > 0, got $alpha")
+    val id = col(idCol)
+    val ws = TextFunctions.wsTokens(lower(col(textCol)))
+    val toks = df.select(id, isTarget.as("is_t"), ws.as("ws"))
+    val bigrams = zip_with(
+      slice(col("ws"), lit(1), size(col("ws")) - 1),
+      slice(col("ws"), lit(2), size(col("ws")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val hexVal: Column => Column = c => instr(lit("0123456789abcdef"), c) - 1
+    val occ = toks.where(size(col("ws")) >= 2)
+      .select(id, col("is_t"), explode(bigrams).as("bg"))
+      .withColumn("h", md5(concat(col("bg"), lit("#" + seed))))
+      .select(id, col("is_t"),
+        pmod(hexVal(substring(col("h"), 1, 1)) * 16 +
+          hexVal(substring(col("h"), 2, 1)), lit(buckets)).cast("int").as("b"))
+    // model: per-bucket raw + target counts (key space = `buckets`) and the
+    // two corpus totals; both tiny, so the scoring join broadcasts.
+    val counts = occ.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val model = counts.crossJoin(broadcast(totals))
+      .withColumn("lr",
+        log((col("ct") + lit(alpha)) / (col("nt") + lit(alpha * buckets))) -
+          log((col("cr") + lit(alpha)) / (col("nr") + lit(alpha * buckets))))
+      .select(col("b"), col("lr"))
+    val perDoc = occ.join(broadcast(model), "b")
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_feats"), round(avg(col("lr")), 4).as("imp_weight"))
+    df.select(id).join(perDoc, Seq(idCol), "left")
+      .select(id, coalesce(col("n_feats"), lit(0L)).as("n_feats"), col("imp_weight"))
+  }
 }

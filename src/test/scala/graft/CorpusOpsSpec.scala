@@ -174,4 +174,102 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(g2.size === 3)                        // k caps the group
     assert(g2.map(_._3) === Seq(11L, 12L, 13L))  // ties break by id ascending
   }
+
+  // ---------------- Gopher quality rules ----------------
+
+  private val stop10 = Seq("the", "a", "of", "and", "to", "in", "is", "was", "for", "with")
+
+  private def gopher(docs: Seq[(Long, String)]) =
+    CorpusStats.gopherQuality(docs.toDF("doc_id", "text"), "text", "doc_id", stop10)
+      .select($"doc_id", $"n_words", $"mean_word_len", $"frac_unique",
+        $"token_entropy", $"has_stopwords", $"gopher_pass")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double], Boolean, Option[Boolean])]
+      .collect().sortBy(_._1).toSeq
+
+  test("gopher quality: repeated-word doc has zero entropy, unique doc has ln(n)") {
+    val uniq = (1 to 64).map(i => s"word$i").mkString(" ")
+    val got = gopher(Seq((1L, "spam spam spam spam"), (2L, uniq)))
+    val rep = got(0); val unq = got(1)
+    assert(rep._3 === Some(4.0))                     // mean word len
+    assert(rep._4 === Some(0.25))                    // 1 unique / 4
+    assert(rep._5 === Some(0.0))                     // H = 0 for a constant
+    assert(!rep._6 && rep._7 === Some(false))
+    assert(unq._4 === Some(1.0))
+    assert(unq._5 === Some(BigDecimal(math.log(64))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(unq._7 === Some(false))                   // no stopwords
+  }
+
+  test("gopher quality: empty doc keeps a row with NULL metrics and false verdict") {
+    val got = gopher(Seq((1L, "")))
+    assert(got === Seq((1L, 0L, None, None, None, false, Some(false))))
+  }
+
+  test("gopher quality: stopword threshold needs two DISTINCT stopwords; verdict composes") {
+    val body = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val got = gopher(Seq(
+      (1L, s"the the the $body"),   // one distinct stopword -> fail
+      (2L, s"the of $body")))       // two -> pass (62 words, mwl ~4, unique)
+    assert(!got(0)._6 && got(0)._7 === Some(false))
+    assert(got(1)._6 && got(1)._7 === Some(true))
+  }
+
+  // ---------------- DSIR importance weights ----------------
+
+  test("DSIR weights rank target-like docs above raw-like docs") {
+    // target vocabulary {alpha..}, raw-pool vocabulary {zulu..}; the scored
+    // docs are drawn purely from one side each.
+    val tgt = (1 to 6).map(i => (i.toLong, true,
+      (1 to 30).map(j => s"alpha${(i + j) % 7}").mkString(" ")))
+    val raw = (7 to 12).map(i => (i.toLong, false,
+      (1 to 30).map(j => s"zulu${(i + j) % 7}").mkString(" ")))
+    val df = (tgt ++ raw).toDF("doc_id", "is_tgt", "text")
+    val got = LangModel.importanceWeights(df, "text", "doc_id", col("is_tgt"))
+      .select($"doc_id", $"n_feats", $"imp_weight")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1)
+    val (t, r) = got.partition(_._1 <= 6)
+    assert(t.forall(_._3.get > 0.0), s"target docs should score positive: ${t.toSeq}")
+    assert(r.forall(_._3.get < 0.0), s"raw-only docs should score negative: ${r.toSeq}")
+    assert(got.forall(_._2 === 29L)) // 30 tokens -> 29 bigram occurrences
+  }
+
+  test("DSIR weights: sub-2-token docs keep a row with n_feats 0 and NULL weight") {
+    val df = Seq((1L, true, "hello world again"), (2L, false, "solo"))
+      .toDF("doc_id", "is_tgt", "text")
+    val got = LangModel.importanceWeights(df, "text", "doc_id", col("is_tgt"))
+      .select($"doc_id", $"n_feats", $"imp_weight")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got.map(x => (x._1, x._2)) === Seq((1L, 2L), (2L, 0L)))
+    assert(got(1)._3 === None)
+  }
+
+  // ---------------- MinHash source sketches ----------------
+
+  test("minhash source sketch: identical sources read 1.0, disjoint read 0.0, partial matches brute force") {
+    val a = (1 to 40).map(i => s"a$i").mkString(" ")
+    val b = (1 to 40).map(i => s"b$i").mkString(" ")
+    val half = ((1 to 20).map(i => s"a$i") ++ (1 to 20).map(i => s"c$i")).mkString(" ")
+    val df = Seq(
+      ("s1", 1L, a), ("s2", 2L, a),        // identical
+      ("s3", 3L, b),                        // disjoint from s1
+      ("s4", 4L, half))                     // overlaps s1's first half
+      .toDF("source", "doc_id", "text")
+    val got = CorpusStats.minhashSourceSimilarity(df, "text", "source", numHashes = 32)
+      .select($"source_a", $"source_b", $"jaccard_est", $"jaccard_exact")
+      .as[(String, String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got(("s1", "s2")) === ((1.0, 1.0)))
+    assert(got(("s1", "s3"))._2 === 0.0)
+    assert(got(("s1", "s3"))._1 <= 0.1)      // sketch agrees nowhere (w.h.p.)
+    // brute-force exact Jaccard for the partial pair
+    def shingleSet(words: Seq[String]) =
+      words.sliding(3).map(_.mkString(" ")).toSet
+    val sa = shingleSet((1 to 40).map(i => s"a$i"))
+    val s4 = shingleSet((1 to 20).map(i => s"a$i") ++ (1 to 20).map(i => s"c$i"))
+    val expect = BigDecimal(sa.intersect(s4).size.toDouble / sa.union(s4).size)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("s1", "s4"))._2 === expect)
+    // the 32-hash estimate tracks the exact value within sketch tolerance
+    assert(math.abs(got(("s1", "s4"))._1 - expect) <= 0.25)
+  }
 }
