@@ -1666,8 +1666,44 @@ object SparkEntry {
       CorpusStats.minhashSourceSimilarity(t(s, d, "documents"),
           "text", "source", numHashes = 32, shingleN = 3)
         .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Weighted PageRank (5 fixed iterations, damping 0.85) over the
+    // source contamination graph (edge weight = shared prefix
+    // fingerprints): which sources sit at the center of the boilerplate
+    // -sharing web. Iteration = edge-partitioned join + dst-keyed partial
+    // agg, lineage checkpoint-truncated — see Graph scaladoc. The oracle
+    // unrolls all five iterations as CTEs.
+    "graph_pagerank" -> ((s, d) => {
+      val ov = sourceFpOverlap(s, d)
+      val edges = ov.select(col("source_a").as("src"), col("source_b").as("dst"),
+          col("n_shared").cast("double").as("w"))
+        .union(ov.select(col("source_b"), col("source_a"),
+          col("n_shared").cast("double")))
+      Graph.pageRank(edges, "src", "dst", "w", iters = 5, damping = 0.85)
+        .withColumnRenamed("node", "source")
+        .orderBy(col("source"))
+    }),
+
+    // Per-node triangle participation over the same source graph — the
+    // cluster-cohesion signal (a contamination PAIR might be coincidence;
+    // a triangle is a shared-boilerplate clique). Canonical a<b edges cap
+    // the join fan-out at out-degree (the standard degeneracy trick).
+    "graph_triangles" -> ((s, d) => {
+      Graph.trianglesPerNode(
+          sourceFpOverlap(s, d).select(col("source_a").as("a"), col("source_b").as("b")))
+        .withColumnRenamed("node", "source")
+        .orderBy(col("source"))
     })
   )
+
+  /** Shared by the graph queries: the source-pair overlap matrix on the
+    * 8-word-prefix fingerprint (same definition as `source_overlap`). */
+  private def sourceFpOverlap(s: SparkSession, d: String): DataFrame = {
+    val prefixFp = md5(array_join(
+      slice(TextFunctions.wsTokens(lower(col("text"))), 1, 8), " "))
+    CorpusStats.sourceOverlapMatrix(t(s, d, "documents"), prefixFp, "source")
+  }
 
   /** Exact cosine top-k over the embeddings fixture (queries = vec_id < 5,
     * self excluded, k = 10, tiebreak (similarity desc, vec_id asc)) — the
@@ -1686,7 +1722,52 @@ object SparkEntry {
       |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)
       |SELECT q_id, vec_id, similarity, rank FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** graph_pagerank oracle: the five PageRank iterations UNROLLED as CTEs
+    * over the source fingerprint-overlap graph. Teleport is written
+    * (1.0 - 0.85) / n — the same double arithmetic the Spark side runs —
+    * so the two engines agree bit-for-bit before the final round. */
+  private val pageRankOracleSql: String = {
+    val head =
+      """WITH fp AS (SELECT DISTINCT source,
+        |  md5(coalesce(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)[1:8], ' '), '')) AS fp
+        |  FROM documents),
+        |ov AS (SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS DOUBLE) AS w
+        |       FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2),
+        |e AS (SELECT sa AS src, sb AS dst, w FROM ov UNION ALL SELECT sb, sa, w FROM ov),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |wd AS (SELECT src, sum(w) AS wdeg FROM e GROUP BY src),
+        |ep AS (SELECT e.src, e.dst, e.w / wd.wdeg AS p FROM e JOIN wd ON e.src = wd.src),
+        |r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn)""".stripMargin
+    val steps = (1 to 5).map { i =>
+      s"""r$i AS (SELECT nd.node, ((1.0 - 0.85) / nn.n) + 0.85 * coalesce(c.contrib, 0) AS pr
+         |  FROM nodes nd CROSS JOIN nn LEFT JOIN
+         |  (SELECT ep.dst AS node, sum(r.pr * ep.p) AS contrib
+         |   FROM ep JOIN r${i - 1} r ON ep.src = r.node GROUP BY 1) c ON nd.node = c.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      "\nSELECT node AS source, round(pr, 4) AS pagerank FROM r5 ORDER BY source"
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "graph_pagerank" -> pageRankOracleSql,
+
+    "graph_triangles" ->
+      """WITH fp AS (SELECT DISTINCT source,
+        |  md5(coalesce(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)[1:8], ' '), '')) AS fp
+        |  FROM documents),
+        |e AS (SELECT a.source AS ea, b.source AS eb
+        |      FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2),
+        |tri AS (SELECT e1.ea AS x, e1.eb AS y, e2.eb AS z
+        |        FROM e e1 JOIN e e2 ON e1.eb = e2.ea
+        |        JOIN e e3 ON e3.ea = e1.ea AND e3.eb = e2.eb),
+        |corners AS (SELECT node, count(*) AS n_triangles FROM
+        |  (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |  GROUP BY node),
+        |nodes AS (SELECT ea AS node FROM e UNION SELECT eb FROM e)
+        |SELECT n.node AS source, coalesce(c.n_triangles, 0) AS n_triangles
+        |FROM nodes n LEFT JOIN corners c USING (node) ORDER BY source""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty,

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Brute-force PageRank reference (dense maps, same fixed-iteration
+    * definition: teleport (1-d)/n, dangling mass dropped). */
+  private def prRef(edges: Seq[(String, String, Double)], iters: Int,
+                    d: Double): Map[String, Double] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val wdeg = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val inflow = edges.groupBy(_._2).view.mapValues(
+        _.map(e => r(e._1) * e._3 / wdeg(e._1)).sum).toMap
+      r = nodes.map(v => v -> ((1.0 - d) / n + d * inflow.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the brute-force reference on a weighted digraph") {
+    // a hub (h) fed by three spokes that also chain; includes an asymmetric
+    // weight and a node with no in-edges.
+    val edges = Seq(
+      ("s1", "h", 1.0), ("s2", "h", 2.0), ("s3", "h", 1.0),
+      ("s1", "s2", 1.0), ("s2", "s3", 1.0), ("h", "s1", 1.0))
+    val got = Graph.pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+        iters = 7, damping = 0.85)
+      .as[(String, Double)].collect().toMap
+    val want = prRef(edges, 7, 0.85)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (v, p) =>
+      // operator rounds to 4 decimals at the end: bound = half-ulp of 1e-4
+      assert(math.abs(p - want(v)) <= 5.001e-5, s"node $v: $p vs ${want(v)}")
+    }
+    // mass conservation: no dangling nodes here, so ranks sum to ~1
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+  }
+
+  test("pageRank: repartition-invariant; mass follows the flow structure") {
+    val edges = Seq(
+      ("s1", "h", 1.0), ("s2", "h", 1.0), ("s3", "h", 1.0),
+      ("h", "s1", 1.0), ("s2", "s1", 1.0), ("s3", "s2", 1.0))
+    val df = edges.toDF("src", "dst", "w")
+    val a = Graph.pageRank(df, "src", "dst", "w", iters = 10)
+      .as[(String, Double)].collect().toMap
+    val b = Graph.pageRank(df.repartition(7), "src", "dst", "w", iters = 10)
+      .as[(String, Double)].collect().toMap
+    assert(a === b)
+    // h's only out-edge feeds s1, so s1 ends above h, h above the leaves
+    assert(a("s1") > a("h") && a("h") > a("s2") && a("s2") > a("s3"))
+    assert(math.abs(a.values.sum - 1.0) < 1e-3) // no dangling -> mass conserved
+  }
+
+  test("trianglesPerNode counts corners; zero-triangle nodes keep a row") {
+    // K4 on {a,b,c,d} (every node in C(3,2)=3 triangles) plus a pendant
+    // edge to e (0 triangles) and an isolated edge f-g.
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d", "c" -> "d")
+    val edges = k4 ++ Seq("d" -> "e", "f" -> "g")
+    val got = Graph.trianglesPerNode(edges.toDF("a", "b"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L,
+      "e" -> 0L, "f" -> 0L, "g" -> 0L))
+  }
+}
