@@ -1694,8 +1694,65 @@ object SparkEntry {
           sourceFpOverlap(s, d).select(col("source_a").as("a"), col("source_b").as("b")))
         .withColumnRenamed("node", "source")
         .orderBy(col("source"))
+    }),
+
+    // BPE tokenizer training (Sennrich et al. 1508.07909): 16 merge rounds
+    // over the word-TYPE table (vocabulary-sized, not corpus-sized — the
+    // trick that makes BPE training constant in corpus size once word
+    // frequencies exist). Pair stats = hash agg with partials; one tiny
+    // argmax row to the driver per round (the Lloyd cadence). The oracle
+    // REPLAYS all 16 rounds: SQL replace() on a separator-encoded
+    // segmentation has exactly BPE's leftmost-greedy merge semantics.
+    "bpe_merges" -> ((s, d) => {
+      BpeTrainer.mergesDF(s, bpeMerges(s, d)).orderBy(col("rank"))
+    }),
+
+    // The learned tokenizer applied back to the corpus: per-doc whitespace
+    // vs BPE token counts (the "how many training tokens is this corpus"
+    // number). Encode is a narrow map with the merge list in the closure;
+    // the oracle maps each word type through the round-16 segmentation.
+    "bpe_token_count" -> ((s, d) => {
+      BpeTrainer.encodeCounts(t(s, d, "documents"), "text", "doc_id",
+          bpeMerges(s, d))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Shared by the BPE queries: 16 merges learned from the documents
+    * corpus. */
+  private def bpeMerges(s: SparkSession, d: String): Seq[BpeTrainer.Merge] =
+    BpeTrainer.train(BpeTrainer.wordFreq(t(s, d, "documents"), "text"),
+      "word", "freq", numMerges = BpeRounds)
+
+  private val BpeRounds = 16
+
+  /** The BPE training replay shared by both bpe_* oracles: word-type
+    * frequencies, separator-encoded segmentations ('|sym|' brackets every
+    * symbol so replace() can never match across symbol boundaries), and
+    * per-round (pairs -> argmax -> merge) CTEs. Adjacent pairs come from a
+    * bounded index cross join (words cap at 8 chars; DuckDB 1.0 has no
+    * correlated generate_series). */
+  private val bpeOracleChain: String = {
+    // every s{k-1} is referenced twice per round; DuckDB inlines CTEs by
+    // default, which would make the 16-round chain exponential — force
+    // materialization per round.
+    val head =
+      """WITH wf AS MATERIALIZED (SELECT wd AS word, count(*) AS freq FROM
+        |  (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS wd FROM documents)
+        |  GROUP BY wd),
+        |s0 AS MATERIALIZED (SELECT word, freq, '|' || array_to_string(string_split(word, ''), '||') || '|' AS enc FROM wf)""".stripMargin
+    val rounds = (1 to BpeRounds).map { k =>
+      s"""m$k AS MATERIALIZED (SELECT pr[i] AS l, pr[i + 1] AS r, sum(freq) AS c FROM
+         |  (SELECT freq, string_split(trim(enc, '|'), '||') AS pr FROM s${k - 1}),
+         |  (SELECT unnest(generate_series(1, 16)) AS i) ii
+         |  WHERE i < len(pr) GROUP BY 1, 2
+         |  ORDER BY c DESC, l, r LIMIT 1),
+         |s$k AS MATERIALIZED (SELECT word, freq,
+         |  replace(enc, '|' || m.l || '||' || m.r || '|', '|' || m.l || m.r || '|') AS enc
+         |  FROM s${k - 1}, m$k m)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
 
   /** Shared by the graph queries: the source-pair overlap matrix on the
     * 8-word-prefix fingerprint (same definition as `source_overlap`). */
@@ -1752,6 +1809,22 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
 
     "graph_pagerank" -> pageRankOracleSql,
+
+    "bpe_merges" -> (bpeOracleChain + "\n" +
+      (1 to BpeRounds).map(k =>
+        s"SELECT $k AS rank, l AS lhs, r AS rhs, CAST(c AS BIGINT) AS pair_count FROM m$k")
+        .mkString(" UNION ALL ") +
+      " ORDER BY rank"),
+
+    "bpe_token_count" -> (bpeOracleChain + s""",
+        |wl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |dtok AS (SELECT doc_id, unnest(ws) AS word FROM wl),
+        |wcount AS (SELECT word, len(string_split(trim(enc, '|'), '||')) AS nb FROM s$BpeRounds),
+        |agg AS (SELECT d.doc_id, CAST(sum(w.nb) AS BIGINT) AS n_tokens_bpe
+        |        FROM dtok d JOIN wcount w USING (word) GROUP BY 1)
+        |SELECT wl.doc_id, CAST(len(wl.ws) AS BIGINT) AS n_tokens_ws,
+        | coalesce(agg.n_tokens_bpe, 0) AS n_tokens_bpe
+        |FROM wl LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin),
 
     "graph_triangles" ->
       """WITH fp AS (SELECT DISTINCT source,
