@@ -1715,6 +1715,28 @@ object SparkEntry {
       BpeTrainer.encodeCounts(t(s, d, "documents"), "text", "doc_id",
           bpeMerges(s, d))
         .orderBy(col("doc_id"))
+    }),
+
+    // SCD2 versioned upsert (MERGE with history): seed from customer, then
+    // two update batches — t=1 re-segments every %10 key and INSERTS new
+    // %100 keys; t=2 sends %20 keys a real change and %10-but-not-%20 keys
+    // a NO-OP (same segment again), which must NOT create a version. One
+    // key-keyed join per batch, history passes through join-free.
+    "scd2_customer_versions" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val dim0 = Scd2.init(cust, "c_custkey", Seq("c_mktsegment"))
+      val upd1 = cust.where(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit("SEG_A").as("c_mktsegment"))
+        .unionByName(cust.where(col("c_custkey") % 100 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            lit("SEG_NEW").as("c_mktsegment")))
+      val upd2 = cust.where(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 20 === 0, "SEG_B").otherwise("SEG_A")
+            .as("c_mktsegment"))
+      val dim1 = Scd2.applyBatch(dim0, upd1, "c_custkey", Seq("c_mktsegment"), ts = 1L)
+      Scd2.applyBatch(dim1, upd2, "c_custkey", Seq("c_mktsegment"), ts = 2L)
+        .orderBy(col("c_custkey"), col("valid_from"))
     })
   )
 
@@ -1825,6 +1847,21 @@ object SparkEntry {
         |SELECT wl.doc_id, CAST(len(wl.ws) AS BIGINT) AS n_tokens_ws,
         | coalesce(agg.n_tokens_bpe, 0) AS n_tokens_bpe
         |FROM wl LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    // Derives the version history per key class directly: %20 keys get 3
+    // versions, %10-not-%20 keys 2 (the t=2 no-op adds none), others 1,
+    // inserted %100 keys 1 open-ended row from t=1.
+    "scd2_customer_versions" ->
+      """SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS valid_from,
+        | CAST(CASE WHEN c_custkey % 10 = 0 THEN 1 END AS BIGINT) AS valid_to FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'SEG_A', 1, CASE WHEN c_custkey % 20 = 0 THEN 2 END
+        |FROM customer WHERE c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT c_custkey, 'SEG_B', 2, NULL FROM customer WHERE c_custkey % 20 = 0
+        |UNION ALL
+        |SELECT c_custkey + 1000000, 'SEG_NEW', 1, NULL FROM customer WHERE c_custkey % 100 = 0
+        |ORDER BY c_custkey, valid_from""".stripMargin,
 
     "graph_triangles" ->
       """WITH fp AS (SELECT DISTINCT source,
