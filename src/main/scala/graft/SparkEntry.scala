@@ -1737,6 +1737,27 @@ object SparkEntry {
       val dim1 = Scd2.applyBatch(dim0, upd1, "c_custkey", Seq("c_mktsegment"), ts = 1L)
       Scd2.applyBatch(dim1, upd2, "c_custkey", Seq("c_mktsegment"), ts = 2L)
         .orderBy(col("c_custkey"), col("valid_from"))
+    }),
+
+    // Equi-DEPTH histogram (the profiling complement of events_histogram's
+    // equi-width buckets): boundaries = exact septiles of value (one tiny
+    // agg row, broadcast back), bucket = how many ROUNDED boundaries the
+    // value exceeds — rounding to 4 before comparing is what makes the
+    // cut points bit-identical across engines. Near-equal bucket counts
+    // are the equi-depth property itself.
+    "events_histogram_equidepth" -> ((s, d) => {
+      val ev = events(s, d).where(col("value").isNotNull)
+      val ps = (1 to 7).map(_ / 8.0)
+      val bounds = ev.agg(
+        expr(s"percentile(value, array(${ps.mkString(",")}))").as("bs"))
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          size(filter(col("bs"), b => col("value") > round(b, 4))).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 4).as("lo"),
+          round(max(col("value")), 4).as("hi"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -1847,6 +1868,17 @@ object SparkEntry {
         |SELECT wl.doc_id, CAST(len(wl.ws) AS BIGINT) AS n_tokens_ws,
         | coalesce(agg.n_tokens_bpe, 0) AS n_tokens_bpe
         |FROM wl LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    // quantile_cont matches Spark's percentile() definition (linear
+    // interpolation at rank p*(n-1)); both sides round boundaries to 4
+    // before the > compare so the cut points agree exactly.
+    "events_histogram_equidepth" ->
+      """WITH b AS (SELECT quantile_cont(value, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+        |           FROM events WHERE value IS NOT NULL),
+        |k AS (SELECT value, CAST(len(list_filter(bs, x -> value > round(x, 4))) AS INT) AS bucket
+        |      FROM events, b WHERE value IS NOT NULL)
+        |SELECT bucket, count(*) AS n, round(min(value), 4) AS lo, round(max(value), 4) AS hi
+        |FROM k GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // Derives the version history per key class directly: %20 keys get 3
     // versions, %10-not-%20 keys 2 (the t=2 no-op adds none), others 1,
