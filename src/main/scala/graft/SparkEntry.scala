@@ -2962,11 +2962,12 @@ object SparkEntry {
         |o AS (SELECT doc_id, is_t,
         |      CAST(((strpos('0123456789abcdef', substr(md5(bg || '#42'),1,1)) - 1) * 16 +
         |            (strpos('0123456789abcdef', substr(md5(bg || '#42'),2,1)) - 1)) % 256 AS INT) AS b FROM bg),
-        |c AS (SELECT b, count(*) AS cr, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct FROM o GROUP BY b),
+        |db AS (SELECT doc_id, is_t, b, count(*) AS n FROM o GROUP BY 1, 2, 3),
+        |c AS (SELECT b, sum(n) AS cr, sum(CASE WHEN is_t THEN n ELSE 0 END) AS ct FROM db GROUP BY b),
         |tt AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM c),
         |m AS (SELECT b, ln((ct + 0.5) / (nt + 128.0)) - ln((cr + 0.5) / (nr + 128.0)) AS lr FROM c, tt),
-        |sc AS (SELECT doc_id, count(*) AS n_feats, round(avg(lr), 4) AS imp_weight
-        |       FROM o JOIN m USING (b) GROUP BY doc_id),
+        |sc AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feats, round(sum(n * lr) / sum(n), 4) AS imp_weight
+        |       FROM db JOIN m USING (b) GROUP BY doc_id),
         |r AS (SELECT doc_id, n_feats, imp_weight,
         |      CAST(row_number() OVER (ORDER BY imp_weight DESC, doc_id) AS INT) AS rank FROM sc)
         |SELECT doc_id, n_feats, imp_weight, rank FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin,

@@ -134,22 +134,30 @@ object CorpusStats {
   def minhashSourceSimilarity(df: DataFrame, textCol: String, sourceCol: String,
                               numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
     require(numHashes > 0 && shingleN > 0)
-    val sh = df.select(col(sourceCol).as("source"),
+    // ONE corpus pass: distinct (source, shingle) via a single hash
+    // aggregation (map-side partials). Signatures AND the exact audit both
+    // derive from this table — the text is exploded exactly once, and the
+    // min over distinct shingles equals the min over occurrences.
+    val ds = df.select(col(sourceCol).as("source"),
         explode(Dedup.shingles(col(textCol), shingleN)).as("sh"))
+      .distinct()
+      .localCheckpoint()
     val sigCols = (0 until numHashes).map(i =>
       min(md5(concat(col("sh"), lit("#" + i)))).as(s"m$i"))
-    val sigs = sh.groupBy(col("source")).agg(sigCols.head, sigCols.drop(1): _*)
+    val sigs = ds.groupBy(col("source")).agg(sigCols.head, sigCols.drop(1): _*)
     val agree = (0 until numHashes).map(i =>
         when(col(s"x.m$i") === col(s"y.m$i"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / numHashes
     val est = sigs.as("x").join(sigs.as("y"), col("x.source") < col("y.source"))
       .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
         round(agree, 4).as("jaccard_est"))
-    // exact audit: distinct shingles per source (source-keyed, partials)
-    val ds = sh.distinct()
     val sizes = ds.groupBy(col("source")).agg(count(lit(1)).as("sz"))
-    val inter = ds.as("a")
-      .join(ds.as("b"), col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+    // 8-byte join key for the pair intersection instead of the shingle
+    // string (xxhash64 collisions would need two different shingles per
+    // source pair colliding — negligible and audit-only)
+    val dh = ds.select(col("source"), xxhash64(col("sh")).as("hh"))
+    val inter = dh.as("a")
+      .join(dh.as("b"), col("a.hh") === col("b.hh") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(count(lit(1)).as("n_inter"))
     est

@@ -117,26 +117,34 @@ object LangModel {
       slice(col("ws"), lit(2), size(col("ws")) - 1),
       (a, b) => concat(a, lit(" "), b))
     val hexVal: Column => Column = c => instr(lit("0123456789abcdef"), c) - 1
-    val occ = toks.where(size(col("ws")) >= 2)
+    // ONE corpus tokenize pass: per-(doc, bucket) occurrence counts. Both
+    // the model and the scores derive from this doc×bucket table (bounded
+    // by docs × `buckets`, far smaller than the occurrence stream), so the
+    // text is never re-scanned for scoring.
+    val db = toks.where(size(col("ws")) >= 2)
       .select(id, col("is_t"), explode(bigrams).as("bg"))
       .withColumn("h", md5(concat(col("bg"), lit("#" + seed))))
       .select(id, col("is_t"),
         pmod(hexVal(substring(col("h"), 1, 1)) * 16 +
           hexVal(substring(col("h"), 2, 1)), lit(buckets)).cast("int").as("b"))
+      .groupBy(id, col("is_t"), col("b")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     // model: per-bucket raw + target counts (key space = `buckets`) and the
     // two corpus totals; both tiny, so the scoring join broadcasts.
-    val counts = occ.groupBy(col("b")).agg(
-      count(lit(1)).as("cr"),
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val counts = db.groupBy(col("b")).agg(
+      sum(col("n")).as("cr"),
+      sum(when(col("is_t"), col("n")).otherwise(0L)).as("ct"))
     val totals = counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
     val model = counts.crossJoin(broadcast(totals))
       .withColumn("lr",
         log((col("ct") + lit(alpha)) / (col("nt") + lit(alpha * buckets))) -
           log((col("cr") + lit(alpha)) / (col("nr") + lit(alpha * buckets))))
       .select(col("b"), col("lr"))
-    val perDoc = occ.join(broadcast(model), "b")
+    // occurrence-weighted mean log-ratio == avg over the occurrence stream
+    val perDoc = db.join(broadcast(model), "b")
       .groupBy(id)
-      .agg(count(lit(1)).as("n_feats"), round(avg(col("lr")), 4).as("imp_weight"))
+      .agg(sum(col("n")).as("n_feats"),
+        round(sum(col("n") * col("lr")) / sum(col("n")), 4).as("imp_weight"))
     df.select(id).join(perDoc, Seq(idCol), "left")
       .select(id, coalesce(col("n_feats"), lit(0L)).as("n_feats"), col("imp_weight"))
   }
