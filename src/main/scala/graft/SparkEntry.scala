@@ -1739,6 +1739,63 @@ object SparkEntry {
         .orderBy(col("c_custkey"), col("valid_from"))
     }),
 
+    // Recursive CTE (new SQL surface in Spark 4): BFS min-depth
+    // reachability from src0 over the symmetric source contamination
+    // graph. UNION ALL recursion with a depth cap (Spark doesn't support
+    // set-UNION recursion yet); min(depth) after the fact gives BFS
+    // levels. DuckDB runs the IDENTICAL recursive shape.
+    "q27_recursive_reach" -> ((s, d) => {
+      val ov = sourceFpOverlap(s, d)
+      ov.select(col("source_a").as("src"), col("source_b").as("dst"))
+        .union(ov.select(col("source_b"), col("source_a")))
+        .createOrReplaceTempView("graft_src_edges_v")
+      s.sql("""WITH RECURSIVE reach(node, depth) AS (
+              |  SELECT 'src0' AS node, 0 AS depth
+              |  UNION ALL
+              |  SELECT e.dst, r.depth + 1
+              |  FROM reach r JOIN graft_src_edges_v e ON e.src = r.node
+              |  WHERE r.depth < 4
+              |) SELECT node AS source, CAST(min(depth) AS INT) AS min_depth
+              |FROM reach GROUP BY node ORDER BY source""".stripMargin)
+    }),
+
+    // Incremental view maintenance: a materialized monthly aggregate
+    // (written, then READ BACK — the maintenance starts from the stored
+    // view, not the base table) merged with the delta batch's partial
+    // aggregate. The merge is sum-of-partials — the corpus-sized base is
+    // never re-scanned, which is the entire point of IVM at 100 TB. The
+    // oracle replays the same two-phase plan.
+    "ivm_incremental_agg" -> ((s, d) => {
+      val cut = "1997-01-01 00:00:00"
+      val ord = t(s, d, "orders")
+        .withColumn("month", date_trunc("month", col("o_orderdate")))
+      val root = scratch(d, "ivm")
+      ord.where(col("o_orderdate") < lit(cut).cast("timestamp"))
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("rev"))
+        .write.mode("overwrite").parquet(root)
+      val mat = s.read.parquet(root)
+      val delta = ord.where(col("o_orderdate") >= lit(cut).cast("timestamp"))
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("rev"))
+      mat.unionByName(delta)
+        .groupBy(col("month"))
+        .agg(sum(col("n")).as("n_orders"), round(sum(col("rev")), 4).as("revenue"))
+        .orderBy(col("month"))
+    }),
+
+    // dropDuplicatesWithinWatermark (the Spark 3.5+ ingest-dedup API:
+    // collapses re-sends whose event times drift within the delay window,
+    // with per-key state evicted at the watermark). Key set == batch
+    // DISTINCT; only keys are projected (first-arrival row content is an
+    // execution accident).
+    "streaming_dedup_watermark" -> ((s, d) => {
+      graft.streaming.StreamingOps.dedupWithinWatermarkOnce(s,
+          s"$d/events.parquet", Seq("user_id", "event_type"),
+          queryName = s"graft_dedup_wm_$runNonce")
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // Equi-DEPTH histogram (the profiling complement of events_histogram's
     // equi-width buckets): boundaries = exact septiles of value (one tiny
     // agg row, broadcast back), bucket = how many ROUNDED boundaries the
@@ -1868,6 +1925,36 @@ object SparkEntry {
         |SELECT wl.doc_id, CAST(len(wl.ws) AS BIGINT) AS n_tokens_ws,
         | coalesce(agg.n_tokens_bpe, 0) AS n_tokens_bpe
         |FROM wl LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    "q27_recursive_reach" ->
+      """WITH RECURSIVE fp AS (SELECT DISTINCT source,
+        |  md5(coalesce(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)[1:8], ' '), '')) AS fp
+        |  FROM documents),
+        |ov AS (SELECT a.source AS sa, b.source AS sb
+        |       FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2),
+        |e AS (SELECT sa AS src, sb AS dst FROM ov UNION ALL SELECT sb, sa FROM ov),
+        |reach(node, depth) AS (
+        |  SELECT 'src0' AS node, 0 AS depth
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + 1 FROM reach r JOIN e ON e.src = r.node WHERE r.depth < 4)
+        |SELECT node AS source, CAST(min(depth) AS INT) AS min_depth
+        |FROM reach GROUP BY node ORDER BY source""".stripMargin,
+
+    // Two-phase replay: base-period partial aggregate + delta partial
+    // aggregate, merged by sum-of-partials — the same float grouping the
+    // engine runs, so the rounded revenue agrees.
+    "ivm_incremental_agg" ->
+      """WITH base AS (SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n, sum(o_totalprice) AS rev
+        |              FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY 1),
+        |delta AS (SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n, sum(o_totalprice) AS rev
+        |          FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' GROUP BY 1),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+        |SELECT month, CAST(sum(n) AS BIGINT) AS n_orders, round(sum(rev), 4) AS revenue
+        |FROM u GROUP BY month ORDER BY month""".stripMargin,
+
+    "streaming_dedup_watermark" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
 
     // quantile_cont matches Spark's percentile() definition (linear
     // interpolation at rank p*(n-1)); both sides round boundaries to 4

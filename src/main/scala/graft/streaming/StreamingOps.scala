@@ -136,6 +136,35 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streaming dedup via dropDuplicatesWithinWatermark (Spark 3.5+): keeps
+    * the FIRST row per key and evicts a key's state once the watermark
+    * passes its last-seen event time — the API for "the same logical
+    * record may arrive twice within the delay window, with drifting
+    * event-time stamps" ingest dedup, where plain dropDuplicates over
+    * (keys, ts) would NOT collapse the re-send. Only the key columns are
+    * projected: which physical row arrives first is an execution accident,
+    * the surviving KEY SET is exact — same convention as
+    * [[dedupByBucketOnce]]. */
+  def dedupWithinWatermarkOnce(spark: SparkSession, eventsPath: String,
+                               keyCols: Seq[String], watermark: String = "1 hour",
+                               queryName: String = "graft_stream_dedup_wm"): DataFrame = {
+    val stream = readEvents(spark, eventsPath)
+    withStatePartitions(spark) {
+      val q = stream
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+        .select(keyCols.map(col): _*)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+  }
+
   /** Streaming dedup on (keys, event-time bucket): keep one event per key
     * per `bucket` of event time — the continuous form of "one sample per
     * user per day" training-data downsampling. The truncated event-time

@@ -36,6 +36,17 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(streamed.size < spark.read.parquet(s"${TestSpark.sf}/events.parquet").count())
   }
 
+  test("dropDuplicatesWithinWatermark key set equals batch DISTINCT") {
+    val streamed = StreamingOps.dedupWithinWatermarkOnce(spark,
+      s"${TestSpark.sf}/events.parquet", Seq("user_id", "event_type"),
+      queryName = "t_dedup_wm_stream")
+      .as[(Long, String)].collect().toSet
+    val batch = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+      .select($"user_id", $"event_type").distinct()
+      .as[(Long, String)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("frame sampling yields every stride-th frame with stub features") {
     val media = Multimodal.asMediaTable(
       spark.read.parquet(s"${TestSpark.sf}/documents.parquet"),
