@@ -86,8 +86,10 @@ object CorpusStats {
                     minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
                     minFracUnique: Double = 0.2, minStopwords: Int = 2): DataFrame = {
     val id = col(idCol)
+    // coalesce: NULL text must read as an empty doc (size(NULL) is -1)
     val base = df.select(id,
-        TextFunctions.wsTokens(lower(col(textCol))).as("ws"))
+        coalesce(TextFunctions.wsTokens(lower(col(textCol))),
+          array().cast("array<string>")).as("ws"))
       .withColumn("n_words", size(col("ws")).cast("long"))
     // per-(doc, word) counts -> doc-keyed entropy; both aggs carry partials
     val ent = base.select(id, explode(col("ws")).as("w"))

@@ -39,6 +39,7 @@ object Graph {
     val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct().localCheckpoint()
     val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge set")
     val wdeg = e0.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
     val ep = e0.join(wdeg, "src")
       .select(col("src"), col("dst"), (col("w") / col("wdeg")).as("p"))
