@@ -1796,6 +1796,66 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // Data-quality expectations (the Delta-Live-Tables/Great-Expectations
+    // pattern): declared constraints evaluated as counts, one row per
+    // check — key uniqueness via count-minus-distinct, referential
+    // integrity via LEFT ANTI joins (never a full outer), plus value and
+    // derived-column consistency probes. Each check is one aggregation or
+    // one anti-join; nothing quadratic, nothing driver-side.
+    "dq_expectations" -> ((s, d) => {
+      val cust = t(s, d, "customer"); val ord = t(s, d, "orders")
+      val li = t(s, d, "lineitem"); val ev = events(s, d)
+      val docs = t(s, d, "documents")
+      def check(name: String, df: DataFrame): DataFrame =
+        df.select(lit(name).as("check_name"), col("n_violations"))
+      val uniqueCust = cust.agg(
+        (count(lit(1)) - countDistinct(col("c_custkey"))).as("n_violations"))
+      val refOrders = ord.join(cust, ord("o_custkey") === cust("c_custkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      val refLineitem = li.join(ord, li("l_orderkey") === ord("o_orderkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      val evValue = ev.where(col("value").isNull)
+        .agg(count(lit(1)).as("n_violations"))
+      val docChars = docs.where(col("n_chars") =!= length(col("text")))
+        .agg(count(lit(1)).as("n_violations"))
+      check("customer_key_unique", uniqueCust)
+        .unionByName(check("orders_custkey_fk", refOrders))
+        .unionByName(check("lineitem_orderkey_fk", refLineitem))
+        .unionByName(check("events_value_not_null", evValue))
+        .unionByName(check("documents_nchars_consistent", docChars))
+        .withColumn("passed", col("n_violations") === 0L)
+        .orderBy(col("check_name"))
+    }),
+
+    // CDC snapshot diff (the inverse of SCD2: derive the changelog FROM
+    // two snapshots): one full-outer key join comparing attribute
+    // structs -> I/U/D ops, unchanged rows dropped. The "new" snapshot is
+    // synthesized deterministically (%10 re-segmented, %100 inserted,
+    // %50==7 deleted) so the oracle can re-derive every op.
+    "cdc_snapshot_diff" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val oldSnap = cust.select(col("c_custkey"), col("c_mktsegment"))
+      val newSnap = cust.where(!(col("c_custkey") % 50 === 7))
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 10 === 0, "SEG_X")
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+        .unionByName(cust.where(col("c_custkey") % 100 === 0)
+          .select((col("c_custkey") + 2000000).as("c_custkey"),
+            lit("SEG_NEW").as("c_mktsegment")))
+      val j = oldSnap.select(col("c_custkey"), col("c_mktsegment").as("old_segment"))
+        .join(newSnap.select(col("c_custkey"), col("c_mktsegment").as("new_segment")),
+          Seq("c_custkey"), "full_outer")
+      j.withColumn("op",
+          when(col("old_segment").isNull, "I")
+            .when(col("new_segment").isNull, "D")
+            .when(!(col("old_segment") <=> col("new_segment")), "U"))
+        .where(col("op").isNotNull)
+        .select(col("c_custkey"), col("op"), col("old_segment"), col("new_segment"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Equi-DEPTH histogram (the profiling complement of events_histogram's
     // equi-width buckets): boundaries = exact septiles of value (one tiny
     // agg row, broadcast back), bucket = how many ROUNDED boundaries the
@@ -1955,6 +2015,31 @@ object SparkEntry {
     "streaming_dedup_watermark" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    "dq_expectations" ->
+      """WITH checks AS (
+        |SELECT 'customer_key_unique' AS check_name, CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS n_violations FROM customer
+        |UNION ALL SELECT 'orders_custkey_fk', CAST(count(*) AS BIGINT) FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL SELECT 'lineitem_orderkey_fk', CAST(count(*) AS BIGINT) FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL SELECT 'events_value_not_null', CAST(count(*) AS BIGINT) FROM events WHERE value IS NULL
+        |UNION ALL SELECT 'documents_nchars_consistent', CAST(count(*) AS BIGINT) FROM documents WHERE n_chars <> len(text))
+        |SELECT check_name, n_violations, n_violations = 0 AS passed
+        |FROM checks ORDER BY check_name""".stripMargin,
+
+    // re-derives each op class: %50==7 deleted (unless also an update
+    // candidate — deletion wins because the key is absent from the new
+    // snapshot), %10 updated to SEG_X, %100 inserted at key+2000000.
+    "cdc_snapshot_diff" ->
+      """SELECT c_custkey, 'D' AS op, c_mktsegment AS old_segment, CAST(NULL AS VARCHAR) AS new_segment
+        |FROM customer WHERE c_custkey % 50 = 7
+        |UNION ALL
+        |SELECT c_custkey, 'U', c_mktsegment, 'SEG_X'
+        |FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 50 <> 7 AND c_mktsegment <> 'SEG_X'
+        |UNION ALL
+        |SELECT c_custkey + 2000000, 'I', NULL, 'SEG_NEW' FROM customer WHERE c_custkey % 100 = 0
+        |ORDER BY c_custkey""".stripMargin,
 
     // quantile_cont matches Spark's percentile() definition (linear
     // interpolation at rank p*(n-1)); both sides round boundaries to 4
