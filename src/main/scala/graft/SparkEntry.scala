@@ -1796,6 +1796,47 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // Stream-stream LEFT OUTER interval join: unmatched views emit null
+    // purchase columns only after the watermark proves no match can
+    // arrive. The output is cut at view_ts <= max(ts) - delay - interval
+    // - 60s (a margin safely past any engine-internal eviction boundary),
+    // which makes the surviving set EXACTLY the batch left join — so the
+    // outer-null semantics are hash-checked, not trusted.
+    "streaming_join_left_outer" -> ((s, d) => {
+      // the final global watermark is the MIN across both inputs (each
+      // watermarks its own event-time column) — cut from that, not from
+      // the overall max ts
+      val wmBase = events(s, d)
+        .where(col("event_type").isin("view", "purchase"))
+        .groupBy(col("event_type")).agg(max(col("ts")).as("m"))
+        .agg(min(col("m"))).collect()(0).getTimestamp(0)
+      val cutoff = new java.sql.Timestamp(
+        wmBase.getTime - (3600L + 1800L + 60L) * 1000L)
+      graft.streaming.StreamingOps
+        .attributionJoinLeftOuterOnce(s, s"$d/events.parquet",
+          withinSeconds = 1800L, queryName = s"graft_attrib_lo_$runNonce")
+        .where(col("view_ts") <= lit(cutoff))
+        .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+    }),
+
+    // Dataset.observe(): pipeline counters (rows in, rows dropped by the
+    // quality filter, rows out) collected DURING the single pass — the
+    // zero-extra-scan lineage-metrics pattern; the filtered count comes
+    // from the same materialization that fires the observation. The
+    // oracle recomputes all three from scratch.
+    "pipeline_observed_metrics" -> ((s, d) => {
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation(s"graft_obs_$runNonce")
+      val filtered = t(s, d, "documents")
+        .observe(obs, count(lit(1)).as("rows_in"),
+          sum(when(length(col("text")) < 50, 1L).otherwise(0L)).as("short_docs"))
+        .where(length(col("text")) >= 50)
+      val rowsOut = filtered.count()
+      val m = obs.get
+      Seq((m("rows_in").asInstanceOf[Long], m("short_docs").asInstanceOf[Long],
+        rowsOut)).toDF("rows_in", "short_docs", "rows_out")
+    }),
+
     // Data-quality expectations (the Delta-Live-Tables/Great-Expectations
     // pattern): declared constraints evaluated as counts, one row per
     // check — key uniqueness via count-minus-distinct, referential
@@ -2015,6 +2056,26 @@ object SparkEntry {
     "streaming_dedup_watermark" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // batch left join + the same deterministic cutoff (5460 s = delay +
+    // interval + margin below max event time).
+    "streaming_join_left_outer" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id AS p_user_id, event_id AS purchase_id, ts AS purchase_ts, value FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT least((SELECT max(ts) FROM events WHERE event_type = 'view'),
+        |               (SELECT max(ts) FROM events WHERE event_type = 'purchase')) AS m)
+        |SELECT v.user_id, view_id, view_ts, purchase_id, round(value, 4) AS purchase_value
+        |FROM v LEFT JOIN p ON v.user_id = p.p_user_id
+        | AND p.purchase_ts >= v.view_ts AND p.purchase_ts < v.view_ts + INTERVAL 1800 SECOND
+        |CROSS JOIN mx
+        |WHERE view_ts <= mx.m - INTERVAL 5460 SECOND
+        |ORDER BY user_id, view_id, purchase_id""".stripMargin,
+
+    "pipeline_observed_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS rows_in,
+        | CAST(sum(CASE WHEN len(text) < 50 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs,
+        | CAST(count(CASE WHEN len(text) >= 50 THEN 1 END) AS BIGINT) AS rows_out
+        |FROM documents""".stripMargin,
 
     "dq_expectations" ->
       """WITH checks AS (

@@ -234,6 +234,49 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[attributionJoinOnce]]
+    * but views with NO purchase in the window also emit (null purchase
+    * columns) — and they can only emit once the watermark proves no match
+    * can still arrive, which is the semantics under test. The unmatched
+    * row for a view materializes when the watermark passes view_ts +
+    * interval; the exact eviction boundary is engine-internal, so callers
+    * who want a deterministic comparison against a batch left join must
+    * cut the output at a view_ts safely below
+    * max(ts) - delay - interval (see the gate query, which keeps a 60 s
+    * margin). */
+  def attributionJoinLeftOuterOnce(spark: SparkSession, eventsPath: String,
+                                   withinSeconds: Long = 1800L,
+                                   delay: String = "1 hour",
+                                   queryName: String = "graft_stream_attrib_lo")
+      : DataFrame = {
+    val views = readEvents(spark, eventsPath)
+      .where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", delay)
+    val purchases = readEvents(spark, eventsPath)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", delay)
+    val joined = views.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") < col("view_ts") + expr(s"INTERVAL $withinSeconds SECONDS"),
+        "leftOuter")
+      .select(col("user_id"), col("view_id"), col("view_ts"),
+        col("purchase_id"), round(col("value"), 4).as("purchase_value"))
+    withStatePartitions(spark) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+  }
+
   /** Streaming sessionization via the NATIVE `session_window` aggregation —
     * the built-in complement to the flatMapGroupsWithState sessionizer
     * ([[StatefulSessionize]]): Spark merges overlapping per-event windows
