@@ -1819,6 +1819,52 @@ object SparkEntry {
         .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
     }),
 
+    // Time-series resample with gap filling: the hour x event_type grid
+    // (sequence() from one tiny min/max row, cross-joined with the
+    // distinct type set — both metadata-sized and broadcast) left-joined
+    // against the hourly counts, absent cells = 0. The counts side is the
+    // only corpus-sized input and it aggregates with partials first.
+    "events_resample_hourly" -> ((s, d) => {
+      val ev = events(s, d)
+        .withColumn("hour", date_trunc("hour", col("ts")))
+      val bounds = ev.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      val hours = bounds.select(explode(
+        expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val types = ev.select(col("event_type")).distinct()
+      val counts = ev.groupBy(col("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      hours.crossJoin(broadcast(types))
+        .join(counts, Seq("hour", "event_type"), "left")
+        .select(col("hour"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // Mergeable HLL sketches (Spark 3.5+ hll_sketch_agg/hll_union_agg —
+    // the Apache DataSketches surface): per-type user sketches built with
+    // map-side partial merges, then UNIONED into an all-types estimate —
+    // sketch state is KB-sized per group no matter the corpus. Output =
+    // exact distinct counts + in-query accuracy flags (estimate within 5%
+    // of exact, per type and for the union), which is what the oracle
+    // asserts — same contract style as events_approx_distinct.
+    "events_hll_union" -> ((s, d) => {
+      val ev = events(s, d)
+      val perType = ev.groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          countDistinct(col("user_id")).as("n_exact"))
+      val union = perType.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exactAll = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+      val typed = perType.select(col("event_type"),
+        col("n_exact"),
+        (abs(hll_sketch_estimate(col("sk")) - col("n_exact")) <=
+          col("n_exact") * 0.05).as("estimate_ok"))
+      val all = exactAll.crossJoin(union).select(lit("ALL").as("event_type"),
+        col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05).as("estimate_ok"))
+      typed.unionByName(all).orderBy(col("event_type"))
+    }),
+
     // Dataset.observe(): pipeline counters (rows in, rows dropped by the
     // quality filter, rows out) collected DURING the single pass — the
     // zero-extra-scan lineage-metrics pattern; the filtered count comes
@@ -2070,6 +2116,26 @@ object SparkEntry {
         |CROSS JOIN mx
         |WHERE view_ts <= mx.m - INTERVAL 5460 SECOND
         |ORDER BY user_id, view_id, purchase_id""".stripMargin,
+
+    "events_resample_hourly" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events),
+        |hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |counts AS (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT h.hour, t.event_type, coalesce(c.n, 0) AS n
+        |FROM hours h CROSS JOIN types t
+        |LEFT JOIN counts c ON c.hour = h.hour AND c.event_type = t.event_type
+        |ORDER BY h.hour, t.event_type""".stripMargin,
+
+    // The sketch structure is engine-specific; the accuracy CONTRACT is
+    // not: exact distincts + flags that must read TRUE.
+    "events_hll_union" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, TRUE AS estimate_ok
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT), TRUE FROM events
+        |ORDER BY event_type""".stripMargin,
 
     "pipeline_observed_metrics" ->
       """SELECT CAST(count(*) AS BIGINT) AS rows_in,

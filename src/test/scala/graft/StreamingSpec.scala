@@ -15,6 +15,29 @@ class StreamingSpec extends AnyFunSuite {
     EventsOps.withEventTs(spark.read.parquet(s"${TestSpark.sf}/events.parquet"))
   }
 
+  test("left-outer stream join emits watermark-cleared unmatched views as nulls") {
+    val got = StreamingOps.attributionJoinLeftOuterOnce(spark,
+      s"${TestSpark.sf}/events.parquet", withinSeconds = 1800L,
+      queryName = "t_attrib_lo")
+    // watermark-cleared region: every batch-left-join row below the cutoff
+    // must appear, including the null-purchase (unmatched) ones
+    val wm = batchEvents.where($"event_type".isin("view", "purchase"))
+      .groupBy($"event_type").agg(max($"ts").as("m"))
+      .agg(min($"m")).collect()(0).getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(wm.getTime - 5460L * 1000L)
+    val safe = got.where($"view_ts" <= lit(cutoff))
+    assert(safe.where($"purchase_id".isNull).count() > 0, "no unmatched views emitted")
+    val views = batchEvents.where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+      .where($"view_ts" <= lit(cutoff))
+    val purchases = batchEvents.where($"event_type" === "purchase")
+      .select($"user_id".as("p_user_id"), $"event_id".as("purchase_id"), $"ts".as("purchase_ts"))
+    val batchLeft = views.join(purchases,
+      $"user_id" === $"p_user_id" && $"purchase_ts" >= $"view_ts" &&
+        $"purchase_ts" < $"view_ts" + expr("INTERVAL 1800 SECONDS"), "leftOuter")
+    assert(safe.count() === batchLeft.count())
+  }
+
   test("streaming complete-mode window agg equals the batch tumbling agg") {
     val streamed = StreamingOps.windowAggOnce(spark,
       s"${TestSpark.sf}/events.parquet", "1 hour", queryName = "t_stream_eq")
