@@ -1819,6 +1819,16 @@ object SparkEntry {
         .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
     }),
 
+    // Spark 4 transformWithState (arbitrary-stateful-processing v2:
+    // StatefulProcessor + named typed state variables in RocksDB): per-user
+    // running totals; the final Update-mode emission per user equals the
+    // batch aggregate (n strictly increases, so max_by(n) selects it).
+    "streaming_tws_totals" -> ((s, d) => {
+      graft.streaming.TwsUserTotals.userTotalsOnce(s, s"$d/events.parquet",
+          queryName = s"graft_tws_$runNonce")
+        .orderBy(col("user_id"))
+    }),
+
     // Time-series resample with gap filling: the hour x event_type grid
     // (sequence() from one tiny min/max row, cross-joined with the
     // distinct type set — both metadata-sized and broadcast) left-joined
@@ -2116,6 +2126,11 @@ object SparkEntry {
         |CROSS JOIN mx
         |WHERE view_ts <= mx.m - INTERVAL 5460 SECOND
         |ORDER BY user_id, view_id, purchase_id""".stripMargin,
+
+    "streaming_tws_totals" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "events_resample_hourly" ->
       """WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events),

@@ -41,7 +41,7 @@ object StreamingOps {
   /** Stream-read the events fixture; `ts` arrives as long nanos or
     * TIMESTAMP_NTZ depending on fixture generation — normalize to TIMESTAMP
     * (watermarks require the LTZ type) via the shared batch normalizer. */
-  private def readEvents(spark: SparkSession, eventsPath: String): DataFrame = {
+  private[streaming] def readEvents(spark: SparkSession, eventsPath: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema
     // readStream wants a directory; point it at the parent and glob-filter
