@@ -1819,6 +1819,34 @@ object SparkEntry {
         .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
     }),
 
+    // Spark 4 VARIANT type (the binary semi-structured lakehouse path,
+    // distinct from events_json_extract's per-string get_json_object):
+    // parse once to VARIANT, typed variant_get extraction, aggregate.
+    "events_variant_extract" -> ((s, d) => {
+      events(s, d).createOrReplaceTempView("graft_ev_variant_v")
+      s.sql("""SELECT event_type,
+              | CAST(count(k) AS BIGINT) AS n_with_k,
+              | CAST(sum(k) AS BIGINT) AS sum_k,
+              | CAST(min(k) AS INT) AS min_k,
+              | CAST(max(k) AS INT) AS max_k
+              |FROM (SELECT event_type,
+              |        variant_get(parse_json(props), '$.k', 'int') AS k
+              |      FROM graft_ev_variant_v)
+              |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    }),
+
+    // Spark 4 SQL pipe syntax (|>): the linear FROM -> WHERE -> AGGREGATE
+    // composition surface. Same plan as the classic formulation — the
+    // oracle is the plain-SQL equivalent.
+    "q28_pipe_syntax" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_li_pipe_v")
+      s.sql("""FROM graft_li_pipe_v
+              ||> WHERE l_quantity < 10
+              ||> AGGREGATE count(*) AS n, round(sum(l_extendedprice), 4) AS total
+              |   GROUP BY l_returnflag
+              ||> ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // Spark 4 transformWithState (arbitrary-stateful-processing v2:
     // StatefulProcessor + named typed state variables in RocksDB): per-user
     // running totals; the final Update-mode emission per user equals the
@@ -2131,6 +2159,20 @@ object SparkEntry {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events WHERE value IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "events_variant_extract" ->
+      """SELECT event_type,
+        | CAST(count(k) AS BIGINT) AS n_with_k,
+        | CAST(sum(k) AS BIGINT) AS sum_k,
+        | CAST(min(k) AS INT) AS min_k,
+        | CAST(max(k) AS INT) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q28_pipe_syntax" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 4) AS total
+        |FROM lineitem WHERE l_quantity < 10
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "events_resample_hourly" ->
       """WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events),
