@@ -1847,6 +1847,20 @@ object SparkEntry {
               ||> ORDER BY l_returnflag""".stripMargin)
     }),
 
+    // Spark 4 collation support: UTF8_LCASE comparison semantics pushed
+    // into joins/grouping instead of lower() wrappers. Mixed-case probe
+    // values are synthesized from the segment so the case-insensitive
+    // match is doing real work; the oracle lowercases explicitly.
+    "q29_collation" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("graft_cust_coll_v")
+      s.sql("""SELECT c_mktsegment AS segment,
+              | count(CASE WHEN initcap(lower(c_mktsegment)) COLLATE UTF8_LCASE
+              |            = c_mktsegment COLLATE UTF8_LCASE THEN 1 END) AS n_ci_match,
+              | count(*) AS n
+              |FROM graft_cust_coll_v
+              |GROUP BY c_mktsegment ORDER BY segment""".stripMargin)
+    }),
+
     // Spark 4 transformWithState (arbitrary-stateful-processing v2:
     // StatefulProcessor + named typed state variables in RocksDB): per-user
     // running totals; the final Update-mode emission per user equals the
@@ -2159,6 +2173,13 @@ object SparkEntry {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events WHERE value IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q29_collation" ->
+      """SELECT c_mktsegment AS segment,
+        | count(CASE WHEN lower(concat(upper(substr(lower(c_mktsegment), 1, 1)), substr(lower(c_mktsegment), 2)))
+        |            = lower(c_mktsegment) THEN 1 END) AS n_ci_match,
+        | count(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
 
     "events_variant_extract" ->
       """SELECT event_type,
