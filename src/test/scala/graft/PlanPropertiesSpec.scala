@@ -109,6 +109,22 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("partial_topkby"), p)
   }
 
+  test("DSIR scoring joins the broadcast model, never sort-merges the corpus") {
+    val df = SparkEntry.queries("dsir_importance")(spark, TestSpark.sf)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the 256-row model reaches the doc-bucket table via broadcast
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("resample grid sides broadcast; only the counts side is corpus-sized") {
+    val df = SparkEntry.queries("events_resample_hourly")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("packing's only single-partition exchange carries the tiny bucket-totals table") {
     import org.apache.spark.sql.functions.col
     val toks = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
