@@ -1743,7 +1743,10 @@ object SparkEntry {
     // reachability from src0 over the symmetric source contamination
     // graph. UNION ALL recursion with a depth cap (Spark doesn't support
     // set-UNION recursion yet); min(depth) after the fact gives BFS
-    // levels. DuckDB runs the IDENTICAL recursive shape.
+    // levels. DuckDB runs the IDENTICAL recursive shape. NB UNION ALL
+    // paths grow combinatorially with depth on dense graphs — the cap is
+    // load-bearing; unbounded-depth reachability at scale is
+    // Dedup.connectedComponents' pointer-jumping loop, not this.
     "q27_recursive_reach" -> ((s, d) => {
       val ov = sourceFpOverlap(s, d)
       ov.select(col("source_a").as("src"), col("source_b").as("dst"))
@@ -2000,7 +2003,11 @@ object SparkEntry {
     // agg row, broadcast back), bucket = how many ROUNDED boundaries the
     // value exceeds — rounding to 4 before comparing is what makes the
     // cut points bit-identical across engines. Near-equal bucket counts
-    // are the equi-depth property itself.
+    // are the equi-depth property itself. Exact percentile() is the
+    // oracle-parity choice; its per-partition value map grows with
+    // distinct values, so at raw 100 TB the boundaries come from
+    // approx_percentile instead (events_approx_percentile pins that
+    // sketch's rank contract).
     "events_histogram_equidepth" -> ((s, d) => {
       val ev = events(s, d).where(col("value").isNotNull)
       val ps = (1 to 7).map(_ / 8.0)

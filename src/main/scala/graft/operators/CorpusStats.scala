@@ -129,12 +129,16 @@ object CorpusStats {
     * This is the sketch the 100 TB shape needs: per-source state is k
     * strings regardless of corpus size, the pairwise stage runs on
     * #sources-sized tables, and only the exact-Jaccard audit columns touch
-    * the distinct-shingle sets (drop them and nothing corpus-sized crosses
-    * the pair join). Output: source_a < source_b, jaccard_est (signature
-    * agreement rate), jaccard_exact (distinct-shingle Jaccard).
+    * the distinct-shingle sets — `auditExact = false` IS the registered
+    * 100 TB shape (sketch only; nothing corpus-sized crosses the pair
+    * join). The gate query keeps the audit ON so the estimate's honesty is
+    * oracle-checked at fixture scale. Output: source_a < source_b,
+    * jaccard_est (signature agreement rate), jaccard_exact
+    * (distinct-shingle Jaccard; audit only).
     */
   def minhashSourceSimilarity(df: DataFrame, textCol: String, sourceCol: String,
-                              numHashes: Int = 32, shingleN: Int = 3): DataFrame = {
+                              numHashes: Int = 32, shingleN: Int = 3,
+                              auditExact: Boolean = true): DataFrame = {
     require(numHashes > 0 && shingleN > 0)
     // ONE corpus pass: distinct (source, shingle) via a single hash
     // aggregation (map-side partials). Signatures AND the exact audit both
@@ -153,6 +157,7 @@ object CorpusStats {
     val est = sigs.as("x").join(sigs.as("y"), col("x.source") < col("y.source"))
       .select(col("x.source").as("source_a"), col("y.source").as("source_b"),
         round(agree, 4).as("jaccard_est"))
+    if (!auditExact) return est
     val sizes = ds.groupBy(col("source")).agg(count(lit(1)).as("sz"))
     // 8-byte join key for the pair intersection instead of the shingle
     // string (xxhash64 collisions would need two different shingles per
