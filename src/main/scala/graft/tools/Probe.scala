@@ -209,6 +209,22 @@ object Probe {
             .where(col("edit_dist") >= 0).count())
         println(s"[probe] verified (no bag): $nVerOnly")
 
+      case "sketch" =>
+        // MinHash source-sketch accuracy vs signature width: the estimate's
+        // standard error is ~sqrt(J(1-J)/k), so error should halve per 4x k
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+        docs.count()
+        println("num_hashes,mean_abs_err,max_abs_err,rmse")
+        for (k <- Seq(8, 16, 32, 64, 128)) {
+          val rows = graft.operators.CorpusStats
+            .minhashSourceSimilarity(docs, "text", "source", numHashes = k)
+            .select(col("jaccard_est"), col("jaccard_exact"))
+            .as[(Double, Double)].collect()
+          val errs = rows.map { case (e, x) => math.abs(e - x) }
+          val rmse = math.sqrt(rows.map { case (e, x) => (e - x) * (e - x) }.sum / rows.length)
+          println(f"$k,${errs.sum / errs.length}%.4f,${errs.max}%.4f,$rmse%.4f")
+        }
+
       case "recall" =>
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
         emb.count()
