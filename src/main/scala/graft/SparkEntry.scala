@@ -1822,6 +1822,29 @@ object SparkEntry {
         .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
     }),
 
+    // MMR diversified retrieval (Carbonell & Goldstein '98): exact top-20
+    // candidates (distributed TakeOrderedAndProject), then the greedy
+    // k=10 lambda=0.7 selection on the k-bounded set. Every similarity is
+    // rounded to 4 before the greedy compare and ties break on vec_id, so
+    // the oracle replays the identical selection path through 10 unrolled
+    // CTE rounds.
+    "knn_mmr" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val cands = emb.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), col("embedding"),
+          round(VectorFunctions.cosineSimilarity(col("embedding"), col("qv")), 4)
+            .as("relevance"))
+        .orderBy(desc("relevance"), col("vec_id")).limit(20)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+        .toSeq
+      KnnSearch.mmrRerank(cands, k = 10, lambda = 0.7)
+        .toDF("rank", "vec_id", "relevance", "mmr_score_e5")
+        .orderBy(col("rank"))
+    }),
+
     // Spark 4 VARIANT type (the binary semi-structured lakehouse path,
     // distinct from events_json_extract's per-string get_json_object):
     // parse once to VARIANT, typed variant_get extraction, aggregate.
@@ -2112,7 +2135,52 @@ object SparkEntry {
       "\nSELECT node AS source, round(pr, 4) AS pagerank FROM r5 ORDER BY source"
   }
 
+  /** knn_mmr oracle: exact top-20 candidates, pairwise candidate cosines,
+    * then the 10 greedy MMR rounds UNROLLED (MATERIALIZED — each round
+    * reads its predecessor several times). Scores are exact e5 fixed-point
+    * integers (7*rel_e4 - 3*maxsim_e4) so the greedy path and output are
+    * engine-independent — a rounded DOUBLE score sat exactly on a
+    * half-ulp boundary and flipped between engines. */
+  private val mmrOracleSql: String = {
+    val head =
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |z AS (SELECT e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+        |      FROM embeddings e, q WHERE e.vec_id <> 0),
+        |sc AS (SELECT vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
+        |              sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
+        |              sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
+        |       FROM z GROUP BY vec_id),
+        |cand AS MATERIALIZED (SELECT vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS relevance
+        |       FROM sc ORDER BY relevance DESC, vec_id LIMIT 20),
+        |pv AS (SELECT c.vec_id, e.embedding FROM cand c JOIN embeddings e USING (vec_id)),
+        |z2 AS (SELECT x.vec_id AS pa, y.vec_id AS pb, unnest(x.embedding) AS xa, unnest(y.embedding) AS yb
+        |       FROM pv x, pv y WHERE x.vec_id <> y.vec_id),
+        |pr AS MATERIALIZED (SELECT pa, pb, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS sim FROM
+        |       (SELECT pa, pb, sum(CAST(xa AS DOUBLE)*CAST(yb AS DOUBLE)) AS dp,
+        |               sqrt(sum(CAST(xa AS DOUBLE)*CAST(xa AS DOUBLE))) AS na,
+        |               sqrt(sum(CAST(yb AS DOUBLE)*CAST(yb AS DOUBLE))) AS nb
+        |        FROM z2 GROUP BY pa, pb)),
+        |ce AS MATERIALIZED (SELECT vec_id, relevance, CAST(round(relevance * 10000) AS BIGINT) AS rel_e4 FROM cand),
+        |pre AS MATERIALIZED (SELECT pa, pb, CAST(round(sim * 10000) AS BIGINT) AS sim_e4 FROM pr),
+        |s1 AS MATERIALIZED (SELECT vec_id, relevance, 7 * rel_e4 AS score, 1 AS rank
+        |      FROM ce ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    val rounds = (2 to 10).map { k =>
+      s"""p$k AS MATERIALIZED (SELECT c.vec_id, c.relevance,
+         |  7 * c.rel_e4 - 3 * max(pre.sim_e4) AS score
+         |  FROM ce c JOIN pre ON pre.pa = c.vec_id AND pre.pb IN (SELECT vec_id FROM s${k - 1})
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s${k - 1})
+         |  GROUP BY c.vec_id, c.rel_e4, c.relevance
+         |  ORDER BY score DESC, vec_id LIMIT 1),
+         |s$k AS MATERIALIZED (SELECT vec_id, relevance, score, $k AS rank FROM p$k
+         |  UNION ALL SELECT vec_id, relevance, score, rank FROM s${k - 1})""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      "\nSELECT CAST(rank AS INT) AS rank, vec_id, relevance, CAST(score AS BIGINT) AS mmr_score_e5 FROM s10 ORDER BY rank"
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "knn_mmr" -> mmrOracleSql,
 
     "graph_pagerank" -> pageRankOracleSql,
 

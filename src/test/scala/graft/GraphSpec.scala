@@ -59,6 +59,24 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(a.values.sum - 1.0) < 1e-3) // no dangling -> mass conserved
   }
 
+  test("MMR demotes near-duplicates that pure relevance would rank adjacent") {
+    import graft.operators.KnnSearch
+    // c1 and c2 are near-identical top candidates; c3 is orthogonal-ish with
+    // lower relevance. Pure relevance ranks c1, c2, c3; MMR at lambda 0.7
+    // must interleave the diverse c3 ahead of the redundant c2.
+    val cands = Seq(
+      (1L, Array(1f, 0f, 0f), 0.95),
+      (2L, Array(0.999f, 0.04f, 0f), 0.94),
+      (3L, Array(0f, 1f, 0f), 0.80))
+    val got = KnnSearch.mmrRerank(cands, k = 3, lambda = 0.7)
+    assert(got.map(_._2) === Seq(1L, 3L, 2L))
+    assert(got.map(_._1) === Seq(1, 2, 3))
+    // rank-1 score is pure relevance in e5 fixed point: 7 * 9500
+    assert(got.head._4 === 7L * 9500L)
+    // deterministic: same input, same output
+    assert(KnnSearch.mmrRerank(cands, k = 3, lambda = 0.7) === got)
+  }
+
   test("trianglesPerNode counts corners; zero-triangle nodes keep a row") {
     // K4 on {a,b,c,d} (every node in C(3,2)=3 triangles) plus a pendant
     // edge to e (0 triangles) and an isolated edge f-g.
