@@ -56,7 +56,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The full JSON also lands in a file: stdout tails get truncated when
+    // the per-query map grows past the driver's capture window, and the
+    // per-query timings are the whole point. Print the JSON FIRST, then
+    // the path, so a tail of any length still leads with machine-readable
+    // data.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(json)
+    println(s"[bench] full per-query JSON written to $out")
     spark.stop()
   }
 }

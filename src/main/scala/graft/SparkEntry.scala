@@ -455,6 +455,43 @@ object SparkEntry {
     "source_docx_pages" -> ((s, d) =>
       formatPages(s, d, "source_docx", "docx", graft.sources.MiniDocx.encode, auto = true)),
 
+    // Legacy-format quarantine over a MIXED landing zone: each fixture doc
+    // lands as real PDF (doc_id%3=0), real DOCX (%3=1), or an OLE2 compound
+    // file (%3=2 — the pre-2007 '.doc' the reference dispatch accepts,
+    // utilities.py:164, which this engine has no CFB parser for). The
+    // quarantine-aware reader must flag every OLE2 file with NULL text (no
+    // mojibake pages) and decode the rest normally; the oracle re-derives
+    // the per-format file/page counts from the parquet fixture.
+    "source_doc_quarantine" -> ((s, d) => {
+      val tmp = scratch(d, "source_quar")
+      val dir = new java.io.File(tmp)
+      dir.mkdirs()
+      val ole2Magic = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
+        .map(_.toByte)
+      t(s, d, "documents").select(col("doc_id"), col("text"))
+        .collect().foreach { r =>
+          val (ext, bytes) = (r.getLong(0) % 3) match {
+            case 0 => ("pdf", graft.sources.MiniPdf.encode(r.getString(1)))
+            case 1 => ("docx", graft.sources.MiniDocx.encode(r.getString(1)))
+            case _ => ("doc", ole2Magic ++
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          java.nio.file.Files.write(
+            new java.io.File(dir, f"doc_${r.getLong(0)}%08d.$ext").toPath, bytes)
+        }
+      val st = graft.sources.BinaryDocs.readAutoStatus(s, tmp)
+      val pagesPerFile = graft.operators.Chunker
+        .chunk(st.where(col("text").isNotNull)
+          .select(col("document_path"), col("text")), "text", 32)
+        .groupBy(col("document_path")).agg(count(lit(1)).as("np"))
+      st.join(pagesPerFile, Seq("document_path"), "left")
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("quarantined"), 1L).otherwise(0L)).as("n_quarantined"),
+          sum(coalesce(col("np"), lit(0L))).as("n_pages"))
+        .orderBy(col("format"))
+    }),
+
     // Store lifecycle THROUGH the gate: two append generations into a real
     // on-disk store (the second re-ingests every 5th document — same ids,
     // same content), compact the tenant, then RAW-read the store files.
@@ -1167,6 +1204,25 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Graph-ANN (the HNSW structural analogue — operators/GraphAnn): build
+    // the LSH-candidate k-NN neighbor graph ONCE (persisted edge table —
+    // a graph index's build cost is amortized over queries, the same
+    // contract as the IVF codebook), then batch greedy beam search (entry
+    // sample -> rounds x (frontier ⋈ edges) -> top-k of visited).
+    // Rows-only at the gate (the traversal is iterative state, not one SQL
+    // expression); the accuracy contract is pinned by GraphAnnSpec's
+    // recall-vs-brute-force floor and the RECALL.md curves (beats LSH and
+    // IVF at equal probed fraction at both SFs).
+    "ann_graph_beam" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val edges = GraphAnn.knnGraphPersisted(emb, scratch(d, "graph_ann_idx"),
+        m = 16, nBits = 4, nTables = 8, dim = 64)
+      GraphAnn.beamSearch(emb, edges, qs, k = 10, beam = 8, rounds = 3, nEntry = 8)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---------------- text analysis ----------------
 
     "lang_id" -> ((s, d) => {
@@ -1668,6 +1724,16 @@ object SparkEntry {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // The sketch's 100 TB shape, gate-exercised: auditExact=false drops the
+    // exact-Jaccard audit self-join, so nothing corpus-sized ever crosses
+    // the pair join — per-source state is 32 min-hash strings, mergeable.
+    // The estimate column must be bit-identical to the audited twin's.
+    "source_sketch_jaccard_scale" -> ((s, d) => {
+      CorpusStats.minhashSourceSimilarity(t(s, d, "documents"),
+          "text", "source", numHashes = 32, shingleN = 3, auditExact = false)
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // Weighted PageRank (5 fixed iterations, damping 0.85) over the
     // source contamination graph (edge weight = shared prefix
     // fingerprints): which sources sit at the center of the boilerplate
@@ -1685,10 +1751,25 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // PageRank over the DIRECTED form of the same graph (each overlap edge
+    // kept one-way, source_a -> source_b), where sink nodes exist and the
+    // dangling-mass D/n redistribution term is load-bearing: without it
+    // total mass decays every round. The oracle unrolls the five rounds
+    // WITH the per-round dangling sum as its own CTE.
+    "graph_pagerank_directed" -> ((s, d) => {
+      val ov = sourceFpOverlap(s, d)
+      val edges = ov.select(col("source_a").as("src"), col("source_b").as("dst"),
+        col("n_shared").cast("double").as("w"))
+      Graph.pageRank(edges, "src", "dst", "w", iters = 5, damping = 0.85,
+          redistributeDangling = true)
+        .withColumnRenamed("node", "source")
+        .orderBy(col("source"))
+    }),
+
     // Per-node triangle participation over the same source graph — the
     // cluster-cohesion signal (a contamination PAIR might be coincidence;
-    // a triangle is a shared-boilerplate clique). Canonical a<b edges cap
-    // the join fan-out at out-degree (the standard degeneracy trick).
+    // a triangle is a shared-boilerplate clique). Degree-ordered DAG
+    // orientation caps the join fan-out at the graph's degeneracy.
     "graph_triangles" -> ((s, d) => {
       Graph.trianglesPerNode(
           sourceFpOverlap(s, d).select(col("source_a").as("a"), col("source_b").as("b")))
@@ -1874,14 +1955,19 @@ object SparkEntry {
     }),
 
     // Spark 4 collation support: UTF8_LCASE comparison semantics pushed
-    // into joins/grouping instead of lower() wrappers. Mixed-case probe
-    // values are synthesized from the segment so the case-insensitive
-    // match is doing real work; the oracle lowercases explicitly.
+    // into joins/grouping instead of lower() wrappers. Two probes with
+    // opposite expected outcomes so the collation path is falsifiable in
+    // both directions: a case-mutated variant that MUST match (catches a
+    // case-sensitive regression) and a suffix-mutated variant that MUST
+    // NOT (catches an always-equal regression). The oracle lowercases
+    // explicitly.
     "q29_collation" -> ((s, d) => {
       t(s, d, "customer").createOrReplaceTempView("graft_cust_coll_v")
       s.sql("""SELECT c_mktsegment AS segment,
               | count(CASE WHEN initcap(lower(c_mktsegment)) COLLATE UTF8_LCASE
               |            = c_mktsegment COLLATE UTF8_LCASE THEN 1 END) AS n_ci_match,
+              | count(CASE WHEN concat(c_mktsegment, '_x') COLLATE UTF8_LCASE
+              |            = c_mktsegment COLLATE UTF8_LCASE THEN 1 END) AS n_ci_nomatch,
               | count(*) AS n
               |FROM graft_cust_coll_v
               |GROUP BY c_mktsegment ORDER BY segment""".stripMargin)
@@ -2049,9 +2135,15 @@ object SparkEntry {
 
   /** Shared by the BPE queries: 16 merges learned from the documents
     * corpus. */
-  private def bpeMerges(s: SparkSession, d: String): Seq[BpeTrainer.Merge] =
-    BpeTrainer.train(BpeTrainer.wordFreq(t(s, d, "documents"), "text"),
-      "word", "freq", numMerges = BpeRounds)
+  private def bpeMerges(s: SparkSession, d: String): Seq[BpeTrainer.Merge] = {
+    val wf = BpeTrainer.wordFreq(t(s, d, "documents"), "text")
+    // The oracle's '|sym|' separator encoding is sound only while no word
+    // type contains the separator itself; fail loudly here (word-TYPE-sized
+    // agg, negligible) rather than let the replay silently diverge.
+    val nBad = wf.where(col("word").contains("|")).count()
+    require(nBad == 0, s"bpe oracle precondition: $nBad word types contain '|'")
+    BpeTrainer.train(wf, "word", "freq", numMerges = BpeRounds)
+  }
 
   private val BpeRounds = 16
 
@@ -2069,11 +2161,14 @@ object SparkEntry {
       """WITH wf AS MATERIALIZED (SELECT wd AS word, count(*) AS freq FROM
         |  (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS wd FROM documents)
         |  GROUP BY wd),
-        |s0 AS MATERIALIZED (SELECT word, freq, '|' || array_to_string(string_split(word, ''), '||') || '|' AS enc FROM wf)""".stripMargin
+        |s0 AS MATERIALIZED (SELECT word, freq,
+        |  CASE WHEN word LIKE '%|%' THEN error('bpe oracle: word contains the | separator')
+        |       ELSE '|' || array_to_string(string_split(word, ''), '||') || '|' END AS enc FROM wf),
+        |mb AS MATERIALIZED (SELECT CAST(max(len(word)) AS INT) AS mw FROM wf)""".stripMargin
     val rounds = (1 to BpeRounds).map { k =>
       s"""m$k AS MATERIALIZED (SELECT pr[i] AS l, pr[i + 1] AS r, sum(freq) AS c FROM
          |  (SELECT freq, string_split(trim(enc, '|'), '||') AS pr FROM s${k - 1}),
-         |  (SELECT unnest(generate_series(1, 16)) AS i) ii
+         |  (SELECT unnest(generate_series(1, (SELECT mw FROM mb))) AS i) ii
          |  WHERE i < len(pr) GROUP BY 1, 2
          |  ORDER BY c DESC, l, r LIMIT 1),
          |s$k AS MATERIALIZED (SELECT word, freq,
@@ -2135,6 +2230,35 @@ object SparkEntry {
       "\nSELECT node AS source, round(pr, 4) AS pagerank FROM r5 ORDER BY source"
   }
 
+  /** graph_pagerank_directed oracle: same unrolled-CTE replay over the
+    * ONE-WAY edge list, with each round's dangling mass (rank held by
+    * nodes with no out-edges) summed in its own CTE and redistributed
+    * uniformly — the exact arithmetic shape of
+    * `Graph.pageRank(redistributeDangling = true)`. */
+  private val pageRankDirectedOracleSql: String = {
+    val head =
+      """WITH fp AS (SELECT DISTINCT source,
+        |  md5(coalesce(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)[1:8], ' '), '')) AS fp
+        |  FROM documents),
+        |e AS (SELECT a.source AS src, b.source AS dst, CAST(count(*) AS DOUBLE) AS w
+        |      FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |dang AS (SELECT node FROM nodes EXCEPT SELECT DISTINCT src FROM e),
+        |wd AS (SELECT src, sum(w) AS wdeg FROM e GROUP BY src),
+        |ep AS (SELECT e.src, e.dst, e.w / wd.wdeg AS p FROM e JOIN wd ON e.src = wd.src),
+        |r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn)""".stripMargin
+    val steps = (1 to 5).map { i =>
+      s"""dm$i AS (SELECT coalesce(sum(r.pr), 0) AS s FROM r${i - 1} r JOIN dang ON r.node = dang.node),
+         |r$i AS (SELECT nd.node, ((1.0 - 0.85) / nn.n) + 0.85 * (coalesce(c.contrib, 0) + dm.s / nn.n) AS pr
+         |  FROM nodes nd CROSS JOIN nn CROSS JOIN dm$i dm LEFT JOIN
+         |  (SELECT ep.dst AS node, sum(r.pr * ep.p) AS contrib
+         |   FROM ep JOIN r${i - 1} r ON ep.src = r.node GROUP BY 1) c ON nd.node = c.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      "\nSELECT node AS source, round(pr, 4) AS pagerank FROM r5 ORDER BY source"
+  }
+
   /** knn_mmr oracle: exact top-20 candidates, pairwise candidate cosines,
     * then the 10 greedy MMR rounds UNROLLED (MATERIALIZED — each round
     * reads its predecessor several times). Scores are exact e5 fixed-point
@@ -2183,6 +2307,8 @@ object SparkEntry {
     "knn_mmr" -> mmrOracleSql,
 
     "graph_pagerank" -> pageRankOracleSql,
+
+    "graph_pagerank_directed" -> pageRankDirectedOracleSql,
 
     "bpe_merges" -> (bpeOracleChain + "\n" +
       (1 to BpeRounds).map(k =>
@@ -2253,6 +2379,7 @@ object SparkEntry {
       """SELECT c_mktsegment AS segment,
         | count(CASE WHEN lower(concat(upper(substr(lower(c_mktsegment), 1, 1)), substr(lower(c_mktsegment), 2)))
         |            = lower(c_mktsegment) THEN 1 END) AS n_ci_match,
+        | count(CASE WHEN lower(concat(c_mktsegment, '_x')) = lower(c_mktsegment) THEN 1 END) AS n_ci_nomatch,
         | count(*) AS n
         |FROM customer GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
 
@@ -2554,6 +2681,21 @@ object SparkEntry {
     "source_pdf_pages" -> pagesOracleSql,
 
     "source_docx_pages" -> pagesOracleSql,
+
+    // Per-format file/quarantine/page counts re-derived from the fixture:
+    // OLE2 (doc_id%3=2) contributes zero pages, the decodable formats'
+    // pages follow the chunker's len//32+1 law.
+    "source_doc_quarantine" ->
+      """WITH f AS (SELECT doc_id, text,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' ELSE 'ole2' END AS format
+        |  FROM documents),
+        |p AS (SELECT doc_id, format,
+        |  CASE WHEN format = 'ole2' THEN 0
+        |       ELSE len(string_split(text, ' ')) // 32 + 1 END AS n_pages FROM f)
+        |SELECT format, CAST(count(*) AS BIGINT) AS n_files,
+        | CAST(sum(CASE WHEN format = 'ole2' THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+        | CAST(sum(n_pages) AS BIGINT) AS n_pages
+        |FROM p GROUP BY format ORDER BY format""".stripMargin,
 
     // Expected post-compaction store content = the E1 ingest rows derived
     // straight from the fixture: chunk (pageSize 32, possible-empty-tail)
@@ -3428,7 +3570,7 @@ object SparkEntry {
     // verdict on the ROUNDED metrics (exactly the Spark columns), empty
     // docs kept with NULL metrics and a false verdict.
     "quality_gopher" ->
-      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'), x -> len(x) > 0) AS ws FROM documents),
         |cf AS (SELECT doc_id, wd, count(*) AS c FROM (SELECT doc_id, unnest(ws) AS wd FROM w) GROUP BY 1, 2),
         |e AS (SELECT doc_id, count(*) AS n_unique, sum(c) AS n_tot,
         |      sum(c * ln(c)) AS clnc FROM cf GROUP BY doc_id),
@@ -3464,6 +3606,18 @@ object SparkEntry {
         |LEFT JOIN iv ON e.source_a = iv.source_a AND e.source_b = iv.source_b
         |JOIN sz sa ON e.source_a = sa.source
         |JOIN sz sb ON e.source_b = sb.source
-        |ORDER BY e.source_a, e.source_b""".stripMargin
+        |ORDER BY e.source_a, e.source_b""".stripMargin,
+
+    // estimate-only twin: same sketch replay, no exact-audit CTEs.
+    "source_sketch_jaccard_scale" ->
+      """WITH w AS (SELECT source, doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |shg AS (SELECT source, unnest(list_distinct(list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' ')))) AS sh
+        |        FROM w WHERE len(ws) > 2),
+        |hi AS (SELECT source, i, min(md5(sh || '#' || i)) AS m
+        |       FROM shg CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) GROUP BY source, i)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        | round(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) * 1.0 / 32, 4) AS jaccard_est
+        |FROM hi a JOIN hi b ON a.i = b.i AND a.source < b.source GROUP BY 1, 2
+        |ORDER BY source_a, source_b""".stripMargin
   )
 }

@@ -144,10 +144,13 @@ object CorpusStats {
     // aggregation (map-side partials). Signatures AND the exact audit both
     // derive from this table — the text is exploded exactly once, and the
     // min over distinct shingles equals the min over occurrences.
-    val ds = df.select(col(sourceCol).as("source"),
+    val ds0 = df.select(col(sourceCol).as("source"),
         explode(Dedup.shingles(col(textCol), shingleN)).as("sh"))
       .distinct()
-      .localCheckpoint()
+    // the audit path reads this table three times (sigs, sizes, pair
+    // intersection) — materialize once; the sketch-only scale path reads it
+    // exactly once, so a checkpoint would be a pure extra materialization
+    val ds = if (auditExact) ds0.localCheckpoint() else ds0
     val sigCols = (0 until numHashes).map(i =>
       min(md5(concat(col("sh"), lit("#" + i)))).as(s"m$i"))
     val sigs = ds.groupBy(col("source")).agg(sigCols.head, sigCols.drop(1): _*)

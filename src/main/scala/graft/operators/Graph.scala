@@ -19,19 +19,24 @@ object Graph {
     * directions). Per iteration: rank mass flows src -> dst proportionally
     * to edge weight / weighted out-degree, then every node takes
     * (1-damping)/n teleport plus damping * inflow. Nodes appearing only as
-    * destinations still hold rank; mass leaving a node with no out-edges
-    * (dangling) is dropped, not redistributed — symmetric edge lists (our
-    * callers) have no dangling nodes, and the ANSI oracle replays exactly
-    * this definition.
+    * destinations still hold rank. Mass leaving a node with no out-edges
+    * (dangling): dropped by default — symmetric edge lists (our main
+    * callers) have no dangling nodes — or, with
+    * `redistributeDangling = true`, spread uniformly (the standard
+    * D/n term directed inputs need for mass conservation). The ANSI oracle
+    * replays whichever definition the query registers.
     *
     * Scale shape: the per-iteration join keys ranks and normalized edges on
     * src (both hash-partitioned on the same key, so consecutive iterations
     * reuse the partitioning), the inflow aggregate is dst-keyed with
     * map-side partials, and the edge-probability table is computed ONCE and
-    * persisted. The only driver-side scalar is the node count.
+    * persisted. The dangling mass is a one-row aggregate that re-enters the
+    * plan via a broadcast cross join (never a per-iteration collect). The
+    * only driver-side scalar is the node count.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               weightCol: String, iters: Int, damping: Double = 0.85): DataFrame = {
+               weightCol: String, iters: Int, damping: Double = 0.85,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0, s"damping in (0,1), got $damping")
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
@@ -44,46 +49,95 @@ object Graph {
     val ep = e0.join(wdeg, "src")
       .select(col("src"), col("dst"), (col("w") / col("wdeg")).as("p"))
       .localCheckpoint()
+    // dangling nodes: hold rank but have no out-edges (only possible on
+    // directed inputs); node-count sized, broadcastable
+    lazy val dangling = nodes
+      .join(ep.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+      .localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (i <- 1 to iters) {
       val contribs = ep.join(ranks, ep("src") === ranks("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") * col("p")).as("contrib"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+      val withInflow = nodes.join(contribs, Seq("node"), "left")
+      ranks =
+        if (!redistributeDangling)
+          withInflow.select(col("node"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+        else {
+          // one-row dangling-mass aggregate, broadcast back via cross join
+          val dmass = ranks.join(broadcast(dangling), Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+          withInflow.crossJoin(broadcast(dmass))
+            .select(col("node"),
+              (lit((1.0 - damping) / n) +
+                lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+                  col("dmass") / n)).as("rank"))
+        }
       // truncate the growing join lineage the way connectedComponents does
       if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), round(col("rank"), 4).as("pagerank"))
   }
 
-  /** Per-node triangle participation over an UNDIRECTED graph given as
-    * canonical edges (a < b). The classic two-join formulation: a triangle
-    * a<b<c is the row pattern e(a,b) ⋈ e(b,c) ⋈ e(a,c); each corner then
-    * credits its node. Nodes in the edge set with no triangles keep a row
-    * with 0.
+  /** Degree-ordered DAG orientation of an undirected edge set: edges are
+    * canonicalized (self-loops dropped, both directions collapsed, duplicates
+    * removed) and then oriented from the lower-(degree, id) endpoint to the
+    * higher one. Because (degree, id) is a strict total order, the result is
+    * a DAG whose max out-degree is bounded by the graph's degeneracy — the
+    * property that keeps the triangle join's per-key fan-out bounded even
+    * when a hub node happens to hold a small id.
+    */
+  private[graft] def orientByDegree(edges: DataFrame, aCol: String,
+                                    bCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    und
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "deg_a"), "a")
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "deg_b"), "b")
+      .select(
+        when(col("deg_a") < col("deg_b") ||
+            (col("deg_a") === col("deg_b") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+  }
+
+  /** Per-node triangle participation over an UNDIRECTED graph. Input edges
+    * may be in any form (symmetric, duplicated, self-looped) — the operator
+    * canonicalizes internally, so a caller handing it pageRank's symmetric
+    * edge list cannot multi-count. The classic two-join formulation over the
+    * degree-oriented DAG ([[orientByDegree]]): each triangle appears exactly
+    * once as a chain u→v, v→w, u→w under the (degree, id) total order; each
+    * corner then credits its node. Nodes in the edge set with no triangles
+    * keep a row with 0.
     *
-    * Scale shape: two hash joins on single node keys plus one (a,c)-keyed
-    * pair join; fan-out is bounded by the graph's degeneracy (the canonical
-    * a<b orientation is the standard trick that caps per-node join width at
-    * out-degree, not full degree). Counts aggregate with map-side partials.
+    * Scale shape: two hash joins on single node keys plus one (u,w)-keyed
+    * pair join; per-key fan-out on the chain join is bounded by the DAG's
+    * max out-degree, which the degree orientation caps at the graph's
+    * degeneracy (id-order alone would leave a small-id hub with its full
+    * degree as out-degree — one hot key on a skewed graph). Counts
+    * aggregate with map-side partials.
     */
   def trianglesPerNode(edges: DataFrame, aCol: String = "a",
                        bCol: String = "b"): DataFrame = {
-    val e = edges.select(col(aCol).as("a"), col(bCol).as("b")).distinct()
+    val e = orientByDegree(edges, aCol, bCol).localCheckpoint()
     val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
       .join(e.as("e3"),
-        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
     val corners = tri.select(col("x").as("node"))
       .union(tri.select(col("y").as("node")))
       .union(tri.select(col("z").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
-    val nodes = e.select(col("a").as("node"))
-      .union(e.select(col("b").as("node"))).distinct()
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
     nodes.join(corners, Seq("node"), "left")
       .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }

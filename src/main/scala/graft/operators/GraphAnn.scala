@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Graph-based approximate nearest neighbor — the structural analogue of the
+  * reference's HNSW index (reference `modules/utilities.py:272-278`), closing
+  * the approximate ladder next to the LSH-bucketed and IVF tiers
+  * ([[SimilaritySearch]], [[IndexTable.appendBucketed]]/`appendIvf`).
+  *
+  * HNSW itself is a pointer-chasing structure that lives in one machine's
+  * memory; the Spark-native re-expression keeps its two ideas — a
+  * navigable k-NN neighbor graph, and greedy best-first traversal — but as
+  * relational state and join-per-round iteration (the same cadence as
+  * [[Graph.pageRank]] / [[Dedup.connectedComponents]]):
+  *
+  *  1. [[knnGraph]] BUILD: candidate pairs from multi-table sign-LSH
+  *     bucketing (never all-pairs), exact cosine verify, then each node
+  *     keeps its M best neighbors via the bounded-buffer
+  *     [[graft.functions.TopKBy]] aggregate. The edge table is just a
+  *     DataFrame — it shards, compacts, and joins like any other.
+  *  2. [[beamSearch]] QUERY: per query, score a deterministic entry set,
+  *     then `rounds` iterations of (frontier ⋈ edges) expansion — visited
+  *     nodes tracked per query, each round's best `beam` NEW nodes become
+  *     the next frontier, exactly HNSW's ef-bounded greedy walk done
+  *     batch-synchronously for a whole query SET at once.
+  *
+  * Scale shape: the build is LSH-bounded (corpus × tables rows, bucket-local
+  * pairs); the search never scans the corpus — each round touches
+  * |queries| × beam × M candidate ids, the frontier side of every join is
+  * tiny (broadcast), and the corpus-sized edge/vector tables are only ever
+  * probed by key. Lineage is truncated per round with localCheckpoint, the
+  * connectedComponents discipline for iterative plans.
+  */
+object GraphAnn {
+
+  /** Build the k-NN neighbor graph: multi-table sign-LSH candidates, exact
+    * cosine, top-`m` per node (both directions considered, so a node's list
+    * is its best among all candidates that met it in ANY table). Returns
+    * (src, dst, sim) with out-degree <= m.
+    *
+    * `nTables` × `nBits` trade build cost for graph quality the same way
+    * HNSW's efConstruction does: more tables → more candidate pairs → each
+    * node's M list closer to its true M nearest. */
+  def knnGraph(corpus: DataFrame, m: Int = 8, nBits: Int = 4, nTables: Int = 8,
+               dim: Int = 64, seed: Long = 7L,
+               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(m >= 1 && nBits >= 1 && nTables >= 1)
+    val c = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    // one narrow pass per table: (id, bucket) — vectors stay behind, pairs
+    // are formed on 8-byte keys and only rejoin vectors once, after dedup
+    val keyed = (0 until nTables).map { t =>
+      val planes = SimilaritySearch.hyperplanes(nBits, dim, seed + t)
+      c.select(col("id"),
+        concat(lit(t + ":"), SimilaritySearch.lshBucket(col("vec"), planes)).as("bkt"))
+    }.reduce(_ unionByName _)
+    val pairs = keyed.as("a")
+      .join(keyed.as("b"), col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"))
+      .distinct() // a pair may meet in several tables; score it once
+    val scored = pairs
+      .join(c.select(col("id").as("src"), col("vec").as("v_src")), "src")
+      .join(c.select(col("id").as("dst"), col("vec").as("v_dst")), "dst")
+      .withColumn("sim",
+        round(VectorFunctions.cosineSimilarity(col("v_src"), col("v_dst")), 4))
+      .select(col("src"), col("dst"), col("sim"))
+    // symmetrize BEFORE the per-node cap: each node ranks every candidate
+    // that met it in any table, in either role
+    val sym = scored.unionByName(
+      scored.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
+    val topm = udaf(graft.functions.TopKBy(m))
+    sym.groupBy(col("src"))
+      .agg(topm(col("sim"), col("dst")).as("__nn"))
+      .select(col("src"), explode(col("__nn")).as("e"))
+      .select(col("src"), col("e._2").as("dst"), col("e._1").as("sim"))
+  }
+
+  /** Build-once persisted neighbor graph — the index-on-disk form. A graph
+    * index is constructed once and amortized over every query against it
+    * (HNSW's whole economics); this is the same persistence contract as
+    * [[IndexTable]]'s IVF codebook (`_graft_centroids`): the first call
+    * writes the [[knnGraph]] edge table under `path`, later calls reuse it.
+    * At 100 TB the build is the heavy LSH-bounded batch job and the beam
+    * search reads the edge table by key — rebuilding per query would be the
+    * scale bug. */
+  def knnGraphPersisted(corpus: DataFrame, path: String,
+                        m: Int = 8, nBits: Int = 4, nTables: Int = 8,
+                        dim: Int = 64, seed: Long = 7L,
+                        vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      knnGraph(corpus, m, nBits, nTables, dim, seed, vecCol, idCol)
+        .write.mode("ignore").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** Batch greedy beam search over a [[knnGraph]] edge table.
+    *
+    * Entry points are a deterministic pseudo-random node sample (the same
+    * (hash(id), id) TakeOrdered trick as [[SimilaritySearch.ivfCentroids]]
+    * seeding); each round expands the frontier's out-edges, drops already-
+    * visited (query, node) pairs with an anti-join, scores the fresh nodes,
+    * and keeps the best `beam` new nodes per query as the next frontier.
+    * After `rounds` expansions the answer is the top-`k` of everything each
+    * query visited. Tie-breaks everywhere are (similarity desc, id asc) on
+    * the 4-rounded similarity — the house convention, so results are
+    * engine- and partitioning-independent. */
+  def beamSearch(corpus: DataFrame, edges: DataFrame, queries: DataFrame,
+                 k: Int = 10, beam: Int = 8, rounds: Int = 3, nEntry: Int = 8,
+                 corpusVec: String = "embedding", corpusId: String = "vec_id",
+                 queryVec: String = "q_vec", queryId: String = "q_id",
+                 excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1)
+    val visited = beamVisited(corpus, edges, queries, beam, rounds, nEntry,
+      corpusVec, corpusId, queryVec, queryId)
+    topKFromVisited(visited, k, corpusId, queryId, excludeSelf)
+  }
+
+  /** Rank a [[beamVisited]] set: top-k per query, self-excluded by default. */
+  def topKFromVisited(visited: DataFrame, k: Int,
+                      corpusId: String = "vec_id", queryId: String = "q_id",
+                      excludeSelf: Boolean = true): DataFrame = {
+    val eligible =
+      if (excludeSelf) visited.where(col(corpusId) =!= col(queryId)) else visited
+    SimilaritySearch.topKPerQuery(eligible, k, queryId, corpusId)
+  }
+
+  /** The full (query, node, similarity) visited set behind [[beamSearch]] —
+    * every node each query actually scored. Exposed so recall probes report
+    * the TRUE scored fraction (|visited| / (|queries| × |corpus|)), the
+    * honest cost axis to compare against IVF's nprobe/nlist. */
+  def beamVisited(corpus: DataFrame, edges: DataFrame, queries: DataFrame,
+                  beam: Int = 8, rounds: Int = 3, nEntry: Int = 8,
+                  corpusVec: String = "embedding", corpusId: String = "vec_id",
+                  queryVec: String = "q_vec", queryId: String = "q_id"): DataFrame = {
+    require(beam >= 1 && rounds >= 0 && nEntry >= 1)
+    val c = corpus.select(col(corpusId).cast("long").as("__cid"),
+      col(corpusVec).as("__cvec"))
+    val q = queries.select(col(queryId).cast("long").as("__qid"),
+      col(queryVec).as("__qvec"))
+    val e = edges.select(col("src").as("__esrc"), col("dst").as("__edst"))
+
+    def score(cand: DataFrame): DataFrame = // (qid, cid) -> + similarity
+      cand.join(c, Seq("__cid"))
+        .join(broadcast(q), Seq("__qid"))
+        .withColumn("similarity",
+          round(VectorFunctions.cosineSimilarity(col("__cvec"), col("__qvec")), 4))
+        .select(col("__qid"), col("__cid"), col("similarity"))
+
+    val topBeam = udaf(graft.functions.TopKBy(beam))
+    def bestNew(scored: DataFrame): DataFrame = // next frontier: beam best
+      scored.groupBy(col("__qid"))
+        .agg(topBeam(col("similarity"), col("__cid")).as("__f"))
+        .select(col("__qid"), explode(col("__f")).as("x"))
+        .select(col("__qid"), col("x._2").as("__cid"))
+
+    val entries = c.select(col("__cid"))
+      .orderBy(hash(col("__cid")), col("__cid")).limit(nEntry)
+    var visited = score(q.select(col("__qid")).crossJoin(entries)).localCheckpoint()
+    var frontier = bestNew(visited)
+    for (_ <- 1 to rounds) {
+      val expanded = frontier
+        .join(e, frontier("__cid") === e("__esrc"))
+        .select(col("__qid"), col("__edst").as("__cid")).distinct()
+      val fresh = expanded.join(visited.select(col("__qid"), col("__cid")),
+        Seq("__qid", "__cid"), "left_anti")
+      val freshScored = score(fresh)
+      visited = visited.unionByName(freshScored).localCheckpoint()
+      frontier = bestNew(freshScored)
+    }
+    visited.withColumnRenamed("__qid", queryId).withColumnRenamed("__cid", corpusId)
+  }
+}

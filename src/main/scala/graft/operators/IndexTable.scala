@@ -204,12 +204,11 @@ object IndexTable {
           (s, id)
         }.sortBy(identity).take(nprobe).map(t => diskCell(t._2)).toSeq
     }
-    val df = read(spark, path, alias)
-    val pruned =
+    latestView(spark, path, alias, df =>
       if (cells.nonEmpty && df.columns.contains(CellCol))
         df.where(col(CellCol).isin(cells: _*))
       else df.where(lit(false))
-    latestPerId(pruned).drop(CellCol)
+    ).drop(CellCol)
   }
 
   // ---------------- compaction: generation zone + folded-delta manifest ----
@@ -494,25 +493,69 @@ object IndexTable {
   }
 
   /** Read with HSET-overwrite semantics: newest record per id wins (by the
-    * ingest generation stamp; one shuffle on the key). */
+    * ingest generation stamp).
+    *
+    * Scale shape — this is the serving read under every search, so the
+    * upsert resolution must NOT shuffle the tenant:
+    *   - zero active deltas (the steady state right after [[compact]]): the
+    *     committed generation is already latest-resolved, so the read IS the
+    *     raw pruned scan — no window, no exchange;
+    *   - active deltas present: only ids that appear in the delta set can be
+    *     contested. Deltas are small by the compaction invariant, so their id
+    *     set BROADCASTS — the generation bulk passes through a broadcast
+    *     anti-join untouched (narrow), and the window runs solely over
+    *     (contested generation rows ∪ delta rows). */
   def readLatest(spark: SparkSession, path: String, alias: String): DataFrame =
-    latestPerId(read(spark, path, alias))
+    latestView(spark, path, alias, identity)
 
   /** Bucket-pruned tenant read for a bucketed index ([[appendBucketed]]):
     * only the probe buckets' files are listed and scanned. Latest-per-id is
-    * resolved WITHIN the pruned slice — correct because a record's bucket is
+    * resolved WITHIN the pruned slice (same delta-aware shape as
+    * [[readLatest]]) — correct because a record's bucket is
     * a pure function of its vector, so re-ingests of identical content land
     * in the same bucket; a document whose content (hence vector) changed may
     * briefly surface its previous version from a non-probed bucket, the same
     * staleness window an HNSW rebuild has. */
   def readLatestPruned(spark: SparkSession, path: String, alias: String,
                        probes: Seq[String]): DataFrame = {
-    val df = read(spark, path, alias)
     val diskProbes = probes.map(diskBucket)
-    val pruned =
+    latestView(spark, path, alias, df =>
       if (df.columns.contains(BucketCol)) df.where(col(BucketCol).isin(diskProbes: _*))
       else df.where(lit(false)) // empty/unbucketed index: no approximate hits
-    latestPerId(pruned).drop(BucketCol)
+    ).drop(BucketCol)
+  }
+
+  /** One tenant's view as SEPARATE generation/delta frames (never unioned),
+    * so the upsert resolution can treat the pre-resolved generation bulk
+    * differently from the small delta overlay. */
+  private def splitView(spark: SparkSession, path: String, alias: String)
+      : (Option[DataFrame], Option[DataFrame]) = {
+    val (gen, active, _) = tenantView(spark, path, alias)
+    (gen.map(g => viewFrame(spark, path, alias, Some(g), Seq.empty)),
+      if (active.isEmpty) None
+      else Some(viewFrame(spark, path, alias, None, active)))
+  }
+
+  /** The delta-aware latest-per-id resolution behind [[readLatest]] /
+    * [[readLatestPruned]] / [[readLatestPrunedIvf]]. `prune` is applied to
+    * BOTH sides before resolution (bucket/cell file pruning), so the
+    * broadcast split composes with the approximate layouts. */
+  private def latestView(spark: SparkSession, path: String, alias: String,
+                         prune: DataFrame => DataFrame): DataFrame = {
+    val (genDf, deltaDf) = splitView(spark, path, alias)
+    (genDf.map(prune), deltaDf.map(prune)) match {
+      case (None, None) =>
+        prune(viewFrame(spark, path, alias, None, Seq.empty)).drop("ingest_seq")
+      // compact() wrote latestPerId output: one row per id, no window needed.
+      case (Some(g), None) => g.drop("ingest_seq")
+      case (None, Some(d)) => latestPerId(d)
+      case (Some(g), Some(d)) =>
+        val deltaIds = d.select("id").distinct()
+        val untouched = g.join(broadcast(deltaIds), Seq("id"), "left_anti")
+        val contested = g.join(broadcast(deltaIds), Seq("id"), "left_semi")
+        latestPerId(contested.unionByName(d, allowMissingColumns = true))
+          .unionByName(untouched.drop("ingest_seq"), allowMissingColumns = true)
+    }
   }
 
   private def latestPerId(df: DataFrame): DataFrame = {

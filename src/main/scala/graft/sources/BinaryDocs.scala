@@ -55,4 +55,23 @@ object BinaryDocs {
       .select(col("document_path"), decodeAutoUdf(col("content")).as("text"))
     Chunker.chunk(decoded, "text", pageSize)
   }
+
+  private val detectFormatUdf = udf((b: Array[Byte]) => DocCodecs.detectFormat(b))
+
+  /** Quarantine-aware landing-zone read: one row per FILE with its detected
+    * format and decode status. OLE2 compound files (legacy pre-2007 `.doc` —
+    * the reference dispatches `'doc'` too, `modules/utilities.py:164`) are
+    * flagged `quarantined` with NULL text: compound-file binary must never
+    * flow downstream as mojibake "text". Everything else decodes through
+    * the same [[DocCodecs.decodeAuto]] dispatch as [[readPagesAuto]], so
+    * the two paths can never disagree on the decodable formats. */
+  def readAutoStatus(spark: SparkSession, dir: String,
+                     glob: String = "*"): DataFrame =
+    readRaw(spark, dir, glob)
+      .withColumn("format", detectFormatUdf(col("content")))
+      .withColumn("quarantined", col("format") === "ole2")
+      .withColumn("text", when(col("quarantined"), lit(null).cast("string"))
+        .otherwise(decodeAutoUdf(col("content"))))
+      .select(col("document_path"), col("n_bytes"), col("format"),
+        col("quarantined"), col("text"))
 }

@@ -25,20 +25,45 @@ import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
   */
 object DocCodecs {
 
+  /** OLE2 compound-file magic (`D0 CF 11 E0` — legacy pre-2007 `.doc` /
+    * `.xls` / `.ppt`). The reference's extension dispatch accepts `'doc'`
+    * alongside `'docx'` (reference `modules/utilities.py:164`); this engine
+    * has no CFB parser, so these files must be QUARANTINED, never decoded
+    * as UTF-8 mojibake. */
+  def isOle2(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == 0xD0.toByte && bytes(1) == 0xCF.toByte &&
+      bytes(2) == 0x11.toByte && bytes(3) == 0xE0.toByte
+
+  private def isPdf(bytes: Array[Byte]): Boolean =
+    bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
+      bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-'
+
+  private def isZip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'K' &&
+      bytes(2) == 3 && bytes(3) == 4
+
+  /** Magic-byte format classification: `pdf` | `docx` (zip container) |
+    * `ole2` (quarantine class) | `text`. */
+  def detectFormat(bytes: Array[Byte]): String =
+    if (isPdf(bytes)) "pdf"
+    else if (isZip(bytes)) "docx"
+    else if (isOle2(bytes)) "ole2"
+    else "text"
+
   /** Magic-byte dispatch: `%PDF-` → PDF, `PK\x03\x04` (zip) → DOCX,
     * anything else → UTF-8 plain text. Mirrors the reference's extension
     * dispatch but on content, so mislabeled files still decode — and a
     * payload whose magic LIES (a non-DOCX zip, a truncated PDF) falls back
     * to the UTF-8 reading instead of throwing: one poison file must not
-    * fail a million-file ingest job. */
+    * fail a million-file ingest job. The one exception is an OLE2 compound
+    * file ([[isOle2]]): CFB binary has no meaningful UTF-8 reading, so it
+    * decodes to the empty string (downstream non-empty filters drop it; the
+    * quarantine-aware path is [[BinaryDocs.readAutoStatus]]). */
   def decodeAuto(bytes: Array[Byte]): String = {
     val parsed: Option[String] =
-      if (bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
-          bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-')
-        scala.util.Try(MiniPdf.extractText(bytes)).toOption
-      else if (bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'K' &&
-          bytes(2) == 3 && bytes(3) == 4)
-        scala.util.Try(MiniDocx.extractText(bytes)).toOption
+      if (isPdf(bytes)) scala.util.Try(MiniPdf.extractText(bytes)).toOption
+      else if (isZip(bytes)) scala.util.Try(MiniDocx.extractText(bytes)).toOption
+      else if (isOle2(bytes)) Some("")
       else None
     parsed.getOrElse(new String(bytes, UTF_8))
   }

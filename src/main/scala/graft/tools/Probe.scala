@@ -220,9 +220,12 @@ object Probe {
             .minhashSourceSimilarity(docs, "text", "source", numHashes = k)
             .select(col("jaccard_est"), col("jaccard_exact"))
             .as[(Double, Double)].collect()
-          val errs = rows.map { case (e, x) => math.abs(e - x) }
-          val rmse = math.sqrt(rows.map { case (e, x) => (e - x) * (e - x) }.sum / rows.length)
-          println(f"$k,${errs.sum / errs.length}%.4f,${errs.max}%.4f,$rmse%.4f")
+          if (rows.isEmpty) println(s"$k,n_pairs=0,n_pairs=0,n_pairs=0")
+          else {
+            val errs = rows.map { case (e, x) => math.abs(e - x) }
+            val rmse = math.sqrt(rows.map { case (e, x) => (e - x) * (e - x) }.sum / rows.length)
+            println(f"$k,${errs.sum / errs.length}%.4f,${errs.max}%.4f,$rmse%.4f")
+          }
         }
 
       case "recall" =>
@@ -242,6 +245,26 @@ object Probe {
         for (nc <- Seq(8, 16); np <- Seq(1, 2, 4)) {
           val approx = hits(SimilaritySearch.ivfTopK(emb, qs, 10, nc, np))
           println(f"ivf c=$nc probe=$np,${exact.intersect(approx).size.toDouble / exact.size}%.3f,${np.toDouble / nc}%.3f")
+        }
+        // graph-ANN: candidates_frac is MEASURED (|visited| / (|q| x |corpus|)),
+        // not a structural bound, so rows compare apples-to-apples with IVF
+        val n = emb.count().toDouble
+        val nq = qs.count().toDouble
+        for ((m, rounds, beam, bits, tables) <- Seq(
+            (8, 2, 8, 4, 8), (8, 3, 8, 4, 8), (16, 3, 8, 4, 8), (8, 5, 16, 4, 8),
+            (8, 3, 8, 6, 8), (16, 3, 8, 6, 8), (8, 3, 8, 7, 8), (16, 3, 8, 7, 12))) {
+          val t0 = System.nanoTime()
+          val edges = graft.operators.GraphAnn
+            .knnGraph(emb, m = m, nBits = bits, nTables = tables, dim = 64).cache()
+          edges.count()
+          val buildSec = (System.nanoTime() - t0) / 1e9
+          val vis = graft.operators.GraphAnn
+            .beamVisited(emb, edges, qs, beam = beam, rounds = rounds, nEntry = 8)
+            .cache()
+          val frac = vis.count().toDouble / (nq * n)
+          val approx = hits(graft.operators.GraphAnn.topKFromVisited(vis, 10))
+          println(f"graph m=$m r=$rounds beam=$beam bits=$bits L=$tables,${exact.intersect(approx).size.toDouble / exact.size}%.3f,$frac%.3f,build=$buildSec%.2f")
+          vis.unpersist(false); edges.unpersist(false)
         }
     }
     spark.stop()

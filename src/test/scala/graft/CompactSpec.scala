@@ -62,6 +62,23 @@ class CompactSpec extends AnyFunSuite {
       .select($"id", $"page_content").as[(String, String)].collect().toSet === before)
   }
 
+  test("a delta appended after compact wins over the generation row") {
+    val path = java.nio.file.Files.createTempDirectory("compact_overlay").toString + "/idx"
+    IndexTable.append(IndexTable.ingestRecords(docs, "t", pageSize = 32), path)
+    IndexTable.compact(spark, path, "t")
+    val base = IndexTable.readLatest(spark, path, "t")
+    val ids = base.select($"id").as[String].collect().toSet
+    // re-ingest one document with mutated text: same row keys, new content
+    val updated = docs.limit(1).withColumn("text", concat(lit("UPDATED "), $"text"))
+    IndexTable.append(IndexTable.ingestRecords(updated, "t", pageSize = 32), path)
+    val after = IndexTable.readLatest(spark, path, "t")
+    assert(after.select($"id").as[String].collect().toSet === ids,
+      "an upsert must not change the id set")
+    assert(after.where($"page_content".startsWith("UPDATED")).count() >= 1,
+      "the delta row must shadow its generation row")
+    assert(after.count() === base.count())
+  }
+
   test("compact preserves the bucketed layout and its pruned reads") {
     val path = java.nio.file.Files.createTempDirectory("compact_bucketed").toString + "/idx"
     val bits = 2

@@ -64,6 +64,31 @@ class DocCodecsSpec extends AnyFunSuite {
     assert(DocCodecs.decodeAuto(broken) != null)
   }
 
+  test("OLE2 compound files quarantine — flagged, never decoded as mojibake") {
+    val ole2 = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
+      .map(_.toByte) ++ "binary guts".getBytes("ISO-8859-1")
+    assert(DocCodecs.isOle2(ole2))
+    assert(DocCodecs.detectFormat(ole2) === "ole2")
+    // decodeAuto must yield empty text (non-empty filters drop it), never
+    // the compound-file bytes reinterpreted as UTF-8
+    assert(DocCodecs.decodeAuto(ole2) === "")
+    assert(DocCodecs.detectFormat("plain".getBytes("UTF-8")) === "text")
+    assert(DocCodecs.detectFormat(MiniPdf.encode("x")) === "pdf")
+    assert(DocCodecs.detectFormat(MiniDocx.encode("x")) === "docx")
+
+    val dir = Files.createTempDirectory("graft_ole2").toString
+    Files.write(new java.io.File(dir, "legacy.doc").toPath, ole2)
+    Files.write(new java.io.File(dir, "fine.txt").toPath,
+      "clean text".getBytes("UTF-8"))
+    val st = BinaryDocs.readAutoStatus(spark, dir)
+      .select(regexp_extract(col("document_path"), "([a-z]+)\\.[a-z]+$", 1),
+        col("format"), col("quarantined"), col("text"))
+      .as[(String, String, Boolean, Option[String])].collect().toSet
+    assert(st === Set(
+      ("legacy", "ole2", true, None),
+      ("fine", "text", false, Some("clean text"))))
+  }
+
   test("a mixed-format landing zone ingests through the distributed auto path") {
     val dir = Files.createTempDirectory("graft_codecs").toString
     Files.write(new java.io.File(dir, "a.pdf").toPath,

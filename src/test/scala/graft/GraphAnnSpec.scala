@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{GraphAnn, SimilaritySearch}
+
+class GraphAnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet(s"${TestSpark.sf}/embeddings.parquet").cache()
+  private lazy val qs = emb.where(col("vec_id") < 10)
+    .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")).cache()
+
+  test("knnGraph: out-degree <= m, no self-edges, sims are exact 4-rounded cosines") {
+    val edges = GraphAnn.knnGraph(emb, m = 4, nBits = 4, nTables = 4, dim = 64).cache()
+    val maxOut = edges.groupBy(col("src")).count()
+      .agg(max(col("count"))).as[Long].head()
+    assert(maxOut <= 4L, s"out-degree $maxOut exceeds m")
+    assert(edges.where(col("src") === col("dst")).count() === 0L)
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val mismatched = edges
+      .join(vecs.select(col("vec_id").as("src"), col("embedding").as("va")), "src")
+      .join(vecs.select(col("vec_id").as("dst"), col("embedding").as("vb")), "dst")
+      .withColumn("want", round(
+        graft.functions.VectorFunctions.cosineSimilarity(col("va"), col("vb")), 4))
+      .where(col("sim") =!= col("want")).count()
+    assert(mismatched === 0L, "edge sims must be the exact cosine values")
+    edges.unpersist(false)
+  }
+
+  test("knnGraph is deterministic across runs and repartitioning") {
+    def build(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      GraphAnn.knnGraph(df, m = 4, nBits = 4, nTables = 4, dim = 64)
+        .as[(Long, Long, Double)].collect().toSet
+    assert(build(emb) === build(emb.repartition(7)))
+  }
+
+  test("beam search: ranked desc per query, recall@10 over brute force clears the floor") {
+    val bf = SimilaritySearch.bruteForceTopK(emb, qs, 10)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val edges = GraphAnn.knnGraph(emb, m = 8, nBits = 4, nTables = 8, dim = 64).cache()
+    edges.count()
+    val res = GraphAnn.beamSearch(emb, edges, qs, k = 10, beam = 8,
+      rounds = 3, nEntry = 8).cache()
+    // shape contract: per-query ranks are 1..n with similarity descending
+    val rows = res.select(col("q_id"), col("rank"), col("similarity"))
+      .as[(Long, Int, Double)].collect().groupBy(_._1)
+    rows.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to rs.length), s"q=$q ranks")
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sortBy(-(_: Double)).toSeq,
+        s"q=$q similarity must be non-increasing in rank")
+    }
+    val got = res.select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(got).size.toDouble / bf.size
+    assert(recall > 0.4, s"recall=$recall")
+    res.unpersist(false); edges.unpersist(false)
+  }
+
+  test("persisted neighbor graph: built once, bit-identical to the in-memory build") {
+    val path = java.nio.file.Files.createTempDirectory("graft_gann").toString + "/idx"
+    val fresh = GraphAnn.knnGraph(emb, m = 4, nBits = 4, nTables = 4, dim = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    val first = GraphAnn.knnGraphPersisted(emb, path, m = 4, nBits = 4, nTables = 4, dim = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(first === fresh)
+    // second call must reuse the files, not rebuild: poison the corpus input —
+    // a rebuild would now produce different edges, a reuse cannot
+    val again = GraphAnn.knnGraphPersisted(emb.limit(10), path, m = 4, nBits = 4,
+        nTables = 4, dim = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(again === fresh, "existing index must be reused, never rebuilt")
+  }
+
+  test("beam search never scans the corpus: visited fraction stays far below 1") {
+    val edges = GraphAnn.knnGraph(emb, m = 8, nBits = 4, nTables = 8, dim = 64).cache()
+    edges.count()
+    val vis = GraphAnn.beamVisited(emb, edges, qs, beam = 8, rounds = 3, nEntry = 8)
+    val frac = vis.count().toDouble / (qs.count().toDouble * emb.count().toDouble)
+    assert(frac < 0.5, s"visited fraction $frac — the walk must stay sub-linear")
+    edges.unpersist(false)
+  }
+}

@@ -44,6 +44,47 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-6)
   }
 
+  /** Reference with the standard dangling-mass D/n redistribution. */
+  private def prRefDangling(edges: Seq[(String, String, Double)], iters: Int,
+                            d: Double): Map[String, Double] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val wdeg = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val dangling = nodes.filterNot(wdeg.contains)
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dm = dangling.map(r).sum
+      val inflow = edges.groupBy(_._2).view.mapValues(
+        _.map(e => r(e._1) * e._3 / wdeg(e._1)).sum).toMap
+      r = nodes.map(v => v ->
+        ((1.0 - d) / n + d * (inflow.getOrElse(v, 0.0) + dm / n))).toMap
+    }
+    r
+  }
+
+  test("pageRank redistributes dangling mass on a digraph with sinks") {
+    // c and e are sinks (no out-edges): without the D/n term their inflow
+    // mass drains out of the system every round
+    val edges = Seq(
+      ("a", "b", 1.0), ("b", "c", 2.0), ("a", "c", 1.0),
+      ("d", "a", 1.0), ("d", "e", 3.0))
+    val got = Graph.pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+        iters = 7, damping = 0.85, redistributeDangling = true)
+      .as[(String, Double)].collect().toMap
+    val want = prRefDangling(edges, 7, 0.85)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (v, p) =>
+      assert(math.abs(p - want(v)) <= 5.001e-5, s"node $v: $p vs ${want(v)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-3,
+      "redistribution must conserve total rank mass")
+    // and the default (drop) definition must NOT conserve it here
+    val dropped = Graph.pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+        iters = 7, damping = 0.85)
+      .as[(String, Double)].collect().toMap
+    assert(dropped.values.sum < 0.9)
+  }
+
   test("pageRank: repartition-invariant; mass follows the flow structure") {
     val edges = Seq(
       ("s1", "h", 1.0), ("s2", "h", 1.0), ("s3", "h", 1.0),
@@ -75,6 +116,30 @@ class GraphSpec extends AnyFunSuite {
     assert(got.head._4 === 7L * 9500L)
     // deterministic: same input, same output
     assert(KnnSearch.mmrRerank(cands, k = 3, lambda = 0.7) === got)
+  }
+
+  test("triangles: symmetric/duplicated/self-loop input is canonicalized, not multi-counted") {
+    val k3 = Seq("a" -> "b", "a" -> "c", "b" -> "c")
+    val messy = (k3 ++ k3.map(_.swap) ++ k3 ++ Seq("a" -> "a")).toDF("a", "b")
+    val got = Graph.trianglesPerNode(messy).as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("triangles: hub with the smallest id stays degeneracy-bounded, not degree-bounded") {
+    // node 0 is a 100-spoke hub; spokes (2i-1, 2i) pair up into triangles
+    // with the hub. Graph degeneracy is 2, hub degree is 100: id-order
+    // orientation would hand node 0 out-degree 100 (one hot join key);
+    // degree-order must cap every out-degree at the degeneracy ceiling.
+    val spokes = (1 to 100).map(i => 0 -> i)
+    val rungs = (1 to 50).map(i => (2 * i - 1) -> (2 * i))
+    val edges = (spokes ++ rungs).toDF("a", "b")
+    val outDeg = Graph.orientByDegree(edges, "a", "b")
+      .groupBy(col("u")).agg(count(lit(1)).as("od"))
+      .agg(max(col("od"))).as[Long].head()
+    assert(outDeg <= 2L, s"max oriented out-degree $outDeg exceeds the degeneracy bound")
+    val got = Graph.trianglesPerNode(edges).as[(Int, Long)].collect().toMap
+    assert(got(0) === 50L)
+    (1 to 100).foreach(i => assert(got(i) === 1L, s"spoke $i"))
   }
 
   test("trianglesPerNode counts corners; zero-triangle nodes keep a row") {

@@ -125,6 +125,33 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("serving read after compact() is exchange-free; a delta overlay broadcasts") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("plan_readlatest").toString + "/idx"
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .where(col("doc_id") < 50)
+      .select(concat_ws("/", col("source"), col("doc_id")).as("document_path"), col("text"))
+    graft.operators.IndexTable.append(
+      graft.operators.IndexTable.ingestRecords(docs, "t", pageSize = 64), path)
+    graft.operators.IndexTable.compact(spark, path, "t")
+    // zero active deltas: the generation is pre-resolved — the read must be
+    // the bare pruned scan, no upsert window, no exchange of any kind
+    val clean = graft.operators.IndexTable.readLatest(spark, path, "t")
+    clean.collect()
+    val p = clean.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Window"), p)
+    // delta overlay: the generation bulk passes through a broadcast
+    // anti-join; a full-tenant hash exchange would mean the window is back
+    graft.operators.IndexTable.append(
+      graft.operators.IndexTable.ingestRecords(
+        docs.where(col("document_path").endsWith("/1")), "t", pageSize = 64), path)
+    val overlay = graft.operators.IndexTable.readLatest(spark, path, "t")
+    overlay.collect()
+    val p2 = overlay.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p2.contains("BroadcastHashJoin") || p2.contains("BroadcastExchange"), p2)
+  }
+
   test("packing's only single-partition exchange carries the tiny bucket-totals table") {
     import org.apache.spark.sql.functions.col
     val toks = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
