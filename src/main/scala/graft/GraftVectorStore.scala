@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.ModelRegistry
 import graft.functions.Embedder
-import graft.operators.{IndexTable, KnnSearch, Rerank}
+import graft.operators.{GraphAnn, IndexTable, KnnSearch, Rerank}
 
 /** User-facing facade — the one-object surface a user of the reference
   * application needs to switch: every operation the reference exposes
@@ -37,10 +37,18 @@ final class GraftVectorStore(
     // __ivf_cell), Lloyd codebook persisted with the store. Mutually
     // exclusive with lshBits; `approximate = true` then probes the
     // probeDepth (= nprobe) nearest cells.
-    ivfCells: Option[Int] = None) {
+    ivfCells: Option[Int] = None,
+    // Some(m): graph-ANN layout — rows stored plain, plus a persisted k-NN
+    // neighbor graph (m best neighbors per record) under the store path;
+    // `approximate = true` then beam-searches the graph (operators/GraphAnn,
+    // the HNSW structural analogue; probeDepth scales the beam width). The
+    // graph covers the records present at [[buildGraphIndex]] time — later
+    // appends are unreachable until a rebuild, the same staleness class as
+    // an HNSW rebuild window.
+    graphM: Option[Int] = None) {
 
-  require(lshBits.isEmpty || ivfCells.isEmpty,
-    "choose ONE approximate layout: lshBits (sign-LSH buckets) or ivfCells (IVF cells)")
+  require(Seq(lshBits, ivfCells, graphM).count(_.nonEmpty) <= 1,
+    "choose ONE approximate layout: lshBits (sign-LSH buckets), ivfCells (IVF cells), or graphM (k-NN graph)")
 
   private def resolveAlias(alias: String): String =
     if (encryptAlias) IndexTable.encodeAlias(alias) else alias
@@ -81,6 +89,8 @@ final class GraftVectorStore(
   def search(prompt: String, alias: String, topN: Int = 10,
              approximate: Boolean = false, probeDepth: Int = 1): DataFrame = {
     val qvec = Embedder.embedQuery(prompt, model, seed)
+    if (approximate && graphM.nonEmpty)
+      return graphSearch(qvec, alias, topN, probeDepth)
     val slice =
       if (!approximate) IndexTable.readLatest(spark, indexPath, resolveAlias(alias))
       else (lshBits, ivfCells) match {
@@ -92,9 +102,51 @@ final class GraftVectorStore(
           IndexTable.readLatestPrunedIvf(spark, indexPath, resolveAlias(alias),
             qvec, nprobe = probeDepth)
         case _ => throw new IllegalArgumentException(
-          "approximate search requires the store to be built with lshBits or ivfCells")
+          "approximate search requires the store to be built with lshBits, ivfCells, or graphM")
       }
     KnnSearch.hitProjection(KnnSearch.topK(slice, qvec, topN))
+  }
+
+  /** The persisted neighbor-graph dir for a tenant: underscore-prefixed
+    * INSIDE the store (parquet scans ignore it, drop removes it) — the same
+    * residency contract as the IVF codebook's `_graft_centroids`. */
+  private def graphPath(alias: String): String =
+    s"$indexPath/_graft_knn_graph/${resolveAlias(alias)}"
+
+  /** Record ids are sha1 hex strings; the graph walks 8-byte node ids, so
+    * nodes are keyed by xxhash64(id) (collision over a tenant is ~n^2/2^64 —
+    * vanishing, and an approximate tier by definition tolerates it). */
+  private def graphNodes(alias: String): DataFrame =
+    IndexTable.readLatest(spark, indexPath, resolveAlias(alias))
+      .withColumn("__nid", xxhash64(col("id")))
+
+  /** (Re)build the tenant's persisted k-NN neighbor graph from the CURRENT
+    * latest-per-id records — run after bulk ingest or [[compactIndex]], the
+    * index-maintenance step every graph-ANN deployment schedules. */
+  def buildGraphIndex(alias: String): Unit = {
+    val m = graphM.getOrElse(throw new IllegalArgumentException(
+      "buildGraphIndex requires the store to be constructed with graphM"))
+    GraphAnn.knnGraph(graphNodes(alias), m = m, dim = dim,
+        vecCol = "page_content_vector", idCol = "__nid")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(graphPath(alias))
+  }
+
+  private def graphSearch(qvec: Array[Float], alias: String, topN: Int,
+                          probeDepth: Int): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(graphPath(alias))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) buildGraphIndex(alias)
+    val nodes = graphNodes(alias)
+    val edges = spark.read.parquet(graphPath(alias))
+    val q = Seq((-1L, qvec.toSeq)).toDF("q_id", "q_vec")
+    val hits = GraphAnn.beamSearch(nodes, edges, q, k = topN,
+      beam = 8 * math.max(1, probeDepth), rounds = 3, nEntry = 8,
+      corpusVec = "page_content_vector", corpusId = "__nid",
+      excludeSelf = false)
+    KnnSearch.hitProjection(
+      hits.join(nodes, Seq("__nid")).orderBy(col("rank")))
   }
 
   /** Time-travel search: exact KNN over the index exactly as it stood at a

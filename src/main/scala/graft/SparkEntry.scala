@@ -87,6 +87,30 @@ object SparkEntry {
     graft.operators.EventsOps.withEventTs(t(s, dir, "events"))
   }
 
+  /** SQL fragment: parse 8 hex chars of `col` starting at 1-based `start`
+    * into a BIGINT (DuckDB 1.0 has no hex-to-int builtin) — Horner chain of
+    * strpos digit lookups, mirroring Spark's `conv(substring(...), 16, 10)`
+    * exactly. Shared by the MinHash sketch oracles. */
+  private def hexToBigintSql(colName: String, start: Int): String =
+    (0 until 8).foldLeft("0") { (acc, j) =>
+      s"(($acc) * 16 + (strpos('0123456789abcdef', substr($colName, ${start + j}, 1)) - 1))"
+    }
+
+  /** The Kirsch-Mitzenmacher sketch replay shared by both sketch oracles:
+    * one md5 per shingle, halves as 32-bit ints, g_i = (h1 + i*h2) mod 2^32,
+    * per-(source, i) min, pairwise agreement — the exact arithmetic of
+    * `CorpusStats.minhashSourceSimilarity`. */
+  private val sketchSigSql: String =
+    s"""shg AS (SELECT source, unnest(list_distinct(list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' ')))) AS sh
+       |        FROM w WHERE len(ws) > 2),
+       |hx AS (SELECT source, md5(sh) AS mh FROM shg),
+       |hh AS (SELECT source, ${hexToBigintSql("mh", 1)} AS h1, ${hexToBigintSql("mh", 9)} AS h2 FROM hx),
+       |hi AS (SELECT source, i, min((h1 + i * h2) % 4294967296) AS m
+       |       FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) GROUP BY source, i),
+       |est AS (SELECT a.source AS source_a, b.source AS source_b,
+       |        round(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) * 1.0 / 32, 4) AS jaccard_est
+       |        FROM hi a JOIN hi b ON a.i = b.i AND a.source < b.source GROUP BY 1, 2)""".stripMargin
+
   /** SQL fragment: the reference stoplist (app/app.py:55), quoted for DuckDB. */
   private val stopSql: String =
     TextFunctions.Stopwords.map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
@@ -1714,7 +1738,8 @@ object SparkEntry {
 
     // Source-pair similarity from MERGEABLE MinHash sketches: per-source
     // signature = 32 min() aggregates over trigram shingles (one corpus
-    // pass, map-side partial mins, sketch state = 32 strings per source),
+    // pass, ONE md5 per shingle expanded via Kirsch-Mitzenmacher double
+    // hashing, map-side partial mins, sketch state = 32 longs per source),
     // pairwise signature agreement vs the exact distinct-shingle Jaccard
     // as an in-query audit. The estimate column is what survives at
     // 100 TB; the exact column is what proves the estimate honest here.
@@ -3585,17 +3610,12 @@ object SparkEntry {
         |  AND frac_unique >= 0.2 AND has_stopwords) AS gopher_pass
         |FROM m ORDER BY doc_id""".stripMargin,
 
-    // Replays the sketch: per-source distinct trigram shingles, 32
-    // string-min md5 hashes, pairwise agreement rate + exact Jaccard.
+    // Replays the sketch: per-source distinct trigram shingles, ONE md5
+    // per shingle expanded into 32 Kirsch-Mitzenmacher permutation mins,
+    // pairwise agreement rate + exact Jaccard.
     "source_sketch_jaccard" ->
-      """WITH w AS (SELECT source, doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
-        |shg AS (SELECT source, unnest(list_distinct(list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' ')))) AS sh
-        |        FROM w WHERE len(ws) > 2),
-        |hi AS (SELECT source, i, min(md5(sh || '#' || i)) AS m
-        |       FROM shg CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) GROUP BY source, i),
-        |est AS (SELECT a.source AS source_a, b.source AS source_b,
-        |        round(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) * 1.0 / 32, 4) AS jaccard_est
-        |        FROM hi a JOIN hi b ON a.i = b.i AND a.source < b.source GROUP BY 1, 2),
+      (s"""WITH w AS (SELECT source, doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |$sketchSigSql,
         |ds AS (SELECT DISTINCT source, sh FROM shg),
         |sz AS (SELECT source, count(*) AS sz FROM ds GROUP BY source),
         |iv AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_inter
@@ -3606,18 +3626,13 @@ object SparkEntry {
         |LEFT JOIN iv ON e.source_a = iv.source_a AND e.source_b = iv.source_b
         |JOIN sz sa ON e.source_a = sa.source
         |JOIN sz sb ON e.source_b = sb.source
-        |ORDER BY e.source_a, e.source_b""".stripMargin,
+        |ORDER BY e.source_a, e.source_b""").stripMargin,
 
     // estimate-only twin: same sketch replay, no exact-audit CTEs.
     "source_sketch_jaccard_scale" ->
-      """WITH w AS (SELECT source, doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
-        |shg AS (SELECT source, unnest(list_distinct(list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' ')))) AS sh
-        |        FROM w WHERE len(ws) > 2),
-        |hi AS (SELECT source, i, min(md5(sh || '#' || i)) AS m
-        |       FROM shg CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) GROUP BY source, i)
-        |SELECT a.source AS source_a, b.source AS source_b,
-        | round(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) * 1.0 / 32, 4) AS jaccard_est
-        |FROM hi a JOIN hi b ON a.i = b.i AND a.source < b.source GROUP BY 1, 2
-        |ORDER BY source_a, source_b""".stripMargin
+      (s"""WITH w AS (SELECT source, doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |$sketchSigSql
+        |SELECT source_a, source_b, jaccard_est FROM est
+        |ORDER BY source_a, source_b""").stripMargin
   )
 }

@@ -119,15 +119,16 @@ object CorpusStats {
   }
 
   /** Source-level similarity via MERGEABLE MinHash sketches: a k-hash
-    * signature per source (sig_i = min over the source's shingles of
-    * md5(shingle || '#' || i) — the same portable string-min family as
-    * [[Dedup.minhashSignature]], here as k min() AGGREGATES so the sketch
+    * signature per source (sig_i = min over the source's shingles of the
+    * i-th Kirsch-Mitzenmacher permutation g_i = (h1 + i*h2) mod 2^32, with
+    * h1/h2 the halves of ONE md5 per shingle — portable integer-min family,
+    * as k min() AGGREGATES so the sketch
     * builds in one corpus pass with map-side partial mins and unions
     * associatively across partitions/batches), then pairwise
     * estimated-vs-exact Jaccard for every source pair.
     *
     * This is the sketch the 100 TB shape needs: per-source state is k
-    * strings regardless of corpus size, the pairwise stage runs on
+    * longs regardless of corpus size, the pairwise stage runs on
     * #sources-sized tables, and only the exact-Jaccard audit columns touch
     * the distinct-shingle sets — `auditExact = false` IS the registered
     * 100 TB shape (sketch only; nothing corpus-sized crosses the pair
@@ -144,16 +145,33 @@ object CorpusStats {
     // aggregation (map-side partials). Signatures AND the exact audit both
     // derive from this table — the text is exploded exactly once, and the
     // min over distinct shingles equals the min over occurrences.
+    // shinglesFast, not the declarative shingles: the transform/slice/
+    // array_join lambdas are interpreted per-element and dominated this
+    // operator's wall clock (round-5 profile: 7.3s of an 8s query was the
+    // shingle expression alone; the UDF form is ~15x cheaper — the same
+    // measured tradeoff documented at Dedup.shinglesFast)
     val ds0 = df.select(col(sourceCol).as("source"),
-        explode(Dedup.shingles(col(textCol), shingleN)).as("sh"))
+        explode(Dedup.shinglesFast(shingleN)(col(textCol))).as("sh"))
       .distinct()
     // the audit path reads this table three times (sigs, sizes, pair
     // intersection) — materialize once; the sketch-only scale path reads it
     // exactly once, so a checkpoint would be a pure extra materialization
     val ds = if (auditExact) ds0.localCheckpoint() else ds0
+    // k-permutation family via Kirsch-Mitzenmacher double hashing: ONE md5
+    // per distinct shingle, halves parsed as 32-bit ints, g_i = (h1 + i*h2)
+    // mod 2^32. Replaces the k-md5s-per-shingle family (round-4 profile:
+    // the digest calls, not the audit join, dominated the sketch build) —
+    // same estimator semantics (min per permutation, agreement rate), 32x
+    // fewer digests, and the per-source sketch state shrinks from k hex
+    // strings to k longs. Products stay < 2^37, so BIGINT arithmetic is
+    // exact and the DuckDB replay is bit-identical.
+    val withH = ds
+      .withColumn("__mh", md5(col("sh")))
+      .withColumn("__h1", conv(substring(col("__mh"), 1, 8), 16, 10).cast("long"))
+      .withColumn("__h2", conv(substring(col("__mh"), 9, 8), 16, 10).cast("long"))
     val sigCols = (0 until numHashes).map(i =>
-      min(md5(concat(col("sh"), lit("#" + i)))).as(s"m$i"))
-    val sigs = ds.groupBy(col("source")).agg(sigCols.head, sigCols.drop(1): _*)
+      min((col("__h1") + lit(i.toLong) * col("__h2")) % lit(4294967296L)).as(s"m$i"))
+    val sigs = withH.groupBy(col("source")).agg(sigCols.head, sigCols.drop(1): _*)
     val agree = (0 until numHashes).map(i =>
         when(col(s"x.m$i") === col(s"y.m$i"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / numHashes

@@ -228,6 +228,35 @@ object Probe {
           }
         }
 
+      case "sketchprof" =>
+        // stage-level timing of the MinHash source sketch: where do the
+        // seconds actually go (shingle explode+distinct vs signature aggs
+        // vs pair join)?
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+        docs.count()
+        val ds0 = docs.select(col("source"),
+            explode(graft.operators.Dedup.shingles(col("text"), 3)).as("sh"))
+        val nRaw = time("explode only (no distinct)")(ds0.count())
+        println(s"[probe] raw shingle rows: $nRaw")
+        val nD = time("explode + distinct")(ds0.distinct().count())
+        println(s"[probe] distinct (source, shingle) rows: $nD")
+        val withH = ds0.distinct()
+          .withColumn("__mh", md5(col("sh")))
+          .withColumn("__h1", conv(substring(col("__mh"), 1, 8), 16, 10).cast("long"))
+          .withColumn("__h2", conv(substring(col("__mh"), 9, 8), 16, 10).cast("long"))
+        val sigCols = (0 until 32).map(i =>
+          min((col("__h1") + lit(i.toLong) * col("__h2")) % lit(4294967296L)).as(s"m$i"))
+        time("distinct + md5/KM sigs agg")(
+          withH.groupBy(col("source")).agg(sigCols.head, sigCols.drop(1): _*).count())
+        time("full minhashSourceSimilarity(auditExact=false)")(
+          graft.operators.CorpusStats
+            .minhashSourceSimilarity(docs, "text", "source", 32, 3, auditExact = false)
+            .count())
+        time("full minhashSourceSimilarity(auditExact=true)")(
+          graft.operators.CorpusStats
+            .minhashSourceSimilarity(docs, "text", "source", 32, 3, auditExact = true)
+            .count())
+
       case "recall" =>
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
         emb.count()

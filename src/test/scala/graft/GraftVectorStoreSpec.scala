@@ -34,6 +34,32 @@ class GraftVectorStoreSpec extends AnyFunSuite {
     assert(!store.indexExists())
   }
 
+  test("graph-ANN store: beam-searched approximate hits line up with exact search") {
+    val path = java.nio.file.Files.createTempDirectory("graft_store_g").toString + "/idx"
+    val store = new GraftVectorStore(spark, path, graphM = Some(8))
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select($"source".as("document_path"), $"text")
+    store.addDocuments(docs, "t", pageSize = 32)
+    // first approximate search builds the persisted graph on demand
+    val approx = store.search("fast spark table scan query", "t", topN = 5,
+      approximate = true, probeDepth = 2)
+    assert(approx.columns.toSeq === Seq("id", "index_alias", "document_path",
+      "page_number", "page_content", "similarity"))
+    val aRows = approx.select($"id", $"similarity").as[(String, Double)].collect()
+    assert(aRows.length === 5)
+    assert(aRows.map(_._2).toSeq === aRows.map(_._2).sortBy(-(_: Double)).toSeq)
+    assert(new java.io.File(s"$path/_graft_knn_graph/t").exists(),
+      "the neighbor graph must persist inside the store")
+    // quality: the approximate top-5 overlaps the exact top-5
+    val exact = store.search("fast spark table scan query", "t", topN = 5)
+      .select($"id").as[String].collect().toSet
+    assert(aRows.map(_._1).toSet.intersect(exact).size >= 2,
+      "beam search must land mostly inside the exact top set")
+    // drop removes the graph with the store
+    store.dropIndex()
+    assert(!new java.io.File(s"$path/_graft_knn_graph").exists())
+  }
+
   test("re-ingesting a document upserts: newest record wins, no duplicate ids in search") {
     val path = java.nio.file.Files.createTempDirectory("graft_store3").toString + "/idx"
     val store = new GraftVectorStore(spark, path)
