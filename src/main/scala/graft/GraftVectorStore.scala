@@ -41,10 +41,11 @@ final class GraftVectorStore(
     // Some(m): graph-ANN layout — rows stored plain, plus a persisted k-NN
     // neighbor graph (m best neighbors per record) under the store path;
     // `approximate = true` then beam-searches the graph (operators/GraphAnn,
-    // the HNSW structural analogue; probeDepth scales the beam width). The
-    // graph covers the records present at [[buildGraphIndex]] time — later
-    // appends are unreachable until a rebuild, the same staleness class as
-    // an HNSW rebuild window.
+    // the HNSW structural analogue; probeDepth scales the beam width).
+    // Appends INVALIDATE the persisted graph (the next approximate search
+    // rebuilds it from the full latest view), so results are never stale —
+    // the cadence is batch ingest -> one rebuild -> serve; per-record
+    // appends with HNSW-style incremental insertion are out of scope.
     graphM: Option[Int] = None) {
 
   require(Seq(lshBits, ivfCells, graphM).count(_.nonEmpty) <= 1,
@@ -73,6 +74,16 @@ final class GraftVectorStore(
       case (Some(bits), _) => IndexTable.appendBucketed(records, indexPath, bits, dim, lshSeed)
       case (_, Some(cells)) => IndexTable.appendIvf(records, indexPath, cells)
       case _ => IndexTable.append(records, indexPath)
+    }
+    // a graph layout's persisted index no longer covers the new records —
+    // invalidate it so the next approximate search rebuilds from the full
+    // latest view (batch-ingest cadence: ingest, then one rebuild, then
+    // serve; per-record appends with an HNSW-style incremental insert are
+    // out of scope and documented at the constructor)
+    if (graphM.nonEmpty) {
+      val p = new org.apache.hadoop.fs.Path(graphPath(alias))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, true); () }
     }
   }
 

@@ -1241,8 +1241,11 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val qs = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      // cache the edge table across the walk's rounds (a production graph
+      // index is HOT — per-round cold scans would mis-state the query cost);
+      // the harness clears caches between reps/queries
       val edges = GraphAnn.knnGraphPersisted(emb, scratch(d, "graph_ann_idx"),
-        m = 16, nBits = 4, nTables = 8, dim = 64)
+        m = 16, nBits = 4, nTables = 8, dim = 64).cache()
       GraphAnn.beamSearch(emb, edges, qs, k = 10, beam = 8, rounds = 3, nEntry = 8)
         .orderBy(col("q_id"), col("rank"))
     }),

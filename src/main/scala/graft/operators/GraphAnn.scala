@@ -38,8 +38,12 @@ object GraphAnn {
 
   /** Build the k-NN neighbor graph: multi-table sign-LSH candidates, exact
     * cosine, top-`m` per node (both directions considered, so a node's list
-    * is its best among all candidates that met it in ANY table). Returns
-    * (src, dst, sim) with out-degree <= m.
+    * is its best among all candidates that met it in ANY table), then the
+    * REVERSE of every chosen edge is kept too — HNSW's bidirectional-link
+    * rule. Without it an outlier that appears in nobody's top-m has
+    * out-edges but no in-edges and is unreachable by navigation; with it,
+    * every node that produced any candidate pair is reachable from its
+    * neighborhood. Returns (src, dst, sim) with out-degree <= 2m.
     *
     * `nTables` × `nBits` trade build cost for graph quality the same way
     * HNSW's efConstruction does: more tables → more candidate pairs → each
@@ -71,8 +75,19 @@ object GraphAnn {
     val sym = scored.unionByName(
       scored.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
     val topm = udaf(graft.functions.TopKBy(m))
-    sym.groupBy(col("src"))
+    val chosen = sym.groupBy(col("src"))
       .agg(topm(col("sim"), col("dst")).as("__nn"))
+      .select(col("src"), explode(col("__nn")).as("e"))
+      .select(col("src"), col("e._2").as("dst"), col("e._1").as("sim"))
+    // bidirectional links: a chosen edge is walkable from BOTH endpoints.
+    // A popular node can acquire unboundedly many reverse links, so the
+    // union is re-capped at 2m keeping the closest — HNSW's maxM pruning.
+    val cap2m = udaf(graft.functions.TopKBy(2 * m))
+    chosen.unionByName(
+        chosen.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
+      .dropDuplicates("src", "dst")
+      .groupBy(col("src"))
+      .agg(cap2m(col("sim"), col("dst")).as("__nn"))
       .select(col("src"), explode(col("__nn")).as("e"))
       .select(col("src"), col("e._2").as("dst"), col("e._1").as("sim"))
   }
@@ -133,19 +148,44 @@ object GraphAnn {
     * every node each query actually scored. Exposed so recall probes report
     * the TRUE scored fraction (|visited| / (|queries| × |corpus|)), the
     * honest cost axis to compare against IVF's nprobe/nlist. */
+  /** Every shuffle inside the walk (distinct, anti-join, frontier/top-k
+    * aggregations) carries frontier-sized data — |queries| × beam × 2m rows
+    * at most, REGARDLESS of corpus size (the corpus-sized edge/vector
+    * tables enter only as broadcast-probe sides). Running those stages at
+    * the session's corpus-tuned shuffle-partition count just multiplies
+    * empty tasks across the ~rounds × 8 stages of the loop, so the walk
+    * temporarily scopes `spark.sql.shuffle.partitions` down (restored on
+    * exit; Spark reads the conf at each action, and the loop's
+    * localCheckpoints are the only actions in scope). */
+  private val WalkShufflePartitions = 8
+
   def beamVisited(corpus: DataFrame, edges: DataFrame, queries: DataFrame,
                   beam: Int = 8, rounds: Int = 3, nEntry: Int = 8,
                   corpusVec: String = "embedding", corpusId: String = "vec_id",
                   queryVec: String = "q_vec", queryId: String = "q_id"): DataFrame = {
     require(beam >= 1 && rounds >= 0 && nEntry >= 1)
+    val spark = corpus.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", WalkShufflePartitions)
+    try beamVisitedImpl(corpus, edges, queries, beam, rounds, nEntry,
+      corpusVec, corpusId, queryVec, queryId)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def beamVisitedImpl(corpus: DataFrame, edges: DataFrame, queries: DataFrame,
+                              beam: Int, rounds: Int, nEntry: Int,
+                              corpusVec: String, corpusId: String,
+                              queryVec: String, queryId: String): DataFrame = {
     val c = corpus.select(col(corpusId).cast("long").as("__cid"),
       col(corpusVec).as("__cvec"))
     val q = queries.select(col(queryId).cast("long").as("__qid"),
       col(queryVec).as("__qvec"))
     val e = edges.select(col("src").as("__esrc"), col("dst").as("__edst"))
 
+    // the candidate set is frontier-sized — ALWAYS the broadcast side; the
+    // corpus vector table must only ever be probed by key, never shuffled
     def score(cand: DataFrame): DataFrame = // (qid, cid) -> + similarity
-      cand.join(c, Seq("__cid"))
+      c.join(broadcast(cand), Seq("__cid"))
         .join(broadcast(q), Seq("__qid"))
         .withColumn("similarity",
           round(VectorFunctions.cosineSimilarity(col("__cvec"), col("__qvec")), 4))
@@ -163,8 +203,10 @@ object GraphAnn {
     var visited = score(q.select(col("__qid")).crossJoin(entries)).localCheckpoint()
     var frontier = bestNew(visited)
     for (_ <- 1 to rounds) {
-      val expanded = frontier
-        .join(e, frontier("__cid") === e("__esrc"))
+      // frontier (|queries| x beam rows) broadcasts against the
+      // corpus-sized edge table — same discipline as score()
+      val expanded = e
+        .join(broadcast(frontier), frontier("__cid") === e("__esrc"))
         .select(col("__qid"), col("__edst").as("__cid")).distinct()
       val fresh = expanded.join(visited.select(col("__qid"), col("__cid")),
         Seq("__qid", "__cid"), "left_anti")

@@ -287,12 +287,14 @@ object Probe {
             .knnGraph(emb, m = m, nBits = bits, nTables = tables, dim = 64).cache()
           edges.count()
           val buildSec = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
           val vis = graft.operators.GraphAnn
             .beamVisited(emb, edges, qs, beam = beam, rounds = rounds, nEntry = 8)
             .cache()
           val frac = vis.count().toDouble / (nq * n)
+          val searchSec = (System.nanoTime() - t1) / 1e9
           val approx = hits(graft.operators.GraphAnn.topKFromVisited(vis, 10))
-          println(f"graph m=$m r=$rounds beam=$beam bits=$bits L=$tables,${exact.intersect(approx).size.toDouble / exact.size}%.3f,$frac%.3f,build=$buildSec%.2f")
+          println(f"graph m=$m r=$rounds beam=$beam bits=$bits L=$tables,${exact.intersect(approx).size.toDouble / exact.size}%.3f,$frac%.3f,build=$buildSec%.2f,search=$searchSec%.2f")
           vis.unpersist(false); edges.unpersist(false)
         }
     }

@@ -55,6 +55,17 @@ class GraftVectorStoreSpec extends AnyFunSuite {
       .select($"id").as[String].collect().toSet
     assert(aRows.map(_._1).toSet.intersect(exact).size >= 2,
       "beam search must land mostly inside the exact top set")
+    // appending new documents invalidates the graph; the next approximate
+    // search rebuilds it and MUST reach the new records
+    store.addDocuments(
+      docs.limit(1).select(lit("brand_new_doc").as("document_path"),
+        lit("zyzzyva quokka axolotl wombat").as("text")), "t", pageSize = 32)
+    assert(!new java.io.File(s"$path/_graft_knn_graph/t").exists(),
+      "append must invalidate the persisted graph")
+    val fresh = store.search("zyzzyva quokka axolotl wombat", "t", topN = 3,
+      approximate = true, probeDepth = 4)
+    assert(fresh.where($"document_path" === "brand_new_doc").count() >= 1,
+      "rebuilt graph must cover appended records")
     // drop removes the graph with the store
     store.dropIndex()
     assert(!new java.io.File(s"$path/_graft_knn_graph").exists())

@@ -14,12 +14,19 @@ class GraphAnnSpec extends AnyFunSuite {
   private lazy val qs = emb.where(col("vec_id") < 10)
     .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")).cache()
 
-  test("knnGraph: out-degree <= m, no self-edges, sims are exact 4-rounded cosines") {
+  test("knnGraph: out-degree <= 2m, bidirectional, no self-edges, sims are exact cosines") {
     val edges = GraphAnn.knnGraph(emb, m = 4, nBits = 4, nTables = 4, dim = 64).cache()
     val maxOut = edges.groupBy(col("src")).count()
       .agg(max(col("count"))).as[Long].head()
-    assert(maxOut <= 4L, s"out-degree $maxOut exceeds m")
+    assert(maxOut <= 8L, s"out-degree $maxOut exceeds 2m (m chosen + reverse links)")
     assert(edges.where(col("src") === col("dst")).count() === 0L)
+    // reachability: reverse links (capped at 2m, HNSW's maxM pruning) must
+    // leave no node without an in-edge — an in-edge-free node can never be
+    // reached by navigation
+    val orphans = edges.select(col("src")).distinct()
+      .join(edges.select(col("dst")).distinct()
+        .withColumnRenamed("dst", "src"), Seq("src"), "left_anti")
+    assert(orphans.count() === 0L, "no node may end up without in-edges")
     val vecs = emb.select(col("vec_id"), col("embedding"))
     val mismatched = edges
       .join(vecs.select(col("vec_id").as("src"), col("embedding").as("va")), "src")
