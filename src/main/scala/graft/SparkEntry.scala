@@ -111,6 +111,33 @@ object SparkEntry {
        |        round(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) * 1.0 / 32, 4) AS jaccard_est
        |        FROM hi a JOIN hi b ON a.i = b.i AND a.source < b.source GROUP BY 1, 2)""".stripMargin
 
+  /** embedding_kmeans oracle: the full portable-Lloyd replay. Distances
+    * fold left-to-right via list_reduce — bit-identical to the operator's
+    * compiled loop — and every rounding (dist 8, mean 6) mirrors
+    * [[operators.KMeans]] exactly; see its scaladoc for why that makes the
+    * argmin engine-stable. */
+  private val kmeansOracleSql: String = {
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (SELECT vec_id, v, cid AS cluster FROM (
+         |  SELECT t.vec_id, t.v, c.cid, row_number() OVER (PARTITION BY t.vec_id ORDER BY
+         |    round(list_reduce(list_transform(generate_series(1, len(t.v)), i -> (t.v[i] - c.cent[i]) * (t.v[i] - c.cent[i])), (x, y) -> x + y), 8), c.cid) AS r
+         |  FROM v t CROSS JOIN $cents c) WHERE r = 1)""".stripMargin
+    def updateCte(name: String, assigned: String): String =
+      s"""$name AS (SELECT cluster AS cid, list(m ORDER BY i) AS cent FROM (
+         |  SELECT a.cluster, ii.i, round(avg(a.v[ii.i]), 6) AS m
+         |  FROM $assigned a CROSS JOIN (SELECT unnest(generate_series(1, (SELECT max(len(v)) FROM v))) AS i) ii
+         |  GROUP BY a.cluster, ii.i) GROUP BY cluster)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |sd AS (SELECT vec_id, v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM v),
+       |c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, list_transform(v, x -> round(x, 6)) AS cent FROM sd WHERE rn <= 8),
+       |${assignCte("a1", "c0")},
+       |${updateCte("c1", "a1")},
+       |${assignCte("a2", "c1")},
+       |${updateCte("c2", "a2")},
+       |${assignCte("a3", "c2")}
+       |SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a3 ORDER BY vec_id""".stripMargin
+  }
+
   /** SQL fragment: the reference stoplist (app/app.py:55), quoted for DuckDB. */
   private val stopSql: String =
     TextFunctions.Stopwords.map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
@@ -1228,6 +1255,18 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Portable Lloyd k-means over the embedding corpus (the clustering
+    // step of SemDeDup-style curation): md5-seeded, fold-ordered double
+    // distances rounded to 8, component means rounded to 6 — every
+    // arithmetic choice made so the oracle can replay the ENTIRE training
+    // run (seeds -> 2 Lloyd rounds -> final assignment) in CTEs and
+    // hash-match the per-vector cluster ids.
+    "embedding_kmeans" -> ((s, d) => {
+      KMeans.assign(t(s, d, "embeddings"), "embedding", "vec_id",
+          k = 8, iters = 2)
+        .orderBy(col("vec_id"))
+    }),
+
     // Graph-ANN (the HNSW structural analogue — operators/GraphAnn): build
     // the LSH-candidate k-NN neighbor graph ONCE (persisted edge table —
     // a graph index's build cost is amortized over queries, the same
@@ -1989,6 +2028,22 @@ object SparkEntry {
     // case-sensitive regression) and a suffix-mutated variant that MUST
     // NOT (catches an always-equal regression). The oracle lowercases
     // explicitly.
+    // LATERAL correlated subquery (per-nation top-2 suppliers): the
+    // "top-N per group via correlated subquery" SQL surface — Catalyst
+    // decorrelates the lateral LIMIT into a ranked join; identical SQL
+    // runs on both engines.
+    "q30_lateral" -> ((s, d) => {
+      t(s, d, "nation").createOrReplaceTempView("graft_nation_lat_v")
+      t(s, d, "supplier").createOrReplaceTempView("graft_supp_lat_v")
+      s.sql("""SELECT n.n_name, t.s_name, t.bal
+              |FROM graft_nation_lat_v n JOIN LATERAL (
+              |  SELECT s_name, round(s_acctbal, 4) AS bal
+              |  FROM graft_supp_lat_v s
+              |  WHERE s.s_nationkey = n.n_nationkey
+              |  ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+              |ORDER BY n.n_name, t.bal DESC, t.s_name""".stripMargin)
+    }),
+
     "q29_collation" -> ((s, d) => {
       t(s, d, "customer").createOrReplaceTempView("graft_cust_coll_v")
       s.sql("""SELECT c_mktsegment AS segment,
@@ -2337,6 +2392,17 @@ object SparkEntry {
     "graph_pagerank" -> pageRankOracleSql,
 
     "graph_pagerank_directed" -> pageRankDirectedOracleSql,
+
+    "embedding_kmeans" -> kmeansOracleSql,
+
+    "q30_lateral" ->
+      """SELECT n.n_name, t.s_name, t.bal
+        |FROM nation n JOIN LATERAL (
+        |  SELECT s_name, round(s_acctbal, 4) AS bal
+        |  FROM supplier s
+        |  WHERE s.s_nationkey = n.n_nationkey
+        |  ORDER BY s_acctbal DESC, s_name LIMIT 2) t ON true
+        |ORDER BY n.n_name, t.bal DESC, t.s_name""".stripMargin,
 
     "bpe_merges" -> (bpeOracleChain + "\n" +
       (1 to BpeRounds).map(k =>

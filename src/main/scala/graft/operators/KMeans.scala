@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means with ENGINE-PORTABLE arithmetic — the
+  * clustering step of embedding-curation pipelines (SemDeDup-style
+  * cluster-then-prune, cluster-balanced sampling, per-cluster quality
+  * stats), as a deterministic operator whose full training run can be
+  * replayed by an ANSI oracle:
+  *
+  *  - seeding: the k rows with the smallest (md5(id), id) — the same
+  *    deterministic pseudo-random sample as [[SimilaritySearch.ivfCentroids]]
+  *    but on md5 instead of Spark's murmur `hash()`, so the oracle computes
+  *    the identical seed set;
+  *  - distance: left-to-right folded double sum of squared component
+  *    differences (a compiled UDF here, `list_reduce` in the oracle — both
+  *    fold in index order, so the doubles are bit-identical), rounded to 8
+  *    before the (dist, cid) argmin so a last-ulp difference can never
+  *    flip an assignment;
+  *  - update: component means rounded to 6 (summation order across rows is
+  *    engine-arbitrary; the 1e-13-scale order noise is ~7 orders below the
+  *    rounding grid).
+  *
+  * Scale shape: the k-row centroid table broadcasts into the assignment
+  * cross join and the (dist, cid) argmin is a map-side-combinable
+  * min-struct aggregate (one surviving row per vector crosses the
+  * shuffle); the Lloyd update is a (cluster, component)-keyed avg with
+  * map-side partials — the exchange carries partitions × k × dim rows,
+  * never vectors. No driver-side collect anywhere (the codebook stays
+  * distributed; contrast [[SimilaritySearch.ivfCentroids]], which is
+  * Lloyd-cadence driver-paced by design for the probe path).
+  */
+object KMeans {
+
+  private val sqDist = udf((a: Seq[Double], b: Seq[Double]) => {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  })
+
+  /** Cluster assignment after `iters` Lloyd updates: (idCol, cluster).
+    * `cluster` is the seed-order centroid index (0-based); clusters that
+    * lose all members simply disappear from later rounds (both engines
+    * derive that identically). */
+  def assign(df: DataFrame, vecCol: String, idCol: String,
+             k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0)
+    val v = df.select(col(idCol).as("__kid"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val seedOrder = Seq(md5(col("__kid").cast("string")), col("__kid"))
+    val seeds = v.orderBy(seedOrder: _*).limit(k)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(seedOrder: _*)
+    var cents = seeds
+      .withColumn("__cid", (row_number().over(w) - 1).cast("int"))
+      .select(col("__cid"),
+        transform(col("__v"), x => round(x, 6)).as("__cent"))
+
+    def assignTo(c: DataFrame): DataFrame =
+      v.crossJoin(broadcast(c))
+        .withColumn("__d", round(sqDist(col("__v"), col("__cent")), 8))
+        .groupBy(col("__kid"))
+        .agg(min(struct(col("__d"), col("__cid"))).getField("__cid").as("cluster"),
+          first(col("__v")).as("__v"))
+
+    for (_ <- 1 to iters) {
+      val assigned = assignTo(cents)
+      cents = assigned
+        .select(col("cluster"), posexplode(col("__v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("col")).as("__m"))
+        .groupBy(col("cluster"))
+        .agg(collect_list(struct(col("pos"), col("__m"))).as("__pm"))
+        .select(col("cluster").as("__cid"),
+          transform(array_sort(col("__pm")), p => round(p.getField("__m"), 6))
+            .as("__cent"))
+    }
+    assignTo(cents).select(col("__kid").as(idCol), col("cluster"))
+  }
+}
