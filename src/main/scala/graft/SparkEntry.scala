@@ -116,7 +116,7 @@ object SparkEntry {
     * compiled loop — and every rounding (dist 8, mean 6) mirrors
     * [[operators.KMeans]] exactly; see its scaladoc for why that makes the
     * argmin engine-stable. */
-  private val kmeansOracleSql: String = {
+  private val kmeansCtePrefix: String = {
     def assignCte(name: String, cents: String): String =
       s"""$name AS (SELECT vec_id, v, cid AS cluster FROM (
          |  SELECT t.vec_id, t.v, c.cid, row_number() OVER (PARTITION BY t.vec_id ORDER BY
@@ -127,16 +127,37 @@ object SparkEntry {
          |  SELECT a.cluster, ii.i, round(avg(a.v[ii.i]), 6) AS m
          |  FROM $assigned a CROSS JOIN (SELECT unnest(generate_series(1, (SELECT max(len(v)) FROM v))) AS i) ii
          |  GROUP BY a.cluster, ii.i) GROUP BY cluster)""".stripMargin
-    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |sd AS (SELECT vec_id, v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM v),
        |c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, list_transform(v, x -> round(x, 6)) AS cent FROM sd WHERE rn <= 8),
        |${assignCte("a1", "c0")},
        |${updateCte("c1", "a1")},
        |${assignCte("a2", "c1")},
        |${updateCte("c2", "a2")},
-       |${assignCte("a3", "c2")}
-       |SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a3 ORDER BY vec_id""".stripMargin
+       |${assignCte("a3", "c2")}""".stripMargin
   }
+
+  private val kmeansOracleSql: String =
+    s"""WITH $kmeansCtePrefix
+       |SELECT vec_id, CAST(cluster AS INT) AS cluster FROM a3 ORDER BY vec_id""".stripMargin
+
+  /** dedup_semantic oracle: the SemDeDup pipeline end to end — the full
+    * portable-Lloyd replay above, then within-cluster pairwise cosine
+    * (sum-over-unnest, round 4 — the [[operators.SemDedup]] recipe) and
+    * the keep-lowest-id verdict. Any drift in clustering OR pruning
+    * hash-fails. */
+  private val semDedupOracleSql: String =
+    s"""WITH $kmeansCtePrefix,
+       |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.v AS v1, b.v AS v2
+       |      FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+       |z AS (SELECT id1, id2, unnest(v1) AS x, unnest(v2) AS y FROM p),
+       |sc AS (SELECT id1, id2, sum(x*y) AS dp, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+       |       FROM z GROUP BY id1, id2),
+       |dup AS (SELECT DISTINCT id2 FROM sc
+       |        WHERE round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) >= 0.4)
+       |SELECT vec_id, CAST(cluster AS INT) AS cluster,
+       |       vec_id NOT IN (SELECT id2 FROM dup) AS kept
+       |FROM a3 ORDER BY vec_id""".stripMargin
 
   /** SQL fragment: the reference stoplist (app/app.py:55), quoted for DuckDB. */
   private val stopSql: String =
@@ -1267,6 +1288,17 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // SemDeDup end to end (cluster -> within-cluster pairwise cosine ->
+    // keep-lowest-id): the semantic-dedup pipeline whose clustering makes
+    // pairwise pruning tractable at corpus scale (O(Σ|c|²), cluster-keyed
+    // join — see operators/SemDedup). The oracle replays BOTH stages:
+    // the full Lloyd run in CTEs, then the pair threshold and verdict.
+    "dedup_semantic" -> ((s, d) => {
+      SemDedup.prune(t(s, d, "embeddings"), "embedding", "vec_id",
+          k = 8, iters = 2, threshold = 0.4)
+        .orderBy(col("vec_id"))
+    }),
+
     // Graph-ANN (the HNSW structural analogue — operators/GraphAnn): build
     // the LSH-candidate k-NN neighbor graph ONCE (persisted edge table —
     // a graph index's build cost is amortized over queries, the same
@@ -2394,6 +2426,8 @@ object SparkEntry {
     "graph_pagerank_directed" -> pageRankDirectedOracleSql,
 
     "embedding_kmeans" -> kmeansOracleSql,
+
+    "dedup_semantic" -> semDedupOracleSql,
 
     "q30_lateral" ->
       """SELECT n.n_name, t.s_name, t.bal
