@@ -1076,6 +1076,17 @@ object SparkEntry {
         .orderBy(desc("freq"), col("word")).limit(100)
     }),
 
+    // Count-min sketch heavy hitters (CorpusStats.cmsHeavyHitters): the
+    // depth x width mergeable counter table, estimates vs exact counts for
+    // the exact top-20 tokens. Width 16 is deliberately undersized for the
+    // fixture vocabulary so collisions occur and rows with n_cms > n_exact
+    // prove the sketch path live (not a tautological n_cms == n_exact).
+    "vocab_cms_heavy" -> ((s, d) => {
+      CorpusStats.cmsHeavyHitters(t(s, d, "documents"), "text",
+          topN = 20, depth = 4, width = 16)
+        .orderBy(desc("n_exact"), col("token"))
+    }),
+
     // Corpus-level TF-IDF top terms per document (see [[TfIdf]]): tf from a
     // map-side-partial count on (doc, term), df from the collapsed frame,
     // N as a broadcast 1-row relation, per-doc top-k as a doc-bounded
@@ -2932,6 +2943,24 @@ object SparkEntry {
       """SELECT word, count(*) AS freq
         |FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS word FROM documents)
         |GROUP BY word ORDER BY freq DESC, word LIMIT 100""".stripMargin,
+
+    // replays the CMS end to end: same KM double-hash family
+    // (md5 halves, g_j = (h1 + j*h2) mod 16), same depth-4 counter table,
+    // same min-over-rows estimate for the exact top-20.
+    "vocab_cms_heavy" ->
+      s"""WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS token FROM documents),
+         |tc AS (SELECT token, count(*) AS n_exact FROM tok GROUP BY token),
+         |hx AS (SELECT token, n_exact, md5(token) AS mh FROM tc),
+         |hh AS (SELECT token, n_exact, ${hexToBigintSql("mh", 1)} AS h1, ${hexToBigintSql("mh", 9)} AS h2 FROM hx),
+         |ct AS (SELECT j, (h1 + j * h2) % 16 AS bucket, sum(n_exact) AS cnt
+         |       FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) GROUP BY 1, 2),
+         |cand AS (SELECT token, n_exact, h1, h2 FROM hh ORDER BY n_exact DESC, token LIMIT 20),
+         |est AS (SELECT c.token, c.n_exact, min(ct.cnt) AS n_cms
+         |        FROM cand c CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) jj
+         |        JOIN ct ON ct.j = jj.j AND ct.bucket = (c.h1 + jj.j * c.h2) % 16
+         |        GROUP BY c.token, c.n_exact)
+         |SELECT token, n_exact, CAST(n_cms AS BIGINT) AS n_cms FROM est
+         |ORDER BY n_exact DESC, token""".stripMargin,
 
     "decontaminate" ->
       """WITH fp AS (SELECT doc_id,

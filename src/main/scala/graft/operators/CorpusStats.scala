@@ -230,4 +230,56 @@ object CorpusStats {
       .select(col(groupCol), (col("pos") + 1).cast("int").as("rank"),
         col("col._2").as(idCol), (-col("col._1")).as("centroid_sim"))
   }
+
+  /** Count-min sketch over the token stream (Cormode & Muthukrishnan 2005)
+    * — the mergeable fixed-size frequency summary behind heavy-hitter
+    * tracking when the vocabulary itself is too large to key a shuffle
+    * (URL/domain/ngram streams at corpus scale). `depth` independent rows
+    * of `width` counters; point estimate = min over rows; estimates NEVER
+    * undercount (collisions only add).
+    *
+    * Hash family: Kirsch-Mitzenmacher g_j = (h1 + j*h2) mod width with
+    * (h1, h2) = the two 32-bit halves of md5(token) — the same
+    * double-hashing family as [[minhashSourceSimilarity]], chosen so an
+    * ANSI oracle replays every bucket exactly.
+    *
+    * Scale shape: the counter table is the sketch — at most depth x width
+    * rows survive the one groupBy (map-side combine collapses each
+    * partition to the same bound first: the partial states ARE mergeable
+    * CMS rows). The returned frame compares the sketch estimate against
+    * the exact count for the exact top-`topN` tokens, so the overcount
+    * property is visible in-query; the candidate side is topN x depth rows
+    * and broadcasts into the counter join.
+    *
+    * (The exact `tc` aggregate here shuffles token TYPES — fine for a
+    * word vocabulary. The sketch exists for the regime where even that is
+    * too wide; production use builds `counters` straight off the token
+    * stream with identical arithmetic and skips the exact side.)
+    */
+  def cmsHeavyHitters(df: DataFrame, textCol: String,
+                      topN: Int, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2 && topN >= 1)
+    val toks = df.select(
+      explode(graft.functions.TextFunctions.wsTokens(lower(col(textCol))))
+        .as("token"))
+    val tc = toks.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+    val hashed = tc
+      .withColumn("__h1", conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"))
+      .withColumn("__h2", conv(substring(md5(col("token")), 9, 8), 16, 10).cast("long"))
+    val counters = hashed
+      .select(col("n_exact"), explode(sequence(lit(0), lit(depth - 1))).as("j"),
+        col("__h1"), col("__h2"))
+      .withColumn("bucket", (col("__h1") + col("j") * col("__h2")) % width)
+      .groupBy(col("j"), col("bucket")).agg(sum(col("n_exact")).as("cnt"))
+    val cand = hashed.orderBy(col("n_exact").desc, col("token")).limit(topN)
+    broadcast(cand
+      .select(col("token"), col("n_exact"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"),
+        col("__h1"), col("__h2"))
+      .withColumn("bucket", (col("__h1") + col("j") * col("__h2")) % width))
+      .join(counters, Seq("j", "bucket"))
+      .groupBy(col("token"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_cms"))
+      .select(col("token"), col("n_exact"), col("n_cms"))
+  }
 }

@@ -272,4 +272,64 @@ class CorpusOpsSpec extends AnyFunSuite {
     // the 32-hash estimate tracks the exact value within sketch tolerance
     assert(math.abs(got(("s1", "s4"))._1 - expect) <= 0.25)
   }
+
+  // ---------------- count-min sketch ----------------
+
+  test("CMS heavy hitters: never undercounts, exact when width >> vocab, overcounts when squeezed") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val wide = CorpusStats.cmsHeavyHitters(docs, "text", topN = 20, depth = 4, width = 4096)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(wide.nonEmpty)
+    // monotone: a CMS estimate can only collide upward
+    wide.foreach { case (tok, ex, est) => assert(est >= ex, s"undercounted $tok") }
+    // 4096 buckets for a ~31-word vocab: every estimate exact w.h.p.
+    assert(wide.forall { case (_, ex, est) => est == ex })
+    // squeezed to 4 buckets, collisions must show up
+    val tight = CorpusStats.cmsHeavyHitters(docs, "text", topN = 20, depth = 4, width = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    tight.foreach { case (tok, ex, est) => assert(est >= ex, s"undercounted $tok") }
+    assert(tight.exists { case (_, ex, est) => est > ex })
+  }
+
+  test("CMS counter state is the fixed-size mergeable summary: union of halves == whole") {
+    // build counters on two disjoint halves and on the union; the counter
+    // tables must add cell-wise (the merge law a distributed partial-agg
+    // relies on). We observe it through the public estimate surface:
+    // estimates from the summed-halves table equal the whole-corpus run.
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").cache()
+    val whole = CorpusStats.cmsHeavyHitters(docs, "text", topN = 10, depth = 4, width = 8)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    // the same arithmetic over doc halves, summed outside the operator
+    import org.apache.spark.sql.functions.{col => c}
+    val h1 = docs.where(c("doc_id") % 2 === 0)
+    val h2 = docs.where(c("doc_id") % 2 =!= 0)
+    def counterMap(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] = {
+      val toks = df.select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextFunctions.wsTokens(
+          org.apache.spark.sql.functions.lower(c("text")))).as("token"))
+      toks.groupBy("token").count()
+        .withColumn("h1b", org.apache.spark.sql.functions.conv(
+          org.apache.spark.sql.functions.substring(
+            org.apache.spark.sql.functions.md5(c("token")), 1, 8), 16, 10).cast("long"))
+        .withColumn("h2b", org.apache.spark.sql.functions.conv(
+          org.apache.spark.sql.functions.substring(
+            org.apache.spark.sql.functions.md5(c("token")), 9, 8), 16, 10).cast("long"))
+        .collect().flatMap { r =>
+          val (n, a, b) = (r.getLong(1), r.getLong(2), r.getLong(3))
+          (0 until 4).map(j => (j, (a + j * b) % 8) -> n)
+        }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    }
+    val merged = (counterMap(h1).toSeq ++ counterMap(h2).toSeq)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    // estimate each whole-corpus heavy hitter from the merged-halves table
+    val est = whole.keys.map { tok =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val a = java.lang.Long.parseLong(md.substring(0, 8), 16)
+      val b = java.lang.Long.parseLong(md.substring(8, 16), 16)
+      tok -> (0 until 4).map(j => merged((j, (a + j * b) % 8))).min
+    }.toMap
+    assert(est === whole)
+    docs.unpersist()
+  }
 }
