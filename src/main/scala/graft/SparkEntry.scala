@@ -667,6 +667,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode canonicalization (plans/UnicodeExpressions — codegen'd NFC +
+    // accent fold). The ASCII fixture gets accents INJECTED
+    // deterministically (e->é, a->à) so the fold is falsifiable, and the
+    // NFC probe feeds a combining-mark decomposition (é -> e + U+0301)
+    // that must recompose byte-identically. md5 columns pin the exact
+    // output bytes cross-engine, not just the boolean verdicts.
+    "text_normalize_unicode" -> ((s, d) => {
+      import graft.plans.UnicodeExpressions.{nfcNormalize, stripAccents}
+      // \u00e9 = precomposed e-acute, \u00e0 = a-grave, "e\u0301" = decomposed
+      t(s, d, "documents")
+        .withColumn("acc", translate(col("text"), "ea", "\u00e9\u00e0"))
+        .withColumn("dec", regexp_replace(col("acc"), "\u00e9", "e\u0301"))
+        .select(col("doc_id"),
+          (length(col("acc")) -
+            length(translate(col("acc"), "\u00e9\u00e0", ""))).cast("long")
+            .as("n_accents"),
+          md5(stripAccents(col("acc"))).as("strip_md5"),
+          md5(nfcNormalize(col("dec"))).as("nfc_md5"),
+          (stripAccents(col("acc")) === col("text")).as("restored_ok"),
+          (nfcNormalize(col("dec")) === col("acc")).as("nfc_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // P5/D4 analogue with a DuckDB-checkable digest (md5); sha1 twin below.
     "doc_keys_md5" -> ((s, d) => {
       t(s, d, "documents")
@@ -2783,6 +2806,22 @@ object SparkEntry {
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |   '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // chr(233)=precomposed e-acute, chr(224)=a-grave, chr(769)=combining
+    // acute; same injection, DuckDB's ICU-backed strip_accents /
+    // nfc_normalize vs our codegen expressions, md5-pinned.
+    "text_normalize_unicode" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  translate(text, 'ea', chr(233) || chr(224)) AS acc,
+        |  replace(translate(text, 'ea', chr(233) || chr(224)), chr(233), 'e' || chr(769)) AS dec
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(acc) - len(translate(acc, chr(233) || chr(224), '')) AS BIGINT) AS n_accents,
+        | md5(strip_accents(acc)) AS strip_md5,
+        | md5(nfc_normalize(dec)) AS nfc_md5,
+        | strip_accents(acc) = text AS restored_ok,
+        | nfc_normalize(dec) = acc AS nfc_ok
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "quality_repetition" ->
       """WITH toks AS (SELECT doc_id,
