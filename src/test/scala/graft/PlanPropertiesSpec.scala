@@ -169,4 +169,36 @@ class PlanPropertiesSpec extends AnyFunSuite {
     // bucket offsets come back via broadcast, not a second big shuffle
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("SemDeDup pair join is cluster-keyed equi-join, never a cartesian over the corpus") {
+    val df = SparkEntry.queries("dedup_semantic")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the only cross joins allowed are the k-row broadcast centroid joins
+    // inside KMeans.assign; the PAIR join must key on cluster
+    assert(p.contains("cluster"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    val bcast = "BroadcastExchange".r.findAllIn(p).size
+    // every nested-loop is a broadcast of the k-row centroid table
+    assert(bnlj <= bcast, s"non-broadcast nested loop in\n$p")
+  }
+
+  test("CMS counter aggregate partial-aggregates map-side (the sketch IS the partial state)") {
+    val df = SparkEntry.queries("vocab_cms_heavy")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // token count, counter build, and estimate-min each show partial+final
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("unicode normalization expressions stay inside whole-stage codegen") {
+    val df = SparkEntry.queries("text_normalize_unicode")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("strip_accents"), p)
+    assert(p.contains("nfc_normalize"), p)
+    assert(p.contains("*("), p) // codegen stage marker — no codegen fence
+  }
 }
