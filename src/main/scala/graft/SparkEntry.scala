@@ -1049,6 +1049,18 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("copy_idx"))
     }),
 
+    // α=0.5 temperature rebalance over the skewed `lang` stratum (en is
+    // 3x the others in the fixture): weights computed FROM the corpus
+    // (sqrt-only arithmetic — engine-exact), then the deterministic
+    // mixture. The oracle recomputes weights and replays every copy.
+    "sample_mixture_temperature" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val w = Sampling.temperatureWeights(docs, col("lang"), alpha = 0.5)
+      Sampling.mixture(docs, col("doc_id"), col("lang"), w, salt = "temp1")
+        .select(col("doc_id"), col("lang"), col("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
     // The whole training-data build as ONE composed plan — the showcase
     // that the pipeline families are a single engine, not a query zoo:
     // exact dedup (keep lowest-id row per content fingerprint, one
@@ -3072,6 +3084,25 @@ object SparkEntry {
         |      FROM d LEFT JOIN wt w ON d.source = w.src),
         |x AS (SELECT doc_id, source, unnest(generate_series(1, nc)) AS copy_idx FROM n WHERE nc >= 1)
         |SELECT doc_id, source, copy_idx FROM x ORDER BY doc_id, copy_idx""".stripMargin,
+
+    // weights: q ∝ sqrt(p) over sorted-lang left fold (list_reduce), w =
+    // q/p rounded 6 — Sampling.temperatureWeights exactly; copies: floor +
+    // hash-draw vs floor(frac·2^32) (exact: power-of-two scale).
+    "sample_mixture_temperature" ->
+      s"""WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+         |tot AS (SELECT sum(c) AS t FROM cnt),
+         |z AS (SELECT list_reduce(list(sqrt(c * 1.0 / t) ORDER BY lang), (x, y) -> x + y) AS z
+         |      FROM cnt CROSS JOIN tot),
+         |wt AS (SELECT lang, round(sqrt(c * 1.0 / t) / z / (c * 1.0 / t), 6) AS w
+         |       FROM cnt CROSS JOIN tot CROSS JOIN z),
+         |wi AS (SELECT lang, CAST(floor(w) AS BIGINT) AS fw,
+         |              CAST(floor((w - floor(w)) * 4294967296) AS BIGINT) AS thr FROM wt),
+         |d AS (SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR) || ':temp1'), 1, 8) AS mh FROM documents),
+         |di AS (SELECT doc_id, lang, ${hexToBigintSql("mh", 1)} AS drawi FROM d),
+         |n AS (SELECT di.doc_id, di.lang, w2.fw + CASE WHEN di.drawi < w2.thr THEN 1 ELSE 0 END AS nc
+         |      FROM di JOIN wi w2 ON di.lang = w2.lang),
+         |x AS (SELECT doc_id, lang, unnest(generate_series(1, nc)) AS copy_idx FROM n WHERE nc >= 1)
+         |SELECT doc_id, lang, copy_idx FROM x ORDER BY doc_id, copy_idx""".stripMargin,
 
     "pack_sequences" ->
       """WITH toks AS (

@@ -116,6 +116,35 @@ object Sampling {
       .drop("__stratum", "__w_int", "__w_thr", "__n")
   }
 
+  /** Temperature-rebalanced mixture weights — the multilingual/multi-source
+    * α-sampling recipe (GPT-3 §2.2, XLM-R): target share q_s ∝ p_s^α pulls
+    * the mixture toward uniform (α→0) or leaves it natural (α=1); the
+    * returned multiplicity weight w_s = q_s / p_s feeds [[mixture]]
+    * directly, upsampling rare strata and downsampling dominant ones while
+    * keeping the expected corpus size unchanged (Σ p·w = 1).
+    *
+    * The stratum-count collect is model-sized (one row per stratum — the
+    * Lloyd cadence, not a data collect). Determinism: strata are folded in
+    * sorted order and weights rounded to 6, so an oracle can replay them;
+    * α = 0.5 computes via `sqrt` — correctly rounded in IEEE-754, hence
+    * bit-identical across engines, which pow(x, α) does not guarantee.
+    * Gate queries should therefore pin α = 0.5. */
+  def temperatureWeights(df: DataFrame, stratum: Column,
+                         alpha: Double = 0.5): Map[String, Double] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val rows = df.groupBy(stratum.cast("string").as("__s")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(rows.nonEmpty, "empty input")
+    val total = rows.map(_._2).sum.toDouble
+    def powa(p: Double) = if (alpha == 0.5) math.sqrt(p) else math.pow(p, alpha)
+    val z = rows.foldLeft(0.0) { case (acc, (_, c)) => acc + powa(c / total) }
+    rows.map { case (s, c) =>
+      val p = c / total
+      s -> BigDecimal(powa(p) / z / p)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+  }
+
   /** Deterministic per-group quota — "keep at most `n` documents per
     * domain/source", the C4/RefinedWeb guard against a single crawl host
     * dominating the corpus. The kept subset is the `n` rows with the

@@ -138,4 +138,29 @@ class SamplingSpec extends AnyFunSuite {
       .select($"doc_id", $"copy_idx").as[(Long, Long)].collect().toSet
     assert(a === b)
   }
+
+  test("temperatureWeights: size-preserving, pulls toward uniform, identity at alpha=1") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val counts = docs.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    val total = counts.values.sum.toDouble
+    val w = Sampling.temperatureWeights(docs, $"lang", alpha = 0.5)
+    assert(w.keySet === counts.keySet)
+    // expected corpus size unchanged: sum p*w == 1 (up to the round(6) grid)
+    val mass = counts.map { case (s, c) => c / total * w(s) }.sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"mass $mass")
+    // dominant stratum downsampled, every rarer one upsampled
+    val (maxLang, _) = counts.maxBy(_._2)
+    assert(w(maxLang) < 1.0)
+    counts.collect { case (s, c) if s != maxLang => assert(w(s) > 1.0, s) }
+    // alpha=1: natural distribution, all weights exactly 1
+    val w1 = Sampling.temperatureWeights(docs, $"lang", alpha = 1.0)
+    w1.values.foreach(v => assert(math.abs(v - 1.0) < 1e-6))
+    // rebalanced mixture moves realized shares toward uniform
+    val out = Sampling.mixture(docs, $"doc_id", $"lang", w, "tw")
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val natMax = counts(maxLang) / total
+    val rebMax = out(maxLang).toDouble / out.values.sum
+    assert(rebMax < natMax, s"dominant share must shrink: $natMax -> $rebMax")
+  }
 }
