@@ -23,6 +23,25 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic line-structured view of the documents fixture for the C4
+    * line-filter gates: 6-word lines; terminal '.' withheld on every
+    * (doc_id + i) % 3 == 0 line; a "lorem ipsum dolor" line substituted
+    * when (doc_id + i) % 11 == 0. Short lines arise naturally from each
+    * doc's word-count remainder mod 6. */
+  private def c4LinedDocs(docs: DataFrame): DataFrame = {
+    val ws = TextFunctions.wsTokens(col("text"))
+    docs
+      .withColumn("__nl", ceil(size(ws) / lit(6.0)).cast("int"))
+      .where(col("__nl") >= 1)
+      .withColumn("text_lines", array_join(
+        transform(sequence(lit(0), col("__nl") - 1), i =>
+          concat(
+            when((col("doc_id") + i) % 11 === 0, lit("lorem ipsum dolor"))
+              .otherwise(array_join(slice(ws, i * 6 + 1, lit(6)), " ")),
+            when((col("doc_id") + i) % 3 > 0, lit(".")).otherwise(lit("")))),
+        "\n"))
+  }
+
   /** Per-JVM nonce suffixing every /tmp path and session-catalog table the
     * queries create: two harness runs against the same fixture in parallel
     * must not clobber each other's scratch state. */
@@ -158,6 +177,23 @@ object SparkEntry {
        |SELECT vec_id, CAST(cluster AS INT) AS cluster,
        |       vec_id NOT IN (SELECT id2 FROM dup) AS kept
        |FROM a3 ORDER BY vec_id""".stripMargin
+
+  /** Shared by both C4 oracles: line synthesis (the [[c4LinedDocs]]
+    * arithmetic) + the LineFilter verdict cascade. */
+  private val c4LinesSql: String =
+    """w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws FROM documents),
+      |ln AS (SELECT doc_id, i,
+      |        (CASE WHEN (doc_id + i) % 11 = 0 THEN 'lorem ipsum dolor'
+      |              ELSE array_to_string(ws[i*6+1:i*6+6], ' ') END) ||
+      |        (CASE WHEN (doc_id + i) % 3 > 0 THEN '.' ELSE '' END) AS line
+      |       FROM (SELECT doc_id, ws, unnest(generate_series(0, CAST(ceil(len(ws) / 6.0) AS INT) - 1)) AS i
+      |             FROM w WHERE len(ws) >= 1)),
+      |v AS (SELECT doc_id, i, line,
+      |        CASE WHEN contains(lower(line), 'lorem ipsum') THEN 'policy'
+      |             WHEN len(list_filter(string_split_regex(line, '\s+'), x -> len(x) > 0)) < 4 THEN 'short'
+      |             WHEN substr(line, -1) NOT IN ('.', '!', '?', '"') THEN 'no_terminal'
+      |             ELSE 'ok' END AS reason
+      |      FROM ln)""".stripMargin
 
   /** SQL fragment: the reference stoplist (app/app.py:55), quoted for DuckDB. */
   private val stopSql: String =
@@ -687,6 +723,28 @@ object SparkEntry {
           md5(nfcNormalize(col("dec"))).as("nfc_md5"),
           (stripAccents(col("acc")) === col("text")).as("restored_ok"),
           (nfcNormalize(col("dec")) === col("acc")).as("nfc_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // C4 line filtering (operators/LineFilter) over deterministically
+    // line-structured text: 6-word lines, '.' withheld when
+    // (doc_id+i)%3==0, a "lorem ipsum" line injected when (doc_id+i)%11==0
+    // — so all four verdicts (ok/short/no_terminal/policy) occur and the
+    // oracle replays synthesis AND filtering.
+    "text_c4_line_filter" -> ((s, d) => {
+      LineFilter.lineVerdicts(c4LinedDocs(t(s, d, "documents")),
+          "text_lines", "doc_id")
+        .orderBy(col("doc_id"), col("line_idx"))
+    }),
+
+    // C4's page rule on top: keep pages with >= 3 surviving lines,
+    // reassembled in order (md5-pinned bytes).
+    "text_c4_pages" -> ((s, d) => {
+      LineFilter.reassemblePages(
+          LineFilter.lineVerdicts(c4LinedDocs(t(s, d, "documents")),
+            "text_lines", "doc_id"),
+          "doc_id", minKeptLines = 3)
+        .select(col("doc_id"), col("n_kept"), md5(col("cleaned")).as("cleaned_md5"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2818,6 +2876,20 @@ object SparkEntry {
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |   '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // replays line synthesis (6-word slices, modular '.'/lorem injection)
+    // then the C4 verdict cascade with the same precedence.
+    "text_c4_line_filter" ->
+      s"""WITH $c4LinesSql
+         |SELECT doc_id, CAST(i AS INT) AS line_idx, line, reason, reason = 'ok' AS kept
+         |FROM v ORDER BY doc_id, line_idx""".stripMargin,
+
+    "text_c4_pages" ->
+      s"""WITH $c4LinesSql
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |       md5(string_agg(line, chr(10) ORDER BY i)) AS cleaned_md5
+         |FROM v WHERE reason = 'ok'
+         |GROUP BY doc_id HAVING count(*) >= 3 ORDER BY doc_id""".stripMargin,
 
     // chr(233)=precomposed e-acute, chr(224)=a-grave, chr(769)=combining
     // acute; same injection, DuckDB's ICU-backed strip_accents /
