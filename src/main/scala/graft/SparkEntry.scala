@@ -178,6 +178,31 @@ object SparkEntry {
        |       vec_id NOT IN (SELECT id2 FROM dup) AS kept
        |FROM a3 ORDER BY vec_id""".stripMargin
 
+  /** embedding_power_iteration oracle: the full power-iteration replay —
+    * see [[operators.Pca]] for the arithmetic contract each CTE mirrors
+    * (index-order folds exact, cross-row sums rounded 6, norms folded over
+    * ROUNDED components). */
+  private val pcaOracleSql: String = {
+    def iter(n: Int): String = {
+      val prev = if (n == 1) "v0" else s"v${n - 1}"
+      s"""d$n AS (SELECT e.vec_id, e.v,
+         |  list_reduce(list_transform(generate_series(1, 64), i -> e.v[i] * $prev.vl[i]), (a, b) -> a + b) AS d
+         |  FROM e CROSS JOIN $prev),
+         |s$n AS (SELECT ii.i, round(sum(d$n.v[ii.i] * d$n.d), 6) AS s
+         |        FROM d$n CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii GROUP BY ii.i),
+         |n$n AS (SELECT sqrt(list_reduce(list_transform(list(s ORDER BY i), x -> x * x), (a, b) -> a + b)) AS nm FROM s$n),
+         |v$n AS (SELECT list(round(s / nm, 6) ORDER BY i) AS vl FROM s$n CROSS JOIN n$n)""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |v0 AS (SELECT list_transform(generate_series(1, 64), i -> 0.125) AS vl),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT e.vec_id,
+       | round(list_reduce(list_transform(generate_series(1, 64), i -> e.v[i] * v3.vl[i]), (a, b) -> a + b), 4) AS pc1_proj
+       |FROM e CROSS JOIN v3 ORDER BY vec_id""".stripMargin
+  }
+
   /** Shared by both C4 oracles: line synthesis (the [[c4LinedDocs]]
     * arithmetic) + the LineFilter verdict cascade. */
   private val c4LinesSql: String =
@@ -1392,6 +1417,15 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Power-iteration top-PC projection (operators/Pca): 3 iterations of
+    // v <- normalize(X'(Xv)) with KMeans-style portable arithmetic; the
+    // oracle replays start vector, every iteration, and the projection.
+    "embedding_power_iteration" -> ((s, d) => {
+      Pca.powerIterationProjection(t(s, d, "embeddings"), "embedding",
+          "vec_id", dim = 64, iters = 3)
+        .orderBy(col("vec_id"))
+    }),
+
     // SemDeDup end to end (cluster -> within-cluster pairwise cosine ->
     // keep-lowest-id): the semantic-dedup pipeline whose clustering makes
     // pairwise pruning tractable at corpus scale (O(Σ|c|²), cluster-keyed
@@ -2532,6 +2566,8 @@ object SparkEntry {
     "embedding_kmeans" -> kmeansOracleSql,
 
     "dedup_semantic" -> semDedupOracleSql,
+
+    "embedding_power_iteration" -> pcaOracleSql,
 
     "q30_lateral" ->
       """SELECT n.n_name, t.s_name, t.bal
