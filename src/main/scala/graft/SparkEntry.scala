@@ -1495,6 +1495,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Winnowing fingerprint selection (Dedup.winnowFingerprints — the MOSS
+    // algorithm): 3-gram hashes, window 4, rightmost-min per window. The
+    // oracle replays gram hashing, window minima, AND the rightmost tie
+    // rule row-by-row.
+    "doc_winnow_fingerprints" -> ((s, d) => {
+      Dedup.winnowFingerprints(t(s, d, "documents"), "text", "doc_id",
+          gram = 3, window = 4)
+        .orderBy(col("doc_id"), col("pos"), col("fp"))
+    }),
+
     // ---------------- events: windows, JSON, sessions, history ----------------
 
     "events_window_agg" -> ((s, d) => {
@@ -3414,6 +3424,26 @@ object SparkEntry {
     "doc_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // gram hashes = first 8 md5 hex digits (unsigned 32-bit); window min
+    // via per-window aggregate; rightmost tie = max(i) among h = min(h).
+    "doc_winnow_fingerprints" ->
+      s"""WITH wds AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ws FROM documents),
+         |gr AS (SELECT doc_id, i, md5(array_to_string(ws[i+1:i+3], ' ')) AS mh
+         |       FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 3)) AS i
+         |             FROM wds WHERE len(ws) >= 3)),
+         |g AS (SELECT doc_id, i, ${hexToBigintSql("mh", 1)} AS h FROM gr),
+         |n AS (SELECT doc_id, count(*) AS n3 FROM g GROUP BY doc_id),
+         |wj AS (SELECT doc_id, unnest(generate_series(0, CAST(n3 AS INT) - 4)) AS j FROM n WHERE n3 >= 4),
+         |wmin AS (SELECT wj.doc_id, wj.j, min(g.h) AS fp
+         |         FROM wj JOIN g ON g.doc_id = wj.doc_id AND g.i BETWEEN wj.j AND wj.j + 3
+         |         GROUP BY 1, 2),
+         |wpos AS (SELECT wmin.doc_id, wmin.fp, max(g.i) AS pos
+         |         FROM wmin JOIN g ON g.doc_id = wmin.doc_id
+         |              AND g.i BETWEEN wmin.j AND wmin.j + 3 AND g.h = wmin.fp
+         |         GROUP BY wmin.doc_id, wmin.j, wmin.fp)
+         |SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, fp
+         |FROM wpos ORDER BY doc_id, pos, fp""".stripMargin,
 
     "events_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

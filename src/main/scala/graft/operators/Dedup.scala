@@ -159,6 +159,58 @@ object Dedup {
           i => array_join(slice(words, i, lit(n)), " "))))
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003,
+    * §3 — the MOSS algorithm): hash every positional word `gram`-gram, then
+    * slide a `window` over the hash sequence and keep each window's minimum
+    * (rightmost on ties). Guarantees: any shared substring of length >=
+    * gram + window - 1 words yields at least one shared fingerprint
+    * (detection floor), while selecting only ~2/(window+1) of all grams —
+    * the density/guarantee dial for substring-level near-dup detection
+    * that per-doc MinHash (whole-doc set semantics) can't give.
+    *
+    * Hash = first 8 md5 hex digits as an unsigned 32-bit value — the same
+    * digest-prefix family as the sketch ops, so an ANSI oracle replays every
+    * selection. One compiled pass per document (the [[shinglesFast]]
+    * lesson: per-element declarative md5 is interpreted and ~10x slower);
+    * entirely narrow — selected (pos, fp) pairs explode to rows and any
+    * downstream join buckets on fp. Docs with fewer than
+    * gram + window - 1 words emit nothing (no full window exists). */
+  def winnowFingerprints(df: DataFrame, textCol: String, idCol: String,
+                         gram: Int = 3, window: Int = 4): DataFrame = {
+    require(gram >= 1 && window >= 1)
+    val f = udf { (text: String) =>
+      if (text == null) Array.empty[(Int, Long)]
+      else {
+        val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val n = ws.length - gram + 1
+        if (n < window) Array.empty[(Int, Long)]
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hs = Array.tabulate(n) { i =>
+            val d = md.digest(ws.slice(i, i + gram).mkString(" ").getBytes("UTF-8"))
+            ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          }
+          val out = scala.collection.mutable.LinkedHashSet.empty[(Int, Long)]
+          var j = 0
+          while (j <= n - window) {
+            var best = j
+            var k = j + 1
+            while (k < j + window) {
+              if (hs(k) <= hs(best)) best = k // <=: rightmost minimum on ties
+              k += 1
+            }
+            out += ((best, hs(best)))
+            j += 1
+          }
+          out.toArray.sorted
+        }
+      }
+    }
+    df.select(col(idCol), explode(f(col(textCol))).as("sel"))
+      .select(col(idCol), col("sel._1").as("pos"), col("sel._2").as("fp"))
+  }
+
   /** MinHash signature: sig_i = min over shingles of md5(shingle || '#' || i).
     * A string-min hash family — portable across engines (md5 + lexicographic
     * min are identical everywhere), order-independent, deterministic. */

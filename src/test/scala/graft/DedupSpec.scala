@@ -251,6 +251,31 @@ class DedupSpec extends AnyFunSuite {
     assert(got.count() > 0) // the fixture must actually exercise the verify
   }
 
+  test("winnowing: detection guarantee, density bound, and short-doc cutoff") {
+    // docs sharing a 6-word run (= gram + window - 1 for 3/4) MUST share a fp
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, s"one two three $shared four five six seven"),
+      (2L, s"red green blue $shared yellow purple pink brown"),
+      (3L, "completely different words with no overlap here at all today"),
+      (4L, "too short here")   // < gram + window - 1 words -> no full window
+    ).toDF("doc_id", "text")
+    val sel = Dedup.winnowFingerprints(df, "text", "doc_id")
+      .as[(Long, Int, Long)].collect()
+    val byDoc = sel.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "shared 6-word run must produce a shared fingerprint")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    assert(!byDoc.contains(4L))
+    // density: selected grams ≤ windows, and strictly fewer than all grams
+    val doc3Grams = 10 - 3 + 1
+    assert(byDoc(3L).size < doc3Grams)
+    // determinism incl. under repartition
+    val again = Dedup.winnowFingerprints(df.repartition(5), "text", "doc_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(again === sel.toSet)
+  }
+
   test("connected components: 64-node chain converges via pointer jumping") {
     // worst-case topology for plain min-propagation (diameter 63); pointer
     // jumping must still resolve everything to the chain head
