@@ -1495,6 +1495,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Classifier-based quality filtering (operators/QualityClassifier —
+    // the GPT-3-style linear quality model at inference): sparse
+    // hashing-trick features ⋈ broadcast weight table -> logistic score.
+    // The oracle rebuilds the synthetic model from its md5 seed and
+    // replays features, margin, probability, and verdict.
+    "quality_classifier" -> ((s, d) => {
+      QualityClassifier.score(t(s, d, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing fingerprint selection (Dedup.winnowFingerprints — the MOSS
     // algorithm): 3-gram hashes, window 4, rightmost-min per window. The
     // oracle replays gram hashing, window minima, AND the rightmost tie
@@ -3074,6 +3084,31 @@ object SparkEntry {
         |SELECT a.doc_id, a.bucket, round(a.w / n.norm, 4) AS component
         |FROM agg a JOIN n USING (doc_id)
         |ORDER BY doc_id, bucket""".stripMargin,
+
+    // same feature CTEs as embed_hashed_sparse, then the md5-seeded weight
+    // table ((h/2^32)-0.5, round 6 — /2^32 is exact), broadcast-shaped join,
+    // margin round 6, sigmoid round 4, threshold on the ROUNDED prob.
+    "quality_classifier" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> len(t) > 0)) AS tok FROM documents),
+         |h AS (SELECT doc_id, md5(tok || '#42') AS hx FROM toks),
+         |w AS (SELECT doc_id,
+         |        CAST(((strpos('0123456789abcdef', substr(hx,1,1)) - 1) * 16 +
+         |              (strpos('0123456789abcdef', substr(hx,2,1)) - 1)) % 64 AS INT) AS bucket,
+         |        CASE WHEN (strpos('0123456789abcdef', substr(hx,3,1)) - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign
+         |      FROM h),
+         |agg AS (SELECT doc_id, bucket, sum(sign) AS w FROM w GROUP BY doc_id, bucket HAVING sum(sign) <> 0),
+         |n AS (SELECT doc_id, sqrt(sum(w*w)) AS norm FROM agg GROUP BY doc_id),
+         |comp AS (SELECT a.doc_id, a.bucket, round(a.w / n.norm, 4) AS component
+         |         FROM agg a JOIN n USING (doc_id)),
+         |wh AS (SELECT CAST(i AS INT) AS bucket, md5('qw#' || CAST(i AS VARCHAR)) AS mh
+         |       FROM (SELECT unnest(generate_series(0, 63)) AS i)),
+         |wt AS (SELECT bucket, round(${hexToBigintSql("mh", 1)} / 4294967296.0 - 0.5, 6) AS wgt FROM wh),
+         |m AS (SELECT doc_id, round(sum(component * wgt), 6) AS margin
+         |      FROM comp JOIN wt USING (bucket) GROUP BY doc_id)
+         |SELECT doc_id, margin,
+         |       round(1.0 / (1.0 + exp(-margin)), 4) AS quality_prob,
+         |       round(1.0 / (1.0 + exp(-margin)), 4) >= 0.5 AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     "embedding_sq8" ->
       """SELECT vec_id,
