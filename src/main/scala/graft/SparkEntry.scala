@@ -220,6 +220,23 @@ object SparkEntry {
       |             ELSE 'ok' END AS reason
       |      FROM ln)""".stripMargin
 
+  /** Shared by vocab_cms_heavy (batch counters) and streaming_cms_heavy
+    * (streaming-state counters): identical arithmetic, identical oracle. */
+  private val cmsOracleSql: String =
+    s"""WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS token FROM documents),
+       |tc AS (SELECT token, count(*) AS n_exact FROM tok GROUP BY token),
+       |hx AS (SELECT token, n_exact, md5(token) AS mh FROM tc),
+       |hh AS (SELECT token, n_exact, ${hexToBigintSql("mh", 1)} AS h1, ${hexToBigintSql("mh", 9)} AS h2 FROM hx),
+       |ct AS (SELECT j, (h1 + j * h2) % 16 AS bucket, sum(n_exact) AS cnt
+       |       FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) GROUP BY 1, 2),
+       |cand AS (SELECT token, n_exact, h1, h2 FROM hh ORDER BY n_exact DESC, token LIMIT 20),
+       |est AS (SELECT c.token, c.n_exact, min(ct.cnt) AS n_cms
+       |        FROM cand c CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) jj
+       |        JOIN ct ON ct.j = jj.j AND ct.bucket = (c.h1 + jj.j * c.h2) % 16
+       |        GROUP BY c.token, c.n_exact)
+       |SELECT token, n_exact, CAST(n_cms AS BIGINT) AS n_cms FROM est
+       |ORDER BY n_exact DESC, token""".stripMargin
+
   /** SQL fragment: the reference stoplist (app/app.py:55), quoted for DuckDB. */
   private val stopSql: String =
     TextFunctions.Stopwords.map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
@@ -1201,6 +1218,20 @@ object SparkEntry {
     // prove the sketch path live (not a tautological n_cms == n_exact).
     "vocab_cms_heavy" -> ((s, d) => {
       CorpusStats.cmsHeavyHitters(t(s, d, "documents"), "text",
+          topN = 20, depth = 4, width = 16)
+        .orderBy(desc("n_exact"), col("token"))
+    }),
+
+    // the same sketch with its counters built as STREAMING aggregation
+    // state (StreamingOps.cmsCountersOnce — depth x width bounded state,
+    // no watermark needed): over the finite fixture the counter table
+    // equals the batch build cell-for-cell, so this gates against the
+    // SAME oracle as vocab_cms_heavy.
+    "streaming_cms_heavy" -> ((s, d) => {
+      val counters = graft.streaming.StreamingOps.cmsCountersOnce(
+        s, s"$d/documents.parquet", "text", depth = 4, width = 16,
+        queryName = s"graft_cms_$runNonce")
+      CorpusStats.cmsEstimates(t(s, d, "documents"), "text", counters,
           topN = 20, depth = 4, width = 16)
         .orderBy(desc("n_exact"), col("token"))
     }),
@@ -3151,20 +3182,9 @@ object SparkEntry {
     // replays the CMS end to end: same KM double-hash family
     // (md5 halves, g_j = (h1 + j*h2) mod 16), same depth-4 counter table,
     // same min-over-rows estimate for the exact top-20.
-    "vocab_cms_heavy" ->
-      s"""WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS token FROM documents),
-         |tc AS (SELECT token, count(*) AS n_exact FROM tok GROUP BY token),
-         |hx AS (SELECT token, n_exact, md5(token) AS mh FROM tc),
-         |hh AS (SELECT token, n_exact, ${hexToBigintSql("mh", 1)} AS h1, ${hexToBigintSql("mh", 9)} AS h2 FROM hx),
-         |ct AS (SELECT j, (h1 + j * h2) % 16 AS bucket, sum(n_exact) AS cnt
-         |       FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) GROUP BY 1, 2),
-         |cand AS (SELECT token, n_exact, h1, h2 FROM hh ORDER BY n_exact DESC, token LIMIT 20),
-         |est AS (SELECT c.token, c.n_exact, min(ct.cnt) AS n_cms
-         |        FROM cand c CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) jj
-         |        JOIN ct ON ct.j = jj.j AND ct.bucket = (c.h1 + jj.j * c.h2) % 16
-         |        GROUP BY c.token, c.n_exact)
-         |SELECT token, n_exact, CAST(n_cms AS BIGINT) AS n_cms FROM est
-         |ORDER BY n_exact DESC, token""".stripMargin,
+    "vocab_cms_heavy" -> cmsOracleSql,
+
+    "streaming_cms_heavy" -> cmsOracleSql,
 
     "decontaminate" ->
       """WITH fp AS (SELECT doc_id,

@@ -257,21 +257,40 @@ object CorpusStats {
     * stream with identical arithmetic and skips the exact side.)
     */
   def cmsHeavyHitters(df: DataFrame, textCol: String,
-                      topN: Int, depth: Int, width: Int): DataFrame = {
-    require(depth >= 1 && width >= 2 && topN >= 1)
-    val toks = df.select(
-      explode(graft.functions.TextFunctions.wsTokens(lower(col(textCol))))
-        .as("token"))
-    val tc = toks.groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
-    val hashed = tc
-      .withColumn("__h1", conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"))
-      .withColumn("__h2", conv(substring(md5(col("token")), 9, 8), 16, 10).cast("long"))
-    val counters = hashed
+                      topN: Int, depth: Int, width: Int): DataFrame =
+    cmsEstimates(df, textCol, cmsCounters(df, textCol, depth, width),
+      topN, depth, width)
+
+  /** The CMS counter table itself: (j, bucket, cnt). Built off token-TYPE
+    * counts (one explode×depth per vocabulary word, not per occurrence);
+    * [[graft.streaming.StreamingOps.cmsCountersOnce]] builds the identical
+    * table occurrence-wise as streaming aggregation state — cell-wise
+    * addition is the merge law either way. */
+  def cmsCounters(df: DataFrame, textCol: String,
+                  depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    val tc = df.select(
+        explode(graft.functions.TextFunctions.wsTokens(lower(col(textCol))))
+          .as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+    cmsHash(tc)
       .select(col("n_exact"), explode(sequence(lit(0), lit(depth - 1))).as("j"),
         col("__h1"), col("__h2"))
       .withColumn("bucket", (col("__h1") + col("j") * col("__h2")) % width)
       .groupBy(col("j"), col("bucket")).agg(sum(col("n_exact")).as("cnt"))
-    val cand = hashed.orderBy(col("n_exact").desc, col("token")).limit(topN)
+  }
+
+  /** Estimates vs exact counts for the exact top-`topN` tokens, given any
+    * counter table with the [[cmsCounters]] schema (batch- or
+    * streaming-built). */
+  def cmsEstimates(df: DataFrame, textCol: String, counters: DataFrame,
+                   topN: Int, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2 && topN >= 1)
+    val tc = df.select(
+        explode(graft.functions.TextFunctions.wsTokens(lower(col(textCol))))
+          .as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+    val cand = cmsHash(tc).orderBy(col("n_exact").desc, col("token")).limit(topN)
     broadcast(cand
       .select(col("token"), col("n_exact"),
         explode(sequence(lit(0), lit(depth - 1))).as("j"),
@@ -282,4 +301,9 @@ object CorpusStats {
       .agg(min(col("cnt")).as("n_cms"))
       .select(col("token"), col("n_exact"), col("n_cms"))
   }
+
+  /** KM double-hash columns for a frame with a `token` column. */
+  private[graft] def cmsHash(tc: DataFrame): DataFrame = tc
+    .withColumn("__h1", conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"))
+    .withColumn("__h2", conv(substring(md5(col("token")), 9, 8), 16, 10).cast("long"))
 }

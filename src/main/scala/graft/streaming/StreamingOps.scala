@@ -335,4 +335,42 @@ object StreamingOps {
     }
     spark.table(queryName)
   }
+
+  /** Count-min sketch counters maintained as STREAMING aggregation state:
+    * each arriving document explodes to (j, bucket) occurrence rows and
+    * the depth×width counter table is the running groupBy state — the
+    * streaming face of [[graft.operators.CorpusStats.cmsCounters]]. The
+    * state is bounded at depth×width rows REGARDLESS of stream length
+    * (the whole point of sketching a stream: no watermark needed, the
+    * state never grows), and cell-wise addition makes every micro-batch a
+    * partial-state merge. Over a finite fixture the final counters equal
+    * the batch build exactly, so the estimate surface gates against the
+    * SAME oracle as the batch query. */
+  def cmsCountersOnce(spark: SparkSession, docsPath: String, textCol: String,
+                      depth: Int, width: Int,
+                      queryName: String = "graft_stream_cms"): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    val schema = spark.read.parquet(docsPath).schema
+    val p = new org.apache.hadoop.fs.Path(docsPath)
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", p.getName)
+      .parquet(p.getParent.toString)
+    val counters = graft.operators.CorpusStats.cmsHash(
+        raw.select(explode(
+          graft.functions.TextFunctions.wsTokens(lower(col(textCol)))).as("token")))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("j"),
+        col("__h1"), col("__h2"))
+      .withColumn("bucket", (col("__h1") + col("j") * col("__h2")) % width)
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    withStatePartitions(spark) {
+      val q = counters.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+  }
 }

@@ -104,4 +104,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(wm.groupBy($"window_start", $"event_type").count()
       .where($"count" > 1).count() === 0)
   }
+
+  test("streaming CMS counter state equals the batch counter table cell-for-cell") {
+    val docsPath = s"${TestSpark.sf}/documents.parquet"
+    val st = StreamingOps.cmsCountersOnce(spark, docsPath, "text",
+        depth = 4, width = 16, queryName = "t_cms_counters")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val bt = graft.operators.CorpusStats.cmsCounters(
+        spark.read.parquet(docsPath), "text", depth = 4, width = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(st === bt)
+    // bounded state: never more than depth x width cells
+    assert(st.size <= 4 * 16)
+  }
 }
