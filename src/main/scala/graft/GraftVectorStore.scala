@@ -87,6 +87,25 @@ final class GraftVectorStore(
     }
   }
 
+  /** Tombstone-delete documents by path: every record (page) of each given
+    * `document_path` is masked immediately and physically removed by the
+    * next [[compactIndex]] + [[vacuumIndex]] (see
+    * [[operators.IndexTable.deleteRecords]]). Invalidates a persisted graph
+    * index the same way [[addDocuments]] does — deleted nodes must not stay
+    * navigable. */
+  def deleteDocuments(paths: Seq[String], alias: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val ids = IndexTable.readLatest(spark, indexPath, resolveAlias(alias))
+      .where(col("document_path").isin(paths: _*))
+      .select(col("id"))
+    IndexTable.deleteRecords(ids, indexPath, resolveAlias(alias))
+    if (graphM.nonEmpty) {
+      val p = new org.apache.hadoop.fs.Path(graphPath(alias))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
+  }
+
   /** E2 retrieval: exact cosine top-k scored chunks for a prompt.
     * Reads with HSET-upsert semantics — a re-ingested document's newest
     * record wins, duplicates never reach the top-k.

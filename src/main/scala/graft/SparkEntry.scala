@@ -649,6 +649,34 @@ object SparkEntry {
     // the row count doubles for re-ingested docs and the hash compare
     // fails; the oracle re-derives the expected chunk rows from the
     // parquet fixture (chunk -> non-empty-cleansed filter, as E1 ingests).
+    // Tombstone lifecycle (IndexTable.deleteRecords): ingest a quarter of
+    // the corpus, tombstone every doc_id % 12 == 0 document's records,
+    // re-ingest doc 0 (a LATER write un-deletes — last-write-wins is one
+    // total order for upserts and deletes), serve. The oracle replays the
+    // chunking and the visibility rule.
+    "store_delete_upsert" -> ((s, d) => {
+      val tmp = scratch(d, "store_delete")
+      IndexTable.drop(s, tmp)
+      val docs = t(s, d, "documents")
+        .where(pmod(col("doc_id"), lit(4)) === 0)
+        .select(concat_ws("/", col("source"), col("doc_id")).as("document_path"),
+          col("text"), col("doc_id"))
+      IndexTable.append(IndexTable.ingestRecords(
+        docs.select(col("document_path"), col("text")), alias = "c", pageSize = 32), tmp)
+      val delIds = IndexTable.readLatest(s, tmp, "c")
+        .where(pmod(element_at(split(col("document_path"), "/"), 2).cast("long"),
+          lit(12)) === 0)
+        .select(col("id"))
+      IndexTable.deleteRecords(delIds, tmp, "c")
+      IndexTable.append(IndexTable.ingestRecords(
+        docs.where(col("doc_id") === 0)
+          .select(col("document_path"), col("text")), alias = "c", pageSize = 32), tmp)
+      IndexTable.readLatest(s, tmp, "c")
+        .select(col("document_path"), col("page_number"),
+          md5(col("page_content")).as("content_md5"))
+        .orderBy(col("document_path"), col("page_number"))
+    }),
+
     "store_compact_upsert" -> ((s, d) => {
       val tmp = scratch(d, "store_compact")
       IndexTable.drop(s, tmp)
@@ -3050,6 +3078,24 @@ object SparkEntry {
     // straight from the fixture: chunk (pageSize 32, possible-empty-tail)
     // then drop pages whose cleansed text is empty. Re-ingested generations
     // carry identical content, so compaction must collapse to exactly this.
+    // same page replay as store_compact_upsert; visibility = NOT deleted
+    // (doc_id % 12 == 0) OR re-ingested (doc 0).
+    "store_delete_upsert" ->
+      """WITH pages AS (
+        | SELECT source || '/' || CAST(doc_id AS VARCHAR) AS document_path,
+        |   doc_id,
+        |   CAST(g AS INT) AS page_number,
+        |   coalesce(array_to_string(words[(g*32+1):(g*32+32)], ' '), '') AS page_content
+        | FROM (SELECT doc_id, source, words,
+        |         unnest(generate_series(0, CAST(len(words) // 32 AS BIGINT))) AS g
+        |       FROM (SELECT doc_id, source, string_split(text, ' ') AS words
+        |             FROM documents WHERE doc_id % 4 = 0)))
+        |SELECT document_path, page_number, md5(page_content) AS content_md5
+        |FROM pages
+        |WHERE length(trim(replace(replace(page_content, chr(10), ' '), '  ', ' '))) > 0
+        |  AND (doc_id % 12 <> 0 OR doc_id = 0)
+        |ORDER BY document_path, page_number""".stripMargin,
+
     "store_compact_upsert" ->
       """WITH pages AS (
         | SELECT source || '/' || CAST(doc_id AS VARCHAR) AS document_path,

@@ -31,7 +31,11 @@ object IndexTable {
     StructField("page_content_vector", ArrayType(FloatType)),
     // ingest generation stamp (monotonic per append) — powers the
     // HSET-last-write-wins upsert semantics of readLatest.
-    StructField("ingest_seq", LongType)))
+    StructField("ingest_seq", LongType),
+    // tombstone flag ([[deleteRecords]]): a true row with the newest
+    // ingest_seq masks its id from every latest read; compaction drops the
+    // masked rows physically and vacuum retires the files that held them.
+    StructField("is_deleted", BooleanType)))
 
   /** D2: existence probe (reference `checkRedisIndexExists`,
     * `modules/utilities.py:232-240`). */
@@ -97,8 +101,65 @@ object IndexTable {
     // millis << 10 + per-process counter: strictly increasing even for
     // appends within the same millisecond.
     val gen = (System.currentTimeMillis() << 10) | (ingestCounter.incrementAndGet() & 0x3ff)
-    if (records.columns.contains("ingest_seq")) records
-    else records.withColumn("ingest_seq", lit(gen))
+    val stamped =
+      if (records.columns.contains("ingest_seq")) records
+      else records.withColumn("ingest_seq", lit(gen))
+    // every written file carries the tombstone column so mixed delta reads
+    // never lose it to single-footer schema inference
+    if (stamped.columns.contains("is_deleted")) stamped
+    else stamped.withColumn("is_deleted", lit(false))
+  }
+
+  /** Tombstone delete — the "right to be forgotten" path. Appends a
+    * `is_deleted = true` row per id with a fresh ingest stamp: every
+    * latest read masks the id immediately (same last-write-wins resolution
+    * as an upsert, so a LATER re-ingest of the id un-deletes it);
+    * [[compact]] drops masked rows physically and [[vacuum]] retires the
+    * files that held them once the retention window passes — after which
+    * the data is gone from disk, not just from view.
+    *
+    * Scale shape: a delete of N ids writes N tiny rows — no read, no join,
+    * no rewrite at delete time (deletion cost is deferred to the next
+    * compaction, which was already rewriting the tenant). Tombstones carry
+    * no layout column, so bucket/cell-pruned reads keep NULL-layout rows
+    * visible (a tombstone must mask its id in EVERY probe set). */
+  def deleteRecords(ids: DataFrame, path: String, alias: String): Unit = {
+    val tomb = ids.select(col(ids.columns.head).cast("string").as("id"))
+      .withColumn("index_alias", lit(alias))
+      .withColumn("document_path", lit(null).cast("string"))
+      .withColumn("page_number", lit(null).cast("int"))
+      .withColumn("page_content", lit(null).cast("string"))
+      .withColumn("page_content_vector", lit(null).cast("array<float>"))
+      .withColumn("is_deleted", lit(true))
+    // layout-partitioned stores need tombstones at the SAME partition depth
+    // (mixed depths break partition discovery), so they go to a dedicated
+    // tombstone partition that every pruned read adds to its probe set
+    val spark = ids.sparkSession
+    val fs = fileSystem(spark, path)
+    val tenantDir = new org.apache.hadoop.fs.Path(path, aliasDirName(alias))
+    def hasLayout(c: String): Boolean =
+      fs.exists(tenantDir) && fs.listStatus(tenantDir)
+        .exists(st => st.isDirectory && st.getPath.getName.startsWith(c + "="))
+    if (hasLayout(BucketCol))
+      stampIngest(tomb.withColumn(BucketCol, lit(TombPartition)))
+        .write.mode(SaveMode.Append)
+        .partitionBy("index_alias", BucketCol).parquet(path)
+    else if (hasLayout(CellCol))
+      stampIngest(tomb.withColumn(CellCol, lit(TombPartition)))
+        .write.mode(SaveMode.Append)
+        .partitionBy("index_alias", CellCol).parquet(path)
+    else append(tomb, path)
+  }
+
+  /** Disk value of the tombstone layout partition: no legal bucket
+    * ("b"+bits) or cell ("c"+id) value collides with it. */
+  private val TombPartition = "tomb"
+
+  /** [[deleteRecords]] for a driver-side id list. */
+  def delete(spark: SparkSession, path: String, alias: String,
+             ids: Seq[String]): Unit = {
+    import spark.implicits._
+    deleteRecords(ids.toDF("id"), path, alias)
   }
 
   def append(records: DataFrame, path: String): Unit =
@@ -205,8 +266,10 @@ object IndexTable {
         }.sortBy(identity).take(nprobe).map(t => diskCell(t._2)).toSeq
     }
     latestView(spark, path, alias, df =>
+      // the tombstone partition stays visible in every probe set
       if (cells.nonEmpty && df.columns.contains(CellCol))
-        df.where(col(CellCol).isin(cells: _*))
+        df.where(col(CellCol).isin((cells :+ TombPartition): _*) ||
+          col(CellCol).isNull)
       else df.where(lit(false))
     ).drop(CellCol)
   }
@@ -390,6 +453,11 @@ object IndexTable {
     val fs = fileSystem(spark, path)
     val (prevGen, active, allDeltas) = tenantView(spark, path, alias)
     val resolved = latestPerId(viewFrame(spark, path, alias, prevGen, active))
+      // ids whose newest record is a tombstone leave the store HERE —
+      // after vacuum's retention window their bytes are gone from disk
+      .transform(df =>
+        if (!df.columns.contains("is_deleted")) df
+        else df.where(!coalesce(col("is_deleted"), lit(false))))
     val layoutCols = Seq(BucketCol, CellCol).filter(resolved.columns.contains)
     val genDir = new org.apache.hadoop.fs.Path(baseRoot(path), s"gen_${nextGenId()}")
     stampIngest(resolved)
@@ -520,7 +588,11 @@ object IndexTable {
                        probes: Seq[String]): DataFrame = {
     val diskProbes = probes.map(diskBucket)
     latestView(spark, path, alias, df =>
-      if (df.columns.contains(BucketCol)) df.where(col(BucketCol).isin(diskProbes: _*))
+      // the tombstone partition (and any NULL-layout row) stays visible in
+      // every probe set so a delete masks its id under any probe selection
+      if (df.columns.contains(BucketCol))
+        df.where(col(BucketCol).isin((diskProbes :+ TombPartition): _*) ||
+          col(BucketCol).isNull)
       else df.where(lit(false)) // empty/unbucketed index: no approximate hits
     ).drop(BucketCol)
   }
@@ -543,7 +615,7 @@ object IndexTable {
   private def latestView(spark: SparkSession, path: String, alias: String,
                          prune: DataFrame => DataFrame): DataFrame = {
     val (genDf, deltaDf) = splitView(spark, path, alias)
-    (genDf.map(prune), deltaDf.map(prune)) match {
+    val resolved = (genDf.map(prune), deltaDf.map(prune)) match {
       case (None, None) =>
         prune(viewFrame(spark, path, alias, None, Seq.empty)).drop("ingest_seq")
       // compact() wrote latestPerId output: one row per id, no window needed.
@@ -556,7 +628,15 @@ object IndexTable {
         latestPerId(contested.unionByName(d, allowMissingColumns = true))
           .unionByName(untouched.drop("ingest_seq"), allowMissingColumns = true)
     }
+    dropTombstones(resolved)
   }
+
+  /** Serve only live rows: an id whose NEWEST record is a tombstone
+    * disappears; the flag column never leaves the store layer. Narrow —
+    * resolution already happened. */
+  private def dropTombstones(df: DataFrame): DataFrame =
+    if (!df.columns.contains("is_deleted")) df
+    else df.where(!coalesce(col("is_deleted"), lit(false))).drop("is_deleted")
 
   private def latestPerId(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -132,8 +132,12 @@ object Sampling {
   def temperatureWeights(df: DataFrame, stratum: Column,
                          alpha: Double = 0.5): Map[String, Double] = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
-    val rows = df.groupBy(stratum.cast("string").as("__s")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val raw = df.groupBy(stratum.cast("string").as("__s")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    require(raw.forall(_._1 != null),
+      "NULL stratum: coalesce the stratum column before weighting " +
+        "(a null group has no mixture-weight key)")
+    val rows = raw.sortBy(_._1)
     require(rows.nonEmpty, "empty input")
     val total = rows.map(_._2).sum.toDouble
     def powa(p: Double) = if (alpha == 0.5) math.sqrt(p) else math.pow(p, alpha)

@@ -213,4 +213,64 @@ class CompactSpec extends AnyFunSuite {
       IndexTable.readGeneration(spark, path, "t", genA)
     }
   }
+
+  test("tombstone delete: masks immediately, un-deletes on re-ingest, forgotten after compact+vacuum") {
+    val path = java.nio.file.Files.createTempDirectory("compact_del").toString + "/idx"
+    IndexTable.append(IndexTable.ingestRecords(docs, "t", pageSize = 32), path)
+    val all = IndexTable.readLatest(spark, path, "t")
+      .select($"id").as[String].collect().toSet
+    val victims = all.toSeq.sorted.take(3)
+
+    IndexTable.delete(spark, path, "t", victims)
+    val served = IndexTable.readLatest(spark, path, "t")
+      .select($"id").as[String].collect().toSet
+    assert(served === all -- victims, "deleted ids must vanish from latest reads")
+    // the serving schema is unchanged: no tombstone flag leaks out
+    assert(!IndexTable.readLatest(spark, path, "t").columns.contains("is_deleted"))
+
+    // a LATER re-ingest un-deletes (one last-write-wins total order)
+    val back = victims.head
+    val backPath = IndexTable.read(spark, path, "t")
+      .where($"id" === back && !coalesce($"is_deleted", lit(false)))
+      .select($"document_path").as[String].head()
+    IndexTable.append(IndexTable.ingestRecords(
+      docs.where($"document_path" === backPath), "t", pageSize = 32), path)
+    val served2 = IndexTable.readLatest(spark, path, "t")
+      .select($"id").as[String].collect().toSet
+    assert(served2.contains(back))
+    assert((victims.toSet - back).forall(!served2.contains(_)))
+
+    // compact + zero-retention vacuum: the two still-deleted ids are gone
+    // from EVERY byte on disk, not just from view. After vacuum(0) the only
+    // bytes left are the single committed generation (physical view reads
+    // it) and an empty delta zone — so physical-view absence IS disk absence.
+    IndexTable.compact(spark, path, "t", retainMillis = 0L)
+    val physical = IndexTable.read(spark, path, "t")
+      .select($"id").as[String].collect().toSet
+    assert((victims.toSet - back).forall(!physical.contains(_)),
+      "forgotten ids must not survive anywhere on disk")
+    assert(physical.contains(back))
+    assert(genDirsFor(path, "t").size === 1, "exactly one generation remains")
+    assert(parquetFiles(s"$path/index_alias=t") === 0,
+      "no delta files (tombstone or data) survive the zero-retention vacuum")
+  }
+
+  test("tombstones mask their id in bucket-pruned reads (every probe set)") {
+    val path = java.nio.file.Files.createTempDirectory("compact_del_b").toString + "/idx"
+    val records = IndexTable.ingestRecords(docs, "t", pageSize = 32)
+    IndexTable.appendBucketed(records, path, bits = 2, dim = 64)
+    val probes = Seq("00", "01", "10", "11")
+    val all = IndexTable.readLatestPruned(spark, path, "t", probes)
+      .select($"id").as[String].collect().toSet
+    val victim = all.toSeq.min
+    IndexTable.delete(spark, path, "t", Seq(victim))
+    val served = IndexTable.readLatestPruned(spark, path, "t", probes)
+      .select($"id").as[String].collect().toSet
+    assert(served === all - victim,
+      "a tombstone (NULL bucket) must mask its id under full-probe pruning")
+    // and under a partial probe set the victim must not reappear
+    val partial = IndexTable.readLatestPruned(spark, path, "t", probes.take(2))
+      .select($"id").as[String].collect().toSet
+    assert(!partial.contains(victim))
+  }
 }

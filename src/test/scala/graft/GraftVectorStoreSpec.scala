@@ -207,4 +207,32 @@ class GraftVectorStoreSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("index_alias"))
   }
+
+  test("deleteDocuments masks a doc from search and survives compaction as a physical forget") {
+    val dir = java.nio.file.Files.createTempDirectory("gvs_del").toString
+    val store = new GraftVectorStore(spark, s"$dir/idx")
+    val docs = Seq(
+      ("a.txt", "the fast spark table scan query runs well"),
+      ("b.txt", "completely unrelated words about cooking dinner tonight"),
+      ("c.txt", "another fast spark scan with table query words")
+    ).toDF("document_path", "text")
+    store.addDocuments(docs, "t")
+    val before = store.search("fast spark table scan query", "t", topN = 5)
+      .select($"document_path").as[String].collect().toSet
+    assert(before.contains("a.txt"))
+
+    store.deleteDocuments(Seq("a.txt"), "t")
+    val after = store.search("fast spark table scan query", "t", topN = 5)
+      .select($"document_path").as[String].collect().toSet
+    assert(!after.contains("a.txt"), "deleted doc must not be retrievable")
+    assert(after.contains("c.txt"))
+
+    store.compactIndex("t", retainMillis = 0L)
+    val physical = graft.operators.IndexTable.read(spark, s"$dir/idx", "t")
+      .select($"document_path").as[String].collect().toSet
+    assert(!physical.contains("a.txt"), "forgotten doc must leave the disk")
+    val again = store.search("fast spark table scan query", "t", topN = 5)
+      .select($"document_path").as[String].collect().toSet
+    assert(!again.contains("a.txt") && again.contains("c.txt"))
+  }
 }
