@@ -1496,6 +1496,16 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // the paper's group election on top: pair graph -> connected dup
+    // groups -> keep the lowest-centroid-similarity member per group. The
+    // oracle replays clustering, pairs, RECURSIVE closure, final-round
+    // centroids, and the election.
+    "dedup_semantic_resolve" -> ((s, d) => {
+      SemDedup.resolveGroups(t(s, d, "embeddings"), "embedding", "vec_id",
+          k = 8, iters = 2, threshold = 0.4)
+        .orderBy(col("cluster_id"))
+    }),
+
     // Graph-ANN (the HNSW structural analogue — operators/GraphAnn): build
     // the LSH-candidate k-NN neighbor graph ONCE (persisted edge table —
     // a graph index's build cost is amortized over queries, the same
@@ -2647,6 +2657,46 @@ object SparkEntry {
     "dedup_semantic" -> semDedupOracleSql,
 
     "embedding_power_iteration" -> pcaOracleSql,
+
+    // clustering + pairs (as dedup_semantic) + WITH RECURSIVE closure (as
+    // dedup_clusters) + final-round centroids (the KMeans update CTE) +
+    // double-HOF-fold cosine (exact parity with cosineSimilarityHof) +
+    // (csim, id) election.
+    "dedup_semantic_resolve" ->
+      s"""WITH RECURSIVE $kmeansCtePrefix,
+         |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.v AS v1, b.v AS v2
+         |      FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+         |z AS (SELECT id1, id2, unnest(v1) AS x, unnest(v2) AS y FROM p),
+         |sc AS (SELECT id1, id2, sum(x*y) AS dp, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+         |       FROM z GROUP BY id1, id2),
+         |pr AS (SELECT id1, id2 FROM sc
+         |       WHERE round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) >= 0.4),
+         |ed AS (SELECT id1 AS src, id2 AS dst FROM pr UNION SELECT id2, id1 FROM pr),
+         |reach(id, comp) AS (SELECT src, src FROM ed
+         |                    UNION
+         |                    SELECT e.dst, r.comp FROM reach r JOIN ed e ON e.src = r.id),
+         |cm AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+         |cent AS (SELECT cluster AS cid, list(m ORDER BY i) AS cent FROM (
+         |  SELECT a.cluster, ii.i, round(avg(a.v[ii.i]), 6) AS m
+         |  FROM a3 a CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+         |  GROUP BY a.cluster, ii.i) GROUP BY cluster),
+         |sim AS (SELECT a.vec_id, round(
+         |    CASE WHEN sqrt(list_reduce(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i]), (x, y) -> x + y)) *
+         |              sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cent[i] * c.cent[i]), (x, y) -> x + y)) = 0
+         |    THEN 0
+         |    ELSE list_reduce(list_transform(generate_series(1, 64), i -> a.v[i] * c.cent[i]), (x, y) -> x + y) /
+         |         (sqrt(list_reduce(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i]), (x, y) -> x + y)) *
+         |          sqrt(list_reduce(list_transform(generate_series(1, 64), i -> c.cent[i] * c.cent[i]), (x, y) -> x + y)))
+         |    END, 4) AS csim
+         |  FROM a3 a JOIN cent c ON a.cluster = c.cid),
+         |sel AS (SELECT cm.comp, s.vec_id, s.csim FROM cm JOIN sim s ON s.vec_id = cm.id),
+         |r AS (SELECT comp, vec_id, csim,
+         |        count(*) OVER (PARTITION BY comp) AS n_members,
+         |        row_number() OVER (PARTITION BY comp ORDER BY csim, vec_id) AS rn
+         |      FROM sel)
+         |SELECT comp AS cluster_id, vec_id AS keep_id, csim AS keep_csim,
+         |       CAST(n_members AS BIGINT) AS n_members
+         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     "q30_lateral" ->
       """SELECT n.n_name, t.s_name, t.bal

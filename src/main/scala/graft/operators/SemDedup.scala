@@ -71,6 +71,51 @@ object SemDedup {
       .select(col("id1"), col("id2"), col("cluster"), col("cos"))
   }
 
+  /** The paper's own election (Abbas et al. §3): connect the within-cluster
+    * pair graph, then from each dup GROUP keep the member with the LOWEST
+    * cosine similarity to its cluster centroid (the most "representative
+    * edge" of the group; ties break on lowest id). Returns one row per dup
+    * group: (cluster_id = min member id, keep_id, keep_csim, n_members).
+    *
+    * Scale shape: [[graft.operators.Dedup.connectedComponents]] pointer
+    * jumping over the pair graph (pairs are already cluster-bounded);
+    * centroids are a (cluster, component)-keyed partial agg that BROADCASTS
+    * back (k rows); the election is a map-side min-struct per group — no
+    * window. Arithmetic contract: centroid components round 6 (the
+    * [[KMeans]] convention), centroid cosine via the double HOF fold
+    * (NOT the float32 codegen expression — the centroid is a rounded
+    * double vector and must not be re-quantized), rounded 4 before the
+    * min so the elected member is engine-stable. */
+  def resolveGroups(df: DataFrame, vecCol: String, idCol: String,
+                    k: Int, iters: Int, threshold: Double): DataFrame = {
+    val assigned = KMeans.assign(df, vecCol, idCol, k, iters)
+    val av = assigned
+      .join(df.select(col(idCol), col(vecCol)), idCol)
+      .select(col(idCol).as("id"), col("cluster"),
+        col(vecCol).cast("array<double>").as("v"))
+    val comps = Dedup.connectedComponents(
+      pairSims(av, threshold).select(col("id1"), col("id2")))
+    val cent = av.select(col("cluster"), posexplode(col("v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(round(avg(col("col")), 6).as("m"))
+      .groupBy(col("cluster"))
+      .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
+      .select(col("cluster"),
+        transform(array_sort(col("pm")), p => p.getField("m")).as("cent"))
+    val sim = av.join(broadcast(cent), "cluster")
+      .withColumn("csim",
+        round(graft.functions.VectorFunctions.cosineSimilarityHof(
+          col("v"), col("cent")), 4))
+    comps.join(sim, comps("id") === sim("id"))
+      .groupBy(col("comp"))
+      .agg(min(struct(col("csim"), sim("id"))).as("kept"),
+        count(lit(1)).as("n_members"))
+      .select(col("comp").as("cluster_id"),
+        col("kept.id").as("keep_id"),
+        col("kept.csim").as("keep_csim"),
+        col("n_members"))
+  }
+
   private def pairSims(av: DataFrame, threshold: Double): DataFrame = {
     val a = av.select(col("id").as("id1"), col("cluster"), col("v").as("v1"))
     val b = av.select(col("id").as("id2"), col("cluster").as("__c2"), col("v").as("v2"))

@@ -56,6 +56,27 @@ class SemDedupSpec extends AnyFunSuite {
     pruned.unpersist(); pairs.unpersist()
   }
 
+  test("resolveGroups elects the lowest-centroid-similarity member per dup group") {
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val groups = SemDedup.resolveGroups(emb, "embedding", "vec_id",
+      k = 8, iters = 2, threshold = 0.4).collect()
+    assert(groups.nonEmpty)
+    // groups must partition exactly the docs that appear in some pair
+    val pairs = SemDedup.pairs(emb, "embedding", "vec_id", 8, 2, 0.4)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(groups.map(_.getLong(3)).sum === inPairs.size.toLong,
+      "group sizes must sum to the number of pair-touched docs")
+    groups.foreach { g =>
+      assert(inPairs.contains(g.getLong(1)), "keeper must be a pair-touched doc")
+      assert(g.getLong(3) >= 2, "a dup group has at least two members")
+    }
+    // the election is NOT keep-lowest-id (it actually uses centroid sim):
+    // at least one group must keep a non-minimal id on this fixture
+    assert(groups.exists(g => g.getLong(1) != g.getLong(0)),
+      "fixture must exercise the centroid-similarity election")
+  }
+
   test("cluster assignment matches KMeans.assign (pruning never re-clusters)") {
     val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
     val fromPrune = SemDedup.prune(emb, "embedding", "vec_id",
