@@ -1496,6 +1496,28 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Curation pipeline v2 — the session's new families composed as ONE
+    // plan: classifier gate (logistic score >= 0.5) -> semantic near-dup
+    // prune (docs without an embedding pass through) -> temperature
+    // rebalance with weights recomputed ON THE SURVIVORS. The oracle
+    // replays all three stages in prefixed CTE chains; drift in any one
+    // hash-fails the composite.
+    "pipeline_curation_v2" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val quality = QualityClassifier.score(docs, "text", "doc_id")
+        .where(col("keep")).select(col("doc_id"))
+      val semDropped = SemDedup.prune(t(s, d, "embeddings"), "embedding",
+          "vec_id", k = 8, iters = 2, threshold = 0.4)
+        .where(!col("kept")).select(col("vec_id").as("doc_id"))
+      val survivors = docs
+        .join(quality, Seq("doc_id"), "left_semi")
+        .join(semDropped, Seq("doc_id"), "left_anti")
+      val w = Sampling.temperatureWeights(survivors, col("lang"), alpha = 0.5)
+      Sampling.mixture(survivors, col("doc_id"), col("lang"), w, salt = "cur2")
+        .select(col("doc_id"), col("lang"), col("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
     // the paper's group election on top: pair graph -> connected dup
     // groups -> keep the lowest-centroid-similarity member per group. The
     // oracle replays clustering, pairs, RECURSIVE closure, final-round
@@ -2657,6 +2679,53 @@ object SparkEntry {
     "dedup_semantic" -> semDedupOracleSql,
 
     "embedding_power_iteration" -> pcaOracleSql,
+
+    // classifier chain (q_-prefixed, = quality_classifier), kmeans+pair
+    // chain (= dedup_semantic), temperature chain over SURVIVORS
+    // (t_-prefixed, = sample_mixture_temperature with salt cur2).
+    "pipeline_curation_v2" ->
+      s"""WITH q_toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> len(t) > 0)) AS tok FROM documents),
+         |q_h AS (SELECT doc_id, md5(tok || '#42') AS hx FROM q_toks),
+         |q_w AS (SELECT doc_id,
+         |        CAST(((strpos('0123456789abcdef', substr(hx,1,1)) - 1) * 16 +
+         |              (strpos('0123456789abcdef', substr(hx,2,1)) - 1)) % 64 AS INT) AS bucket,
+         |        CASE WHEN (strpos('0123456789abcdef', substr(hx,3,1)) - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign
+         |      FROM q_h),
+         |q_agg AS (SELECT doc_id, bucket, sum(sign) AS w FROM q_w GROUP BY doc_id, bucket HAVING sum(sign) <> 0),
+         |q_n AS (SELECT doc_id, sqrt(sum(w*w)) AS norm FROM q_agg GROUP BY doc_id),
+         |q_comp AS (SELECT a.doc_id, a.bucket, round(a.w / n.norm, 4) AS component
+         |           FROM q_agg a JOIN q_n n USING (doc_id)),
+         |q_wh AS (SELECT CAST(i AS INT) AS bucket, md5('qw#' || CAST(i AS VARCHAR)) AS mh
+         |         FROM (SELECT unnest(generate_series(0, 63)) AS i)),
+         |q_wt AS (SELECT bucket, round(${hexToBigintSql("mh", 1)} / 4294967296.0 - 0.5, 6) AS wgt FROM q_wh),
+         |q_m AS (SELECT doc_id, round(sum(component * wgt), 6) AS margin
+         |        FROM q_comp JOIN q_wt USING (bucket) GROUP BY doc_id),
+         |q_keep AS (SELECT doc_id FROM q_m WHERE round(1.0 / (1.0 + exp(-margin)), 4) >= 0.5),
+         |$kmeansCtePrefix,
+         |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.v AS v1, b.v AS v2
+         |      FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+         |z AS (SELECT id1, id2, unnest(v1) AS x, unnest(v2) AS y FROM p),
+         |sc AS (SELECT id1, id2, sum(x*y) AS dp, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+         |       FROM z GROUP BY id1, id2),
+         |dup AS (SELECT DISTINCT id2 FROM sc
+         |        WHERE round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) >= 0.4),
+         |surv AS (SELECT d.doc_id, d.lang FROM documents d
+         |         JOIN q_keep USING (doc_id)
+         |         WHERE d.doc_id NOT IN (SELECT id2 FROM dup)),
+         |t_cnt AS (SELECT lang, count(*) AS c FROM surv GROUP BY lang),
+         |t_tot AS (SELECT sum(c) AS t FROM t_cnt),
+         |t_z AS (SELECT list_reduce(list(sqrt(c * 1.0 / t) ORDER BY lang), (x, y) -> x + y) AS z
+         |        FROM t_cnt CROSS JOIN t_tot),
+         |t_wt AS (SELECT lang, round(sqrt(c * 1.0 / t) / z / (c * 1.0 / t), 6) AS w
+         |         FROM t_cnt CROSS JOIN t_tot CROSS JOIN t_z),
+         |t_wi AS (SELECT lang, CAST(floor(w) AS BIGINT) AS fw,
+         |                CAST(floor((w - floor(w)) * 4294967296) AS BIGINT) AS thr FROM t_wt),
+         |t_d AS (SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR) || ':cur2'), 1, 8) AS mh FROM surv),
+         |t_di AS (SELECT doc_id, lang, ${hexToBigintSql("mh", 1)} AS drawi FROM t_d),
+         |t_n AS (SELECT di.doc_id, di.lang, w2.fw + CASE WHEN di.drawi < w2.thr THEN 1 ELSE 0 END AS nc
+         |        FROM t_di di JOIN t_wi w2 ON di.lang = w2.lang),
+         |t_x AS (SELECT doc_id, lang, unnest(generate_series(1, nc)) AS copy_idx FROM t_n WHERE nc >= 1)
+         |SELECT doc_id, lang, copy_idx FROM t_x ORDER BY doc_id, copy_idx""".stripMargin,
 
     // clustering + pairs (as dedup_semantic) + WITH RECURSIVE closure (as
     // dedup_clusters) + final-round centroids (the KMeans update CTE) +
