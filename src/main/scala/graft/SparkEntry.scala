@@ -1586,6 +1586,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Rendezvous sharding (operators/Sharding): stable key->shard routing
+    // with the HRW minimal-movement contract IN-QUERY — the same corpus
+    // assigned under 5 and under 6 shards; every moved key must have moved
+    // TO the new shard (the `moved_to_new` column the oracle re-derives).
+    "shard_assignment" -> ((s, d) => {
+      val five = (0 until 5).map(i => s"s$i")
+      val six = (0 until 6).map(i => s"s$i")
+      t(s, d, "documents").select(col("doc_id"),
+          Sharding.rendezvousShard(col("doc_id"), five).as("shard5"),
+          Sharding.rendezvousShard(col("doc_id"), six).as("shard6"))
+        .withColumn("moved", col("shard5") =!= col("shard6"))
+        .withColumn("moved_to_new", !col("moved") || (col("shard6") === "s5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Classifier-based quality filtering (operators/QualityClassifier —
     // the GPT-3-style linear quality model at inference): sparse
     // hashing-trick features ⋈ broadcast weight table -> logistic score.
@@ -3280,6 +3295,29 @@ object SparkEntry {
         |SELECT a.doc_id, a.bucket, round(a.w / n.norm, 4) AS component
         |FROM agg a JOIN n USING (doc_id)
         |ORDER BY doc_id, bucket""".stripMargin,
+
+    // HRW replay: per (doc, shard) weight = first-8-md5-hex of key@shard,
+    // argmax with (h desc, shard desc) = Spark's greatest(struct) order.
+    "shard_assignment" ->
+      s"""WITH sh5(s) AS (VALUES ('s0'), ('s1'), ('s2'), ('s3'), ('s4')),
+         |sh6(s) AS (VALUES ('s0'), ('s1'), ('s2'), ('s3'), ('s4'), ('s5')),
+         |w5 AS (SELECT doc_id, s, ${hexToBigintSql("mh", 1)} AS h FROM
+         |       (SELECT doc_id, s, md5(CAST(doc_id AS VARCHAR) || '@' || s) AS mh
+         |        FROM documents CROSS JOIN sh5)),
+         |a5 AS (SELECT doc_id, s AS shard5 FROM
+         |       (SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn FROM w5)
+         |       WHERE rn = 1),
+         |w6 AS (SELECT doc_id, s, ${hexToBigintSql("mh", 1)} AS h FROM
+         |       (SELECT doc_id, s, md5(CAST(doc_id AS VARCHAR) || '@' || s) AS mh
+         |        FROM documents CROSS JOIN sh6)),
+         |a6 AS (SELECT doc_id, s AS shard6 FROM
+         |       (SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn FROM w6)
+         |       WHERE rn = 1)
+         |SELECT d.doc_id, a5.shard5, a6.shard6,
+         |       a5.shard5 <> a6.shard6 AS moved,
+         |       (a5.shard5 = a6.shard6) OR a6.shard6 = 's5' AS moved_to_new
+         |FROM documents d JOIN a5 USING (doc_id) JOIN a6 USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // same feature CTEs as embed_hashed_sparse, then the md5-seeded weight
     // table ((h/2^32)-0.5, round 6 — /2^32 is exact), broadcast-shaped join,
