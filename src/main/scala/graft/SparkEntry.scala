@@ -1621,6 +1621,17 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"), col("fp"))
     }),
 
+    // the join those fingerprints exist for: docs sharing >= 3 selected
+    // fps are near-dup candidates (fp-bucket join at ~2/(w+1) gram
+    // density). maxFpFreq=16 is ACTIVE at sf0.1 (max fp frequency 24), so
+    // the hot-fp stop cut is part of what the oracle checks, not dead
+    // config. Oracle = winnow CTEs + the same cut + distinct-fp pair count.
+    "dedup_winnow_pairs" -> ((s, d) => {
+      Dedup.winnowCandidatePairs(t(s, d, "documents"), "text", "doc_id",
+          gram = 3, window = 4, minShared = 3, maxFpFreq = 16)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // ---------------- events: windows, JSON, sessions, history ----------------
 
     "events_window_agg" -> ((s, d) => {
@@ -3702,6 +3713,26 @@ object SparkEntry {
          |         GROUP BY wmin.doc_id, wmin.j, wmin.fp)
          |SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, fp
          |FROM wpos ORDER BY doc_id, pos, fp""".stripMargin,
+
+    // winnow CTEs + distinct (doc, fp) + the <=16 hot-fp cut + pair count.
+    "dedup_winnow_pairs" ->
+      s"""WITH wds AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ws FROM documents),
+         |gr AS (SELECT doc_id, i, md5(array_to_string(ws[i+1:i+3], ' ')) AS mh
+         |       FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 3)) AS i
+         |             FROM wds WHERE len(ws) >= 3)),
+         |g AS (SELECT doc_id, i, ${hexToBigintSql("mh", 1)} AS h FROM gr),
+         |n AS (SELECT doc_id, count(*) AS n3 FROM g GROUP BY doc_id),
+         |wj AS (SELECT doc_id, unnest(generate_series(0, CAST(n3 AS INT) - 4)) AS j FROM n WHERE n3 >= 4),
+         |wmin AS (SELECT wj.doc_id, wj.j, min(g.h) AS fp
+         |         FROM wj JOIN g ON g.doc_id = wj.doc_id AND g.i BETWEEN wj.j AND wj.j + 3
+         |         GROUP BY 1, 2),
+         |sel AS (SELECT DISTINCT doc_id, fp FROM wmin),
+         |freq AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 16),
+         |kept AS (SELECT s.doc_id, s.fp FROM sel s JOIN freq USING (fp))
+         |SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY id1, id2""".stripMargin,
 
     "events_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -211,6 +211,34 @@ object Dedup {
       .select(col(idCol), col("sel._1").as("pos"), col("sel._2").as("fp"))
   }
 
+  /** Candidate near-dup pairs from shared winnowing fingerprints — the
+    * join [[winnowFingerprints]] exists to feed: docs sharing >=
+    * `minShared` selected fingerprints are candidates (any shared run of
+    * gram+window-1 words guarantees a shared fp, so recall for long
+    * overlaps is structural, not probabilistic). The join keys on `fp` —
+    * selected-fingerprint buckets, ~2/(window+1) the density of a full
+    * gram join — and the pair agg counts distinct shared fps. Hot
+    * fingerprints (boilerplate) are the skew risk at corpus scale:
+    * `maxFpFreq` drops fps shared by more than that many docs before the
+    * pair join (the standard stop-gram cut; dropped fps can only LOWER
+    * the shared count, never invent a pair). */
+  def winnowCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+                           gram: Int = 3, window: Int = 4,
+                           minShared: Int = 2,
+                           maxFpFreq: Int = 1000): DataFrame = {
+    val fps = winnowFingerprints(df, textCol, idCol, gram, window)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+    val freqOk = fps.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxFpFreq).select(col("fp"))
+    val kept = fps.join(freqOk, "fp")
+    val a = kept.select(col("fp"), col("id").as("id1"))
+    val b = kept.select(col("fp"), col("id").as("id2"))
+    a.join(b, Seq("fp")).where(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** MinHash signature: sig_i = min over shingles of md5(shingle || '#' || i).
     * A string-min hash family — portable across engines (md5 + lexicographic
     * min are identical everywhere), order-independent, deterministic. */

@@ -193,6 +193,35 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("rendezvous sharding is a pure narrow expression: zero exchanges") {
+    val df = SparkEntry.queries("shard_assignment")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the only exchange allowed is the final orderBy's range partitioning
+    val exchanges = "Exchange".r.findAllIn(p).size
+    val range = "rangepartitioning".r.findAllIn(p).size
+    assert(exchanges === range, s"shard routing itself must not shuffle:\n$p")
+  }
+
+  test("curation composite: no cartesian; semi/anti gates, broadcast models") {
+    val df = SparkEntry.queries("pipeline_curation_v2")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    val bcast = "BroadcastExchange".r.findAllIn(p).size
+    assert(bnlj <= bcast, s"non-broadcast nested loop in\n$p")
+  }
+
+  test("winnow pair join keys on the fingerprint (equi hash join, no BNLJ)") {
+    val df = SparkEntry.queries("dedup_winnow_pairs")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("fp"), p)
+  }
+
   test("unicode normalization expressions stay inside whole-stage codegen") {
     val df = SparkEntry.queries("text_normalize_unicode")(spark, TestSpark.sf)
     df.collect()
