@@ -1509,9 +1509,12 @@ object SparkEntry {
       val semDropped = SemDedup.prune(t(s, d, "embeddings"), "embedding",
           "vec_id", k = 8, iters = 2, threshold = 0.4)
         .where(!col("kept")).select(col("vec_id").as("doc_id"))
+      // two actions consume the survivor set (the weight collect and the
+      // final mixture) — materialize the classifier+prune work once
       val survivors = docs
         .join(quality, Seq("doc_id"), "left_semi")
         .join(semDropped, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
       val w = Sampling.temperatureWeights(survivors, col("lang"), alpha = 0.5)
       Sampling.mixture(survivors, col("doc_id"), col("lang"), w, salt = "cur2")
         .select(col("doc_id"), col("lang"), col("copy_idx"))
@@ -1556,6 +1559,17 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))
+    }),
+
+    // label-quality audit: the n-gram language-ID heuristic against the
+    // fixture's labeled lang — the confusion matrix every corpus pipeline
+    // reports before trusting either side. One (label, pred)-keyed agg.
+    "lang_id_confusion" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))
     }),
 
     "quality_score" -> ((s, d) => {
@@ -3672,6 +3686,25 @@ object SparkEntry {
         |  WHEN s_fr = best AND best > 0 THEN 'fr'
         |  ELSE 'und' END AS lang_pred
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // lang_id chain + the label join + (label, pred) count.
+    "lang_id_confusion" ->
+      """WITH w AS (SELECT doc_id, lang, text, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |sc AS (SELECT doc_id, lang, text,
+        |  len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','was','for','with'))) AS s_en,
+        |  len(list_filter(ws, x -> x IN ('el','la','de','y','en','es','un','una','por','con'))) AS s_es,
+        |  len(list_filter(ws, x -> x IN ('der','die','das','und','ist','ein','eine','mit','von','zu'))) AS s_de,
+        |  len(list_filter(ws, x -> x IN ('le','les','et','est','dans','pour','que','qui','sur','pas'))) AS s_fr
+        |  FROM w),
+        |p AS (SELECT doc_id, lang, text, greatest(s_en, s_es, s_de, s_fr) AS best, s_en, s_es, s_de, s_fr FROM sc),
+        |pred AS (SELECT lang, CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |  WHEN s_en = best AND best > 0 THEN 'en'
+        |  WHEN s_es = best AND best > 0 THEN 'es'
+        |  WHEN s_de = best AND best > 0 THEN 'de'
+        |  WHEN s_fr = best AND best > 0 THEN 'fr'
+        |  ELSE 'und' END AS lang_pred FROM p)
+        |SELECT lang, lang_pred, count(*) AS n FROM pred
+        |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
 
     "quality_score" ->
       s"""WITH w AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ws FROM documents),

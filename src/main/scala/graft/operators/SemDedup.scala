@@ -88,11 +88,29 @@ object SemDedup {
     * min so the elected member is engine-stable. */
   def resolveGroups(df: DataFrame, vecCol: String, idCol: String,
                     k: Int, iters: Int, threshold: Double): DataFrame = {
+    // the pair graph and its component labels are dup-set-sized (orders of
+    // magnitude below the corpus) — scope the shuffle width down for the
+    // iterative section, as GraphAnn.beamVisited does for its walk
+    val spark = df.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try resolveGroupsImpl(df, vecCol, idCol, k, iters, threshold)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def resolveGroupsImpl(df: DataFrame, vecCol: String, idCol: String,
+                                k: Int, iters: Int, threshold: Double): DataFrame = {
     val assigned = KMeans.assign(df, vecCol, idCol, k, iters)
+    // three consumers fan out from the assignment (pair graph, centroids,
+    // similarity scoring) and connectedComponents adds iterative actions on
+    // top — materialize the Lloyd run ONCE (the same lineage-truncation
+    // discipline connectedComponents itself applies per round) instead of
+    // re-running it per consumer.
     val av = assigned
       .join(df.select(col(idCol), col(vecCol)), idCol)
       .select(col(idCol).as("id"), col("cluster"),
         col(vecCol).cast("array<double>").as("v"))
+      .localCheckpoint()
     val comps = Dedup.connectedComponents(
       pairSims(av, threshold).select(col("id1"), col("id2")))
     val cent = av.select(col("cluster"), posexplode(col("v")))
