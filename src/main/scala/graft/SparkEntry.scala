@@ -1760,6 +1760,24 @@ object SparkEntry {
     // data-profiling primitive. One tiny min/max agg broadcast back, then
     // a map-side-combinable bucket count — the entire corpus pass is
     // narrow. Bucket arithmetic is plain double math both engines share.
+    // PSI drift monitor (CorpusStats.psi): a null comparison (even vs odd
+    // event ids — same distribution, PSI ~ 0) next to a synthetic 1.5x
+    // scale shift that must trip the 0.1 drift threshold — both directions
+    // falsifiable, both replayed by the oracle bucket-for-bucket.
+    "corpus_drift_psi" -> ((s, d) => {
+      val ev = events(s, d)
+      val ref = ev.where(pmod(col("event_id"), lit(2)) === 0)
+      val cur = ev.where(pmod(col("event_id"), lit(2)) === 1)
+      val self = CorpusStats.psi(ref, cur, "value")
+        .withColumn("comparison", lit("split_half"))
+      val shifted = CorpusStats.psi(ref,
+          cur.withColumn("value", col("value") * 1.5), "value")
+        .withColumn("comparison", lit("scaled_1_5"))
+      self.unionByName(shifted)
+        .select(col("comparison"), col("psi"), (col("psi") > 0.1).as("drifted"))
+        .orderBy(col("comparison"))
+    }),
+
     "events_histogram" -> ((s, d) => {
       // NULL values are excluded up front (a profiling histogram that
       // silently counts NULLs into a bucket lies about that bucket), and
@@ -4004,6 +4022,38 @@ object SparkEntry {
         |SELECT user_id, session_seq, count(*) AS n_events, min(ts) AS session_start,
         | max(ts) AS session_end, round(sum(value),4) AS session_value
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    // bucket cut, +0.5 smoothing, p/q round 6, PSI round 4 — the
+    // CorpusStats.psi arithmetic twice (null split and 1.5x shift).
+    "corpus_drift_psi" ->
+      """WITH e AS (SELECT event_id, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT v FROM e WHERE event_id % 2 = 0),
+        |c1 AS (SELECT v FROM e WHERE event_id % 2 = 1),
+        |c2 AS (SELECT v * 1.5 AS v FROM e WHERE event_id % 2 = 1),
+        |bd AS (SELECT min(v) AS lo, max(v) AS hi FROM r),
+        |ids AS (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS b),
+        |rc AS (SELECT CAST(least(greatest(floor((v - lo) * 10 / (hi - lo)), 0), 9) AS INT) AS b, count(*) AS n
+        |       FROM r CROSS JOIN bd GROUP BY 1),
+        |rt AS (SELECT sum(n) AS t FROM rc),
+        |rp AS (SELECT ids.b, round((coalesce(n, 0) + 0.5) / (t + 5.0), 6) AS p
+        |       FROM ids LEFT JOIN rc USING (b) CROSS JOIN rt),
+        |c1c AS (SELECT CAST(least(greatest(floor((v - lo) * 10 / (hi - lo)), 0), 9) AS INT) AS b, count(*) AS n
+        |        FROM c1 CROSS JOIN bd GROUP BY 1),
+        |c1t AS (SELECT sum(n) AS t FROM c1c),
+        |c1p AS (SELECT ids.b, round((coalesce(n, 0) + 0.5) / (t + 5.0), 6) AS q
+        |        FROM ids LEFT JOIN c1c USING (b) CROSS JOIN c1t),
+        |c2c AS (SELECT CAST(least(greatest(floor((v - lo) * 10 / (hi - lo)), 0), 9) AS INT) AS b, count(*) AS n
+        |        FROM c2 CROSS JOIN bd GROUP BY 1),
+        |c2t AS (SELECT sum(n) AS t FROM c2c),
+        |c2p AS (SELECT ids.b, round((coalesce(n, 0) + 0.5) / (t + 5.0), 6) AS q
+        |        FROM ids LEFT JOIN c2c USING (b) CROSS JOIN c2t),
+        |p1 AS (SELECT round(sum((p - q) * ln(p / q)), 4) AS psi FROM rp JOIN c1p USING (b)),
+        |p2 AS (SELECT round(sum((p - q) * ln(p / q)), 4) AS psi FROM rp JOIN c2p USING (b))
+        |SELECT comparison, psi, psi > 0.1 AS drifted FROM (
+        |  SELECT 'split_half' AS comparison, psi FROM p1
+        |  UNION ALL
+        |  SELECT 'scaled_1_5', psi FROM p2)
+        |ORDER BY comparison""".stripMargin,
 
     "events_histogram" ->
       """WITH e AS (SELECT value FROM events WHERE value IS NOT NULL),

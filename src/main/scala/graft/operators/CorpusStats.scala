@@ -302,6 +302,47 @@ object CorpusStats {
       .select(col("token"), col("n_exact"), col("n_cms"))
   }
 
+  /** Population stability index between a reference and a current sample
+    * of a numeric column — the standard drift monitor a continuously
+    * ingesting corpus runs per batch (PSI < 0.1 stable, 0.1-0.25 drifting,
+    * > 0.25 shifted). Buckets are `nBuckets` equal-width cuts of the
+    * REFERENCE range (current values outside clamp to the edge buckets —
+    * out-of-range mass must count as drift, not vanish); both histograms
+    * get +0.5 Laplace smoothing so empty buckets stay defined.
+    *
+    * Scale shape: per side one narrow bucket map + one nBuckets-bounded
+    * count agg (map-side combinable); totals re-enter as broadcast 1-row
+    * relations; the PSI fold is over nBuckets rows. The only driver values
+    * are the two reference bounds (model-sized, Lloyd cadence).
+    * Determinism: proportions round to 6, the final sum to 4 (ln is not
+    * bit-specified across engines; the grid is 11 orders above the noise).
+    */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+          nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2)
+    val spark = ref.sparkSession
+    val r = ref.agg(min(col(valueCol).cast("double")),
+      max(col(valueCol).cast("double"))).head()
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    require(hi > lo, s"degenerate reference range [$lo, $hi]")
+    val ids = broadcast(spark.range(nBuckets).select(col("id").cast("int").as("b")))
+    def dist(df0: DataFrame, pName: String): DataFrame = {
+      val df = df0.where(col(valueCol).isNotNull) // null has no bucket
+      val c = df.select(
+          least(greatest(floor((col(valueCol).cast("double") - lo) * nBuckets / (hi - lo)),
+            lit(0L)), lit((nBuckets - 1).toLong)).cast("int").as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("n"))
+      val t = c.agg(sum(col("n")).as("t"))
+      ids.join(c, Seq("b"), "left")
+        .crossJoin(broadcast(t))
+        .select(col("b"),
+          round((coalesce(col("n"), lit(0L)) + 0.5) / (col("t") + nBuckets * 0.5), 6)
+            .as(pName))
+    }
+    dist(ref, "p").join(dist(cur, "q"), "b")
+      .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 4).as("psi"))
+  }
+
   /** KM double-hash columns for a frame with a `token` column. */
   private[graft] def cmsHash(tc: DataFrame): DataFrame = tc
     .withColumn("__h1", conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"))

@@ -291,6 +291,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(tight.exists { case (_, ex, est) => est > ex })
   }
 
+  test("PSI: ~0 on the same sample, grows with shift, counts out-of-range mass in edge buckets") {
+    val xs = (1 to 2000).map(i => i.toDouble % 100)
+    val ref = xs.toDF("v")
+    def psiOf(cur: Seq[Double]): Double =
+      CorpusStats.psi(ref, cur.toDF("v"), "v").as[Double].head()
+    assert(psiOf(xs) === 0.0, "identical sample must read zero drift")
+    val p15 = psiOf(xs.map(_ * 1.15))
+    val p50 = psiOf(xs.map(_ * 1.5))
+    assert(p15 > 0.0 && p50 > p15, s"PSI must grow with shift: $p15 -> $p50")
+    // a sample entirely above the reference range clamps into the top
+    // bucket -> near-maximal drift, not an empty histogram
+    val far = psiOf(xs.map(_ + 1e6))
+    assert(far > 1.0, s"out-of-range sample must register extreme drift, got $far")
+  }
+
   test("CMS counter state is the fixed-size mergeable summary: union of halves == whole") {
     // build counters on two disjoint halves and on the union; the counter
     // tables must add cell-wise (the merge law a distributed partial-agg
