@@ -267,6 +267,10 @@ object SparkEntry {
       }.mkString(", ")
 
   private val fixedPrompt = "fast spark table scan query"
+
+  /** Fixed keyword query for the lexical/hybrid retrieval gates — common
+    * fixture-vocabulary terms so every SF produces a contested ranking. */
+  private val bm25QueryTerms = Seq("spark", "join", "window", "stream")
   private val promptKw = Seq("fast", "spark", "table", "scan", "query")
   private val promptKwSql = promptKw.map(w => s"'$w'").mkString(", ")
 
@@ -1428,6 +1432,82 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Binary (sign-bit) quantization ANN (see [[BinaryQuant]]): each 64-dim
+    // float vector becomes two 32-bit integer words (32x smaller); stage 1
+    // sweeps Hamming distance over the packed words (TopKBy bounded-buffer,
+    // candidates=32), stage 2 exact-cosine re-ranks only those candidates.
+    // The pack is an integer Horner fold — both engines replay it
+    // bit-exactly, so this APPROXIMATE index is still fully hash-checked.
+    "ann_binary_hamming" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      BinaryQuant.hammingTopK(emb, qs, k = 10, candidates = 32)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Metadata-filtered vector search — the reference's Redis "hybrid
+    // query" capability (filter + KNN in one request). The label predicate
+    // is pushed into the parquet scan (PushedFilters, pinned in
+    // PlanPropertiesSpec), so at 100 TB the corpus scan prunes row groups
+    // BEFORE any vector is scored.
+    "ann_filtered" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      SimilaritySearch.bruteForceTopK(emb.where(col("label") === 1), qs, k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Lexical BM25 ranked retrieval (see [[Bm25.topK]]): tf/df/avgdl as
+    // map-side-combinable aggs, corpus constants broadcast, token stream
+    // pruned to query terms BEFORE the tf shuffle, TopKBy final cut.
+    "bm25_topk" -> ((s, d) => {
+      Bm25.topK(t(s, d, "documents"), "text", "doc_id", bm25QueryTerms, k = 10)
+        .orderBy(col("rank"))
+    }),
+
+    // Sharded inverted index (see [[Bm25.postings]]): posting-list row width
+    // bounded by doc_id % nShards sharding (a stopword's postings spread
+    // over nShards reducers; conjunctive intersection stays same-key).
+    // Posting arrays are md5'd on BOTH sides — the gate compares the full
+    // list contents without relying on array hashing in the harness.
+    "inverted_postings" -> ((s, d) => {
+      Bm25.postings(t(s, d, "documents"), "text", "doc_id", nShards = 4)
+        .select(col("term"), col("shard"), col("df_shard"),
+          md5(concat_ws(",", transform(col("doc_ids"), _.cast("string"))))
+            .as("doc_ids_md5"),
+          md5(concat_ws(",", transform(col("tfs"), _.cast("string"))))
+            .as("tfs_md5"))
+        .orderBy(col("term"), col("shard"))
+    }),
+
+    // Hybrid search: BM25 top-50 + exact-cosine top-50 (query = vec 7's
+    // embedding; doc_id and vec_id share the id space in this fixture),
+    // fused by reciprocal-rank fusion (see [[Bm25.rrfFuse]]). Both inputs
+    // are k-bounded lists, so the fusion join is broadcast-sized regardless
+    // of corpus size.
+    "hybrid_rrf" -> ((s, d) => {
+      val lex = Bm25.topK(t(s, d, "documents"), "text", "doc_id",
+        bm25QueryTerms, k = 50)
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") === 7)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val vec = SimilaritySearch.bruteForceTopK(emb, qs, k = 50)
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      Bm25.rrfFuse(lex.select(col("doc_id"), col("rank")), vec, "doc_id", k = 10)
+        .orderBy(col("rank"))
+    }),
+
+    // PMI collocations (see [[CorpusStats.pmiCollocations]]): corpus
+    // unigram/bigram counts as partial-agg hash aggs, vocabulary-sized
+    // broadcast joins, TakeOrdered top-N.
+    "pmi_collocations" -> ((s, d) => {
+      CorpusStats.pmiCollocations(t(s, d, "documents"), "text",
+          minCount = 5, topN = 20)
+        .orderBy(desc("pmi"), col("w1"), col("w2"))
+    }),
+
     // approximate (recall<1 by design, like the reference's HNSW) — but the
     // bucketing is a pure function of the seeded hyperplanes, so the oracle
     // replicates it bit-for-bit from literal plane values: a fully
@@ -1503,18 +1583,9 @@ object SparkEntry {
     // replays all three stages in prefixed CTE chains; drift in any one
     // hash-fails the composite.
     "pipeline_curation_v2" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val quality = QualityClassifier.score(docs, "text", "doc_id")
-        .where(col("keep")).select(col("doc_id"))
-      val semDropped = SemDedup.prune(t(s, d, "embeddings"), "embedding",
-          "vec_id", k = 8, iters = 2, threshold = 0.4)
-        .where(!col("kept")).select(col("vec_id").as("doc_id"))
       // two actions consume the survivor set (the weight collect and the
       // final mixture) — materialize the classifier+prune work once
-      val survivors = docs
-        .join(quality, Seq("doc_id"), "left_semi")
-        .join(semDropped, Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+      val survivors = curationSurvivors(s, d).localCheckpoint()
       val w = Sampling.temperatureWeights(survivors, col("lang"), alpha = 0.5)
       Sampling.mixture(survivors, col("doc_id"), col("lang"), w, salt = "cur2")
         .select(col("doc_id"), col("lang"), col("copy_idx"))
@@ -2600,6 +2671,22 @@ object SparkEntry {
     (head +: rounds).mkString(",\n")
   }
 
+  /** The curation composite's survivor stage (classifier gate ∘ semantic
+    * prune), un-checkpointed: the `pipeline_curation_v2` query materializes
+    * it once via localCheckpoint (two downstream actions), which truncates
+    * the executed plan — so PlanPropertiesSpec asserts the semi/anti-gate
+    * plan shape on THIS frame, pre-checkpoint. */
+  private[graft] def curationSurvivors(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val quality = QualityClassifier.score(docs, "text", "doc_id")
+      .where(col("keep")).select(col("doc_id"))
+    val semDropped = SemDedup.prune(t(s, d, "embeddings"), "embedding",
+        "vec_id", k = 8, iters = 2, threshold = 0.4)
+      .where(!col("kept")).select(col("vec_id").as("doc_id"))
+    docs.join(quality, Seq("doc_id"), "left_semi")
+      .join(semDropped, Seq("doc_id"), "left_anti")
+  }
+
   /** Shared by the graph queries: the source-pair overlap matrix on the
     * 8-word-prefix fingerprint (same definition as `source_overlap`). */
   private def sourceFpOverlap(s: SparkSession, d: String): DataFrame = {
@@ -2624,6 +2711,30 @@ object SparkEntry {
       |rr AS (SELECT q_id, vec_id, similarity,
       |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)
       |SELECT q_id, vec_id, similarity, rank FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  /** BM25 replay CTEs, `p`-prefixed so they compose inside other oracles
+    * (the hybrid fusion chains them next to the cosine replay). The
+    * arithmetic mirrors [[graft.operators.Bm25.topK]] term for term: the
+    * non-exact literals are written as the SAME double expressions the
+    * Scala side folds ((1.2 + 1.0); 0.25/0.75 are exact), dl sums are
+    * integer-valued doubles (order-proof), and the one cross-row double sum
+    * rounds to 4 — the repo-wide convention. */
+  private def bm25OracleCtes(p: String): String =
+    s"""${p}docs AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks FROM documents),
+       |${p}dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM ${p}docs),
+       |${p}stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl FROM ${p}dl),
+       |${p}qt AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM ${p}docs)
+       |  WHERE term IN ('spark','join','window','stream') GROUP BY doc_id, term),
+       |${p}dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df_t FROM ${p}qt GROUP BY term),
+       |${p}sc AS (SELECT q.doc_id,
+       |    ln(1.0 + (s.n_docs - f.df_t + 0.5) / (f.df_t + 0.5)) *
+       |    (q.tf * (1.2 + 1.0)) /
+       |    (q.tf + 1.2 * (0.25 + 0.75 * d.dl / (s.sum_dl / s.n_docs))) AS contrib
+       |  FROM ${p}qt q JOIN ${p}dfreq f USING (term) JOIN ${p}dl d USING (doc_id) CROSS JOIN ${p}stats s),
+       |${p}agg AS (SELECT doc_id, round(sum(contrib), 4) AS score FROM ${p}sc GROUP BY doc_id),
+       |${p}rank AS (SELECT doc_id, score,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank FROM ${p}agg)""".stripMargin
 
   /** graph_pagerank oracle: the five PageRank iterations UNROLLED as CTEs
     * over the source fingerprint-overlap graph. Teleport is written
@@ -3683,6 +3794,111 @@ object SparkEntry {
          |SELECT q_id, vec_id, similarity, rank FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     "ann_bruteforce_batch" -> exactAnnTopKSql,
+
+    // Replays BinaryQuant.hammingTopK: sign-bit pack as exact integer
+    // arithmetic (b * 2^i sums — the same words the Spark Horner fold
+    // produces), XOR+popcount Hamming, the 32-candidate cut on
+    // (hamming, vec_id), then the exact-cosine re-rank of candidates only.
+    "ann_binary_hamming" ->
+      """WITH pos AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |bits AS (SELECT e.vec_id, p.i,
+        |  CASE WHEN e.embedding[p.i + 1] >= 0 THEN 1::BIGINT ELSE 0::BIGINT END AS b
+        |  FROM embeddings e CROSS JOIN pos p),
+        |packed AS (SELECT vec_id,
+        |  CAST(sum(CASE WHEN i < 32 THEN b * CAST(2 ** i AS BIGINT) ELSE 0 END) AS BIGINT) AS h0,
+        |  CAST(sum(CASE WHEN i >= 32 THEN b * CAST(2 ** (i - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS h1
+        |  FROM bits GROUP BY vec_id),
+        |qp AS (SELECT vec_id AS q_id, h0 AS qh0, h1 AS qh1 FROM packed WHERE vec_id < 5),
+        |hd AS (SELECT q.q_id, p.vec_id,
+        |  CAST(bit_count(xor(p.h0, q.qh0)) + bit_count(xor(p.h1, q.qh1)) AS INT) AS hamming
+        |  FROM packed p CROSS JOIN qp q WHERE p.vec_id <> q.q_id),
+        |cand AS (SELECT q_id, vec_id, hamming,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rn FROM hd
+        |  QUALIFY rn <= 32),
+        |z AS (SELECT c.q_id, c.vec_id, c.hamming, unnest(e.embedding) AS a, unnest(qe.embedding) AS b
+        |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+        |              JOIN embeddings qe ON c.q_id = qe.vec_id),
+        |sc AS (SELECT q_id, vec_id, min(hamming) AS hamming,
+        |  sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
+        |  sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
+        |  sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
+        |  FROM z GROUP BY q_id, vec_id),
+        |r AS (SELECT q_id, vec_id, hamming,
+        |  round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM sc),
+        |rr AS (SELECT q_id, vec_id, hamming, similarity,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)
+        |SELECT q_id, vec_id, hamming, similarity, rank FROM rr WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    // exactAnnTopKSql with the metadata predicate on the corpus side only
+    // (queries stay unfiltered — a query vector needn't satisfy its own
+    // filter).
+    "ann_filtered" ->
+      """WITH qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |z AS (SELECT q.q_id, e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+        |      FROM embeddings e, qs q WHERE e.vec_id <> q.q_id AND e.label = 1),
+        |s AS (SELECT q_id, vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
+        |             sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
+        |             sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
+        |      FROM z GROUP BY q_id, vec_id),
+        |r AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM s),
+        |rr AS (SELECT q_id, vec_id, similarity,
+        |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)
+        |SELECT q_id, vec_id, similarity, rank FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "bm25_topk" ->
+      s"""WITH ${bm25OracleCtes("b_")}
+         |SELECT CAST(0 AS BIGINT) AS q_id, doc_id, score, rank FROM b_rank
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "inverted_postings" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id)
+        |SELECT term, CAST(doc_id % 4 AS INT) AS shard, count(*) AS df_shard,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS doc_ids_md5,
+        |  md5(string_agg(CAST(tf AS VARCHAR), ',' ORDER BY doc_id)) AS tfs_md5
+        |FROM tf GROUP BY term, shard ORDER BY term, shard""".stripMargin,
+
+    // BM25 chain (b_) + cosine chain for query vector 7 (v_) + reciprocal
+    // rank fusion: both reciprocals divide exactly as in the Spark side
+    // (integer-valued doubles), summed lexical-then-vector, round(6).
+    "hybrid_rrf" ->
+      s"""WITH ${bm25OracleCtes("b_")},
+         |v_z AS (SELECT e.vec_id, unnest(e.embedding) AS a, unnest(q.embedding) AS b
+         |        FROM embeddings e, embeddings q WHERE q.vec_id = 7 AND e.vec_id <> 7),
+         |v_s AS (SELECT vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
+         |        sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
+         |        sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb FROM v_z GROUP BY vec_id),
+         |v_r AS (SELECT vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM v_s),
+         |v_rank AS (SELECT vec_id,
+         |  CAST(row_number() OVER (ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM v_r),
+         |b_top AS (SELECT doc_id, rank FROM b_rank WHERE rank <= 50),
+         |v_top AS (SELECT vec_id, rank FROM v_rank WHERE rank <= 50),
+         |fuse AS (SELECT coalesce(b.doc_id, v.vec_id) AS doc_id,
+         |    round(coalesce(1.0 / (60 + b.rank), 0) + coalesce(1.0 / (60 + v.rank), 0), 6) AS rrf_score
+         |  FROM b_top b FULL OUTER JOIN v_top v ON b.doc_id = v.vec_id),
+         |rr AS (SELECT doc_id, rrf_score,
+         |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank FROM fuse)
+         |SELECT doc_id, rrf_score, rank FROM rr WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // Replays CorpusStats.pmiCollocations: U/B totals from per-doc token
+    // counts (integer-valued double sums — order-proof), min-count cut,
+    // vocabulary joins, the identical pmi expression tree, round(4).
+    "pmi_collocations" ->
+      """WITH docs AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks FROM documents),
+        |uc AS (SELECT w, count(*) AS c_w FROM (SELECT unnest(toks) AS w FROM docs) GROUP BY w),
+        |tot AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS u_total,
+        |               CAST(sum(greatest(len(toks) - 1, 0)) AS DOUBLE) AS b_total FROM docs),
+        |pairs AS (SELECT unnest(generate_series(1, len(toks) - 1)) AS i, toks FROM docs),
+        |bg AS (SELECT toks[i] || ' ' || toks[i + 1] AS bgr FROM pairs),
+        |bc AS (SELECT bgr, count(*) AS c_xy FROM bg GROUP BY bgr HAVING count(*) >= 5),
+        |sp AS (SELECT string_split(bgr, ' ')[1] AS w1, string_split(bgr, ' ')[2] AS w2, c_xy FROM bc),
+        |j AS (SELECT w1, w2, c_xy,
+        |    round(ln((c_xy / tot.b_total) / ((u1.c_w / tot.u_total) * (u2.c_w / tot.u_total))), 4) AS pmi
+        |  FROM sp JOIN uc u1 ON sp.w1 = u1.w JOIN uc u2 ON sp.w2 = u2.w CROSS JOIN tot)
+        |SELECT w1, w2, c_xy, pmi FROM j ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
 
     // same oracle as the brute force: probing ALL inverted lists must
     // reproduce the exact top-k (see the query's contract comment)

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Lexical ranked retrieval — BM25 scoring, a sharded inverted index, and
+  * reciprocal-rank fusion for hybrid (lexical + vector) search.
+  *
+  * The reference is a pure vector-search engine (cosine over embeddings,
+  * `/root/reference/modules/utilities.py:368-401`); production search over
+  * the same data almost always pairs that with a lexical BM25 ranker and
+  * fuses the two lists (hybrid search). This module supplies the lexical
+  * half and the fusion, Spark-first:
+  *
+  *  - term statistics are plain map-side-combinable aggregations (tf on
+  *    (doc, term), df on the collapsed frame) — never a corpus-wide window;
+  *  - corpus constants (N, avgdl) are 1-row broadcast relations;
+  *  - the query-term filter is applied to the token stream BEFORE the tf
+  *    shuffle, so a q-term query shuffles only rows for those q terms, not
+  *    the whole token stream;
+  *  - top-k uses the bounded-buffer [[graft.functions.TopKBy]] aggregate
+  *    (partitions x k shuffle rows, no full sort).
+  */
+object Bm25 {
+
+  /** Sharded inverted index: one row per (term, doc-shard) with aligned,
+    * doc-id-sorted posting arrays (`doc_ids[i]` has term frequency
+    * `tfs[i]`).
+    *
+    * Sharding is the 100 TB design point: a single-row-per-term index makes
+    * a stopword's posting list one giant cell (unbounded row size, one hot
+    * reducer). With `doc_id % nShards` sharding, row width is bounded by
+    * shard size, hot terms spread over `nShards` reducers, and a
+    * conjunctive query still co-locates — shard s of term A only ever
+    * intersects shard s of term B, so posting intersection is a same-key
+    * join with no re-shuffle. */
+  def postings(df: DataFrame, textCol: String, idCol: String,
+               nShards: Int = 4): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val toks = Dedup.spread(df).select(col(idCol).cast("long").as("doc_id"),
+      explode(TextFunctions.wsTokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    tf.withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)).cast("int"))
+      .groupBy(col("term"), col("shard"))
+      // struct sort order = (doc_id, tf) lexicographic = doc_id order
+      // (doc_id is unique per term), so both arrays come out doc-id-sorted.
+      .agg(count(lit(1)).cast("long").as("df_shard"),
+        array_sort(collect_list(struct(col("doc_id"), col("tf")))).as("p"))
+      .select(col("term"), col("shard"), col("df_shard"),
+        transform(col("p"), x => x.getField("doc_id")).as("doc_ids"),
+        transform(col("p"), x => x.getField("tf")).as("tfs"))
+  }
+
+  /** BM25 top-k for one keyword query.
+    *
+    * Per matched (doc, term): idf = ln(1 + (N - df + 0.5) / (df + 0.5))
+    * (always > 0), tf part = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl));
+    * doc score = round(sum of contributions, 4). Every component is plain
+    * double arithmetic an ANSI oracle replays; the cross-term sum is the
+    * only order-sensitive step and the round(4) absorbs summation-order
+    * ulps (the repo-wide convention for cross-row double sums).
+    *
+    * Output: (q_id, doc_id, score, rank) with tiebreak (score desc, doc_id
+    * asc) — `q_id` tags the query so batch callers can union. */
+  def topK(df: DataFrame, textCol: String, idCol: String,
+           queryTerms: Seq[String], k: Int = 10, qId: Long = 0L,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val docs = Dedup.spread(df).select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.wsTokens(lower(col(textCol))).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    // corpus constants: one partial-aggregated row, broadcast back in
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    // prune the token stream to query terms BEFORE the (doc, term) shuffle
+    val toks = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isInCollection(queryTerms))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df_t"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 4).as("similarity"))
+      .withColumn("q_id", lit(qId))
+    SimilaritySearch.topKPerQuery(perDoc, k, "q_id", "doc_id")
+      .select(col("q_id"), col("doc_id"),
+        col("similarity").as("score"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion of two ranked lists (Cormack et al.): score =
+    * 1/(c + rank_a) + 1/(c + rank_b), a list contributing 0 where the doc is
+    * absent. Rank-based, so the two lists' score scales never need
+    * calibration — the standard hybrid-search combiner.
+    *
+    * Both inputs are top-k lists (k-bounded), so the fusion join is
+    * broadcast-sized by construction regardless of corpus size. The two
+    * reciprocals are summed in a fixed (a then b) order and rounded to 6 —
+    * bit-replayable cross-engine. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, rankCol: String = "rank",
+              c: Int = 60, k: Int = 10): DataFrame = {
+    val fa = a.select(col(idCol).as("id"), col(rankCol).cast("double").as("ra"))
+    val fb = b.select(col(idCol).as("id"), col(rankCol).cast("double").as("rb"))
+    val fused = fa.join(fb, Seq("id"), "full_outer")
+      .select(col("id"),
+        round(
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("ra")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(c.toDouble) + col("rb")), lit(0.0)),
+          6).as("similarity"))
+      .withColumn("q_id", lit(0L))
+    SimilaritySearch.topKPerQuery(fused, k, "q_id", "id")
+      .select(col("id").as(idCol), col("similarity").as("rrf_score"), col("rank"))
+  }
+}

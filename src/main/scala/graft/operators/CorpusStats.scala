@@ -347,4 +347,58 @@ object CorpusStats {
   private[graft] def cmsHash(tc: DataFrame): DataFrame = tc
     .withColumn("__h1", conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"))
     .withColumn("__h2", conv(substring(md5(col("token")), 9, 8), 16, 10).cast("long"))
+
+  /** Positional adjacent-word bigrams with multiplicity (NOT the distinct
+    * shingle set — PMI needs counts). Compiled one-pass UDF per doc, the
+    * [[Dedup.shinglesFast]] lesson: the declarative transform/slice twin is
+    * interpreted per-element and ~20x slower on the shingle hot path. */
+  private val adjacentBigrams = org.apache.spark.sql.functions.udf { (text: String) =>
+    if (text == null) Array.empty[String]
+    else {
+      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (ws.length < 2) Array.empty[String]
+      else ws.sliding(2).map(_.mkString(" ")).toArray
+    }
+  }
+
+  /** PMI-scored collocations (top-`topN` adjacent word pairs by pointwise
+    * mutual information) — the classic corpus-statistics signal for
+    * multiword expressions, tokenizer-vocabulary candidates, and boilerplate
+    * detection in a training-data pipeline.
+    *
+    * pmi(x,y) = ln( (c_xy / B) / ((c_x / U) * (c_y / U)) ) with U = total
+    * unigram tokens, B = total adjacent pairs (sum over docs of
+    * max(n_tokens - 1, 0)); pairs below `minCount` are cut (PMI's
+    * low-frequency pathology). round(4) — both engines run the identical
+    * expression tree, ln() last-ulp lands 11 orders below the grid.
+    *
+    * Scale shape: unigram and bigram counts are map-side-combinable
+    * hash aggs over narrow exploded streams; U and B are 1-row broadcast
+    * relations; the unigram join side is vocabulary-sized (broadcast);
+    * top-N is TakeOrdered (per-partition k + driver merge), never a full
+    * sort. */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long = 5, topN: Int = 20): DataFrame = {
+    val spreadDocs = Dedup.spread(df)
+    val toks = spreadDocs.select(
+      explode(graft.functions.TextFunctions.wsTokens(lower(col(textCol)))).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val totals = spreadDocs.select(
+        size(graft.functions.TextFunctions.wsTokens(lower(col(textCol)))).cast("long").as("n"))
+      .agg(sum(col("n")).cast("double").as("u_total"),
+        sum(greatest(col("n") - 1, lit(0L))).cast("double").as("b_total"))
+    val bi = spreadDocs.select(explode(adjacentBigrams(col(textCol))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= minCount)
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+    bi.join(broadcast(uni.select(col("w").as("w1"), col("c_w").as("c_x"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c_w").as("c_y"))), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        round(log((col("c_xy") / col("b_total")) /
+          ((col("c_x") / col("u_total")) * (col("c_y") / col("u_total")))), 4).as("pmi"))
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(topN)
+  }
 }

@@ -347,4 +347,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(est === whole)
     docs.unpersist()
   }
+
+  test("PMI collocations: glued pair scores high, independent pair low, minCount cuts") {
+    // "alpha beta" always adjacent (a true collocation); "gamma" and "delta"
+    // co-occur adjacently only once in the noise doc; "rare pair" appears
+    // < minCount times and must be cut entirely.
+    val glued = (1 to 10).map(i => (i.toLong, "alpha beta gamma x" + i))
+    val noise = Seq((100L, "gamma delta rare pair"), (101L, "delta gamma"),
+      (102L, "rare pair alpha beta"))
+    val df = (glued ++ noise).toDF("doc_id", "text")
+    val got = CorpusStats.pmiCollocations(df, "text", minCount = 5, topN = 10)
+      .select($"w1", $"w2", $"c_xy", $"pmi").as[(String, String, Long, Double)]
+      .collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains(("alpha", "beta")), s"collocation missing in $pairs")
+    assert(!pairs.contains(("rare", "pair")), "sub-minCount pair must be cut")
+    val ab = got.find(r => (r._1, r._2) == ("alpha", "beta")).get
+    assert(ab._3 == 11L)
+    // alpha beta is a perfect collocation: pmi must exceed every beta-gamma
+    // style chain pair that merely shares the glued context
+    got.filter(r => (r._1, r._2) != ("alpha", "beta")).foreach { r =>
+      assert(ab._4 >= r._4, s"${r._1} ${r._2} outranked the glued pair")
+    }
+  }
 }

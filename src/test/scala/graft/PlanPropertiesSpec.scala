@@ -109,6 +109,27 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("partial_topkby"), p)
   }
 
+  test("filtered ANN pushes the metadata predicate into the parquet scan") {
+    val df = SparkEntry.queries("ann_filtered")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the label predicate must reach the corpus scan (row-group pruning at
+    // scale), not run as a post-scan filter over deserialized vectors only
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(label,1)"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("BM25 and binary-hamming retrieval cut to k via partial TopKBy, no window") {
+    for (q <- Seq("bm25_topk", "ann_binary_hamming", "hybrid_rrf")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!p.contains("Window"), s"$q:\n$p")
+      assert(p.contains("partial_topkby"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
   test("DSIR scoring joins the broadcast model, never sort-merges the corpus") {
     val df = SparkEntry.queries("dsir_importance")(spark, TestSpark.sf)
     df.collect() // finalize the adaptive plan
@@ -204,11 +225,23 @@ class PlanPropertiesSpec extends AnyFunSuite {
   }
 
   test("curation composite: no cartesian; semi/anti gates, broadcast models") {
+    // The registered query localCheckpoints the survivor stage (it feeds two
+    // actions), which truncates its executed plan — assert the gate shape on
+    // the pre-checkpoint survivor frame, and the no-cartesian/broadcast
+    // discipline on both halves.
+    val surv = SparkEntry.curationSurvivors(spark, TestSpark.sf)
+    surv.collect()
+    val sp = surv.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!sp.contains("CartesianProduct"), sp)
+    assert(sp.contains("LeftSemi") && sp.contains("LeftAnti"), sp)
+    val bnljS = "BroadcastNestedLoopJoin".r.findAllIn(sp).size
+    val bcastS = "BroadcastExchange".r.findAllIn(sp).size
+    assert(bnljS <= bcastS, s"non-broadcast nested loop in\n$sp")
+
     val df = SparkEntry.queries("pipeline_curation_v2")(spark, TestSpark.sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
     val bcast = "BroadcastExchange".r.findAllIn(p).size
     assert(bnlj <= bcast, s"non-broadcast nested loop in\n$p")
