@@ -183,6 +183,48 @@ final class GraftVectorStore(
     * committed generation (see [[IndexTable.readGeneration]]) — "what would
     * this query have answered last week". Snapshots are already
     * latest-per-id resolved at fold time, so no upsert window is applied. */
+  /** Hybrid search: BM25 over the stored page content + vector cosine,
+    * fused by reciprocal-rank fusion — the lexical+semantic combination the
+    * pure-vector reference cannot express (its Redis backend exposes it as
+    * "hybrid queries"; here it is one plan over the same serving slice).
+    *
+    * Both branches read ONE cached serving slice; each produces a
+    * `kEach`-bounded ranked list (vector = TakeOrdered, lexical =
+    * TopKBy via [[graft.operators.Bm25.topKStringIds]]), so the fusion
+    * join, the rank windows, and the hit-projection join-back all run on
+    * k-bounded frames — the MMR cadence, never a corpus operation. */
+  def searchHybrid(prompt: String, alias: String, topN: Int = 10,
+                   kEach: Int = 50, rrfC: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qvec = Embedder.embedQuery(prompt, model, seed)
+    val slice = IndexTable.readLatest(spark, indexPath, resolveAlias(alias)).cache()
+    try {
+      val vec = KnnSearch.topK(slice, qvec, kEach)
+        .select(col("id"), col("similarity"))
+        .withColumn("rank", row_number().over( // kEach-bounded frame
+          Window.orderBy(desc("similarity"), asc("id"))))
+      val terms = prompt.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+      val lex = graft.operators.Bm25.topKStringIds(
+        slice, "page_content", "id", terms, kEach)
+      val fused = lex.select(col("id"), col("rank").cast("double").as("ra"))
+        .join(vec.select(col("id"), col("rank").cast("double").as("rb")),
+          Seq("id"), "full_outer")
+        .select(col("id"), round(
+          coalesce(lit(1.0) / (lit(rrfC.toDouble) + col("ra")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfC.toDouble) + col("rb")), lit(0.0)),
+          6).as("rrf_score"))
+        .withColumn("rank", row_number().over( // <= 2*kEach rows
+          Window.orderBy(desc("rrf_score"), asc("id"))))
+        .where(col("rank") <= topN)
+      fused.join(slice.select(col("id"), col("index_alias"),
+          col("document_path"), col("page_number"), col("page_content")), Seq("id"))
+        .select(col("id"), col("index_alias"), col("document_path"),
+          col("page_number"), col("page_content"), col("rrf_score"), col("rank"))
+        .orderBy(col("rank"))
+        .localCheckpoint() // materialize before the slice cache is dropped
+    } finally slice.unpersist(false)
+  }
+
   def searchAsOf(prompt: String, alias: String, genId: Long,
                  topN: Int = 10): DataFrame = {
     val qvec = Embedder.embedQuery(prompt, model, seed)

@@ -1259,6 +1259,31 @@ object SparkEntry {
     // no watermark needed): over the finite fixture the counter table
     // equals the batch build cell-for-cell, so this gates against the
     // SAME oracle as vocab_cms_heavy.
+    // Streaming MinHash-LSH near-dup index (see
+    // [[graft.streaming.StreamingOps.lshBucketsOnce]]): the LSH
+    // candidate-bucket table as streaming aggregation state; gated on the
+    // candidate groups (n_members >= 2) against the batch band derivation —
+    // continuous near-dup detection as the CMS pattern's sibling.
+    "streaming_lsh_neardup" -> ((s, d) => {
+      val buckets = graft.streaming.StreamingOps.lshBucketsOnce(
+        s, s"$d/documents.parquet", "text", "doc_id",
+        numHashes = 12, bands = 4, queryName = s"graft_lsh_$runNonce")
+      buckets.where(col("n_members") >= 2)
+        .orderBy(col("band_idx"), col("band_key"))
+    }),
+
+    // Character-distribution Shannon entropy (see
+    // [[TextFunctions.charEntropy]]): the pre-tokenization gibberish /
+    // boilerplate signal. One compiled pass per doc — zero shuffles.
+    "quality_char_entropy" -> ((s, d) => {
+      t(s, d, "documents").where(length(col("text")) > 0)
+        .select(col("doc_id"),
+          size(filter(array_distinct(split(col("text"), "")),
+            c => length(c) > 0)).cast("int").as("n_distinct_chars"),
+          round(TextFunctions.charEntropy(col("text")), 4).as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     "streaming_cms_heavy" -> ((s, d) => {
       val counters = graft.streaming.StreamingOps.cmsCountersOnce(
         s, s"$d/documents.parquet", "text", depth = 4, width = 16,
@@ -1964,6 +1989,25 @@ object SparkEntry {
         .select(col("media_id"), col("frame_no").cast("int").as("frame_no"),
           col("frame_bytes").cast("long").as("frame_bytes"))
         .orderBy(col("media_id"), col("frame_no"))
+    }),
+
+    // Perceptual-hash near-dup pairs (see [[graft.multimodal.PerceptualHash]]):
+    // dHash over the image payloads + planted 1-byte mutants (media_id +
+    // 1e6, replayable as 'x' || substr(text, 2)); candidates via the
+    // LOSSLESS 4x16-bit-band pigeonhole join, never all-pairs. At the
+    // maxHamming=3 gate the fixture yields ONLY the planted pairs, split
+    // between hamming 0 and 1 (measured 101/66 at sf0.01) — both the
+    // detect-the-mutant and the reject-distinct-docs directions are live.
+    "multimodal_phash_pairs" -> ((s, d) => {
+      val base = t(s, d, "documents")
+        .where(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id").as("media_id"), col("text"))
+      val mut = base.select((col("media_id") + 1000000L).as("media_id"),
+        concat(lit("x"), substring(col("text"), 2, Int.MaxValue)).as("text"))
+      val media = base.unionAll(mut)
+        .select(col("media_id"), col("text").cast("binary").as("payload"))
+      graft.multimodal.PerceptualHash.nearDupPairs(media, maxHamming = 3)
+        .orderBy(col("id1"), col("id2"))
     }),
 
     // ------------- corpus LM / profiling / overlap-chunking -------------
@@ -3543,6 +3587,31 @@ object SparkEntry {
 
     "streaming_cms_heavy" -> cmsOracleSql,
 
+    // Batch replay of the streaming LSH bucket state: same bigram shingle /
+    // 12-hash signature / 4-band derivation as dedup_minhash_lsh's oracle,
+    // aggregated to (bucket -> min-id representative, member count).
+    "streaming_lsh_neardup" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [] ELSE list_distinct(list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])) END AS sh FROM w),
+        |sig AS (SELECT doc_id, list_transform(generate_series(0, 11), i -> list_min(list_transform(sh, s -> md5(s || '#' || CAST(i AS VARCHAR))))) AS sig FROM sh WHERE len(sh) > 0),
+        |bk AS (SELECT doc_id, list_transform(generate_series(0, 3), b -> md5(array_to_string(sig[(b*3+1):(b*3+3)], ','))) AS bks FROM sig),
+        |banded AS (SELECT doc_id, CAST(b AS INT) AS band_idx, bks[b+1] AS band_key FROM bk, generate_series(0, 3) AS t(b))
+        |SELECT band_idx, band_key, min(doc_id) AS rep_id, count(*) AS n_members
+        |FROM banded GROUP BY band_idx, band_key HAVING count(*) >= 2
+        |ORDER BY band_idx, band_key""".stripMargin,
+
+    // Replays TextFunctions.charEntropy: per-doc char frequencies, the
+    // identical (c/n)*ln(c/n) terms, cross-row sum rounded to 4.
+    "quality_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+        |  FROM documents WHERE length(text) > 0),
+        |chf AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS cnt FROM ch GROUP BY doc_id, c),
+        |n AS (SELECT doc_id, sum(cnt) AS n, count(*) AS nd FROM chf GROUP BY doc_id)
+        |SELECT n.doc_id, CAST(n.nd AS INT) AS n_distinct_chars,
+        |  round(-sum((cnt / n.n) * ln(cnt / n.n)), 4) AS entropy
+        |FROM chf JOIN n ON chf.doc_id = n.doc_id
+        |GROUP BY n.doc_id, n.nd ORDER BY n.doc_id""".stripMargin,
+
     "decontaminate" ->
       """WITH fp AS (SELECT doc_id,
         |  md5(coalesce(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)[1:8], ' '), '')) AS fp,
@@ -4085,6 +4154,29 @@ object SparkEntry {
         |SELECT media_id, CAST(frame_no AS INT) AS frame_no,
         | CAST(least(64, n - frame_no * 64) AS BIGINT) AS frame_bytes
         |FROM f ORDER BY media_id, frame_no""".stripMargin,
+
+    // Replays PerceptualHash.nearDupPairs over the image media + planted
+    // mutants: the 65-cell nearest-neighbor grid ((i*len)//65 — ascii()
+    // equals byte value on the pure-ASCII fixture), strict-> difference
+    // bits, the exact 2^i integer pack, XOR+popcount Hamming, threshold 3.
+    // All-pairs form: the banded join is lossless at maxHamming <= 3.
+    "multimodal_phash_pairs" ->
+      """WITH base AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0),
+        |mut AS (SELECT media_id + 1000000 AS media_id, 'x' || substr(text, 2) AS text FROM base),
+        |m AS (SELECT media_id, text, length(text) AS len FROM (SELECT * FROM base UNION ALL SELECT * FROM mut)),
+        |pos AS (SELECT unnest(generate_series(0, 64)) AS i),
+        |g AS (SELECT media_id, i, ascii(substr(text, CAST((i * len) // 65 AS INT) + 1, 1)) AS v
+        |      FROM m CROSS JOIN pos),
+        |b AS (SELECT a.media_id, a.i, CASE WHEN n.v > a.v THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |      FROM g a JOIN g n ON a.media_id = n.media_id AND n.i = a.i + 1 WHERE a.i < 64),
+        |h AS (SELECT media_id,
+        |  CAST(sum(CASE WHEN i < 32 THEN bit * CAST(2 ** i AS BIGINT) ELSE 0 END) AS BIGINT) AS h0,
+        |  CAST(sum(CASE WHEN i >= 32 THEN bit * CAST(2 ** (i - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS h1
+        |  FROM b GROUP BY media_id),
+        |hd AS (SELECT a.media_id AS id1, b.media_id AS id2,
+        |  CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) AS INT) AS hamming
+        |  FROM h a JOIN h b ON a.media_id < b.media_id)
+        |SELECT id1, id2, hamming FROM hd WHERE hamming <= 3 ORDER BY id1, id2""".stripMargin,
 
     "streaming_join_attrib" ->
       """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts FROM events WHERE event_type = 'view'),

@@ -119,4 +119,24 @@ object TextFunctions {
     aggregate(wsTokens(c), lit(0L),
       (h, w) => pmod(h * 1000003L + pmod(hash(w).cast("long"), lit(1000000007L)),
         lit(1000000007L)))
+
+  /** Character-distribution Shannon entropy (nats) per document — the cheap
+    * gibberish/encoding-junk signal (random bytes read high, repeated
+    * boilerplate reads low) a quality cascade runs before anything
+    * tokenizes. One compiled pass per doc (no char explode, no shuffle);
+    * the fold visits characters in sorted order so the sum is
+    * deterministic, and callers round(4) — the cross-engine double-sum
+    * convention. */
+  val charEntropy: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (text: String) =>
+      if (text == null || text.isEmpty) 0.0
+      else {
+        val counts = scala.collection.mutable.HashMap.empty[Char, Long]
+        text.foreach(ch => counts.update(ch, counts.getOrElse(ch, 0L) + 1L))
+        val n = text.length.toDouble
+        -counts.toSeq.sortBy(_._1).map { case (_, c) =>
+          (c / n) * math.log(c / n)
+        }.sum
+      }
+    }
 }

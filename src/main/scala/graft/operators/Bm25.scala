@@ -96,6 +96,45 @@ object Bm25 {
         col("similarity").as("score"), col("rank"))
   }
 
+  /** String-keyed BM25 top-k — the facade path, where index row keys are
+    * sha1 STRINGS ([[graft.operators.IndexTable]] P5 keys). Identical
+    * statistics to [[topK]]; the bounded cut runs TopKBy on a xxhash64
+    * surrogate of the key (numeric, so the partial-agg buffer applies) and
+    * the original string ids join back on the k-bounded result. Tie-break
+    * under equal scores follows the surrogate hash rather than the string
+    * id — an arbitrary-but-deterministic total order, fine for serving
+    * (the oracle-gated [[topK]] keeps the id order contract). */
+  def topKStringIds(df: DataFrame, textCol: String, idCol: String,
+                    queryTerms: Seq[String], k: Int = 10,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val docs = Dedup.spread(df).select(col(idCol).cast("string").as("__sid"),
+        TextFunctions.wsTokens(lower(col(textCol))).as("toks"))
+      .withColumn("__surr", xxhash64(col("__sid")))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val toks = docs.select(col("__surr"), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isInCollection(queryTerms))
+    val tf = toks.groupBy(col("__surr"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df_t"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val perDoc = scored.groupBy(col("__surr"))
+      .agg(round(sum(col("contrib")), 4).as("similarity"))
+      .withColumn("q_id", lit(0L))
+    val cut = SimilaritySearch.topKPerQuery(perDoc, k, "q_id", "__surr")
+    cut.join(broadcast(docs.select(col("__surr"), col("__sid"))), Seq("__surr"))
+      .select(col("__sid").as(idCol), col("similarity").as("score"), col("rank"))
+  }
+
   /** Reciprocal-rank fusion of two ranked lists (Cormack et al.): score =
     * 1/(c + rank_a) + 1/(c + rank_b), a list contributing 0 where the doc is
     * absent. Rank-based, so the two lists' score scales never need

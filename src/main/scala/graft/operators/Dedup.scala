@@ -24,7 +24,7 @@ object Dedup {
     * one task; this one cheap shuffle of the narrow input buys full
     * parallelism for the expensive stage after it. At real 100 TB scale
     * inputs arrive already partitioned and this is a no-op cost-wise. */
-  private[operators] def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }

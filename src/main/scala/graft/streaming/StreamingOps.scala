@@ -373,4 +373,47 @@ object StreamingOps {
     }
     spark.table(queryName)
   }
+
+  /** Streaming MinHash-LSH near-dup index: the LSH candidate-bucket table
+    * ((band_idx, band_key) -> canonical representative + member count)
+    * maintained as a streaming aggregation — near-dup detection for a
+    * continuously ingesting corpus, the sketch-state sibling of
+    * [[cmsCountersOnce]] (the index IS the state; its size is
+    * bands x docs fixed-width rows, never the text). Per micro-batch the
+    * signature/band computation is the same ZERO-shuffle compiled pass as
+    * batch ([[graft.operators.Dedup.minhashBandKeysFast]] — bit-identical
+    * family), so a new batch folds into the buckets with one keyed
+    * partial-agg merge. min(doc_id) is the batch Dedup canonical-min
+    * convention; a bucket with n_members >= 2 names a candidate near-dup
+    * group an ingest gate would route to exact verification. Over the
+    * finite fixture the final table equals the batch build row-for-row
+    * (shared oracle). */
+  def lshBucketsOnce(spark: SparkSession, docsPath: String, textCol: String,
+                     idCol: String, numHashes: Int, bands: Int,
+                     queryName: String = "graft_stream_lsh"): DataFrame = {
+    val schema = spark.read.parquet(docsPath).schema
+    val p = new org.apache.hadoop.fs.Path(docsPath)
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", p.getName)
+      .parquet(p.getParent.toString)
+    val sh = raw.select(col(idCol).as("doc_id"),
+        graft.operators.Dedup.shinglesFast(2)(col(textCol)).as("sh"))
+      .where(size(col("sh")) > 0)
+    val banded = sh.select(col("doc_id"),
+        posexplode(graft.operators.Dedup.minhashBandKeysFast(numHashes, bands)(col("sh"))))
+      .select(col("doc_id"), col("pos").cast("int").as("band_idx"),
+        col("col").as("band_key"))
+    val buckets = banded.groupBy(col("band_idx"), col("band_key"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_members"))
+    withStatePartitions(spark) {
+      val q = buckets.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+  }
 }

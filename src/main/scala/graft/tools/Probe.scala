@@ -297,6 +297,15 @@ object Probe {
           println(f"graph m=$m r=$rounds beam=$beam bits=$bits L=$tables,${exact.intersect(approx).size.toDouble / exact.size}%.3f,$frac%.3f,build=$buildSec%.2f,search=$searchSec%.2f")
           vis.unpersist(false); edges.unpersist(false)
         }
+        // binary quantization: the Hamming sweep touches every packed word
+        // (8 bytes/vector), but only `cand` float vectors are re-ranked —
+        // candidates_frac reports the FLOAT-vector fraction fetched, the
+        // memory-bandwidth quantity the 32x pack exists to shrink
+        for (cand <- Seq(16, 32, 64, 128)) {
+          val approx = hits(graft.operators.BinaryQuant
+            .hammingTopK(emb, qs, k = 10, candidates = cand))
+          println(f"binary cand=$cand,${exact.intersect(approx).size.toDouble / exact.size}%.3f,${cand / n}%.3f")
+        }
     }
     spark.stop()
   }

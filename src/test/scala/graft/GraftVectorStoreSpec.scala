@@ -34,6 +34,31 @@ class GraftVectorStoreSpec extends AnyFunSuite {
     assert(!store.indexExists())
   }
 
+  test("hybrid search: RRF-fused lexical+vector hits; a unique term's doc always surfaces") {
+    val path = java.nio.file.Files.createTempDirectory("graft_store_h").toString + "/idx"
+    val store = new GraftVectorStore(spark, path)
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .limit(40)
+      .select($"source".as("document_path"), $"text")
+      // plant one doc holding a corpus-unique term
+      .union(Seq(("planted/doc", "zanzibar framework powers the hybrid lexical path"))
+        .toDF("document_path", "text"))
+    store.addDocuments(docs, "t", pageSize = 32)
+
+    val hits = store.searchHybrid("zanzibar query", "t", topN = 5)
+    assert(hits.columns.toSeq === Seq("id", "index_alias", "document_path",
+      "page_number", "page_content", "rrf_score", "rank"))
+    val rows = hits.select($"document_path", $"rrf_score", $"rank")
+      .as[(String, Double, Int)].collect()
+    assert(rows.length === 5)
+    assert(rows.map(_._3).toSeq === (1 to 5))
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-(_: Double)).toSeq)
+    // "zanzibar" appears in exactly one doc: BM25 must force it into the fused top
+    assert(rows.exists(_._1 == "planted/doc"),
+      s"unique-term doc missing from hybrid top-5: ${rows.mkString(", ")}")
+    store.dropIndex()
+  }
+
   test("graph-ANN store: beam-searched approximate hits line up with exact search") {
     val path = java.nio.file.Files.createTempDirectory("graft_store_g").toString + "/idx"
     val store = new GraftVectorStore(spark, path, graphM = Some(8))

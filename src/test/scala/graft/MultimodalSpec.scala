@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{Multimodal, PerceptualHash}
 
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -129,5 +129,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.length === 4)
     assert(feats.forall(f => f >= 0f && f <= 1f))
     assert(Multimodal.fakeDecodeFeatures(Array.emptyByteArray, 4).forall(_ == 0f))
+  }
+
+  test("dHash: manual bit check, mutation sensitivity, null safety") {
+    // ascending bytes: every difference bit set -> h0 = h1 = 0xFFFFFFFF
+    val asc = Array.tabulate(65)(_.toByte)
+    assert(PerceptualHash.dHash64(asc) === (0xffffffffL, 0xffffffffL))
+    // constant payload: no strict increase anywhere -> all-zero hash
+    assert(PerceptualHash.dHash64(Array.fill(65)(7.toByte)) === (0L, 0L))
+    assert(PerceptualHash.dHash64(null) === (0L, 0L))
+    // flipping one grid cell of a long payload moves few bits
+    val text = ("the quick brown fox jumps over the lazy dog " * 8).getBytes("UTF-8")
+    val mutated = text.clone(); mutated(0) = 'X'.toByte
+    val (a0, a1) = PerceptualHash.dHash64(text)
+    val (b0, b1) = PerceptualHash.dHash64(mutated)
+    val ham = java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1)
+    assert(ham <= 2, s"1-byte mutation moved $ham bits")
+  }
+
+  test("banded pHash pair join is lossless vs all-pairs at maxHamming 3") {
+    val payloads = media.limit(60)
+      .select($"media_id", $"payload")
+    val banded = PerceptualHash.nearDupPairs(payloads, maxHamming = 3)
+      .select($"id1", $"id2", $"hamming").as[(Long, Long, Int)].collect().toSet
+    // brute force on the same rows
+    val hashed = payloads.as[(Long, Array[Byte])].collect()
+      .map { case (id, p) => (id, PerceptualHash.dHash64(p)) }
+    val all = (for {
+      (i1, (x0, x1)) <- hashed; (i2, (y0, y1)) <- hashed if i1 < i2
+      h = java.lang.Long.bitCount(x0 ^ y0) + java.lang.Long.bitCount(x1 ^ y1)
+      if h <= 3
+    } yield (i1, i2, h)).toSet
+    assert(banded === all)
   }
 }

@@ -47,6 +47,29 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming LSH bucket state equals the batch band-key build") {
+    val streamed = StreamingOps.lshBucketsOnce(spark,
+      s"${TestSpark.sf}/documents.parquet", "text", "doc_id",
+      numHashes = 12, bands = 4, queryName = "t_lsh_stream")
+      .select($"band_idx", $"band_key", $"rep_id", $"n_members")
+      .as[(Int, String, Long, Long)].collect().toSet
+
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val batch = docs.select($"doc_id",
+        graft.operators.Dedup.shinglesFast(2)($"text").as("sh"))
+      .where(org.apache.spark.sql.functions.size($"sh") > 0)
+      .select($"doc_id", org.apache.spark.sql.functions.posexplode(
+        graft.operators.Dedup.minhashBandKeysFast(12, 4)($"sh")))
+      .groupBy($"pos".cast("int").as("band_idx"), $"col".as("band_key"))
+      .agg(org.apache.spark.sql.functions.min($"doc_id").as("rep_id"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_members"))
+      .as[(Int, String, Long, Long)].collect().toSet
+
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("frame sampling yields every stride-th frame with stub features") {
     val media = Multimodal.asMediaTable(
       spark.read.parquet(s"${TestSpark.sf}/documents.parquet"),

@@ -69,4 +69,16 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(q.forall(x => x >= 0 && x <= 100))
     assert(q(0) > q(1))
   }
+
+  test("charEntropy: zero for uniform repeats, ln k for k uniform chars, matches manual") {
+    val got = Seq("aaaa", "ab", "abcd", "aab")
+      .toDF("t").select(TextFunctions.charEntropy($"t").as("e"))
+      .as[Double].collect()
+    assert(got(0) === 0.0)
+    assert(math.abs(got(1) - math.log(2)) < 1e-12)
+    assert(math.abs(got(2) - math.log(4)) < 1e-12)
+    val p = Seq(2.0 / 3, 1.0 / 3)
+    val manual = -p.map(x => x * math.log(x)).sum
+    assert(math.abs(got(3) - manual) < 1e-12)
+  }
 }
