@@ -1524,6 +1524,15 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // Contrastive (anchor, positive, negative) training triples (see
+    // [[Contrastive.pairs]]): positives off each doc's chunk array (zero
+    // joins), negatives via the shift-by-hash trick (neg != doc by
+    // construction), one docs-sized representative join.
+    "pairs_contrastive" -> ((s, d) => {
+      Contrastive.pairs(t(s, d, "documents"), "text", "doc_id", pageSize = 32)
+        .orderBy(col("anchor_id"))
+    }),
+
     // PMI collocations (see [[CorpusStats.pmiCollocations]]): corpus
     // unigram/bigram counts as partial-agg hash aggs, vocabulary-sized
     // broadcast joins, TakeOrdered top-N.
@@ -3951,6 +3960,29 @@ object SparkEntry {
          |rr AS (SELECT doc_id, rrf_score,
          |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank FROM fuse)
          |SELECT doc_id, rrf_score, rank FROM rr WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // Replays Contrastive.pairs: the reference chunker (//32 + empty-tail
+    // trim, re-indexed), adjacent-chunk positives, md5-32 shift-by-hash
+    // negatives over the contiguous id space, first-chunk representatives.
+    "pairs_contrastive" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |ch0 AS (SELECT doc_id, g, coalesce(array_to_string(words[(g*32+1):(g*32+32)], ' '), '') AS chunk
+         |        FROM (SELECT doc_id, words, unnest(generate_series(0, CAST(len(words) // 32 AS BIGINT))) AS g FROM w)),
+         |ch AS (SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY g) - 1 AS BIGINT) AS g, chunk
+         |       FROM ch0 WHERE length(trim(chunk)) > 0),
+         |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+         |pos AS (SELECT a.doc_id, a.g, a.chunk AS anchor_text, b.chunk AS pos_text
+         |        FROM ch a JOIN ch b ON a.doc_id = b.doc_id AND b.g = a.g + 1),
+         |hs AS (SELECT doc_id, g, anchor_text, pos_text,
+         |        md5(CAST(doc_id AS VARCHAR) || '#' || CAST(g AS VARCHAR)) AS mh FROM pos),
+         |hh AS (SELECT doc_id, g, anchor_text, pos_text, ${hexToBigintSql("mh", 1)} AS h32 FROM hs),
+         |ng AS (SELECT doc_id, g, anchor_text, pos_text,
+         |        (doc_id + 1 + (h32 % (n.n_docs - 1))) % n.n_docs AS neg_doc FROM hh CROSS JOIN n),
+         |reps AS (SELECT doc_id AS neg_doc, chunk AS neg_text FROM ch WHERE g = 0)
+         |SELECT CAST(ng.doc_id AS VARCHAR) || '#' || CAST(ng.g AS VARCHAR) AS anchor_id,
+         |  md5(anchor_text) AS anchor_md5, md5(pos_text) AS pos_md5,
+         |  neg_doc, md5(neg_text) AS neg_md5
+         |FROM ng JOIN reps USING (neg_doc) ORDER BY anchor_id""".stripMargin,
 
     // Replays CorpusStats.pmiCollocations: U/B totals from per-doc token
     // counts (integer-valued double sums — order-proof), min-count cut,
