@@ -1471,6 +1471,18 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // IVF x binary composition at FULL probe (see [[BinaryQuant.ivfBinaryTopK]]):
+    // nprobe = nCentroids must reproduce the pure binary path bit-for-bit —
+    // the composition-plumbing contract (same pattern as ann_ivf_full_probe).
+    "ann_ivf_binary_full_probe" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      BinaryQuant.ivfBinaryTopK(emb, qs, k = 10, candidates = 32,
+          nCentroids = 8, nprobe = 8)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Metadata-filtered vector search — the reference's Redis "hybrid
     // query" capability (filter + KNN in one request). The label predicate
     // is pushed into the parquet scan (PushedFilters, pinned in
@@ -2789,6 +2801,43 @@ object SparkEntry {
        |${p}rank AS (SELECT doc_id, score,
        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank FROM ${p}agg)""".stripMargin
 
+  /** Replays BinaryQuant.hammingTopK: sign-bit pack as exact integer
+    * arithmetic (b * 2^i sums — the same words the Spark Horner fold
+    * produces), XOR+popcount Hamming, the 32-candidate cut on
+    * (hamming, vec_id), then the exact-cosine re-rank of candidates only.
+    * Shared by ann_binary_hamming AND the ann_ivf_binary_full_probe
+    * contract (full probe must reproduce the pure binary path). */
+  private val binaryHammingOracleSql: String =
+    """WITH pos AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |bits AS (SELECT e.vec_id, p.i,
+        |  CASE WHEN e.embedding[p.i + 1] >= 0 THEN 1::BIGINT ELSE 0::BIGINT END AS b
+        |  FROM embeddings e CROSS JOIN pos p),
+        |packed AS (SELECT vec_id,
+        |  CAST(sum(CASE WHEN i < 32 THEN b * CAST(2 ** i AS BIGINT) ELSE 0 END) AS BIGINT) AS h0,
+        |  CAST(sum(CASE WHEN i >= 32 THEN b * CAST(2 ** (i - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS h1
+        |  FROM bits GROUP BY vec_id),
+        |qp AS (SELECT vec_id AS q_id, h0 AS qh0, h1 AS qh1 FROM packed WHERE vec_id < 5),
+        |hd AS (SELECT q.q_id, p.vec_id,
+        |  CAST(bit_count(xor(p.h0, q.qh0)) + bit_count(xor(p.h1, q.qh1)) AS INT) AS hamming
+        |  FROM packed p CROSS JOIN qp q WHERE p.vec_id <> q.q_id),
+        |cand AS (SELECT q_id, vec_id, hamming,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rn FROM hd
+        |  QUALIFY rn <= 32),
+        |z AS (SELECT c.q_id, c.vec_id, c.hamming, unnest(e.embedding) AS a, unnest(qe.embedding) AS b
+        |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+        |              JOIN embeddings qe ON c.q_id = qe.vec_id),
+        |sc AS (SELECT q_id, vec_id, min(hamming) AS hamming,
+        |  sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
+        |  sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
+        |  sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
+        |  FROM z GROUP BY q_id, vec_id),
+        |r AS (SELECT q_id, vec_id, hamming,
+        |  round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM sc),
+        |rr AS (SELECT q_id, vec_id, hamming, similarity,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)
+        |SELECT q_id, vec_id, hamming, similarity, rank FROM rr WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin
+
   /** graph_pagerank oracle: the five PageRank iterations UNROLLED as CTEs
     * over the source fingerprint-overlap graph. Teleport is written
     * (1.0 - 0.85) / n — the same double arithmetic the Spark side runs —
@@ -3877,36 +3926,14 @@ object SparkEntry {
     // arithmetic (b * 2^i sums — the same words the Spark Horner fold
     // produces), XOR+popcount Hamming, the 32-candidate cut on
     // (hamming, vec_id), then the exact-cosine re-rank of candidates only.
-    "ann_binary_hamming" ->
-      """WITH pos AS (SELECT unnest(generate_series(0, 63)) AS i),
-        |bits AS (SELECT e.vec_id, p.i,
-        |  CASE WHEN e.embedding[p.i + 1] >= 0 THEN 1::BIGINT ELSE 0::BIGINT END AS b
-        |  FROM embeddings e CROSS JOIN pos p),
-        |packed AS (SELECT vec_id,
-        |  CAST(sum(CASE WHEN i < 32 THEN b * CAST(2 ** i AS BIGINT) ELSE 0 END) AS BIGINT) AS h0,
-        |  CAST(sum(CASE WHEN i >= 32 THEN b * CAST(2 ** (i - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS h1
-        |  FROM bits GROUP BY vec_id),
-        |qp AS (SELECT vec_id AS q_id, h0 AS qh0, h1 AS qh1 FROM packed WHERE vec_id < 5),
-        |hd AS (SELECT q.q_id, p.vec_id,
-        |  CAST(bit_count(xor(p.h0, q.qh0)) + bit_count(xor(p.h1, q.qh1)) AS INT) AS hamming
-        |  FROM packed p CROSS JOIN qp q WHERE p.vec_id <> q.q_id),
-        |cand AS (SELECT q_id, vec_id, hamming,
-        |  row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rn FROM hd
-        |  QUALIFY rn <= 32),
-        |z AS (SELECT c.q_id, c.vec_id, c.hamming, unnest(e.embedding) AS a, unnest(qe.embedding) AS b
-        |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
-        |              JOIN embeddings qe ON c.q_id = qe.vec_id),
-        |sc AS (SELECT q_id, vec_id, min(hamming) AS hamming,
-        |  sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
-        |  sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
-        |  sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
-        |  FROM z GROUP BY q_id, vec_id),
-        |r AS (SELECT q_id, vec_id, hamming,
-        |  round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM sc),
-        |rr AS (SELECT q_id, vec_id, hamming, similarity,
-        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)
-        |SELECT q_id, vec_id, hamming, similarity, rank FROM rr WHERE rank <= 10
-        |ORDER BY q_id, rank""".stripMargin,
+    "ann_binary_hamming" -> binaryHammingOracleSql,
+
+    // The IVF x binary composition at full probe: nprobe = nCentroids makes
+    // cell pruning a no-op, so the output must equal the pure binary path
+    // bit-for-bit — the same contract pattern as ann_ivf_full_probe. Pins
+    // that the composition plumbing (cell routing, per-cell sweep, shared
+    // candidate cut) introduces no drift; production dials nprobe down.
+    "ann_ivf_binary_full_probe" -> binaryHammingOracleSql,
 
     // exactAnnTopKSql with the metadata predicate on the corpus side only
     // (queries stay unfiltered — a query vector needn't satisfy its own

@@ -92,4 +92,54 @@ object BinaryQuant {
       .join(cand, Seq(queryId, corpusId))
       .select(col(queryId), col(corpusId), col("hamming"), col("similarity"), col("rank"))
   }
+
+  /** IVF x binary composition — the two ANN cost axes composed: IVF cell
+    * pruning bounds WHICH inverted lists are scanned (file-level skipping
+    * when the store is cell-partitioned), the packed Hamming sweep bounds
+    * WHICH float vectors are fetched within them (byte-level skipping), and
+    * the float re-rank touches only the candidate sliver. With
+    * `nprobe = nCentroids` this degrades to exactly [[hammingTopK]] —
+    * the hash-checked full-probe CONTRACT the gate pins (same pattern as
+    * `ann_ivf_full_probe`); production dials nprobe down. */
+  def ivfBinaryTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    candidates: Int, nCentroids: Int = 8, nprobe: Int = 2,
+                    corpusVec: String = "embedding", corpusId: String = "vec_id",
+                    queryVec: String = "q_vec", queryId: String = "q_id"): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    import org.apache.spark.sql.expressions.Window
+    val (centroids0, assigned) =
+      SimilaritySearch.ivfIndex(corpus, nCentroids, iters = 1, corpusVec, corpusId)
+    val centroids = centroids0.cache()
+    val qw = Window.partitionBy(col(queryId)).orderBy(asc("qdist"), asc("centroid_id"))
+    val (q0, q1) = pack64(col(queryVec))
+    val probes = queries.join(broadcast(centroids))
+      .withColumn("qdist",
+        graft.functions.VectorFunctions.euclideanDistance(col(queryVec), col("centroid")))
+      .withColumn("rn", row_number().over(qw)) // queries x centroids rows — model-sized
+      .where(col("rn") <= nprobe)
+      .select(col(queryId), q0.as("qh0"), q1.as("qh1"), col("centroid_id"))
+    val (c0, c1) = pack64(col(corpusVec))
+    val packed = assigned.select(col("centroid_id"), col(corpusId),
+      c0.as("h0"), c1.as("h1"))
+    // a corpus vector lives in exactly ONE cell, so a (corpus, query) pair
+    // meets at most one of the query's probe cells — no pair dedup needed
+    val swept = packed.join(broadcast(probes), Seq("centroid_id"))
+      .where(col(corpusId) =!= col(queryId))
+      .withColumn("hamming",
+        hamming(col("h0"), col("h1"), col("qh0"), col("qh1")))
+    val cand = SimilaritySearch.topKPerQuery(
+        swept.withColumn("similarity", -col("hamming").cast("double")),
+        candidates, queryId, corpusId)
+      .select(col(queryId), col(corpusId),
+        (-col("similarity")).cast("int").as("hamming"))
+    val rescored = cand
+      .join(corpus.select(col(corpusId), col(corpusVec)), Seq(corpusId))
+      .join(broadcast(queries.select(col(queryId), col(queryVec))), Seq(queryId))
+      .withColumn("similarity",
+        round(VectorFunctions.cosineSimilarity(col(corpusVec), col(queryVec)), 4))
+    SimilaritySearch.topKPerQuery(
+        rescored.select(col(queryId), col(corpusId), col("similarity")), k, queryId, corpusId)
+      .join(cand, Seq(queryId, corpusId))
+      .select(col(queryId), col(corpusId), col("hamming"), col("similarity"), col("rank"))
+  }
 }

@@ -112,6 +112,27 @@ class Bm25Spec extends AnyFunSuite {
     assert(h.getInt(0) == 2)
   }
 
+  test("ivf x binary: pruned probe keeps a recall floor; full probe equals pure binary") {
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet").cache()
+    val qs = emb.where($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec")).cache()
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+
+    val pureBinary = hits(BinaryQuant.hammingTopK(emb, qs, k = 10, candidates = 32))
+    val fullProbe = hits(BinaryQuant.ivfBinaryTopK(emb, qs, k = 10,
+      candidates = 32, nCentroids = 8, nprobe = 8))
+    assert(fullProbe === pureBinary,
+      "full-probe composition must reproduce the pure binary path")
+
+    val exact = hits(graft.operators.SimilaritySearch.bruteForceTopK(emb, qs, 10))
+    val pruned = hits(BinaryQuant.ivfBinaryTopK(emb, qs, k = 10,
+      candidates = 64, nCentroids = 8, nprobe = 2))
+    val recall = exact.intersect(pruned).size.toDouble / exact.size
+    assert(recall >= 0.2, f"pruned ivf-binary recall collapsed: $recall%.2f")
+    emb.unpersist(false); qs.unpersist(false)
+  }
+
   test("binary quant search: self-similar vectors found despite 32x compression") {
     // corpus of near-duplicates of two centroids: hamming stage must route
     // each query to its own family before the cosine re-rank
