@@ -1881,6 +1881,22 @@ object SparkEntry {
     // event ids — same distribution, PSI ~ 0) next to a synthetic 1.5x
     // scale shift that must trip the 0.1 drift threshold — both directions
     // falsifiable, both replayed by the oracle bucket-for-bucket.
+    // The PSI monitor with a STREAMED current side (see
+    // [[graft.streaming.StreamingOps.psiBucketCountsOnce]]): reference
+    // bounds fix the grid up front, the stream folds into nBuckets rows of
+    // aggregation state, psiFromCounts scores the final table — gated
+    // against the batch split-half arithmetic.
+    "streaming_drift_psi" -> ((s, d) => {
+      val ev = events(s, d)
+      val ref = ev.where(pmod(col("event_id"), lit(2)) === 0)
+      val (lo, hi) = CorpusStats.refBounds(ref, "value")
+      val cur = graft.streaming.StreamingOps.psiBucketCountsOnce(
+        s, s"$d/events.parquet", pmod(col("event_id"), lit(2)) === 1,
+        "value", lo, hi, nBuckets = 10, queryName = s"graft_psi_$runNonce")
+      CorpusStats.psiFromCounts(ref, cur, "value", nBuckets = 10)
+        .select(col("psi"), (col("psi") > 0.1).as("drifted"))
+    }),
+
     "corpus_drift_psi" -> ((s, d) => {
       val ev = events(s, d)
       val ref = ev.where(pmod(col("event_id"), lit(2)) === 0)
@@ -4392,6 +4408,28 @@ object SparkEntry {
 
     // bucket cut, +0.5 smoothing, p/q round 6, PSI round 4 — the
     // CorpusStats.psi arithmetic twice (null split and 1.5x shift).
+    // The split-half arm of the corpus_drift_psi replay — the streamed
+    // current side must land on the identical batch arithmetic.
+    "streaming_drift_psi" ->
+      """WITH e AS (SELECT event_id, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT v FROM e WHERE event_id % 2 = 0),
+        |c1 AS (SELECT v FROM e WHERE event_id % 2 = 1),
+        |bd AS (SELECT min(v) AS lo, max(v) AS hi FROM r),
+        |ids AS (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS b),
+        |rc AS (SELECT CAST(least(greatest(floor((v - lo) * 10 / (hi - lo)), 0), 9) AS INT) AS b, count(*) AS n
+        |       FROM r CROSS JOIN bd GROUP BY 1),
+        |rt AS (SELECT sum(n) AS t FROM rc),
+        |rp AS (SELECT ids.b, round((coalesce(n, 0) + 0.5) / (t + 5.0), 6) AS p
+        |       FROM ids LEFT JOIN rc USING (b) CROSS JOIN rt),
+        |c1c AS (SELECT CAST(least(greatest(floor((v - lo) * 10 / (hi - lo)), 0), 9) AS INT) AS b, count(*) AS n
+        |        FROM c1 CROSS JOIN bd GROUP BY 1),
+        |c1t AS (SELECT sum(n) AS t FROM c1c),
+        |c1p AS (SELECT ids.b, round((coalesce(n, 0) + 0.5) / (t + 5.0), 6) AS q
+        |        FROM ids LEFT JOIN c1c USING (b) CROSS JOIN c1t)
+        |SELECT round(sum((p - q) * ln(p / q)), 4) AS psi,
+        |  round(sum((p - q) * ln(p / q)), 4) > 0.1 AS drifted
+        |FROM rp JOIN c1p USING (b)""".stripMargin,
+
     "corpus_drift_psi" ->
       """WITH e AS (SELECT event_id, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
         |r AS (SELECT v FROM e WHERE event_id % 2 = 0),

@@ -319,19 +319,48 @@ object CorpusStats {
     */
   def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
           nBuckets: Int = 10): DataFrame = {
-    require(nBuckets >= 2)
-    val spark = ref.sparkSession
+    val (lo, hi) = refBounds(ref, valueCol)
+    psiFromCounts(ref, bucketCounts(cur, valueCol, lo, hi, nBuckets),
+      valueCol, nBuckets)
+  }
+
+  /** Reference min/max — the two driver-side scalars the bucket grid hangs
+    * on (model-sized, Lloyd cadence); exposed so a STREAMING current side
+    * can bucket with the same grid while the stream runs. */
+  private[graft] def refBounds(ref: DataFrame, valueCol: String): (Double, Double) = {
     val r = ref.agg(min(col(valueCol).cast("double")),
       max(col(valueCol).cast("double"))).head()
     val (lo, hi) = (r.getDouble(0), r.getDouble(1))
     require(hi > lo, s"degenerate reference range [$lo, $hi]")
+    (lo, hi)
+  }
+
+  /** Equal-width reference-grid bucket of a value column (clamped to the
+    * edge buckets — out-of-range mass counts as drift, never vanishes). */
+  private[graft] def psiBucket(valueCol: String, lo: Double, hi: Double,
+                               nBuckets: Int): org.apache.spark.sql.Column =
+    least(greatest(floor((col(valueCol).cast("double") - lo) * nBuckets / (hi - lo)),
+      lit(0L)), lit((nBuckets - 1).toLong)).cast("int")
+
+  /** (b, n) histogram of a frame under the reference grid — the mergeable
+    * per-side state (counts add cell-wise; a streaming complete-mode agg
+    * produces exactly this table). */
+  private[graft] def bucketCounts(df0: DataFrame, valueCol: String,
+                                  lo: Double, hi: Double, nBuckets: Int): DataFrame =
+    df0.where(col(valueCol).isNotNull) // null has no bucket
+      .select(psiBucket(valueCol, lo, hi, nBuckets).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n"))
+
+  /** PSI where the CURRENT side arrives as a pre-aggregated (b, n) bucket
+    * table (e.g. streaming aggregation state) — the batch [[psi]] is this
+    * with the counts built inline. Same smoothing/rounding contract. */
+  private[graft] def psiFromCounts(ref: DataFrame, curCounts: DataFrame,
+                                   valueCol: String, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2)
+    val spark = ref.sparkSession
+    val (lo, hi) = refBounds(ref, valueCol)
     val ids = broadcast(spark.range(nBuckets).select(col("id").cast("int").as("b")))
-    def dist(df0: DataFrame, pName: String): DataFrame = {
-      val df = df0.where(col(valueCol).isNotNull) // null has no bucket
-      val c = df.select(
-          least(greatest(floor((col(valueCol).cast("double") - lo) * nBuckets / (hi - lo)),
-            lit(0L)), lit((nBuckets - 1).toLong)).cast("int").as("b"))
-        .groupBy(col("b")).agg(count(lit(1)).as("n"))
+    def distFromCounts(c: DataFrame, pName: String): DataFrame = {
       val t = c.agg(sum(col("n")).as("t"))
       ids.join(c, Seq("b"), "left")
         .crossJoin(broadcast(t))
@@ -339,7 +368,8 @@ object CorpusStats {
           round((coalesce(col("n"), lit(0L)) + 0.5) / (col("t") + nBuckets * 0.5), 6)
             .as(pName))
     }
-    dist(ref, "p").join(dist(cur, "q"), "b")
+    distFromCounts(bucketCounts(ref, valueCol, lo, hi, nBuckets), "p")
+      .join(distFromCounts(curCounts, "q"), "b")
       .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 4).as("psi"))
   }
 

@@ -374,6 +374,36 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** The PSI drift monitor's CURRENT side as streaming aggregation state:
+    * bucket counts under the STATIC reference grid (lo/hi computed from the
+    * reference batch before the stream starts — the production shape: the
+    * reference is yesterday's corpus, the stream is today's ingest).
+    * State is nBuckets rows however long the stream runs; counts add
+    * cell-wise (the mergeable-state law), so
+    * [[graft.operators.CorpusStats.psiFromCounts]] folds the final table
+    * into the identical score the batch monitor computes. */
+  def psiBucketCountsOnce(spark: SparkSession, eventsPath: String,
+                          sideFilter: org.apache.spark.sql.Column,
+                          valueCol: String, lo: Double, hi: Double,
+                          nBuckets: Int,
+                          queryName: String = "graft_stream_psi"): DataFrame = {
+    val stream = readEvents(spark, eventsPath).where(sideFilter)
+    val counts = stream.where(col(valueCol).isNotNull)
+      .select(graft.operators.CorpusStats
+        .psiBucket(valueCol, lo, hi, nBuckets).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n"))
+    withStatePartitions(spark) {
+      val q = counts.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+  }
+
   /** Streaming MinHash-LSH near-dup index: the LSH candidate-bucket table
     * ((band_idx, band_key) -> canonical representative + member count)
     * maintained as a streaming aggregation — near-dup detection for a
