@@ -1223,6 +1223,26 @@ object SparkEntry {
     // GPT-style sequence packing: cut the concatenated token stream into
     // capacity-sized training sequences via a two-level distributed prefix
     // sum (never a global single-partition window — see Packing scaladoc).
+    // Training-shard export composite: exact-dedup survivors -> sequence
+    // packing -> rendezvous writer assignment, the tail of a curation
+    // pipeline as ONE plan (each stage is its own gated operator; the
+    // composite pins that they compose without drift). Shapes: min_by
+    // dedup shuffle, two-level prefix sum, narrow HRW argmax — nothing
+    // corpus-sized crosses a driver.
+    "pipeline_training_export" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val keep = Dedup.exact(docs, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      val survivors = docs.join(keep, Seq("doc_id"), "left_semi")
+      val toks = survivors.select(col("doc_id"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      Packing.packOffsets(toks, "doc_id", "n_tok", capacity = 512, bucketWidth = 50)
+        .select(col("doc_id"), col("n_tok"), col("start_off"), col("seq_first"),
+          Sharding.rendezvousShard(col("seq_first"),
+            Seq("w0", "w1", "w2", "w3")).as("writer"))
+        .orderBy(col("doc_id"))
+    }),
+
     "pack_sequences" -> ((s, d) => {
       val toks = t(s, d, "documents").select(col("doc_id"),
         TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
@@ -3776,6 +3796,35 @@ object SparkEntry {
          |      FROM di JOIN wi w2 ON di.lang = w2.lang),
          |x AS (SELECT doc_id, lang, unnest(generate_series(1, nc)) AS copy_idx FROM n WHERE nc >= 1)
          |SELECT doc_id, lang, copy_idx FROM x ORDER BY doc_id, copy_idx""".stripMargin,
+
+    // Dedup-survivor CTEs -> the pack_sequences prefix-sum chain -> the
+    // shard_assignment HRW argmax, composed.
+    "pipeline_training_export" ->
+      s"""WITH fp AS (SELECT doc_id, text, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fingerprint),
+         |sv AS (SELECT f.doc_id, f.text FROM fp f JOIN keep k ON f.doc_id = k.doc_id),
+         |toks AS (
+         |  SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok,
+         |         doc_id // 50 AS b
+         |  FROM sv WHERE len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) > 0),
+         |local_ord AS (
+         |  SELECT doc_id, n_tok, b,
+         |    CAST(sum(n_tok) OVER (PARTITION BY b ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) AS lstart
+         |  FROM toks),
+         |btot AS (SELECT b, CAST(sum(n_tok) AS BIGINT) AS tot FROM toks GROUP BY b),
+         |boff AS (
+         |  SELECT b, CAST(sum(tot) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tot AS BIGINT) AS off
+         |  FROM btot),
+         |pk AS (SELECT l.doc_id, l.n_tok, (o.off + l.lstart) AS start_off,
+         |       (o.off + l.lstart) // 512 AS seq_first
+         |       FROM local_ord l JOIN boff o ON l.b = o.b),
+         |ws(s) AS (VALUES ('w0'), ('w1'), ('w2'), ('w3')),
+         |ww AS (SELECT doc_id, n_tok, start_off, seq_first, s, ${hexToBigintSql("mh", 1)} AS h FROM
+         |       (SELECT pk.*, s, md5(CAST(seq_first AS VARCHAR) || '@' || s) AS mh FROM pk CROSS JOIN ws)),
+         |asg AS (SELECT doc_id, n_tok, start_off, seq_first, s AS writer FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn FROM ww)
+         |        WHERE rn = 1)
+         |SELECT doc_id, n_tok, start_off, seq_first, writer FROM asg ORDER BY doc_id""".stripMargin,
 
     "pack_sequences" ->
       """WITH toks AS (
