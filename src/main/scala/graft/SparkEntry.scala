@@ -1223,6 +1223,66 @@ object SparkEntry {
     // GPT-style sequence packing: cut the concatenated token stream into
     // capacity-sized training sequences via a two-level distributed prefix
     // sum (never a global single-partition window — see Packing scaladoc).
+    // Robust length outliers via median/MAD — the corpus-hygiene flag that
+    // mean/stddev gets wrong under the very outliers it hunts (one extreme
+    // doc drags the mean; the median doesn't move). Stats are 1-row
+    // broadcasts; k = 1.5 sized against the fixture spread (k = 2 flags
+    // NOTHING — a tautological gate; 1.5 -> 99/500 outliers at sf0.01).
+    "quality_length_mad" -> ((s, d) => {
+      val toks = t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      val med = toks.agg(expr("percentile(n_tok, 0.5)").as("med"))
+      val stats = toks.crossJoin(broadcast(med))
+        .agg(first(col("med")).as("med"),
+          expr("percentile(abs(n_tok - med), 0.5)").as("mad"))
+      toks.crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("n_tok"),
+          round(abs(col("n_tok") - col("med")), 4).as("abs_dev"),
+          (abs(col("n_tok") - col("med")) > lit(1.5) * col("mad")).as("is_outlier"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Padding-waste accounting for training-batch assembly: id-order
+    // batches of 16 vs length-bucketed batches — the measured argument for
+    // bucketed batching (every slot pads to its batch max). The length
+    // rank is a row_number window HERE; production assembles via
+    // repartitionByRange(n_tok) (the zorder write pattern), so no
+    // single-partition sort exists at scale.
+    "pack_padding_waste" -> ((s, d) => {
+      val toks = t(s, d, "documents").select(col("doc_id"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      def waste(df: DataFrame, strategy: String): DataFrame =
+        df.groupBy(col("batch"))
+          .agg(max(col("n_tok")).as("mx"), count(lit(1)).as("cnt"),
+            sum(col("n_tok")).as("tot"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("mx") * col("cnt") - col("tot")).as("padding"),
+            sum(col("tot")).as("tokens"))
+          .select(lit(strategy).as("strategy"), col("n_batches"),
+            col("padding"), col("tokens"),
+            round(col("padding") / (col("padding") + col("tokens")), 6)
+              .as("waste_frac"))
+      val naive = toks.withColumn("batch", floor(col("doc_id") / 16))
+      val bucketed = toks.withColumn("rk",
+          row_number().over(Window.orderBy(col("n_tok"), col("doc_id"))))
+        .withColumn("batch", floor((col("rk") - 1) / 16))
+      waste(naive, "id_order").unionByName(waste(bucketed, "length_bucketed"))
+        .orderBy(col("strategy"))
+    }),
+
+    // Exactly-N deterministic sample: the hash-Bernoulli family draws an
+    // EXPECTED fraction; audits and eval sets need exactly N rows. Lowest
+    // N md5 draws = TakeOrderedAndProject (per-partition partial top-N,
+    // no full sort), reproducible forever from the salt.
+    "sample_exact_n" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(concat_ws("#", col("doc_id"), lit("exn"))).as("draw"))
+        .orderBy(col("draw"), col("doc_id"))
+        .limit(100)
+        .orderBy(col("doc_id"))
+    }),
+
     // Training-shard export composite: exact-dedup survivors -> sequence
     // packing -> rendezvous writer assignment, the tail of a curation
     // pipeline as ONE plan (each stage is its own gated operator; the
@@ -3796,6 +3856,34 @@ object SparkEntry {
          |      FROM di JOIN wi w2 ON di.lang = w2.lang),
          |x AS (SELECT doc_id, lang, unnest(generate_series(1, nc)) AS copy_idx FROM n WHERE nc >= 1)
          |SELECT doc_id, lang, copy_idx FROM x ORDER BY doc_id, copy_idx""".stripMargin,
+
+    "quality_length_mad" ->
+      """WITH t AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents),
+        |s AS (SELECT quantile_cont(n_tok, 0.5) AS med FROM t),
+        |m AS (SELECT quantile_cont(abs(n_tok - med), 0.5) AS mad FROM t CROSS JOIN s)
+        |SELECT doc_id, n_tok, round(abs(n_tok - med), 4) AS abs_dev,
+        |  abs(n_tok - med) > 1.5 * mad AS is_outlier
+        |FROM t CROSS JOIN s CROSS JOIN m ORDER BY doc_id""".stripMargin,
+
+    "pack_padding_waste" ->
+      """WITH t AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents),
+        |nb AS (SELECT doc_id // 16 AS batch, n_tok FROM t),
+        |na AS (SELECT batch, max(n_tok) AS mx, count(*) AS cnt, sum(n_tok) AS tot FROM nb GROUP BY batch),
+        |nr AS (SELECT 'id_order' AS strategy, count(*) AS n_batches,
+        |       CAST(sum(mx * cnt - tot) AS BIGINT) AS padding, CAST(sum(tot) AS BIGINT) AS tokens FROM na),
+        |sb AS (SELECT (row_number() OVER (ORDER BY n_tok, doc_id) - 1) // 16 AS batch, n_tok FROM t),
+        |sa AS (SELECT batch, max(n_tok) AS mx, count(*) AS cnt, sum(n_tok) AS tot FROM sb GROUP BY batch),
+        |sr AS (SELECT 'length_bucketed' AS strategy, count(*) AS n_batches,
+        |       CAST(sum(mx * cnt - tot) AS BIGINT) AS padding, CAST(sum(tot) AS BIGINT) AS tokens FROM sa)
+        |SELECT strategy, n_batches, padding, tokens,
+        |  round(padding / (padding + tokens), 6) AS waste_frac
+        |FROM (SELECT * FROM nr UNION ALL SELECT * FROM sr) ORDER BY strategy""".stripMargin,
+
+    "sample_exact_n" ->
+      """SELECT doc_id, draw FROM (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#exn') AS draw
+        |  FROM documents ORDER BY draw, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
 
     // Dedup-survivor CTEs -> the pack_sequences prefix-sum chain -> the
     // shard_assignment HRW argmax, composed.
