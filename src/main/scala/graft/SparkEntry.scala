@@ -1223,6 +1223,16 @@ object SparkEntry {
     // GPT-style sequence packing: cut the concatenated token stream into
     // capacity-sized training sequences via a two-level distributed prefix
     // sum (never a global single-partition window — see Packing scaladoc).
+    // Per-source centroid cosine matrix (see
+    // [[CorpusStats.sourceCentroidSimilarity]]): which sources cover the
+    // same embedding region — the embedding-space complement of
+    // source_overlap's fingerprint matrix.
+    "source_centroid_similarity" -> ((s, d) => {
+      CorpusStats.sourceCentroidSimilarity(
+          t(s, d, "documents"), t(s, d, "embeddings"))
+        .orderBy(col("s1"), col("s2"))
+    }),
+
     // Robust length outliers via median/MAD — the corpus-hygiene flag that
     // mean/stddev gets wrong under the very outliers it hunts (one extreme
     // doc drags the mean; the median doesn't move). Stats are 1-row
@@ -3856,6 +3866,20 @@ object SparkEntry {
          |      FROM di JOIN wi w2 ON di.lang = w2.lang),
          |x AS (SELECT doc_id, lang, unnest(generate_series(1, nc)) AS copy_idx FROM n WHERE nc >= 1)
          |SELECT doc_id, lang, copy_idx FROM x ORDER BY doc_id, copy_idx""".stripMargin,
+
+    // Replays sourceCentroidSimilarity: per-(source, dim) double means
+    // round 6 (cross-row float sums — the PCA round-6 convention), pair
+    // cosine over the ROUNDED components round 4.
+    "source_centroid_similarity" ->
+      """WITH j AS (SELECT d.source AS src, e.embedding FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |c AS (SELECT src, i, round(sum(CAST(embedding[i + 1] AS DOUBLE)) / count(*), 6) AS v
+        |      FROM j CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) GROUP BY src, i),
+        |p AS (SELECT a.src AS s1, b.src AS s2, a.v AS va, b.v AS vb
+        |      FROM c a JOIN c b ON a.i = b.i AND a.src < b.src),
+        |s AS (SELECT s1, s2, sum(va * vb) AS dp, sqrt(sum(va * va)) AS na, sqrt(sum(vb * vb)) AS nb
+        |      FROM p GROUP BY s1, s2)
+        |SELECT s1, s2, round(CASE WHEN na * nb = 0 THEN 0 ELSE dp / (na * nb) END, 4) AS cos_sim
+        |FROM s ORDER BY s1, s2""".stripMargin,
 
     "quality_length_mad" ->
       """WITH t AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents),

@@ -378,6 +378,35 @@ object CorpusStats {
     .withColumn("__h1", conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"))
     .withColumn("__h2", conv(substring(md5(col("token")), 9, 8), 16, 10).cast("long"))
 
+  /** Per-source embedding centroids (double component means rounded to 6 —
+    * the KMeans/SemDeDup portability convention; NOT [[graft.functions.VectorAvg]],
+    * whose float-cast finish would re-quantize the mean) and the pairwise
+    * cosine matrix between them — corpus structure at a glance: which
+    * sources cover the same embedding region, the source-level mirror of
+    * SemDeDup's within-cluster pruning.
+    *
+    * Shapes: one (source, component)-keyed partial agg (docs x dim rows
+    * reduce map-side to partitions x sources x dim); the pair matrix is
+    * model-sized (sources²/2) with the centroid side broadcast; the cosine
+    * is the index-order double fold. */
+  def sourceCentroidSimilarity(docs: DataFrame, emb: DataFrame,
+                               sourceCol: String = "source"): DataFrame = {
+    val j = docs.select(col("doc_id"), col(sourceCol).as("src"))
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+    val comp = Dedup.spread(j).select(col("src"), posexplode(col("embedding")))
+      .groupBy(col("src"), col("pos"))
+      .agg(round(sum(col("col").cast("double")) / count(lit(1)), 6).as("v"))
+    val cents = comp.groupBy(col("src"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("cv"))
+      .select(col("src"), transform(col("cv"), x => x.getField("v")).as("c"))
+    val b = cents.select(col("src").as("s2"), col("c").as("cb"))
+    cents.select(col("src").as("s1"), col("c").as("ca"))
+      .join(broadcast(b), col("s1") < col("s2"))
+      .select(col("s1"), col("s2"),
+        round(graft.functions.VectorFunctions
+          .cosineSimilarityHof(col("ca"), col("cb")), 4).as("cos_sim"))
+  }
+
   /** Positional adjacent-word bigrams with multiplicity (NOT the distinct
     * shingle set — PMI needs counts). Compiled one-pass UDF per doc, the
     * [[Dedup.shinglesFast]] lesson: the declarative transform/slice twin is

@@ -110,6 +110,10 @@ class PlanPropertiesSpec extends AnyFunSuite {
   }
 
   test("filtered ANN pushes the metadata predicate into the parquet scan") {
+    // another suite may have cached the embeddings table in the shared
+    // session — a cache would absorb the filter into InMemoryTableScan and
+    // hide the parquet pushdown this test pins
+    spark.catalog.clearCache()
     val df = SparkEntry.queries("ann_filtered")(spark, TestSpark.sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
