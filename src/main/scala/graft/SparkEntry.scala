@@ -1439,6 +1439,54 @@ object SparkEntry {
     // trigrams keep the same 25 planted near-dup pairs at ~100x fewer
     // candidate rows (shingle selectivity is the scale lever here, LSH below
     // is the sub-quadratic one).
+    // Asymmetric containment pairs (see [[Dedup.ngramContainmentPairs]]):
+    // the subset screen symmetric Jaccard misses; same hashed-shingle
+    // equi-join shape as dedup_jaccard_ngram.
+    "dedup_containment" -> ((s, d) => {
+      Dedup.ngramContainmentPairs(t(s, d, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.8)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // Tokenizer-coverage OOV rate: fraction of each doc's tokens outside
+    // the corpus top-20 vocabulary (the coverage check run before
+    // committing to a tokenizer vocab size). Vocab is model-sized ->
+    // broadcast; the per-doc fraction is one map-side-combinable agg.
+    "vocab_oov_rate" -> ((s, d) => {
+      val toks = t(s, d, "documents").select(col("doc_id"),
+        explode(TextFunctions.wsTokens(lower(col("text")))).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("tok")).limit(20)
+        .select(col("tok"), lit(1).as("__in"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          round(sum(when(col("__in").isNull, 1).otherwise(0)).cast("double")
+            / count(lit(1)), 4).as("oov_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Zipf rank-frequency slope by least squares over (ln rank, ln count)
+    // — the one-number sanity check that a corpus's token distribution is
+    // natural-language-shaped (~-1) rather than synthetic/degenerate. The
+    // rank window runs over the VOCABULARY (model-sized relative to the
+    // corpus), never the token stream.
+    "vocab_zipf_slope" -> ((s, d) => {
+      val counts = t(s, d, "documents")
+        .select(explode(TextFunctions.wsTokens(lower(col("text")))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val xy = counts.withColumn("r",
+          row_number().over(Window.orderBy(desc("c"), col("tok"))))
+        .select(log(col("r").cast("double")).as("x"),
+          log(col("c").cast("double")).as("y"))
+      xy.agg(count(lit(1)).cast("double").as("nv"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("nv").cast("long").as("n_vocab"),
+          round((col("sxy") - col("sx") * col("sy") / col("nv"))
+            / (col("sxx") - col("sx") * col("sx") / col("nv")), 4).as("slope"))
+    }),
+
     "dedup_jaccard_ngram" -> ((s, d) => {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
         n = 3, threshold = 0.30)
@@ -4005,6 +4053,40 @@ object SparkEntry {
         |   CASE WHEN sum(CASE WHEN substr(md5(wd), CAST(j AS INT), 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END AS bit
         |   FROM e, generate_series(1, 32) AS t(j) GROUP BY doc_id, j)
         |SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same trigram-shingle chain as dedup_jaccard_ngram; containment
+    // divides by ONE side's size, verdict on the rounded max.
+    "dedup_containment" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' ')))) AS shingle FROM w WHERE len(ws) > 2),
+        |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |  round(CAST(shared AS DOUBLE) / c1.n, 4) AS c_1in2,
+        |  round(CAST(shared AS DOUBLE) / c2.n, 4) AS c_2in1
+        |FROM inter JOIN counts c1 ON id1 = c1.doc_id JOIN counts c2 ON id2 = c2.doc_id
+        |WHERE greatest(round(CAST(shared AS DOUBLE) / c1.n, 4),
+        |               round(CAST(shared AS DOUBLE) / c2.n, 4)) >= 0.8
+        |ORDER BY id1, id2""".stripMargin,
+
+    "vocab_oov_rate" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok FROM documents),
+        |v AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM toks GROUP BY tok ORDER BY c DESC, tok LIMIT 20))
+        |SELECT doc_id, count(*) AS n_tok,
+        |  round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS oov_frac
+        |FROM toks LEFT JOIN v ON toks.tok = v.tok
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "vocab_zipf_slope" ->
+      """WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok FROM documents),
+        |c AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |r AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, tok) AS DOUBLE)) AS x,
+        |             ln(CAST(c AS DOUBLE)) AS y FROM c),
+        |a AS (SELECT CAST(count(*) AS DOUBLE) AS nv, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x*y) AS sxy, sum(x*x) AS sxx FROM r)
+        |SELECT CAST(nv AS BIGINT) AS n_vocab,
+        |  round((sxy - sx*sy/nv) / (sxx - sx*sx/nv), 4) AS slope FROM a""".stripMargin,
 
     "dedup_jaccard_ngram" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),

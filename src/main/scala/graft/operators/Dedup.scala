@@ -456,6 +456,44 @@ object Dedup {
     out
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: c(A⊆B) = |A∩B| / |A| — the
+    * subset detector symmetric Jaccard misses (a page extracted from a
+    * larger doc, a doc quoting another: a 10-gram excerpt inside a
+    * 1000-gram doc has Jaccard ~0.01 but containment ~1.0 on the excerpt
+    * side). Broder's containment measure; the standard screen for
+    * "smaller doc swallowed by bigger doc" dedup.
+    *
+    * Identical shuffle shape to [[ngramJaccardPairs]] (hashed-shingle
+    * equi-join, pair count agg, per-doc sizes from the un-exploded array);
+    * keeps BOTH directions and gates on the max. */
+  def ngramContainmentPairs(df: DataFrame, textCol: String, idCol: String,
+                            n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val shArr = spread(df)
+      .select(col(idCol).as("doc_id"), shinglesFast(n)(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = shArr.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+    val sh = shArr
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    val result = pairs
+      .join(counts.withColumnRenamed("doc_id", "id1").withColumnRenamed("n_sh", "n1"), "id1")
+      .join(counts.withColumnRenamed("doc_id", "id2").withColumnRenamed("n_sh", "n2"), "id2")
+      .withColumn("c_1in2", round(col("inter").cast("double") / col("n1"), 4))
+      .withColumn("c_2in1", round(col("inter").cast("double") / col("n2"), 4))
+      .where(greatest(col("c_1in2"), col("c_2in1")) >= threshold)
+      .select("id1", "id2", "c_1in2", "c_2in1")
+    val out = result.localCheckpoint()
+    sh.unpersist(false)
+    shArr.unpersist(false)
+    out
+  }
+
   /** Edit-distance (Levenshtein) near-dup pairs over a bounded prefix
     * window, with length-bucket blocking instead of an all-pairs join.
     *
