@@ -2462,6 +2462,24 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Personalized PageRank (see [[Graph.personalizedPageRank]]): restart
+    // to the two lexicographically-smallest sources over the directed
+    // overlap graph — the graph-expansion primitive (rank concentrates
+    // around the seeds). Seeds are derived IN-PLAN (orderBy+limit on the
+    // node set), so the oracle re-derives the identical set.
+    "graph_ppr" -> ((s, d) => {
+      val ov = sourceFpOverlap(s, d)
+      val edges = ov.select(col("source_a").as("src"), col("source_b").as("dst"),
+        col("n_shared").cast("double").as("w"))
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.orderBy(col("node")).limit(2)
+      Graph.personalizedPageRank(edges, "src", "dst", "w", seeds,
+          iters = 5, damping = 0.85)
+        .withColumnRenamed("node", "source")
+        .orderBy(col("source"))
+    }),
+
     // Per-node triangle participation over the same source graph — the
     // cluster-cohesion signal (a contamination PAIR might be coincidence;
     // a triangle is a shared-boilerplate clique). Degree-ordered DAG
@@ -3048,6 +3066,41 @@ object SparkEntry {
       "\nSELECT node AS source, round(pr, 4) AS pagerank FROM r5 ORDER BY source"
   }
 
+  /** graph_ppr oracle: the directed overlap graph, seeds = two smallest
+    * node names (re-derived in a CTE), 5 PPR rounds unrolled — teleport
+    * AND dangling mass return only to the seeds, the exact arithmetic of
+    * [[graft.operators.Graph.personalizedPageRank]]. */
+  private val pprOracleSql: String = {
+    val head =
+      """WITH fp AS (SELECT DISTINCT source,
+        |  md5(coalesce(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)[1:8], ' '), '')) AS fp
+        |  FROM documents),
+        |e AS (SELECT a.source AS src, b.source AS dst, CAST(count(*) AS DOUBLE) AS w
+        |      FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |seeds AS (SELECT node FROM nodes ORDER BY node LIMIT 2),
+        |sd AS (SELECT node, 1.0 AS f FROM seeds),
+        |ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM seeds),
+        |dang AS (SELECT node FROM nodes EXCEPT SELECT DISTINCT src FROM e),
+        |wd AS (SELECT src, sum(w) AS wdeg FROM e GROUP BY src),
+        |ep AS (SELECT e.src, e.dst, e.w / wd.wdeg AS p FROM e JOIN wd ON e.src = wd.src),
+        |r0 AS (SELECT nd.node, coalesce(sd.f, 0) / ns.s AS pr
+        |       FROM nodes nd LEFT JOIN sd ON nd.node = sd.node CROSS JOIN ns)""".stripMargin
+    val steps = (1 to 5).map { i =>
+      s"""dm$i AS (SELECT coalesce(sum(r.pr), 0) AS s FROM r${i - 1} r JOIN dang ON r.node = dang.node),
+         |r$i AS (SELECT nd.node,
+         |    (1.0 - 0.85) * coalesce(sd.f, 0) / ns.s +
+         |    0.85 * (coalesce(c.contrib, 0) + coalesce(sd.f, 0) * dm.s / ns.s) AS pr
+         |  FROM nodes nd CROSS JOIN ns CROSS JOIN dm$i dm
+         |  LEFT JOIN sd ON nd.node = sd.node
+         |  LEFT JOIN (SELECT ep.dst AS node, sum(r.pr * ep.p) AS contrib
+         |             FROM ep JOIN r${i - 1} r ON ep.src = r.node GROUP BY 1) c
+         |    ON nd.node = c.node)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      "\nSELECT node AS source, round(pr, 4) AS ppr FROM r5 ORDER BY source"
+  }
+
   /** knn_mmr oracle: exact top-20 candidates, pairwise candidate cosines,
     * then the 10 greedy MMR rounds UNROLLED (MATERIALIZED — each round
     * reads its predecessor several times). Scores are exact e5 fixed-point
@@ -3098,6 +3151,7 @@ object SparkEntry {
     "graph_pagerank" -> pageRankOracleSql,
 
     "graph_pagerank_directed" -> pageRankDirectedOracleSql,
+    "graph_ppr" -> pprOracleSql,
 
     "embedding_kmeans" -> kmeansOracleSql,
 

