@@ -204,8 +204,12 @@ final class GraftVectorStore(
         .withColumn("rank", row_number().over( // kEach-bounded frame
           Window.orderBy(desc("similarity"), asc("id"))))
       val terms = prompt.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
-      val lex = graft.operators.Bm25.topKStringIds(
-        slice, "page_content", "id", terms, kEach)
+      // a whitespace-only prompt has no lexical side: degrade to
+      // vector-only ranks instead of refusing the search
+      val lex =
+        if (terms.nonEmpty)
+          graft.operators.Bm25.topKStringIds(slice, "page_content", "id", terms, kEach)
+        else vec.limit(0).select(col("id"), col("similarity").as("score"), col("rank"))
       val fused = lex.select(col("id"), col("rank").cast("double").as("ra"))
         .join(vec.select(col("id"), col("rank").cast("double").as("rb")),
           Seq("id"), "full_outer")

@@ -68,6 +68,8 @@ object Bm25 {
            queryTerms: Seq[String], k: Int = 10, qId: Long = 0L,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.forall(t => t == t.toLowerCase),
+      "queryTerms must be lowercase (the token stream is lowercased)")
     val docs = Dedup.spread(df).select(col(idCol).cast("long").as("doc_id"),
         TextFunctions.wsTokens(lower(col(textCol))).as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
@@ -108,6 +110,8 @@ object Bm25 {
                     queryTerms: Seq[String], k: Int = 10,
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.forall(t => t == t.toLowerCase),
+      "queryTerms must be lowercase (the token stream is lowercased)")
     val docs = Dedup.spread(df).select(col(idCol).cast("string").as("__sid"),
         TextFunctions.wsTokens(lower(col(textCol))).as("toks"))
       .withColumn("__surr", xxhash64(col("__sid")))

@@ -52,12 +52,15 @@ object Contrastive {
       .select(col("doc_id"), col("p.g").as("g"),
         col("p.anchor_text"), col("p.pos_text"))
 
-    // deterministic negative doc id: shift-by-h over the other n-1 docs
+    // deterministic negative doc id: shift-by-h over the other n-1 docs.
+    // A 1-doc corpus has no possible negative: the guard nulls neg_doc
+    // (pmod by n-1 = 0 would be an ANSI divide error) and the inner
+    // representative join then yields the correct empty triple set.
     val h32 = conv(substring(md5(concat_ws("#",
       col("doc_id"), col("g"))), 1, 8), 16, 10).cast("long")
     val withNeg = anchors.crossJoin(broadcast(nDocs))
-      .withColumn("neg_doc",
-        pmod(col("doc_id") + 1L + pmod(h32, col("n_docs") - 1L), col("n_docs")))
+      .withColumn("neg_doc", when(col("n_docs") > 1L,
+        pmod(col("doc_id") + 1L + pmod(h32, col("n_docs") - 1L), col("n_docs"))))
 
     // representative (first non-empty) chunk per doc for the negative side
     val reps = trimmed.where(size(col("chunks")) >= 1)

@@ -251,6 +251,14 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(bnlj <= bcast, s"non-broadcast nested loop in\n$p")
   }
 
+  test("pHash pair join keys on the hash bands (equi hash join, no BNLJ)") {
+    val df = SparkEntry.queries("multimodal_phash_pairs")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("band_key"), p)
+  }
+
   test("winnow pair join keys on the fingerprint (equi hash join, no BNLJ)") {
     val df = SparkEntry.queries("dedup_winnow_pairs")(spark, TestSpark.sf)
     df.collect()
