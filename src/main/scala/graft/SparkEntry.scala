@@ -1233,6 +1233,31 @@ object SparkEntry {
         .orderBy(col("s1"), col("s2"))
     }),
 
+    // One-PASS column profiling (the data-catalog stat sweep): all metrics
+    // for all profiled columns computed in a single aggregation over one
+    // scan — 21 aggregate expressions, map-side partial — then unpivoted
+    // to a row per column. The naive per-column loop would scan the table
+    // once per column; at 100 TB the single-scan shape IS the operator.
+    "profile_lineitem" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val li = t(s, d, "lineitem")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"${c}_null"),
+        countDistinct(col(c)).as(s"${c}_dist"),
+        round(min(col(c)).cast("double"), 4).as(s"${c}_min"),
+        round(max(col(c)).cast("double"), 4).as(s"${c}_max"),
+        round(avg(col(c).cast("double")), 4).as(s"${c}_mean"))
+      }
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', ${c}_null, ${c}_dist, ${c}_min, ${c}_max, ${c}_mean").mkString(", ")
+      one.select(col("n_rows"), expr(
+          s"stack(${cols.size}, $stackArgs) AS (column, n_null, n_distinct, min_v, max_v, mean_v)"))
+        .select(col("column"), col("n_rows"), col("n_null"), col("n_distinct"),
+          col("min_v"), col("max_v"), col("mean_v"))
+        .orderBy(col("column"))
+    }),
+
     // Robust length outliers via median/MAD — the corpus-hygiene flag that
     // mean/stddev gets wrong under the very outliers it hunts (one extreme
     // doc drags the mean; the median doesn't move). Stats are 1-row
@@ -3982,6 +4007,38 @@ object SparkEntry {
         |      FROM p GROUP BY s1, s2)
         |SELECT s1, s2, round(CASE WHEN na * nb = 0 THEN 0 ELSE dp / (na * nb) END, 4) AS cos_sim
         |FROM s ORDER BY s1, s2""".stripMargin,
+
+    "profile_lineitem" ->
+      """WITH p AS (
+        |  SELECT 'l_quantity' AS "column", count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    count(DISTINCT l_quantity) AS n_distinct,
+        |    round(CAST(min(l_quantity) AS DOUBLE), 4) AS min_v,
+        |    round(CAST(max(l_quantity) AS DOUBLE), 4) AS max_v,
+        |    round(avg(CAST(l_quantity AS DOUBLE)), 4) AS mean_v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(*),
+        |    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_extendedprice),
+        |    round(CAST(min(l_extendedprice) AS DOUBLE), 4),
+        |    round(CAST(max(l_extendedprice) AS DOUBLE), 4),
+        |    round(avg(CAST(l_extendedprice AS DOUBLE)), 4) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', count(*),
+        |    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_discount),
+        |    round(CAST(min(l_discount) AS DOUBLE), 4),
+        |    round(CAST(max(l_discount) AS DOUBLE), 4),
+        |    round(avg(CAST(l_discount AS DOUBLE)), 4) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', count(*),
+        |    CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_tax),
+        |    round(CAST(min(l_tax) AS DOUBLE), 4),
+        |    round(CAST(max(l_tax) AS DOUBLE), 4),
+        |    round(avg(CAST(l_tax AS DOUBLE)), 4) FROM lineitem)
+        |SELECT "column", n_rows, n_null, n_distinct, min_v, max_v, mean_v
+        |FROM p ORDER BY "column"""".stripMargin,
 
     "quality_length_mad" ->
       """WITH t AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok FROM documents),
