@@ -1449,6 +1449,24 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // Estimator quality IN the gate (not only RECALL.md): the banded-LSH
+    // pair set is exact-verified, so it is a SUBSET of the all-pairs
+    // bigram-Jaccard truth — recall = n_lsh / n_exact, hash-checked at
+    // every SF. A banding regression (lost bucket, broken signature)
+    // surfaces here as a recall drop even while dedup_minhash_lsh's own
+    // rows still verify.
+    "dedup_minhash_recall" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val lsh = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+        numHashes = 12, bands = 4, threshold = 0.30).select(col("id1"), col("id2"))
+      val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 2, threshold = 0.30).select(col("id1"), col("id2"))
+      val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+      val nE = exact.agg(count(lit(1)).as("n_exact"))
+      nE.crossJoin(nL).select(col("n_exact"), col("n_lsh"),
+        round(col("n_lsh").cast("double") / col("n_exact"), 4).as("recall"))
+    }),
+
     // simhash32Fast = compiled one-pass twin of the declarative simhash32
     // (bit-identity pinned in DedupSpec); the oracle below IS the
     // declarative form in SQL.
@@ -4156,6 +4174,30 @@ object SparkEntry {
         |        len(sh1) AS n1, len(sh2) AS n2 FROM cand)
         |SELECT id1, id2, round(inter / (n1 + n2 - inter), 4) AS jaccard FROM j
         |WHERE round(inter / (n1 + n2 - inter), 4) >= 0.30 ORDER BY id1, id2""".stripMargin,
+
+    // The minhash-chain CTEs (bigram shingles, 12 hashes, 4 bands) for the
+    // LSH count; the exact count drops the banding and takes all-pairs
+    // bigram Jaccard at the same threshold.
+    "dedup_minhash_recall" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [] ELSE list_distinct(list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])) END AS sh FROM w),
+        |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 11), i -> list_min(list_transform(sh, s -> md5(s || '#' || CAST(i AS VARCHAR))))) AS sig FROM sh WHERE len(sh) > 0),
+        |bk AS (SELECT doc_id, sh, list_transform(generate_series(0, 3), b -> md5(array_to_string(sig[(b*3+1):(b*3+3)], ','))) AS bks FROM sig),
+        |banded AS (SELECT doc_id, sh, b AS band_idx, bks[b+1] AS band_key FROM bk, generate_series(0, 3) AS t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.sh AS sh1, b.sh AS sh2
+        |         FROM banded a JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |lsh AS (SELECT id1, id2 FROM
+        |        (SELECT id1, id2, CAST(len(list_filter(sh1, s -> list_contains(sh2, s))) AS DOUBLE) AS inter,
+        |                len(sh1) AS n1, len(sh2) AS n2 FROM cand)
+        |        WHERE round(inter / (n1 + n2 - inter), 4) >= 0.30),
+        |se AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE len(sh) > 0),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM se GROUP BY doc_id),
+        |iv AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+        |       FROM se a JOIN se b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |ex AS (SELECT id1, id2 FROM iv JOIN cnt c1 ON id1 = c1.doc_id JOIN cnt c2 ON id2 = c2.doc_id
+        |       WHERE round(CAST(shared AS DOUBLE) / (c1.n + c2.n - shared), 4) >= 0.30)
+        |SELECT (SELECT count(*) FROM ex) AS n_exact, (SELECT count(*) FROM lsh) AS n_lsh,
+        |  round(CAST((SELECT count(*) FROM lsh) AS DOUBLE) / (SELECT count(*) FROM ex), 4) AS recall""".stripMargin,
 
     "dedup_simhash" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
