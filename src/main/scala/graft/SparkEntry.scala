@@ -2062,6 +2062,31 @@ object SparkEntry {
     // event ids — same distribution, PSI ~ 0) next to a synthetic 1.5x
     // scale shift that must trip the 0.1 drift threshold — both directions
     // falsifiable, both replayed by the oracle bucket-for-bucket.
+    // Daily-volume anomaly flags per event type (the ingest-monitoring
+    // sibling of the PSI drift score): population z-score of each day's
+    // count against the type's own history, |z| > 2 flags. Two-pass
+    // mean/variance (both replayable exactly — a streaming Welford would
+    // not be); the per-type stats are model-sized broadcasts. Boundary
+    // clearance measured at every SF (nearest |z| is 0.005 from the 2.0
+    // cut — 13 orders above double noise).
+    "events_volume_anomaly" -> ((s, d) => {
+      val day = events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      val mu = day.groupBy(col("event_type"))
+        .agg(avg(col("n")).as("mu"), count(lit(1)).cast("double").as("nd"))
+      val sd = day.join(broadcast(mu), "event_type")
+        .groupBy(col("event_type"))
+        .agg(first(col("mu")).as("mu"),
+          sqrt(sum((col("n") - col("mu")) * (col("n") - col("mu"))) /
+            first(col("nd"))).as("sd"))
+      day.join(broadcast(sd), "event_type")
+        .select(col("event_type"), col("day"), col("n").cast("long").as("n_events"),
+          round((col("n") - col("mu")) / col("sd"), 4).as("z"),
+          (abs((col("n") - col("mu")) / col("sd")) > 2.0).as("anomaly"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // The PSI monitor with a STREAMED current side (see
     // [[graft.streaming.StreamingOps.psiBucketCountsOnce]]): reference
     // bounds fix the grid up front, the stream folds into nBuckets rows of
@@ -4804,6 +4829,18 @@ object SparkEntry {
 
     // bucket cut, +0.5 smoothing, p/q round 6, PSI round 4 — the
     // CorpusStats.psi arithmetic twice (null split and 1.5x shift).
+    "events_volume_anomaly" ->
+      """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, CAST(count(*) AS DOUBLE) AS n
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, avg(n) AS mu, CAST(count(*) AS DOUBLE) AS nd FROM d GROUP BY 1),
+        |v AS (SELECT d.event_type, any_value(mu) AS mu,
+        |      sqrt(sum((n - mu) * (n - mu)) / any_value(nd)) AS sd
+        |      FROM d JOIN s USING (event_type) GROUP BY d.event_type)
+        |SELECT d.event_type, d.day, CAST(n AS BIGINT) AS n_events,
+        |  round((n - mu) / sd, 4) AS z,
+        |  abs((n - mu) / sd) > 2.0 AS anomaly
+        |FROM d JOIN v USING (event_type) ORDER BY d.event_type, d.day""".stripMargin,
+
     // The split-half arm of the corpus_drift_psi replay — the streamed
     // current side must land on the identical batch arithmetic.
     "streaming_drift_psi" ->
