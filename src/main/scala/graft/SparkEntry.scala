@@ -1685,6 +1685,18 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // The index-SERVING path (see [[Bm25.topKFromPostings]]): postings +
+    // norms built, then scoring reads ONLY the query terms' posting rows —
+    // no re-tokenization anywhere. Must reproduce bm25_topk bit-for-bit
+    // (shared oracle): the index path can never drift from the definition.
+    "bm25_from_postings" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val idx = Bm25.postings(docs, "text", "doc_id", nShards = 4)
+      val norms = Bm25.docNorms(docs, "text", "doc_id")
+      Bm25.topKFromPostings(idx, norms, bm25QueryTerms, k = 10)
+        .orderBy(col("rank"))
+    }),
+
     // Sharded inverted index (see [[Bm25.postings]]): posting-list row width
     // bounded by doc_id % nShards sharding (a stopword's postings spread
     // over nShards reducers; conjunctive intersection stays same-key).
@@ -3134,6 +3146,12 @@ object SparkEntry {
       "\nSELECT node AS source, round(pr, 4) AS pagerank FROM r5 ORDER BY source"
   }
 
+  /** Shared by bm25_topk AND the bm25_from_postings index-path contract. */
+  private val bm25TopKOracleSql: String =
+    s"""WITH ${bm25OracleCtes("b_")}
+       |SELECT CAST(0 AS BIGINT) AS q_id, doc_id, score, rank FROM b_rank
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
+
   /** graph_ppr oracle: the directed overlap graph, seeds = two smallest
     * node names (re-derived in a CTE), 5 PPR rounds unrolled — teleport
     * AND dangling mass return only to the seeds, the exact arithmetic of
@@ -4388,10 +4406,10 @@ object SparkEntry {
         |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)
         |SELECT q_id, vec_id, similarity, rank FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
-    "bm25_topk" ->
-      s"""WITH ${bm25OracleCtes("b_")}
-         |SELECT CAST(0 AS BIGINT) AS q_id, doc_id, score, rank FROM b_rank
-         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    "bm25_topk" -> bm25TopKOracleSql,
+    // the index-serving form must land on the identical ranking — shared
+    // oracle is the contract (ann_ivf_full_probe's pattern, lexical edition)
+    "bm25_from_postings" -> bm25TopKOracleSql,
 
     "inverted_postings" ->
       """WITH toks AS (SELECT doc_id,

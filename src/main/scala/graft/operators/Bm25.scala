@@ -63,7 +63,15 @@ object Bm25 {
     * ulps (the repo-wide convention for cross-row double sums).
     *
     * Output: (q_id, doc_id, score, rank) with tiebreak (score desc, doc_id
-    * asc) — `q_id` tags the query so batch callers can union. */
+    * asc) — `q_id` tags the query so batch callers can union.
+    *
+    * Scale note: this is the INDEX-FREE form — tf, df, and the corpus
+    * constants each derive from the corpus scan (Catalyst does not share
+    * the subplans, so the table is read up to 3x, column-pruned). A
+    * serving deployment binds df/N/avgdl from the prebuilt [[postings]]
+    * index (where they are one broadcast lookup) and scans nothing but the
+    * query terms' posting rows; the scan-based form exists so the whole
+    * computation stays one declarative, oracle-replayable plan. */
   def topK(df: DataFrame, textCol: String, idCol: String,
            queryTerms: Seq[String], k: Int = 10, qId: Long = 0L,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -83,6 +91,52 @@ object Bm25 {
       .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df_t"))
     val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 4).as("similarity"))
+      .withColumn("q_id", lit(qId))
+    SimilaritySearch.topKPerQuery(perDoc, k, "q_id", "doc_id")
+      .select(col("q_id"), col("doc_id"),
+        col("similarity").as("score"), col("rank"))
+  }
+
+  /** Doc-length norms table (doc_id, dl) — the side table a BM25 index
+    * build persists next to [[postings]] (real engines store document
+    * norms separately from the inverted lists). Narrow one-pass build. */
+  def docNorms(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    Dedup.spread(df).select(col(idCol).cast("long").as("doc_id"),
+      size(TextFunctions.wsTokens(lower(col(textCol)))).cast("double").as("dl"))
+
+  /** BM25 scored FROM the prebuilt index — the serving form: only the
+    * query terms' posting rows are read (the term predicate prunes the
+    * index scan; nothing re-tokenizes), df = sum of df_shard over the
+    * term's shards, dl from the norms table, corpus constants from one
+    * norms aggregation. CONTRACT: bit-identical output to the scan-based
+    * [[topK]] (the gate shares its oracle), so the index path can never
+    * drift from the definition. */
+  def topKFromPostings(postingsIdx: DataFrame, norms: DataFrame,
+                       queryTerms: Seq[String], k: Int = 10, qId: Long = 0L,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.forall(t => t == t.toLowerCase),
+      "queryTerms must be lowercase (the index is built lowercased)")
+    val stats = norms.agg(count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val qp = postingsIdx.where(col("term").isInCollection(queryTerms))
+    val dfreq = qp.groupBy(col("term"))
+      .agg(sum(col("df_shard")).cast("double").as("df_t"))
+    val tf = qp.select(col("term"),
+        explode(arrays_zip(col("doc_ids"), col("tfs"))).as("z"))
+      .select(col("term"), col("z.doc_ids").as("doc_id"),
+        col("z.tfs").cast("double").as("tf"))
+    val scored = tf.join(norms, "doc_id")
+      .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sum_dl") / col("n_docs"))
       .withColumn("idf",
