@@ -1638,6 +1638,21 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Matryoshka-style truncated-dimension retrieval: exact cosine top-k
+    // over the FIRST 16 of 64 dims — the MRL serving trick (coarse search
+    // in a prefix subspace at 1/4 the bytes, full-dim re-rank downstream;
+    // the quantization ladder's dimensionality axis). Deterministic, so
+    // the approximate ranking is fully hash-checked; TruncatedDimSpec-style
+    // recall pinning lives in Bm25Spec's ladder tests via RECALL.md.
+    "ann_truncated_dims" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      SimilaritySearch.bruteForceTopK(emb, qs, k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Binary (sign-bit) quantization ANN (see [[BinaryQuant]]): each 64-dim
     // float vector becomes two 32-bit integer words (32x smaller); stage 1
     // sweeps Hamming distance over the packed words (TopKBy bounded-buffer,
@@ -4389,6 +4404,21 @@ object SparkEntry {
     // that the composition plumbing (cell routing, per-cell sweep, shared
     // candidate cut) introduces no drift; production dials nprobe down.
     "ann_ivf_binary_full_probe" -> binaryHammingOracleSql,
+
+    // exactAnnTopKSql over the 16-dim prefix subspace.
+    "ann_truncated_dims" ->
+      """WITH em AS (SELECT vec_id, embedding[1:16] AS embedding FROM embeddings),
+        |qs AS (SELECT vec_id AS q_id, embedding AS qv FROM em WHERE vec_id < 5),
+        |z AS (SELECT q.q_id, e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+        |      FROM em e, qs q WHERE e.vec_id <> q.q_id),
+        |s AS (SELECT q_id, vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
+        |             sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
+        |             sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
+        |      FROM z GROUP BY q_id, vec_id),
+        |r AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM s),
+        |rr AS (SELECT q_id, vec_id, similarity,
+        |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)
+        |SELECT q_id, vec_id, similarity, rank FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     // exactAnnTopKSql with the metadata predicate on the corpus side only
     // (queries stay unfiltered — a query vector needn't satisfy its own

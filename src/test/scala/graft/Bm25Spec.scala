@@ -133,6 +133,22 @@ class Bm25Spec extends AnyFunSuite {
     emb.unpersist(false); qs.unpersist(false)
   }
 
+  test("truncated-dim (matryoshka) retrieval keeps a recall floor at 1/4 the bytes") {
+    val full = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet").cache()
+    val trunc = full.select($"vec_id", slice($"embedding", 1, 16).as("embedding"))
+    def hits(emb: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val qs = emb.where($"vec_id" < 20)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      graft.operators.SimilaritySearch.bruteForceTopK(emb, qs, 10)
+        .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    }
+    val exact = hits(full)
+    val approx = hits(trunc)
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.15, f"16-of-64-dim recall collapsed: $recall%.3f")
+    full.unpersist(false)
+  }
+
   test("binary quant search: self-similar vectors found despite 32x compression") {
     // corpus of near-duplicates of two centroids: hamming stage must route
     // each query to its own family before the cosine re-rank
