@@ -257,6 +257,24 @@ object Probe {
             .minhashSourceSimilarity(docs, "text", "source", 32, 3, auditExact = true)
             .count())
 
+      case "recallbin" =>
+        // binary-quantization rows only (the full "recall" sweep's graph
+        // section is minutes at sf0.1; this isolates the packed tier)
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+        emb.count()
+        val qs = emb.where(col("vec_id") < 50)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")).cache()
+        def hits(df: DataFrame): Set[(Long, Long)] =
+          df.select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+        val exact = hits(SimilaritySearch.bruteForceTopK(emb, qs, 10))
+        val n = emb.count().toDouble
+        println("config,recall_at_10,float_frac")
+        for (cand <- Seq(16, 32, 64, 128, 256)) {
+          val approx = hits(graft.operators.BinaryQuant
+            .hammingTopK(emb, qs, k = 10, candidates = cand))
+          println(f"binary cand=$cand,${exact.intersect(approx).size.toDouble / exact.size}%.3f,${cand / n}%.4f")
+        }
+
       case "recall" =>
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
         emb.count()
