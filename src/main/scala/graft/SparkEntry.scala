@@ -1700,6 +1700,19 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // Typo-tolerant lexical search (see [[Bm25.fuzzyExpandTerms]]): every
+    // query term expands to vocabulary terms within 1 edit ("sprak" finds
+    // "spark") over the model-sized vocab, then BM25 scores the expanded
+    // set. The deliberately-misspelled gate terms prove the expansion is
+    // load-bearing — unexpanded they would match NOTHING.
+    "bm25_fuzzy" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val terms = Bm25.fuzzyExpandTerms(docs, "text",
+        Seq("sprak", "joim", "windw", "stream"), maxDist = 1)
+      Bm25.topKTermFrame(docs, "text", "doc_id", terms, k = 10)
+        .orderBy(col("rank"))
+    }),
+
     // The index-SERVING path (see [[Bm25.topKFromPostings]]): postings +
     // norms built, then scoring reads ONLY the query terms' posting rows —
     // no re-tokenization anywhere. Must reproduce bm25_topk bit-for-bit
@@ -3051,13 +3064,15 @@ object SparkEntry {
     * Scala side folds ((1.2 + 1.0); 0.25/0.75 are exact), dl sums are
     * integer-valued doubles (order-proof), and the one cross-row double sum
     * rounds to 4 — the repo-wide convention. */
-  private def bm25OracleCtes(p: String): String =
+  private def bm25OracleCtes(
+      p: String,
+      termFilter: String = "term IN ('spark','join','window','stream')"): String =
     s"""${p}docs AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks FROM documents),
        |${p}dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM ${p}docs),
        |${p}stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl FROM ${p}dl),
        |${p}qt AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
        |  FROM (SELECT doc_id, unnest(toks) AS term FROM ${p}docs)
-       |  WHERE term IN ('spark','join','window','stream') GROUP BY doc_id, term),
+       |  WHERE $termFilter GROUP BY doc_id, term),
        |${p}dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df_t FROM ${p}qt GROUP BY term),
        |${p}sc AS (SELECT q.doc_id,
        |    ln(1.0 + (s.n_docs - f.df_t + 0.5) / (f.df_t + 0.5)) *
@@ -4437,6 +4452,16 @@ object SparkEntry {
         |SELECT q_id, vec_id, similarity, rank FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
     "bm25_topk" -> bm25TopKOracleSql,
+
+    // bm25 chain with the term filter replaced by the edit-distance-1
+    // vocabulary expansion of the misspelled gate terms.
+    "bm25_fuzzy" ->
+      s"""WITH f_voc AS (SELECT DISTINCT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS term FROM documents),
+         |f_exp AS (SELECT DISTINCT term FROM f_voc CROSS JOIN (VALUES ('sprak'), ('joim'), ('windw'), ('stream')) q(w)
+         |          WHERE levenshtein(term, w) <= 1),
+         |${bm25OracleCtes("f_", "term IN (SELECT term FROM f_exp)")}
+         |SELECT CAST(0 AS BIGINT) AS q_id, doc_id, score, rank FROM f_rank
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // the index-serving form must land on the identical ranking — shared
     // oracle is the contract (ann_ivf_full_probe's pattern, lexical edition)
     "bm25_from_postings" -> bm25TopKOracleSql,

@@ -106,6 +106,55 @@ object Bm25 {
         col("similarity").as("score"), col("rank"))
   }
 
+  /** Expand query terms to every vocabulary term within `maxDist` edits —
+    * typo tolerance for the lexical path ("sprak" still finds "spark").
+    * The vocabulary is model-sized (distinct tokens), so the expansion is
+    * a broadcast nested-loop over |terms| x |vocab| TINY rows, never the
+    * corpus; the result feeds [[topK]]-style scoring as a term set.
+    * Returns the distinct matched vocabulary terms. */
+  def fuzzyExpandTerms(df: DataFrame, textCol: String,
+                       queryTerms: Seq[String], maxDist: Int = 1): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val vocab = Dedup.spread(df)
+      .select(explode(TextFunctions.wsTokens(lower(col(textCol)))).as("term"))
+      .distinct()
+    val qs = queryTerms.map(q => lit(q.toLowerCase).as("q"))
+    vocab.select(col("term"), explode(array(qs: _*)).as("q"))
+      .where(levenshtein(col("term"), col("q")) <= maxDist)
+      .select(col("term")).distinct()
+  }
+
+  /** [[topK]] with the query-term filter taken from a (small) term frame
+    * instead of a literal list — the fuzzy-search composition point. */
+  def topKTermFrame(df: DataFrame, textCol: String, idCol: String,
+                    terms: DataFrame, k: Int = 10, qId: Long = 0L,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = Dedup.spread(df).select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.wsTokens(lower(col(textCol))).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val toks = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(terms.select(col("term")).distinct()), Seq("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df_t"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 4).as("similarity"))
+      .withColumn("q_id", lit(qId))
+    SimilaritySearch.topKPerQuery(perDoc, k, "q_id", "doc_id")
+      .select(col("q_id"), col("doc_id"),
+        col("similarity").as("score"), col("rank"))
+  }
+
   /** Doc-length norms table (doc_id, dl) — the side table a BM25 index
     * build persists next to [[postings]] (real engines store document
     * norms separately from the inverted lists). Narrow one-pass build. */
