@@ -1638,6 +1638,31 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Source-capped diversified retrieval: top-10 by cosine with AT MOST 2
+    // hits per source (the fair-results complement of MMR's embedding
+    // diversity) — per-source cut via the bounded TopKBy aggregate
+    // ([[SimilaritySearch.topKPerGroup]], no corpus window), then a
+    // TakeOrdered global cut and a k-bounded final rank.
+    "knn_source_capped" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val src = t(s, d, "documents").select(col("doc_id").as("vec_id"), col("source"))
+      val q = emb.where(col("vec_id") === 7).select(col("embedding").as("q_vec"))
+      val scored = emb.where(col("vec_id") =!= 7).crossJoin(broadcast(q))
+        .withColumn("similarity",
+          round(VectorFunctions.cosineSimilarity(col("embedding"), col("q_vec")), 4))
+        .join(src, Seq("vec_id"))
+      val capped = SimilaritySearch.topKPerGroup(
+          scored.select(col("source"), col("vec_id"), col("similarity")),
+          2, "source", "vec_id")
+        .withColumnRenamed("rank", "source_rank")
+      capped.orderBy(desc("similarity"), col("vec_id")).limit(10)
+        .withColumn("rank", row_number().over( // 10-row frame
+          Window.orderBy(desc("similarity"), col("vec_id"))))
+        .select(col("source"), col("vec_id"), col("similarity"),
+          col("source_rank"), col("rank"))
+        .orderBy(col("rank"))
+    }),
+
     // Matryoshka-style truncated-dimension retrieval: exact cosine top-k
     // over the FIRST 16 of 64 dims — the MRL serving trick (coarse search
     // in a prefix subspace at 1/4 the bytes, full-dim re-rank downstream;
@@ -4419,6 +4444,24 @@ object SparkEntry {
     // that the composition plumbing (cell routing, per-cell sweep, shared
     // candidate cut) introduces no drift; production dials nprobe down.
     "ann_ivf_binary_full_probe" -> binaryHammingOracleSql,
+
+    // cosine vs query 7, per-source rank <= 2, then global top-10.
+    "knn_source_capped" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+        |z AS (SELECT e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+        |      FROM embeddings e, q WHERE e.vec_id <> 7),
+        |s AS (SELECT vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
+        |             sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
+        |             sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
+        |      FROM z GROUP BY vec_id),
+        |r AS (SELECT vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM s),
+        |j AS (SELECT d.source, r.vec_id, r.similarity FROM r JOIN documents d ON r.vec_id = d.doc_id),
+        |c AS (SELECT source, vec_id, similarity,
+        |      CAST(row_number() OVER (PARTITION BY source ORDER BY similarity DESC, vec_id) AS INT) AS source_rank
+        |      FROM j QUALIFY source_rank <= 2)
+        |SELECT source, vec_id, similarity, source_rank,
+        |  CAST(row_number() OVER (ORDER BY similarity DESC, vec_id) AS INT) AS rank
+        |FROM c ORDER BY rank LIMIT 10""".stripMargin,
 
     // exactAnnTopKSql over the 16-dim prefix subspace.
     "ann_truncated_dims" ->

@@ -43,6 +43,15 @@ object SimilaritySearch {
         col("col._1").as("similarity"), (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Per-GROUP top-k over a frame carrying (`groupCol`, `idCol`,
+    * `similarity`) — the group plays the query role in the same
+    * bounded-buffer aggregate (diversified retrieval's per-source cap,
+    * per-domain fair selection). Same scale contract as the per-query cut:
+    * map-side partials, shuffle <= partitions x k rows per group. */
+  def topKPerGroup(scored: DataFrame, k: Int,
+                   groupCol: String, idCol: String): DataFrame =
+    topKPerQuery(scored, k, groupCol, idCol)
+
   /** Exact top-k for each query vector. `queries` must be small enough to
     * broadcast (true for interactive search; for batch query loads partition
     * both sides by an LSH prefix instead). */
