@@ -2152,6 +2152,28 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // The anomaly monitor with STREAMED day counts (see
+    // [[graft.streaming.StreamingOps.dayCountsOnce]]): counts fold as
+    // mergeable state, the z-score runs on the model-sized table — gated
+    // against the identical batch arithmetic (shared oracle).
+    "streaming_volume_anomaly" -> ((s, d) => {
+      val day = graft.streaming.StreamingOps.dayCountsOnce(
+          s, s"$d/events.parquet", queryName = s"graft_days_$runNonce")
+        .select(col("event_type"), col("day"), col("n").cast("double").as("n"))
+      val mu = day.groupBy(col("event_type"))
+        .agg(avg(col("n")).as("mu"), count(lit(1)).cast("double").as("nd"))
+      val sd = day.join(broadcast(mu), "event_type")
+        .groupBy(col("event_type"))
+        .agg(first(col("mu")).as("mu"),
+          sqrt(sum((col("n") - col("mu")) * (col("n") - col("mu"))) /
+            first(col("nd"))).as("sd"))
+      day.join(broadcast(sd), "event_type")
+        .select(col("event_type"), col("day"), col("n").cast("long").as("n_events"),
+          round((col("n") - col("mu")) / col("sd"), 4).as("z"),
+          (abs((col("n") - col("mu")) / col("sd")) > 2.0).as("anomaly"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // The PSI monitor with a STREAMED current side (see
     // [[graft.streaming.StreamingOps.psiBucketCountsOnce]]): reference
     // bounds fix the grid up front, the stream folds into nBuckets rows of
@@ -3200,6 +3222,19 @@ object SparkEntry {
     (head +: steps).mkString(",\n") +
       "\nSELECT node AS source, round(pr, 4) AS pagerank FROM r5 ORDER BY source"
   }
+
+  /** Shared by events_volume_anomaly AND its streamed-state twin. */
+  private val volumeAnomalyOracleSql: String =
+    """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, CAST(count(*) AS DOUBLE) AS n
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, avg(n) AS mu, CAST(count(*) AS DOUBLE) AS nd FROM d GROUP BY 1),
+        |v AS (SELECT d.event_type, any_value(mu) AS mu,
+        |      sqrt(sum((n - mu) * (n - mu)) / any_value(nd)) AS sd
+        |      FROM d JOIN s USING (event_type) GROUP BY d.event_type)
+        |SELECT d.event_type, d.day, CAST(n AS BIGINT) AS n_events,
+        |  round((n - mu) / sd, 4) AS z,
+        |  abs((n - mu) / sd) > 2.0 AS anomaly
+        |FROM d JOIN v USING (event_type) ORDER BY d.event_type, d.day""".stripMargin
 
   /** Shared by bm25_topk AND the bm25_from_postings index-path contract. */
   private val bm25TopKOracleSql: String =
@@ -4945,17 +4980,10 @@ object SparkEntry {
 
     // bucket cut, +0.5 smoothing, p/q round 6, PSI round 4 — the
     // CorpusStats.psi arithmetic twice (null split and 1.5x shift).
-    "events_volume_anomaly" ->
-      """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, CAST(count(*) AS DOUBLE) AS n
-        |           FROM events GROUP BY 1, 2),
-        |s AS (SELECT event_type, avg(n) AS mu, CAST(count(*) AS DOUBLE) AS nd FROM d GROUP BY 1),
-        |v AS (SELECT d.event_type, any_value(mu) AS mu,
-        |      sqrt(sum((n - mu) * (n - mu)) / any_value(nd)) AS sd
-        |      FROM d JOIN s USING (event_type) GROUP BY d.event_type)
-        |SELECT d.event_type, d.day, CAST(n AS BIGINT) AS n_events,
-        |  round((n - mu) / sd, 4) AS z,
-        |  abs((n - mu) / sd) > 2.0 AS anomaly
-        |FROM d JOIN v USING (event_type) ORDER BY d.event_type, d.day""".stripMargin,
+    "events_volume_anomaly" -> volumeAnomalyOracleSql,
+    // streamed day counts must land on the identical batch arithmetic
+    "streaming_volume_anomaly" -> volumeAnomalyOracleSql,
+    
 
     // The split-half arm of the corpus_drift_psi replay — the streamed
     // current side must land on the identical batch arithmetic.

@@ -404,6 +404,34 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Per-(type, day) event counts as streaming aggregation state — the
+    * feed for the volume-anomaly monitor (counts add cell-wise, so the
+    * streamed table equals the batch groupBy; the z-score step runs on the
+    * model-sized result). State is types x days rows; with a watermark on
+    * the day column this is the standard bounded continuous shape — driven
+    * complete over the finite fixture for the batch-parity gate. */
+  def dayCountsOnce(spark: SparkSession, eventsPath: String,
+                    queryName: String = "graft_stream_days"): DataFrame = {
+    val counts = readEvents(spark, eventsPath)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    withStatePartitions(spark) {
+      val q = counts.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // Re-materialize off the memory sink: MemoryPlan does not re-instance
+    // its attributes, so a consumer that SELF-JOINS the returned frame
+    // (the two-pass z-score does) would hit "conflicting references".
+    // The table is state-sized (types x days), so the copy is noise.
+    val raw = spark.table(queryName)
+    spark.createDataFrame(raw.rdd, raw.schema)
+  }
+
   /** Streaming MinHash-LSH near-dup index: the LSH candidate-bucket table
     * ((band_idx, band_key) -> canonical representative + member count)
     * maintained as a streaming aggregation — near-dup detection for a
