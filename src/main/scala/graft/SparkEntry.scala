@@ -681,6 +681,43 @@ object SparkEntry {
         .orderBy(col("document_path"), col("page_number"))
     }),
 
+    // Time-travel CDC: the diff between two committed generations of the
+    // store (ingest -> compact -> upsert a slice UPPERCASED -> compact),
+    // keyed (document_path, page_number) — what changed between snapshots,
+    // answered from the retained generation dirs alone (no log replay).
+    // The re-ingest preserves page counts, so the diff is pure 'U' rows —
+    // and any stale/duplicated row a compaction bug left behind would
+    // surface as spurious I/D rows and hash-fail.
+    "store_generation_diff" -> ((s, d) => {
+      val tmp = scratch(d, "store_gendiff")
+      IndexTable.drop(s, tmp)
+      val docs = t(s, d, "documents")
+        .where(pmod(col("doc_id"), lit(4)) === 0)
+        .select(concat_ws("/", col("source"), col("doc_id")).as("document_path"),
+          col("text"), col("doc_id"))
+      IndexTable.append(IndexTable.ingestRecords(
+        docs.select(col("document_path"), col("text")), alias = "g", pageSize = 32), tmp)
+      IndexTable.compact(s, tmp, "g")
+      IndexTable.append(IndexTable.ingestRecords(
+        docs.where(pmod(col("doc_id"), lit(20)) === 0)
+          .select(col("document_path"), upper(col("text")).as("text")),
+        alias = "g", pageSize = 32), tmp)
+      IndexTable.compact(s, tmp, "g")
+      val gens = IndexTable.generations(s, tmp, "g")
+      val a = IndexTable.readGeneration(s, tmp, "g", gens.last)
+        .select(col("document_path"), col("page_number"),
+          md5(col("page_content")).as("md5_old"))
+      val b = IndexTable.readGeneration(s, tmp, "g", gens.head)
+        .select(col("document_path"), col("page_number"),
+          md5(col("page_content")).as("md5_new"))
+      a.join(b, Seq("document_path", "page_number"), "full_outer")
+        .withColumn("change", when(col("md5_old").isNull, "I")
+          .when(col("md5_new").isNull, "D").otherwise("U"))
+        .where(col("md5_old").isNull || col("md5_new").isNull ||
+          col("md5_old") =!= col("md5_new"))
+        .orderBy(col("document_path"), col("page_number"))
+    }),
+
     "store_compact_upsert" -> ((s, d) => {
       val tmp = scratch(d, "store_compact")
       IndexTable.drop(s, tmp)
@@ -3868,6 +3905,37 @@ object SparkEntry {
         |FROM pages
         |WHERE length(trim(replace(replace(page_content, chr(10), ' '), '  ', ' '))) > 0
         |  AND (doc_id % 12 <> 0 OR doc_id = 0)
+        |ORDER BY document_path, page_number""".stripMargin,
+
+    // Both snapshots replayed from the fixture (the store_compact_upsert
+    // chunk derivation), the B state = A overridden per re-ingested doc
+    // (page counts preserved by upper(), so doc-level override == the
+    // engine's per-page-id upsert), then the keyed full-outer diff.
+    "store_generation_diff" ->
+      """WITH base AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 4 = 0),
+        |mk AS (SELECT doc_id, source, upper(text) AS text FROM base WHERE doc_id % 20 = 0),
+        |pa AS (SELECT source || '/' || CAST(doc_id AS VARCHAR) AS document_path, CAST(g AS INT) AS page_number,
+        |         coalesce(array_to_string(words[(g*32+1):(g*32+32)], ' '), '') AS page_content
+        |       FROM (SELECT doc_id, source, words, unnest(generate_series(0, CAST(len(words) // 32 AS BIGINT))) AS g
+        |             FROM (SELECT doc_id, source, string_split(text, ' ') AS words FROM base))),
+        |pb0 AS (SELECT source || '/' || CAST(doc_id AS VARCHAR) AS document_path, CAST(g AS INT) AS page_number,
+        |         coalesce(array_to_string(words[(g*32+1):(g*32+32)], ' '), '') AS page_content
+        |       FROM (SELECT doc_id, source, words, unnest(generate_series(0, CAST(len(words) // 32 AS BIGINT))) AS g
+        |             FROM (SELECT doc_id, source, string_split(text, ' ') AS words FROM mk))),
+        |paf AS (SELECT document_path, page_number, md5(page_content) AS m FROM pa
+        |        WHERE length(trim(replace(replace(page_content, chr(10), ' '), '  ', ' '))) > 0),
+        |pbf0 AS (SELECT document_path, page_number, md5(page_content) AS m FROM pb0
+        |        WHERE length(trim(replace(replace(page_content, chr(10), ' '), '  ', ' '))) > 0),
+        |pbf AS (SELECT * FROM paf WHERE document_path NOT IN (SELECT DISTINCT document_path FROM pbf0)
+        |        UNION ALL SELECT * FROM pbf0),
+        |dj AS (SELECT coalesce(a.document_path, b.document_path) AS document_path,
+        |              coalesce(a.page_number, b.page_number) AS page_number,
+        |              a.m AS md5_old, b.m AS md5_new
+        |       FROM paf a FULL OUTER JOIN pbf b
+        |         ON a.document_path = b.document_path AND a.page_number = b.page_number)
+        |SELECT document_path, page_number, md5_old, md5_new,
+        |  CASE WHEN md5_old IS NULL THEN 'I' WHEN md5_new IS NULL THEN 'D' ELSE 'U' END AS change
+        |FROM dj WHERE md5_old IS NULL OR md5_new IS NULL OR md5_old <> md5_new
         |ORDER BY document_path, page_number""".stripMargin,
 
     "store_compact_upsert" ->
