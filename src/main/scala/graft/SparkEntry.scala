@@ -1828,6 +1828,22 @@ object SparkEntry {
         .orderBy(col("anchor_id"))
     }),
 
+    // Hard-negative mining for contrastive training (the standard upgrade
+    // over pairs_contrastive's random negatives — the most-confusable
+    // non-pair IS the training signal): each vector's top-1 cosine
+    // neighbor. Every corpus vector is a query here, so the gate's
+    // broadcast form is fixture-sized by design; at 100 TB the query fan
+    // routes through the LSH/IVF/graph candidate tiers (same TopKBy cut),
+    // which is exactly what dedup_embedding_cosine's bucketed path does.
+    "pairs_hard_negatives" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      SimilaritySearch.bruteForceTopK(emb, qs, k = 1)
+        .select(col("q_id").as("doc_id"), col("vec_id").as("hard_neg_id"),
+          col("similarity"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PMI collocations (see [[CorpusStats.pmiCollocations]]): corpus
     // unigram/bigram counts as partial-agg hash aggs, vocabulary-sized
     // broadcast joins, TakeOrdered top-N.
@@ -4596,6 +4612,20 @@ object SparkEntry {
         |rr AS (SELECT q_id, vec_id, similarity,
         |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)
         |SELECT q_id, vec_id, similarity, rank FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // exact top-1 cosine neighbor per vector (every vector a query).
+    "pairs_hard_negatives" ->
+      """WITH z AS (SELECT q.vec_id AS q_id, e.vec_id, unnest(e.embedding) AS a, unnest(q.embedding) AS b
+        |      FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id),
+        |s AS (SELECT q_id, vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
+        |             sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
+        |             sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
+        |      FROM z GROUP BY q_id, vec_id),
+        |r AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM s),
+        |rr AS (SELECT q_id, vec_id, similarity,
+        |       row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS rn FROM r)
+        |SELECT q_id AS doc_id, vec_id AS hard_neg_id, similarity
+        |FROM rr WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "bm25_topk" -> bm25TopKOracleSql,
 
