@@ -2180,6 +2180,48 @@ object SparkEntry {
     // event ids — same distribution, PSI ~ 0) next to a synthetic 1.5x
     // scale shift that must trip the 0.1 drift threshold — both directions
     // falsifiable, both replayed by the oracle bucket-for-bucket.
+    // Histogram-interpolated quantile estimates next to the exact answer —
+    // the REPLAYABLE mergeable-quantile pattern (a 64-bucket count grid is
+    // cell-wise-addable state, the interpolation is closed-form double
+    // arithmetic; contrast approx_percentile, whose GK sketch merge is
+    // engine-internal and can only be band-checked). Per type: bucket
+    // counts -> 64-row cumulative window (model-sized) -> straddling
+    // bucket -> linear interpolation. Both estimate AND exact are
+    // hash-checked; accuracy (est within one bucket width) is pinned in
+    // CorpusOpsSpec.
+    "events_hist_quantile" -> ((s, d) => {
+      val ev = events(s, d).where(col("value").isNotNull)
+        .select(col("event_type"), col("value").cast("double").as("v"))
+      val st = ev.groupBy(col("event_type")).agg(min(col("v")).as("lo"),
+        max(col("v")).as("hi"), count(lit(1)).cast("double").as("n"))
+      val hist = ev.join(broadcast(st), "event_type")
+        .withColumn("b", least(greatest(
+          floor((col("v") - col("lo")) * 64 / (col("hi") - col("lo"))),
+          lit(0L)), lit(63L)).cast("int"))
+        .groupBy(col("event_type"), col("b"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val cum = hist.withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      def est(p: Double) = {
+        val t = cum.join(broadcast(st), "event_type")
+          .withColumn("target", lit(p) * col("n"))
+          .where(col("cum") >= col("target") &&
+            (col("cum") - col("cnt")) < col("target"))
+        t.select(col("event_type"),
+          round(col("lo") + (col("b") +
+            (col("target") - (col("cum") - col("cnt"))) / col("cnt")) *
+            ((col("hi") - col("lo")) / 64), 4).as(s"p${(p * 100).toInt}_est"))
+      }
+      val exact = ev.groupBy(col("event_type")).agg(
+        round(expr("percentile(v, 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile(v, 0.95)"), 4).as("p95_exact"))
+      est(0.5).join(est(0.95), "event_type").join(exact, "event_type")
+        .select(col("event_type"), col("p50_est"), col("p50_exact"),
+          col("p95_est"), col("p95_exact"))
+        .orderBy(col("event_type"))
+    }),
+
     // Daily-volume anomaly flags per event type (the ingest-monitoring
     // sibling of the PSI drift score): population z-score of each day's
     // count against the type's own history, |z| > 2 flags. Two-pass
@@ -5078,6 +5120,30 @@ object SparkEntry {
 
     // bucket cut, +0.5 smoothing, p/q round 6, PSI round 4 — the
     // CorpusStats.psi arithmetic twice (null split and 1.5x shift).
+    "events_hist_quantile" ->
+      """WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT event_type, min(v) AS lo, max(v) AS hi, CAST(count(*) AS DOUBLE) AS n FROM ev GROUP BY 1),
+        |hist AS (SELECT ev.event_type,
+        |    CAST(least(greatest(floor((v - lo) * 64 / (hi - lo)), 0), 63) AS INT) AS b,
+        |    CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM ev JOIN st USING (event_type) GROUP BY 1, 2),
+        |cum AS (SELECT event_type, b, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist),
+        |e50 AS (SELECT c.event_type,
+        |    round(lo + (b + (0.5 * n - (cum - cnt)) / cnt) * ((hi - lo) / 64), 4) AS p50_est
+        |  FROM cum c JOIN st USING (event_type)
+        |  WHERE cum >= 0.5 * n AND (cum - cnt) < 0.5 * n),
+        |e95 AS (SELECT c.event_type,
+        |    round(lo + (b + (0.95 * n - (cum - cnt)) / cnt) * ((hi - lo) / 64), 4) AS p95_est
+        |  FROM cum c JOIN st USING (event_type)
+        |  WHERE cum >= 0.95 * n AND (cum - cnt) < 0.95 * n),
+        |ex AS (SELECT event_type, round(quantile_cont(v, 0.5), 4) AS p50_exact,
+        |       round(quantile_cont(v, 0.95), 4) AS p95_exact FROM ev GROUP BY 1)
+        |SELECT event_type, p50_est, p50_exact, p95_est, p95_exact
+        |FROM e50 JOIN e95 USING (event_type) JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
     "events_volume_anomaly" -> volumeAnomalyOracleSql,
     // streamed day counts must land on the identical batch arithmetic
     "streaming_volume_anomaly" -> volumeAnomalyOracleSql,

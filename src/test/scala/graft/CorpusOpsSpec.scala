@@ -348,6 +348,25 @@ class CorpusOpsSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("histogram quantile estimates land within one bucket width of exact") {
+    val rows = SparkEntry.queries("events_hist_quantile")(spark, TestSpark.sf)
+      .select($"event_type", $"p50_est", $"p50_exact", $"p95_est", $"p95_exact")
+      .as[(String, Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    // bucket width from the fixture's per-type value range
+    val ev = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+      .where($"value".isNotNull)
+      .groupBy($"event_type")
+      .agg(((org.apache.spark.sql.functions.max($"value") -
+        org.apache.spark.sql.functions.min($"value")) / 64).as("w"))
+      .as[(String, Double)].collect().toMap
+    rows.foreach { case (t, p50e, p50x, p95e, p95x) =>
+      val w = ev(t)
+      assert(math.abs(p50e - p50x) <= w + 1e-9, s"$t p50: $p50e vs $p50x (w=$w)")
+      assert(math.abs(p95e - p95x) <= w + 1e-9, s"$t p95: $p95e vs $p95x (w=$w)")
+    }
+  }
+
   test("PMI collocations: glued pair scores high, independent pair low, minCount cuts") {
     // "alpha beta" always adjacent (a true collocation); "gamma" and "delta"
     // co-occur adjacently only once in the noise doc; "rare pair" appears
