@@ -1342,6 +1342,26 @@ object SparkEntry {
         .orderBy(col("strategy"))
     }),
 
+    // Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    // per-row key ln(u)/w with u = (md5_32 + 1)/2^32 — the N largest keys
+    // are a weight-proportional sample, one narrow map + TakeOrdered (the
+    // distributed weighted-reservoir equivalent). The KEY is rounded to 9
+    // before ranking so the cross-engine ln() last-ulp cannot flip an
+    // ordering (the deterministic-tiebreak discipline); heavier docs
+    // (w = n_chars) are measurably overrepresented — pinned in
+    // SamplingSpec.
+    "sample_weighted_n" -> ((s, d) => {
+      val h32 = conv(substring(md5(concat_ws("#", col("doc_id"), lit("wes"))),
+        1, 8), 16, 10).cast("double")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          round(log((h32 + 1.0) / 4294967296.0) /
+            col("n_chars").cast("double"), 9).as("draw_key"))
+        .orderBy(desc("draw_key"), col("doc_id"))
+        .limit(100)
+        .orderBy(col("doc_id"))
+    }),
+
     // Exactly-N deterministic sample: the hash-Bernoulli family draws an
     // EXPECTED fraction; audits and eval sets need exactly N rows. Lowest
     // N md5 draws = TakeOrderedAndProject (per-partition partial top-N,
@@ -4338,6 +4358,16 @@ object SparkEntry {
         |SELECT strategy, n_batches, padding, tokens,
         |  round(padding / (padding + tokens), 6) AS waste_frac
         |FROM (SELECT * FROM nr UNION ALL SELECT * FROM sr) ORDER BY strategy""".stripMargin,
+
+    "sample_weighted_n" ->
+      s"""WITH h AS (SELECT doc_id, n_chars,
+         |    md5(CAST(doc_id AS VARCHAR) || '#wes') AS mh FROM documents),
+         |k AS (SELECT doc_id, n_chars,
+         |    round(ln((CAST(${hexToBigintSql("mh", 1)} AS DOUBLE) + 1.0) / 4294967296.0)
+         |      / CAST(n_chars AS DOUBLE), 9) AS draw_key FROM h)
+         |SELECT doc_id, n_chars, draw_key FROM
+         |  (SELECT * FROM k ORDER BY draw_key DESC, doc_id LIMIT 100)
+         |ORDER BY doc_id""".stripMargin,
 
     "sample_exact_n" ->
       """SELECT doc_id, draw FROM (

@@ -163,4 +163,19 @@ class SamplingSpec extends AnyFunSuite {
     val rebMax = out(maxLang).toDouble / out.values.sum
     assert(rebMax < natMax, s"dominant share must shrink: $natMax -> $rebMax")
   }
+
+  test("weighted A-ES sample overrepresents heavy rows; deterministic across runs") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val corpusMean = docs.agg(avg($"n_chars")).as[Double].head()
+    def run() = SparkEntry.queries("sample_weighted_n")(spark, TestSpark.sf)
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+    val s1 = run()
+    assert(s1.length == 100)
+    val sampleMean = s1.map(_._2).sum.toDouble / s1.length
+    // weight = n_chars: the weighted sample's mean length must exceed the
+    // corpus mean by a clear margin (uniform sampling would match it)
+    assert(sampleMean > corpusMean * 1.1,
+      s"weighted sample not weight-biased: $sampleMean vs corpus $corpusMean")
+    assert(run().toSeq == s1.toSeq, "A-ES draw must be deterministic")
+  }
 }
