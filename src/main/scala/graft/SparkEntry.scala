@@ -1465,6 +1465,34 @@ object SparkEntry {
         .orderBy(desc("n_exact"), col("token"))
     }),
 
+    // Class-based TF-IDF (BERTopic's c-TF-IDF): the topic-label terms of
+    // each SOURCE rather than each document — tf aggregated per class,
+    // idf over classes, so the output names what distinguishes a source
+    // from the rest of the corpus. Same shapes as TfIdf.topTerms with the
+    // class as the key: every agg map-side, class-bounded top-k via
+    // collect_list (classes are model-sized), no corpus window.
+    "ctfidf_source_terms" -> ((s, d) => {
+      val toks = t(s, d, "documents").select(col("source"),
+        explode(TextFunctions.wsTokens(lower(col("text")))).as("term"))
+      val tf = toks.groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val tot = tf.groupBy(col("source")).agg(sum(col("tf")).as("n_tok"))
+      val dfS = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df_s"))
+      val nS = tf.select(col("source")).distinct()
+        .agg(count(lit(1)).cast("double").as("n_sources"))
+      val scored = tf.join(tot, "source").join(broadcast(dfS), "term")
+        .crossJoin(broadcast(nS))
+        .withColumn("score", round((col("tf") / col("n_tok")) *
+          log(lit(1.0) + col("n_sources") / col("df_s")), 6))
+      scored.groupBy(col("source"))
+        .agg(slice(array_sort(collect_list(struct((-col("score")).as("neg"),
+          col("term").as("term")))), 1, 3).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.term").as("term"), (-col("col.neg")).as("score"))
+        .orderBy(col("source"), col("rank"))
+    }),
+
     // Corpus-level TF-IDF top terms per document (see [[TfIdf]]): tf from a
     // map-side-partial count on (doc, term), df from the collapsed frame,
     // N as a broadcast 1-row relation, per-doc top-k as a doc-bounded
@@ -5080,6 +5108,23 @@ object SparkEntry {
         |WHERE abs(length(a.pre) - length(b.pre)) <= 24
         |  AND levenshtein(a.pre, b.pre) <= 24
         |ORDER BY id1, id2""".stripMargin,
+
+    "ctfidf_source_terms" ->
+      """WITH toks AS (SELECT source,
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY source, term),
+        |tot AS (SELECT source, CAST(sum(tf) AS DOUBLE) AS n_tok FROM tf GROUP BY source),
+        |dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df_s FROM tf GROUP BY term),
+        |ns AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n_sources FROM tf),
+        |sc AS (SELECT tf.source, tf.term,
+        |    round((tf / n_tok) * ln(1.0 + n_sources / df_s), 6) AS score
+        |  FROM tf JOIN tot USING (source) JOIN dfs USING (term) CROSS JOIN ns)
+        |SELECT source, CAST(row_number() OVER w AS INT) AS rank, term, score
+        |FROM sc
+        |WINDOW w AS (PARTITION BY source ORDER BY score DESC, term)
+        |QUALIFY row_number() OVER w <= 3
+        |ORDER BY source, rank""".stripMargin,
 
     "tfidf_topterms" ->
       """WITH toks AS (SELECT doc_id,
