@@ -2228,6 +2228,27 @@ object SparkEntry {
     // event ids — same distribution, PSI ~ 0) next to a synthetic 1.5x
     // scale shift that must trip the 0.1 drift threshold — both directions
     // falsifiable, both replayed by the oracle bucket-for-bucket.
+    // Winsorization (clamp to the [p05, p95] band per type) — the robust
+    // pre-aggregation step for long-tailed metrics; the caps are a 1-row
+    // broadcast per type, the clamp is narrow, and the before/after means
+    // expose exactly how much tail mass was pulled in.
+    "events_winsorize" -> ((s, d) => {
+      val ev = events(s, d).where(col("value").isNotNull)
+        .select(col("event_type"), col("value").cast("double").as("v"))
+      val caps = ev.groupBy(col("event_type")).agg(
+        expr("percentile(v, 0.05)").as("p05"),
+        expr("percentile(v, 0.95)").as("p95"))
+      ev.join(broadcast(caps), "event_type")
+        .withColumn("w", least(greatest(col("v"), col("p05")), col("p95")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v") < col("p05") || col("v") > col("p95"), 1)
+            .otherwise(0)).cast("long").as("n_clamped"),
+          round(avg(col("v")), 4).as("mean_raw"),
+          round(avg(col("w")), 4).as("mean_winsorized"))
+        .orderBy(col("event_type"))
+    }),
+
     // Histogram-interpolated quantile estimates next to the exact answer —
     // the REPLAYABLE mergeable-quantile pattern (a 64-bucket count grid is
     // cell-wise-addable state, the interpolation is closed-form double
@@ -5195,6 +5216,17 @@ object SparkEntry {
 
     // bucket cut, +0.5 smoothing, p/q round 6, PSI round 4 — the
     // CorpusStats.psi arithmetic twice (null split and 1.5x shift).
+    "events_winsorize" ->
+      """WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+        |caps AS (SELECT event_type, quantile_cont(v, 0.05) AS p05, quantile_cont(v, 0.95) AS p95
+        |         FROM ev GROUP BY 1)
+        |SELECT ev.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN v < p05 OR v > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+        |  round(avg(v), 4) AS mean_raw,
+        |  round(avg(least(greatest(v, p05), p95)), 4) AS mean_winsorized
+        |FROM ev JOIN caps USING (event_type)
+        |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin,
+
     "events_hist_quantile" ->
       """WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
         |st AS (SELECT event_type, min(v) AS lo, max(v) AS hi, CAST(count(*) AS DOUBLE) AS n FROM ev GROUP BY 1),
