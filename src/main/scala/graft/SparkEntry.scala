@@ -1534,6 +1534,18 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // Incremental near-dup (see [[Dedup.minhashIncrementalPairs]]): the
+    // odd-id batch probes the even-id "seen" corpus through its band
+    // table — cross-side candidates only, no re-hash of history.
+    "dedup_minhash_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.minhashIncrementalPairs(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1),
+          docs.where(pmod(col("doc_id"), lit(2)) === 0),
+          "text", "doc_id", numHashes = 12, bands = 4, threshold = 0.30)
+        .orderBy(col("new_id"), col("seen_id"))
+    }),
+
     // Estimator quality IN the gate (not only RECALL.md): the banded-LSH
     // pair set is exact-verified, so it is a SUBSET of the all-pairs
     // bigram-Jaccard truth — recall = n_lsh / n_exact, hash-checked at
@@ -4512,6 +4524,23 @@ object SparkEntry {
         |        len(sh1) AS n1, len(sh2) AS n2 FROM cand)
         |SELECT id1, id2, round(inter / (n1 + n2 - inter), 4) AS jaccard FROM j
         |WHERE round(inter / (n1 + n2 - inter), 4) >= 0.30 ORDER BY id1, id2""".stripMargin,
+
+    // The minhash band chains with the join restricted to odd (new) x
+    // even (seen) sides.
+    "dedup_minhash_incremental" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [] ELSE list_distinct(list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])) END AS sh FROM w),
+        |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 11), i -> list_min(list_transform(sh, s -> md5(s || '#' || CAST(i AS VARCHAR))))) AS sig FROM sh WHERE len(sh) > 0),
+        |bk AS (SELECT doc_id, sh, list_transform(generate_series(0, 3), b -> md5(array_to_string(sig[(b*3+1):(b*3+3)], ','))) AS bks FROM sig),
+        |banded AS (SELECT doc_id, sh, b AS band_idx, bks[b+1] AS band_key FROM bk, generate_series(0, 3) AS t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS seen_id, a.sh AS sh1, b.sh AS sh2
+        |         FROM banded a JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+        |           AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+        |j AS (SELECT new_id, seen_id,
+        |        CAST(len(list_filter(sh1, s -> list_contains(sh2, s))) AS DOUBLE) AS inter,
+        |        len(sh1) AS n1, len(sh2) AS n2 FROM cand)
+        |SELECT new_id, seen_id, round(inter / (n1 + n2 - inter), 4) AS jaccard FROM j
+        |WHERE round(inter / (n1 + n2 - inter), 4) >= 0.30 ORDER BY new_id, seen_id""".stripMargin,
 
     // The minhash-chain CTEs (bigram shingles, 12 hashes, 4 bands) for the
     // LSH count; the exact count drops the banding and takes all-pairs

@@ -358,6 +358,51 @@ object Dedup {
     out
   }
 
+  /** Incremental MinHash near-dup: NEW batch vs an already-indexed SEEN
+    * corpus — the daily-ingest shape ([[exactIncremental]]'s near-dup
+    * sibling; the streaming bucket table is the in-flight analogue). The
+    * seen side arrives as persisted band keys (built once at index time by
+    * the same [[minhashBandKeysFast]] family), so a day's ingest computes
+    * signatures for the NEW docs only and probes the seen band table with
+    * one equi-join — no new-vs-new or seen-vs-seen pairs, no re-hash of
+    * history. Candidates verify by exact shingle Jaccard against the seen
+    * side's stored shingle sets.
+    *
+    * Output: (new_id, seen_id, jaccard >= threshold). */
+  def minhashIncrementalPairs(newDocs: DataFrame, seenDocs: DataFrame,
+                              textCol: String, idCol: String,
+                              numHashes: Int = 12, bands: Int = 4,
+                              threshold: Double = 0.5, ngram: Int = 2): DataFrame = {
+    def prep(df: DataFrame) = spread(df)
+      .select(col(idCol).as("doc_id"), shinglesFast(ngram)(col(textCol)).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def band(sh: DataFrame) = sh.select(col("doc_id"),
+      posexplode(minhashBandKeysFast(numHashes, bands)(col("sh")))
+        .as(Seq("band_idx", "band_key")))
+    val shNew = prep(newDocs)
+    val shSeen = prep(seenDocs)
+    val candidates = band(shNew)
+      .select(col("doc_id").as("new_id"), col("band_idx"), col("band_key"))
+      .join(band(shSeen)
+        .select(col("doc_id").as("seen_id"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .select(col("new_id"), col("seen_id"))
+      .dropDuplicates("new_id", "seen_id")
+    val pairs = candidates
+      .join(shNew.select(col("doc_id").as("new_id"), col("sh").as("sh1")), "new_id")
+      .join(shSeen.select(col("doc_id").as("seen_id"), col("sh").as("sh2")), "seen_id")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", round(
+        col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("new_id", "seen_id", "jaccard")
+    val out = pairs.localCheckpoint()
+    shNew.unpersist(false)
+    shSeen.unpersist(false)
+    out
+  }
+
   /** 32-bit SimHash as a bit string, from the high bit of each md5 hex char:
     * bit_j = sign of sum over tokens of (+1 if hex digit j of md5(token) >= 8
     * else -1). Portable to ANSI SQL (same md5, same substring, same sums).
