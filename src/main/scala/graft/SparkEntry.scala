@@ -2054,6 +2054,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Data selection under a token budget (the "best data for N tokens"
+    // question every training run asks): greedy by quality-per-token
+    // density — rank by (ratio desc, id), keep while the running token
+    // total fits the budget. The rank/cumsum window is corpus-wide HERE;
+    // production range-partitions by the rounded ratio (the zorder write
+    // pattern) so each partition owns a contiguous rank range and the
+    // cumsum becomes the packing operator's two-level prefix sum.
+    "select_token_budget" -> ((s, d) => {
+      val scored = t(s, d, "documents").select(col("doc_id"),
+          TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .where(col("n_tok") > 0)
+        .withColumn("ratio", round(col("quality") / col("n_tok"), 6))
+      scored.withColumn("cum_tok", sum(col("n_tok")).over(
+          Window.orderBy(desc("ratio"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(col("cum_tok") <= 5000)
+        .select(col("doc_id"), col("n_tok"), col("quality"),
+          col("ratio"), col("cum_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition signals (see [[Repetition]]): top bigram /
     // trigram share + duplicated-8-gram coverage, all doc-bounded
     // aggregations with map-side partials.
@@ -4903,6 +4925,27 @@ object SparkEntry {
         |  ELSE 'und' END AS lang_pred FROM p)
         |SELECT lang, lang_pred, count(*) AS n FROM pred
         |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
+
+    // quality_score chain + density rank + running-token cut at 5000.
+    "select_token_budget" ->
+      s"""WITH w AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ws FROM documents),
+         |m AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS nw,
+         |   CAST(len(list_filter(ws, x -> lower(x) IN ($stopSql))) AS DOUBLE) AS stop_hits,
+         |   CAST(len(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) AS alnum,
+         |   CAST(len(text) AS DOUBLE) AS total FROM w),
+         |q AS (SELECT doc_id, CAST(nw AS BIGINT) AS n_tok,
+         |   round(40.0 * least(nw/100.0, 1.0)
+         |     + CASE WHEN nw = 0 THEN 0 ELSE 30.0 * least(3.0*stop_hits/nw, 1.0) END
+         |     + CASE WHEN total = 0 THEN 0 ELSE 30.0 * alnum/total END, 2) AS quality
+         |  FROM m WHERE nw > 0),
+         |r AS (SELECT doc_id, n_tok, quality,
+         |   round(quality / n_tok, 6) AS ratio FROM q),
+         |c AS (SELECT doc_id, n_tok, quality, ratio,
+         |   CAST(sum(n_tok) OVER (ORDER BY ratio DESC, doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+         |  FROM r)
+         |SELECT doc_id, n_tok, quality, ratio, cum_tok FROM c
+         |WHERE cum_tok <= 5000 ORDER BY doc_id""".stripMargin,
 
     "quality_score" ->
       s"""WITH w AS (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ws FROM documents),
