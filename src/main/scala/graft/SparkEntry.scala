@@ -2054,6 +2054,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Dense contiguous ID assignment (the re-keying primitive operators
+    // like Contrastive's shift-by-hash assume): per-bucket local ranks
+    // (PARALLEL windows, one per bucket) + a bucket-offsets prefix over the
+    // bucket-count table (config-sized) — the packing operator's two-level
+    // scheme, so NO corpus-wide window exists. The oracle is the global
+    // row_number the naive formulation would use: the gate PROVES the
+    // scalable rewrite is semantics-identical.
+    "assign_dense_ids" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+        .withColumn("b", floor(col("doc_id") / 50))
+      val local = docs.withColumn("lrank",
+        (row_number().over(Window.partitionBy(col("b")).orderBy(col("doc_id")))
+          - 1).cast("long"))
+      val offs = docs.groupBy(col("b")).agg(count(lit(1)).as("n"))
+        .withColumn("off", coalesce(sum(col("n")).over(
+          Window.orderBy(col("b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("b"), col("off"))
+      local.join(broadcast(offs), "b")
+        .select(col("doc_id"), (col("off") + col("lrank")).as("dense_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Data selection under a token budget (the "best data for N tokens"
     // question every training run asks): greedy by quality-per-token
     // density — rank by (ratio desc, id), keep while the running token
@@ -4925,6 +4948,11 @@ object SparkEntry {
         |  ELSE 'und' END AS lang_pred FROM p)
         |SELECT lang, lang_pred, count(*) AS n FROM pred
         |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
+
+    // the naive global form the two-level rewrite must equal.
+    "assign_dense_ids" ->
+      """SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS dense_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // quality_score chain + density rank + running-token cut at 5000.
     "select_token_budget" ->
