@@ -1534,6 +1534,35 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // Per-source dedup survivorship report — the governance view over the
+    // dedup tiers (which sources lose how much to exact dups and near-dup
+    // flags): composes the fingerprint keeper rule and the MinHash pair
+    // graph into one source-keyed aggregate.
+    "dedup_survivorship" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val fp = docs.withColumn("fingerprint",
+        TextFunctions.fingerprintMd5(col("text")))
+      val keep = fp.groupBy(col("fingerprint")).agg(min(col("doc_id")).as("keep_id"))
+      val exactDropped = fp.join(keep, "fingerprint")
+        .where(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id"), lit(1).as("e"))
+      val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+        numHashes = 12, bands = 4, threshold = 0.30)
+      val flagged = pairs.select(col("id1").as("doc_id"))
+        .union(pairs.select(col("id2").as("doc_id")))
+        .distinct().withColumn("f", lit(1))
+      docs.select(col("doc_id"), col("source"))
+        .join(exactDropped, Seq("doc_id"), "left")
+        .join(flagged, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("e"), lit(0))).cast("long").as("n_exact_dropped"),
+          sum(coalesce(col("f"), lit(0))).cast("long").as("n_near_flagged"),
+          round(sum(coalesce(col("e"), lit(0))).cast("double") / count(lit(1)), 4)
+            .as("exact_drop_frac"))
+        .orderBy(col("source"))
+    }),
+
     // Incremental near-dup (see [[Dedup.minhashIncrementalPairs]]): the
     // odd-id batch probes the even-id "seen" corpus through its band
     // table — cross-side candidates only, no re-hash of history.
@@ -4569,6 +4598,33 @@ object SparkEntry {
         |        len(sh1) AS n1, len(sh2) AS n2 FROM cand)
         |SELECT id1, id2, round(inter / (n1 + n2 - inter), 4) AS jaccard FROM j
         |WHERE round(inter / (n1 + n2 - inter), 4) >= 0.30 ORDER BY id1, id2""".stripMargin,
+
+    // fingerprint keeper rule + the minhash pair chain, folded per source.
+    "dedup_survivorship" ->
+      """WITH fp AS (SELECT doc_id, source,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint
+        |  FROM documents),
+        |keep AS (SELECT fingerprint, min(doc_id) AS keep_id FROM fp GROUP BY fingerprint),
+        |ed AS (SELECT f.doc_id FROM fp f JOIN keep k ON f.fingerprint = k.fingerprint
+        |       WHERE f.doc_id <> k.keep_id),
+        |w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [] ELSE list_distinct(list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])) END AS sh FROM w),
+        |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 11), i -> list_min(list_transform(sh, s -> md5(s || '#' || CAST(i AS VARCHAR))))) AS sig FROM sh WHERE len(sh) > 0),
+        |bk AS (SELECT doc_id, sh, list_transform(generate_series(0, 3), b -> md5(array_to_string(sig[(b*3+1):(b*3+3)], ','))) AS bks FROM sig),
+        |banded AS (SELECT doc_id, sh, b AS band_idx, bks[b+1] AS band_key FROM bk, generate_series(0, 3) AS t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.sh AS sh1, b.sh AS sh2
+        |         FROM banded a JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |pr AS (SELECT id1, id2 FROM
+        |       (SELECT id1, id2, CAST(len(list_filter(sh1, s -> list_contains(sh2, s))) AS DOUBLE) AS inter,
+        |               len(sh1) AS n1, len(sh2) AS n2 FROM cand)
+        |       WHERE round(inter / (n1 + n2 - inter), 4) >= 0.30),
+        |fl AS (SELECT DISTINCT doc_id FROM (SELECT id1 AS doc_id FROM pr UNION ALL SELECT id2 FROM pr))
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN ed.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dropped,
+        |  CAST(sum(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_flagged,
+        |  round(CAST(sum(CASE WHEN ed.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS exact_drop_frac
+        |FROM documents d LEFT JOIN ed ON d.doc_id = ed.doc_id LEFT JOIN fl ON d.doc_id = fl.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // The minhash band chains with the join restricted to odd (new) x
     // even (seen) sides.
