@@ -1534,6 +1534,19 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // k-anonymity screen over the quasi-identifier (lang, source): groups
+    // below k are re-identification risks a release pipeline suppresses or
+    // generalizes (the privacy sibling of the PII redaction ops). One
+    // map-side-combinable aggregate; k = 5 splits the fixture's groups
+    // both ways (7 singletons through 10+-doc groups measured).
+    "dq_k_anonymity" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("risky", col("n_docs") < 5)
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // Per-source dedup survivorship report — the governance view over the
     // dedup tiers (which sources lose how much to exact dups and near-dup
     // flags): composes the fingerprint keeper rule and the MinHash pair
@@ -4598,6 +4611,10 @@ object SparkEntry {
         |        len(sh1) AS n1, len(sh2) AS n2 FROM cand)
         |SELECT id1, id2, round(inter / (n1 + n2 - inter), 4) AS jaccard FROM j
         |WHERE round(inter / (n1 + n2 - inter), 4) >= 0.30 ORDER BY id1, id2""".stripMargin,
+
+    "dq_k_anonymity" ->
+      """SELECT lang, source, count(*) AS n_docs, count(*) < 5 AS risky
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     // fingerprint keeper rule + the minhash pair chain, folded per source.
     "dedup_survivorship" ->
