@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Embedder, TextFunctions, VectorFunctions}
+import graft.functions.{Embedder, TextFunctions, VectorFunctions, WebFunctions}
 import graft.operators._
 
 /** Driver contract: one `queries` entry per implemented operator from
@@ -3278,6 +3278,130 @@ object SparkEntry {
           round(min(col("value")), 4).as("lo"),
           round(max(col("value")), 4).as("hi"))
         .orderBy(col("bucket"))
+    }),
+
+    // URL canonicalization — the crawl-frontier dedup key (lowercase
+    // scheme+host, default port stripped, fragment dropped, utm_* tracking
+    // params removed) + per-registrable-host rollup. URLs are synthesized
+    // deterministically from doc rows with every normalization hazard
+    // planted (mixed case, :443, utm params interleaved with real ones,
+    // fragment). All narrow codegen regexp ops inside the scan; the rollup
+    // is one map-side-combinable agg on the host key.
+    "text_url_normalize" -> ((s, d) => {
+      val raw = t(s, d, "documents").select(col("doc_id"),
+        concat(lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/Docs/"),
+          col("doc_id") % 7, lit("?utm_source=feed&id="), col("doc_id"),
+          lit("&utm_campaign=x&lang="), col("lang"), lit("#sec"), col("doc_id") % 3).as("url"))
+      raw.select(
+          WebFunctions.urlRegistrableHost(col("url")).as("host"),
+          WebFunctions.normalizeUrl(col("url")).as("norm_url"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("norm_url")).as("n_distinct"),
+          min(col("norm_url")).as("sample_url"))
+        .orderBy(col("host"))
+    }),
+
+    // HTML -> visible text: script/style blocks, a planted nav/chrome
+    // div, tags, entities — stripped by one chained codegen regexp
+    // expression (see WebFunctions.stripHtml: RE2-safe patterns so the
+    // oracle replays them verbatim). Markup is synthesized around each
+    // doc's text with every hazard present (<b> wraps, entities inside
+    // kept text, script with code punctuation). Per-doc md5 pins the
+    // exact cleaned string, not just counts.
+    "text_html_strip" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+      val html = docs.select(col("doc_id"), col("source"),
+        concat(
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title><style>p{color:red}</style></head><body><div class=\"nav\">home &amp; login menu</div><p>"),
+          array_join(transform(split(col("text"), " "),
+            w => when(length(w) % 5 === 0, concat(lit("<b>"), w, lit("</b>"))).otherwise(w)), " "),
+          lit("</p><script>var x = 1 &lt; 2;</script><footer>&copy; site</footer></body></html>")).as("html"))
+      html.select(col("doc_id"), col("source"),
+          WebFunctions.stripHtml(col("html")).as("clean"))
+        .select(col("doc_id"), col("source"),
+          length(col("clean")).as("n_chars"),
+          size(split(col("clean"), " ")).as("n_tokens"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Flesch reading-ease quality screen. Sentences are synthesized
+    // deterministically ('.' appended to every 11th word — the fixture
+    // text has no punctuation) so the words/sentences ratio VARIES by doc
+    // length remainder; syllables = vowel-group runs (floor 1). Per-doc
+    // score is identical same-order IEEE arithmetic on both engines
+    // (round 4); the per-source rollup re-rounds after avg.
+    "quality_readability" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .where(col("text").isNotNull && col("text") =!= "")
+      val ws = split(col("text"), " ")
+      val stext = array_join(
+        transform(sequence(lit(1), size(ws)),
+          i => when(i % 11 === 0, concat(element_at(ws, i), lit(".")))
+            .otherwise(element_at(ws, i))), " ")
+      docs.select(col("doc_id"), col("source"),
+          WebFunctions.fleschReadingEase(stext).as("flesch"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("flesch")), 4).as("avg_flesch"),
+          sum(when(col("flesch") >= 60, 1).otherwise(0)).as("n_easy"),
+          sum(when(col("flesch") < 30, 1).otherwise(0)).as("n_hard"))
+        .orderBy(col("source"))
+    }),
+
+    // Welch's unequal-variance t-test between the even/odd user-id halves
+    // (a deterministic A/B assignment) over event values — the
+    // experimentation primitive. One pass of sufficient statistics
+    // (n, Σx, Σx² — the replayable variance form), then the t statistic
+    // and Welch–Satterthwaite dof on a 2-row frame.
+    "events_ab_welch" -> ((s, d) => {
+      val ev = events(s, d).where(col("value").isNotNull)
+        .withColumn("grp",
+          when(col("user_id") % 2 === 0, "control").otherwise("treatment"))
+      StatsOps.welchTTest(ev, "value", "grp")
+    }),
+
+    // EWMA trend monitor: daily counts per event type smoothed by the
+    // 8-term decay-1/2 EWMA (exact dyadic arithmetic — see
+    // StatsOps.ewmaDaily), with an off-trend ratio flag. The
+    // trend-following complement of events_volume_anomaly's global z-score.
+    "events_ewma_trend" -> ((s, d) => {
+      StatsOps.ewmaDaily(events(s, d), "event_type", "ts")
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // First-order Markov transition matrix over per-user event sequences
+    // ((ts, event_id)-ordered): P(next type | current type). The
+    // behavioral-model complement of events_funnel's fixed pattern.
+    "events_transition_matrix" -> ((s, d) => {
+      StatsOps.transitionMatrix(events(s, d), "user_id", "event_type",
+          "ts", "event_id")
+        .orderBy(col("cur"), col("nxt"))
+    }),
+
+    // Association rules over (user × day) baskets of event types:
+    // support / confidence / lift per co-occurring pair. The pair join is
+    // basket-keyed with fan-out bounded by the type vocabulary, not raw
+    // event counts; totals re-enter via broadcast.
+    "events_market_basket" -> ((s, d) => {
+      val ev = events(s, d).withColumn("day", date_trunc("day", col("ts")))
+      StatsOps.marketBasket(ev, Seq("user_id", "day"), "event_type")
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
+    // Community detection: 3 rounds of deterministic synchronous label
+    // propagation ((count desc, label asc) adoption rule) over the source
+    // contamination graph — which sources form boilerplate-sharing
+    // communities. The oracle unrolls all three rounds as
+    // count/max/min-label CTE triples.
+    "graph_community_lpa" -> ((s, d) => {
+      Graph.labelPropagation(
+          sourceFpOverlap(s, d).select(col("source_a").as("a"), col("source_b").as("b")),
+          "a", "b", iters = 3)
+        .withColumnRenamed("node", "source")
+        .orderBy(col("source"))
     })
   )
 
@@ -5771,6 +5895,160 @@ object SparkEntry {
       (s"""WITH w AS (SELECT source, doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ws FROM documents),
         |$sketchSigSql
         |SELECT source_a, source_b, jaccard_est FROM est
-        |ORDER BY source_a, source_b""").stripMargin
+        |ORDER BY source_a, source_b""").stripMargin,
+
+    // Replays the synthesis AND the normalization: regexp part-split,
+    // lowercase scheme/host, default-port strip, fragment drop, utm_*
+    // filter keeping original param order.
+    "text_url_normalize" ->
+      """WITH raw AS (SELECT doc_id,
+        |  'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Docs/' || (doc_id % 7)
+        |    || '?utm_source=feed&id=' || doc_id || '&utm_campaign=x&lang=' || lang
+        |    || '#sec' || (doc_id % 3) AS url FROM documents),
+        |parts AS (SELECT doc_id, url,
+        |  regexp_extract(url, '^([^:]+)://([^/?#]+)([^?#]*)', 1) AS scheme,
+        |  regexp_extract(url, '^([^:]+)://([^/?#]+)([^?#]*)', 2) AS hostport,
+        |  regexp_extract(url, '^([^:]+)://([^/?#]+)([^?#]*)', 3) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query FROM raw),
+        |norm AS (SELECT doc_id,
+        |  lower(scheme) || '://' || regexp_replace(lower(hostport), ':(443|80)$', '') || path ||
+        |    CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS norm_url,
+        |  regexp_replace(regexp_replace(lower(hostport), ':(443|80)$', ''), '^www\.', '') AS host
+        |  FROM (SELECT *, array_to_string(list_filter(string_split(query, '&'), p -> p NOT LIKE 'utm\_%' ESCAPE '\'), '&') AS kept FROM parts))
+        |SELECT host, count(*) AS n_urls, count(DISTINCT norm_url) AS n_distinct, min(norm_url) AS sample_url
+        |FROM norm GROUP BY host ORDER BY host""".stripMargin,
+
+    // Replays synthesis (tag wraps on every length%5=0 word, planted
+    // nav div / script / style / entities) and the strip chain. The
+    // script|style block is an ALTERNATION, not a backreference — RE2
+    // silently matches nothing on '\1'.
+    "text_html_strip" ->
+      """WITH raw AS (SELECT doc_id, source,
+        |  '<html><head><title>Doc ' || doc_id || '</title><style>p{color:red}</style></head><body><div class="nav">home &amp; login menu</div><p>'
+        |  || array_to_string(list_transform(string_split(text, ' '), w ->
+        |       CASE WHEN length(w) % 5 = 0 THEN '<b>' || w || '</b>' ELSE w END), ' ')
+        |  || '</p><script>var x = 1 &lt; 2;</script><footer>&copy; site</footer></body></html>' AS html
+        |  FROM documents WHERE text IS NOT NULL),
+        |stripped AS (SELECT doc_id, source,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html, '(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'g'),
+        |            '(?s)<div class="nav">.*?</div>', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '),
+        |      '&[a-z]+;', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS clean
+        |  FROM raw)
+        |SELECT doc_id, source, length(clean) AS n_chars,
+        |  len(string_split(clean, ' ')) AS n_tokens, md5(clean) AS clean_md5
+        |FROM stripped ORDER BY doc_id""".stripMargin,
+
+    // Replays sentence injection (every 11th word gains a '.') and the
+    // Flesch arithmetic with the same vowel-group syllable heuristic.
+    "quality_readability" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+        |  WHERE text IS NOT NULL AND text <> ''),
+        |sent AS (SELECT doc_id, source,
+        |  array_to_string(list_transform(generate_series(1, len(ws)),
+        |    i -> CASE WHEN i % 11 = 0 THEN ws[i] || '.' ELSE ws[i] END), ' ') AS stext FROM d),
+        |m AS (SELECT doc_id, source,
+        |  len(string_split(stext, ' ')) AS n_words,
+        |  greatest(len(regexp_extract_all(stext, '\.')), 1) AS n_sents,
+        |  greatest(len(regexp_extract_all(stext, '[aeiouy]+')), 1) AS n_syll FROM sent),
+        |f AS (SELECT doc_id, source,
+        |  round(206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sents
+        |    - 84.6 * CAST(n_syll AS DOUBLE) / n_words, 4) AS flesch FROM m)
+        |SELECT source, count(*) AS n_docs, round(avg(flesch), 4) AS avg_flesch,
+        |  CAST(sum(CASE WHEN flesch >= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy,
+        |  CAST(sum(CASE WHEN flesch < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    // Sufficient-statistics replay: n/Σx/Σx² per group, then the Welch
+    // arithmetic on two rows. groups ordered lexicographically.
+    "events_ab_welch" ->
+      """WITH ev AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS grp,
+        |  CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT grp, CAST(count(*) AS DOUBLE) AS n, sum(v) AS s1, sum(v * v) AS s2 FROM ev GROUP BY 1),
+        |st AS (SELECT grp, n, s1 / n AS m, (s2 - s1 * s1 / n) / (n - 1) AS va FROM g),
+        |a AS (SELECT grp AS group_a, n AS na, m AS ma, va AS vva FROM st ORDER BY grp LIMIT 1),
+        |b AS (SELECT grp AS group_b, n AS nb, m AS mb, va AS vvb FROM st ORDER BY grp DESC LIMIT 1)
+        |SELECT group_a, group_b, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+        |  round((ma - mb) / sqrt(vva / na + vvb / nb), 4) AS t_stat,
+        |  round((vva / na + vvb / nb) * (vva / na + vvb / nb) /
+        |    ((vva / na) * (vva / na) / (na - 1) + (vvb / nb) * (vvb / nb) / (nb - 1)), 2) AS dof,
+        |  abs((ma - mb) / sqrt(vva / na + vvb / nb)) > 1.96 AS significant
+        |FROM a, b""".stripMargin,
+
+    // 8 explicit PRECEDING-day lag terms with dyadic weights — exact
+    // doubles, so the pre-round trend values are bit-identical; day 1 of
+    // a key has no trend (NULL, unflagged).
+    "events_ewma_trend" ->
+      """WITH day AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, n,
+        |  lag(n, 1) OVER w AS l1, lag(n, 2) OVER w AS l2, lag(n, 3) OVER w AS l3,
+        |  lag(n, 4) OVER w AS l4, lag(n, 5) OVER w AS l5, lag(n, 6) OVER w AS l6,
+        |  lag(n, 7) OVER w AS l7, lag(n, 8) OVER w AS l8
+        |  FROM day WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |e AS (SELECT event_type, day, n,
+        |  CASE WHEN l1 IS NULL THEN NULL ELSE
+        |  (coalesce(l1 * 1.0, 0) + coalesce(l2 * 0.5, 0) + coalesce(l3 * 0.25, 0)
+        |   + coalesce(l4 * 0.125, 0) + coalesce(l5 * 0.0625, 0) + coalesce(l6 * 0.03125, 0)
+        |   + coalesce(l7 * 0.015625, 0) + coalesce(l8 * 0.0078125, 0)) /
+        |  (CASE WHEN l1 IS NULL THEN 0 ELSE 1.0 END + CASE WHEN l2 IS NULL THEN 0 ELSE 0.5 END
+        |   + CASE WHEN l3 IS NULL THEN 0 ELSE 0.25 END + CASE WHEN l4 IS NULL THEN 0 ELSE 0.125 END
+        |   + CASE WHEN l5 IS NULL THEN 0 ELSE 0.0625 END + CASE WHEN l6 IS NULL THEN 0 ELSE 0.03125 END
+        |   + CASE WHEN l7 IS NULL THEN 0 ELSE 0.015625 END + CASE WHEN l8 IS NULL THEN 0 ELSE 0.0078125 END)
+        |  END AS ew
+        |  FROM l)
+        |SELECT event_type, day, n, round(ew, 4) AS ewma, round(n / ew, 6) AS ratio,
+        |  coalesce(n / ew > 1.5 OR n / ew < 1.0 / 1.5, false) AS off_trend
+        |FROM e ORDER BY event_type, day""".stripMargin,
+
+    "events_transition_matrix" ->
+      """WITH p AS (SELECT event_type AS cur,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT cur, nxt, count(*) AS n FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT cur, CAST(sum(n) AS DOUBLE) AS tot FROM c GROUP BY 1)
+        |SELECT c.cur, c.nxt, c.n, round(c.n / t.tot, 6) AS p
+        |FROM c JOIN t USING (cur) ORDER BY cur, nxt""".stripMargin,
+
+    "events_market_basket" ->
+      """WITH it AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type AS item FROM events),
+        |nb AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM (SELECT DISTINCT user_id, day FROM it)),
+        |itn AS (SELECT item, count(*) AS n_item FROM it GROUP BY 1),
+        |pr AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+        |  FROM it a JOIN it b ON a.user_id = b.user_id AND a.day = b.day AND a.item < b.item
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_ab,
+        |  round(n_ab / (SELECT n FROM nb), 6) AS support,
+        |  round(n_ab * 1.0 / na.n_item, 6) AS confidence,
+        |  round(n_ab * (SELECT n FROM nb) / (na.n_item * nb2.n_item), 6) AS lift
+        |FROM pr JOIN itn na ON pr.item_a = na.item JOIN itn nb2 ON pr.item_b = nb2.item
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // 3 unrolled LPA rounds, each a (node,label)-count + max-count +
+    // min-label CTE triple — the deterministic adoption rule.
+    "graph_community_lpa" ->
+      ("""WITH fp AS (SELECT DISTINCT source,
+        |  md5(coalesce(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)[1:8], ' '), '')) AS fp
+        |  FROM documents),
+        |und AS (SELECT a.source AS a, b.source AS b
+        |        FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2),
+        |sym AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),""".stripMargin +
+        (1 to 3).map { k =>
+          s"""
+             |c$k AS (SELECT s.dst AS node, l.lbl, count(*) AS c
+             |  FROM sym s JOIN l${k - 1} l ON s.src = l.node GROUP BY 1, 2),
+             |m$k AS (SELECT node, max(c) AS mc FROM c$k GROUP BY 1),
+             |l$k AS (SELECT c.node, min(c.lbl) AS lbl
+             |  FROM c$k c JOIN m$k m ON c.node = m.node AND c.c = m.mc GROUP BY 1)""".stripMargin
+        }.mkString(",") + """
+        |SELECT node AS source, lbl AS community FROM l3 ORDER BY source""".stripMargin)
   )
 }

@@ -194,4 +194,42 @@ object Graph {
     nodes.join(corners, Seq("node"), "left")
       .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** Synchronous label propagation (community detection) with a fixed round
+    * count. Input edges are UNDIRECTED in any form — canonicalized like
+    * [[trianglesPerNode]] (dedup, self-loop drop), then symmetrized. Every
+    * node starts labeled with itself; each round every node adopts the most
+    * frequent label among its neighbors, ties broken by SMALLEST label —
+    * the (count desc, label asc) rule that makes synchronous LPA fully
+    * deterministic (the async coin-flip variant isn't replayable).
+    *
+    * Scale shape per round: one edge⋈labels hash join (edges re-partitioned
+    * on src once, reused every round) + one (node,label)-keyed count with
+    * map-side partials + one `min_by(label, (-count, label))` agg — the
+    * argmax is a single aggregation, never a per-node sort. Lineage is
+    * truncated per round with localCheckpoint, the same cadence as
+    * [[pageRank]]. Converges-or-oscillates in O(diameter) rounds; a fixed
+    * `iters` keeps the gate deterministic either way.
+    */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to iters) {
+      labels = sym.join(labels, sym("src") === labels("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(min_by(col("lbl"), struct((-col("c")).as("nc"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
 }

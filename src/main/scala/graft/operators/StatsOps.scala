@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Experimentation / monitoring statistics over event streams: A/B tests,
+  * EWMA trend smoothing, behavioral transition matrices, and co-occurrence
+  * (association-rule) mining. These are the analyst-facing queries a
+  * training-data platform runs NEXT TO the pipeline (did the new filter
+  * change engagement? is today's volume drifting off trend? which event
+  * co-occurs with churn?).
+  *
+  * Scale shapes, uniformly: everything reduces to keyed hash aggregations
+  * with map-side partials over sufficient statistics (n, Σx, Σx²) or
+  * bounded windows — no per-group sorting of raw rows, no collect. Group
+  * summary tables (a handful of rows) re-enter plans via broadcast.
+  */
+object StatsOps {
+
+  /** Welch's unequal-variance t-test between exactly two groups.
+    *
+    * Sufficient statistics only: per group n, Σx, Σx² in ONE pass (a
+    * 2-row aggregate), then the t statistic
+    * `(m̄₁-m̄₀)/√(v₁/n₁+v₀/n₀)` and the Welch–Satterthwaite dof on those
+    * two rows. Variance via the sum-of-squares identity is the
+    * cross-engine-replayable form (var_samp's internal update order is
+    * engine-specific; Σx² is not). Output: one row, stats rounded to 4.
+    *
+    * `groupCol` must take exactly two values; they are ordered
+    * lexicographically (group_a < group_b) so the sign of `t_stat` is
+    * deterministic.
+    */
+  def welchTTest(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val g = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(v).cast("double").as("n"), sum(v).as("s1"), sum(v * v).as("s2"))
+    val stats = g.select(col("grp"), col("n"),
+      (col("s1") / col("n")).as("m"),
+      ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("v"))
+    val a = stats.orderBy(col("grp")).limit(1).select(
+      col("grp").as("group_a"), col("n").as("na"), col("m").as("ma"), col("v").as("va"))
+    val b = stats.orderBy(col("grp").desc).limit(1).select(
+      col("grp").as("group_b"), col("n").as("nb"), col("m").as("mb"), col("v").as("vb"))
+    val se2 = col("va") / col("na") + col("vb") / col("nb")
+    a.crossJoin(b).select(
+      col("group_a"), col("group_b"),
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      round(col("ma"), 4).as("mean_a"), round(col("mb"), 4).as("mean_b"),
+      round((col("ma") - col("mb")) / sqrt(se2), 4).as("t_stat"),
+      round(se2 * se2 / (
+        (col("va") / col("na")) * (col("va") / col("na")) / (col("na") - 1) +
+        (col("vb") / col("nb")) * (col("vb") / col("nb")) / (col("nb") - 1)), 2).as("dof"),
+      (abs((col("ma") - col("mb")) / sqrt(se2)) > 1.96).as("significant"))
+  }
+
+  /** EWMA-smoothed daily counts per key with a deviation flag — the volume
+    * drift monitor's trend-following cousin (events_volume_anomaly compares
+    * against a global mean; this compares against the recent trend).
+    *
+    * The trend is the 8-term truncated EWMA of the PRECEDING days only,
+    * decay 1/2: `Σ_{j=1..8} x_{t-j}·2^(1-j) / Σ_{j present} 2^(1-j)` —
+    * excluding the current day is load-bearing: a trend that includes
+    * today self-absorbs the spike it is supposed to flag (a 3× spike
+    * lands at ratio ≈1.497 against an inclusive trend — under the 1.5
+    * flag). Explicit `lag` terms rather than recursive state make it
+    * (a) a bounded window (8 preceding rows, day-count-sized partitions),
+    * and (b) EXACT: integer counts times negative powers of two are exact
+    * doubles, so both engines compute bit-identical trends pre-round.
+    * The first day of a key has no trend: ewma/ratio NULL, not flagged.
+    */
+  def ewmaDaily(events: DataFrame, keyCol: String, tsCol: String,
+                ratioHigh: Double = 1.5): DataFrame = {
+    val day = events.groupBy(col(keyCol), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+    val terms = (1 to 8).map { j =>
+      (lag(col("n"), j).over(w), lit(math.pow(0.5, j - 1)))
+    }
+    val num = terms.map { case (x, c) => coalesce(x.cast("double") * c, lit(0.0)) }
+      .reduce(_ + _)
+    val den = terms.map { case (x, c) => when(x.isNotNull, c).otherwise(lit(0.0)) }
+      .reduce(_ + _)
+    val ratio = col("n") / col("ewma_exact") // NULL propagates from day 1
+    day.select(col(keyCol), col("day"), col("n"),
+        when(den > 0, num / den).as("ewma_exact"))
+      .select(col(keyCol), col("day"), col("n"),
+        round(col("ewma_exact"), 4).as("ewma"),
+        round(ratio, 6).as("ratio"),
+        coalesce(ratio > ratioHigh || ratio < 1.0 / ratioHigh, lit(false))
+          .as("off_trend"))
+  }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next event type | current), with counts. Sequence order is
+    * (`tsCol`, `idCol`) — the unique tiebreak that makes `lead`
+    * deterministic across engines. One window pass (user-partitioned, so
+    * partitions are user-history-sized) + one keyed agg.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol).as("cur"),
+        lead(col(typeCol), 1).over(w).as("nxt"))
+      .where(col("nxt").isNotNull)
+    val cnt = pairs.groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("cur")).agg(sum(col("n")).as("tot"))
+    cnt.join(broadcast(tot), "cur")
+      .select(col("cur"), col("nxt"), col("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("p"))
+  }
+
+  /** Association rules over implicit baskets: support / confidence / lift
+    * for every unordered item pair that co-occurs in at least `minPairs`
+    * baskets. `basketCols` defines the basket key (e.g. user × day), items
+    * are deduplicated within a basket first (presence, not multiplicity).
+    *
+    * Scale shape: the pair join is keyed on the BASKET, and each side is
+    * the deduplicated item set — fan-out per basket is |items|², bounded
+    * by the item vocabulary (event types, not raw events). Item and basket
+    * totals are item-vocabulary-sized broadcasts.
+    */
+  def marketBasket(df: DataFrame, basketCols: Seq[String], itemCol: String,
+                   minPairs: Long = 1L): DataFrame = {
+    val bk = basketCols.map(col)
+    val items = df.select(bk :+ col(itemCol).as("item"): _*).distinct()
+    val nBaskets = items.select(bk: _*).distinct().count().toDouble
+    val itemN = items.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val l = items.select(bk :+ col("item").as("item_a"): _*)
+    val r = items.select(bk :+ col("item").as("item_b"): _*)
+    val pairs = l.join(r, basketCols)
+      .where(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairs)
+    pairs
+      .join(broadcast(itemN.select(col("item").as("item_a"), col("n_item").as("n_a"))), "item_a")
+      .join(broadcast(itemN.select(col("item").as("item_b"), col("n_item").as("n_b"))), "item_b")
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        round(col("n_ab") / lit(nBaskets), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
+        round(col("n_ab") * lit(nBaskets) / (col("n_a") * col("n_b")), 6).as("lift"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Graph, StatsOps}
+
+class StatsOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("welchTTest: hand-computed statistic on a tiny fixture; group order deterministic") {
+    // a: 1,2,3 (m=2, v=1); b: 5,7,9 (m=7, v=4)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0), ("b", 7.0), ("b", 9.0))
+      .toDF("grp", "x")
+    val r = StatsOps.welchTTest(df, "x", "grp").head()
+    assert(r.getAs[String]("group_a") === "a")
+    assert(r.getAs[String]("group_b") === "b")
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 3L)
+    assert(r.getAs[Double]("mean_a") === 2.0 && r.getAs[Double]("mean_b") === 7.0)
+    // t = (2-7)/sqrt(1/3+4/3) = -5/sqrt(5/3) = -3.873
+    assert(math.abs(r.getAs[Double]("t_stat") - -3.873) < 1e-3)
+    // dof = (5/3)^2 / ((1/9)/2 + (16/9)/2) = 2.9411...
+    assert(math.abs(r.getAs[Double]("dof") - 2.94) < 1e-2)
+    assert(r.getAs[Boolean]("significant"))
+  }
+
+  test("ewmaDaily: no trend on day 1; flat series on trend; 3x spike flags against prior-day trend") {
+    val rows = (1 to 10).flatMap { d =>
+      val n = if (d == 9) 30 else 10 // spike on day 9
+      (1 to n).map(_ => ("k", java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:01")))
+    }
+    val df = rows.toDF("k", "ts")
+    val out = StatsOps.ewmaDaily(df, "k", "ts").orderBy("day").collect()
+    assert(out.head.isNullAt(out.head.fieldIndex("ewma"))) // day 1: no prior trend
+    assert(!out.head.getAs[Boolean]("off_trend"))
+    // flat days 2-8: trend is exactly 10, ratio exactly 1
+    assert(out.slice(1, 8).forall(r =>
+      r.getAs[Double]("ewma") === 10.0 && !r.getAs[Boolean]("off_trend")))
+    // the spike flags at ratio 3.0 — the reason the trend EXCLUDES the
+    // current day (an inclusive trend self-absorbs to ratio ~1.497, unflagged)
+    val spike = out(8)
+    assert(spike.getAs[Long]("n") === 30L)
+    assert(spike.getAs[Double]("ratio") === 3.0)
+    assert(spike.getAs[Boolean]("off_trend"))
+    // day after: the contaminated trend (~20.04) makes normal volume flag LOW
+    // — the documented return-to-normal echo of a 1-day spike
+    assert(out(9).getAs[Boolean]("off_trend") && out(9).getAs[Double]("ratio") < 1.0)
+  }
+
+  test("transitionMatrix: probabilities sum to 1 per row; known chain reproduced") {
+    val df = Seq(
+      (1L, "a", 1L), (1L, "b", 2L), (1L, "a", 3L), (1L, "b", 4L),
+      (2L, "a", 5L), (2L, "a", 6L)
+    ).map { case (u, t, i) => (u, t, new java.sql.Timestamp(i * 1000), i) }
+      .toDF("user_id", "et", "ts", "event_id")
+    val m = StatsOps.transitionMatrix(df, "user_id", "et", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // user1: a->b, b->a, a->b; user2: a->a  =>  a: {b:2, a:1}, b: {a:1}
+    assert(m(("a", "b")) === (2L, 0.666667))
+    assert(m(("a", "a")) === (1L, 0.333333))
+    assert(m(("b", "a")) === (1L, 1.0))
+  }
+
+  test("marketBasket: lift >1 for correlated items, <1 for anti-correlated") {
+    // baskets: {x,y} x3, {x,z}, {y}, {z} x3  — x,y co-occur; x,z rarely
+    val rows = Seq(
+      (1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "y"),
+      (4, "x"), (4, "z"), (5, "y"), (6, "z"), (7, "z"), (8, "z"))
+    val df = rows.toDF("b", "item")
+    val out = StatsOps.marketBasket(df, Seq("b"), "item")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("lift")).toMap
+    assert(out(("x", "y")) > 1.0) // 3/8 vs (4/8)(4/8) -> lift 1.5
+    assert(out(("x", "z")) < 1.0) // 1/8 vs (4/8)(4/8) -> lift 0.5
+  }
+
+  test("labelPropagation: two cliques joined by one bridge edge resolve to two communities") {
+    // clique A: 1-2-3 complete; clique B: 7-8-9 complete; bridge 3-7
+    val edges = Seq((1, 2), (1, 3), (2, 3), (7, 8), (7, 9), (8, 9), (3, 7))
+      .toDF("a", "b")
+    val out = Graph.labelPropagation(edges, "a", "b", iters = 4)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    // min-label rule: clique A converges to 1; clique B's labels are pulled
+    // toward the smallest reachable, but the intra-clique majority holds
+    assert(out(1) === out(2) && out(2) === out(3))
+    assert(out(8) === out(9))
+    assert(Set(out(1), out(8)).size === 2) // the cliques do NOT merge
+  }
+
+  test("labelPropagation: messy input (self-loops, duplicates, symmetric) canonicalized") {
+    // triangle given as a mix of duplicated / reversed / self-loop edges;
+    // a single-EDGE graph would oscillate under synchronous LPA (the known
+    // 2-cycle), so the canonicalization check uses an odd cycle instead
+    val edges = Seq((1, 2), (2, 1), (1, 1), (1, 3), (3, 1), (2, 3)).toDF("a", "b")
+    val out = Graph.labelPropagation(edges, "a", "b", iters = 2)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(out.keySet === Set(1, 2, 3)) // self-loop adds no ghost node
+    assert(out.values.toSet === Set(1)) // triangle converges to min label
+  }
+}
