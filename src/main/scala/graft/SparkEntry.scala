@@ -3402,6 +3402,75 @@ object SparkEntry {
           "a", "b", iters = 3)
         .withColumnRenamed("node", "source")
         .orderBy(col("source"))
+    }),
+
+    // The EWMA trend monitor with a STREAMED count side: day counts come
+    // out of complete-mode aggregation state (dayCountsOnce), the finish
+    // is the SAME StatsOps.ewmaFromDayCounts code path as the batch query
+    // — gated against the identical oracle string, the
+    // streaming_volume_anomaly pattern.
+    "streaming_ewma_trend" -> ((s, d) => {
+      val day = graft.streaming.StreamingOps.dayCountsOnce(
+          s, s"$d/events.parquet", queryName = s"graft_ewma_$runNonce")
+        .select(col("event_type"), col("day"), col("n"))
+      StatsOps.ewmaFromDayCounts(day, "event_type")
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Grouped k-fold cross-validation assignment: fold = md5(source) mod 5,
+    // so a source's docs can never straddle folds (group leakage is
+    // impossible by construction, not by audit). Zero-shuffle narrow hash;
+    // the rollup is the only exchange.
+    "sample_cv_folds" -> ((s, d) => {
+      t(s, d, "documents")
+        .withColumn("fold", Sampling.cvFold(col("source"), k = 5, salt = "cv"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("fold"))
+    }),
+
+    // RAKE keyphrase extraction (Rose et al. 2010) with a corpus-tuned
+    // stoplist (the high-frequency fixture words — RAKE stoplists are
+    // corpus-tuned by design, and an ['a','the']-only list degenerates to
+    // whole-document phrases here). Segmentation = one compiled UDF pass
+    // (the shinglesFast lesson); the phrase score folds word scores in
+    // position order (list_reduce parity). Top 20 by (score desc, phrase).
+    "vocab_rake_phrases" -> ((s, d) => {
+      Rake.topPhrases(t(s, d, "documents"), "text",
+        stopwords = Seq("a", "the", "data", "value", "key", "row", "table", "query"),
+        k = 20)
+    }),
+
+    // Checksum-validated PII redaction: each doc gains a synthesized
+    // 16-digit number (md5-derived payload + Luhn check digit, correct for
+    // even doc_ids, off-by-one for odd) and ONLY Luhn-valid numbers are
+    // redacted — precision-aware PII removal (a raw \d{16} regex would
+    // false-positive on order numbers etc). Validity comes from Spark's
+    // builtin luhn_check; the oracle replays the check-digit CONSTRUCTION
+    // and derives validity from the planted parity, so a digit-math bug on
+    // either side breaks the hash.
+    "text_luhn_redact" -> ((s, d) => {
+      val pay = expr("translate(substring(md5(cast(doc_id as string)), 1, 15), 'abcdef', '012345')")
+      val su = expr(
+        """aggregate(sequence(1, 15), 0, (acc, i) ->
+          |  acc + (CASE WHEN i % 2 = 1 THEN
+          |    CASE WHEN 2 * cast(substring(pay, i, 1) as int) > 9
+          |         THEN 2 * cast(substring(pay, i, 1) as int) - 9
+          |         ELSE 2 * cast(substring(pay, i, 1) as int) END
+          |  ELSE cast(substring(pay, i, 1) as int) END))""".stripMargin)
+      val chk = (lit(10) - su % 10) % 10
+      t(s, d, "documents").where(col("text").isNotNull)
+        .withColumn("pay", pay)
+        .withColumn("num", concat(col("pay"),
+          when(col("doc_id") % 2 === 0, chk).otherwise((chk + 1) % 10).cast("string")))
+        .withColumn("with_card", concat(col("text"), lit(" card "), col("num")))
+        .select(col("doc_id"), col("source"),
+          expr("luhn_check(num)").as("valid"),
+          md5(when(expr("luhn_check(num)"),
+              regexp_replace(col("with_card"), "[0-9]{16}", "[CARD]"))
+            .otherwise(col("with_card"))).as("red_md5"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3611,6 +3680,30 @@ object SparkEntry {
   }
 
   /** Shared by events_volume_anomaly AND its streamed-state twin. */
+  /** Shared by events_ewma_trend AND streaming_ewma_trend (batch parity):
+    * 8 preceding-day lag terms, dyadic weights, NULL trend on day 1. */
+  private val ewmaOracleSql: String =
+    """WITH day AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1, 2),
+      |l AS (SELECT event_type, day, n,
+      |  lag(n, 1) OVER w AS l1, lag(n, 2) OVER w AS l2, lag(n, 3) OVER w AS l3,
+      |  lag(n, 4) OVER w AS l4, lag(n, 5) OVER w AS l5, lag(n, 6) OVER w AS l6,
+      |  lag(n, 7) OVER w AS l7, lag(n, 8) OVER w AS l8
+      |  FROM day WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |e AS (SELECT event_type, day, n,
+      |  CASE WHEN l1 IS NULL THEN NULL ELSE
+      |  (coalesce(l1 * 1.0, 0) + coalesce(l2 * 0.5, 0) + coalesce(l3 * 0.25, 0)
+      |   + coalesce(l4 * 0.125, 0) + coalesce(l5 * 0.0625, 0) + coalesce(l6 * 0.03125, 0)
+      |   + coalesce(l7 * 0.015625, 0) + coalesce(l8 * 0.0078125, 0)) /
+      |  (CASE WHEN l1 IS NULL THEN 0 ELSE 1.0 END + CASE WHEN l2 IS NULL THEN 0 ELSE 0.5 END
+      |   + CASE WHEN l3 IS NULL THEN 0 ELSE 0.25 END + CASE WHEN l4 IS NULL THEN 0 ELSE 0.125 END
+      |   + CASE WHEN l5 IS NULL THEN 0 ELSE 0.0625 END + CASE WHEN l6 IS NULL THEN 0 ELSE 0.03125 END
+      |   + CASE WHEN l7 IS NULL THEN 0 ELSE 0.015625 END + CASE WHEN l8 IS NULL THEN 0 ELSE 0.0078125 END)
+      |  END AS ew
+      |  FROM l)
+      |SELECT event_type, day, n, round(ew, 4) AS ewma, round(n / ew, 6) AS ratio,
+      |  coalesce(n / ew > 1.5 OR n / ew < 1.0 / 1.5, false) AS off_trend
+      |FROM e ORDER BY event_type, day""".stripMargin
+
   private val volumeAnomalyOracleSql: String =
     """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, CAST(count(*) AS DOUBLE) AS n
         |           FROM events GROUP BY 1, 2),
@@ -5986,27 +6079,9 @@ object SparkEntry {
     // 8 explicit PRECEDING-day lag terms with dyadic weights — exact
     // doubles, so the pre-round trend values are bit-identical; day 1 of
     // a key has no trend (NULL, unflagged).
-    "events_ewma_trend" ->
-      """WITH day AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1, 2),
-        |l AS (SELECT event_type, day, n,
-        |  lag(n, 1) OVER w AS l1, lag(n, 2) OVER w AS l2, lag(n, 3) OVER w AS l3,
-        |  lag(n, 4) OVER w AS l4, lag(n, 5) OVER w AS l5, lag(n, 6) OVER w AS l6,
-        |  lag(n, 7) OVER w AS l7, lag(n, 8) OVER w AS l8
-        |  FROM day WINDOW w AS (PARTITION BY event_type ORDER BY day)),
-        |e AS (SELECT event_type, day, n,
-        |  CASE WHEN l1 IS NULL THEN NULL ELSE
-        |  (coalesce(l1 * 1.0, 0) + coalesce(l2 * 0.5, 0) + coalesce(l3 * 0.25, 0)
-        |   + coalesce(l4 * 0.125, 0) + coalesce(l5 * 0.0625, 0) + coalesce(l6 * 0.03125, 0)
-        |   + coalesce(l7 * 0.015625, 0) + coalesce(l8 * 0.0078125, 0)) /
-        |  (CASE WHEN l1 IS NULL THEN 0 ELSE 1.0 END + CASE WHEN l2 IS NULL THEN 0 ELSE 0.5 END
-        |   + CASE WHEN l3 IS NULL THEN 0 ELSE 0.25 END + CASE WHEN l4 IS NULL THEN 0 ELSE 0.125 END
-        |   + CASE WHEN l5 IS NULL THEN 0 ELSE 0.0625 END + CASE WHEN l6 IS NULL THEN 0 ELSE 0.03125 END
-        |   + CASE WHEN l7 IS NULL THEN 0 ELSE 0.015625 END + CASE WHEN l8 IS NULL THEN 0 ELSE 0.0078125 END)
-        |  END AS ew
-        |  FROM l)
-        |SELECT event_type, day, n, round(ew, 4) AS ewma, round(n / ew, 6) AS ratio,
-        |  coalesce(n / ew > 1.5 OR n / ew < 1.0 / 1.5, false) AS off_trend
-        |FROM e ORDER BY event_type, day""".stripMargin,
+    "events_ewma_trend" -> ewmaOracleSql,
+    // streamed day counts must land on the identical trend arithmetic
+    "streaming_ewma_trend" -> ewmaOracleSql,
 
     "events_transition_matrix" ->
       """WITH p AS (SELECT event_type AS cur,
@@ -6049,6 +6124,55 @@ object SparkEntry {
              |l$k AS (SELECT c.node, min(c.lbl) AS lbl
              |  FROM c$k c JOIN m$k m ON c.node = m.node AND c.c = m.mc GROUP BY 1)""".stripMargin
         }.mkString(",") + """
-        |SELECT node AS source, lbl AS community FROM l3 ORDER BY source""".stripMargin)
+        |SELECT node AS source, lbl AS community FROM l3 ORDER BY source""".stripMargin),
+
+    // Replays md5(source || ':cv') hex -> bigint (Horner strpos chain —
+    // DuckDB 1.0 has no hex-to-int) mod 5.
+    "sample_cv_folds" ->
+      (s"""WITH f AS (SELECT doc_id, source, md5(source || ':cv') AS hx FROM documents),
+        |a AS (SELECT doc_id, source, ${hexToBigintSql("hx", 1)} % 5 AS fold FROM f)
+        |SELECT fold, count(*) AS n_docs, count(DISTINCT source) AS n_sources
+        |FROM a GROUP BY fold ORDER BY fold""").stripMargin,
+
+    // Full RAKE replay: gaps-and-islands segmentation (i - row_number over
+    // non-stop words), per-word degree/frequency over phrase occurrences,
+    // phrase-type score as the position-ordered list_reduce fold.
+    "vocab_rake_phrases" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents WHERE text IS NOT NULL),
+        |mb AS (SELECT CAST(max(len(ws)) AS INT) AS mw FROM d),
+        |w AS (SELECT doc_id, i, ws[i] AS wd FROM d, (SELECT unnest(generate_series(1, (SELECT mw FROM mb))) AS i) ii WHERE i <= len(ws)),
+        |nw AS (SELECT doc_id, i, wd, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |       FROM w WHERE wd NOT IN ('a', 'the', 'data', 'value', 'key', 'row', 'table', 'query') AND wd <> ''),
+        |nw2 AS (SELECT doc_id, grp, i, wd, count(*) OVER (PARTITION BY doc_id, grp) AS plen FROM nw),
+        |ph AS (SELECT doc_id, grp, string_agg(wd, ' ' ORDER BY i) AS phrase FROM nw GROUP BY 1, 2),
+        |occ AS (SELECT phrase, count(*) AS n_occ FROM ph GROUP BY 1),
+        |sc AS (SELECT wd, CAST(sum(plen) AS DOUBLE) / count(*) AS wscore FROM nw2 GROUP BY wd),
+        |ptw AS (SELECT phrase, n_occ, i AS pos, string_split(phrase, ' ')[i] AS wd
+        |        FROM occ, (SELECT unnest(generate_series(1, (SELECT mw FROM mb))) AS i) ii
+        |        WHERE i <= len(string_split(phrase, ' '))),
+        |fs AS (SELECT phrase, n_occ, round(list_reduce(list(wscore ORDER BY pos), (a, b) -> a + b), 4) AS score
+        |       FROM ptw JOIN sc USING (wd) GROUP BY 1, 2)
+        |SELECT phrase, n_occ, score FROM fs ORDER BY score DESC, phrase LIMIT 20""".stripMargin,
+
+    // Replays the check-digit construction (md5-derived payload, doubling
+    // fold); validity is the planted parity — Spark's builtin luhn_check
+    // must agree with the construction or the hash breaks.
+    "text_luhn_redact" ->
+      """WITH p AS (SELECT doc_id, source, text,
+        |    translate(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), 'abcdef', '012345') AS pay
+        |  FROM documents WHERE text IS NOT NULL),
+        |s AS (SELECT *, list_sum(list_transform(generate_series(1, 15), i ->
+        |    CASE WHEN i % 2 = 1 THEN
+        |      CASE WHEN 2 * CAST(substr(pay, i, 1) AS INT) > 9 THEN 2 * CAST(substr(pay, i, 1) AS INT) - 9
+        |           ELSE 2 * CAST(substr(pay, i, 1) AS INT) END
+        |    ELSE CAST(substr(pay, i, 1) AS INT) END)) AS su FROM p),
+        |card AS (SELECT doc_id, source, text,
+        |    pay || CAST(CASE WHEN doc_id % 2 = 0 THEN (10 - su % 10) % 10
+        |                     ELSE ((10 - su % 10) % 10 + 1) % 10 END AS VARCHAR) AS num FROM s),
+        |r AS (SELECT doc_id, source, (doc_id % 2 = 0) AS valid,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN regexp_replace(text || ' card ' || num, '[0-9]{16}', '[CARD]', 'g')
+        |      ELSE text || ' card ' || num END AS red FROM card)
+        |SELECT doc_id, source, valid, md5(red) AS red_md5 FROM r ORDER BY doc_id""".stripMargin
   )
 }

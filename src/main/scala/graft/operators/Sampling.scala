@@ -47,6 +47,16 @@ object Sampling {
     (df.where(hashDraw(key, salt) < thr), df.where(!(hashDraw(key, salt) < thr)))
   }
 
+  /** Grouped k-fold cross-validation assignment: fold = md5-hash of the
+    * GROUP key mod k, so every row of a group lands in the same fold by
+    * construction (the group-leakage guarantee `splitByGroup` gives for
+    * one split, generalized to k). Zero shuffle — a narrow hash per row;
+    * fold populations are ~uniform by the md5 draw. */
+  def cvFold(groupKey: Column, k: Int, salt: String): Column = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    pmod(conv(hashDraw(groupKey, salt), 16, 10).cast("long"), lit(k))
+  }
+
   /** Deterministic pseudorandom TOTAL ORDER key — the training-order
     * shuffle. Full 128-bit md5 (collisions negligible at any corpus size;
     * callers should still tiebreak on `key` so the order stays total), same

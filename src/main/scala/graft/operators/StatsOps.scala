@@ -73,6 +73,16 @@ object StatsOps {
                 ratioHigh: Double = 1.5): DataFrame = {
     val day = events.groupBy(col(keyCol), date_trunc("day", col(tsCol)).as("day"))
       .agg(count(lit(1)).as("n"))
+    ewmaFromDayCounts(day, keyCol, ratioHigh)
+  }
+
+  /** [[ewmaDaily]]'s finish from an already-aggregated `(key, day, n)`
+    * frame — shared with the streaming variant, whose day counts come out
+    * of complete-mode aggregation state (the monitor arithmetic must be
+    * IDENTICAL batch vs streamed, and sharing the finish is how that's
+    * guaranteed rather than asserted). */
+  def ewmaFromDayCounts(day: DataFrame, keyCol: String,
+                        ratioHigh: Double = 1.5): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
     val terms = (1 to 8).map { j =>
       (lag(col("n"), j).over(w), lit(math.pow(0.5, j - 1)))

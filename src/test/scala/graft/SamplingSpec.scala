@@ -178,4 +178,19 @@ class SamplingSpec extends AnyFunSuite {
       s"weighted sample not weight-biased: $sampleMean vs corpus $corpusMean")
     assert(run().toSeq == s1.toSeq, "A-ES draw must be deterministic")
   }
+
+  test("cvFold: group-atomic (one fold per group), all folds populated, deterministic") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val withFold = docs.withColumn("fold", Sampling.cvFold($"source", k = 5, salt = "cv"))
+    // leakage check: a source never straddles folds
+    val perSource = withFold.groupBy($"source")
+      .agg(org.apache.spark.sql.functions.countDistinct($"fold").as("nf"))
+      .as[(String, Long)].collect()
+    assert(perSource.forall(_._2 == 1L))
+    val folds = withFold.select($"fold").distinct().as[Long].collect().toSet
+    assert(folds.subsetOf((0L until 5L).toSet) && folds.size >= 3,
+      s"fold population degenerate: $folds") // 20 sources over 5 folds
+    assert(intercept[IllegalArgumentException](Sampling.cvFold($"source", 1, "s"))
+      .getMessage.contains("k must be >= 2"))
+  }
 }
