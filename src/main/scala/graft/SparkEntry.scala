@@ -3471,6 +3471,84 @@ object SparkEntry {
               regexp_replace(col("with_card"), "[0-9]{16}", "[CARD]"))
             .otherwise(col("with_card"))).as("red_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Fuzzy entity resolution: a dirty feed (word-swap / char-truncation
+    // mutations planted per doc_id mod 3) matched against the clean
+    // registry via two-pass blocking (first word ∪ last word — each
+    // mutation survives at least one pass) + Jaro-Winkler ≥ 0.85 + best
+    // -match election. The oracle scores candidates with DuckDB's NATIVE
+    // jaro_winkler_similarity — two independent implementations of the
+    // full algorithm must agree on every pair (see EntityResolution).
+    "er_fuzzy_match" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      val base = t(s, d, "documents")
+        .where(col("text").isNotNull && size(ws) >= 3)
+        .select(col("doc_id"), ws.as("ws"))
+      val cleanName = array_join(slice(col("ws"), 1, 3), " ")
+      val clean = base.select(col("doc_id"), cleanName.as("name"))
+      val dirty = base.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat_ws(" ", element_at(col("ws"), 2), element_at(col("ws"), 1),
+            element_at(col("ws"), 3)))
+          .when(col("doc_id") % 3 === 1,
+            expr("substring(concat_ws(' ', ws[0], ws[1], ws[2]), 1, length(concat_ws(' ', ws[0], ws[1], ws[2])) - 1)"))
+          .otherwise(cleanName).as("name"))
+      EntityResolution.resolve(dirty, clean, "doc_id", "name",
+          blockKeys = Seq(
+            n => element_at(split(n, " "), 1),
+            n => element_at(split(n, " "), -1)),
+          minScore = 0.85)
+        .orderBy(col("dirty_id"))
+    }),
+
+    // RFM (recency / frequency / monetary) customer features with
+    // quintile scores by the equidepth-boundary pattern (exact percentile
+    // boundaries rounded to 4, one tiny agg row broadcast back — never a
+    // global ntile window, which would single-partition the user table at
+    // scale). rfm_code = r*100 + f*10 + m.
+    "events_rfm" -> ((s, d) => {
+      val ev = events(s, d).where(col("value").isNotNull)
+      val ref = ev.agg(max(col("ts")).as("ref"))
+      val rfm = ev.crossJoin(broadcast(ref))
+        .groupBy(col("user_id"))
+        .agg(
+          (max(unix_timestamp(col("ref"))) - max(unix_timestamp(col("ts")))).as("rec_sec"),
+          count(lit(1)).as("freq"),
+          round(sum(col("value")), 4).as("mon"))
+      val ps = "array(0.2, 0.4, 0.6, 0.8)"
+      val bounds = rfm.agg(
+        expr(s"percentile(rec_sec, $ps)").as("rb"),
+        expr(s"percentile(freq, $ps)").as("fb"),
+        expr(s"percentile(mon, $ps)").as("mb"))
+      def score(v: Column, bs: Column) =
+        (size(filter(bs, b => v > round(b, 4))) + 1).cast("int")
+      rfm.crossJoin(broadcast(bounds))
+        .select(col("user_id"), col("rec_sec"), col("freq"), col("mon"),
+          score(col("rec_sec"), col("rb")).as("r_score"),
+          score(col("freq"), col("fb")).as("f_score"),
+          score(col("mon"), col("mb")).as("m_score"))
+        .withColumn("rfm_code",
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).cast("int"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Partition-skew diagnosis report: per-key count distribution over
+    // lineitem's supplier key — the hottest 5 keys with their corpus
+    // share, plus the global max/mean skew ratio every row carries (the
+    // number that says whether this key needs salting before it becomes
+    // the shuffle's straggler).
+    "dq_skew_report" -> ((s, d) => {
+      val cnt = t(s, d, "lineitem").groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("cnt"))
+      val st = cnt.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("total"),
+        max(col("cnt")).as("max_cnt"), avg(col("cnt")).as("avg_cnt"))
+      cnt.crossJoin(broadcast(st))
+        .select(col("l_suppkey"), col("cnt"),
+          round(col("cnt") / col("total"), 6).as("share"),
+          col("n_keys"),
+          round(col("max_cnt") / col("avg_cnt"), 4).as("skew_ratio"))
+        .orderBy(col("cnt").desc, col("l_suppkey")).limit(5)
     })
   )
 
@@ -6173,6 +6251,63 @@ object SparkEntry {
         |    CASE WHEN doc_id % 2 = 0
         |      THEN regexp_replace(text || ' card ' || num, '[0-9]{16}', '[CARD]', 'g')
         |      ELSE text || ' card ' || num END AS red FROM card)
-        |SELECT doc_id, source, valid, md5(red) AS red_md5 FROM r ORDER BY doc_id""".stripMargin
+        |SELECT doc_id, source, valid, md5(red) AS red_md5 FROM r ORDER BY doc_id""".stripMargin,
+
+    // Candidate pairs from both blocking passes, scored with DuckDB's
+    // NATIVE jaro_winkler_similarity (independent implementation of the
+    // algorithm the engine pins — see EntityResolution scaladoc), best
+    // match = (max rounded score, min clean_id).
+    "er_fuzzy_match" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+        |c AS (SELECT doc_id AS clean_id, ws[1] || ' ' || ws[2] || ' ' || ws[3] AS clean_name FROM d),
+        |dd AS (SELECT doc_id AS dirty_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN ws[2] || ' ' || ws[1] || ' ' || ws[3]
+        |       WHEN doc_id % 3 = 1 THEN substr(ws[1] || ' ' || ws[2] || ' ' || ws[3], 1,
+        |              length(ws[1] || ' ' || ws[2] || ' ' || ws[3]) - 1)
+        |       ELSE ws[1] || ' ' || ws[2] || ' ' || ws[3] END AS dirty_name FROM d),
+        |cand AS (
+        |  SELECT dirty_id, dirty_name, clean_id, clean_name FROM dd JOIN c
+        |    ON string_split(dirty_name, ' ')[1] = string_split(clean_name, ' ')[1]
+        |  UNION
+        |  SELECT dirty_id, dirty_name, clean_id, clean_name FROM dd JOIN c
+        |    ON string_split(dirty_name, ' ')[-1] = string_split(clean_name, ' ')[-1]),
+        |sc AS (SELECT dirty_id, clean_id,
+        |    round(jaro_winkler_similarity(dirty_name, clean_name), 4) AS jw
+        |  FROM cand),
+        |f AS (SELECT * FROM sc WHERE jw >= 0.85),
+        |mx AS (SELECT dirty_id, max(jw) AS mj FROM f GROUP BY 1)
+        |SELECT f.dirty_id, min(f.clean_id) AS match_id, max(f.jw) AS score
+        |FROM f JOIN mx ON f.dirty_id = mx.dirty_id AND f.jw = mx.mj
+        |GROUP BY f.dirty_id ORDER BY f.dirty_id""".stripMargin,
+
+    // Exact quintile boundaries (rounded 4) over the per-user R/F/M
+    // values — the equidepth-boundary replay; score = boundaries exceeded
+    // + 1.
+    "events_rfm" ->
+      """WITH r AS (SELECT CAST(floor(max(epoch(ts))) AS BIGINT) AS ref FROM events WHERE value IS NOT NULL),
+        |u AS (SELECT user_id,
+        |    (SELECT ref FROM r) - CAST(floor(max(epoch(ts))) AS BIGINT) AS rec_sec,
+        |    count(*) AS freq, round(sum(CAST(value AS DOUBLE)), 4) AS mon
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+        |b AS (SELECT quantile_cont(rec_sec, [0.2, 0.4, 0.6, 0.8]) AS rb,
+        |    quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fb,
+        |    quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS mb FROM u),
+        |s AS (SELECT user_id, rec_sec, freq, mon,
+        |    CAST(1 + len(list_filter(rb, x -> rec_sec > round(x, 4))) AS INT) AS r_score,
+        |    CAST(1 + len(list_filter(fb, x -> freq > round(x, 4))) AS INT) AS f_score,
+        |    CAST(1 + len(list_filter(mb, x -> mon > round(x, 4))) AS INT) AS m_score
+        |  FROM u, b)
+        |SELECT user_id, rec_sec, freq, mon, r_score, f_score, m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm_code
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    "dq_skew_report" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |s AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS DOUBLE) AS total,
+        |    CAST(max(cnt) AS DOUBLE) AS max_cnt, avg(cnt) AS avg_cnt FROM c)
+        |SELECT l_suppkey, cnt, round(cnt / total, 6) AS share, n_keys,
+        |  round(max_cnt / avg_cnt, 4) AS skew_ratio
+        |FROM c, s ORDER BY cnt DESC, l_suppkey LIMIT 5""".stripMargin
   )
 }

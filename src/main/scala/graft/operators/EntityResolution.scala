@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Fuzzy entity resolution: multi-pass blocking + Jaro-Winkler scoring +
+  * deterministic best-match election — the record-linkage workhorse
+  * (matching a dirty feed against a clean registry without an all-pairs
+  * join).
+  *
+  * The Jaro-Winkler here is implemented to DuckDB's exact observable
+  * semantics (probed empirically, see JaroWinklerSpec): match window
+  * `max(l1,l2)/2 - 1` (floor, clamped ≥0), transpositions = mismatched
+  * matched-positions / 2 (INTEGER floor — 'abcdef'/'bcadef' scores 0.9444,
+  * not 0.9167), Winkler prefix bonus (≤4 chars, scale 0.1) applied only
+  * when jaro > 0.7, and 0.0 whenever either side is empty (including
+  * both-empty). That pin is what lets the oracle call DuckDB's NATIVE
+  * `jaro_winkler_similarity` — the strongest cross-engine check available:
+  * two independent implementations of the full algorithm must agree on
+  * every candidate pair (scores compared at round 4; rank ties broken on
+  * the rounded score).
+  *
+  * Scale shape: candidate generation is a union of equi-joins on cheap
+  * blocking keys (never a cartesian — PlanSweepSpec enforces that
+  * repo-wide), deduplicated on the pair key; scoring is a narrow compiled
+  * UDF over candidates only; the best-match election is one
+  * `max_by(match, (score, -id))` aggregation, map-side combinable. Block
+  * sizes bound the quadratic term: pairs ≤ Σ_b |dirty_b|·|clean_b|, so
+  * blocking-key cardinality is the scale dial (document-frequency-bounded
+  * keys at 100 TB, exactly like the LSH band tables).
+  */
+object EntityResolution {
+
+  /** DuckDB-compatible Jaro-Winkler (see object scaladoc for the pinned
+    * semantics). Pure JVM, no allocation beyond two flag arrays. */
+  def jaroWinkler(s1: String, s2: String): Double = {
+    if (s1 == null || s2 == null) return 0.0
+    val l1 = s1.length; val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1); val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2 - 1, i + window)
+      var j = lo
+      var matched = false
+      while (j <= hi && !matched) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; matched = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var k = 0; var mism = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) mism += 1
+        k += 1
+      }
+      i += 1
+    }
+    val t = mism / 2
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      val maxP = math.min(4, math.min(l1, l2))
+      var p = 0
+      while (p < maxP && s1.charAt(p) == s2.charAt(p)) p += 1
+      jaro + p * 0.1 * (1.0 - jaro)
+    }
+  }
+
+  val jaroWinklerUdf: UserDefinedFunction = udf(jaroWinkler _)
+
+  /** Match `dirty(idCol, nameCol)` against `clean(idCol, nameCol)`:
+    * candidates from the union of one equi-join per blocking expression,
+    * Jaro-Winkler scored (round 4), best clean match per dirty id elected
+    * by (score desc, clean id asc). Rows whose best score < `minScore`
+    * are dropped (no candidate ≥ threshold = no match row).
+    */
+  def resolve(dirty: DataFrame, clean: DataFrame, idCol: String,
+              nameCol: String, blockKeys: Seq[Column => Column],
+              minScore: Double): DataFrame = {
+    require(blockKeys.nonEmpty, "at least one blocking key required")
+    val d = dirty.select(col(idCol).as("dirty_id"), col(nameCol).as("dirty_name"))
+    val c = clean.select(col(idCol).as("clean_id"), col(nameCol).as("clean_name"))
+    val cand = blockKeys.map { bk =>
+      d.withColumn("bk", bk(col("dirty_name")))
+        .join(c.withColumn("bk", bk(col("clean_name"))), "bk")
+        .select(col("dirty_id"), col("dirty_name"), col("clean_id"), col("clean_name"))
+    }.reduce(_ unionByName _).distinct()
+    cand
+      .withColumn("jw", round(jaroWinklerUdf(col("dirty_name"), col("clean_name")), 4))
+      .where(col("jw") >= minScore)
+      .groupBy(col("dirty_id"))
+      .agg(
+        max_by(struct(col("clean_id"), col("jw")),
+          struct(col("jw"), (-col("clean_id")).as("nid"))).as("best"))
+      .select(col("dirty_id"), col("best.clean_id").as("match_id"),
+        col("best.jw").as("score"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EntityResolution.jaroWinkler
+
+class EntityResolutionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def r4(x: Double) = math.rint(x * 1e4) / 1e4
+
+  test("jaroWinkler pins DuckDB's probed semantics (textbook + edge values)") {
+    assert(r4(jaroWinkler("martha", "marhta")) === 0.9611) // prefix-3 bonus
+    assert(r4(jaroWinkler("dwayne", "duane")) === 0.84)
+    assert(r4(jaroWinkler("crate", "trace")) === 0.7333) // no common prefix
+    assert(jaroWinkler("abc", "abc") === 1.0)
+    assert(jaroWinkler("abc", "xyz") === 0.0)
+    // boost threshold: jaro 0.4667 < 0.7 -> NO prefix bonus despite prefix 1
+    assert(r4(jaroWinkler("aXXXX", "aYYYY")) === 0.4667)
+    // transpositions are mismatches/2 with INTEGER floor: 3 mismatches -> t=1
+    assert(r4(jaroWinkler("abcdef", "bcadef")) === 0.9444)
+    // window max(l1,l2)/2-1 = 0: adjacent swap in 2-char strings matches nothing
+    assert(jaroWinkler("ab", "ba") === 0.0)
+    // empty / null conventions
+    assert(jaroWinkler("", "abc") === 0.0)
+    assert(jaroWinkler("", "") === 0.0)
+    assert(jaroWinkler(null, "abc") === 0.0)
+  }
+
+  test("resolve: planted mutations recover their own entity; election deterministic") {
+    val clean = Seq((1L, "hash key value"), (2L, "merge sort scan"), (3L, "big fast join"))
+      .toDF("id", "name")
+    val dirty = Seq(
+      (1L, "key hash value"),  // word swap — survives last-word blocking
+      (2L, "merge sort sca"),  // truncation — survives first-word blocking
+      (3L, "big fast join"),   // exact
+      (9L, "zzz qqq www")      // no candidate at all
+    ).toDF("id", "name")
+    import org.apache.spark.sql.functions.{element_at, split}
+    val out = graft.operators.EntityResolution.resolve(dirty, clean, "id", "name",
+        blockKeys = Seq(
+          n => element_at(split(n, " "), 1),
+          n => element_at(split(n, " "), -1)),
+        minScore = 0.85)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 === 1L)
+    assert(out(2L)._1 === 2L)
+    assert(out(3L) === (3L, 1.0))
+    assert(!out.contains(9L)) // below-threshold feeds produce no match row
+  }
+}
