@@ -3549,6 +3549,48 @@ object SparkEntry {
           col("n_keys"),
           round(col("max_cnt") / col("avg_cnt"), 4).as("skew_ratio"))
         .orderBy(col("cnt").desc, col("l_suppkey")).limit(5)
+    }),
+
+    // 2-core of the source contamination graph (3 peeling rounds —
+    // fixture reaches the fixpoint, GraphSpec pins a cascading-chain
+    // case): which sources sit in the dense boilerplate-sharing core vs
+    // the hair. Oracle unrolls the degree-filter/semi-join rounds.
+    "graph_kcore" -> ((s, d) => {
+      Graph.kCore(
+          sourceFpOverlap(s, d).select(col("source_a").as("a"), col("source_b").as("b")),
+          "a", "b", k = 2, rounds = 3)
+        .withColumnRenamed("node", "source")
+        .orderBy(col("source"))
+    }),
+
+    // Day-of-week seasonality profile per event type: seasonal index =
+    // dow mean / overall mean of daily counts (integer sums -> exact
+    // doubles, deterministic division). The deseasonalization input for
+    // any volume monitor that must not page on "it's Sunday".
+    "events_seasonality" -> ((s, d) => {
+      val day = events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val dw = day.withColumn("dow", expr("weekday(day)").cast("int"))
+      val per = dw.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n_days"), avg(col("n")).as("mean_dow"))
+      val glob = day.groupBy(col("event_type")).agg(avg(col("n")).as("mean_all"))
+      per.join(broadcast(glob), "event_type")
+        .select(col("event_type"), col("dow"), col("n_days"),
+          round(col("mean_dow"), 4).as("mean_n"),
+          round(col("mean_dow") / col("mean_all"), 6).as("seasonal_idx"))
+        .orderBy(col("event_type"), col("dow"))
+    }),
+
+    // KMV join-size estimation (customer keys vs order keys): bottom-256
+    // sketch union/intersection estimates WITH the exact audit columns in
+    // the same row — the planner-input estimator, proven honest in-gate
+    // (see StatsOps.kmvJoinEstimate for the mergeable-state argument).
+    "join_size_estimate" -> ((s, d) => {
+      StatsOps.kmvJoinEstimate(
+        t(s, d, "customer"), col("c_custkey"),
+        t(s, d, "orders"), col("o_custkey"),
+        k = 256, salt = "jsz")
     })
   )
 
@@ -6308,6 +6350,55 @@ object SparkEntry {
         |    CAST(max(cnt) AS DOUBLE) AS max_cnt, avg(cnt) AS avg_cnt FROM c)
         |SELECT l_suppkey, cnt, round(cnt / total, 6) AS share, n_keys,
         |  round(max_cnt / avg_cnt, 4) AS skew_ratio
-        |FROM c, s ORDER BY cnt DESC, l_suppkey LIMIT 5""".stripMargin
+        |FROM c, s ORDER BY cnt DESC, l_suppkey LIMIT 5""".stripMargin,
+
+    // 3 unrolled peel rounds: degree agg -> keep(deg>=2) -> semi-filter
+    // both endpoints.
+    "graph_kcore" ->
+      ("""WITH fp AS (SELECT DISTINCT source,
+        |  md5(coalesce(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)[1:8], ' '), '')) AS fp
+        |  FROM documents),
+        |und AS (SELECT a.source AS a, b.source AS b
+        |        FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2),
+        |e0 AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und)""".stripMargin +
+        (1 to 3).map { r =>
+          s""",
+             |n$r AS (SELECT src AS node FROM e${r - 1} GROUP BY 1 HAVING count(*) >= 2),
+             |e$r AS (SELECT src, dst FROM e${r - 1}
+             |  WHERE src IN (SELECT node FROM n$r) AND dst IN (SELECT node FROM n$r))""".stripMargin
+        }.mkString + """
+        |SELECT src AS source, count(*) AS core_deg FROM e3 GROUP BY 1 ORDER BY source""".stripMargin),
+
+    "events_seasonality" ->
+      """WITH day AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1, 2),
+        |dw AS (SELECT event_type, CAST(isodow(day) - 1 AS INT) AS dow, n FROM day),
+        |per AS (SELECT event_type, dow, count(*) AS n_days, avg(n) AS mean_dow FROM dw GROUP BY 1, 2),
+        |g AS (SELECT event_type, avg(n) AS mean_all FROM day GROUP BY 1)
+        |SELECT per.event_type, dow, n_days, round(mean_dow, 4) AS mean_n,
+        |  round(mean_dow / mean_all, 6) AS seasonal_idx
+        |FROM per JOIN g USING (event_type) ORDER BY event_type, dow""".stripMargin,
+
+    // KMV replay: per-side bottom-256 md5 sketches, union bottom-k, t =
+    // k-th min as a hash-space fraction, estimates (k-1)/t and rho/t with
+    // the exact audit columns.
+    "join_size_estimate" ->
+      (s"""WITH ha AS (SELECT DISTINCT md5(CAST(c_custkey AS VARCHAR) || ':jsz') AS h FROM customer),
+        |hb AS (SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR) || ':jsz') AS h FROM orders),
+        |sa AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        |sb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        |su AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb) ORDER BY h LIMIT 256),
+        |tt AS (SELECT nu, CASE WHEN nu < 256 THEN 1.0 ELSE ${hexToBigintSql("hx", 1)} / 4294967296.0 END AS t
+        |       FROM (SELECT count(*) AS nu, max(h) AS hx FROM su)),
+        |rho AS (SELECT count(*) AS rho FROM (SELECT h AS hx FROM sa INTERSECT SELECT h FROM sb) j, tt
+        |        WHERE ${hexToBigintSql("hx", 1)} / 4294967296.0 < tt.t),
+        |ex AS (SELECT (SELECT count(DISTINCT c_custkey) FROM customer) AS n_a,
+        |       (SELECT count(DISTINCT o_custkey) FROM orders) AS n_b,
+        |       (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer
+        |          INTERSECT SELECT DISTINCT o_custkey FROM orders) i) AS n_inter)
+        |SELECT 256 AS k,
+        |  round(CASE WHEN nu < 256 THEN CAST(nu AS DOUBLE) ELSE 255 / t END, 2) AS union_est,
+        |  CAST(n_a + n_b - n_inter AS BIGINT) AS union_exact,
+        |  round(rho / t, 2) AS inter_est, CAST(n_inter AS BIGINT) AS inter_exact
+        |FROM tt, rho, ex""".stripMargin)
   )
 }

@@ -211,6 +211,44 @@ object Graph {
     * [[pageRank]]. Converges-or-oscillates in O(diameter) rounds; a fixed
     * `iters` keeps the gate deterministic either way.
     */
+  /** k-core peeling: iteratively drop nodes with degree < k (with the
+    * edges they carry) for `rounds` rounds — the density-filter that
+    * separates cohesive cluster cores from hair. A fixed round count keeps
+    * the gate replayable; peeling is monotone, so once a round removes
+    * nothing the result IS the true k-core (the spec pins a fixture where
+    * 3 rounds reach the fixpoint, including a chain that needs cascading
+    * removals).
+    *
+    * Scale shape per round: one node-keyed degree agg (map-side partials)
+    * + two semi-joins re-filtering the edge list; the edge list shrinks
+    * monotonically, rounds localCheckpoint like the other iterative ops.
+    * Returns surviving nodes with their final in-core degree.
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+            rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    var sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .select(col("node"))
+      sym = sym
+        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
                        iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")

@@ -121,6 +121,64 @@ object StatsOps {
         round(col("n").cast("double") / col("tot"), 6).as("p"))
   }
 
+  /** KMV (bottom-k / theta-style) sketch estimate of two key sets' union
+    * and intersection cardinality, with the exact values alongside — the
+    * join-size estimation primitive a planner consults before choosing a
+    * strategy, and the set-overlap profiler for 100 TB key columns.
+    *
+    * Mechanics: each side's sketch is the k smallest md5 draws over its
+    * DISTINCT keys; the union's bottom-k is the bottom-k of the sketch
+    * union (closure under union is what makes KMV mergeable state — the
+    * same argument as the MinHash/HLL inventory in PLANS.md). With t =
+    * the k-th smallest union hash as a fraction of hash space:
+    * `|A∪B| ≈ (k-1)/t`, and `|A∩B| ≈ ρ/t` where ρ counts common sketch
+    * hashes below t. All estimator arithmetic is integer-over-exact-
+    * fraction, so both engines compute identical doubles pre-round.
+    *
+    * Scale shape: bottom-k = TakeOrdered (map-side partial bottom-k per
+    * partition, k-bounded merge — the sketch build IS the shuffle-light
+    * path); the exact audit columns are one distinct-count per side plus
+    * one semi-join (the `auditExact` pattern — estimates serve at scale,
+    * the audit proves them honest at gate SF).
+    */
+  def kmvJoinEstimate(left: DataFrame, leftKey: Column,
+                      right: DataFrame, rightKey: Column,
+                      k: Int, salt: String): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    def hashes(df: DataFrame, key: Column) =
+      df.select(md5(concat(key.cast("string"), lit(":" + salt))).as("h")).distinct()
+    def bottomK(df: DataFrame) = df.orderBy(col("h")).limit(k)
+    val sA = bottomK(hashes(left, leftKey)).localCheckpoint()
+    val sB = bottomK(hashes(right, rightKey)).localCheckpoint()
+    val sU = bottomK(sA.union(sB).distinct())
+    // UNDERFULL sketch (fewer than k distinct union hashes): the sketch
+    // holds the whole set — the estimate IS the count, and t = 1.0 makes
+    // the intersection threshold a no-op (every 8-hex fraction < 1).
+    val t = sU.agg(count(lit(1)).as("nu"), max(col("h")).as("tk"))
+      .select(col("nu"),
+        when(col("nu") < k, lit(1.0))
+          .otherwise(conv(substring(col("tk"), 1, 8), 16, 10).cast("double")
+            / lit(4294967296.0)).as("t"))
+    val rho = sA.join(sB, "h").crossJoin(broadcast(t))
+      .where(conv(substring(col("h"), 1, 8), 16, 10).cast("double")
+        / lit(4294967296.0) < col("t"))
+      .agg(count(lit(1)).as("rho"))
+    val exact = {
+      val ka = left.select(leftKey.as("key")).distinct()
+      val kb = right.select(rightKey.as("key")).distinct()
+      ka.agg(count(lit(1)).as("n_a"))
+        .crossJoin(kb.agg(count(lit(1)).as("n_b")))
+        .crossJoin(ka.join(kb, "key").agg(count(lit(1)).as("n_inter")))
+    }
+    t.crossJoin(rho).crossJoin(exact)
+      .select(lit(k).as("k"),
+        round(when(col("nu") < k, col("nu").cast("double"))
+          .otherwise(lit(k - 1) / col("t")), 2).as("union_est"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("union_exact"),
+        round(col("rho") / col("t"), 2).as("inter_est"),
+        col("n_inter").as("inter_exact"))
+  }
+
   /** Association rules over implicit baskets: support / confidence / lift
     * for every unordered item pair that co-occurs in at least `minPairs`
     * baskets. `basketCols` defines the basket key (e.g. user × day), items

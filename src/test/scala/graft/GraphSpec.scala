@@ -173,4 +173,26 @@ class GraphSpec extends AnyFunSuite {
     // unlike uniform PageRank, the far end holds far less than the seed
     assert(got("d") < got("a") / 2, got.toString)
   }
+
+  test("kCore: cascading peel reaches the true 2-core; hair and chains drop") {
+    // triangle 1-2-3 (the 2-core) + chain 3-4-5-6: peeling 6 exposes 5,
+    // which exposes 4 — each removal needs its own round (the cascade that
+    // proves iteration, not a single degree filter)
+    val edges = Seq((1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)).toDF("a", "b")
+    val out = Graph.kCore(edges, "a", "b", k = 2, rounds = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out === Map(1 -> 2L, 2 -> 2L, 3 -> 2L))
+    // one round fewer still has chain remnants -> proves round 3 did work
+    val early = Graph.kCore(edges, "a", "b", k = 2, rounds = 2)
+      .collect().map(_.getInt(0)).toSet
+    assert(early.contains(4) && !early.contains(5))
+  }
+
+  test("kCore: messy duplicated/symmetric/self-loop input canonicalized") {
+    val edges = Seq((1, 2), (2, 1), (1, 1), (2, 3), (1, 3), (1, 3)).toDF("a", "b")
+    val out = Graph.kCore(edges, "a", "b", k = 2, rounds = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // the duplicated (1,3) must not inflate degree; self-loop adds nothing
+    assert(out === Map(1 -> 2L, 2 -> 2L, 3 -> 2L))
+  }
 }

@@ -74,6 +74,25 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(out(("x", "z")) < 1.0) // 1/8 vs (4/8)(4/8) -> lift 0.5
   }
 
+  test("kmvJoinEstimate: EXACT when the union sketch is underfull; within 20% when sampling") {
+    val cust = spark.read.parquet(s"${TestSpark.sf}/customer.parquet")
+    val ords = spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+    def run(k: Int) = StatsOps.kmvJoinEstimate(cust, $"c_custkey", ords, $"o_custkey",
+      k = k, salt = "jsz").head()
+    // fixture keys < 256: the sketch holds the whole set -> estimate == exact
+    val r = run(256)
+    val ux = r.getAs[Long]("union_exact")
+    assert(ux < 256, s"fixture grew past k; pick a larger k ($ux)")
+    assert(r.getAs[Double]("union_est") === ux.toDouble)
+    assert(r.getAs[Double]("inter_est") === r.getAs[Long]("inter_exact").toDouble)
+    // k=32 genuinely samples: estimates within 20% (rel err ~ 1/sqrt(31))
+    val s = run(32)
+    val (ue2, ux2) = (s.getAs[Double]("union_est"), s.getAs[Long]("union_exact"))
+    val (ie2, ix2) = (s.getAs[Double]("inter_est"), s.getAs[Long]("inter_exact"))
+    assert(math.abs(ue2 - ux2) / ux2 < 0.2, s"union: est $ue2 vs exact $ux2")
+    assert(math.abs(ie2 - ix2) / ix2 < 0.2, s"inter: est $ie2 vs exact $ix2")
+  }
+
   test("labelPropagation: two cliques joined by one bridge edge resolve to two communities") {
     // clique A: 1-2-3 complete; clique B: 7-8-9 complete; bridge 3-7
     val edges = Seq((1, 2), (1, 3), (2, 3), (7, 8), (7, 9), (8, 9), (3, 7))
