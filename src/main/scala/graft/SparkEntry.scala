@@ -3591,6 +3591,45 @@ object SparkEntry {
         t(s, d, "customer"), col("c_custkey"),
         t(s, d, "orders"), col("o_custkey"),
         k = 256, salt = "jsz")
+    }),
+
+    // Late-interaction retrieval (ColBERT MaxSim): the 64-dim embedding
+    // read as 8 token vectors of 8 dims, score = Σ over query tokens of
+    // the best cosine against any doc token. One compiled pass per pair;
+    // oracle replays every token cosine with ordered list_reduce folds
+    // and the same qt-ordered final sum.
+    "ann_maxsim" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      SimilaritySearch.maxSimTopK(emb, qs, nTokens = 8, k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Reciprocal top-3 neighbor pairs: the mutual-kNN precision filter
+    // over a neighbor edge list (exact edges at gate scale — production
+    // feeds GraphAnn.knnGraph's LSH-built edges, see
+    // SimilaritySearch.mutualPairs).
+    "pairs_mutual_knn" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val edges = SimilaritySearch.bruteForceTopK(emb,
+        emb.select(col("vec_id").as("q_id"), col("embedding").as("q_vec")), k = 3)
+      SimilaritySearch.mutualPairs(edges, "q_id", "vec_id", "similarity")
+        .orderBy(col("vec_id_a"), col("vec_id_b"))
+    }),
+
+    // Top behavioral 3-step paths ((ts, event_id)-ordered per user) — the
+    // path-analysis rollup on top of the transition matrix's single step.
+    "events_top_paths" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val p = events(s, d).select(col("user_id"),
+          col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .where(col("e3").isNotNull)
+      p.groupBy(concat_ws(" > ", col("e1"), col("e2"), col("e3")).as("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(10)
     })
   )
 
@@ -6399,6 +6438,58 @@ object SparkEntry {
         |  round(CASE WHEN nu < 256 THEN CAST(nu AS DOUBLE) ELSE 255 / t END, 2) AS union_est,
         |  CAST(n_a + n_b - n_inter AS BIGINT) AS union_exact,
         |  round(rho / t, 2) AS inter_est, CAST(n_inter AS BIGINT) AS inter_exact
-        |FROM tt, rho, ex""".stripMargin)
+        |FROM tt, rho, ex""".stripMargin),
+
+    // Every (pair, query-token, doc-token) cosine via ordered list_reduce
+    // folds (8-dim token slices of the 64-dim array), per-query-token max,
+    // qt-ordered final sum — the exact fold sequence of the compiled UDF.
+    "ann_maxsim" ->
+      """WITH qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |pairs AS (SELECT q.q_id, e.vec_id, e.embedding AS dv, q.qv
+        |          FROM embeddings e, qs q WHERE e.vec_id <> q.q_id),
+        |tok AS (SELECT q_id, vec_id, tt.t AS qt, dd.t AS dt,
+        |    list_reduce(list_transform(generate_series(1, 8), j ->
+        |      CAST(qv[tt.t * 8 + j] AS DOUBLE) * CAST(dv[dd.t * 8 + j] AS DOUBLE)), (a, b) -> a + b) AS dot,
+        |    list_reduce(list_transform(generate_series(1, 8), j ->
+        |      CAST(qv[tt.t * 8 + j] AS DOUBLE) * CAST(qv[tt.t * 8 + j] AS DOUBLE)), (a, b) -> a + b) AS nq,
+        |    list_reduce(list_transform(generate_series(1, 8), j ->
+        |      CAST(dv[dd.t * 8 + j] AS DOUBLE) * CAST(dv[dd.t * 8 + j] AS DOUBLE)), (a, b) -> a + b) AS nd
+        |  FROM pairs, (SELECT unnest(generate_series(0, 7)) AS t) tt,
+        |       (SELECT unnest(generate_series(0, 7)) AS t) dd),
+        |c AS (SELECT q_id, vec_id, qt,
+        |    CASE WHEN nq = 0 OR nd = 0 THEN 0.0 ELSE dot / sqrt(nq * nd) END AS cc FROM tok),
+        |b AS (SELECT q_id, vec_id, qt, max(cc) AS best FROM c GROUP BY 1, 2, 3),
+        |sc AS (SELECT q_id, vec_id,
+        |    round(list_reduce(list(best ORDER BY qt), (a, b) -> a + b), 4) AS similarity
+        |  FROM b GROUP BY 1, 2),
+        |rr AS (SELECT q_id, vec_id, similarity,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM sc)
+        |SELECT q_id, vec_id, similarity, rank FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // All-queries exact top-3 cosine replay, then the reciprocity join on
+    // the reversed pair key; the a<b direction's rounded similarity is the
+    // reported one.
+    "pairs_mutual_knn" ->
+      """WITH z AS (SELECT q.vec_id AS q_id, e.vec_id, unnest(e.embedding) AS a, unnest(q.embedding) AS b
+        |      FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id),
+        |s AS (SELECT q_id, vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
+        |             sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
+        |             sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
+        |      FROM z GROUP BY q_id, vec_id),
+        |r AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM s),
+        |rr AS (SELECT q_id, vec_id, similarity,
+        |       row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS rank FROM r),
+        |t3 AS (SELECT q_id, vec_id, similarity FROM rr WHERE rank <= 3)
+        |SELECT e1.q_id AS vec_id_a, e1.vec_id AS vec_id_b, e1.similarity AS sim
+        |FROM t3 e1 JOIN t3 e2 ON e1.q_id = e2.vec_id AND e1.vec_id = e2.q_id
+        |WHERE e1.q_id < e1.vec_id ORDER BY 1, 2""".stripMargin,
+
+    "events_top_paths" ->
+      """WITH p AS (SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path, count(*) AS n
+        |  FROM p WHERE e3 IS NOT NULL GROUP BY 1)
+        |SELECT path, n FROM c ORDER BY n DESC, path LIMIT 10""".stripMargin
   )
 }

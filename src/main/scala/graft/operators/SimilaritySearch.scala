@@ -211,4 +211,68 @@ object SimilaritySearch {
       round(VectorFunctions.cosineSimilarity(col(corpusVec), col(queryVec)), 4))
     topKPerQuery(scored, k, queryId, corpusId)
   }
+
+  /** Late-interaction (ColBERT-style MaxSim) scoring: both sides carry
+    * `nTokens` token vectors packed into one flat array; the score is
+    * Σ over query tokens of the max cosine against any document token —
+    * the multi-vector retrieval model that beats single-vector pooling on
+    * phrase queries. Scored with ONE compiled UDF pass per (doc, query)
+    * pair (token loops in index order, double accumulators — the oracle
+    * replays the identical fold sequence with ordered list_reduce), then
+    * the usual TopKBy bounded cut. Queries broadcast; at index scale the
+    * pair set comes from any candidate tier first (IVF cells, LSH
+    * buckets) — MaxSim is the re-rank stage, not the sweep.
+    */
+  def maxSimTopK(corpus: DataFrame, queries: DataFrame, nTokens: Int, k: Int,
+                 corpusVec: String = "embedding", corpusId: String = "vec_id",
+                 queryVec: String = "q_vec", queryId: String = "q_id"): DataFrame = {
+    require(nTokens >= 1, s"nTokens must be >= 1, got $nTokens")
+    val score = udf { (d: Seq[Float], q: Seq[Float]) =>
+      val dim = d.length / nTokens
+      var s = 0.0
+      var qt = 0
+      while (qt < nTokens) {
+        var best = -1.0 // cosines live in [-1, 1]; empty-norm tokens score 0
+        var dt = 0
+        while (dt < nTokens) {
+          var dot = 0.0; var nq = 0.0; var nd = 0.0
+          var j = 0
+          while (j < dim) {
+            val qv = q(qt * dim + j).toDouble
+            val dv = d(dt * dim + j).toDouble
+            dot += qv * dv; nq += qv * qv; nd += dv * dv
+            j += 1
+          }
+          val c = if (nq == 0.0 || nd == 0.0) 0.0 else dot / math.sqrt(nq * nd)
+          if (c > best) best = c
+          dt += 1
+        }
+        s += best
+        qt += 1
+      }
+      s
+    }
+    val scored = Dedup.spread(corpus)
+      .join(broadcast(queries.select(col(queryId), col(queryVec))),
+        col(corpusId) =!= col(queryId))
+      .withColumn("similarity",
+        round(score(col(corpusVec), col(queryVec)), 4))
+    topKPerQuery(scored, k, queryId, corpusId)
+  }
+
+  /** Mutual-kNN filter over a directed neighbor edge list (from ANY tier —
+    * exact brute force at gate scale, [[graft.operators.GraphAnn.knnGraph]]
+    * in production): keep the canonical a<b pairs where BOTH directions
+    * chose each other. Reciprocity is the classic precision filter for
+    * near-dup candidates and contrastive positives — one self-join on the
+    * reversed pair key, nothing corpus-quadratic. */
+  def mutualPairs(edges: DataFrame, srcCol: String, dstCol: String,
+                  simCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(simCol).as("sim"))
+    e.where(col("src") < col("dst"))
+      .join(e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .select(col("src").as("vec_id_a"), col("dst").as("vec_id_b"), col("sim"))
+  }
 }

@@ -48,4 +48,32 @@ class SimilaritySearchSpec extends AnyFunSuite {
     val recall = bf.intersect(ivf).size.toDouble / bf.size
     assert(recall > 0.4, s"recall=$recall")
   }
+
+  test("maxSim: hand-checked on 2 tokens of 2 dims; token max is per query token") {
+    import spark.implicits._
+    // doc tokens: (1,0),(0,1); query tokens: (1,0),(1,1)
+    //   qt0 best = cos((1,0),(1,0)) = 1
+    //   qt1 best = cos((1,1),(1,0)) = cos((1,1),(0,1)) = 1/sqrt(2) = 0.7071
+    //   score = 1.7071
+    val corpus = Seq((10L, Seq(1f, 0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val qs = Seq((0L, Seq(1f, 0f, 1f, 1f))).toDF("q_id", "q_vec")
+    val out = SimilaritySearch.maxSimTopK(corpus, qs, nTokens = 2, k = 1).head()
+    assert(out.getAs[Double]("similarity") === 1.7071)
+    // pooling the same vectors into ONE token scores differently —
+    // late interaction is not a relabeled single-vector cosine
+    val pooled = SimilaritySearch.maxSimTopK(corpus, qs, nTokens = 1, k = 1).head()
+    assert(pooled.getAs[Double]("similarity") !== 1.7071)
+  }
+
+  test("mutualPairs keeps only reciprocal edges, canonical a<b") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L, 0.9), (2L, 1L, 0.9), // mutual
+      (1L, 3L, 0.8),                // one-way only
+      (4L, 2L, 0.7), (2L, 4L, 0.7)  // mutual, given in reverse order
+    ).toDF("src", "dst", "sim")
+    val out = SimilaritySearch.mutualPairs(edges, "src", "dst", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L), (2L, 4L)))
+  }
 }
