@@ -266,6 +266,29 @@ object SparkEntry {
         s"($i, [${p.map(v => java.lang.Double.toString(v.toDouble)).mkString(", ")}])"
       }.mkString(", ")
 
+  /** The full multi-probe LSH top-10 replay (seed-derived hyperplanes as
+    * literals, bucket + hamming-1 probes, exact cosine re-rank into `rr`)
+    * — shared by ann_lsh_bucketed and the retrieval-evaluation oracle. */
+  private lazy val lshTopKOracleCtes: String =
+    s"""planes AS (SELECT * FROM (VALUES $lshOraclePlaneValues) AS t(pid, p)),
+       |emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |bits AS (SELECT e.vec_id, pl.pid, CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN '1' ELSE '0' END AS bit
+       |         FROM emb e CROSS JOIN planes pl),
+       |bucket AS (SELECT vec_id, string_agg(bit, '' ORDER BY pid) AS bucket FROM bits GROUP BY vec_id),
+       |qs AS (SELECT vec_id AS q_id, bucket AS qb FROM bucket WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT q_id, qb AS probe FROM qs
+       |  UNION
+       |  SELECT q_id, substr(qb,1,i-1) || (CASE WHEN substr(qb,i,1)='1' THEN '0' ELSE '1' END) || substr(qb,i+1) AS probe
+       |  FROM qs, (SELECT unnest(generate_series(1,4)) AS i) t
+       |),
+       |cand AS (SELECT p.q_id, b.vec_id FROM probes p JOIN bucket b ON b.bucket = p.probe WHERE b.vec_id <> p.q_id),
+       |z AS (SELECT c.q_id, c.vec_id, list_dot_product(e1.v, e2.v) AS dp,
+       |      sqrt(list_dot_product(e1.v, e1.v)) AS na, sqrt(list_dot_product(e2.v, e2.v)) AS nb
+       |      FROM cand c JOIN emb e1 ON e1.vec_id = c.vec_id JOIN emb e2 ON e2.vec_id = c.q_id),
+       |r AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM z),
+       |rr AS (SELECT q_id, vec_id, similarity, CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)""".stripMargin
+
   private val fixedPrompt = "fast spark table scan query"
 
   /** Fixed keyword query for the lexical/hybrid retrieval gates — common
@@ -3630,6 +3653,71 @@ object SparkEntry {
       p.groupBy(concat_ws(" > ", col("e1"), col("e2"), col("e3")).as("path"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("path")).limit(10)
+    }),
+
+    // Retrieval-quality evaluation IN the gate: LSH top-10 (the
+    // ann_lsh_bucketed config) scored against the exact ground truth —
+    // per-query hits@10, nDCG@10 with graded relevance (rel = 11 - true
+    // rank), and MRR. The eval harness a retrieval stack ships with, as a
+    // hash-checked query (metric arithmetic replayed, log2 ulps absorbed
+    // by round-4-after-sum).
+    "retrieval_eval_ndcg" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val gt = SimilaritySearch.bruteForceTopK(emb, qs, k = 10)
+        .select(col("q_id"), col("vec_id"), (lit(11) - col("rank")).cast("double").as("rel"))
+      val sys = SimilaritySearch.lshTopK(emb, qs, k = 10, nBits = 4, dim = 64)
+        .select(col("q_id"), col("vec_id"), col("rank").as("sys_rank"))
+      val idcg = (1 to 10).map(r => (11 - r) / (math.log(r + 1.0) / math.log(2.0))).sum
+      val per = gt.join(sys, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(
+          count(lit(1)).as("n_hits"),
+          round(sum(col("rel") / log2(col("sys_rank") + 1)) / lit(idcg), 4).as("ndcg10"),
+          round(lit(1.0) / min(col("sys_rank")), 4).as("mrr"))
+      qs.select(col("q_id")).join(per, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("ndcg10"), lit(0.0)).as("ndcg10"),
+          coalesce(col("mrr"), lit(0.0)).as("mrr"))
+        .orderBy(col("q_id"))
+    }),
+
+    // Theil-Sen robust trend per event type: slope = MEDIAN of all
+    // pairwise day-count slopes — outlier days cannot drag it the way
+    // they drag OLS. Pairs are day-count-bounded (30 days -> 435 rows per
+    // type), never event-row-bounded; slopes are exact integer-ratio
+    // doubles, the median interpolation is the percentile-parity pattern.
+    "events_theilsen_trend" -> ((s, d) => {
+      val day = events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val mn = day.groupBy(col("event_type")).agg(min(col("day")).as("d0"))
+      val idx = day.join(broadcast(mn), "event_type")
+        .select(col("event_type"), datediff(col("day"), col("d0")).as("i"), col("n"))
+      val pairs = idx.as("a").join(idx.as("b"),
+          col("a.event_type") === col("b.event_type") && col("a.i") < col("b.i"))
+        .select(col("a.event_type").as("event_type"),
+          ((col("b.n") - col("a.n")).cast("double") / (col("b.i") - col("a.i"))).as("slope"))
+      pairs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(expr("percentile(slope, 0.5)"), 6).as("slope_med"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Export manifest with ORDER-FREE per-shard checksums: rendezvous
+    // shard routing + row count + sum of per-row 32-bit content hashes —
+    // commutative, so shard writers can verify in any order and partial
+    // manifests merge by addition (the writer-verification contract of
+    // pipeline_training_export's assignment stage).
+    "export_shard_manifest" -> ((s, d) => {
+      val shards = (0 until 8).map(i => s"w$i")
+      t(s, d, "documents")
+        .withColumn("shard", Sharding.rendezvousShard(col("doc_id"), shards))
+        .withColumn("rh", conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":"), coalesce(col("text"), lit("")))), 1, 8), 16, 10).cast("long"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("rh")).as("checksum"))
+        .orderBy(col("shard"))
     })
   )
 
@@ -5173,25 +5261,37 @@ object SparkEntry {
     // bucket-joined candidates -> exact cosine -> rank. Any drift in the
     // bucketing, probe expansion, or scoring hash-fails.
     "ann_lsh_bucketed" ->
-      s"""WITH planes AS (SELECT * FROM (VALUES $lshOraclePlaneValues) AS t(pid, p)),
-         |emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |bits AS (SELECT e.vec_id, pl.pid, CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN '1' ELSE '0' END AS bit
-         |         FROM emb e CROSS JOIN planes pl),
-         |bucket AS (SELECT vec_id, string_agg(bit, '' ORDER BY pid) AS bucket FROM bits GROUP BY vec_id),
-         |qs AS (SELECT vec_id AS q_id, bucket AS qb FROM bucket WHERE vec_id < 5),
-         |probes AS (
-         |  SELECT q_id, qb AS probe FROM qs
-         |  UNION
-         |  SELECT q_id, substr(qb,1,i-1) || (CASE WHEN substr(qb,i,1)='1' THEN '0' ELSE '1' END) || substr(qb,i+1) AS probe
-         |  FROM qs, (SELECT unnest(generate_series(1,4)) AS i) t
-         |),
-         |cand AS (SELECT p.q_id, b.vec_id FROM probes p JOIN bucket b ON b.bucket = p.probe WHERE b.vec_id <> p.q_id),
-         |z AS (SELECT c.q_id, c.vec_id, list_dot_product(e1.v, e2.v) AS dp,
-         |      sqrt(list_dot_product(e1.v, e1.v)) AS na, sqrt(list_dot_product(e2.v, e2.v)) AS nb
-         |      FROM cand c JOIN emb e1 ON e1.vec_id = c.vec_id JOIN emb e2 ON e2.vec_id = c.q_id),
-         |r AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM z),
-         |rr AS (SELECT q_id, vec_id, similarity, CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)
+      s"""WITH $lshTopKOracleCtes
          |SELECT q_id, vec_id, similarity, rank FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // The evaluation harness ON the approximate tier: the LSH replay
+    // (shared CTEs with ann_lsh_bucketed) scored against the exact
+    // top-10 ground truth (g-prefixed brute-force replay) — per-query
+    // hits@10, nDCG@10 (graded rel = 11 - gt rank), MRR.
+    "retrieval_eval_ndcg" ->
+      s"""WITH $lshTopKOracleCtes,
+         |sys AS (SELECT q_id, vec_id, rank AS sys_rank FROM rr WHERE rank <= 10),
+         |gz AS (SELECT q.q_id, e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+         |       FROM embeddings e, (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5) q
+         |       WHERE e.vec_id <> q.q_id),
+         |gs AS (SELECT q_id, vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
+         |              sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
+         |              sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
+         |       FROM gz GROUP BY q_id, vec_id),
+         |gr AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM gs),
+         |gt AS (SELECT q_id, vec_id, CAST(11 - grank AS DOUBLE) AS rel FROM
+         |       (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS grank FROM gr)
+         |       WHERE grank <= 10),
+         |idcg AS (SELECT sum((11 - r) / log2(r + 1)) AS v FROM (SELECT unnest(generate_series(1, 10)) AS r)),
+         |hits AS (SELECT g.q_id, g.rel, s.sys_rank FROM gt g JOIN sys s ON g.q_id = s.q_id AND g.vec_id = s.vec_id),
+         |per AS (SELECT q_id, count(*) AS n_hits,
+         |        round(sum(rel / log2(sys_rank + 1)) / (SELECT v FROM idcg), 4) AS ndcg10,
+         |        round(1.0 / min(sys_rank), 4) AS mrr
+         |        FROM hits GROUP BY q_id)
+         |SELECT q.q_id, coalesce(n_hits, 0) AS n_hits, coalesce(ndcg10, 0.0) AS ndcg10,
+         |       coalesce(mrr, 0.0) AS mrr
+         |FROM (SELECT DISTINCT q_id FROM gt) q LEFT JOIN per USING (q_id)
+         |ORDER BY q_id""".stripMargin,
 
     "ann_bruteforce_batch" -> exactAnnTopKSql,
 
@@ -6490,6 +6590,31 @@ object SparkEntry {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |c AS (SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path, count(*) AS n
         |  FROM p WHERE e3 IS NOT NULL GROUP BY 1)
-        |SELECT path, n FROM c ORDER BY n DESC, path LIMIT 10""".stripMargin
+        |SELECT path, n FROM c ORDER BY n DESC, path LIMIT 10""".stripMargin,
+
+    "events_theilsen_trend" ->
+      """WITH day AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1, 2),
+        |mn AS (SELECT event_type, min(day) AS d0 FROM day GROUP BY 1),
+        |idx AS (SELECT day.event_type, CAST(date_diff('day', d0, day) AS INT) AS i, n
+        |  FROM day JOIN mn USING (event_type)),
+        |pairs AS (SELECT a.event_type, CAST(b.n - a.n AS DOUBLE) / (b.i - a.i) AS slope
+        |  FROM idx a JOIN idx b ON a.event_type = b.event_type AND a.i < b.i)
+        |SELECT event_type, count(*) AS n_pairs,
+        |  round(quantile_cont(slope, 0.5), 6) AS slope_med
+        |FROM pairs GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // rendezvous argmax replay + commutative 32-bit row-hash sums.
+    "export_shard_manifest" ->
+      (s"""WITH sh(s) AS (VALUES ('w0'), ('w1'), ('w2'), ('w3'), ('w4'), ('w5'), ('w6'), ('w7')),
+         |w AS (SELECT doc_id, text, s, ${hexToBigintSql("mh", 1)} AS h FROM
+         |      (SELECT doc_id, text, s, md5(CAST(doc_id AS VARCHAR) || '@' || s) AS mh
+         |       FROM documents CROSS JOIN sh)),
+         |a AS (SELECT doc_id, text, s AS shard FROM
+         |      (SELECT doc_id, text, s, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rn FROM w)
+         |      WHERE rn = 1),
+         |r AS (SELECT shard, ${hexToBigintSql("rh", 1)} AS rhv FROM
+         |      (SELECT shard, md5(CAST(doc_id AS VARCHAR) || ':' || coalesce(text, '')) AS rh FROM a))
+         |SELECT shard, count(*) AS n_rows, CAST(sum(rhv) AS BIGINT) AS checksum
+         |FROM r GROUP BY shard ORDER BY shard""".stripMargin)
   )
 }
