@@ -3718,6 +3718,69 @@ object SparkEntry {
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_rows"), sum(col("rh")).as("checksum"))
         .orderBy(col("shard"))
+    }),
+
+    // Point-in-time join against the SCD2 dimension (the same 3-batch
+    // version build as scd2_customer_versions): each customer probes at
+    // ts = key mod 3 and must see the segment valid THEN — the
+    // feature-store leakage guard as a query (training features must be
+    // as-of the label time). One equi-join + interval residual; SCD2
+    // disjointness gives <= 1 match per probe.
+    "scd2_pit_join" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val dim0 = Scd2.init(cust, "c_custkey", Seq("c_mktsegment"))
+      val upd1 = cust.where(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit("SEG_A").as("c_mktsegment"))
+        .unionByName(cust.where(col("c_custkey") % 100 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            lit("SEG_NEW").as("c_mktsegment")))
+      val upd2 = cust.where(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 20 === 0, "SEG_B").otherwise("SEG_A")
+            .as("c_mktsegment"))
+      val dim = Scd2.applyBatch(
+        Scd2.applyBatch(dim0, upd1, "c_custkey", Seq("c_mktsegment"), ts = 1L),
+        upd2, "c_custkey", Seq("c_mktsegment"), ts = 2L)
+      val probes = cust.select(col("c_custkey"), (col("c_custkey") % 3).as("probe_ts"))
+      Scd2.pitJoin(dim, probes, "c_custkey", "probe_ts")
+        .select(col("c_custkey"), col("probe_ts"), col("c_mktsegment").as("segment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Money must be decimal: per-flag revenue summed as DECIMAL(18,2) —
+    // EXACT, so the string form hash-matches across engines, which a
+    // double sum cannot do (its last ulps depend on partition order; the
+    // drift_bounded column pins that the double drift stays under 1.0
+    // while the decimal column needs no tolerance at all).
+    "profile_decimal_money" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("dec_sum"),
+          sum(col("l_extendedprice")).as("dbl_sum"))
+        .select(col("l_returnflag"), col("n"),
+          col("dec_sum").cast("string").as("sum_exact"),
+          (abs(col("dbl_sum") - col("dec_sum").cast("double")) < 1.0).as("drift_bounded"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Compaction planning over a (metadata-sized) file manifest:
+    // next-fit-decreasing bin packing via one running-sum window — file =
+    // doc, size = n_chars, target bin capacity 20k. Manifest ops run on
+    // file COUNTS, not data; the global window is bounded by the manifest,
+    // the same exemption class as the MMR/fusion k-row windows.
+    "compact_bin_packing" -> ((s, d) => {
+      val cap = 20000L
+      val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
+      val packed = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_chars")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("bin", floor(col("cum_before") / cap).cast("long"))
+      packed.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("total_bytes"),
+          round(sum(col("n_chars")) / lit(cap.toDouble), 4).as("fill_ratio"))
+        .orderBy(col("bin"))
     })
   )
 
@@ -6602,6 +6665,41 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n_pairs,
         |  round(quantile_cont(slope, 0.5), 6) AS slope_med
         |FROM pairs GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the enumerated version table + generic interval condition.
+    "scd2_pit_join" ->
+      """WITH v AS (
+        |  SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT) AS valid_from,
+        |    CAST(CASE WHEN c_custkey % 10 = 0 THEN 1 END AS BIGINT) AS valid_to FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'SEG_A', 1, CASE WHEN c_custkey % 20 = 0 THEN 2 END
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'SEG_B', 2, NULL FROM customer WHERE c_custkey % 20 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'SEG_NEW', 1, NULL FROM customer WHERE c_custkey % 100 = 0),
+        |p AS (SELECT c_custkey, c_custkey % 3 AS probe_ts FROM customer)
+        |SELECT p.c_custkey, p.probe_ts, v.c_mktsegment AS segment
+        |FROM p JOIN v ON p.c_custkey = v.c_custkey
+        |  AND v.valid_from <= p.probe_ts
+        |  AND (v.valid_to IS NULL OR v.valid_to > p.probe_ts)
+        |ORDER BY p.c_custkey""".stripMargin,
+
+    "profile_decimal_money" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_exact,
+        |  abs(sum(l_extendedprice) - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)) < 1.0 AS drift_bounded
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "compact_bin_packing" ->
+      """WITH f AS (SELECT doc_id, n_chars,
+        |    coalesce(sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_chars, CAST(floor(cum_before / 20000) AS BIGINT) AS bin FROM f)
+        |SELECT bin, count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+        |  round(sum(n_chars) / 20000.0, 4) AS fill_ratio
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     // rendezvous argmax replay + commutative 32-bit row-hash sums.
     "export_shard_manifest" ->

@@ -58,4 +58,25 @@ object Scd2 {
            ts: Long = 0L): DataFrame =
     dim.select(Seq(col(keyCol)) ++ attrCols.map(col) ++
       Seq(lit(ts).as("valid_from"), lit(null).cast("long").as("valid_to")): _*)
+
+  /** Point-in-time (PIT) join: each probe row picks up the dimension
+    * version valid AT its timestamp — `valid_from <= ts < valid_to`
+    * (open-ended current versions match everything from valid_from on).
+    * THE feature-store join: training examples must see the attribute
+    * values as of the label time, never the leaked current row.
+    *
+    * Scale shape: one hash equi-join on the key with the interval test as
+    * residual filter; SCD2 invariants (versions per key are disjoint)
+    * guarantee ≤1 surviving match per probe, so no post-dedup is needed.
+    * At warehouse scale both sides bucket on the key.
+    */
+  def pitJoin(dim: DataFrame, probes: DataFrame, keyCol: String,
+              tsCol: String): DataFrame = {
+    val d = dim
+    probes.join(d,
+      probes(keyCol) === d(keyCol) &&
+        d("valid_from") <= probes(tsCol) &&
+        (d("valid_to").isNull || d("valid_to") > probes(tsCol)))
+      .drop(d(keyCol))
+  }
 }

@@ -43,4 +43,19 @@ class Scd2Spec extends AnyFunSuite {
     assert(table(changed) ===
       Set((1L, null, 0L, Some(1L)), (1L, "now-set", 1L, None)))
   }
+
+  test("pitJoin: probes see the version valid AT their ts, never the leaked current row") {
+    val dim0 = Scd2.init(Seq((1L, "v0")).toDF("k", "v"), "k", Seq("v"))
+    val dim = Scd2.applyBatch(
+      Scd2.applyBatch(dim0, Seq((1L, "v1")).toDF("k", "v"), "k", Seq("v"), 5L),
+      Seq((1L, "v2")).toDF("k", "v"), "k", Seq("v"), 9L)
+    val probes = Seq((1L, 0L), (1L, 4L), (1L, 5L), (1L, 8L), (1L, 9L), (1L, 100L))
+      .toDF("k", "ts")
+    val got = Scd2.pitJoin(dim, probes, "k", "ts")
+      .select($"ts", $"v").as[(Long, String)].collect().toMap
+    assert(got === Map(0L -> "v0", 4L -> "v0", 5L -> "v1", 8L -> "v1",
+      9L -> "v2", 100L -> "v2"))
+    // exactly one match per probe (SCD2 disjointness)
+    assert(Scd2.pitJoin(dim, probes, "k", "ts").count() === probes.count())
+  }
 }
