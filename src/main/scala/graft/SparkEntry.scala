@@ -3781,6 +3781,85 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("total_bytes"),
           round(sum(col("n_chars")) / lit(cap.toDouble), 4).as("fill_ratio"))
         .orderBy(col("bin"))
+    }),
+
+    // Seasonally-adjusted volume anomaly ("don't page on Sunday"): daily
+    // counts divided by their day-of-week seasonal index, THEN z-scored —
+    // the composite of events_seasonality and events_volume_anomaly's
+    // arithmetic in one plan. A day that is merely "Sunday-low" has
+    // adj ≈ mean; a genuinely anomalous day stands out after adjustment.
+    "events_seasonal_anomaly" -> ((s, d) => {
+      val day = events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val dw = day.withColumn("dow", expr("weekday(day)").cast("int"))
+      val idx = dw.groupBy(col("event_type"), col("dow"))
+        .agg(avg(col("n")).as("mean_dow"))
+        .join(broadcast(day.groupBy(col("event_type")).agg(avg(col("n")).as("mean_all"))),
+          "event_type")
+        .select(col("event_type"), col("dow"), (col("mean_dow") / col("mean_all")).as("sidx"))
+      val adj = dw.join(broadcast(idx), Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("n"), (col("n") / col("sidx")).as("adj"))
+      val mu = adj.groupBy(col("event_type"))
+        .agg(avg(col("adj")).as("mu"), count(lit(1)).cast("double").as("nd"))
+      val sd = adj.join(broadcast(mu), "event_type")
+        .groupBy(col("event_type"))
+        .agg(first(col("mu")).as("mu"),
+          sqrt(sum((col("adj") - col("mu")) * (col("adj") - col("mu"))) /
+            first(col("nd"))).as("sd"))
+      adj.join(broadcast(sd), "event_type")
+        .select(col("event_type"), col("day"), col("n"),
+          round(col("adj"), 4).as("adj_n"),
+          round((col("adj") - col("mu")) / col("sd"), 4).as("z"),
+          (abs((col("adj") - col("mu")) / col("sd")) > 2.0).as("anomaly"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Differentially-private count release with DETERMINISTIC Laplace
+    // noise: the uniform draw is the md5 hash fraction (the sampling
+    // family's convention), pushed through the Laplace inverse CDF —
+    // replayable noise, which is what makes a DP release gateable at all.
+    // epsilon = 0.1, sensitivity 1 -> scale b = 10. True counts are NOT
+    // in the output (that is the point); the spec bounds the noise.
+    "dq_dp_counts" -> ((s, d) => {
+      val u = conv(substring(md5(concat(col("event_type"), lit(":dp"))), 1, 8), 16, 10)
+        .cast("double") / lit(4294967296.0)
+      val lap = -lit(10.0) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+      events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("true_n"))
+        .select(col("event_type"),
+          round(col("true_n") + lap, 4).as("noisy_n"),
+          lit(0.1).as("epsilon"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Embedding distribution drift: centroid of the "reference" half vs
+    // the "current" half (vec_id parity split), compared by cosine and
+    // L2 shift over the component-keyed round-6 means (the
+    // source_centroid_similarity arithmetic — NOT VectorAvg, whose
+    // float-cast finish re-quantizes). The drift monitor for the vector
+    // space itself, next to the scalar PSI monitor.
+    "embedding_drift_centroid" -> ((s, d) => {
+      val em = t(s, d, "embeddings")
+        .select(col("vec_id"), (col("vec_id") % 2 === 0).as("is_ref"),
+          posexplode(col("embedding")))
+      val cm = em.groupBy(col("pos"))
+        .agg(
+          round(avg(when(col("is_ref"), col("col"))), 6).as("ref_c"),
+          round(avg(when(!col("is_ref"), col("col"))), 6).as("cur_c"))
+      val agg = cm.agg(
+        sum(col("ref_c") * col("cur_c")).as("dp"),
+        sum(col("ref_c") * col("ref_c")).as("na"),
+        sum(col("cur_c") * col("cur_c")).as("nb"),
+        sum((col("ref_c") - col("cur_c")) * (col("ref_c") - col("cur_c"))).as("sq"))
+      val counts = t(s, d, "embeddings").agg(
+        sum(when(col("vec_id") % 2 === 0, 1).otherwise(0)).as("n_ref"),
+        sum(when(col("vec_id") % 2 =!= 0, 1).otherwise(0)).as("n_cur"))
+      agg.crossJoin(counts)
+        .select(col("n_ref"), col("n_cur"),
+          round(col("dp") / (sqrt(col("na")) * sqrt(col("nb"))), 6).as("centroid_cos"),
+          round(sqrt(col("sq")), 6).as("shift_norm"),
+          (sqrt(col("sq")) > 0.05).as("drifted"))
     })
   )
 
@@ -6700,6 +6779,50 @@ object SparkEntry {
         |SELECT bin, count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS total_bytes,
         |  round(sum(n_chars) / 20000.0, 4) AS fill_ratio
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "events_seasonal_anomaly" ->
+      """WITH day AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1, 2),
+        |dw AS (SELECT event_type, day, n, CAST(isodow(day) - 1 AS INT) AS dow FROM day),
+        |g AS (SELECT event_type, avg(n) AS mean_all FROM day GROUP BY 1),
+        |idx AS (SELECT dw.event_type, dow, avg(n) / any_value(mean_all) AS sidx
+        |  FROM dw JOIN g USING (event_type) GROUP BY dw.event_type, dow),
+        |adj AS (SELECT dw.event_type, day, n, n / sidx AS adj
+        |  FROM dw JOIN idx ON dw.event_type = idx.event_type AND dw.dow = idx.dow),
+        |m AS (SELECT event_type, avg(adj) AS mu, CAST(count(*) AS DOUBLE) AS nd FROM adj GROUP BY 1),
+        |v AS (SELECT adj.event_type, any_value(mu) AS mu,
+        |  sqrt(sum((adj - mu) * (adj - mu)) / any_value(nd)) AS sd
+        |  FROM adj JOIN m USING (event_type) GROUP BY adj.event_type)
+        |SELECT adj.event_type, adj.day, n, round(adj, 4) AS adj_n,
+        |  round((adj - mu) / sd, 4) AS z, abs((adj - mu) / sd) > 2.0 AS anomaly
+        |FROM adj JOIN v USING (event_type) ORDER BY adj.event_type, adj.day""".stripMargin,
+
+    // md5-fraction uniform -> Laplace inverse CDF, scale 10.
+    "dq_dp_counts" ->
+      (s"""WITH c AS (SELECT event_type, count(*) AS true_n FROM events GROUP BY 1),
+        |u AS (SELECT event_type, true_n, ${hexToBigintSql("hx", 1)} / 4294967296.0 AS uu FROM
+        |      (SELECT event_type, true_n, md5(event_type || ':dp') AS hx FROM c))
+        |SELECT event_type,
+        |  round(true_n + (-10.0) * sign(uu - 0.5) * ln(1.0 - 2.0 * abs(uu - 0.5)), 4) AS noisy_n,
+        |  0.1 AS epsilon
+        |FROM u ORDER BY event_type""".stripMargin),
+
+    "embedding_drift_centroid" ->
+      """WITH e AS (SELECT vec_id, vec_id % 2 = 0 AS is_ref, unnest(embedding) AS c,
+        |    generate_subscripts(embedding, 1) AS pos FROM embeddings),
+        |cm AS (SELECT pos,
+        |    round(avg(CASE WHEN is_ref THEN CAST(c AS DOUBLE) END), 6) AS ref_c,
+        |    round(avg(CASE WHEN NOT is_ref THEN CAST(c AS DOUBLE) END), 6) AS cur_c
+        |  FROM e GROUP BY pos),
+        |a AS (SELECT sum(ref_c * cur_c) AS dp, sum(ref_c * ref_c) AS na,
+        |    sum(cur_c * cur_c) AS nb,
+        |    sum((ref_c - cur_c) * (ref_c - cur_c)) AS sq FROM cm),
+        |n AS (SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM embeddings)
+        |SELECT n_ref, n_cur,
+        |  round(dp / (sqrt(na) * sqrt(nb)), 6) AS centroid_cos,
+        |  round(sqrt(sq), 6) AS shift_norm, sqrt(sq) > 0.05 AS drifted
+        |FROM a, n""".stripMargin,
 
     // rendezvous argmax replay + commutative 32-bit row-hash sums.
     "export_shard_manifest" ->

@@ -93,6 +93,23 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(math.abs(ie2 - ix2) / ix2 < 0.2, s"inter: est $ie2 vs exact $ix2")
   }
 
+  test("dq_dp_counts: deterministic Laplace noise is nonzero, bounded, and repeatable") {
+    def run() = SparkEntry.queries("dq_dp_counts")(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val noisy = run()
+    val truth = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+      .groupBy($"event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    noisy.foreach { case (k, v) =>
+      val noise = v - truth(k)
+      // Laplace b=10: |noise| > 100 has probability e^-10 — a fixed draw
+      // landing there would mean the inverse-CDF arithmetic is wrong
+      assert(math.abs(noise) < 100, s"$k noise $noise implausible for b=10")
+      assert(noise !== 0.0, s"$k noise exactly zero — noise not applied")
+    }
+    assert(run() === noisy, "DP release must be deterministic")
+  }
+
   test("labelPropagation: two cliques joined by one bridge edge resolve to two communities") {
     // clique A: 1-2-3 complete; clique B: 7-8-9 complete; bridge 3-7
     val edges = Seq((1, 2), (1, 3), (2, 3), (7, 8), (7, 9), (8, 9), (3, 7))
