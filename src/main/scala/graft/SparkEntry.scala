@@ -3860,6 +3860,53 @@ object SparkEntry {
           round(col("dp") / (sqrt(col("na")) * sqrt(col("nb"))), 6).as("centroid_cos"),
           round(sqrt(col("sq")), 6).as("shift_norm"),
           (sqrt(col("sq")) > 0.05).as("drifted"))
+    }),
+
+    // Poisson bootstrap (the MAP-SIDE bootstrap: each row draws its own
+    // Poisson(1) multiplicity per replicate from a hash fraction — no
+    // global resample, so it distributes where the classic bootstrap
+    // cannot): 32 replicate means of event value, 95% CI from their
+    // quantiles. Inverse-CDF thresholds are shared literal doubles, so
+    // multiplicities are deterministic on both engines.
+    "events_bootstrap_ci" -> ((s, d) => {
+      val ev = events(s, d).where(col("value").isNotNull)
+        .select(col("event_id"), col("value"))
+      val rep = ev.select(col("event_id"), col("value"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      val u = conv(substring(md5(concat(col("event_id").cast("string"), lit(":"),
+        col("b").cast("string"), lit(":boot"))), 1, 8), 16, 10)
+        .cast("double") / lit(4294967296.0)
+      val k = when(u < 0.36788, 0).when(u < 0.73576, 1).when(u < 0.9197, 2)
+        .when(u < 0.98101, 3).when(u < 0.99634, 4).otherwise(5)
+      val means = rep.withColumn("k", k.cast("double"))
+        .groupBy(col("b"))
+        .agg(round(sum(col("k") * col("value")) / sum(col("k")), 6).as("mb"))
+      val pt = ev.agg(round(avg(col("value")), 4).as("point_mean"))
+      pt.crossJoin(means.agg(
+        round(expr("percentile(mb, 0.025)"), 4).as("ci_lo"),
+        round(expr("percentile(mb, 0.975)"), 4).as("ci_hi"),
+        count(lit(1)).as("n_replicates")))
+    }),
+
+    // Homoglyph de-obfuscation: Cyrillic lookalikes planted into every
+    // 4th doc (translate a/e/o -> U+0430/U+0435/U+043E), then normalized
+    // back by the confusables map — the spam/prompt-injection counter a
+    // text pipeline runs before any keyword or dedup pass (obfuscated
+    // text hashes differently, dedups differently, and dodges blocklists
+    // until normalized). Codegen translate, narrow.
+    "text_homoglyph_normalize" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+      val planted = when(col("doc_id") % 4 === 0,
+        translate(col("text"), "aeo", "\u0430\u0435\u043e")).otherwise(col("text"))
+      val normalized = translate(planted, "\u0430\u0435\u043e", "aeo")
+      docs.select(col("source"),
+          (planted =!= col("text")).as("obf"),
+          (md5(normalized) === md5(col("text"))).as("restored"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("obf"), 1).otherwise(0)).as("n_obfuscated"),
+          sum(when(col("restored"), 1).otherwise(0)).as("n_restored"))
+        .orderBy(col("source"))
     })
   )
 
@@ -6805,6 +6852,36 @@ object SparkEntry {
         |  round(true_n + (-10.0) * sign(uu - 0.5) * ln(1.0 - 2.0 * abs(uu - 0.5)), 4) AS noisy_n,
         |  0.1 AS epsilon
         |FROM u ORDER BY event_type""".stripMargin),
+
+    // Poisson(1) multiplicities from shared inverse-CDF literal
+    // thresholds; replicate means rounded 6 before the CI quantiles.
+    "events_bootstrap_ci" ->
+      (s"""WITH ev AS (SELECT event_id, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+         |rep AS (SELECT event_id, v, b FROM ev, (SELECT unnest(generate_series(0, 31)) AS b)),
+         |u AS (SELECT v, b, ${hexToBigintSql("hx", 1)} / 4294967296.0 AS uu FROM
+         |      (SELECT v, b, md5(CAST(event_id AS VARCHAR) || ':' || b || ':boot') AS hx FROM rep)),
+         |kk AS (SELECT b, v, CASE WHEN uu < 0.36788 THEN 0 WHEN uu < 0.73576 THEN 1
+         |       WHEN uu < 0.9197 THEN 2 WHEN uu < 0.98101 THEN 3
+         |       WHEN uu < 0.99634 THEN 4 ELSE 5 END AS k FROM u),
+         |m AS (SELECT b, round(sum(k * v) / sum(k), 6) AS mb FROM kk GROUP BY b),
+         |p AS (SELECT round(avg(v), 4) AS point_mean FROM ev)
+         |SELECT point_mean, round(quantile_cont(mb, 0.025), 4) AS ci_lo,
+         |  round(quantile_cont(mb, 0.975), 4) AS ci_hi, count(*) AS n_replicates
+         |FROM p, m GROUP BY point_mean""".stripMargin),
+
+    // the same confusables map, planted and inverted.
+    "text_homoglyph_normalize" -> {
+      val cyr = "\u0430\u0435\u043e"
+      s"""WITH d AS (SELECT doc_id, source, text,
+         |    CASE WHEN doc_id % 4 = 0 THEN translate(text, 'aeo', '$cyr') ELSE text END AS planted
+         |  FROM documents WHERE text IS NOT NULL),
+         |r AS (SELECT source, planted <> text AS obf,
+         |    md5(translate(planted, '$cyr', 'aeo')) = md5(text) AS restored FROM d)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN obf THEN 1 ELSE 0 END) AS BIGINT) AS n_obfuscated,
+         |  CAST(sum(CASE WHEN restored THEN 1 ELSE 0 END) AS BIGINT) AS n_restored
+         |FROM r GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "embedding_drift_centroid" ->
       """WITH e AS (SELECT vec_id, vec_id % 2 = 0 AS is_ref, unnest(embedding) AS c,

@@ -110,6 +110,17 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(run() === noisy, "DP release must be deterministic")
   }
 
+  test("events_bootstrap_ci: the CI brackets the point estimate at plausible width") {
+    val r = SparkEntry.queries("events_bootstrap_ci")(spark, TestSpark.sf).head()
+    val (pt, lo, hi) = (r.getAs[Double]("point_mean"),
+      r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(lo < pt && pt < hi, s"CI [$lo, $hi] must bracket $pt")
+    assert(r.getAs[Long]("n_replicates") === 32L)
+    // value sd ~ O(50), n >= 1000 -> se under ~2; a CI wider than 20
+    // means the Poisson multiplicities are broken
+    assert(hi - lo < 20, s"CI [$lo, $hi] implausibly wide")
+  }
+
   test("labelPropagation: two cliques joined by one bridge edge resolve to two communities") {
     // clique A: 1-2-3 complete; clique B: 7-8-9 complete; bridge 3-7
     val edges = Seq((1, 2), (1, 3), (2, 3), (7, 8), (7, 9), (8, 9), (3, 7))
