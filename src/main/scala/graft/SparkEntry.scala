@@ -3907,6 +3907,69 @@ object SparkEntry {
           sum(when(col("obf"), 1).otherwise(0)).as("n_obfuscated"),
           sum(when(col("restored"), 1).otherwise(0)).as("n_restored"))
         .orderBy(col("source"))
+    }),
+
+    // Typeahead serving index: top-3 vocabulary terms by corpus frequency
+    // under every 1- and 2-char prefix — the autocomplete table a search
+    // box reads. Vocabulary-sized throughout (the BPE word-type trick);
+    // the rank window runs over the prefix-keyed VOCAB table, never the
+    // corpus.
+    "vocab_prefix_autocomplete" -> ((s, d) => {
+      val words = t(s, d, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      val pre = words.select(substring(col("w"), 1, 1).as("prefix"), col("w"), col("freq"))
+        .unionByName(words.select(substring(col("w"), 1, 2).as("prefix"), col("w"), col("freq")))
+        .where(length(col("prefix")) > 0)
+      val rw = Window.partitionBy(col("prefix")).orderBy(col("freq").desc, col("w"))
+      pre.withColumn("rank", row_number().over(rw).cast("int"))
+        .where(col("rank") <= 3)
+        .select(col("prefix"), col("rank"), col("w").as("term"), col("freq"))
+        .orderBy(col("prefix"), col("rank"))
+    }),
+
+    // Referential-integrity audit: FK orphan counts for the star schema's
+    // two load-bearing edges (lineitem->orders, orders->customer) plus
+    // parent coverage — one anti-join semi-count per check, the DQ gate a
+    // warehouse load runs after every batch.
+    "dq_referential_integrity" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val ord = t(s, d, "orders")
+      val cust = t(s, d, "customer")
+      def check(name: String, child: DataFrame, childKey: String,
+                parent: DataFrame, parentKey: String): DataFrame = {
+        val orphan = child.join(parent.select(col(parentKey).as(childKey)).distinct(),
+          Seq(childKey), "left_anti")
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orphan.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("fk"), col("n_child"), col("n_orphans"),
+            (col("n_orphans") === 0).as("ok"))
+      }
+      check("lineitem.orderkey->orders", li, "l_orderkey", ord, "o_orderkey")
+        .unionByName(check("orders.custkey->customer",
+          ord.withColumnRenamed("o_custkey", "fk_key"), "fk_key",
+          cust.withColumnRenamed("c_custkey", "fk_key_p"), "fk_key_p"))
+        .orderBy(col("fk"))
+    }),
+
+    // Event-time disorder profile: per type, the distribution of how far
+    // behind the running arrival-order max each event's timestamp sits —
+    // the number that SIZES a streaming watermark (p99 lateness + margin).
+    // Arrival order = event_id; lateness in whole seconds (exact longs).
+    "events_disorder_profile" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val late = events(s, d)
+        .select(col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("sec"))
+        .withColumn("late_sec", max(col("sec")).over(w) - col("sec"))
+      late.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("late_sec") > 0, 1).otherwise(0)).as("n_late"),
+          round(expr("percentile(late_sec, 0.5)"), 4).as("p50_late_sec"),
+          round(expr("percentile(late_sec, 0.99)"), 4).as("p99_late_sec"),
+          max(col("late_sec")).as("max_late_sec"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -6852,6 +6915,43 @@ object SparkEntry {
         |  round(true_n + (-10.0) * sign(uu - 0.5) * ln(1.0 - 2.0 * abs(uu - 0.5)), 4) AS noisy_n,
         |  0.1 AS epsilon
         |FROM u ORDER BY event_type""".stripMargin),
+
+    "vocab_prefix_autocomplete" ->
+      """WITH w AS (SELECT wd AS w, count(*) AS freq FROM
+        |  (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS wd FROM documents)
+        |  GROUP BY wd),
+        |pre AS (SELECT substr(w, 1, 1) AS prefix, w, freq FROM w
+        |  UNION ALL SELECT substr(w, 1, 2), w, freq FROM w),
+        |r AS (SELECT prefix, w, freq,
+        |    CAST(row_number() OVER (PARTITION BY prefix ORDER BY freq DESC, w) AS INT) AS rank
+        |  FROM pre WHERE length(prefix) > 0)
+        |SELECT prefix, rank, w AS term, freq FROM r WHERE rank <= 3
+        |ORDER BY prefix, rank""".stripMargin,
+
+    "dq_referential_integrity" ->
+      """SELECT 'lineitem.orderkey->orders' AS fk,
+        |  (SELECT count(*) FROM lineitem) AS n_child,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans,
+        |  (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0 AS ok
+        |UNION ALL
+        |SELECT 'orders.custkey->customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |  (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+        |ORDER BY fk""".stripMargin,
+
+    "events_disorder_profile" ->
+      """WITH e AS (SELECT event_type, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |l AS (SELECT event_type, event_id, sec,
+        |    max(sec) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - sec AS late_sec
+        |  FROM e)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN late_sec > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  round(quantile_cont(late_sec, 0.5), 4) AS p50_late_sec,
+        |  round(quantile_cont(late_sec, 0.99), 4) AS p99_late_sec,
+        |  max(late_sec) AS max_late_sec
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Poisson(1) multiplicities from shared inverse-CDF literal
     // thresholds; replicate means rounded 6 before the CI quantiles.
