@@ -3970,6 +3970,123 @@ object SparkEntry {
           round(expr("percentile(late_sec, 0.99)"), 4).as("p99_late_sec"),
           max(col("late_sec")).as("max_late_sec"))
         .orderBy(col("event_type"))
+    }),
+
+    // Exact phrase search ("fast scan") on the positional index — the
+    // IR capability the bag-of-words BM25 path can't express. Query-term
+    // pruning BEFORE the position-aligned join chain
+    // (Bm25.phraseMatch); per-source rollup of occurrences and docs.
+    "bm25_phrase_match" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+      val hits = Bm25.phraseMatch(docs, "text", "doc_id", Seq("fast", "scan"))
+      hits.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .orderBy(col("source"))
+    }),
+
+    // Link-graph extraction from markup: deterministic <a href> tags
+    // planted per doc (modular target hosts), hrefs pulled by group
+    // regexp, per-target in-degree + distinct linking sources — the web
+    // -graph build step that feeds PageRank, straight from the HTML
+    // landing zone.
+    "html_link_graph" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("text").isNotNull)
+      val o1 = concat(lit("src"), (col("doc_id") * 7) % 20)
+      val o2 = concat(lit("src"), (col("doc_id") * 13 + 3) % 20)
+      val html = concat(lit("<p>"), col("text"),
+        lit("<a href=\"https://"), o1, lit(".example.com/a\">x</a>"),
+        lit("<a href=\"https://"), o2, lit(".example.com/b\">y</a></p>"))
+      docs.select(col("source"), html.as("html"))
+        .select(col("source"),
+          explode(regexp_extract_all(col("html"),
+            lit("<a href=\"https://([a-z0-9]+)\\.example\\.com"), lit(1)))
+            .as("target_host"))
+        .groupBy(col("target_host"))
+        .agg(count(lit(1)).as("in_links"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("in_links").desc, col("target_host"))
+    }),
+
+    // robots.txt-style crawl filtering: per-host Disallow prefix rules
+    // (hash-derived) joined onto the synthesized URL frontier, path
+    // prefix-tested with LIKE — allowed/blocked counts per host. The
+    // crawl-politeness gate between frontier and fetcher.
+    "url_robots_filter" -> ((s, d) => {
+      val urls = t(s, d, "documents").select(
+        lower(col("source")).as("host"),
+        concat(lit("/Docs/"), col("doc_id") % 7).as("path"))
+      val rules = urls.select(col("host")).distinct()
+        .withColumn("disallow", concat(lit("/Docs/"),
+          pmod(conv(substring(md5(concat(col("host"), lit(":rb"))), 1, 8), 16, 10)
+            .cast("long"), lit(7))))
+      urls.join(broadcast(rules), "host")
+        .withColumn("blocked", col("path").startsWith(col("disallow")))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("blocked"), 1).otherwise(0)).as("n_blocked"),
+          sum(when(!col("blocked"), 1).otherwise(0)).as("n_allowed"))
+        .orderBy(col("host"))
+    }),
+
+    // Metric decomposition ("why did volume move?"): total event delta
+    // between the first and second half of the month, attributed per
+    // event type — each type's share of the total change (round 6 on
+    // exact integer-derived doubles). The contribution-analysis primitive
+    // behind every "what drove the dip" dashboard.
+    "events_contribution_delta" -> ((s, d) => {
+      val ev = events(s, d).withColumn("half",
+        when(dayofmonth(col("ts")) <= 15, "h1").otherwise("h2"))
+      val per = ev.groupBy(col("event_type"))
+        .agg(sum(when(col("half") === "h1", 1).otherwise(0)).as("n_h1"),
+          sum(when(col("half") === "h2", 1).otherwise(0)).as("n_h2"))
+        .withColumn("delta", col("n_h2") - col("n_h1"))
+      val tot = per.agg(sum(col("delta")).as("total_delta"))
+      per.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n_h1"), col("n_h2"), col("delta"),
+          round(col("delta").cast("double") / col("total_delta"), 6).as("share_of_change"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Revenue cohort LTV: customers grouped by first-order month, revenue
+    // tracked per months-since-first — the analytics table behind
+    // retention economics. Cohort assignment is one min-agg broadcast;
+    // the matrix is a keyed agg.
+    "orders_cohort_ltv" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_totalprice"),
+          date_trunc("month", col("o_orderdate")).as("m"))
+      val cohort = ord.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort_month"))
+      ord.join(cohort, "o_custkey")
+        .withColumn("month_idx",
+          months_between(col("m"), col("cohort_month")).cast("int"))
+        .groupBy(col("cohort_month"), col("month_idx"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("cohort_month"), col("month_idx"))
+    }),
+
+    // Pareto / ABC classification of parts by revenue: rank by revenue,
+    // cumulative share, class A (<=50%), B (<=80%), C — the inventory
+    // -prioritization profile. The global cumulative window runs at gate
+    // scale (select_token_budget's documented exemption); production
+    // range-partitions by the sort key, the two-level prefix pattern.
+    "profile_pareto_abc" -> ((s, d) => {
+      val rev = t(s, d, "lineitem").groupBy(col("l_partkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("rev"))
+      val tot = rev.agg(sum(col("rev")).as("total"))
+      val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = rev.crossJoin(broadcast(tot))
+        .withColumn("cum_share", sum(col("rev")).over(w) / col("total"))
+        .withColumn("abc_class",
+          when(col("cum_share") <= 0.5, "A")
+            .when(col("cum_share") <= 0.8, "B").otherwise("C"))
+      ranked.groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(sum(col("rev")), 2).as("class_revenue"))
+        .orderBy(col("abc_class"))
     })
   )
 
@@ -6915,6 +7032,73 @@ object SparkEntry {
         |  round(true_n + (-10.0) * sign(uu - 0.5) * ln(1.0 - 2.0 * abs(uu - 0.5)), 4) AS noisy_n,
         |  0.1 AS epsilon
         |FROM u ORDER BY event_type""".stripMargin),
+
+    "events_contribution_delta" ->
+      """WITH e AS (SELECT event_type, CASE WHEN day(ts) <= 15 THEN 'h1' ELSE 'h2' END AS half FROM events),
+        |p AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN half = 'h1' THEN 1 ELSE 0 END) AS BIGINT) AS n_h1,
+        |    CAST(sum(CASE WHEN half = 'h2' THEN 1 ELSE 0 END) AS BIGINT) AS n_h2
+        |  FROM e GROUP BY 1),
+        |d AS (SELECT event_type, n_h1, n_h2, n_h2 - n_h1 AS delta FROM p),
+        |t AS (SELECT CAST(sum(delta) AS DOUBLE) AS total_delta FROM d)
+        |SELECT event_type, n_h1, n_h2, delta,
+        |  round(delta / total_delta, 6) AS share_of_change
+        |FROM d, t ORDER BY event_type""".stripMargin,
+
+    "orders_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey, o_totalprice, date_trunc('month', o_orderdate) AS m FROM orders),
+        |c AS (SELECT o_custkey, min(m) AS cohort_month FROM o GROUP BY 1)
+        |SELECT cohort_month, CAST(date_diff('month', cohort_month, m) AS INT) AS month_idx,
+        |  count(DISTINCT o.o_custkey) AS n_customers,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM o JOIN c USING (o_custkey) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "profile_pareto_abc" ->
+      """WITH rev AS (SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(rev) AS total FROM rev),
+        |r AS (SELECT l_partkey, rev,
+        |    sum(rev) OVER (ORDER BY rev DESC, l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      / (SELECT total FROM t) AS cum_share
+        |  FROM rev),
+        |c AS (SELECT CASE WHEN cum_share <= 0.5 THEN 'A' WHEN cum_share <= 0.8 THEN 'B' ELSE 'C' END AS abc_class, rev FROM r)
+        |SELECT abc_class, count(*) AS n_parts, round(sum(rev), 2) AS class_revenue
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // position-aligned two-term join over the token stream (base offset
+    // cancels, so 0- vs 1-based positions are immaterial).
+    "bm25_phrase_match" ->
+      """WITH d AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |mb AS (SELECT CAST(max(len(ws)) AS INT) AS mw FROM d),
+        |tk AS (SELECT doc_id, i AS pos, ws[i] AS term FROM d,
+        |  (SELECT unnest(generate_series(1, (SELECT mw FROM mb))) AS i) ii WHERE i <= len(ws)),
+        |m AS (SELECT a.doc_id, a.pos FROM
+        |  (SELECT doc_id, pos FROM tk WHERE term = 'fast') a
+        |  JOIN (SELECT doc_id, pos - 1 AS pos FROM tk WHERE term = 'scan') b
+        |  ON a.doc_id = b.doc_id AND a.pos = b.pos)
+        |SELECT d.source, count(DISTINCT m.doc_id) AS n_docs, count(*) AS n_occurrences
+        |FROM m JOIN d ON m.doc_id = d.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "html_link_graph" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  '<p>' || text || '<a href="https://src' || ((doc_id * 7) % 20) || '.example.com/a">x</a>'
+        |  || '<a href="https://src' || ((doc_id * 13 + 3) % 20) || '.example.com/b">y</a></p>' AS html
+        |  FROM documents WHERE text IS NOT NULL),
+        |e AS (SELECT source, unnest(regexp_extract_all(html, '<a href="https://([a-z0-9]+)\.example\.com', 1)) AS target_host FROM h)
+        |SELECT target_host, count(*) AS in_links, count(DISTINCT source) AS n_sources
+        |FROM e GROUP BY target_host ORDER BY in_links DESC, target_host""".stripMargin,
+
+    "url_robots_filter" ->
+      (s"""WITH u AS (SELECT lower(source) AS host, '/Docs/' || (doc_id % 7) AS path FROM documents),
+         |r AS (SELECT host, '/Docs/' || (${hexToBigintSql("hx", 1)} % 7) AS disallow FROM
+         |      (SELECT DISTINCT host, md5(host || ':rb') AS hx FROM u)),
+         |j AS (SELECT u.host, path, path LIKE disallow || '%' AS blocked FROM u JOIN r ON u.host = r.host)
+         |SELECT host, count(*) AS n_urls,
+         |  CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+         |  CAST(sum(CASE WHEN NOT blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed
+         |FROM j GROUP BY host ORDER BY host""".stripMargin),
 
     "vocab_prefix_autocomplete" ->
       """WITH w AS (SELECT wd AS w, count(*) AS freq FROM

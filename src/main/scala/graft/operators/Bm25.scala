@@ -53,6 +53,30 @@ object Bm25 {
         transform(col("p"), x => x.getField("tf")).as("tfs"))
   }
 
+  /** Exact phrase match via positional postings: occurrences of
+    * `phrase`'s terms at consecutive token positions. The token stream is
+    * pruned to the query's terms BEFORE any join (the same
+    * query-prunes-the-stream law as [[topK]]), then each subsequent term
+    * joins on `(doc_id, pos - offset)` — an equi-join chain on
+    * position-aligned keys, each step's size bounded by the rarest term's
+    * postings. Returns one row per occurrence `(doc_id, start_pos)`.
+    */
+  def phraseMatch(df: DataFrame, textCol: String, idCol: String,
+                  phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least 2 terms")
+    val toks = Dedup.spread(df)
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(TextFunctions.wsTokens(lower(col(textCol)))))
+      .withColumnRenamed("col", "term")
+      .where(col("term").isin(phrase.distinct: _*))
+    val first = toks.where(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (t, i)) =>
+      acc.join(toks.where(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("pos")), Seq("doc_id", "pos"))
+    }.select(col("doc_id"), col("pos").as("start_pos"))
+  }
+
   /** BM25 top-k for one keyword query.
     *
     * Per matched (doc, term): idf = ln(1 + (N - df + 0.5) / (df + 0.5))
