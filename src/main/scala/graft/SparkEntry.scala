@@ -4087,6 +4087,52 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_parts"),
           round(sum(col("rev")), 2).as("class_revenue"))
         .orderBy(col("abc_class"))
+    }),
+
+    // ANALYZE TABLE: per-column NDV / min / max / null fraction for the
+    // planner's cost model — one pass over lineitem, unpivoted to a row
+    // per column (exact NDV at gate scale; production swaps in the HLL
+    // sketch the events_approx_distinct family pins).
+    "profile_table_stats" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val n = count(lit(1))
+      def stats(c: String) = struct(
+        countDistinct(col(c)).as("ndv"),
+        round(min(col(c)).cast("double"), 4).as("min_v"),
+        round(max(col(c)).cast("double"), 4).as("max_v"),
+        round(sum(when(col(c).isNull, 1).otherwise(0)) / n.cast("double"), 6).as("null_frac"))
+      val agg = li.agg(n.as("n_rows"), stats("l_quantity").as("q"),
+        stats("l_extendedprice").as("p"), stats("l_suppkey").as("s"),
+        stats("l_discount").as("dd"))
+      agg.select(col("n_rows"),
+          explode(map(
+            lit("l_quantity"), col("q"), lit("l_extendedprice"), col("p"),
+            lit("l_suppkey"), col("s"), lit("l_discount"), col("dd"))))
+        .select(col("key").as("column_name"), col("n_rows"),
+          col("value.ndv").as("ndv"), col("value.min_v").as("min_v"),
+          col("value.max_v").as("max_v"), col("value.null_frac").as("null_frac"))
+        .orderBy(col("column_name"))
+    }),
+
+    // Class-balanced downsampling: every label keeps exactly
+    // min-class-count rows, chosen by the deterministic md5 draw — the
+    // training-set balancer. Per-class cut via the bounded TopKBy
+    // aggregate (no corpus window); the minority count is one tiny agg
+    // broadcast into the cap.
+    "sample_balanced_classes" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val minCount = emb.groupBy(col("label")).agg(count(lit(1)).as("c"))
+        .agg(min(col("c"))).head().getLong(0).toInt
+      val drawn = emb.select(col("label"), col("vec_id"),
+        Sampling.hashDraw(col("vec_id"), "bal").as("draw"))
+      val kept = SimilaritySearch.topKPerGroup(
+        drawn.select(col("label"),
+          (-conv(col("draw"), 16, 10).cast("double")).as("similarity"),
+          col("vec_id")),
+        minCount, "label", "vec_id")
+      kept.groupBy(col("label")).agg(count(lit(1)).as("n_kept"),
+          min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
+        .orderBy(col("label"))
     })
   )
 
@@ -7032,6 +7078,35 @@ object SparkEntry {
         |  round(true_n + (-10.0) * sign(uu - 0.5) * ln(1.0 - 2.0 * abs(uu - 0.5)), 4) AS noisy_n,
         |  0.1 AS epsilon
         |FROM u ORDER BY event_type""".stripMargin),
+
+    "profile_table_stats" ->
+      """WITH a AS (SELECT count(*) AS n_rows,
+        |  count(DISTINCT l_quantity) AS q_ndv, round(CAST(min(l_quantity) AS DOUBLE), 4) AS q_min,
+        |    round(CAST(max(l_quantity) AS DOUBLE), 4) AS q_max,
+        |    round(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS q_nf,
+        |  count(DISTINCT l_extendedprice) AS p_ndv, round(CAST(min(l_extendedprice) AS DOUBLE), 4) AS p_min,
+        |    round(CAST(max(l_extendedprice) AS DOUBLE), 4) AS p_max,
+        |    round(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS p_nf,
+        |  count(DISTINCT l_suppkey) AS s_ndv, round(CAST(min(l_suppkey) AS DOUBLE), 4) AS s_min,
+        |    round(CAST(max(l_suppkey) AS DOUBLE), 4) AS s_max,
+        |    round(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS s_nf,
+        |  count(DISTINCT l_discount) AS d_ndv, round(CAST(min(l_discount) AS DOUBLE), 4) AS d_min,
+        |    round(CAST(max(l_discount) AS DOUBLE), 4) AS d_max,
+        |    round(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS d_nf
+        |  FROM lineitem)
+        |SELECT 'l_discount' AS column_name, n_rows, d_ndv AS ndv, d_min AS min_v, d_max AS max_v, d_nf AS null_frac FROM a
+        |UNION ALL SELECT 'l_extendedprice', n_rows, p_ndv, p_min, p_max, p_nf FROM a
+        |UNION ALL SELECT 'l_quantity', n_rows, q_ndv, q_min, q_max, q_nf FROM a
+        |UNION ALL SELECT 'l_suppkey', n_rows, s_ndv, s_min, s_max, s_nf FROM a
+        |ORDER BY column_name""".stripMargin,
+
+    "sample_balanced_classes" ->
+      """WITH c AS (SELECT label, count(*) AS c FROM embeddings GROUP BY 1),
+        |mc AS (SELECT min(c) AS m FROM c),
+        |d AS (SELECT label, vec_id, substr(md5(CAST(vec_id AS VARCHAR) || ':bal'), 1, 8) AS draw FROM embeddings),
+        |r AS (SELECT label, vec_id, row_number() OVER (PARTITION BY label ORDER BY draw, vec_id) AS rn FROM d)
+        |SELECT label, count(*) AS n_kept, min(vec_id) AS min_id, max(vec_id) AS max_id
+        |FROM r WHERE rn <= (SELECT m FROM mc) GROUP BY label ORDER BY label""".stripMargin,
 
     "events_contribution_delta" ->
       """WITH e AS (SELECT event_type, CASE WHEN day(ts) <= 15 THEN 'h1' ELSE 'h2' END AS half FROM events),

@@ -172,4 +172,20 @@ class Bm25Spec extends AnyFunSuite {
     }
     assert(got.count(_._1 == 0L) == 3 && got.count(_._1 == 1L) == 3)
   }
+
+  test("phraseMatch finds exact adjacencies only, counts overlaps, handles 3-term phrases") {
+    val docs = Seq(
+      (1L, "fast scan wins"),        // hit at 0
+      (2L, "scan fast scan fast scan"), // "fast scan" at 1 and 3
+      (3L, "fast x scan"),           // terms present, NOT adjacent
+      (4L, "slow sort")              // terms absent
+    ).toDF("doc_id", "text")
+    val two = graft.operators.Bm25.phraseMatch(docs, "text", "doc_id", Seq("fast", "scan"))
+      .as[(Long, Int)].collect().toSet
+    assert(two === Set((1L, 0), (2L, 1), (2L, 3)))
+    val three = graft.operators.Bm25.phraseMatch(docs, "text", "doc_id",
+      Seq("fast", "scan", "fast"))
+      .as[(Long, Int)].collect().toSet
+    assert(three === Set((2L, 1))) // only doc 2 has the 3-term run
+  }
 }
