@@ -4133,6 +4133,51 @@ object SparkEntry {
       kept.groupBy(col("label")).agg(count(lit(1)).as("n_kept"),
           min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
         .orderBy(col("label"))
+    }),
+
+    // Model serving in the stream: the k-means codebook trains in batch
+    // (portable Lloyd), the STREAM assigns each vector row-locally
+    // (identical arithmetic + tie-break — see KMeans.assignUdf) and keeps
+    // only k count rows of state. Gated against the batch trainer's
+    // cluster histogram through the full Lloyd oracle replay.
+    "streaming_kmeans_assign" -> ((s, d) => {
+      val cents = KMeans.centroidsDF(t(s, d, "embeddings"), "embedding",
+          "vec_id", k = 8, iters = 2)
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      graft.streaming.StreamingOps.clusterCountsOnce(
+          s, s"$d/embeddings.parquet", "embedding", cents,
+          queryName = s"graft_km_$runNonce")
+        .select(col("cluster"), col("n"))
+        .orderBy(col("cluster"))
+    }),
+
+    // Greedy bigram decode: 6 argmax continuations from seed 'the' over
+    // the corpus bigram table ((count desc, token asc) — fully
+    // deterministic). One 1-row argmax collect per step, the BPE training
+    // cadence; the oracle unrolls all six steps as scalar-subquery CTEs.
+    // Completes the LM family: train (lm_cross_entropy), select (dsir),
+    // GENERATE.
+    "lm_greedy_decode" -> ((s, d) => {
+      import s.implicits._
+      val ws = TextFunctions.wsTokens(lower(col("text")))
+      val docs = t(s, d, "documents").where(col("text").isNotNull && size(ws) >= 2)
+      val bi = docs.select(explode(zip_with(
+          slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      var cur = "the"
+      val steps = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (i <- 1 to 6) {
+        val row = bi.where(col("w1") === cur)
+          .orderBy(col("c").desc, col("w2")).limit(1).collect()
+        if (row.nonEmpty) {
+          steps += ((i, cur, row.head.getString(1), row.head.getLong(2)))
+          cur = row.head.getString(1)
+        }
+      }
+      steps.toSeq.toDF("step", "cur", "next", "c").orderBy(col("step"))
     })
   )
 
@@ -7078,6 +7123,33 @@ object SparkEntry {
         |  round(true_n + (-10.0) * sign(uu - 0.5) * ln(1.0 - 2.0 * abs(uu - 0.5)), 4) AS noisy_n,
         |  0.1 AS epsilon
         |FROM u ORDER BY event_type""".stripMargin),
+
+    // batch-training replay (the full Lloyd chain) -> cluster histogram;
+    // the streamed serving path must land on the identical counts.
+    "streaming_kmeans_assign" ->
+      (s"""WITH $kmeansCtePrefix
+         |SELECT CAST(cluster AS INT) AS cluster, count(*) AS n FROM a3
+         |GROUP BY cluster ORDER BY cluster""".stripMargin),
+
+    // 6 unrolled greedy argmax steps as scalar-subquery CTEs.
+    "lm_greedy_decode" -> {
+      val head =
+        """WITH d AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+          |  FROM documents WHERE text IS NOT NULL AND len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) >= 2),
+          |mb AS (SELECT CAST(max(len(ws)) AS INT) AS mw FROM d),
+          |bi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2, count(*) AS c FROM d,
+          |  (SELECT unnest(generate_series(1, (SELECT mw FROM mb))) AS i) ii
+          |  WHERE i < len(ws) GROUP BY 1, 2),
+          |s1 AS (SELECT 'the' AS cur, w2, c FROM bi WHERE w1 = 'the' ORDER BY c DESC, w2 LIMIT 1)""".stripMargin
+      val rest = (2 to 6).map { i =>
+        s""",
+           |s$i AS (SELECT (SELECT w2 FROM s${i - 1}) AS cur, w2, c FROM bi
+           |  WHERE w1 = (SELECT w2 FROM s${i - 1}) ORDER BY c DESC, w2 LIMIT 1)""".stripMargin
+      }.mkString
+      val sel = (1 to 6).map(i =>
+        s"SELECT $i AS step, cur, w2 AS next, c FROM s$i").mkString("\nUNION ALL ")
+      s"$head$rest\n$sel\nORDER BY step"
+    },
 
     "profile_table_stats" ->
       """WITH a AS (SELECT count(*) AS n_rows,

@@ -47,6 +47,18 @@ object KMeans {
     * derive that identically). */
   def assign(df: DataFrame, vecCol: String, idCol: String,
              k: Int, iters: Int): DataFrame = {
+    val v = df.select(col(idCol).as("__kid"),
+      col(vecCol).cast("array<double>").as("__v"))
+    assignTo(v, centroidsDF(df, vecCol, idCol, k, iters))
+      .select(col("__kid").as(idCol), col("cluster"))
+  }
+
+  /** The final (cid, centroid) table after `iters` Lloyd rounds — the
+    * trained model, exposed so serving paths (streaming assignment, IVF
+    * -style routing) can bind the SAME centroids the batch training run
+    * produces. Values are the round-6 portable form. */
+  def centroidsDF(df: DataFrame, vecCol: String, idCol: String,
+                  k: Int, iters: Int): DataFrame = {
     require(k >= 1 && iters >= 0)
     val v = df.select(col(idCol).as("__kid"),
       col(vecCol).cast("array<double>").as("__v"))
@@ -57,16 +69,8 @@ object KMeans {
       .withColumn("__cid", (row_number().over(w) - 1).cast("int"))
       .select(col("__cid"),
         transform(col("__v"), x => round(x, 6)).as("__cent"))
-
-    def assignTo(c: DataFrame): DataFrame =
-      v.crossJoin(broadcast(c))
-        .withColumn("__d", round(sqDist(col("__v"), col("__cent")), 8))
-        .groupBy(col("__kid"))
-        .agg(min(struct(col("__d"), col("__cid"))).getField("__cid").as("cluster"),
-          first(col("__v")).as("__v"))
-
     for (_ <- 1 to iters) {
-      val assigned = assignTo(cents)
+      val assigned = assignTo(v, cents)
       cents = assigned
         .select(col("cluster"), posexplode(col("__v")))
         .groupBy(col("cluster"), col("pos"))
@@ -77,6 +81,35 @@ object KMeans {
           transform(array_sort(col("__pm")), p => round(p.getField("__m"), 6))
             .as("__cent"))
     }
-    assignTo(cents).select(col("__kid").as(idCol), col("cluster"))
+    cents
   }
+
+  private def assignTo(v: DataFrame, c: DataFrame): DataFrame =
+    v.crossJoin(broadcast(c))
+      .withColumn("__d", round(sqDist(col("__v"), col("__cent")), 8))
+      .groupBy(col("__kid"))
+      .agg(min(struct(col("__d"), col("__cid"))).getField("__cid").as("cluster"),
+        first(col("__v")).as("__v"))
+
+  /** Row-local assignment against a COLLECTED codebook (model-sized, the
+    * serving form): identical arithmetic and (distance, cid) tie-break as
+    * the distributed [[assign]], but with no per-id aggregation — usable
+    * inside a streaming micro-batch where chained stateful aggs are not.
+    */
+  def assignUdf(cents: Array[(Int, Array[Double])]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (vec: Seq[Double]) =>
+      var bestD = Double.MaxValue
+      var bestC = Int.MaxValue
+      cents.foreach { case (cid, c) =>
+        val n = math.min(vec.length, c.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { val d = vec(i) - c(i); s += d * d; i += 1 }
+        // Spark's round() is decimal HALF_UP — math.rint (binary
+        // HALF_EVEN) would diverge on .5-boundary distances
+        val r = BigDecimal(s).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (r < bestD || (r == bestD && cid < bestC)) { bestD = r; bestC = cid }
+      }
+      bestC
+    }
 }

@@ -374,6 +374,40 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streamed vector-to-centroid assignment counts — MODEL SERVING in the
+    * stream: the codebook is trained in batch
+    * ([[graft.operators.KMeans.centroidsDF]], collected — model-sized, the
+    * Lloyd cadence), each micro-batch assigns rows with the row-local
+    * [[graft.operators.KMeans.assignUdf]] (identical arithmetic + tie-break
+    * to the distributed trainer; chained stateful aggs are illegal in a
+    * stream, which is WHY serving assignment must be row-local), and the
+    * per-cluster counts are the only state (k rows, mergeable). Gated
+    * against the batch assignment's cluster histogram — the same
+    * state == batch law as the CMS/PSI/LSH streaming twins. */
+  def clusterCountsOnce(spark: SparkSession, vecPath: String, vecCol: String,
+                        cents: Array[(Int, Array[Double])],
+                        queryName: String = "graft_stream_kmeans"): DataFrame = {
+    val schema = spark.read.parquet(vecPath).schema
+    val p = new org.apache.hadoop.fs.Path(vecPath)
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", p.getName)
+      .parquet(p.getParent.toString)
+    val counts = raw
+      .withColumn("cluster",
+        graft.operators.KMeans.assignUdf(cents)(col(vecCol).cast("array<double>")))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    withStatePartitions(spark) {
+      val q = counts.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+  }
+
   /** The PSI drift monitor's CURRENT side as streaming aggregation state:
     * bucket counts under the STATIC reference grid (lo/hi computed from the
     * reference batch before the stream starts — the production shape: the
