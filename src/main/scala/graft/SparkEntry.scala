@@ -4178,6 +4178,53 @@ object SparkEntry {
         }
       }
       steps.toSeq.toDF("step", "cur", "next", "c").orderBy(col("step"))
+    }),
+
+    // Link prediction over the co-purchase graph: parts co-ordered >= 2
+    // times are edges; non-adjacent pairs score by shared-neighbor count
+    // with Jaccard/cosine normalization. The wedge join's hub hazard is
+    // bounded by maxMiddleDegree (exercised at sf0.001 where max degree is
+    // 52); top-50 by (common desc, jaccard desc, id) is a total order.
+    "graph_link_prediction" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val e = li.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
+        .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("pb")), Seq("k"))
+        .where(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2)
+      Graph.linkPrediction(e, "pa", "pb", maxMiddleDegree = 40, minCommon = 1)
+        .orderBy(col("common").desc, col("jaccard").desc, col("a"), col("b"))
+        .limit(50)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Leave-one-out target encoding of order priority by order total —
+    // the leakage-guarded categorical encoding a feature pipeline feeds a
+    // GBM. Exact DECIMAL sums make the encoding cross-engine stable;
+    // output sampled (compute is full-table).
+    "features_target_encoding" -> ((s, d) => {
+      Features.looTargetEncode(
+          t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice")),
+          "o_orderpriority", "o_totalprice", m = 10.0)
+        .where(col("o_orderkey") % 37 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("loo_enc"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // l-diversity audit: the k-anonymity follow-up — a quasi-identifier
+    // group is re-identifiable when its SENSITIVE attribute (here the
+    // buyer's market segment) is near-uniform, however large the group.
+    // One keyed join + one distinct-count aggregate.
+    "dq_l_diversity" -> ((s, d) => {
+      t(s, d, "orders")
+        .join(t(s, d, "customer").select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment")), Seq("o_custkey"))
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("c_mktsegment")).as("n_sensitive"))
+        .withColumn("l_pass", col("n_sensitive") >= 3)
+        .orderBy(col("o_orderpriority"), col("o_orderstatus"))
     })
   )
 
@@ -7150,6 +7197,46 @@ object SparkEntry {
         s"SELECT $i AS step, cur, w2 AS next, c FROM s$i").mkString("\nUNION ALL ")
       s"$head$rest\n$sel\nORDER BY step"
     },
+
+    // Wedge-join replay with the same hub cap and normalizations; the
+    // top-50 cut re-sorted by (a, b) like the Spark side.
+    "graph_link_prediction" ->
+      """WITH e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT pa AS src, pb AS dst FROM e UNION ALL SELECT pb, pa FROM e),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1),
+        |viaok AS (SELECT s.src, s.dst FROM sym s JOIN deg d ON s.src = d.node AND d.deg <= 40),
+        |w AS (SELECT w1.dst AS a, w2.dst AS b FROM viaok w1 JOIN viaok w2
+        |  ON w1.src = w2.src AND w1.dst < w2.dst),
+        |cn AS (SELECT a, b, CAST(count(*) AS BIGINT) AS common FROM w GROUP BY 1, 2),
+        |cand AS (SELECT cn.* FROM cn LEFT JOIN e ON cn.a = e.pa AND cn.b = e.pb WHERE e.pa IS NULL),
+        |sc AS (SELECT c.a, c.b, c.common,
+        |  round(CAST(c.common AS DOUBLE) / (da.deg + db.deg - c.common), 6) AS jaccard,
+        |  round(CAST(c.common AS DOUBLE) / sqrt(CAST(da.deg * db.deg AS DOUBLE)), 6) AS cosine
+        |  FROM cand c JOIN deg da ON c.a = da.node JOIN deg db ON c.b = db.node),
+        |top AS (SELECT * FROM sc ORDER BY common DESC, jaccard DESC, a, b LIMIT 50)
+        |SELECT * FROM top ORDER BY a, b""".stripMargin,
+
+    // DECIMAL(18,2) sums; the double drop-down mirrors the Spark side's
+    // textual operation order exactly.
+    "features_target_encoding" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS t FROM orders),
+        |st AS (SELECT o_orderpriority, sum(t) AS s, CAST(count(*) AS BIGINT) AS n FROM o GROUP BY 1),
+        |g AS (SELECT sum(t) AS gs, CAST(count(*) AS BIGINT) AS gn FROM o)
+        |SELECT o.o_orderkey, o.o_orderpriority,
+        |  round((CAST(st.s - o.t AS DOUBLE) + 10.0 * (CAST(g.gs AS DOUBLE) / g.gn))
+        |    / (st.n - 1 + 10.0), 4) AS loo_enc
+        |FROM o JOIN st USING (o_orderpriority) CROSS JOIN g
+        |WHERE o.o_orderkey % 37 = 0
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "dq_l_diversity" ->
+      """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+        |  count(DISTINCT c_mktsegment) >= 3 AS l_pass
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "profile_table_stats" ->
       """WITH a AS (SELECT count(*) AS n_rows,

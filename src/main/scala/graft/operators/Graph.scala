@@ -270,4 +270,53 @@ object Graph {
     }
     labels.select(col("node"), col("lbl").as("community"))
   }
+
+  /** Common-neighbor link prediction: score non-adjacent node pairs by how
+    * many neighbors they share (plus the Jaccard and cosine normalizations
+    * of that count — both exact-arithmetic, unlike Adamic-Adar's `1/ln d`
+    * whose last-ulp log makes cross-engine hashes unstable).
+    *
+    * Input is canonicalized internally (least/greatest + distinct,
+    * self-loops dropped) — the [[labelPropagation]] convention.
+    *
+    * Scale shape: candidate pairs come from WEDGES (sym ⋈ sym on the middle
+    * node), so a middle node of degree d fans out O(d²). That is the same
+    * hub hazard [[trianglesPerNode]] dodges with degeneracy orientation —
+    * but link prediction needs both wedge arms, so orientation can't save
+    * it. The standard mitigation IS principled here: `maxMiddleDegree`
+    * excludes hub middles entirely (a neighbor shared with everyone carries
+    * no signal — the same reasoning that has Adamic-Adar downweight high
+    * degree), bounding the join fan-out per key at the cap². Degrees are
+    * computed BEFORE the cap so the Jaccard/cosine denominators stay true.
+    * The existing-edge removal is an anti-join on the canonical pair key.
+    */
+  def linkPrediction(edges: DataFrame, aCol: String, bCol: String,
+                     maxMiddleDegree: Int, minCommon: Int = 1): DataFrame = {
+    require(maxMiddleDegree >= 1 && minCommon >= 1)
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val mid = deg.where(col("deg") <= maxMiddleDegree).select(col("node"))
+    val viaOk = sym.join(mid, sym("src") === mid("node")).drop("node")
+    val wedges = viaOk.select(col("src").as("m"), col("dst").as("u"))
+      .join(viaOk.select(col("src").as("m2"), col("dst").as("v")),
+        col("m") === col("m2") && col("u") < col("v"))
+      .select(col("u").as("a"), col("v").as("b"))
+    val cn = wedges.groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      .where(col("common") >= minCommon)
+    val cand = cn.join(und, Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.select(col("node").as("a"), col("deg").as("__da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("__db")), Seq("b"))
+      .select(col("a"), col("b"), col("common"),
+        round(col("common").cast("double") /
+          (col("__da") + col("__db") - col("common")), 6).as("jaccard"),
+        round(col("common").cast("double") /
+          sqrt((col("__da") * col("__db")).cast("double")), 6).as("cosine"))
+  }
 }

@@ -195,4 +195,34 @@ class GraphSpec extends AnyFunSuite {
     // the duplicated (1,3) must not inflate degree; self-loop adds nothing
     assert(out === Map(1 -> 2L, 2 -> 2L, 3 -> 2L))
   }
+
+  test("linkPrediction: square graph scores both diagonals at full Jaccard") {
+    // a-b-c-d-a: diagonals (a,c) and (b,d) share BOTH neighbors
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")).toDF("x", "y")
+    val out = Graph.linkPrediction(edges, "x", "y", maxMiddleDegree = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet === Set(("a", "c"), ("b", "d")))
+    assert(out(("a", "c")) === ((2L, 1.0, 1.0)))
+  }
+
+  test("linkPrediction: hub cap excludes hub-mediated wedges") {
+    val spokes = (1 to 5).map(i => ("h", s"x$i"))
+    val df = spokes.toDF("x", "y")
+    // hub degree 5 > cap 4: no middle survives, no candidates at all
+    assert(Graph.linkPrediction(df, "x", "y", maxMiddleDegree = 4).count() === 0)
+    // cap admits the hub: every spoke pair is a candidate with common=1,
+    // but the DENOMINATOR degrees stay true (computed before the cap)
+    val out = Graph.linkPrediction(df, "x", "y", maxMiddleDegree = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out.size === 10)
+    assert(out(("x1", "x2")) === 1.0) // 1/(1+1-1)
+  }
+
+  test("linkPrediction: existing edges are never candidates; messy input canonicalized") {
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"), ("a", "c"))
+      .toDF("x", "y")
+    // triangle: every pair is already an edge -> empty
+    assert(Graph.linkPrediction(edges, "x", "y", maxMiddleDegree = 10).count() === 0)
+  }
 }
