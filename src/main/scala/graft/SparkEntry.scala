@@ -266,6 +266,15 @@ object SparkEntry {
         s"($i, [${p.map(v => java.lang.Double.toString(v.toDouble)).mkString(", ")}])"
       }.mkString(", ")
 
+  /** The embedding_random_projection plane family (16 planes, dim 64,
+    * seed 7) as SQL literals — same replay trick as
+    * [[lshOraclePlaneValues]]. */
+  private lazy val rpOraclePlaneValues: String =
+    operators.SimilaritySearch.hyperplanes(nBits = 16, dim = 64, seed = 7L)
+      .zipWithIndex.map { case (p, i) =>
+        s"($i, [${p.map(v => java.lang.Double.toString(v.toDouble)).mkString(", ")}])"
+      }.mkString(", ")
+
   /** The full multi-probe LSH top-10 replay (seed-derived hyperplanes as
     * literals, bucket + hamming-1 probes, exact cosine re-rank into `rr`)
     * — shared by ann_lsh_bucketed and the retrieval-evaluation oracle. */
@@ -4216,6 +4225,43 @@ object SparkEntry {
     // group is re-identifiable when its SENSITIVE attribute (here the
     // buyer's market segment) is near-uniform, however large the group.
     // One keyed join + one distinct-count aggregate.
+    // Offline changepoint per event type: one level of CUSUM binary
+    // segmentation over the daily-count series — argmax of the two-sample
+    // mean-shift score. Day-sized windows only; ties to the earliest day.
+    "events_changepoint" -> ((s, d) => {
+      val day = events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      StatsOps.changepointFromDayCounts(day, "event_type")
+        .orderBy(col("event_type"))
+    }),
+
+    // Johnson-Lindenstrauss random projection 64 -> 16 dims with the
+    // seeded hyperplane family (scale sqrt(3/16): uniform(-1,1) entries
+    // have variance 1/3). The VERDICT is the per-pair distance-distortion
+    // table over the deterministic sample — the projection quality a
+    // pipeline would check before swapping the cheap subspace into ANN.
+    // Planes re-enter the oracle as literals (the ann_lsh_bucketed trick).
+    "embedding_random_projection" -> ((s, d) => {
+      val planes = SimilaritySearch.hyperplanes(nBits = 16, dim = 64, seed = 7L)
+        .map(_.map(_.toDouble).toSeq)
+      val scale = math.sqrt(3.0 / 16.0)
+      val sv = t(s, d, "embeddings").where(col("vec_id") % 17 === 0)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val enr = sv.withColumn("pv", array(planes.map(p =>
+        VectorFunctions.dotProductHof(col("v"), typedlit(p)) * lit(scale)): _*))
+      def sqd(a: Column, b: Column): Column =
+        sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _))
+      val dO = sqd(col("a.v"), col("b.v"))
+      val dP = sqd(col("a.pv"), col("b.pv"))
+      enr.as("a").join(enr.as("b"), col("b.vec_id") === col("a.vec_id") + 17)
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+          round(dO, 4).as("d_orig"), round(dP, 4).as("d_proj"),
+          round(when(dO === 0, 0.0).otherwise(dP / dO), 4).as("ratio"))
+        .orderBy(col("id1"))
+    }),
+
     "dq_l_diversity" -> ((s, d) => {
       t(s, d, "orders")
         .join(t(s, d, "customer").select(col("c_custkey").as("o_custkey"),
@@ -7230,6 +7276,43 @@ object SparkEntry {
         |FROM o JOIN st USING (o_orderpriority) CROSS JOIN g
         |WHERE o.o_orderkey % 37 = 0
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    // Prefix-sum replay; the QUALIFY argmax mirrors the Spark side's
+    // (stat, -i) struct max — rounded stat first, earliest day on ties.
+    "events_changepoint" ->
+      """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS nd FROM d GROUP BY 1),
+        |c AS (SELECT d.event_type, d.day,
+        |      CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS i,
+        |      CAST(sum(n) OVER (PARTITION BY d.event_type ORDER BY d.day) AS BIGINT) AS cum, t.tot, t.nd
+        |      FROM d JOIN t USING (event_type)),
+        |st AS (SELECT event_type, day, i,
+        |   round(abs(CAST(cum AS DOUBLE) / i - CAST(tot - cum AS DOUBLE) / (nd - i)) * sqrt(i * (nd - i) / nd), 4) AS stat,
+        |   round(CAST(cum AS DOUBLE) / i, 4) AS mean_before,
+        |   round(CAST(tot - cum AS DOUBLE) / (nd - i), 4) AS mean_after
+        |   FROM c WHERE i < nd)
+        |SELECT event_type, day AS split_day, stat, mean_before, mean_after
+        |FROM st QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY stat DESC, i) = 1
+        |ORDER BY event_type""".stripMargin,
+
+    // Plane-literal replay of the JL projection; list_dot_product's
+    // sequential fold lands on the round-4 grid with the Spark HOF fold.
+    "embedding_random_projection" ->
+      s"""WITH planes AS (SELECT * FROM (VALUES $rpOraclePlaneValues) AS t(pid, p)),
+        |sv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |       FROM embeddings WHERE vec_id % 17 = 0),
+        |pj AS (SELECT s.vec_id, pl.pid, list_dot_product(s.v, pl.p) * sqrt(3.0 / 16.0) AS c
+        |       FROM sv s CROSS JOIN planes pl),
+        |pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.v AS v1, b.v AS v2
+        |       FROM sv a JOIN sv b ON b.vec_id = a.vec_id + 17),
+        |od AS (SELECT id1, id2, sqrt(sum((x - y) * (x - y))) AS d_orig
+        |       FROM (SELECT id1, id2, unnest(v1) AS x, unnest(v2) AS y FROM pr) GROUP BY 1, 2),
+        |pd AS (SELECT p1.vec_id AS id1, p2.vec_id AS id2, sqrt(sum((p1.c - p2.c) * (p1.c - p2.c))) AS d_proj
+        |       FROM pj p1 JOIN pj p2 ON p1.pid = p2.pid AND p2.vec_id = p1.vec_id + 17 GROUP BY 1, 2)
+        |SELECT od.id1, od.id2, round(d_orig, 4) AS d_orig, round(d_proj, 4) AS d_proj,
+        |  round(CASE WHEN d_orig = 0 THEN 0 ELSE d_proj / d_orig END, 4) AS ratio
+        |FROM od JOIN pd USING (id1, id2) ORDER BY od.id1""".stripMargin,
 
     "dq_l_diversity" ->
       """SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,

@@ -101,6 +101,46 @@ object StatsOps {
           .as("off_trend"))
   }
 
+  /** Offline changepoint detection (one level of binary segmentation) from
+    * an already-aggregated `(key, day, n)` frame: for every candidate split
+    * position i the statistic is
+    *
+    *   |mean(1..i) − mean(i+1..nd)| · sqrt(i·(nd−i)/nd)
+    *
+    * — the two-sample mean-shift score whose argmax is the CUSUM
+    * changepoint estimate. Every input to the score is an exact integer
+    * prefix sum (one per-key ordered window over DAY-sized partitions, not
+    * raw rows), so the doubles are exact-input divisions and the argmax is
+    * cross-engine stable after rounding; ties break to the earliest day
+    * via a (stat, −i) struct max.
+    */
+  def changepointFromDayCounts(day: DataFrame, keyCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+    val tot = day.groupBy(col(keyCol))
+      .agg(sum(col("n")).as("tot"), count(lit(1)).as("nd"))
+    val pre = day
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .join(tot, Seq(keyCol))
+      .where(col("i") < col("nd"))
+    val meanL = col("cum").cast("double") / col("i")
+    val meanR = (col("tot") - col("cum")).cast("double") / (col("nd") - col("i"))
+    val scored = pre.select(col(keyCol), col("day"), col("i"),
+      round(abs(meanL - meanR) *
+        sqrt(col("i") * (col("nd") - col("i")) / col("nd")), 4).as("stat"),
+      round(meanL, 4).as("mean_before"),
+      round(meanR, 4).as("mean_after"))
+    scored.groupBy(col(keyCol))
+      .agg(max_by(
+        struct(col("day").as("split_day"), col("stat"),
+          col("mean_before"), col("mean_after")),
+        struct(col("stat"), (-col("i")).as("ni"))).as("__best"))
+      .select(col(keyCol), col("__best.split_day").as("split_day"),
+        col("__best.stat").as("stat"),
+        col("__best.mean_before").as("mean_before"),
+        col("__best.mean_after").as("mean_after"))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * P(next event type | current), with counts. Sequence order is
     * (`tsCol`, `idCol`) — the unique tiebreak that makes `lead`

@@ -144,4 +144,23 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(out.keySet === Set(1, 2, 3)) // self-loop adds no ghost node
     assert(out.values.toSet === Set(1)) // triangle converges to min label
   }
+
+  test("changepointFromDayCounts finds a planted mean shift at the exact day") {
+    val day = Seq.tabulate(6)(i =>
+      ("x", java.sql.Date.valueOf(f"2024-01-${i + 1}%02d"), if (i < 3) 10L else 20L))
+      .toDF("k", "day", "n")
+    val out = StatsOps.changepointFromDayCounts(day, "k").collect().head
+    assert(out.getDate(1).toString === "2024-01-03") // last day BEFORE the shift
+    // |10-20| * sqrt(3*3/6) = 10*sqrt(1.5)
+    assert(math.abs(out.getDouble(2) - 10 * math.sqrt(1.5)) < 1e-3)
+    assert(out.getDouble(3) === 10.0 && out.getDouble(4) === 20.0)
+  }
+
+  test("changepointFromDayCounts: flat series scores near zero; ties break earliest") {
+    val day = Seq.tabulate(4)(i =>
+      ("f", java.sql.Date.valueOf(f"2024-02-${i + 1}%02d"), 5L)).toDF("k", "day", "n")
+    val out = StatsOps.changepointFromDayCounts(day, "k").collect().head
+    assert(out.getDouble(2) === 0.0)
+    assert(out.getDate(1).toString === "2024-02-01") // all-zero stats: earliest day
+  }
 }
