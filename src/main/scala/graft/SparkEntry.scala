@@ -4225,6 +4225,24 @@ object SparkEntry {
     // group is re-identifiable when its SENSITIVE attribute (here the
     // buyer's market segment) is near-uniform, however large the group.
     // One keyed join + one distinct-count aggregate.
+    // TRAINED language classifier (vs lang_id's fixed heuristic): multinomial
+    // naive Bayes fit on even doc_ids, evaluated on odd — train/score is
+    // one plan, the model is an aggregation. Gate surface is the integer
+    // confusion matrix; argmax margins (>= 4.9e-4 at every SF, measured)
+    // dwarf cross-engine ln() ulps, so the predictions are hash-stable.
+    "nb_lang_confusion" -> ((s, d) => {
+      val toks = t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          explode(TextFunctions.wsTokens(lower(col("text")))).as("tok"))
+      NaiveBayes.confusion(
+          toks.where(col("doc_id") % 2 === 0),
+          toks.where(col("doc_id") % 2 === 1),
+          "doc_id", "lang", "tok")
+        .select(col("true_label").as("true_lang"),
+          col("pred_label").as("pred_lang"), col("n"))
+        .orderBy(col("true_lang"), col("pred_lang"))
+    }),
+
     // Offline changepoint per event type: one level of CUSUM binary
     // segmentation over the daily-count series — argmax of the two-sample
     // mean-shift score. Day-sized windows only; ties to the earliest day.
@@ -7276,6 +7294,31 @@ object SparkEntry {
         |FROM o JOIN st USING (o_orderpriority) CROSS JOIN g
         |WHERE o.o_orderkey % 37 = 0
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    // Full NB train+score replay: Laplace-smoothed per-class token ratios
+    // from exact integer counts; argmax via (score DESC, lang) row_number.
+    "nb_lang_confusion" ->
+      """WITH docs AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |tr AS (SELECT doc_id, lang, unnest(ws) AS tok FROM docs WHERE doc_id % 2 = 0),
+        |te AS (SELECT doc_id, lang, unnest(ws) AS tok FROM docs WHERE doc_id % 2 = 1),
+        |c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
+        |tl AS (SELECT lang, CAST(count(*) AS BIGINT) AS t FROM tr GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tr),
+        |pri AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM tr GROUP BY 1),
+        |prin AS (SELECT CAST(sum(nd) AS BIGINT) AS n FROM pri),
+        |tc AS (SELECT doc_id, lang AS true_lang, tok, CAST(count(*) AS BIGINT) AS n_occ FROM te GROUP BY 1, 2, 3),
+        |sc AS (SELECT tc.doc_id, tc.true_lang, tl.lang,
+        |    sum(tc.n_occ * ln((coalesce(c.c, 0) + 1.0) / (tl.t + v.v))) AS ll
+        |  FROM tc CROSS JOIN tl CROSS JOIN v
+        |  LEFT JOIN c ON c.lang = tl.lang AND c.tok = tc.tok
+        |  GROUP BY 1, 2, 3),
+        |tot AS (SELECT sc.doc_id, sc.true_lang, sc.lang,
+        |    sc.ll + ln(pri.nd * 1.0 / (SELECT n FROM prin)) AS score
+        |  FROM sc JOIN pri ON pri.lang = sc.lang),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS r FROM tot)
+        |SELECT true_lang, lang AS pred_lang, CAST(count(*) AS BIGINT) AS n
+        |FROM rk WHERE r = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Prefix-sum replay; the QUALIFY argmax mirrors the Spark side's
     // (stat, -i) struct max — rounded stat first, earliest day on ties.

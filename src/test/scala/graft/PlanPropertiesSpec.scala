@@ -275,4 +275,32 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("nfc_normalize"), p)
     assert(p.contains("*("), p) // codegen stage marker — no codegen fence
   }
+
+  test("runtime bloom filter reduces the fact side of a selective dim join") {
+    // The 100 TB shuffle-reduction lever: with a selective dimension filter,
+    // Catalyst injects a bloom_filter_agg on the dim side and a
+    // might_contain pre-filter on the FACT side, so non-matching fact rows
+    // die before the join exchange. Default size thresholds target
+    // cluster-scale scans; the pin lowers them to exercise the mechanism at
+    // fixture scale — production relies on the same rule at its defaults.
+    import org.apache.spark.sql.functions.col
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+      val ord = spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+        .where(col("o_totalprice") > 450000)
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"), p.take(1500))
+      assert(p.contains("bloom_filter_agg"), p.take(1500))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
