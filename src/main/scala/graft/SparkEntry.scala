@@ -4243,6 +4243,50 @@ object SparkEntry {
         .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
+    // Split-conformal prediction on top of the NB scores: nonconformity =
+    // best-rival-minus-true margin, threshold = the exact order statistic
+    // at rank ceil(0.9*(n_cal+1)) over the calibration quarter, coverage
+    // audited per class on the disjoint test quarter. Distribution-free
+    // uncertainty for the in-engine classifier, all in one plan.
+    "nb_conformal" -> ((s, d) => {
+      val toks = t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          explode(TextFunctions.wsTokens(lower(col("text")))).as("tok"))
+      val sc = NaiveBayes.scores(
+        toks.where(col("doc_id") % 2 === 0),
+        toks.where(col("doc_id") % 2 === 1), "doc_id", "lang", "tok")
+      val a = sc.groupBy(col("doc_id"), col("true_label"))
+        .agg((max(when(col("cls") =!= col("true_label"), col("score"))) -
+          max(when(col("cls") === col("true_label"), col("score")))).as("nc"))
+      val cal = a.where(col("doc_id") % 4 === 1)
+      val tst = a.where(col("doc_id") % 4 === 3)
+      // calibration set is model-sized; the rank pick is a tiny window
+      val w = Window.orderBy(col("nc"), col("doc_id"))
+      val thr = cal.withColumn("r", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(cal.agg(count(lit(1)).as("n_cal"))))
+        .where(col("r") === ceil(lit(0.9) * (col("n_cal") + 1)).cast("long"))
+        .select(col("nc").as("thr"))
+      tst.crossJoin(broadcast(thr))
+        .groupBy(col("true_label").as("true_lang"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("nc") <= col("thr"), 1L).otherwise(0L)).as("n_covered"),
+          round(sum(when(col("nc") <= col("thr"), 1L).otherwise(0L)) * lit(1.0) /
+            count(lit(1)), 4).as("coverage"),
+          round(first(col("thr")), 4).as("threshold"))
+        .orderBy(col("true_lang"))
+    }),
+
+    // Seasonal-naive forecast backtest: hold out the trailing week,
+    // forecast by history day-of-week mean, report per-type MAE vs the
+    // unconditional-mean baseline.
+    "events_forecast_backtest" -> ((s, d) => {
+      val day = events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      StatsOps.seasonalNaiveBacktest(day, "event_type", horizonDays = 7)
+        .orderBy(col("event_type"))
+    }),
+
     // Offline changepoint per event type: one level of CUSUM binary
     // segmentation over the daily-count series — argmax of the two-sample
     // mean-shift score. Day-sized windows only; ties to the earliest day.
@@ -4521,6 +4565,30 @@ object SparkEntry {
       |SELECT event_type, day, n, round(ew, 4) AS ewma, round(n / ew, 6) AS ratio,
       |  coalesce(n / ew > 1.5 OR n / ew < 1.0 / 1.5, false) AS off_trend
       |FROM e ORDER BY event_type, day""".stripMargin
+
+  /** Shared NB train+score replay (docs → per-(doc, class) scores in
+    * `tot`): Laplace-smoothed per-class token ratios from exact integer
+    * counts — used by nb_lang_confusion (argmax) and nb_conformal
+    * (nonconformity quantile). */
+  private val nbScoreCtes: String =
+    """docs AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
+      |  FROM documents WHERE text IS NOT NULL),
+      |tr AS (SELECT doc_id, lang, unnest(ws) AS tok FROM docs WHERE doc_id % 2 = 0),
+      |te AS (SELECT doc_id, lang, unnest(ws) AS tok FROM docs WHERE doc_id % 2 = 1),
+      |c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
+      |tl AS (SELECT lang, CAST(count(*) AS BIGINT) AS t FROM tr GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tr),
+      |pri AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM tr GROUP BY 1),
+      |prin AS (SELECT CAST(sum(nd) AS BIGINT) AS n FROM pri),
+      |tc AS (SELECT doc_id, lang AS true_lang, tok, CAST(count(*) AS BIGINT) AS n_occ FROM te GROUP BY 1, 2, 3),
+      |sc AS (SELECT tc.doc_id, tc.true_lang, tl.lang,
+      |    sum(tc.n_occ * ln((coalesce(c.c, 0) + 1.0) / (tl.t + v.v))) AS ll
+      |  FROM tc CROSS JOIN tl CROSS JOIN v
+      |  LEFT JOIN c ON c.lang = tl.lang AND c.tok = tc.tok
+      |  GROUP BY 1, 2, 3),
+      |tot AS (SELECT sc.doc_id, sc.true_lang, sc.lang,
+      |    sc.ll + ln(pri.nd * 1.0 / (SELECT n FROM prin)) AS score
+      |  FROM sc JOIN pri ON pri.lang = sc.lang)""".stripMargin
 
   private val volumeAnomalyOracleSql: String =
     """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, CAST(count(*) AS DOUBLE) AS n
@@ -7295,30 +7363,48 @@ object SparkEntry {
         |WHERE o.o_orderkey % 37 = 0
         |ORDER BY o.o_orderkey""".stripMargin,
 
-    // Full NB train+score replay: Laplace-smoothed per-class token ratios
-    // from exact integer counts; argmax via (score DESC, lang) row_number.
+    // Shared-chain replay; argmax via (score DESC, lang) row_number.
     "nb_lang_confusion" ->
-      """WITH docs AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws
-        |  FROM documents WHERE text IS NOT NULL),
-        |tr AS (SELECT doc_id, lang, unnest(ws) AS tok FROM docs WHERE doc_id % 2 = 0),
-        |te AS (SELECT doc_id, lang, unnest(ws) AS tok FROM docs WHERE doc_id % 2 = 1),
-        |c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
-        |tl AS (SELECT lang, CAST(count(*) AS BIGINT) AS t FROM tr GROUP BY 1),
-        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tr),
-        |pri AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM tr GROUP BY 1),
-        |prin AS (SELECT CAST(sum(nd) AS BIGINT) AS n FROM pri),
-        |tc AS (SELECT doc_id, lang AS true_lang, tok, CAST(count(*) AS BIGINT) AS n_occ FROM te GROUP BY 1, 2, 3),
-        |sc AS (SELECT tc.doc_id, tc.true_lang, tl.lang,
-        |    sum(tc.n_occ * ln((coalesce(c.c, 0) + 1.0) / (tl.t + v.v))) AS ll
-        |  FROM tc CROSS JOIN tl CROSS JOIN v
-        |  LEFT JOIN c ON c.lang = tl.lang AND c.tok = tc.tok
-        |  GROUP BY 1, 2, 3),
-        |tot AS (SELECT sc.doc_id, sc.true_lang, sc.lang,
-        |    sc.ll + ln(pri.nd * 1.0 / (SELECT n FROM prin)) AS score
-        |  FROM sc JOIN pri ON pri.lang = sc.lang),
+      s"""WITH $nbScoreCtes,
         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS r FROM tot)
         |SELECT true_lang, lang AS pred_lang, CAST(count(*) AS BIGINT) AS n
         |FROM rk WHERE r = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Split-conformal replay: nonconformity = best-rival minus true-class
+    // score, threshold = the exact ceil(0.9*(n_cal+1))-th order statistic
+    // (doc_id tiebreak). Min |a - q| measured >= 3.3e-4 at all three SFs,
+    // so the coverage comparison is cross-engine stable.
+    "nb_conformal" ->
+      s"""WITH $nbScoreCtes,
+        |a AS (SELECT doc_id, true_lang,
+        |    max(CASE WHEN lang <> true_lang THEN score END) - max(CASE WHEN lang = true_lang THEN score END) AS nc
+        |  FROM tot GROUP BY 1, 2),
+        |cal AS (SELECT * FROM a WHERE doc_id % 4 = 1),
+        |tst AS (SELECT * FROM a WHERE doc_id % 4 = 3),
+        |q AS (SELECT nc AS thr FROM (SELECT nc, row_number() OVER (ORDER BY nc, doc_id) AS r, count(*) OVER () AS n FROM cal)
+        |      WHERE r = CAST(ceil(0.9 * (n + 1)) AS BIGINT))
+        |SELECT true_lang, CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN nc <= (SELECT thr FROM q) THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  round(sum(CASE WHEN nc <= (SELECT thr FROM q) THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS coverage,
+        |  round((SELECT thr FROM q), 4) AS threshold
+        |FROM tst GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // History-mean replay: weekday(day) == isodow - 1; the eval window is
+    // a strict > cut off the 1-row global max day.
+    "events_forecast_backtest" ->
+      """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |m AS (SELECT max(day) AS maxd FROM d),
+        |dw AS (SELECT event_type, day, n, CAST(isodow(day) - 1 AS INT) AS dow,
+        |       day > (SELECT maxd FROM m) - INTERVAL 7 DAY AS is_eval FROM d),
+        |fd AS (SELECT event_type, dow, avg(n) AS f_dow FROM dw WHERE NOT is_eval GROUP BY 1, 2),
+        |fa AS (SELECT event_type, avg(n) AS f_all FROM dw WHERE NOT is_eval GROUP BY 1)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_eval,
+        |  round(avg(abs(e.n - coalesce(fd.f_dow, fa.f_all))), 4) AS mae_seasonal,
+        |  round(avg(abs(e.n - fa.f_all)), 4) AS mae_naive
+        |FROM dw e JOIN fa USING (event_type)
+        |LEFT JOIN fd ON fd.event_type = e.event_type AND fd.dow = e.dow
+        |WHERE e.is_eval GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Prefix-sum replay; the QUALIFY argmax mirrors the Spark side's
     // (stat, -i) struct max — rounded stat first, earliest day on ties.

@@ -26,11 +26,12 @@ import org.apache.spark.sql.functions._
   */
 object NaiveBayes {
 
-  /** Train on `(idCol, labelCol, tokCol)` token rows, score a held-out
-    * token stream of the same shape; returns one row per test document:
-    * `(id, true_label, pred_label)`. */
-  def trainPredict(train: DataFrame, test: DataFrame, idCol: String,
-                   labelCol: String, tokCol: String): DataFrame = {
+  /** The full score surface: one row per (test document, class) with the
+    * class log-likelihood — the raw material for argmax prediction
+    * ([[trainPredict]]) and for conformal nonconformity scores (the
+    * nb_conformal gate). Columns: `(idCol, true_label, cls, score)`. */
+  def scores(train: DataFrame, test: DataFrame, idCol: String,
+             labelCol: String, tokCol: String): DataFrame = {
     val c = train.groupBy(col(labelCol).as("__l"), col(tokCol).as("__tok"))
       .agg(count(lit(1)).as("__c"))
     val tl = train.groupBy(col(labelCol).as("__l")).agg(count(lit(1)).as("__t"))
@@ -52,10 +53,19 @@ object NaiveBayes {
       .join(broadcast(pri), Seq("__l"))
       .crossJoin(broadcast(prin))
       .withColumn("__score", col("__ll") + log(col("__nd") * lit(1.0) / col("__n")))
-    scored.groupBy(col("__id").as(idCol), col("true_label"))
-      .agg(min_by(col("__l"), struct((-col("__score")).as("ns"), col("__l")))
-        .as("pred_label"))
+    scored.select(col("__id").as(idCol), col("true_label"),
+      col("__l").as("cls"), col("__score").as("score"))
   }
+
+  /** Train on `(idCol, labelCol, tokCol)` token rows, score a held-out
+    * token stream of the same shape; returns one row per test document:
+    * `(id, true_label, pred_label)`. */
+  def trainPredict(train: DataFrame, test: DataFrame, idCol: String,
+                   labelCol: String, tokCol: String): DataFrame =
+    scores(train, test, idCol, labelCol, tokCol)
+      .groupBy(col(idCol), col("true_label"))
+      .agg(min_by(col("cls"), struct((-col("score")).as("ns"), col("cls")))
+        .as("pred_label"))
 
   /** [[trainPredict]] folded to the confusion matrix — the integer-valued
     * gate surface (counts, not rounded log-likelihoods). */

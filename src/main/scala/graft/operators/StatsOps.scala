@@ -101,6 +101,39 @@ object StatsOps {
           .as("off_trend"))
   }
 
+  /** Seasonal-naive forecast backtest from a `(key, day, n)` frame: hold
+    * out the trailing `horizonDays`, forecast each held-out day as the
+    * HISTORY mean for its day-of-week (falling back to the overall history
+    * mean when that weekday never occurred), and report per-key MAE against
+    * the unconditional-mean baseline — the lift check a capacity-planning
+    * pipeline runs before trusting the seasonal model.
+    *
+    * Scale shape: forecasts are (key × 7)- and key-sized aggregate tables
+    * (broadcast); the eval window is a literal date predicate off a 1-row
+    * max-day aggregate. Integer day counts make every mean exact-input.
+    */
+  def seasonalNaiveBacktest(day: DataFrame, keyCol: String,
+                            horizonDays: Int = 7): DataFrame = {
+    require(horizonDays >= 1)
+    val maxd = day.agg(max(col("day")).as("__maxd"))
+    val dw = day.crossJoin(broadcast(maxd))
+      .withColumn("__dow", expr("weekday(day)").cast("int"))
+      .withColumn("__is_eval",
+        col("day") > col("__maxd") - expr(s"INTERVAL $horizonDays DAYS"))
+    val hist = dw.where(!col("__is_eval"))
+    val fDow = hist.groupBy(col(keyCol), col("__dow"))
+      .agg(avg(col("n")).as("__f_dow"))
+    val fAll = hist.groupBy(col(keyCol)).agg(avg(col("n")).as("__f_all"))
+    dw.where(col("__is_eval"))
+      .join(fDow, Seq(keyCol, "__dow"), "left")
+      .join(fAll, Seq(keyCol))
+      .withColumn("__f", coalesce(col("__f_dow"), col("__f_all")))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_eval"),
+        round(avg(abs(col("n") - col("__f"))), 4).as("mae_seasonal"),
+        round(avg(abs(col("n") - col("__f_all"))), 4).as("mae_naive"))
+  }
+
   /** Offline changepoint detection (one level of binary segmentation) from
     * an already-aggregated `(key, day, n)` frame: for every candidate split
     * position i the statistic is

@@ -145,6 +145,31 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(out.values.toSet === Set(1)) // triangle converges to min label
   }
 
+  test("seasonalNaiveBacktest: pure weekly pattern gives zero seasonal MAE, positive naive MAE") {
+    // 3 weeks of n = 10 + weekday: the dow-mean forecast is exact on the
+    // held-out week, the unconditional mean is not
+    val start = java.time.LocalDate.parse("2024-01-01")
+    val day = (0 until 21).map { i =>
+      val d = start.plusDays(i)
+      ("x", java.sql.Date.valueOf(d), 10L + d.getDayOfWeek.getValue - 1)
+    }.toDF("k", "day", "n")
+    val out = StatsOps.seasonalNaiveBacktest(day, "k", horizonDays = 7).collect().head
+    assert(out.getLong(1) === 7)       // n_eval
+    assert(out.getDouble(2) === 0.0)   // mae_seasonal
+    assert(out.getDouble(3) > 1.0)     // mae_naive sees the weekly swing
+  }
+
+  test("seasonalNaiveBacktest: unseen weekday in history falls back to the overall mean") {
+    // history = 2 days (Mon, Tue), eval = 1 day (Wed): no Wed history row
+    val day = Seq(
+      ("x", java.sql.Date.valueOf("2024-01-01"), 10L),
+      ("x", java.sql.Date.valueOf("2024-01-02"), 20L),
+      ("x", java.sql.Date.valueOf("2024-01-03"), 15L)).toDF("k", "day", "n")
+    val out = StatsOps.seasonalNaiveBacktest(day, "k", horizonDays = 1).collect().head
+    // fallback forecast = mean(10,20) = 15 -> both MAEs are |15-15| = 0
+    assert(out.getLong(1) === 1 && out.getDouble(2) === 0.0 && out.getDouble(3) === 0.0)
+  }
+
   test("changepointFromDayCounts finds a planted mean shift at the exact day") {
     val day = Seq.tabulate(6)(i =>
       ("x", java.sql.Date.valueOf(f"2024-01-${i + 1}%02d"), if (i < 3) 10L else 20L))
