@@ -4243,6 +4243,57 @@ object SparkEntry {
         .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
+    // Streamed SCD2 point-in-time enrichment: a two-version tier dimension
+    // (cut at the integer midpoint of the event-time span, derived
+    // in-plan) joins each event at ITS event time — late events see the
+    // historical tier, the feature-store law applied stream-side. Gated
+    // against the full batch PIT replay.
+    "streaming_scd2_enrich" -> ((s, d) => {
+      val ev = events(s, d)
+      val bounds = ev.agg(
+        expr("(CAST(floor(min(unix_timestamp(ts))) AS BIGINT) + CAST(floor(max(unix_timestamp(ts))) AS BIGINT)) div 2")
+          .as("cut"))
+      val users = ev.select(col("user_id").as("uid")).distinct()
+        .crossJoin(broadcast(bounds))
+      val dim = users.select(col("uid"),
+          when(col("uid") % 5 === 0, "silver").otherwise("bronze").as("tier"),
+          lit(0L).as("valid_from"), col("cut").as("valid_to"))
+        .unionByName(users.select(col("uid"),
+          when(col("uid") % 5 === 0, "gold").otherwise("silver").as("tier"),
+          col("cut").as("valid_from"), lit(null).cast("long").as("valid_to")))
+      graft.streaming.StreamingOps.scd2EnrichOnce(
+          s, s"$d/events.parquet", dim, queryName = s"graft_scd2s_$runNonce")
+        .select(col("tier"), col("event_type"), col("n"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .orderBy(col("tier"), col("event_type"))
+    }),
+
+    // Weight-of-evidence binning of order totals against the F-status
+    // label: equal-width deciles off a 1-row min/max broadcast, 0.5
+    // Laplace cells so empty bins stay finite — the credit-scoring
+    // categorical-strength report, one pass + class-sized tables.
+    "features_woe_binning" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val b = o.agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+      val binned = o.crossJoin(broadcast(b))
+        .withColumn("bin", least(floor((col("o_totalprice") - col("mn")) /
+          ((col("mx") - col("mn")) / 10)), lit(9L)).cast("int"))
+        .withColumn("pos", (col("o_orderstatus") === "F").cast("long"))
+      val g = binned.agg(sum(col("pos")).as("npos"),
+        (count(lit(1)) - sum(col("pos"))).as("nneg"))
+      val woeExpr = log(((col("n_pos") + lit(0.5)) / (col("npos") + lit(0.5))) /
+        ((col("n_neg") + lit(0.5)) / (col("nneg") + lit(0.5))))
+      binned.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+        .crossJoin(broadcast(g))
+        .withColumn("n_neg", col("n") - col("n_pos"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(woeExpr, 4).as("woe"),
+          round((col("n_pos") * lit(1.0) / col("npos") -
+            col("n_neg") * lit(1.0) / col("nneg")) * woeExpr, 4).as("iv_term"))
+        .orderBy(col("bin"))
+    }),
+
     // Split-conformal prediction on top of the NB scores: nonconformity =
     // best-rival-minus-true margin, threshold = the exact order statistic
     // at rank ceil(0.9*(n_cal+1)) over the calibration quarter, coverage
@@ -7362,6 +7413,36 @@ object SparkEntry {
         |FROM o JOIN st USING (o_orderpriority) CROSS JOIN g
         |WHERE o.o_orderkey % 37 = 0
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    // Batch PIT replay of the streamed enrichment: same midpoint cut,
+    // same two-version dim, same interval join.
+    "streaming_scd2_enrich" ->
+      """WITH b AS (SELECT (CAST(floor(epoch(min(ts))) AS BIGINT) + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS cut FROM events),
+        |u AS (SELECT DISTINCT user_id AS uid FROM events),
+        |dim AS (
+        |  SELECT uid, CASE WHEN uid % 5 = 0 THEN 'silver' ELSE 'bronze' END AS tier,
+        |         CAST(0 AS BIGINT) AS vf, (SELECT cut FROM b) AS vt FROM u
+        |  UNION ALL
+        |  SELECT uid, CASE WHEN uid % 5 = 0 THEN 'gold' ELSE 'silver' END,
+        |         (SELECT cut FROM b), NULL FROM u),
+        |e AS (SELECT user_id, event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events)
+        |SELECT tier, event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value
+        |FROM e JOIN dim ON e.user_id = dim.uid AND dim.vf <= e.ep AND (dim.vt IS NULL OR dim.vt > e.ep)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Equal-width decile replay with the same 0.5-Laplace WOE cells.
+    "features_woe_binning" ->
+      """WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+        |bd AS (SELECT CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 10)), 9) AS INT) AS bin,
+        |       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+        |       FROM orders CROSS JOIN b),
+        |g AS (SELECT CAST(sum(pos) AS BIGINT) AS npos, CAST(count(*) - sum(pos) AS BIGINT) AS nneg FROM bd),
+        |pb AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS n_pos FROM bd GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  round(ln(((n_pos + 0.5) / (npos + 0.5)) / ((n - n_pos + 0.5) / (nneg + 0.5))), 4) AS woe,
+        |  round((n_pos * 1.0 / npos - (n - n_pos) * 1.0 / nneg) *
+        |    ln(((n_pos + 0.5) / (npos + 0.5)) / ((n - n_pos + 0.5) / (nneg + 0.5))), 4) AS iv_term
+        |FROM pb CROSS JOIN g ORDER BY bin""".stripMargin,
 
     // Shared-chain replay; argmax via (score DESC, lang) row_number.
     "nb_lang_confusion" ->

@@ -408,6 +408,35 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streamed point-in-time SCD2 enrichment: each event joins the
+    * dimension VERSION valid at its event time (`valid_from <= ep <
+    * valid_to`, open-ended current rows) — the feature-store law
+    * ([[graft.operators.Scd2.pitJoin]]) applied stream-side, so late
+    * events pick up the attribute as of when they HAPPENED, not the
+    * current row. The dim is a static broadcast (stream-static joins
+    * accept the interval residual); SCD2 disjointness caps matches at 1
+    * per event; per-(tier, type) counters are the only state. */
+  def scd2EnrichOnce(spark: SparkSession, eventsPath: String, dim: DataFrame,
+                     queryName: String = "graft_stream_scd2"): DataFrame = {
+    val stream = readEvents(spark, eventsPath)
+      .withColumn("ep", unix_timestamp(col("ts")))
+    val joined = stream.join(broadcast(dim),
+      col("user_id") === dim("uid") && dim("valid_from") <= col("ep") &&
+        (dim("valid_to").isNull || dim("valid_to") > col("ep")))
+    val agg = joined.groupBy(col("tier"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    withStatePartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+  }
+
   /** The PSI drift monitor's CURRENT side as streaming aggregation state:
     * bucket counts under the STATIC reference grid (lo/hi computed from the
     * reference batch before the stream starts — the production shape: the

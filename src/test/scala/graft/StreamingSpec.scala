@@ -117,4 +117,32 @@ class StreamingSpec extends AnyFunSuite {
     // bounded state: never more than depth x width cells
     assert(st.size <= 4 * 16)
   }
+
+  test("streamed SCD2 PIT enrichment equals the batch interval join, version by version") {
+    import org.apache.spark.sql.functions._
+    val evp = s"${TestSpark.sf}/events.parquet"
+    val ev = batchEvents
+    // dim: every user flips tier at the midpoint of the event-time span
+    val cut = ev.agg(
+      expr("(CAST(floor(min(unix_timestamp(ts))) AS BIGINT) + CAST(floor(max(unix_timestamp(ts))) AS BIGINT)) div 2"))
+      .collect().head.getLong(0)
+    val dim = ev.select(col("user_id").as("uid")).distinct()
+      .select(col("uid"), lit("old").as("tier"), lit(0L).as("valid_from"),
+        lit(cut).as("valid_to"))
+      .unionByName(ev.select(col("user_id").as("uid")).distinct()
+        .select(col("uid"), lit("new").as("tier"), lit(cut).as("valid_from"),
+          lit(null).cast("long").as("valid_to")))
+    val st = StreamingOps.scd2EnrichOnce(spark, evp, dim, queryName = "t_scd2s")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val bt = ev.withColumn("ep", unix_timestamp(col("ts")))
+      .join(dim, col("user_id") === col("uid") && col("valid_from") <= col("ep") &&
+        (col("valid_to").isNull || col("valid_to") > col("ep")))
+      .groupBy(col("tier"), col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(st === bt)
+    // the version boundary is live: BOTH versions matched something
+    assert(st.keys.exists(_._1 == "old") && st.keys.exists(_._1 == "new"))
+    // every event matched exactly one version (disjoint intervals)
+    assert(st.values.sum === ev.count())
+  }
 }
