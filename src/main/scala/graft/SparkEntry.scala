@@ -4243,6 +4243,92 @@ object SparkEntry {
         .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
+    // Co-visitation recommender with a held-out-week hit-rate backtest:
+    // train top-3 co-occurring items per item on history baskets, then on
+    // eval baskets count how often ANY other basket member was
+    // recommended, against the popularity-top-3 baseline. (The fixture's
+    // item vocabulary is the 5 event types — the arithmetic is the gate,
+    // the ranking machinery is item-keyed and scales with the catalog.)
+    "recsys_covisit_hitrate" -> ((s, d) => {
+      val it = events(s, d).select(col("user_id"),
+        date_trunc("day", col("ts")).as("day"), col("event_type").as("item")).distinct()
+      val maxd = it.agg(max(col("day")).as("maxd"))
+      val itb = it.crossJoin(broadcast(maxd))
+        .withColumn("is_eval", col("day") > col("maxd") - expr("INTERVAL 7 DAYS"))
+        .localCheckpoint()
+      val hist = itb.where(!col("is_eval"))
+      val co = hist.as("a").join(hist.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+            col("a.item") =!= col("b.item"))
+        .groupBy(col("a.item").as("x"), col("b.item").as("y"))
+        .agg(count(lit(1)).as("n_xy"))
+      val wt = Window.partitionBy(col("x")).orderBy(col("n_xy").desc, col("y"))
+      val top3 = co.withColumn("r", row_number().over(wt)).where(col("r") <= 3)
+        .select(col("x"), col("y"))
+      val pop3 = hist.groupBy(col("item")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("item")).limit(3)
+        .select(col("item").as("py"))
+      val ev = itb.where(col("is_eval"))
+      val cases = ev.select(col("user_id"), col("day"), col("item").as("x"))
+      val pe = cases.join(ev.select(col("user_id"), col("day"), col("item").as("y")),
+        Seq("user_id", "day")).where(col("x") =!= col("y"))
+      val hc = pe.join(top3, Seq("x", "y"), "left_semi")
+        .select(col("user_id"), col("day"), col("x")).distinct()
+      val hb = pe.join(broadcast(pop3), col("y") === col("py"), "left_semi")
+        .select(col("user_id"), col("day"), col("x")).distinct()
+      cases.agg(count(lit(1)).as("n_cases"))
+        .crossJoin(broadcast(hc.agg(count(lit(1)).as("n_hits"))))
+        .crossJoin(broadcast(hb.agg(count(lit(1)).as("n_hits_base"))))
+        .select(col("n_cases"), col("n_hits"),
+          round(col("n_hits") * lit(1.0) / col("n_cases"), 4).as("hit_rate"),
+          col("n_hits_base"),
+          round(col("n_hits_base") * lit(1.0) / col("n_cases"), 4).as("hit_rate_base"))
+    }),
+
+    // Data-arrival completeness: the hourly calendar spine (from the
+    // global span, in-plan) anti-joined against observed (type, hour)
+    // slots — the freshness/gap audit that tells a scheduler which
+    // partitions never landed. Spine is span-sized, never row-sized.
+    "dq_completeness_gaps" -> ((s, d) => {
+      val hObs = events(s, d).select(col("event_type"),
+        date_trunc("hour", col("ts")).as("h")).distinct().localCheckpoint()
+      val b = hObs.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+      val spine = hObs.select(col("event_type")).distinct()
+        .crossJoin(broadcast(b))
+        .select(col("event_type"),
+          explode(expr("sequence(mn, mx, interval 1 hour)")).as("h"))
+      val miss = spine.join(hObs, Seq("event_type", "h"), "left_anti")
+      spine.groupBy(col("event_type")).agg(count(lit(1)).as("n_expected"))
+        .join(hObs.groupBy(col("event_type")).agg(count(lit(1)).as("n_observed")),
+          Seq("event_type"))
+        .join(miss.groupBy(col("event_type")).agg(count(lit(1)).as("nm"),
+          min(col("h")).as("first_gap"), max(col("h")).as("last_gap")),
+          Seq("event_type"), "left")
+        .select(col("event_type"), col("n_expected"), col("n_observed"),
+          coalesce(col("nm"), lit(0L)).as("n_missing"),
+          col("first_gap"), col("last_gap"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Benford first-digit audit over order totals: digits come from the
+    // BIGINT cents' decimal string (never log10 of a double — floor(log10)
+    // flips at powers of ten), expected mass ln(1+1/d)/ln(10), per-digit
+    // chi-square contribution.
+    "dq_benford" -> ((s, d) => {
+      val c = t(s, d, "orders")
+        .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .withColumn("digit", substring(col("cents").cast("string"), 1, 1).cast("int"))
+      val g = c.agg(count(lit(1)).as("nn"))
+      val pExp = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+      c.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+        .crossJoin(broadcast(g))
+        .select(col("digit"), col("n_obs"),
+          round(col("nn") * pExp, 2).as("n_expected"),
+          round((col("n_obs") - col("nn") * pExp) * (col("n_obs") - col("nn") * pExp) /
+            (col("nn") * pExp), 4).as("chi2_term"))
+        .orderBy(col("digit"))
+    }),
+
     // Streamed SCD2 point-in-time enrichment: a two-version tier dimension
     // (cut at the integer midpoint of the event-time span, derived
     // in-plan) joins each event at ITS event time — late events see the
@@ -7413,6 +7499,52 @@ object SparkEntry {
         |FROM o JOIN st USING (o_orderpriority) CROSS JOIN g
         |WHERE o.o_orderkey % 37 = 0
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    "recsys_covisit_hitrate" ->
+      """WITH it AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type AS item FROM events),
+        |m AS (SELECT max(day) AS maxd FROM it),
+        |itb AS (SELECT *, day > (SELECT maxd FROM m) - INTERVAL 7 DAY AS is_eval FROM it),
+        |hist AS (SELECT * FROM itb WHERE NOT is_eval),
+        |co AS (SELECT a.item AS x, b.item AS y, count(*) AS n_xy FROM hist a
+        |  JOIN hist b ON a.user_id = b.user_id AND a.day = b.day AND a.item <> b.item GROUP BY 1, 2),
+        |top3 AS (SELECT x, y FROM (SELECT x, y, row_number() OVER (PARTITION BY x ORDER BY n_xy DESC, y) AS r FROM co) WHERE r <= 3),
+        |pop3 AS (SELECT item AS py FROM (SELECT item, count(*) AS n FROM hist GROUP BY 1 ORDER BY n DESC, item LIMIT 3)),
+        |ev AS (SELECT * FROM itb WHERE is_eval),
+        |cases AS (SELECT user_id, day, item AS x FROM ev),
+        |pe AS (SELECT c.user_id, c.day, c.x, o.item AS y FROM cases c
+        |  JOIN ev o ON c.user_id = o.user_id AND c.day = o.day AND c.x <> o.item),
+        |hc AS (SELECT DISTINCT user_id, day, x FROM pe JOIN top3 USING (x, y)),
+        |hb AS (SELECT DISTINCT user_id, day, x FROM pe WHERE y IN (SELECT py FROM pop3))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM cases) AS n_cases,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM hc) AS n_hits,
+        |  round((SELECT count(*) FROM hc) * 1.0 / (SELECT count(*) FROM cases), 4) AS hit_rate,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM hb) AS n_hits_base,
+        |  round((SELECT count(*) FROM hb) * 1.0 / (SELECT count(*) FROM cases), 4) AS hit_rate_base""".stripMargin,
+
+    "dq_completeness_gaps" ->
+      """WITH o AS (SELECT DISTINCT event_type, date_trunc('hour', ts) AS h FROM events),
+        |b AS (SELECT min(h) AS mn, max(h) AS mx FROM o),
+        |sp AS (SELECT event_type, unnest(generate_series((SELECT mn FROM b), (SELECT mx FROM b), INTERVAL 1 HOUR)) AS h
+        |       FROM (SELECT DISTINCT event_type FROM o)),
+        |ms AS (SELECT sp.event_type, sp.h FROM sp LEFT JOIN o ON o.event_type = sp.event_type AND o.h = sp.h WHERE o.h IS NULL),
+        |cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_expected FROM sp GROUP BY 1),
+        |obs AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_observed FROM o GROUP BY 1),
+        |mg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nm, min(h) AS first_gap, max(h) AS last_gap FROM ms GROUP BY 1)
+        |SELECT cnt.event_type, n_expected, n_observed,
+        |  CAST(coalesce(nm, 0) AS BIGINT) AS n_missing, first_gap, last_gap
+        |FROM cnt JOIN obs USING (event_type) LEFT JOIN mg USING (event_type)
+        |ORDER BY cnt.event_type""".stripMargin,
+
+    "dq_benford" ->
+      """WITH c AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |           FROM orders),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM c),
+        |pb AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM c GROUP BY 1)
+        |SELECT digit, n_obs,
+        |  round(nn * (ln(1.0 + 1.0 / digit) / ln(10.0)), 2) AS n_expected,
+        |  round((n_obs - nn * (ln(1.0 + 1.0 / digit) / ln(10.0))) * (n_obs - nn * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+        |    / (nn * (ln(1.0 + 1.0 / digit) / ln(10.0))), 4) AS chi2_term
+        |FROM pb CROSS JOIN g ORDER BY digit""".stripMargin,
 
     // Batch PIT replay of the streamed enrichment: same midpoint cut,
     // same two-version dim, same interval join.
