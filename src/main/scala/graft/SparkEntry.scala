@@ -641,6 +641,14 @@ object SparkEntry {
     "source_docx_pages" -> ((s, d) =>
       formatPages(s, d, "source_docx", "docx", graft.sources.MiniDocx.encode, auto = true)),
 
+    // Legacy binary `.doc` with REAL OLE2 bytes: compound-file container
+    // (FAT + directory + Word-97 FIB, sources/DocCodecs.MiniDoc), decoded
+    // in executors by the scoped CFB parser — closes the last format gap
+    // in the reference's extension dispatch (utilities.py:164).
+    "source_doc_pages" -> ((s, d) =>
+      formatPages(s, d, "source_doc", "doc", t => graft.sources.MiniDoc.encode(t),
+        auto = true)),
+
     // Legacy-format quarantine over a MIXED landing zone: each fixture doc
     // lands as real PDF (doc_id%3=0), real DOCX (%3=1), or an OLE2 compound
     // file (%3=2 — the pre-2007 '.doc' the reference dispatch accepts,
@@ -5335,6 +5343,7 @@ object SparkEntry {
     "source_pdf_pages" -> pagesOracleSql,
 
     "source_docx_pages" -> pagesOracleSql,
+    "source_doc_pages" -> pagesOracleSql,
 
     // Per-format file/quarantine/page counts re-derived from the fixture:
     // OLE2 (doc_id%3=2) contributes zero pages, the decodable formats'

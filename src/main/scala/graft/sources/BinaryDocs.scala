@@ -56,15 +56,18 @@ object BinaryDocs {
     Chunker.chunk(decoded, "text", pageSize)
   }
 
-  private val detectFormatUdf = udf((b: Array[Byte]) => DocCodecs.detectFormat(b))
+  private val detectFormatUdf = udf((b: Array[Byte]) => DocCodecs.detectFormatDeep(b))
 
   /** Quarantine-aware landing-zone read: one row per FILE with its detected
-    * format and decode status. OLE2 compound files (legacy pre-2007 `.doc` —
+    * format and decode status. Simple non-complex legacy `.doc` binaries
+    * decode through [[DocCodecs.MiniDoc]] and report format `doc`; OLE2
+    * compound files the parser rejects (piece-table, encrypted, non-Word —
     * the reference dispatches `'doc'` too, `modules/utilities.py:164`) are
-    * flagged `quarantined` with NULL text: compound-file binary must never
-    * flow downstream as mojibake "text". Everything else decodes through
-    * the same [[DocCodecs.decodeAuto]] dispatch as [[readPagesAuto]], so
-    * the two paths can never disagree on the decodable formats. */
+    * flagged `quarantined` with NULL text: undecodable compound-file
+    * binary must never flow downstream as mojibake "text". Everything else
+    * decodes through the same [[DocCodecs.decodeAuto]] dispatch as
+    * [[readPagesAuto]], so the two paths can never disagree on the
+    * decodable formats. */
   def readAutoStatus(spark: SparkSession, dir: String,
                      glob: String = "*"): DataFrame =
     readRaw(spark, dir, glob)

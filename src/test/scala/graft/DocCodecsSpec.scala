@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{BinaryDocs, DocCodecs, MiniDocx, MiniPdf}
+import graft.sources.{BinaryDocs, DocCodecs, MiniDoc, MiniDocx, MiniPdf}
 
 class DocCodecsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -87,6 +87,56 @@ class DocCodecsSpec extends AnyFunSuite {
     assert(st === Set(
       ("legacy", "ole2", true, None),
       ("fine", "text", false, Some("clean text"))))
+  }
+
+  test("MiniDoc round-trips every windows-1252 string, both stream layouts") {
+    // cp1252 covers all the nasty strings except none — they're Latin-1-ish
+    nasty.filter(_.length < 3000).foreach { s =>
+      assert(MiniDoc.extractText(MiniDoc.encode(s)) === s, s"regular: $s")
+      assert(MiniDoc.extractText(MiniDoc.encode(s, forceMini = true)) === s,
+        s"mini-stream: $s")
+    }
+    // > 4096 bytes exercises the multi-sector regular chain
+    val big = "word " * 2000
+    assert(MiniDoc.extractText(MiniDoc.encode(big)) === big)
+  }
+
+  test("MiniDoc rejects complex/encrypted/garbage compound files (quarantine class)") {
+    // flip fComplex (bit 0x0004 of the FIB flags): piece-table files must throw
+    val complexDoc = MiniDoc.encode("some text")
+    // WordDocument stream starts at sector 2 = byte 512*3; flags at +0x0A
+    complexDoc(512 * 3 + 0x0A) = (complexDoc(512 * 3 + 0x0A) | 0x04).toByte
+    intercept[IllegalArgumentException] { MiniDoc.extractText(complexDoc) }
+    val encrypted = MiniDoc.encode("secret")
+    encrypted(512 * 3 + 0x0B) = (encrypted(512 * 3 + 0x0B) | 0x01).toByte // 0x0100
+    intercept[IllegalArgumentException] { MiniDoc.extractText(encrypted) }
+    val garbage = Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
+      .map(_.toByte) ++ Array.fill(600)(0x41.toByte)
+    intercept[Exception] { MiniDoc.extractText(garbage) }
+    // and the ingest path translates all three to quarantine, decodable to rows
+    assert(DocCodecs.decodeAuto(complexDoc) === "")
+    assert(DocCodecs.decodeAuto(MiniDoc.encode("fine")) === "fine")
+    assert(DocCodecs.detectFormatDeep(MiniDoc.encode("fine")) === "doc")
+    assert(DocCodecs.detectFormatDeep(complexDoc) === "ole2")
+  }
+
+  test("decodable .doc files flow through readAutoStatus; broken ones quarantine") {
+    val dir = Files.createTempDirectory("graft_minidoc").toString
+    Files.write(new java.io.File(dir, "good.doc").toPath,
+      MiniDoc.encode("legacy word text"))
+    Files.write(new java.io.File(dir, "mini.doc").toPath,
+      MiniDoc.encode("small stream layout", forceMini = true))
+    val broken = MiniDoc.encode("x")
+    broken(512 * 3 + 0x0A) = (broken(512 * 3 + 0x0A) | 0x04).toByte
+    Files.write(new java.io.File(dir, "bad.doc").toPath, broken)
+    val st = BinaryDocs.readAutoStatus(spark, dir)
+      .select(regexp_extract(col("document_path"), "([a-z]+)\\.[a-z]+$", 1),
+        col("format"), col("quarantined"), col("text"))
+      .as[(String, String, Boolean, Option[String])].collect().toSet
+    assert(st === Set(
+      ("good", "doc", false, Some("legacy word text")),
+      ("mini", "doc", false, Some("small stream layout")),
+      ("bad", "ole2", true, None)))
   }
 
   test("a mixed-format landing zone ingests through the distributed auto path") {
