@@ -46,10 +46,18 @@ final class GraftVectorStore(
     // rebuilds it from the full latest view), so results are never stale —
     // the cadence is batch ingest -> one rebuild -> serve; per-record
     // appends with HNSW-style incremental insertion are out of scope.
-    graphM: Option[Int] = None) {
+    graphM: Option[Int] = None,
+    // Some(candidates): binary-sketch layout — rows stored plain;
+    // `approximate = true` runs the two-stage Hamming search
+    // (operators/BinaryQuant): sign-bit sketch of the leading 64 dims
+    // sweeps the tenant cheaply (8 bytes/row), float vectors are fetched
+    // only for the candidate sliver re-rank. probeDepth scales the
+    // candidate pool. No persisted structure, so appends never invalidate
+    // anything — the zero-maintenance approximate tier.
+    binaryCandidates: Option[Int] = None) {
 
-  require(Seq(lshBits, ivfCells, graphM).count(_.nonEmpty) <= 1,
-    "choose ONE approximate layout: lshBits (sign-LSH buckets), ivfCells (IVF cells), or graphM (k-NN graph)")
+  require(Seq(lshBits, ivfCells, graphM, binaryCandidates).count(_.nonEmpty) <= 1,
+    "choose ONE approximate layout: lshBits (sign-LSH buckets), ivfCells (IVF cells), graphM (k-NN graph), or binaryCandidates (Hamming sketch)")
 
   private def resolveAlias(alias: String): String =
     if (encryptAlias) IndexTable.encodeAlias(alias) else alias
@@ -121,6 +129,8 @@ final class GraftVectorStore(
     val qvec = Embedder.embedQuery(prompt, model, seed)
     if (approximate && graphM.nonEmpty)
       return graphSearch(qvec, alias, topN, probeDepth)
+    if (approximate && binaryCandidates.nonEmpty)
+      return binarySearch(qvec, alias, topN, probeDepth)
     val slice =
       if (!approximate) IndexTable.readLatest(spark, indexPath, resolveAlias(alias))
       else (lshBits, ivfCells) match {
@@ -132,9 +142,27 @@ final class GraftVectorStore(
           IndexTable.readLatestPrunedIvf(spark, indexPath, resolveAlias(alias),
             qvec, nprobe = probeDepth)
         case _ => throw new IllegalArgumentException(
-          "approximate search requires the store to be built with lshBits, ivfCells, or graphM")
+          "approximate search requires the store to be built with lshBits, ivfCells, graphM, or binaryCandidates")
       }
     KnnSearch.hitProjection(KnnSearch.topK(slice, qvec, topN))
+  }
+
+  /** Binary-sketch approximate path: two-stage Hamming sweep + exact
+    * re-rank ([[graft.operators.BinaryQuant.hammingTopK]]) over the
+    * serving slice. The sweep touches 8 bytes per row; floats are fetched
+    * only for `binaryCandidates * probeDepth` rows. */
+  private def binarySearch(qvec: Array[Float], alias: String, topN: Int,
+                           probeDepth: Int): DataFrame = {
+    import spark.implicits._
+    val cand = binaryCandidates.get * math.max(1, probeDepth)
+    val nodes = IndexTable.readLatest(spark, indexPath, resolveAlias(alias))
+      .withColumn("__nid", xxhash64(col("id")))
+    val q = Seq((-1L, qvec.toSeq)).toDF("q_id", "q_vec")
+    val hits = graft.operators.BinaryQuant.hammingTopK(
+      nodes, q, k = topN, candidates = math.max(cand, topN),
+      corpusVec = "page_content_vector", corpusId = "__nid")
+    KnnSearch.hitProjection(
+      hits.join(nodes, Seq("__nid")).orderBy(col("rank")))
   }
 
   /** The persisted neighbor-graph dir for a tenant: underscore-prefixed

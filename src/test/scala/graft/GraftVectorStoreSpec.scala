@@ -215,6 +215,34 @@ class GraftVectorStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       new GraftVectorStore(spark, "/tmp/nope", lshBits = Some(4), ivfCells = Some(8))
     }
+    intercept[IllegalArgumentException] {
+      new GraftVectorStore(spark, "/tmp/nope", graphM = Some(8),
+        binaryCandidates = Some(64))
+    }
+  }
+
+  test("binary-sketch store: Hamming-swept approximate search matches exact at full candidates") {
+    val path = java.nio.file.Files.createTempDirectory("graft_binstore").toString + "/idx"
+    val store = new GraftVectorStore(spark, path, binaryCandidates = Some(64))
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select($"source".as("document_path"), $"text")
+    store.addDocuments(docs, "t", pageSize = 32)
+    val approx = store.search("fast spark table scan query", "t", topN = 5,
+      approximate = true, probeDepth = 4)
+    assert(approx.columns.toSeq === Seq("id", "index_alias", "document_path",
+      "page_number", "page_content", "similarity"))
+    val aRows = approx.select($"id", $"similarity").as[(String, Double)].collect()
+    assert(aRows.length === 5)
+    assert(aRows.map(_._2).toSeq === aRows.map(_._2).sortBy(-(_: Double)).toSeq)
+    // with a candidate pool this deep on the small fixture, the re-ranked
+    // top must overlap the exact top heavily
+    val exact = store.search("fast spark table scan query", "t", topN = 5)
+      .select($"id").as[String].collect().toSet
+    assert(aRows.map(_._1).toSet.intersect(exact).size >= 3,
+      "binary sweep + re-rank must land mostly inside the exact top set")
+    // no persisted structure: appends don't invalidate anything
+    assert(!new java.io.File(s"$path/_graft_knn_graph").exists())
+    store.dropIndex()
   }
 
   test("multi-tenant isolation via partition pruning + alias encryption") {
