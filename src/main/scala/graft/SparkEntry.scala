@@ -4251,6 +4251,32 @@ object SparkEntry {
         .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
+    // RAG serving composition: exact top-20 retrieval -> greedy context
+    // packing in rank order under a 192-token budget — the
+    // select_token_budget discipline applied to a k-bounded candidate
+    // list, so the window is 20 rows, never corpus-sized.
+    "pipeline_rag_context" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+      val top = emb.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("similarity",
+          round(VectorFunctions.cosineSimilarity(col("embedding"), col("q_vec")), 4))
+        .select(col("vec_id"), col("similarity"))
+        .orderBy(desc("similarity"), asc("vec_id"))
+        .limit(20)
+      val wd = Window.orderBy(desc("similarity"), asc("vec_id"))
+      top.join(t(s, d, "documents").select(col("doc_id").as("vec_id"),
+          size(TextFunctions.wsTokens(col("text"))).cast("long").as("n_tokens")),
+          Seq("vec_id"))
+        .withColumn("rank", row_number().over(wd).cast("int"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(wd))
+        .where(col("cum_tokens") <= 192)
+        .select(col("rank"), col("vec_id"), col("similarity"),
+          col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("rank"))
+    }),
+
     // Co-visitation recommender with a held-out-week hit-rate backtest:
     // train top-3 co-occurring items per item on history baskets, then on
     // eval baskets count how often ANY other basket member was
@@ -7508,6 +7534,27 @@ object SparkEntry {
         |FROM o JOIN st USING (o_orderpriority) CROSS JOIN g
         |WHERE o.o_orderkey % 37 = 0
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    "pipeline_rag_context" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |z AS (SELECT e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+        |      FROM embeddings e, q WHERE e.vec_id <> 0),
+        |s AS (SELECT vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
+        |             sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
+        |             sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
+        |      FROM z GROUP BY vec_id),
+        |top AS (SELECT vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity
+        |        FROM s ORDER BY similarity DESC, vec_id LIMIT 20),
+        |tk AS (SELECT doc_id AS vec_id,
+        |       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |       FROM documents),
+        |rk AS (SELECT t.vec_id, t.similarity, tk.n_tokens,
+        |       CAST(row_number() OVER w AS INT) AS rank,
+        |       CAST(sum(tk.n_tokens) OVER w AS BIGINT) AS cum_tokens
+        |       FROM top t JOIN tk USING (vec_id)
+        |       WINDOW w AS (ORDER BY t.similarity DESC, t.vec_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT rank, vec_id, similarity, n_tokens, cum_tokens
+        |FROM rk WHERE cum_tokens <= 192 ORDER BY rank""".stripMargin,
 
     "recsys_covisit_hitrate" ->
       """WITH it AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type AS item FROM events),
