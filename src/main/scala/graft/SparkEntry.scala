@@ -4251,6 +4251,16 @@ object SparkEntry {
         .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
+    // The funnel as arbitrary stateful processing: per-user ListState
+    // history + min-cascade recompute per batch (transformWithState v2 on
+    // RocksDB), folded to the batch funnel's exact (stage, n_users) shape
+    // and gated on the SAME oracle string as events_funnel.
+    "streaming_funnel_tws" -> ((s, d) => {
+      graft.streaming.TwsFunnel.funnelOnce(
+          s, s"$d/events.parquet", queryName = s"graft_funnel_$runNonce")
+        .orderBy(col("stage"))
+    }),
+
     // RAG serving composition: exact top-20 retrieval -> greedy context
     // packing in rank order under a 192-token budget — the
     // select_token_budget discipline applied to a k-bounded candidate
@@ -4760,6 +4770,22 @@ object SparkEntry {
       |tot AS (SELECT sc.doc_id, sc.true_lang, sc.lang,
       |    sc.ll + ln(pri.nd * 1.0 / (SELECT n FROM prin)) AS score
       |  FROM sc JOIN pri ON pri.lang = sc.lang)""".stripMargin
+
+  /** Min-cascade funnel — shared by events_funnel and the
+    * transformWithState streaming twin. */
+  private val funnelOracleSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(e.ts) AS t_buy FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+      |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      |UNION ALL SELECT '2_click', count(*) FROM c
+      |UNION ALL SELECT '3_purchase', count(*) FROM p
+      |ORDER BY stage""".stripMargin
 
   private val volumeAnomalyOracleSql: String =
     """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, CAST(count(*) AS DOUBLE) AS n
@@ -6777,19 +6803,11 @@ object SparkEntry {
         |FROM e CROSS JOIN st
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
-    "events_funnel" ->
-      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
-        |           WHERE event_type = 'view' GROUP BY user_id),
-        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
-        |      JOIN v ON e.user_id = v.user_id
-        |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
-        |p AS (SELECT e.user_id, min(e.ts) AS t_buy FROM events e
-        |      JOIN c ON e.user_id = c.user_id
-        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
-        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
-        |UNION ALL SELECT '2_click', count(*) FROM c
-        |UNION ALL SELECT '3_purchase', count(*) FROM p
-        |ORDER BY stage""".stripMargin,
+    "events_funnel" -> funnelOracleSql,
+
+    // The transformWithState funnel must land on the SAME oracle string as
+    // the batch query — the state==batch law for arbitrary state.
+    "streaming_funnel_tws" -> funnelOracleSql,
 
     "events_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
