@@ -4251,6 +4251,77 @@ object SparkEntry {
         .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
+    // Blocking-scheme recall audit for entity resolution — the ER twin of
+    // dedup_minhash_recall: on a deterministic sample, ground truth =
+    // all-pairs Jaro-Winkler >= 0.85 (the audit), candidates = the same
+    // first/last-token blocking er_fuzzy_match uses; recall in the gate.
+    "er_blocking_recall" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      val base = t(s, d, "documents")
+        .where(col("text").isNotNull && size(ws) >= 3)
+        .select(col("doc_id"), ws.as("ws"))
+      val cleanName = array_join(slice(col("ws"), 1, 3), " ")
+      val dirtyName = when(col("doc_id") % 3 === 0,
+          concat_ws(" ", element_at(col("ws"), 2), element_at(col("ws"), 1),
+            element_at(col("ws"), 3)))
+        .when(col("doc_id") % 3 === 1,
+          expr("substring(concat_ws(' ', ws[0], ws[1], ws[2]), 1, length(concat_ws(' ', ws[0], ws[1], ws[2])) - 1)"))
+        .otherwise(cleanName)
+      val dirty = base.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("d_id"), dirtyName.as("d_name"))
+      val clean = base.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("c_id"), cleanName.as("c_name"))
+      val jw = udf((a: String, b: String) => EntityResolution.jaroWinkler(a, b))
+      val truth = dirty.crossJoin(broadcast(clean))
+        .where(jw(col("d_name"), col("c_name")) >= 0.85)
+        .select(col("d_id"), col("c_id")).localCheckpoint()
+      def fk(c: Column) = element_at(split(c, " "), 1)
+      def lk(c: Column) = element_at(split(c, " "), -1)
+      val blocked = dirty.join(clean, fk(col("d_name")) === fk(col("c_name")))
+        .unionByName(dirty.join(clean, lk(col("d_name")) === lk(col("c_name"))))
+        .select(col("d_id"), col("c_id")).distinct().localCheckpoint()
+      val hit = truth.join(blocked, Seq("d_id", "c_id"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(broadcast(blocked.agg(count(lit(1)).as("n_blocked"))))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_blocked_true"))))
+        .select(col("n_true"), col("n_blocked"), col("n_blocked_true"),
+          round(col("n_blocked_true") * lit(1.0) / col("n_true"), 4).as("recall"))
+    }),
+
+    // Multi-touch attribution model comparison: each purchase credits its
+    // view/click touches in the trailing 3 days — first-touch, last-touch,
+    // and linear weights side by side. (ts, event_id) ordering makes the
+    // endpoint picks deterministic; the join is user-keyed.
+    "events_attribution_models" -> ((s, d) => {
+      val ev = events(s, d)
+      val conv = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val touch = ev.where(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_id").as("t_id"),
+          col("event_type").as("t_type"), col("ts").as("t_ts"))
+      val pairs = conv.join(touch, Seq("user_id"))
+        .where(col("t_ts") < col("p_ts") &&
+          col("t_ts") >= col("p_ts") - expr("INTERVAL 3 DAYS"))
+        .localCheckpoint()
+      val per = pairs.groupBy(col("p_id"))
+        .agg(min_by(col("t_type"), struct(col("t_ts"), col("t_id"))).as("first_type"),
+          max_by(col("t_type"), struct(col("t_ts"), col("t_id"))).as("last_type"),
+          count(lit(1)).as("n_touch"))
+      val linear = pairs.join(per.select(col("p_id"), col("n_touch")), Seq("p_id"))
+        .groupBy(col("t_type").as("event_type"))
+        .agg(sum(lit(1.0) / col("n_touch")).as("lin"))
+      per.groupBy(col("first_type").as("event_type"))
+        .agg(count(lit(1)).as("n_first"))
+        .join(per.groupBy(col("last_type").as("event_type"))
+          .agg(count(lit(1)).as("n_last")), Seq("event_type"), "full_outer")
+        .join(linear, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"),
+          coalesce(col("n_last"), lit(0L)).as("n_last"),
+          round(coalesce(col("lin"), lit(0.0)), 4).as("linear_credit"))
+        .orderBy(col("event_type"))
+    }),
+
     // The funnel as arbitrary stateful processing: per-user ListState
     // history + min-cascade recompute per batch (transformWithState v2 on
     // RocksDB), folded to the batch funnel's exact (stage, n_users) shape
@@ -7552,6 +7623,61 @@ object SparkEntry {
         |FROM o JOIN st USING (o_orderpriority) CROSS JOIN g
         |WHERE o.o_orderkey % 37 = 0
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    // Same dirty/clean fixture derivation as er_fuzzy_match; truth =
+    // DuckDB's own jaro_winkler_similarity (the independent second
+    // implementation), blocking = first/last token equality.
+    "er_blocking_recall" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+        |cn AS (SELECT doc_id, array_to_string(ws[1:3], ' ') AS name FROM base),
+        |dn AS (SELECT b.doc_id,
+        |  CASE WHEN b.doc_id % 3 = 0 THEN ws[2] || ' ' || ws[1] || ' ' || ws[3]
+        |       WHEN b.doc_id % 3 = 1 THEN substr(c.name, 1, len(c.name) - 1)
+        |       ELSE c.name END AS name
+        |  FROM base b JOIN cn c USING (doc_id)),
+        |dirty AS (SELECT doc_id AS d_id, name AS d_name FROM dn WHERE doc_id % 7 = 0),
+        |clean AS (SELECT doc_id AS c_id, name AS c_name FROM cn WHERE doc_id % 5 = 0),
+        |truth AS (SELECT d_id, c_id FROM dirty CROSS JOIN clean
+        |          WHERE jaro_winkler_similarity(d_name, c_name) >= 0.85),
+        |blocked AS (
+        |  SELECT DISTINCT d_id, c_id FROM (
+        |    SELECT d_id, c_id FROM dirty JOIN clean
+        |      ON string_split(d_name, ' ')[1] = string_split(c_name, ' ')[1]
+        |    UNION ALL
+        |    SELECT d_id, c_id FROM dirty JOIN clean
+        |      ON string_split(d_name, ' ')[-1] = string_split(c_name, ' ')[-1])),
+        |hit AS (SELECT t.* FROM truth t JOIN blocked b ON t.d_id = b.d_id AND t.c_id = b.c_id)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM blocked) AS n_blocked,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_blocked_true,
+        |  round((SELECT count(*) FROM hit) * 1.0 / (SELECT count(*) FROM truth), 4) AS recall""".stripMargin,
+
+    "events_attribution_models" ->
+      """WITH conv AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+        |touch AS (SELECT user_id, event_id AS t_id, event_type AS t_type, ts AS t_ts
+        |          FROM events WHERE event_type IN ('view', 'click')),
+        |pairs AS (SELECT c.p_id, t.t_id, t.t_type, t.t_ts FROM conv c JOIN touch t
+        |  ON c.user_id = t.user_id AND t.t_ts < c.p_ts AND t.t_ts >= c.p_ts - INTERVAL 3 DAY),
+        |rk AS (SELECT p_id, t_type,
+        |    row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rf,
+        |    row_number() OVER (PARTITION BY p_id ORDER BY t_ts DESC, t_id DESC) AS rl
+        |  FROM pairs),
+        |per AS (SELECT p_id,
+        |    max(CASE WHEN rf = 1 THEN t_type END) AS first_type,
+        |    max(CASE WHEN rl = 1 THEN t_type END) AS last_type,
+        |    CAST(count(*) AS BIGINT) AS n_touch
+        |  FROM rk GROUP BY p_id),
+        |lin AS (SELECT p.t_type AS event_type, sum(CAST(1 AS DOUBLE) / per.n_touch) AS lin
+        |        FROM pairs p JOIN per USING (p_id) GROUP BY 1),
+        |f AS (SELECT first_type AS event_type, CAST(count(*) AS BIGINT) AS n_first FROM per GROUP BY 1),
+        |l AS (SELECT last_type AS event_type, CAST(count(*) AS BIGINT) AS n_last FROM per GROUP BY 1)
+        |SELECT coalesce(f.event_type, l.event_type, lin.event_type) AS event_type,
+        |  CAST(coalesce(n_first, 0) AS BIGINT) AS n_first,
+        |  CAST(coalesce(n_last, 0) AS BIGINT) AS n_last,
+        |  round(coalesce(lin, 0.0), 4) AS linear_credit
+        |FROM f FULL OUTER JOIN l USING (event_type) FULL OUTER JOIN lin USING (event_type)
+        |ORDER BY 1""".stripMargin,
 
     "pipeline_rag_context" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
