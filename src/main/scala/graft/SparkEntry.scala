@@ -4251,6 +4251,57 @@ object SparkEntry {
         .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
+    // Kaplan-Meier time-to-return: per user, days from first activity to
+    // the SECOND active day (event) or to the corpus horizon (censored);
+    // the survival curve folds exact (d_i, n_i) integer ratios via
+    // exp(sum(ln(1 - d/n))) over the <= span-sized event-time table —
+    // censoring handled the only statistically honest way, not dropped.
+    "events_kaplan_meier" -> ((s, d) => {
+      val days = events(s, d).select(col("user_id"),
+        date_trunc("day", col("ts")).as("day")).distinct()
+      val g = days.agg(max(col("day")).as("gmax"))
+      val mins = days.groupBy(col("user_id")).agg(min(col("day")).as("t0"))
+      val second = days.join(mins, Seq("user_id")).where(col("day") > col("t0"))
+        .groupBy(col("user_id")).agg(min(col("day")).as("t1"))
+      val dur = mins.join(second, Seq("user_id"), "left").crossJoin(broadcast(g))
+        .select(col("user_id"),
+          when(col("t1").isNotNull, datediff(col("t1"), col("t0")))
+            .otherwise(datediff(col("gmax"), col("t0"))).cast("long").as("dur"),
+          col("t1").isNotNull.as("event"))
+        .localCheckpoint()
+      val times = dur.where(col("event"))
+        .groupBy(col("dur").as("t")).agg(count(lit(1)).as("d"))
+      val risk = dur.join(broadcast(times), col("dur") >= col("t"))
+        .groupBy(col("t"), col("d")).agg(count(lit(1)).as("n_risk"))
+      val w = Window.orderBy(col("t"))
+      // d == n_risk (everyone at risk converts) zeroes the curve for good;
+      // ln(0) differs across engines (null vs error), so the absorbing
+      // zero is an explicit cumulative flag, not a log identity
+      risk
+        .withColumn("__zc", sum(when(col("d") === col("n_risk"), 1)
+          .otherwise(0)).over(w))
+        .withColumn("surv", when(col("__zc") > 0, lit(0.0))
+          .otherwise(round(exp(sum(
+            log(lit(1.0) - col("d").cast("double") / col("n_risk"))).over(w)), 4)))
+        .select(col("t"), col("n_risk"), col("d").as("n_event"), col("surv"))
+        .orderBy(col("t"))
+    }),
+
+    // Gini concentration of documents over sources — the inequality lens
+    // on corpus balance (dq_skew_report's partition view, as one scalar):
+    // exact integer numerator over the rank-sorted source counts.
+    "corpus_gini" -> ((s, d) => {
+      val cnt = t(s, d, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy(col("x"), col("source"))
+      val ranked = cnt.withColumn("i", row_number().over(w).cast("long"))
+      ranked.crossJoin(broadcast(
+          ranked.agg(count(lit(1)).as("ns"), sum(col("x")).as("tot"))))
+        .agg(first(col("ns")).as("n_sources"), first(col("tot")).as("total_docs"),
+          round(sum((lit(2) * col("i") - col("ns") - 1) * col("x")).cast("double") /
+            (first(col("ns")) * first(col("tot"))), 6).as("gini"))
+    }),
+
     // Blocking-scheme recall audit for entity resolution — the ER twin of
     // dedup_minhash_recall: on a deterministic sample, ground truth =
     // all-pairs Jaro-Winkler >= 0.85 (the audit), candidates = the same
@@ -7623,6 +7674,35 @@ object SparkEntry {
         |FROM o JOIN st USING (o_orderpriority) CROSS JOIN g
         |WHERE o.o_orderkey % 37 = 0
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    "events_kaplan_meier" ->
+      """WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |g AS (SELECT max(day) AS gmax FROM days),
+        |mins AS (SELECT user_id, min(day) AS t0 FROM days GROUP BY 1),
+        |sec AS (SELECT d.user_id, min(d.day) AS t1 FROM days d JOIN mins m
+        |        ON d.user_id = m.user_id AND d.day > m.t0 GROUP BY 1),
+        |dur AS (SELECT m.user_id,
+        |    CAST(CASE WHEN s.t1 IS NOT NULL THEN date_diff('day', m.t0, s.t1)
+        |         ELSE date_diff('day', m.t0, (SELECT gmax FROM g)) END AS BIGINT) AS dur,
+        |    s.t1 IS NOT NULL AS event
+        |  FROM mins m LEFT JOIN sec s ON m.user_id = s.user_id),
+        |times AS (SELECT dur AS t, CAST(count(*) AS BIGINT) AS d FROM dur WHERE event GROUP BY 1),
+        |risk AS (SELECT t.t, t.d, CAST(count(*) AS BIGINT) AS n_risk
+        |         FROM dur JOIN times t ON dur.dur >= t.t GROUP BY 1, 2)
+        |SELECT t, n_risk, d AS n_event,
+        |  CASE WHEN sum(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0 THEN 0.0
+        |  ELSE round(exp(sum(CASE WHEN d = n_risk THEN NULL ELSE ln(1.0 - CAST(d AS DOUBLE) / n_risk) END)
+        |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) END AS surv
+        |FROM risk ORDER BY t""".stripMargin,
+
+    "corpus_gini" ->
+      """WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS x FROM documents GROUP BY 1),
+        |rk AS (SELECT x, CAST(row_number() OVER (ORDER BY x, source) AS BIGINT) AS i FROM cnt),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS ns, CAST(sum(x) AS BIGINT) AS tot FROM rk)
+        |SELECT ns AS n_sources, tot AS total_docs,
+        |  round(CAST(sum((2 * i - ns - 1) * x) AS DOUBLE) / (ns * tot), 6) AS gini
+        |FROM rk CROSS JOIN g GROUP BY ns, tot""".stripMargin,
 
     // Same dirty/clean fixture derivation as er_fuzzy_match; truth =
     // DuckDB's own jaro_winkler_similarity (the independent second
