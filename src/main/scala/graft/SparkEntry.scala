@@ -4251,6 +4251,62 @@ object SparkEntry {
         .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
+    // Corpus-wide paragraph-level exact dedup (the RefinedWeb/C4 line
+    // discipline at sub-document granularity): first occurrence by
+    // (doc_id, pos) keeps a paragraph, every later copy drops; each doc's
+    // surviving text is md5-pinned. One hash-keyed min-struct agg — the
+    // dedup_exact shape applied to exploded lines.
+    "dedup_paragraph_exact" -> ((s, d) => {
+      val lined = c4LinedDocs(t(s, d, "documents").where(col("text").isNotNull))
+      val paras = lined.select(col("doc_id"),
+        posexplode(split(col("text_lines"), "\n")).as(Seq("pos", "para")))
+      val keeper = paras.groupBy(col("para"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+        .select(col("para"), col("k.doc_id").as("k_doc"), col("k.pos").as("k_pos"))
+      paras.join(keeper, Seq("para"))
+        .withColumn("kept",
+          col("doc_id") === col("k_doc") && col("pos") === col("k_pos"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("pos"), col("para"))))),
+            x => x.getField("para")), "\n")).as("kept_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Propensity-style 1-NN caliper matching of F-status orders to
+    // O-status controls on order total — nearest control by value via the
+    // union-frame cumulative-control-count trick (one global price sort,
+    // never an all-pairs distance join), with-replacement, caliper 1000.
+    "orders_propensity_match" -> ((s, d) => {
+      val u = t(s, d, "orders").where(col("o_orderstatus").isin("F", "O"))
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("tag"),
+          col("o_totalprice").as("p"))
+      val w = Window.orderBy(col("p"), col("tag"), col("k"))
+      val withC = u.withColumn("rc",
+        sum(when(col("tag") === "O", 1L).otherwise(0L)).over(w))
+      val controls = u.where(col("tag") === "O")
+        .select(col("k").as("ck"), col("p").as("cp"))
+        .withColumn("r", row_number()
+          .over(Window.orderBy(col("cp"), col("ck"))).cast("long"))
+      val treat = withC.where(col("tag") === "F")
+        .join(controls.select(col("r"), col("cp").as("prev_p")),
+          col("rc") === col("r"), "left")
+        .join(controls.select((col("r") - 1).as("rn"), col("cp").as("next_p")),
+          col("rc") === col("rn"), "left")
+        .withColumn("d_prev", col("p") - col("prev_p"))
+        .withColumn("d_next", col("next_p") - col("p"))
+        .withColumn("best", least(col("d_prev"), col("d_next")))
+        .withColumn("matched", col("best") <= 1000.0)
+      treat.agg(count(lit(1)).as("n_treat"),
+          sum(when(col("matched"), 1L).otherwise(0L)).as("n_matched"),
+          round(sum(when(col("matched"), 1L).otherwise(0L)) * lit(1.0) /
+            count(lit(1)), 4).as("match_rate"),
+          round(avg(when(col("matched"), col("best"))), 4).as("mean_abs_diff"))
+    }),
+
     // Kaplan-Meier time-to-return: per user, days from first activity to
     // the SECOND active day (event) or to the corpus horizon (censored);
     // the survival curve folds exact (d_i, n_i) integer ratios via
@@ -7674,6 +7730,37 @@ object SparkEntry {
         |FROM o JOIN st USING (o_orderpriority) CROSS JOIN g
         |WHERE o.o_orderkey % 37 = 0
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    // Line synthesis shared with the C4 oracles; keeper = row_number 1
+    // under (doc_id, i) per line.
+    "dedup_paragraph_exact" ->
+      s"""WITH $c4LinesSql,
+        |rk AS (SELECT doc_id, i, line,
+        |       row_number() OVER (PARTITION BY line ORDER BY doc_id, i) AS r FROM ln)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN r > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  md5(coalesce(string_agg(CASE WHEN r = 1 THEN line END, chr(10) ORDER BY i), '')) AS kept_md5
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "orders_propensity_match" ->
+      """WITH u AS (SELECT o_orderkey AS k, o_orderstatus AS tag, o_totalprice AS p
+        |           FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        |wc AS (SELECT *, CAST(sum(CASE WHEN tag = 'O' THEN 1 ELSE 0 END)
+        |       OVER (ORDER BY p, tag, k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rc
+        |       FROM u),
+        |ctrl AS (SELECT p AS cp, CAST(row_number() OVER (ORDER BY p, k) AS BIGINT) AS r
+        |         FROM u WHERE tag = 'O'),
+        |tr AS (SELECT t.p, pc.cp AS prev_p, nc.cp AS next_p
+        |       FROM wc t
+        |       LEFT JOIN ctrl pc ON t.rc = pc.r
+        |       LEFT JOIN ctrl nc ON t.rc + 1 = nc.r
+        |       WHERE t.tag = 'F'),
+        |sc AS (SELECT p, least(p - prev_p, next_p - p) AS best FROM tr)
+        |SELECT CAST(count(*) AS BIGINT) AS n_treat,
+        |  CAST(sum(CASE WHEN best <= 1000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  round(sum(CASE WHEN best <= 1000.0 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS match_rate,
+        |  round(avg(CASE WHEN best <= 1000.0 THEN best END), 4) AS mean_abs_diff
+        |FROM sc""".stripMargin,
 
     "events_kaplan_meier" ->
       """WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
