@@ -4251,6 +4251,52 @@ object SparkEntry {
         .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
+    // Difference-in-differences with a built-in placebo: treatment =
+    // even user_ids, cut = event-time midpoint; the placebo replays the
+    // estimator inside the pre-period (cut at the pre-midpoint), so the
+    // method itself is falsifiable in the gate, not just its arithmetic.
+    "events_did_estimate" -> ((s, d) => {
+      val ev = events(s, d)
+        .withColumn("ep", unix_timestamp(col("ts")))
+        .withColumn("treat", col("user_id") % 2 === 0)
+      val b = ev.agg(min(col("ep")).as("mn"), max(col("ep")).as("mx"))
+        .select(col("mn"), expr("(mn + mx) div 2").as("cut"))
+        .select(col("mn"), col("cut"), expr("(mn + cut) div 2").as("cut2"))
+      val e2 = ev.crossJoin(broadcast(b)).localCheckpoint()
+      def did(rows: DataFrame, post: Column, label: String): DataFrame =
+        rows.agg(
+          avg(when(col("treat") && post, col("value"))).as("t_post"),
+          avg(when(col("treat") && !post, col("value"))).as("t_pre"),
+          avg(when(!col("treat") && post, col("value"))).as("c_post"),
+          avg(when(!col("treat") && !post, col("value"))).as("c_pre"))
+          .select(lit(label).as("test"),
+            round(col("t_pre"), 4).as("t_pre"), round(col("t_post"), 4).as("t_post"),
+            round(col("c_pre"), 4).as("c_pre"), round(col("c_post"), 4).as("c_post"),
+            round((col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre")), 4)
+              .as("did"))
+      did(e2, col("ep") >= col("cut"), "real")
+        .unionByName(did(e2.where(col("ep") < col("cut")),
+          col("ep") >= col("cut2"), "placebo"))
+        .orderBy(col("test"))
+    }),
+
+    // Tokenizer fertility by language: BPE tokens per whitespace word under
+    // the trained 16-merge vocabulary — the per-language tokenizer-equity
+    // audit (a fertility skew means some languages pay more sequence
+    // length per word). One keyed agg over the existing encode counts.
+    "vocab_tokenizer_fertility" -> ((s, d) => {
+      BpeTrainer.encodeCounts(t(s, d, "documents"), "text", "doc_id",
+          bpeMerges(s, d))
+        .join(t(s, d, "documents").select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens_ws")).as("n_words"),
+          sum(col("n_tokens_bpe")).as("n_bpe"),
+          round(sum(col("n_tokens_bpe")).cast("double") /
+            sum(col("n_tokens_ws")), 4).as("fertility"))
+        .orderBy(col("lang"))
+    }),
+
     // Corpus-wide paragraph-level exact dedup (the RefinedWeb/C4 line
     // discipline at sub-document granularity): first occurrence by
     // (doc_id, pos) keeps a paragraph, every later copy drops; each doc's
@@ -7730,6 +7776,44 @@ object SparkEntry {
         |FROM o JOIN st USING (o_orderpriority) CROSS JOIN g
         |WHERE o.o_orderkey % 37 = 0
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    "events_did_estimate" ->
+      """WITH e AS (SELECT user_id % 2 = 0 AS treat, CAST(floor(epoch(ts)) AS BIGINT) AS ep, value FROM events),
+        |b AS (SELECT mn, cut, (mn + cut) // 2 AS cut2 FROM
+        |      (SELECT min(ep) AS mn, (min(ep) + max(ep)) // 2 AS cut FROM e)),
+        |r AS (SELECT 'real' AS test,
+        |    avg(CASE WHEN treat AND ep >= (SELECT cut FROM b) THEN value END) AS t_post,
+        |    avg(CASE WHEN treat AND ep < (SELECT cut FROM b) THEN value END) AS t_pre,
+        |    avg(CASE WHEN NOT treat AND ep >= (SELECT cut FROM b) THEN value END) AS c_post,
+        |    avg(CASE WHEN NOT treat AND ep < (SELECT cut FROM b) THEN value END) AS c_pre
+        |  FROM e),
+        |p AS (SELECT 'placebo' AS test,
+        |    avg(CASE WHEN treat AND ep >= (SELECT cut2 FROM b) THEN value END) AS t_post,
+        |    avg(CASE WHEN treat AND ep < (SELECT cut2 FROM b) THEN value END) AS t_pre,
+        |    avg(CASE WHEN NOT treat AND ep >= (SELECT cut2 FROM b) THEN value END) AS c_post,
+        |    avg(CASE WHEN NOT treat AND ep < (SELECT cut2 FROM b) THEN value END) AS c_pre
+        |  FROM e WHERE ep < (SELECT cut FROM b)),
+        |u AS (SELECT * FROM r UNION ALL SELECT * FROM p)
+        |SELECT test, round(t_pre, 4) AS t_pre, round(t_post, 4) AS t_post,
+        |  round(c_pre, 4) AS c_pre, round(c_post, 4) AS c_post,
+        |  round((t_post - t_pre) - (c_post - c_pre), 4) AS did
+        |FROM u ORDER BY test""".stripMargin,
+
+    "vocab_tokenizer_fertility" -> (bpeOracleChain + s""",
+        |wl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |dtok AS (SELECT doc_id, unnest(ws) AS word FROM wl),
+        |wcount AS (SELECT word, len(string_split(trim(enc, '|'), '||')) AS nb FROM s$BpeRounds),
+        |agg AS (SELECT d.doc_id, CAST(sum(w.nb) AS BIGINT) AS n_tokens_bpe
+        |        FROM dtok d JOIN wcount w USING (word) GROUP BY 1),
+        |per AS (SELECT wl.doc_id, CAST(len(wl.ws) AS BIGINT) AS n_ws,
+        |        coalesce(agg.n_tokens_bpe, 0) AS n_bpe
+        |        FROM wl LEFT JOIN agg USING (doc_id))
+        |SELECT dd.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(per.n_ws) AS BIGINT) AS n_words,
+        |  CAST(sum(per.n_bpe) AS BIGINT) AS n_bpe,
+        |  round(CAST(sum(per.n_bpe) AS DOUBLE) / sum(per.n_ws), 4) AS fertility
+        |FROM per JOIN documents dd USING (doc_id)
+        |GROUP BY dd.lang ORDER BY dd.lang""".stripMargin),
 
     // Line synthesis shared with the C4 oracles; keeper = row_number 1
     // under (doc_id, i) per line.
