@@ -42,6 +42,29 @@ object SparkEntry {
         "\n"))
   }
 
+  /** Calendar-spine completeness finish shared by the batch and streamed
+    * gap audits: `hObs` is the distinct (event_type, h) observation set;
+    * the hourly spine spans the global min/max, gaps are the anti-join. */
+  private def completenessFromSlots(hObsIn: DataFrame): DataFrame = {
+    val hObs = hObsIn.localCheckpoint()
+    val b = hObs.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+    val spine = hObs.select(col("event_type")).distinct()
+      .crossJoin(broadcast(b))
+      .select(col("event_type"),
+        explode(expr("sequence(mn, mx, interval 1 hour)")).as("h"))
+    val miss = spine.join(hObs, Seq("event_type", "h"), "left_anti")
+    spine.groupBy(col("event_type")).agg(count(lit(1)).as("n_expected"))
+      .join(hObs.groupBy(col("event_type")).agg(count(lit(1)).as("n_observed")),
+        Seq("event_type"))
+      .join(miss.groupBy(col("event_type")).agg(count(lit(1)).as("nm"),
+        min(col("h")).as("first_gap"), max(col("h")).as("last_gap")),
+        Seq("event_type"), "left")
+      .select(col("event_type"), col("n_expected"), col("n_observed"),
+        coalesce(col("nm"), lit(0L)).as("n_missing"),
+        col("first_gap"), col("last_gap"))
+      .orderBy(col("event_type"))
+  }
+
   /** Per-JVM nonce suffixing every /tmp path and session-catalog table the
     * queries create: two harness runs against the same fixture in parallel
     * must not clobber each other's scratch state. */
@@ -4558,24 +4581,18 @@ object SparkEntry {
     // slots — the freshness/gap audit that tells a scheduler which
     // partitions never landed. Spine is span-sized, never row-sized.
     "dq_completeness_gaps" -> ((s, d) => {
-      val hObs = events(s, d).select(col("event_type"),
-        date_trunc("hour", col("ts")).as("h")).distinct().localCheckpoint()
-      val b = hObs.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
-      val spine = hObs.select(col("event_type")).distinct()
-        .crossJoin(broadcast(b))
-        .select(col("event_type"),
-          explode(expr("sequence(mn, mx, interval 1 hour)")).as("h"))
-      val miss = spine.join(hObs, Seq("event_type", "h"), "left_anti")
-      spine.groupBy(col("event_type")).agg(count(lit(1)).as("n_expected"))
-        .join(hObs.groupBy(col("event_type")).agg(count(lit(1)).as("n_observed")),
-          Seq("event_type"))
-        .join(miss.groupBy(col("event_type")).agg(count(lit(1)).as("nm"),
-          min(col("h")).as("first_gap"), max(col("h")).as("last_gap")),
-          Seq("event_type"), "left")
-        .select(col("event_type"), col("n_expected"), col("n_observed"),
-          coalesce(col("nm"), lit(0L)).as("n_missing"),
-          col("first_gap"), col("last_gap"))
-        .orderBy(col("event_type"))
+      completenessFromSlots(events(s, d).select(col("event_type"),
+        date_trunc("hour", col("ts")).as("h")).distinct())
+    }),
+
+    // The completeness audit with a STREAMED observation side: (type, hour)
+    // slots come out of complete-mode aggregation state, the spine/gap
+    // finish is the SAME code path as the batch query — gated on the same
+    // oracle string (the state == batch law).
+    "streaming_completeness_gaps" -> ((s, d) => {
+      completenessFromSlots(
+        graft.streaming.StreamingOps.hourSlotsOnce(
+          s, s"$d/events.parquet", queryName = s"graft_gaps_$runNonce"))
     }),
 
     // Benford first-digit audit over order totals: digits come from the
@@ -4994,6 +5011,22 @@ object SparkEntry {
       |tot AS (SELECT sc.doc_id, sc.true_lang, sc.lang,
       |    sc.ll + ln(pri.nd * 1.0 / (SELECT n FROM prin)) AS score
       |  FROM sc JOIN pri ON pri.lang = sc.lang)""".stripMargin
+
+  /** Calendar-spine completeness — shared by dq_completeness_gaps and the
+    * streamed-observation twin. */
+  private val completenessOracleSql: String =
+    """WITH o AS (SELECT DISTINCT event_type, date_trunc('hour', ts) AS h FROM events),
+      |b AS (SELECT min(h) AS mn, max(h) AS mx FROM o),
+      |sp AS (SELECT event_type, unnest(generate_series((SELECT mn FROM b), (SELECT mx FROM b), INTERVAL 1 HOUR)) AS h
+      |       FROM (SELECT DISTINCT event_type FROM o)),
+      |ms AS (SELECT sp.event_type, sp.h FROM sp LEFT JOIN o ON o.event_type = sp.event_type AND o.h = sp.h WHERE o.h IS NULL),
+      |cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_expected FROM sp GROUP BY 1),
+      |obs AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_observed FROM o GROUP BY 1),
+      |mg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nm, min(h) AS first_gap, max(h) AS last_gap FROM ms GROUP BY 1)
+      |SELECT cnt.event_type, n_expected, n_observed,
+      |  CAST(coalesce(nm, 0) AS BIGINT) AS n_missing, first_gap, last_gap
+      |FROM cnt JOIN obs USING (event_type) LEFT JOIN mg USING (event_type)
+      |ORDER BY cnt.event_type""".stripMargin
 
   /** Min-cascade funnel — shared by events_funnel and the
     * transformWithState streaming twin. */
@@ -7972,19 +8005,10 @@ object SparkEntry {
         |  (SELECT CAST(count(*) AS BIGINT) FROM hb) AS n_hits_base,
         |  round((SELECT count(*) FROM hb) * 1.0 / (SELECT count(*) FROM cases), 4) AS hit_rate_base""".stripMargin,
 
-    "dq_completeness_gaps" ->
-      """WITH o AS (SELECT DISTINCT event_type, date_trunc('hour', ts) AS h FROM events),
-        |b AS (SELECT min(h) AS mn, max(h) AS mx FROM o),
-        |sp AS (SELECT event_type, unnest(generate_series((SELECT mn FROM b), (SELECT mx FROM b), INTERVAL 1 HOUR)) AS h
-        |       FROM (SELECT DISTINCT event_type FROM o)),
-        |ms AS (SELECT sp.event_type, sp.h FROM sp LEFT JOIN o ON o.event_type = sp.event_type AND o.h = sp.h WHERE o.h IS NULL),
-        |cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_expected FROM sp GROUP BY 1),
-        |obs AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_observed FROM o GROUP BY 1),
-        |mg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nm, min(h) AS first_gap, max(h) AS last_gap FROM ms GROUP BY 1)
-        |SELECT cnt.event_type, n_expected, n_observed,
-        |  CAST(coalesce(nm, 0) AS BIGINT) AS n_missing, first_gap, last_gap
-        |FROM cnt JOIN obs USING (event_type) LEFT JOIN mg USING (event_type)
-        |ORDER BY cnt.event_type""".stripMargin,
+    "dq_completeness_gaps" -> completenessOracleSql,
+
+    // Streamed observation side, same finish, same oracle string.
+    "streaming_completeness_gaps" -> completenessOracleSql,
 
     "dq_benford" ->
       """WITH c AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit

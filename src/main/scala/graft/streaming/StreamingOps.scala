@@ -437,6 +437,26 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Observed (event_type, hour) slots as complete-mode aggregation state
+    * — the streamed observation side of the data-arrival completeness
+    * audit. State is slot-keyed (types × span hours), not row-keyed. */
+  def hourSlotsOnce(spark: SparkSession, eventsPath: String,
+                    queryName: String = "graft_stream_gaps"): DataFrame = {
+    val agg = readEvents(spark, eventsPath)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    withStatePartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName).select(col("event_type"), col("h"))
+  }
+
   /** The PSI drift monitor's CURRENT side as streaming aggregation state:
     * bucket counts under the STATIC reference grid (lo/hi computed from the
     * reference batch before the stream starts — the production shape: the
