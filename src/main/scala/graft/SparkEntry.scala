@@ -4274,6 +4274,56 @@ object SparkEntry {
         .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
+    // Neyman-optimal stratified allocation: a 1000-doc budget split over
+    // language strata proportional to N_h * S_h (sqrt of the exact
+    // sufficient-stats variance), realized with the hash-Bernoulli draw at
+    // the per-stratum rate. Allocation floor boundaries measured >= 0.075
+    // from integers at every SF, far above cross-engine fold noise.
+    "sample_stratified_neyman" -> ((s, d) => {
+      val st = t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"),
+          sum(col("n_chars") * col("n_chars")).as("ssq"))
+        .withColumn("sd", sqrt((col("ssq").cast("double") -
+          col("s").cast("double") * col("s") / col("n")) / col("n")))
+        .withColumn("wh", col("n") * col("sd"))
+      val tot = st.agg(sum(col("wh")).as("tw"))
+      val alloc = st.crossJoin(broadcast(tot))
+        .withColumn("alloc", floor(lit(1000) * col("wh") / col("tw")).cast("long"))
+        .select(col("lang"), col("n"), round(col("sd"), 4).as("sd"), col("alloc"))
+      val thr = alloc.withColumn("thr",
+        floor(col("alloc") * lit(1.0) / col("n") * lit(4294967296.0)).cast("long"))
+      val drawn = t(s, d, "documents")
+        .join(broadcast(thr), Seq("lang"))
+        .where(conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("#ney"))), 1, 8), 16, 10).cast("long") < col("thr"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      alloc.join(drawn, Seq("lang"), "left")
+        .select(col("lang"), col("n"), col("sd"), col("alloc"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy(col("lang"))
+    }),
+
+    // Entropy rate of the user-behavior Markov chain: per-state transition
+    // entropy H_i = -Σ p ln p, weighted by empirical state occupancy —
+    // how predictable the next event is. Reuses the transition matrix.
+    "events_entropy_rate" -> ((s, d) => {
+      val tm = StatsOps.transitionMatrix(events(s, d), "user_id", "event_type",
+        "ts", "event_id")
+      // entropy over the ROUND-6 transition probabilities — the published
+      // matrix is the contract, so the entropy derives from it verbatim
+      val h = tm.groupBy(col("cur"))
+        .agg(sum(col("n")).as("n_from"),
+          (-sum(col("p") * log(col("p")))).as("h_raw"))
+      val g = h.agg(sum(col("n_from")).as("tot"))
+      h.crossJoin(broadcast(g))
+        .select(col("cur").as("from_type"), col("n_from"),
+          round(col("h_raw"), 4).as("entropy"),
+          round(col("h_raw") * (col("n_from") * lit(1.0) / col("tot")), 4)
+            .as("weighted_term"))
+        .orderBy(col("from_type"))
+    }),
+
     // Difference-in-differences with a built-in placebo: treatment =
     // even user_ids, cut = event-time midpoint; the placebo replays the
     // estimator inside the pre-period (cut at the pre-midpoint), so the
@@ -7809,6 +7859,38 @@ object SparkEntry {
         |FROM o JOIN st USING (o_orderpriority) CROSS JOIN g
         |WHERE o.o_orderkey % 37 = 0
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    "sample_stratified_neyman" ->
+      s"""WITH st AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS s,
+        |        CAST(sum(n_chars * n_chars) AS BIGINT) AS ssq
+        |      FROM documents GROUP BY 1),
+        |v AS (SELECT lang, n, sqrt((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n) AS sd FROM st),
+        |w AS (SELECT lang, n, sd, n * sd AS wh FROM v),
+        |tw AS (SELECT sum(wh) AS tw FROM w),
+        |al AS (SELECT lang, n, round(sd, 4) AS sd,
+        |       CAST(floor(1000 * wh / (SELECT tw FROM tw)) AS BIGINT) AS alloc FROM w),
+        |th AS (SELECT *, CAST(floor(alloc * 1.0 / n * 4294967296.0) AS BIGINT) AS thr FROM al),
+        |dr AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_sampled
+        |       FROM documents d JOIN th ON d.lang = th.lang
+        |       WHERE ${hexToBigintSql("md5(CAST(d.doc_id AS VARCHAR) || '#ney')", 1)} < th.thr
+        |       GROUP BY 1)
+        |SELECT al.lang, al.n, al.sd, al.alloc,
+        |  CAST(coalesce(dr.n_sampled, 0) AS BIGINT) AS n_sampled
+        |FROM al LEFT JOIN dr USING (lang) ORDER BY al.lang""".stripMargin,
+
+    // Entropy from the ROUND-6 published transition probabilities.
+    "events_entropy_rate" ->
+      """WITH p AS (SELECT event_type AS cur,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |c AS (SELECT cur, nxt, count(*) AS n FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT cur, CAST(sum(n) AS DOUBLE) AS tot FROM c GROUP BY 1),
+        |pr AS (SELECT c.cur, c.n, round(c.n / t.tot, 6) AS p FROM c JOIN t USING (cur)),
+        |h AS (SELECT cur, CAST(sum(n) AS BIGINT) AS n_from, -sum(p * ln(p)) AS h_raw FROM pr GROUP BY 1),
+        |g AS (SELECT CAST(sum(n_from) AS BIGINT) AS tot FROM h)
+        |SELECT cur AS from_type, n_from, round(h_raw, 4) AS entropy,
+        |  round(h_raw * (n_from * 1.0 / (SELECT tot FROM g)), 4) AS weighted_term
+        |FROM h ORDER BY from_type""".stripMargin,
 
     "events_did_estimate" ->
       """WITH e AS (SELECT user_id % 2 = 0 AS treat, CAST(floor(epoch(ts)) AS BIGINT) AS ep, value FROM events),
