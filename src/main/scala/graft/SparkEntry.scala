@@ -4274,6 +4274,53 @@ object SparkEntry {
         .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
+    // Pseudo-relevance feedback (RM1-style): BM25 round 1, pick the top-3
+    // expansion terms by feedback-TF x corpus-IDF from the top-10 docs
+    // (round-6 grid + term tiebreak makes the pick engine-stable, the
+    // 3-term collect is model-sized), rerun BM25 with the expanded query.
+    // in_base_topk marks which final hits round 1 alone would have found.
+    "bm25_prf_expansion" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val r1 = Bm25.topK(docs, "text", "doc_id", bm25QueryTerms, k = 10)
+        .localCheckpoint()
+      val fb = r1.select(col("doc_id"))
+      val toks = docs.where(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(TextFunctions.wsTokens(lower(col("text")))).as("term"))
+      val fbtf = toks.join(broadcast(fb), Seq("doc_id"))
+        .groupBy(col("term")).agg(count(lit(1)).as("tf_fb"))
+      val dfq = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val nd = docs.agg(count(lit(1)).as("nd"))
+      val expTerms = fbtf.join(dfq, Seq("term")).crossJoin(broadcast(nd))
+        .where(!col("term").isin(bm25QueryTerms: _*))
+        .withColumn("escore",
+          round(col("tf_fb") * log(col("nd").cast("double") / col("df")), 6))
+        .orderBy(col("escore").desc, col("term")).limit(3)
+        .select(col("term")).collect().map(_.getString(0)).toSeq
+      Bm25.topK(docs, "text", "doc_id", bm25QueryTerms ++ expTerms, k = 10)
+        .join(r1.select(col("doc_id"), lit(true).as("ib")), Seq("doc_id"), "left")
+        .select(col("rank"), col("doc_id"), col("score"),
+          coalesce(col("ib"), lit(false)).as("in_base_topk"))
+        .orderBy(col("rank"))
+    }),
+
+    // Lexical richness per source: type-token ratio and hapax share — the
+    // philological corpus-QA counterpart of zipf/oov. One (source, term)
+    // agg folded to source.
+    "vocab_hapax_stats" -> ((s, d) => {
+      t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("source"),
+          explode(TextFunctions.wsTokens(lower(col("text")))).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("n"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          round(col("n_types") * lit(1.0) / col("n_tokens"), 4).as("ttr"),
+          round(col("n_hapax") * lit(1.0) / col("n_types"), 4).as("hapax_ratio"))
+        .orderBy(col("source"))
+    }),
+
     // Neyman-optimal stratified allocation: a 1000-doc budget split over
     // language strata proportional to N_h * S_h (sqrt of the exact
     // sufficient-stats variance), realized with the hash-Bernoulli draw at
@@ -7859,6 +7906,39 @@ object SparkEntry {
         |FROM o JOIN st USING (o_orderpriority) CROSS JOIN g
         |WHERE o.o_orderkey % 37 = 0
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    // Round-1 chain (b_), expansion pick, round-2 chain (e_) whose term
+    // filter references the exp3 CTE.
+    "bm25_prf_expansion" ->
+      s"""WITH ${bm25OracleCtes("b_")},
+        |fb AS (SELECT doc_id FROM b_rank WHERE rank <= 10),
+        |tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS term
+        |       FROM documents WHERE text IS NOT NULL),
+        |fbtf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf_fb FROM tk JOIN fb USING (doc_id) GROUP BY 1),
+        |dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tk GROUP BY 1),
+        |ndoc AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |exp3 AS (SELECT term FROM (
+        |    SELECT f.term, round(f.tf_fb * ln(CAST((SELECT nd FROM ndoc) AS DOUBLE) / d.df), 6) AS escore
+        |    FROM fbtf f JOIN dfq d USING (term)
+        |    WHERE f.term NOT IN ('spark','join','window','stream'))
+        |  ORDER BY escore DESC, term LIMIT 3),
+        |${bm25OracleCtes("e_",
+          "(term IN ('spark','join','window','stream') OR term IN (SELECT term FROM exp3))")}
+        |SELECT r.rank, r.doc_id, r.score, fb.doc_id IS NOT NULL AS in_base_topk
+        |FROM e_rank r LEFT JOIN fb USING (doc_id)
+        |WHERE r.rank <= 10 ORDER BY r.rank""".stripMargin,
+
+    "vocab_hapax_stats" ->
+      """WITH tk AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
+        |       FROM documents WHERE text IS NOT NULL),
+        |tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1, 2),
+        |ag AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |       FROM tc GROUP BY 1)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |  round(n_types * 1.0 / n_tokens, 4) AS ttr,
+        |  round(n_hapax * 1.0 / n_types, 4) AS hapax_ratio
+        |FROM ag ORDER BY source""".stripMargin,
 
     "sample_stratified_neyman" ->
       s"""WITH st AS (SELECT lang, CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS s,
