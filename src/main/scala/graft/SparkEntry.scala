@@ -4274,6 +4274,53 @@ object SparkEntry {
         .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
+    // Modularity of the LPA communities — the quality metric that makes
+    // graph_community_lpa falsifiable as a CLUSTERING, not just as label
+    // arithmetic: Q-terms from exact intra-edge and degree rationals.
+    "graph_modularity" -> ((s, d) => {
+      val und = sourceFpOverlap(s, d)
+        .select(col("source_a").as("a"), col("source_b").as("b"))
+        .localCheckpoint()
+      val comm = Graph.labelPropagation(und, "a", "b", iters = 3)
+      val sym = und.select(col("a").as("node")).unionAll(und.select(col("b").as("node")))
+      val deg = sym.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val m = und.agg(count(lit(1)).as("m"))
+      val nc = comm.join(deg, Seq("node"))
+        .groupBy(col("community")).agg(count(lit(1)).as("n_nodes"),
+          sum(col("deg")).as("deg_sum"))
+      val intra = und
+        .join(comm.select(col("node").as("a"), col("community").as("ca")), Seq("a"))
+        .join(comm.select(col("node").as("b"), col("community").as("cb")), Seq("b"))
+        .where(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community")).agg(count(lit(1)).as("intra_edges"))
+      nc.join(intra, Seq("community"), "left").crossJoin(broadcast(m))
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("intra_edges"), lit(0L)).as("intra_edges"), col("deg_sum"),
+          round(coalesce(col("intra_edges"), lit(0L)).cast("double") / col("m") -
+            (col("deg_sum").cast("double") / (lit(2) * col("m"))) *
+            (col("deg_sum").cast("double") / (lit(2) * col("m"))), 6).as("q_term"))
+        .orderBy(col("community"))
+    }),
+
+    // Experiment planning from pilot data: per event type, the per-arm
+    // sample size a two-sided alpha=.05 / power=.80 test needs to detect a
+    // 5%-of-mean shift — 2(z_a+z_b)^2 sigma^2 / delta^2 from sufficient
+    // statistics; reported on the round-2 grid, no ceil boundary to flip.
+    "events_power_analysis" -> ((s, d) => {
+      val z = (1.96 + 0.84) * (1.96 + 0.84)
+      events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"),
+          sum(col("value") * col("value")).as("ssq"))
+        .withColumn("mean", col("s") / col("n"))
+        .withColumn("variance", (col("ssq") - col("s") * col("s") / col("n")) / col("n"))
+        .select(col("event_type"), col("n"),
+          round(col("mean"), 4).as("mean"),
+          round(col("variance"), 4).as("variance"),
+          round(lit(2) * lit(z) * col("variance") /
+            ((lit(0.05) * col("mean")) * (lit(0.05) * col("mean"))), 2).as("n_per_arm"))
+        .orderBy(col("event_type"))
+    }),
+
     // Pseudo-relevance feedback (RM1-style): BM25 round 1, pick the top-3
     // expansion terms by feedback-TF x corpus-IDF from the top-10 docs
     // (round-6 grid + term tiebreak makes the pick engine-stable, the
@@ -5108,6 +5155,26 @@ object SparkEntry {
       |tot AS (SELECT sc.doc_id, sc.true_lang, sc.lang,
       |    sc.ll + ln(pri.nd * 1.0 / (SELECT n FROM prin)) AS score
       |  FROM sc JOIN pri ON pri.lang = sc.lang)""".stripMargin
+
+  /** 3-round synchronous LPA over the source-fingerprint overlap graph —
+    * shared by graph_community_lpa and graph_modularity. Exposes CTEs
+    * `und` (canonical edges), `sym`, and `l3` (final labels). */
+  private val lpaOracleCtes: String =
+    """fp AS (SELECT DISTINCT source,
+      |  md5(coalesce(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)[1:8], ' '), '')) AS fp
+      |  FROM documents),
+      |und AS (SELECT a.source AS a, b.source AS b
+      |        FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2),
+      |sym AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+      |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),""".stripMargin +
+      (1 to 3).map { k =>
+        s"""
+           |c$k AS (SELECT s.dst AS node, l.lbl, count(*) AS c
+           |  FROM sym s JOIN l${k - 1} l ON s.src = l.node GROUP BY 1, 2),
+           |m$k AS (SELECT node, max(c) AS mc FROM c$k GROUP BY 1),
+           |l$k AS (SELECT c.node, min(c.lbl) AS lbl
+           |  FROM c$k c JOIN m$k m ON c.node = m.node AND c.c = m.mc GROUP BY 1)""".stripMargin
+      }.mkString(",")
 
   /** Calendar-spine completeness — shared by dq_completeness_gaps and the
     * streamed-observation twin. */
@@ -7551,22 +7618,26 @@ object SparkEntry {
     // 3 unrolled LPA rounds, each a (node,label)-count + max-count +
     // min-label CTE triple — the deterministic adoption rule.
     "graph_community_lpa" ->
-      ("""WITH fp AS (SELECT DISTINCT source,
-        |  md5(coalesce(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)[1:8], ' '), '')) AS fp
-        |  FROM documents),
-        |und AS (SELECT a.source AS a, b.source AS b
-        |        FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2),
-        |sym AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
-        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),""".stripMargin +
-        (1 to 3).map { k =>
-          s"""
-             |c$k AS (SELECT s.dst AS node, l.lbl, count(*) AS c
-             |  FROM sym s JOIN l${k - 1} l ON s.src = l.node GROUP BY 1, 2),
-             |m$k AS (SELECT node, max(c) AS mc FROM c$k GROUP BY 1),
-             |l$k AS (SELECT c.node, min(c.lbl) AS lbl
-             |  FROM c$k c JOIN m$k m ON c.node = m.node AND c.c = m.mc GROUP BY 1)""".stripMargin
-        }.mkString(",") + """
+      (s"""WITH $lpaOracleCtes
         |SELECT node AS source, lbl AS community FROM l3 ORDER BY source""".stripMargin),
+
+    // LPA chain + exact-rational modularity terms per community.
+    "graph_modularity" ->
+      (s"""WITH $lpaOracleCtes,
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+        |nc AS (SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+        |       CAST(sum(d.deg) AS BIGINT) AS deg_sum
+        |       FROM l3 l JOIN deg d ON l.node = d.node GROUP BY 1),
+        |intra AS (SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS intra_edges
+        |       FROM und e JOIN l3 la ON e.a = la.node JOIN l3 lb ON e.b = lb.node
+        |       WHERE la.lbl = lb.lbl GROUP BY 1)
+        |SELECT nc.community, nc.n_nodes, CAST(coalesce(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+        |  nc.deg_sum,
+        |  round(CAST(coalesce(i.intra_edges, 0) AS DOUBLE) / (SELECT m FROM m) -
+        |    (CAST(nc.deg_sum AS DOUBLE) / (2 * (SELECT m FROM m))) *
+        |    (CAST(nc.deg_sum AS DOUBLE) / (2 * (SELECT m FROM m))), 6) AS q_term
+        |FROM nc LEFT JOIN intra i USING (community) ORDER BY nc.community""".stripMargin),
 
     // Replays md5(source || ':cv') hex -> bigint (Horner strpos chain —
     // DuckDB 1.0 has no hex-to-int) mod 5.
@@ -7906,6 +7977,15 @@ object SparkEntry {
         |FROM o JOIN st USING (o_orderpriority) CROSS JOIN g
         |WHERE o.o_orderkey % 37 = 0
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    "events_power_analysis" ->
+      """WITH st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        sum(value) AS s, sum(value * value) AS ssq FROM events GROUP BY 1),
+        |v AS (SELECT event_type, n, s / n AS mean, (ssq - s * s / n) / n AS variance FROM st)
+        |SELECT event_type, n, round(mean, 4) AS mean, round(variance, 4) AS variance,
+        |  round(2 * ((1.96 + 0.84) * (1.96 + 0.84)) * variance /
+        |    ((0.05 * mean) * (0.05 * mean)), 2) AS n_per_arm
+        |FROM v ORDER BY event_type""".stripMargin,
 
     // Round-1 chain (b_), expansion pick, round-2 chain (e_) whose term
     // filter references the exp3 CTE.
