@@ -4274,6 +4274,46 @@ object SparkEntry {
         .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
+    // Retrieval evaluation of the BINARY tier (mirror of
+    // retrieval_eval_ndcg, which audits LSH): nDCG@10 / MRR / hit count of
+    // the Hamming-sweep+rerank ranking against exact ground truth, both
+    // chains fully replayed in the oracle — two approximate tiers now
+    // carry in-gate quality numbers.
+    "retrieval_eval_binary" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val gt = SimilaritySearch.bruteForceTopK(emb, qs, k = 10)
+        .select(col("q_id"), col("vec_id"), (lit(11) - col("rank")).cast("double").as("rel"))
+      val sys = BinaryQuant.hammingTopK(emb, qs, k = 10, candidates = 32)
+        .select(col("q_id"), col("vec_id"), col("rank").as("sys_rank"))
+      val idcg = (1 to 10).map(r => (11 - r) / (math.log(r + 1.0) / math.log(2.0))).sum
+      val per = gt.join(sys, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(
+          count(lit(1)).as("n_hits"),
+          round(sum(col("rel") / log2(col("sys_rank") + 1)) / lit(idcg), 4).as("ndcg10"),
+          round(lit(1.0) / min(col("sys_rank")), 4).as("mrr"))
+      qs.select(col("q_id")).join(per, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("ndcg10"), lit(0.0)).as("ndcg10"),
+          coalesce(col("mrr"), lit(0.0)).as("mrr"))
+        .orderBy(col("q_id"))
+    }),
+
+    // Sequence-integrity audit of the event_id key: duplicates, range
+    // coverage, and gap count from one aggregate — the id-column DQ check
+    // every CDC/ingest pipeline runs.
+    "dq_sequence_audit" -> ((s, d) => {
+      events(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("event_id")).as("n_distinct"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .select(col("n_rows"), col("n_distinct"), col("min_id"), col("max_id"),
+          (col("n_rows") - col("n_distinct")).as("n_dupes"),
+          (col("max_id") - col("min_id") + 1 - col("n_distinct")).as("n_gaps"))
+    }),
+
     // Modularity of the LPA communities — the quality metric that makes
     // graph_community_lpa falsifiable as a CLUSTERING, not just as label
     // arithmetic: Q-terms from exact intra-edge and degree rationals.
@@ -5020,8 +5060,11 @@ object SparkEntry {
     * (hamming, vec_id), then the exact-cosine re-rank of candidates only.
     * Shared by ann_binary_hamming AND the ann_ivf_binary_full_probe
     * contract (full probe must reproduce the pure binary path). */
-  private val binaryHammingOracleSql: String =
-    """WITH pos AS (SELECT unnest(generate_series(0, 63)) AS i),
+  /** The binary Hamming-sweep chain WITHOUT its final select (`rr` holds
+    * the re-ranked rows) — shared by ann_binary_hamming, the IVF×binary
+    * full-probe contract, and retrieval_eval_binary. */
+  private val binaryHammingCtes: String =
+    """pos AS (SELECT unnest(generate_series(0, 63)) AS i),
         |bits AS (SELECT e.vec_id, p.i,
         |  CASE WHEN e.embedding[p.i + 1] >= 0 THEN 1::BIGINT ELSE 0::BIGINT END AS b
         |  FROM embeddings e CROSS JOIN pos p),
@@ -5047,7 +5090,10 @@ object SparkEntry {
         |r AS (SELECT q_id, vec_id, hamming,
         |  round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM sc),
         |rr AS (SELECT q_id, vec_id, hamming, similarity,
-        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)""".stripMargin
+
+  private val binaryHammingOracleSql: String =
+    s"""WITH $binaryHammingCtes
         |SELECT q_id, vec_id, hamming, similarity, rank FROM rr WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin
 
@@ -7977,6 +8023,40 @@ object SparkEntry {
         |FROM o JOIN st USING (o_orderpriority) CROSS JOIN g
         |WHERE o.o_orderkey % 37 = 0
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    // Binary chain (rr) + exact ground truth + eval metrics.
+    "retrieval_eval_binary" ->
+      s"""WITH $binaryHammingCtes,
+         |sys AS (SELECT q_id, vec_id, rank AS sys_rank FROM rr WHERE rank <= 10),
+         |gz AS (SELECT q.q_id, e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+         |       FROM embeddings e, (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5) q
+         |       WHERE e.vec_id <> q.q_id),
+         |gs AS (SELECT q_id, vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
+         |              sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
+         |              sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
+         |       FROM gz GROUP BY q_id, vec_id),
+         |gr AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM gs),
+         |gt AS (SELECT q_id, vec_id, CAST(11 - grank AS DOUBLE) AS rel FROM
+         |       (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS grank FROM gr)
+         |       WHERE grank <= 10),
+         |idcg AS (SELECT sum((11 - r) / log2(r + 1)) AS v FROM (SELECT unnest(generate_series(1, 10)) AS r)),
+         |hits AS (SELECT g.q_id, g.rel, s.sys_rank FROM gt g JOIN sys s ON g.q_id = s.q_id AND g.vec_id = s.vec_id),
+         |per AS (SELECT q_id, count(*) AS n_hits,
+         |        round(sum(rel / log2(sys_rank + 1)) / (SELECT v FROM idcg), 4) AS ndcg10,
+         |        round(1.0 / min(sys_rank), 4) AS mrr
+         |        FROM hits GROUP BY q_id)
+         |SELECT q.q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |  coalesce(ndcg10, 0.0) AS ndcg10, coalesce(mrr, 0.0) AS mrr
+         |FROM (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 5) q
+         |LEFT JOIN per USING (q_id) ORDER BY q.q_id""".stripMargin,
+
+    "dq_sequence_audit" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_dupes,
+        |  CAST(max(event_id) - min(event_id) + 1 - count(DISTINCT event_id) AS BIGINT) AS n_gaps
+        |FROM events""".stripMargin,
 
     "events_power_analysis" ->
       """WITH st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
