@@ -4274,6 +4274,17 @@ object SparkEntry {
         .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
+    // TRAINED logistic regression (vs quality_classifier's fixed synthetic
+    // weights): 3 full-batch GD steps on the hashed sparse features with
+    // lang=='en' labels — the whole training RUN is the gate output (the
+    // 64 round-6 weights), replayed step by step in the oracle. The
+    // portable-Lloyd law applied to gradient descent.
+    "classifier_logreg_train" -> ((s, d) => {
+      QualityClassifier.trainLogReg(t(s, d, "documents"), "text", "doc_id",
+          label = col("lang") === "en", steps = 3)
+        .orderBy(col("bucket"))
+    }),
+
     // Retrieval evaluation of the BINARY tier (mirror of
     // retrieval_eval_ndcg, which audits LSH): nDCG@10 / MRR / hit count of
     // the Hamming-sweep+rerank ranking against exact ground truth, both
@@ -8023,6 +8034,36 @@ object SparkEntry {
         |FROM o JOIN st USING (o_orderpriority) CROSS JOIN g
         |WHERE o.o_orderkey % 37 = 0
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    // 3 unrolled GD steps over the hashed-component chain; driver update
+    // arithmetic (w - (1.0*g)/n, round 6 HALF_UP) mirrored verbatim.
+    "classifier_logreg_train" -> {
+      val head =
+        """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> len(t) > 0)) AS tok FROM documents),
+          |h AS (SELECT doc_id, md5(tok || '#42') AS hx FROM toks),
+          |wgt AS (SELECT doc_id,
+          |        CAST(((strpos('0123456789abcdef', substr(hx,1,1)) - 1) * 16 +
+          |              (strpos('0123456789abcdef', substr(hx,2,1)) - 1)) % 64 AS INT) AS bucket,
+          |        CASE WHEN (strpos('0123456789abcdef', substr(hx,3,1)) - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign
+          |      FROM h),
+          |agg AS (SELECT doc_id, bucket, sum(sign) AS w FROM wgt GROUP BY doc_id, bucket HAVING sum(sign) <> 0),
+          |nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS norm FROM agg GROUP BY doc_id),
+          |comp AS (SELECT a.doc_id AS id, a.bucket, round(a.w / nrm.norm, 4) AS component
+          |         FROM agg a JOIN nrm USING (doc_id)),
+          |lbl AS (SELECT doc_id AS id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents),
+          |nn AS (SELECT CAST(count(DISTINCT id) AS DOUBLE) AS n FROM comp),
+          |w0 AS (SELECT CAST(unnest(generate_series(0, 63)) AS INT) AS bucket, 0.0 AS w)""".stripMargin
+      val stepsSql = (1 to 3).map { k =>
+        s""",
+           |m$k AS (SELECT c.id, round(sum(c.component * w.w), 6) AS m
+           |        FROM comp c JOIN w${k - 1} w USING (bucket) GROUP BY c.id),
+           |g$k AS (SELECT c.bucket, sum(round(1.0 / (1.0 + exp(-m.m)) - l.y, 6) * c.component) AS g
+           |        FROM comp c JOIN m$k m USING (id) JOIN lbl l USING (id) GROUP BY 1),
+           |w$k AS (SELECT w.bucket, round(w.w - round(1.0 * coalesce(g.g, 0.0) / (SELECT n FROM nn), 8), 6) AS w
+           |        FROM w${k - 1} w LEFT JOIN g$k g USING (bucket))""".stripMargin
+      }.mkString
+      s"$head$stepsSql\nSELECT bucket, w FROM w3 ORDER BY bucket"
+    },
 
     // Binary chain (rr) + exact ground truth + eval metrics.
     "retrieval_eval_binary" ->

@@ -38,6 +38,60 @@ object QualityClassifier {
           .cast("double") / 4294967296.0 - 0.5, 6).as("w"))
   }
 
+  /** FULL-BATCH gradient-descent training of the logistic classifier —
+    * the training half [[score]]'s contract deliberately omits, expressed
+    * the portable-Lloyd way: per-step state (the `dim` weights) is
+    * collected (model-sized — the KMeans/BPE cadence), updated in driver
+    * arithmetic with round-6 HALF_UP re-quantization, and re-broadcast;
+    * each step is ONE feature join + one doc-keyed margin aggregate + one
+    * bucket-keyed gradient aggregate. The round-6 state quantization (and
+    * the round-6 margin, mirroring [[score]]) is what makes the whole
+    * training run oracle-replayable as unrolled CTE steps.
+    *
+    * Returns the trained (bucket, w) model table, directly usable as
+    * [[score]]'s `weights` argument.
+    */
+  def trainLogReg(df: DataFrame, textCol: String, idCol: String,
+                  label: Column, dim: Int = 64,
+                  seed: Int = Embedder.DefaultSeed, steps: Int = 3,
+                  eta: Double = 1.0): DataFrame = {
+    require(steps >= 1 && dim >= 1)
+    val spark = df.sparkSession
+    val comps = Embedder.hashedComponents(df, textCol, idCol, dim, seed)
+      .localCheckpoint()
+    val labels = df.select(col(idCol).as("id"),
+      when(label, 1.0).otherwise(0.0).as("y"))
+    val n = comps.select(col("id")).distinct().count().toDouble
+    var w = Array.fill(dim)(0.0)
+    // Grid discipline (why two quantization stages): per-row residuals
+    // round to 6 (absorbs cross-engine exp() ulps), the per-bucket
+    // gradient step rounds to 8 AFTER the division (absorbs sum-order
+    // noise ~1e-15 nine orders under the 5e-9 half-grid), and only THEN
+    // does the round-6 weight update run — on bit-identical inputs, so
+    // the final rounding can never be decided by fold order.
+    def rnd(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (_ <- 1 to steps) {
+      import spark.implicits._
+      val wDf = w.zipWithIndex.map { case (v, b) => (b, v) }.toSeq.toDF("bucket", "w")
+      val margins = comps.join(broadcast(wDf), "bucket")
+        .groupBy(col("id"))
+        .agg(round(sum(col("component") * col("w")), 6).as("m"))
+      val grad = margins.join(labels, "id")
+        .withColumn("pmy",
+          round(lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y"), 6))
+        .join(comps, "id")
+        .groupBy(col("bucket"))
+        .agg(sum(col("pmy") * col("component")).as("g"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      w = w.zipWithIndex.map { case (v, b) =>
+        rnd(v - rnd(eta * grad.getOrElse(b, 0.0) / n, 8), 6)
+      }
+    }
+    import spark.implicits._
+    w.zipWithIndex.map { case (v, b) => (b, v) }.toSeq.toDF("bucket", "w")
+  }
+
   /** Per-document logistic score: (idCol, margin, quality_prob, keep).
     * `keep` thresholds the ROUNDED probability at 0.5 so the verdict is
     * engine-stable. */
