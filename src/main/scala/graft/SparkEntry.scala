@@ -4285,6 +4285,29 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // The trained model scored back over the corpus: per-class mean
+    // predicted probability and log-loss vs the lang=='en' label — the
+    // eval surface that exposes the training EFFECT (class separation and
+    // loss below the ln(2) zero-model baseline) on the round-4 grid, where
+    // 3 full-batch steps are too few for the hashed features to flip the
+    // majority-class argmax.
+    "classifier_logreg_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val w = QualityClassifier.trainLogReg(docs, "text", "doc_id",
+        label = col("lang") === "en", steps = 3)
+      val p = col("quality_prob")
+      val y = col("is_en").cast("double")
+      QualityClassifier.score(docs, "text", "doc_id", weights = Some(w))
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          Seq("doc_id"))
+        .groupBy(col("is_en"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(p), 4).as("mean_p"),
+          round(avg(-y * log(p) - (lit(1.0) - y) * log(lit(1.0) - p)), 4)
+            .as("logloss"))
+        .orderBy(col("is_en"))
+    }),
+
     // Retrieval evaluation of the BINARY tier (mirror of
     // retrieval_eval_ndcg, which audits LSH): nDCG@10 / MRR / hit count of
     // the Hamming-sweep+rerank ranking against exact ground truth, both
@@ -5071,6 +5094,38 @@ object SparkEntry {
     * (hamming, vec_id), then the exact-cosine re-rank of candidates only.
     * Shared by ann_binary_hamming AND the ann_ivf_binary_full_probe
     * contract (full probe must reproduce the pure binary path). */
+  /** The full 3-step logistic-GD training replay (hashed-component chain,
+    * lang=='en' labels, grid-disciplined updates) ending in CTE `w3` (the
+    * trained weights), with `comp` and `lbl` also exposed — shared by
+    * classifier_logreg_train and classifier_logreg_eval. */
+  private val logregOracleCtes: String = {
+    val head =
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> len(t) > 0)) AS tok FROM documents),
+        |h AS (SELECT doc_id, md5(tok || '#42') AS hx FROM toks),
+        |wgt AS (SELECT doc_id,
+        |        CAST(((strpos('0123456789abcdef', substr(hx,1,1)) - 1) * 16 +
+        |              (strpos('0123456789abcdef', substr(hx,2,1)) - 1)) % 64 AS INT) AS bucket,
+        |        CASE WHEN (strpos('0123456789abcdef', substr(hx,3,1)) - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign
+        |      FROM h),
+        |agg AS (SELECT doc_id, bucket, sum(sign) AS w FROM wgt GROUP BY doc_id, bucket HAVING sum(sign) <> 0),
+        |nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS norm FROM agg GROUP BY doc_id),
+        |comp AS (SELECT a.doc_id AS id, a.bucket, round(a.w / nrm.norm, 4) AS component
+        |         FROM agg a JOIN nrm USING (doc_id)),
+        |lbl AS (SELECT doc_id AS id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents),
+        |nn AS (SELECT CAST(count(DISTINCT id) AS DOUBLE) AS n FROM comp),
+        |w0 AS (SELECT CAST(unnest(generate_series(0, 63)) AS INT) AS bucket, 0.0 AS w)""".stripMargin
+    val stepsSql = (1 to 3).map { k =>
+      s""",
+         |m$k AS (SELECT c.id, round(sum(c.component * w.w), 6) AS m
+         |        FROM comp c JOIN w${k - 1} w USING (bucket) GROUP BY c.id),
+         |g$k AS (SELECT c.bucket, sum(round(1.0 / (1.0 + exp(-m.m)) - l.y, 6) * c.component) AS g
+         |        FROM comp c JOIN m$k m USING (id) JOIN lbl l USING (id) GROUP BY 1),
+         |w$k AS (SELECT w.bucket, round(w.w - round(1.0 * coalesce(g.g, 0.0) / (SELECT n FROM nn), 8), 6) AS w
+         |        FROM w${k - 1} w LEFT JOIN g$k g USING (bucket))""".stripMargin
+    }.mkString
+    head + stepsSql
+  }
+
   /** The binary Hamming-sweep chain WITHOUT its final select (`rr` holds
     * the re-ranked rows) — shared by ann_binary_hamming, the IVF×binary
     * full-probe contract, and retrieval_eval_binary. */
@@ -8036,34 +8091,24 @@ object SparkEntry {
         |ORDER BY o.o_orderkey""".stripMargin,
 
     // 3 unrolled GD steps over the hashed-component chain; driver update
-    // arithmetic (w - (1.0*g)/n, round 6 HALF_UP) mirrored verbatim.
-    "classifier_logreg_train" -> {
-      val head =
-        """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> len(t) > 0)) AS tok FROM documents),
-          |h AS (SELECT doc_id, md5(tok || '#42') AS hx FROM toks),
-          |wgt AS (SELECT doc_id,
-          |        CAST(((strpos('0123456789abcdef', substr(hx,1,1)) - 1) * 16 +
-          |              (strpos('0123456789abcdef', substr(hx,2,1)) - 1)) % 64 AS INT) AS bucket,
-          |        CASE WHEN (strpos('0123456789abcdef', substr(hx,3,1)) - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign
-          |      FROM h),
-          |agg AS (SELECT doc_id, bucket, sum(sign) AS w FROM wgt GROUP BY doc_id, bucket HAVING sum(sign) <> 0),
-          |nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS norm FROM agg GROUP BY doc_id),
-          |comp AS (SELECT a.doc_id AS id, a.bucket, round(a.w / nrm.norm, 4) AS component
-          |         FROM agg a JOIN nrm USING (doc_id)),
-          |lbl AS (SELECT doc_id AS id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents),
-          |nn AS (SELECT CAST(count(DISTINCT id) AS DOUBLE) AS n FROM comp),
-          |w0 AS (SELECT CAST(unnest(generate_series(0, 63)) AS INT) AS bucket, 0.0 AS w)""".stripMargin
-      val stepsSql = (1 to 3).map { k =>
-        s""",
-           |m$k AS (SELECT c.id, round(sum(c.component * w.w), 6) AS m
-           |        FROM comp c JOIN w${k - 1} w USING (bucket) GROUP BY c.id),
-           |g$k AS (SELECT c.bucket, sum(round(1.0 / (1.0 + exp(-m.m)) - l.y, 6) * c.component) AS g
-           |        FROM comp c JOIN m$k m USING (id) JOIN lbl l USING (id) GROUP BY 1),
-           |w$k AS (SELECT w.bucket, round(w.w - round(1.0 * coalesce(g.g, 0.0) / (SELECT n FROM nn), 8), 6) AS w
-           |        FROM w${k - 1} w LEFT JOIN g$k g USING (bucket))""".stripMargin
-      }.mkString
-      s"$head$stepsSql\nSELECT bucket, w FROM w3 ORDER BY bucket"
-    },
+    // arithmetic (w - round8((1.0*g)/n), round 6 HALF_UP) mirrored
+    // verbatim.
+    "classifier_logreg_train" ->
+      s"$logregOracleCtes\nSELECT bucket, w FROM w3 ORDER BY bucket",
+
+    // Same chain, then score with the trained w3 and fold to per-class
+    // mean probability + log-loss.
+    "classifier_logreg_eval" ->
+      s"""$logregOracleCtes,
+         |sm AS (SELECT c.id, round(sum(c.component * w.w), 6) AS m
+         |       FROM comp c JOIN w3 w USING (bucket) GROUP BY c.id),
+         |pv AS (SELECT id, round(1.0 / (1.0 + exp(-m)), 4) AS p FROM sm),
+         |j AS (SELECT l.y = 1.0 AS is_en, l.y AS y, pv.p
+         |      FROM pv JOIN lbl l USING (id))
+         |SELECT is_en, CAST(count(*) AS BIGINT) AS n,
+         |  round(avg(p), 4) AS mean_p,
+         |  round(avg(-y * ln(p) - (1.0 - y) * ln(1.0 - p)), 4) AS logloss
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Binary chain (rr) + exact ground truth + eval metrics.
     "retrieval_eval_binary" ->
