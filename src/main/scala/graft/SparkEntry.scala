@@ -4274,6 +4274,37 @@ object SparkEntry {
         .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
+    // Clustering-quality audit for the portable k-means (the modularity
+    // sibling): per cluster, mean distance to the own centroid vs to the
+    // NEAREST other centroid — the separation ratio that makes
+    // embedding_kmeans falsifiable as a clustering. Centroids are the
+    // model-sized collect; distances are row-local folds.
+    "dedup_cluster_quality" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = KMeans.centroidsDF(emb, "embedding", "vec_id", k = 8, iters = 2)
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      val distsU = udf { (v: Seq[Double], cl: Int) =>
+        def dist(c: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < c.length && i < v.length) { val dd = v(i) - c(i); s += dd * dd; i += 1 }
+          math.sqrt(s)
+        }
+        Array(cents.find(_._1 == cl).map(c => dist(c._2)).getOrElse(0.0),
+          cents.filter(_._1 != cl).map(c => dist(c._2)).min)
+      }
+      emb.select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .withColumn("cluster", KMeans.assignUdf(cents)(col("v")))
+        .withColumn("ds", distsU(col("v"), col("cluster")))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(element_at(col("ds"), 1)), 4).as("mean_own"),
+          round(avg(element_at(col("ds"), 2)), 4).as("mean_nearest_other"),
+          round(avg(element_at(col("ds"), 2)) / avg(element_at(col("ds"), 1)), 4)
+            .as("separation"))
+        .orderBy(col("cluster"))
+    }),
+
     // TRAINED logistic regression (vs quality_classifier's fixed synthetic
     // weights): 3 full-batch GD steps on the hashed sparse features with
     // lang=='en' labels — the whole training RUN is the gate output (the
@@ -8089,6 +8120,22 @@ object SparkEntry {
         |FROM o JOIN st USING (o_orderpriority) CROSS JOIN g
         |WHERE o.o_orderkey % 37 = 0
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    // Lloyd replay (a3 assignment + c2 centroids) -> full distance matrix
+    // -> per-cluster own/nearest-other means.
+    "dedup_cluster_quality" ->
+      s"""WITH $kmeansCtePrefix,
+         |dd AS (SELECT a.vec_id, a.cluster, c.cid,
+         |  sqrt(list_reduce(list_transform(generate_series(1, len(a.v)), i -> (a.v[i] - c.cent[i]) * (a.v[i] - c.cent[i])), (x, y) -> x + y)) AS dist
+         |  FROM a3 a CROSS JOIN c2 c),
+         |pv AS (SELECT vec_id, cluster,
+         |   min(CASE WHEN cid = cluster THEN dist END) AS own,
+         |   min(CASE WHEN cid <> cluster THEN dist END) AS oth
+         |   FROM dd GROUP BY 1, 2)
+         |SELECT CAST(cluster AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+         |  round(avg(own), 4) AS mean_own, round(avg(oth), 4) AS mean_nearest_other,
+         |  round(avg(oth) / avg(own), 4) AS separation
+         |FROM pv GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     // 3 unrolled GD steps over the hashed-component chain; driver update
     // arithmetic (w - round8((1.0*g)/n), round 6 HALF_UP) mirrored
