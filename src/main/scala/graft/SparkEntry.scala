@@ -4274,6 +4274,33 @@ object SparkEntry {
         .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
+    // Conversion latency through the funnel: percentiles of view->click
+    // and click->purchase gaps over the min-cascade times — integer epoch
+    // diffs under the established percentile-interpolation parity.
+    "events_funnel_latency" -> ((s, d) => {
+      val ev = events(s, d)
+      val tView = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val tClick = ev.where(col("event_type") === "click")
+        .join(tView, "user_id").where(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val tBuy = ev.where(col("event_type") === "purchase")
+        .join(tClick, "user_id").where(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_buy"))
+      val j = tView.join(tClick, Seq("user_id"), "left")
+        .join(tBuy, Seq("user_id"), "left")
+        .select(
+          (unix_timestamp(col("t_click")) - unix_timestamp(col("t_view")))
+            .as("g1"),
+          (unix_timestamp(col("t_buy")) - unix_timestamp(col("t_click")))
+            .as("g2"))
+      j.agg(count(col("g1")).as("n_clicked"), count(col("g2")).as("n_bought"),
+          round(expr("percentile(g1, 0.5)") / 60.0, 4).as("p50_view_click_min"),
+          round(expr("percentile(g1, 0.9)") / 60.0, 4).as("p90_view_click_min"),
+          round(expr("percentile(g2, 0.5)") / 60.0, 4).as("p50_click_buy_min"),
+          round(expr("percentile(g2, 0.9)") / 60.0, 4).as("p90_click_buy_min"))
+    }),
+
     // Clustering-quality audit for the portable k-means (the modularity
     // sibling): per cluster, mean distance to the own centroid vs to the
     // NEAREST other centroid — the separation ratio that makes
@@ -8120,6 +8147,28 @@ object SparkEntry {
         |FROM o JOIN st USING (o_orderpriority) CROSS JOIN g
         |WHERE o.o_orderkey % 37 = 0
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    // Funnel times + quantile_cont (matches Spark's percentile
+    // interpolation — the theilsen/percentile parity).
+    "events_funnel_latency" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_buy FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id),
+        |j AS (SELECT CAST(floor(epoch(c.t_click)) AS BIGINT) - CAST(floor(epoch(v.t_view)) AS BIGINT) AS g1,
+        |             CAST(floor(epoch(p.t_buy)) AS BIGINT) - CAST(floor(epoch(c.t_click)) AS BIGINT) AS g2
+        |      FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |             LEFT JOIN p ON v.user_id = p.user_id)
+        |SELECT CAST(count(g1) AS BIGINT) AS n_clicked, CAST(count(g2) AS BIGINT) AS n_bought,
+        |  round(quantile_cont(g1, 0.5) / 60.0, 4) AS p50_view_click_min,
+        |  round(quantile_cont(g1, 0.9) / 60.0, 4) AS p90_view_click_min,
+        |  round(quantile_cont(g2, 0.5) / 60.0, 4) AS p50_click_buy_min,
+        |  round(quantile_cont(g2, 0.9) / 60.0, 4) AS p90_click_buy_min
+        |FROM j""".stripMargin,
 
     // Lloyd replay (a3 assignment + c2 centroids) -> full distance matrix
     // -> per-cluster own/nearest-other means.
