@@ -4274,6 +4274,59 @@ object SparkEntry {
         .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
+    // Out-of-distribution scoring with a diagonal Mahalanobis model: the
+    // per-dim (mu, var) table is ROUND-6 quantized before scoring, so the
+    // row-local fold sees bit-identical model values on both engines (the
+    // logreg grid lesson). Complements embedding_outliers' centroid-cosine
+    // view with per-dimension scale sensitivity. Top-20 by score.
+    "embedding_ood_mahalanobis" -> ((s, d) => {
+      val dims = t(s, d, "embeddings").select(col("vec_id"),
+        posexplode(transform(col("embedding"), _.cast("double"))).as(Seq("pos", "x")))
+      val model = dims.groupBy(col("pos"))
+        .agg(sum(col("x")).as("s"), sum(col("x") * col("x")).as("ssq"),
+          count(lit(1)).as("n"))
+        .select(col("pos"), round(col("s") / col("n"), 6).as("mu"),
+          round((col("ssq") - col("s") * col("s") / col("n")) / col("n"), 6).as("v"))
+      dims.join(broadcast(model), Seq("pos"))
+        .groupBy(col("vec_id"))
+        .agg(round(sum((col("x") - col("mu")) * (col("x") - col("mu")) / col("v")), 4)
+          .as("score"))
+        .withColumn("flag", col("score") > 128.0)
+        .orderBy(col("score").desc, col("vec_id")).limit(20)
+        .orderBy(col("vec_id"))
+    }),
+
+    // Degree assortativity of the co-purchase graph: Pearson r of endpoint
+    // degrees over the symmetric edge list — hub-to-hub vs hub-to-leaf
+    // wiring, from exact integer sums (one division at the end).
+    "graph_assortativity" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val e = li.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
+        .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("pb")), Seq("k"))
+        .where(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2)
+      val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+        .localCheckpoint()
+      val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val pairs = sym
+        .join(deg.select(col("node").as("src"), col("deg").as("dx")), Seq("src"))
+        .join(deg.select(col("node").as("dst"), col("deg").as("dy")), Seq("dst"))
+      pairs.agg(count(lit(1)).as("n"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+        .select(col("n").as("n_edges_sym"),
+          // each variance factor fits a long exactly; the cross product
+          // does NOT — multiply in double after exact casts
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+            .as("assortativity"))
+    }),
+
     // Conversion latency through the funnel: percentiles of view->click
     // and click->purchase gaps over the min-cascade times — integer epoch
     // diffs under the established percentile-interpolation parity.
@@ -8147,6 +8200,37 @@ object SparkEntry {
         |FROM o JOIN st USING (o_orderpriority) CROSS JOIN g
         |WHERE o.o_orderkey % 37 = 0
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    "embedding_ood_mahalanobis" ->
+      """WITH dims AS (SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+        |model AS (SELECT pos, round(sum(x) / count(*), 6) AS mu,
+        |          round((sum(x * x) - sum(x) * sum(x) / count(*)) / count(*), 6) AS v
+        |          FROM dims GROUP BY pos),
+        |sc AS (SELECT d.vec_id, round(sum((d.x - m.mu) * (d.x - m.mu) / m.v), 4) AS score
+        |       FROM dims d JOIN model m USING (pos) GROUP BY d.vec_id),
+        |top AS (SELECT vec_id, score, score > 128.0 AS flag FROM sc
+        |        ORDER BY score DESC, vec_id LIMIT 20)
+        |SELECT * FROM top ORDER BY vec_id""".stripMargin,
+
+    "graph_assortativity" ->
+      """WITH e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT pa AS src, pb AS dst FROM e UNION ALL SELECT pb, pa FROM e),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+        |pr AS (SELECT dx.deg AS dx, dy.deg AS dy FROM sym s
+        |       JOIN deg dx ON s.src = dx.node JOIN deg dy ON s.dst = dy.node),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+        |       CAST(sum(dx * dy) AS BIGINT) AS sxy,
+        |       CAST(sum(dx * dx) AS BIGINT) AS sxx,
+        |       CAST(sum(dy * dy) AS BIGINT) AS syy FROM pr)
+        |SELECT n AS n_edges_sym,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+        |    AS assortativity
+        |FROM ag""".stripMargin,
 
     // Funnel times + quantile_cont (matches Spark's percentile
     // interpolation — the theilsen/percentile parity).
