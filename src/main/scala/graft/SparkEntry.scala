@@ -4274,6 +4274,38 @@ object SparkEntry {
         .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
+    // D²-importance coreset sampling (the k-means++ seeding distribution
+    // as a data-distillation sampler): weight each vector by its squared
+    // distance to the nearest of the 8 md5-ordered seeds, draw with the
+    // hash-Bernoulli at the round-6 capped rate — far-from-seed vectors
+    // oversample, the coreset property. All grid-disciplined: d2 round 8
+    // (the Lloyd grid), total round 4, rate round 6.
+    "sample_coreset_d2" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val seeds = KMeans.centroidsDF(emb, "embedding", "vec_id", k = 8, iters = 0)
+      val v = emb.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      val dmin = v.crossJoin(broadcast(seeds))
+        .withColumn("dd", round(aggregate(
+          zip_with(col("v"), col("__cent"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), _ + _), 8))
+        .groupBy(col("vec_id")).agg(min(col("dd")).as("d2"))
+        .localCheckpoint()
+      val tot = dmin.agg(round(sum(col("d2")), 4).as("tot"))
+      val drawn = dmin.crossJoin(broadcast(tot))
+        .withColumn("p", round(least(lit(1.0),
+          lit(100) * col("d2") / col("tot")), 6))
+        .withColumn("thr", floor(col("p") * lit(4294967296.0)).cast("long"))
+        .withColumn("sampled",
+          conv(substring(md5(concat(col("vec_id").cast("string"), lit("#cs"))),
+            1, 8), 16, 10).cast("long") < col("thr"))
+      drawn.agg(count(lit(1)).as("n_total"),
+          round(first(col("tot")), 4).as("sum_d2"),
+          sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+          round(avg(col("d2")), 4).as("mean_d2_all"),
+          round(avg(when(col("sampled"), col("d2"))), 4).as("mean_d2_sampled"))
+    }),
+
     // Out-of-distribution scoring with a diagonal Mahalanobis model: the
     // per-dim (mu, var) table is ROUND-6 quantized before scoring, so the
     // row-local fold sees bit-identical model values on both engines (the
@@ -8200,6 +8232,25 @@ object SparkEntry {
         |FROM o JOIN st USING (o_orderpriority) CROSS JOIN g
         |WHERE o.o_orderkey % 37 = 0
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    // Seeds = the Lloyd replay's c0; same fold, grid, and draw arithmetic.
+    "sample_coreset_d2" ->
+      s"""WITH $kmeansCtePrefix,
+        |dm AS (SELECT t.vec_id, min(round(list_reduce(list_transform(generate_series(1, len(t.v)), i -> (t.v[i] - c.cent[i]) * (t.v[i] - c.cent[i])), (x, y) -> x + y), 8)) AS d2
+        |       FROM v t CROSS JOIN c0 c GROUP BY t.vec_id),
+        |tt AS (SELECT round(sum(d2), 4) AS tot FROM dm),
+        |dr AS (SELECT vec_id, d2,
+        |       CAST(floor(round(least(1.0, 100 * d2 / (SELECT tot FROM tt)), 6) * 4294967296.0) AS BIGINT) AS thr
+        |       FROM dm),
+        |sm AS (SELECT vec_id, d2,
+        |       ${hexToBigintSql("md5(CAST(vec_id AS VARCHAR) || '#cs')", 1)} < thr AS sampled
+        |       FROM dr)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  (SELECT tot FROM tt) AS sum_d2,
+        |  CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  round(avg(d2), 4) AS mean_d2_all,
+        |  round(avg(CASE WHEN sampled THEN d2 END), 4) AS mean_d2_sampled
+        |FROM sm""".stripMargin,
 
     "embedding_ood_mahalanobis" ->
       """WITH dims AS (SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
