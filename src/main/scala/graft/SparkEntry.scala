@@ -4274,6 +4274,33 @@ object SparkEntry {
         .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
+    // Alert fusion: the volume z-monitor and the EWMA trend monitor voted
+    // per (type, day) — consensus alerts (both fire) are the page-worthy
+    // ones, singles are advisories. One day-count frame feeds both; only
+    // flagged days emit.
+    "events_anomaly_consensus" -> ((s, d) => {
+      val day = events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n")).localCheckpoint()
+      val st = day.groupBy(col("event_type"))
+        .agg(avg(col("n")).as("mu"), count(lit(1)).as("nd"))
+      val sd = day.join(broadcast(st), "event_type")
+        .groupBy(col("event_type"))
+        .agg(first(col("mu")).as("mu"),
+          sqrt(sum((col("n") - col("mu")) * (col("n") - col("mu"))) /
+            first(col("nd"))).as("sd"))
+      val z = day.join(broadcast(sd), "event_type")
+        .withColumn("z_flag", abs((col("n") - col("mu")) / col("sd")) > 2.0)
+      val ew = StatsOps.ewmaFromDayCounts(day, "event_type")
+        .select(col("event_type"), col("day"), col("off_trend"))
+      z.join(ew, Seq("event_type", "day"))
+        .where(col("z_flag") || col("off_trend"))
+        .select(col("event_type"), col("day"), col("n"), col("z_flag"),
+          col("off_trend").as("ewma_flag"),
+          (col("z_flag") && col("off_trend")).as("consensus"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // D²-importance coreset sampling (the k-means++ seeding distribution
     // as a data-distillation sampler): weight each vector by its squared
     // distance to the nearest of the 8 md5-ordered seeds, draw with the
@@ -8232,6 +8259,42 @@ object SparkEntry {
         |FROM o JOIN st USING (o_orderpriority) CROSS JOIN g
         |WHERE o.o_orderkey % 37 = 0
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    // Both monitor chains (volume z, EWMA) replayed over one day-count
+    // CTE, joined, flagged days only.
+    "events_anomaly_consensus" ->
+      """WITH day AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, avg(n) AS mu, CAST(count(*) AS DOUBLE) AS nd FROM day GROUP BY 1),
+        |v AS (SELECT day.event_type, any_value(mu) AS mu,
+        |      sqrt(sum((n - mu) * (n - mu)) / any_value(nd)) AS sd
+        |      FROM day JOIN s USING (event_type) GROUP BY day.event_type),
+        |z AS (SELECT day.event_type, day.day, day.n,
+        |      abs((day.n - v.mu) / v.sd) > 2.0 AS z_flag
+        |      FROM day JOIN v USING (event_type)),
+        |l AS (SELECT event_type, day, n,
+        |  lag(n, 1) OVER w AS l1, lag(n, 2) OVER w AS l2, lag(n, 3) OVER w AS l3,
+        |  lag(n, 4) OVER w AS l4, lag(n, 5) OVER w AS l5, lag(n, 6) OVER w AS l6,
+        |  lag(n, 7) OVER w AS l7, lag(n, 8) OVER w AS l8
+        |  FROM day WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |e AS (SELECT event_type, day,
+        |  CASE WHEN l1 IS NULL THEN NULL ELSE
+        |  (coalesce(l1 * 1.0, 0) + coalesce(l2 * 0.5, 0) + coalesce(l3 * 0.25, 0)
+        |   + coalesce(l4 * 0.125, 0) + coalesce(l5 * 0.0625, 0) + coalesce(l6 * 0.03125, 0)
+        |   + coalesce(l7 * 0.015625, 0) + coalesce(l8 * 0.0078125, 0)) /
+        |  (CASE WHEN l1 IS NULL THEN 0 ELSE 1.0 END + CASE WHEN l2 IS NULL THEN 0 ELSE 0.5 END
+        |   + CASE WHEN l3 IS NULL THEN 0 ELSE 0.25 END + CASE WHEN l4 IS NULL THEN 0 ELSE 0.125 END
+        |   + CASE WHEN l5 IS NULL THEN 0 ELSE 0.0625 END + CASE WHEN l6 IS NULL THEN 0 ELSE 0.03125 END
+        |   + CASE WHEN l7 IS NULL THEN 0 ELSE 0.015625 END + CASE WHEN l8 IS NULL THEN 0 ELSE 0.0078125 END)
+        |  END AS ew
+        |  FROM l),
+        |ef AS (SELECT event_type, day,
+        |       coalesce(n / ew > 1.5 OR n / ew < 1.0 / 1.5, false) AS ewma_flag
+        |       FROM e JOIN day USING (event_type, day))
+        |SELECT z.event_type, z.day, CAST(z.n AS BIGINT) AS n, z.z_flag, ef.ewma_flag,
+        |  z.z_flag AND ef.ewma_flag AS consensus
+        |FROM z JOIN ef USING (event_type, day)
+        |WHERE z.z_flag OR ef.ewma_flag
+        |ORDER BY z.event_type, z.day""".stripMargin,
 
     // Seeds = the Lloyd replay's c0; same fold, grid, and draw arithmetic.
     "sample_coreset_d2" ->
