@@ -4274,6 +4274,59 @@ object SparkEntry {
         .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
+    // Corpus novelty curve: per doc-order decile, the fraction of its
+    // 8-grams never seen in any earlier document — the diminishing-returns
+    // curve that tells a curation pipeline when additional data stops
+    // contributing new text. First-occurrence = one gram-keyed min agg
+    // (the dedup_exact shape); grams via the compiled shingle pass.
+    "text_ngram_novelty" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val grams = docs.select(col("doc_id"),
+        explode(Dedup.shinglesFast(8)(col("text"))).as("gram"))
+      val firstDoc = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+      val per = grams.join(firstDoc, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("ng"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("nv"))
+      per.crossJoin(broadcast(docs.agg(max(col("doc_id")).as("mx"))))
+        .withColumn("bucket", expr("(doc_id * 10) div (mx + 1)").cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ng")).as("n_grams"),
+          sum(col("nv")).as("n_novel"),
+          round(sum(col("nv")).cast("double") / sum(col("ng")), 4).as("novelty"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Two-sample Kolmogorov-Smirnov drift test on the value distribution
+    // across the event-time midpoint: exact ECDF gap from integer
+    // cumulative counts — zero floating noise anywhere before the final
+    // rounding. (The distinct-value window is single-partition here; the
+    // 100 TB path is the assign_dense_ids two-level prefix-sum rewrite.)
+    "dq_value_drift_ks" -> ((s, d) => {
+      val ev = events(s, d).withColumn("ep", unix_timestamp(col("ts")))
+      val b = ev.agg(
+        expr("(CAST(floor(min(unix_timestamp(ts))) AS BIGINT) + CAST(floor(max(unix_timestamp(ts))) AS BIGINT)) div 2")
+          .as("cut"))
+      val e2 = ev.crossJoin(broadcast(b)).withColumn("post", col("ep") >= col("cut"))
+      val g = e2.groupBy(col("value")).agg(
+        sum(when(!col("post"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("post"), 1L).otherwise(0L)).as("bb"))
+      val n = e2.agg(sum(when(!col("post"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("post"), 1L).otherwise(0L)).as("n2"))
+      val w = Window.orderBy(col("value"))
+      g.withColumn("ca", sum(col("a")).over(w))
+        .withColumn("cb", sum(col("bb")).over(w))
+        .crossJoin(broadcast(n))
+        .select(abs(col("ca").cast("double") / col("n1") -
+          col("cb").cast("double") / col("n2")).as("dk"), col("n1"), col("n2"))
+        .agg(first(col("n1")).as("n_pre"), first(col("n2")).as("n_post"),
+          round(max(col("dk")), 4).as("ks"))
+        .withColumn("ks_crit", round(lit(1.358) *
+          sqrt((col("n_pre") + col("n_post")).cast("double") /
+            (col("n_pre") * col("n_post"))), 4))
+        .withColumn("reject", col("ks") > col("ks_crit"))
+    }),
+
     // Alert fusion: the volume z-monitor and the EWMA trend monitor voted
     // per (type, day) — consensus alerts (both fire) are the page-worthy
     // ones, singles are advisories. One day-count frame feeds both; only
@@ -8259,6 +8312,41 @@ object SparkEntry {
         |FROM o JOIN st USING (o_orderpriority) CROSS JOIN g
         |WHERE o.o_orderkey % 37 = 0
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    "text_ngram_novelty" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) < 8 THEN []
+        |       ELSE list_transform(generate_series(1, len(ws)-7), i -> array_to_string(ws[i:i+7], ' ')) END)) AS gram FROM w),
+        |fd AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1),
+        |per AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS ng,
+        |   CAST(sum(CASE WHEN fd.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS nv
+        |   FROM g JOIN fd USING (gram) GROUP BY 1),
+        |m AS (SELECT max(doc_id) AS mx FROM documents)
+        |SELECT CAST((doc_id * 10) // ((SELECT mx FROM m) + 1) AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(ng) AS BIGINT) AS n_grams,
+        |  CAST(sum(nv) AS BIGINT) AS n_novel,
+        |  round(CAST(sum(nv) AS DOUBLE) / sum(ng), 4) AS novelty
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dq_value_drift_ks" ->
+      """WITH e AS (SELECT value, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+        |b AS (SELECT (min(ep) + max(ep)) // 2 AS cut FROM e),
+        |e2 AS (SELECT value, ep >= (SELECT cut FROM b) AS post FROM e),
+        |g AS (SELECT value,
+        |      CAST(sum(CASE WHEN NOT post THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |      CAST(sum(CASE WHEN post THEN 1 ELSE 0 END) AS BIGINT) AS bb
+        |      FROM e2 GROUP BY 1),
+        |n AS (SELECT CAST(sum(CASE WHEN NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |      CAST(sum(CASE WHEN post THEN 1 ELSE 0 END) AS BIGINT) AS n2 FROM e2),
+        |c AS (SELECT CAST(sum(a) OVER wv AS BIGINT) AS ca, CAST(sum(bb) OVER wv AS BIGINT) AS cb
+        |      FROM g WINDOW wv AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |ks AS (SELECT (SELECT n1 FROM n) AS n_pre, (SELECT n2 FROM n) AS n_post,
+        |       round(max(abs(CAST(ca AS DOUBLE) / (SELECT n1 FROM n) - CAST(cb AS DOUBLE) / (SELECT n2 FROM n))), 4) AS ks
+        |       FROM c)
+        |SELECT n_pre, n_post, ks,
+        |  round(1.358 * sqrt(CAST(n_pre + n_post AS DOUBLE) / (n_pre * n_post)), 4) AS ks_crit,
+        |  ks > round(1.358 * sqrt(CAST(n_pre + n_post AS DOUBLE) / (n_pre * n_post)), 4) AS reject
+        |FROM ks""".stripMargin,
 
     // Both monitor chains (volume z, EWMA) replayed over one day-count
     // CTE, joined, flagged days only.
