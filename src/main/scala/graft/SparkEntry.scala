@@ -4274,6 +4274,41 @@ object SparkEntry {
         .orderBy(col("true_lang"), col("pred_lang"))
     }),
 
+    // The full MDM merge flow: ER match pairs (blocking + Jaro-Winkler
+    // >= 0.85) -> connected components over the match graph -> golden
+    // record per entity (min id) with member counts — what a master-data
+    // pipeline ships after er_fuzzy_match's pairwise stage.
+    "er_golden_record" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      val base = t(s, d, "documents")
+        .where(col("text").isNotNull && size(ws) >= 3)
+        .select(col("doc_id"), ws.as("ws"))
+      val cleanName = array_join(slice(col("ws"), 1, 3), " ")
+      val dirtyName = when(col("doc_id") % 3 === 0,
+          concat_ws(" ", element_at(col("ws"), 2), element_at(col("ws"), 1),
+            element_at(col("ws"), 3)))
+        .when(col("doc_id") % 3 === 1,
+          expr("substring(concat_ws(' ', ws[0], ws[1], ws[2]), 1, length(concat_ws(' ', ws[0], ws[1], ws[2])) - 1)"))
+        .otherwise(cleanName)
+      val dirty = base.select(col("doc_id").as("d_id"), dirtyName.as("d_name"))
+      val clean = base.select(col("doc_id").as("c_id"), cleanName.as("c_name"))
+      def fk(c: Column) = element_at(split(c, " "), 1)
+      def lk(c: Column) = element_at(split(c, " "), -1)
+      val jw = udf((a: String, b: String) => EntityResolution.jaroWinkler(a, b))
+      val cand = dirty.join(clean, fk(col("d_name")) === fk(col("c_name")))
+        .unionByName(dirty.join(clean, lk(col("d_name")) === lk(col("c_name"))))
+        .select(col("d_id"), col("c_id"), col("d_name"), col("c_name")).distinct()
+      val pairs = cand
+        .where(round(jw(col("d_name"), col("c_name")), 4) >= 0.85 &&
+          col("d_id") =!= col("c_id"))
+        .select(col("d_id").as("id1"), col("c_id").as("id2"))
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("comp").as("golden_id"), col("n_members"))
+        .orderBy(col("golden_id"))
+    }),
+
     // Corpus novelty curve: per doc-order decile, the fraction of its
     // 8-grams never seen in any earlier document — the diminishing-returns
     // curve that tells a curation pipeline when additional data stops
@@ -8312,6 +8347,33 @@ object SparkEntry {
         |FROM o JOIN st USING (o_orderpriority) CROSS JOIN g
         |WHERE o.o_orderkey % 37 = 0
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    // ER chain -> match-graph components via WITH RECURSIVE -> golden ids.
+    "er_golden_record" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+        |c AS (SELECT doc_id AS clean_id, ws[1] || ' ' || ws[2] || ' ' || ws[3] AS clean_name FROM d),
+        |dd AS (SELECT doc_id AS dirty_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN ws[2] || ' ' || ws[1] || ' ' || ws[3]
+        |       WHEN doc_id % 3 = 1 THEN substr(ws[1] || ' ' || ws[2] || ' ' || ws[3], 1,
+        |              length(ws[1] || ' ' || ws[2] || ' ' || ws[3]) - 1)
+        |       ELSE ws[1] || ' ' || ws[2] || ' ' || ws[3] END AS dirty_name FROM d),
+        |cand AS (
+        |  SELECT dirty_id, dirty_name, clean_id, clean_name FROM dd JOIN c
+        |    ON string_split(dirty_name, ' ')[1] = string_split(clean_name, ' ')[1]
+        |  UNION
+        |  SELECT dirty_id, dirty_name, clean_id, clean_name FROM dd JOIN c
+        |    ON string_split(dirty_name, ' ')[-1] = string_split(clean_name, ' ')[-1]),
+        |f AS (SELECT DISTINCT dirty_id AS id1, clean_id AS id2 FROM cand
+        |      WHERE round(jaro_winkler_similarity(dirty_name, clean_name), 4) >= 0.85
+        |        AND dirty_id <> clean_id),
+        |edges AS (SELECT id1 AS src, id2 AS dst FROM f UNION SELECT id2, id1 FROM f),
+        |reach(id, comp) AS (SELECT src, src FROM edges
+        |                    UNION
+        |                    SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |lab AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+        |SELECT comp AS golden_id, CAST(count(*) AS BIGINT) AS n_members
+        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_ngram_novelty" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
