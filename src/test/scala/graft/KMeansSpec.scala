@@ -65,4 +65,17 @@ class KMeansSpec extends AnyFunSuite {
     // clusters are populated and every vector is assigned exactly once
     assert(got.size === emb.count())
   }
+
+  test("row-local assignUdf (the serving path) matches the distributed assign exactly") {
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val cents = KMeans.centroidsDF(emb, "embedding", "vec_id", k = 8, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val served = emb.select(col("vec_id"),
+        KMeans.assignUdf(cents)(transform(col("embedding"), _.cast("double"))))
+      .as[(Long, Int)].collect().toMap
+    val distributed = KMeans.assign(emb, "embedding", "vec_id", k = 8, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    // identical arithmetic + (distance, cid) tie-break: cluster-for-cluster
+    assert(served === distributed)
+  }
 }
