@@ -202,17 +202,22 @@ object SparkEntry {
        |FROM a3 ORDER BY vec_id""".stripMargin
 
   /** embedding_power_iteration oracle: the full power-iteration replay —
-    * see [[operators.Pca]] for the arithmetic contract each CTE mirrors
-    * (index-order folds exact, cross-row sums rounded 6, norms folded over
-    * ROUNDED components). */
+    * see [[operators.Pca]] for the arithmetic contract each CTE mirrors.
+    * Cross-row sums are EXACTLY order-independent on both engines: each
+    * per-row term rounds onto the 1e-9 grid, sums as scaled integers
+    * (BIGINT→HUGEINT here, DECIMAL(38,0) in Spark), then the round-6
+    * component is derived by integer half-away-from-zero division — no
+    * float op touches the sum before the exact (< 2^53) int→double cast. */
   private val pcaOracleSql: String = {
     def iter(n: Int): String = {
       val prev = if (n == 1) "v0" else s"v${n - 1}"
       s"""d$n AS (SELECT e.vec_id, e.v,
          |  list_reduce(list_transform(generate_series(1, 64), i -> e.v[i] * $prev.vl[i]), (a, b) -> a + b) AS d
          |  FROM e CROSS JOIN $prev),
-         |s$n AS (SELECT ii.i, round(sum(d$n.v[ii.i] * d$n.d), 6) AS s
-         |        FROM d$n CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii GROUP BY ii.i),
+         |s$n AS (SELECT i, CAST(CASE WHEN ss >= 0 THEN (ss + 500) // 1000
+         |                            ELSE -((-ss + 500) // 1000) END AS DOUBLE) / 1e6 AS s
+         |        FROM (SELECT ii.i AS i, sum(CAST(round(d$n.v[ii.i] * d$n.d * 1e9) AS BIGINT)) AS ss
+         |              FROM d$n CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii GROUP BY ii.i)),
          |n$n AS (SELECT sqrt(list_reduce(list_transform(list(s ORDER BY i), x -> x * x), (a, b) -> a + b)) AS nm FROM s$n),
          |v$n AS (SELECT list(round(s / nm, 6) ORDER BY i) AS vl FROM s$n CROSS JOIN n$n)""".stripMargin
     }

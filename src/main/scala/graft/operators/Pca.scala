@@ -15,10 +15,17 @@ import org.apache.spark.sql.functions._
   *  - iterate: v ← normalize(Xᵀ(Xv)). Per-row dots fold left-to-right in
   *    index order (compiled loop here, `list_reduce` there — identical
   *    partial-sum sequence, bit-identical doubles). Per-component sums
-  *    across rows are engine-arbitrary in order, so they round to 6
-  *    (the noise is ~1e-14, eight orders below the grid); the norm folds
-  *    the ROUNDED components in index order (exact both sides) and the
-  *    normalized components round to 6 again;
+  *    across rows are made EXACTLY order-independent: each per-row term
+  *    v[i]·d is rounded onto a 1e-9 fixed-point grid and summed as a
+  *    scaled integer (integer addition is associative and commutative in
+  *    any engine and any partition order), then descaled and rounded to 6.
+  *    Rounding a float sum AFTER an order-arbitrary reduction is a coin
+  *    flip whenever the sum lands within an ulp of a 0.5e-6 boundary —
+  *    with 64 components × 3 iterations those boundaries do get hit
+  *    (observed as a nondeterministic hash flip in round 5); rounding each
+  *    term BEFORE the sum removes the order dependence entirely;
+  *  - norm: folds the ROUNDED components in index order (exact both
+  *    sides); the normalized components round to 6 again;
   *  - project: per-row dot with the final vector, rounded to 4.
   *
   * Un-centered power iteration (dominant right singular vector of X, not
@@ -45,6 +52,28 @@ object Pca {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** One matrix-vector product Xᵀ(Xv) with exactly order-independent
+    * cross-row sums: per-row terms v[i]·d round onto the 1e-9 grid, sum as
+    * scaled DECIMAL(38,0) integers (associative — any partition order
+    * yields the identical integer), then descale and round to 6. Exposed
+    * package-private so the boundary behavior is directly testable. */
+  private[graft] def componentSums(base: DataFrame, v: Array[Double]): Array[Double] =
+    base
+      .withColumn("__d", dotU(col("__pv"), typedLit(v.toSeq)))
+      .select(col("__d"), posexplode(col("__pv")))
+      .groupBy(col("pos"))
+      .agg(sum(round(col("col") * col("__d") * lit(1e9), 0).cast("decimal(38,0)"))
+        .as("ssum"))
+      .orderBy(col("pos"))
+      .collect().map { r =>
+        // exact integer half-away-from-zero round of ssum/1000, then /1e6:
+        // the round-6 value of the EXACT decimal ssum/1e9, with zero float
+        // ops before the (exact, < 2^53) final integer→double conversion
+        val s = BigInt(r.getDecimal(1).toBigInteger)
+        val mag = (s.abs + 500) / 1000
+        (if (s.signum < 0) -mag else mag).toDouble / 1e6
+      }
+
   /** Per-row projection onto the top principal direction after `iters`
     * power iterations: (idCol, pc1_proj). */
   def powerIterationProjection(df: DataFrame, vecCol: String, idCol: String,
@@ -54,13 +83,7 @@ object Pca {
       col(vecCol).cast("array<double>").as("__pv"))
     var v = Array.fill(dim)(round6(1.0 / math.sqrt(dim)))
     for (_ <- 1 to iters) {
-      val sums = base
-        .withColumn("__d", dotU(col("__pv"), typedLit(v.toSeq)))
-        .select(col("__d"), posexplode(col("__pv")))
-        .groupBy(col("pos"))
-        .agg(round(sum(col("col") * col("__d")), 6).as("s"))
-        .orderBy(col("pos"))
-        .collect().map(_.getDouble(1))
+      val sums = componentSums(base, v)
       require(sums.length == dim, s"expected $dim components, got ${sums.length}")
       val norm = math.sqrt(sums.foldLeft(0.0)((acc, x) => acc + x * x))
       require(norm > 0.0, "degenerate input: zero matrix-vector product")

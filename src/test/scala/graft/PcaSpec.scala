@@ -26,7 +26,12 @@ class PcaSpec extends AnyFunSuite {
     for (_ <- 1 to iters) {
       val ds = vecs.map { case (_, x) => dot(x, v) }
       val sums = Array.tabulate(dim) { c =>
-        rnd(vecs.zip(ds).map { case ((_, x), d) => x(c) * d }.sum, 6)
+        // per-term 1e-9 fixed-point grid, exact integer sum, integer
+        // half-away-from-zero round-6 — the operator's order-proof contract
+        val scaled = vecs.zip(ds).map { case ((_, x), d) =>
+          BigInt(rnd(x(c) * d * 1e9, 0).toLong) }.sum
+        val mag = (scaled.abs + 500) / 1000
+        (if (scaled.signum < 0) -mag else mag).toDouble / 1e6
       }
       val norm = math.sqrt(sums.foldLeft(0.0)((a, x) => a + x * x))
       v = sums.map(x => rnd(x / norm, 6))
@@ -53,6 +58,23 @@ class PcaSpec extends AnyFunSuite {
       .agg(max($"ms")).as[Double].head()
     assert(got >= axisMs,
       s"top-PC mean-square $got must dominate best coordinate axis $axisMs")
+  }
+
+  test("component sums landing EXACTLY on the 0.5e-6 round-6 boundary are " +
+       "half-up stable under any partitioning (the round-5 flake class)") {
+    // five terms of 1e-7 → scaled-integer sum exactly 500 → the adversarial
+    // halfway case: a float-sum-then-round contract is a coin flip here
+    // (1e-7 is inexact in binary; summation order moves the last ulp);
+    // the fixed-point contract must give exactly 1e-6 (half away from zero)
+    for (sign <- Seq(1.0, -1.0); parts <- Seq(1, 7, 32)) {
+      val base = spark.createDataFrame(
+        (1 to 5).map(i => (i.toLong, Seq(sign * 1e-7, 1.0)))
+      ).toDF("__pid", "__pv").repartition(parts)
+      val sums = Pca.componentSums(base, Array(0.0, 1.0))
+      assert(sums(0) === sign * 1.0e-6,
+        s"sign=$sign parts=$parts: got ${sums(0)}")
+      assert(sums(1) === 5.0, s"sign=$sign parts=$parts: got ${sums(1)}")
+    }
   }
 
   test("deterministic under repartitioning (the rounding grid absorbs order noise)") {
