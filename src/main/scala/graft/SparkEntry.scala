@@ -4340,22 +4340,46 @@ object SparkEntry {
     // Two-sample Kolmogorov-Smirnov drift test on the value distribution
     // across the event-time midpoint: exact ECDF gap from integer
     // cumulative counts — zero floating noise anywhere before the final
-    // rounding. (The distinct-value window is single-partition here; the
-    // 100 TB path is the assign_dense_ids two-level prefix-sum rewrite.)
+    // rounding. The per-value cumulative sums use the assign_dense_ids
+    // two-level prefix scheme: values land on a 64-cell range grid over
+    // [vmin, vmax], the per-cell windows run in PARALLEL (partitioned by
+    // cell), and the only ordered pass is over the 64-row cell-totals
+    // table that comes back as a broadcast — no corpus-sized
+    // single-partition window anywhere. The oracle below is the naive
+    // global-window formulation: the gate PROVES the rewrite identical.
     "dq_value_drift_ks" -> ((s, d) => {
       val ev = events(s, d).withColumn("ep", unix_timestamp(col("ts")))
       val b = ev.agg(
         expr("(CAST(floor(min(unix_timestamp(ts))) AS BIGINT) + CAST(floor(max(unix_timestamp(ts))) AS BIGINT)) div 2")
-          .as("cut"))
+          .as("cut"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
       val e2 = ev.crossJoin(broadcast(b)).withColumn("post", col("ep") >= col("cut"))
-      val g = e2.groupBy(col("value")).agg(
+        // grid cell: monotone in value, so per-cell local prefix + cell
+        // offsets compose to the exact global cumulative count. The
+        // MinPositiveValue summand only matters when vmax == vmin (all one
+        // cell); otherwise it is absorbed.
+        .withColumn("bk", least(floor((col("value") - col("vmin")) * 64.0 /
+          (col("vmax") - col("vmin") + lit(Double.MinPositiveValue))), lit(63L)))
+      val g = e2.groupBy(col("bk"), col("value")).agg(
         sum(when(!col("post"), 1L).otherwise(0L)).as("a"),
-        sum(when(col("post"), 1L).otherwise(0L)).as("bb"))
+        sum(when(col("post"), 1L).otherwise(0L)).as("bb")).localCheckpoint()
       val n = e2.agg(sum(when(!col("post"), 1L).otherwise(0L)).as("n1"),
         sum(when(col("post"), 1L).otherwise(0L)).as("n2"))
-      val w = Window.orderBy(col("value"))
-      g.withColumn("ca", sum(col("a")).over(w))
-        .withColumn("cb", sum(col("bb")).over(w))
+      val wLocal = Window.partitionBy(col("bk")).orderBy(col("value"))
+      val offs = g.groupBy(col("bk"))
+        .agg(sum(col("a")).as("ta"), sum(col("bb")).as("tb"))
+        .withColumn("offa", coalesce(sum(col("ta")).over(
+          Window.orderBy(col("bk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("offb", coalesce(sum(col("tb")).over(
+          Window.orderBy(col("bk"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bk"), col("offa"), col("offb"))
+      g.withColumn("ca_l", sum(col("a")).over(wLocal))
+        .withColumn("cb_l", sum(col("bb")).over(wLocal))
+        .join(broadcast(offs), "bk")
+        .withColumn("ca", col("offa") + col("ca_l"))
+        .withColumn("cb", col("offb") + col("cb_l"))
         .crossJoin(broadcast(n))
         .select(abs(col("ca").cast("double") / col("n1") -
           col("cb").cast("double") / col("n2")).as("dk"), col("n1"), col("n2"))

@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
   * repo-wide), deduplicated on the pair key; scoring is a narrow compiled
   * UDF over candidates only; the best-match election is one
   * `max_by(match, (score, -id))` aggregation, map-side combinable. Block
-  * sizes bound the quadratic term: pairs ≤ Σ_b |dirty_b|·|clean_b|, so
-  * blocking-key cardinality is the scale dial (document-frequency-bounded
-  * keys at 100 TB, exactly like the LSH band tables).
+  * sizes bound the quadratic term: pairs ≤ Σ_b |dirty_b|·|clean_b|, and
+  * the `maxBlockFreq` hot-block cut in [[resolve]] ENFORCES that bound —
+  * degenerate keys are dropped before the pair join, exactly like the
+  * winnowing `maxFpFreq` cut and the LSH band-table caps.
   */
 object EntityResolution {
 
@@ -84,16 +85,35 @@ object EntityResolution {
     * Jaro-Winkler scored (round 4), best clean match per dirty id elected
     * by (score desc, clean id asc). Rows whose best score < `minScore`
     * are dropped (no candidate ≥ threshold = no match row).
+    *
+    * `maxBlockFreq` is the hot-block cut that makes the quadratic term
+    * ACTUALLY bounded, not just bounded-in-expectation: one degenerate
+    * block (every "smith", an empty soundex, a null-ish token) contributes
+    * |dirty_b|·|clean_b| candidate pairs, so a single ubiquitous key can
+    * dominate the whole join at corpus scale. Blocks whose per-side
+    * frequency exceeds the cap are dropped BEFORE the pair join (the
+    * [[Dedup.winnowCandidatePairs]] `maxFpFreq` contract: a dropped block
+    * can only lower recall — a record usually survives via its other,
+    * more selective blocking passes — it can never invent a match).
+    * Pair count is thereby ≤ passes · maxBlockFreq² · #blocks-touched.
     */
   def resolve(dirty: DataFrame, clean: DataFrame, idCol: String,
               nameCol: String, blockKeys: Seq[Column => Column],
-              minScore: Double): DataFrame = {
+              minScore: Double, maxBlockFreq: Int = 10000): DataFrame = {
     require(blockKeys.nonEmpty, "at least one blocking key required")
     val d = dirty.select(col(idCol).as("dirty_id"), col(nameCol).as("dirty_name"))
     val c = clean.select(col(idCol).as("clean_id"), col(nameCol).as("clean_name"))
     val cand = blockKeys.map { bk =>
-      d.withColumn("bk", bk(col("dirty_name")))
-        .join(c.withColumn("bk", bk(col("clean_name"))), "bk")
+      val dk = d.withColumn("bk", bk(col("dirty_name")))
+      val ck = c.withColumn("bk", bk(col("clean_name")))
+      // per-side frequency gate for THIS pass (passes stay independent:
+      // a key hot as a first word may be selective as a last word)
+      val ok = dk.groupBy(col("bk")).agg(count(lit(1)).as("__nd"))
+        .where(col("__nd") <= maxBlockFreq).select(col("bk"))
+        .join(ck.groupBy(col("bk")).agg(count(lit(1)).as("__nc"))
+          .where(col("__nc") <= maxBlockFreq).select(col("bk")), "bk")
+      dk.join(ok, Seq("bk"), "left_semi")
+        .join(ck.join(ok, Seq("bk"), "left_semi"), "bk")
         .select(col("dirty_id"), col("dirty_name"), col("clean_id"), col("clean_name"))
     }.reduce(_ unionByName _).distinct()
     cand

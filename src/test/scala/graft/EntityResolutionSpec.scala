@@ -49,4 +49,35 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(out(3L) === (3L, 1.0))
     assert(!out.contains(9L)) // below-threshold feeds produce no match row
   }
+
+  test("resolve: the hot-block cap is active — the degenerate block is cut " +
+       "before the pair join, selective passes still recover every match") {
+    import org.apache.spark.sql.functions.{element_at, split}
+    // Entities 1-40: all 41 names share the hot first word "smith" (that
+    // block alone would contribute 41×41 candidate pairs), but each entity
+    // has a unique last word, so the selective last-word pass recovers it.
+    // Entity 41's pair is reachable ONLY through the smith block (its last
+    // words differ) — the one row whose recall the documented cut contract
+    // is allowed to cost.
+    val clean = (1L to 40L).map(i => (i, s"smith c$i u$i")) :+
+      (41L, "smith aaa ccc")
+    val dirty = (1L to 40L).map(i => (i, s"smith d$i u$i")) :+
+      (41L, "smith aaa bbb")
+    val cleanDf = clean.toDF("id", "name"); val dirtyDf = dirty.toDF("id", "name")
+    val keys: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] =
+      Seq(n => element_at(split(n, " "), 1), n => element_at(split(n, " "), -1))
+    val capped = graft.operators.EntityResolution.resolve(
+        dirtyDf, cleanDf, "id", "name", keys, minScore = 0.85, maxBlockFreq = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uncapped = graft.operators.EntityResolution.resolve(
+        dirtyDf, cleanDf, "id", "name", keys, minScore = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // capped: identity matches 1-40 via the unique last words; 41 is gone
+    // because its only candidate path was the cut smith block
+    assert(capped === (1L to 40L).map(i => i -> i).toMap)
+    // uncapped: the smith block supplies 41's candidate (proving the
+    // capped run really dropped a live block, not a no-op)
+    assert(uncapped(41L) === 41L)
+    assert((1L to 40L).forall(i => uncapped(i) === i))
+  }
 }

@@ -195,6 +195,22 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("KS drift ECDF uses the two-level prefix scheme — no corpus-wide value window") {
+    val df = SparkEntry.queries("dq_value_drift_ks")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // every window keys on the grid cell first: per-cell cumulative sums
+    // run in parallel, and the only ordered pass is the 64-row cell-totals
+    // prefix; a windowspecdefinition leading with the raw value column
+    // would be the single-partition ECDF regression
+    val specs = "windowspecdefinition\\(\\w+#\\d+".r.findAllIn(p).toList
+    assert(specs.nonEmpty, p)
+    assert(specs.forall(_.contains("bk#")), s"$specs\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // cell offsets come back via broadcast, not a second data-sized shuffle
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("SemDeDup pair join is cluster-keyed equi-join, never a cartesian over the corpus") {
     val df = SparkEntry.queries("dedup_semantic")(spark, TestSpark.sf)
     df.collect()
