@@ -5187,11 +5187,16 @@ object SparkEntry {
           max(when(col("cls") === col("true_label"), col("score")))).as("nc"))
       val cal = a.where(col("doc_id") % 4 === 1)
       val tst = a.where(col("doc_id") % 4 === 3)
-      // calibration set is model-sized; the rank pick is a tiny window
+      // calibration set is model-sized; the rank pick is a tiny window.
+      // rank clamps to n_cal: for n_cal < 9, ceil(0.9*(n_cal+1)) exceeds
+      // n_cal and the unclamped pick would go empty — Spark's crossJoin
+      // would then return zero rows while the oracle's empty scalar
+      // subquery yields NULL rows, an engine-divergent small-fixture edge
       val w = Window.orderBy(col("nc"), col("doc_id"))
       val thr = cal.withColumn("r", row_number().over(w).cast("long"))
         .crossJoin(broadcast(cal.agg(count(lit(1)).as("n_cal"))))
-        .where(col("r") === ceil(lit(0.9) * (col("n_cal") + 1)).cast("long"))
+        .where(col("r") ===
+          least(ceil(lit(0.9) * (col("n_cal") + 1)).cast("long"), col("n_cal")))
         .select(col("nc").as("thr"))
       tst.crossJoin(broadcast(thr))
         .groupBy(col("true_label").as("true_lang"))
@@ -8951,7 +8956,7 @@ object SparkEntry {
         |cal AS (SELECT * FROM a WHERE doc_id % 4 = 1),
         |tst AS (SELECT * FROM a WHERE doc_id % 4 = 3),
         |q AS (SELECT nc AS thr FROM (SELECT nc, row_number() OVER (ORDER BY nc, doc_id) AS r, count(*) OVER () AS n FROM cal)
-        |      WHERE r = CAST(ceil(0.9 * (n + 1)) AS BIGINT))
+        |      WHERE r = least(CAST(ceil(0.9 * (n + 1)) AS BIGINT), n))
         |SELECT true_lang, CAST(count(*) AS BIGINT) AS n_test,
         |  CAST(sum(CASE WHEN nc <= (SELECT thr FROM q) THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
         |  round(sum(CASE WHEN nc <= (SELECT thr FROM q) THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS coverage,

@@ -195,22 +195,6 @@ object Graph {
       .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
-  /** Synchronous label propagation (community detection) with a fixed round
-    * count. Input edges are UNDIRECTED in any form — canonicalized like
-    * [[trianglesPerNode]] (dedup, self-loop drop), then symmetrized. Every
-    * node starts labeled with itself; each round every node adopts the most
-    * frequent label among its neighbors, ties broken by SMALLEST label —
-    * the (count desc, label asc) rule that makes synchronous LPA fully
-    * deterministic (the async coin-flip variant isn't replayable).
-    *
-    * Scale shape per round: one edge⋈labels hash join (edges re-partitioned
-    * on src once, reused every round) + one (node,label)-keyed count with
-    * map-side partials + one `min_by(label, (-count, label))` agg — the
-    * argmax is a single aggregation, never a per-node sort. Lineage is
-    * truncated per round with localCheckpoint, the same cadence as
-    * [[pageRank]]. Converges-or-oscillates in O(diameter) rounds; a fixed
-    * `iters` keeps the gate deterministic either way.
-    */
   /** k-core peeling: iteratively drop nodes with degree < k (with the
     * edges they carry) for `rounds` rounds — the density-filter that
     * separates cohesive cluster cores from hair. A fixed round count keeps
@@ -249,6 +233,22 @@ object Graph {
     sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Synchronous label propagation (community detection) with a fixed round
+    * count. Input edges are UNDIRECTED in any form — canonicalized like
+    * [[trianglesPerNode]] (dedup, self-loop drop), then symmetrized. Every
+    * node starts labeled with itself; each round every node adopts the most
+    * frequent label among its neighbors, ties broken by SMALLEST label —
+    * the (count desc, label asc) rule that makes synchronous LPA fully
+    * deterministic (the async coin-flip variant isn't replayable).
+    *
+    * Scale shape per round: one edge⋈labels hash join (edges re-partitioned
+    * on src once, reused every round) + one (node,label)-keyed count with
+    * map-side partials + one `min_by(label, (-count, label))` agg — the
+    * argmax is a single aggregation, never a per-node sort. Lineage is
+    * truncated per round with localCheckpoint, the same cadence as
+    * [[pageRank]]. Converges-or-oscillates in O(diameter) rounds; a fixed
+    * `iters` keeps the gate deterministic either way.
+    */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
                        iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")

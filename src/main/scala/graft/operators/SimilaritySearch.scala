@@ -229,6 +229,11 @@ object SimilaritySearch {
     require(nTokens >= 1, s"nTokens must be >= 1, got $nTokens")
     val score = udf { (d: Seq[Float], q: Seq[Float]) =>
       val dim = d.length / nTokens
+      // ragged inputs (a query shorter than the corpus vectors, or a
+      // length not divisible by nTokens) must not throw in an executor:
+      // guard every index against BOTH array lengths, matching KMeans'
+      // assignUdf — out-of-range components simply contribute nothing
+      val dLen = d.length; val qLen = q.length
       var s = 0.0
       var qt = 0
       while (qt < nTokens) {
@@ -237,7 +242,8 @@ object SimilaritySearch {
         while (dt < nTokens) {
           var dot = 0.0; var nq = 0.0; var nd = 0.0
           var j = 0
-          while (j < dim) {
+          val lim = math.min(dim, math.min(dLen - dt * dim, qLen - qt * dim))
+          while (j < lim) {
             val qv = q(qt * dim + j).toDouble
             val dv = d(dt * dim + j).toDouble
             dot += qv * dv; nq += qv * qv; nd += dv * dv

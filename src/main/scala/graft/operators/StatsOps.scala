@@ -29,12 +29,22 @@ object StatsOps {
     *
     * `groupCol` must take exactly two values; they are ordered
     * lexicographically (group_a < group_b) so the sign of `t_stat` is
-    * deterministic.
+    * deterministic. The arity is VALIDATED with an eager
+    * group-cardinality probe — with one group the two endpoint picks
+    * would silently compare the group against itself (t_stat 0), and
+    * with 3+ the lexicographically-middle groups would be silently
+    * dropped; both produce plausible-looking wrong rows, so fail fast
+    * instead. The probe is one extra pass over the same map-side-combined
+    * aggregation the test itself needs (grouped rows, not data rows).
     */
   def welchTTest(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
     val v = col(valueCol).cast("double")
     val g = df.groupBy(col(groupCol).as("grp"))
       .agg(count(v).cast("double").as("n"), sum(v).as("s1"), sum(v * v).as("s2"))
+    val ng = g.select(lit(1)).limit(3).count()
+    require(ng == 2,
+      s"welchTTest requires exactly 2 groups in '$groupCol', found " +
+        (if (ng >= 3) "3 or more" else ng.toString))
     val stats = g.select(col("grp"), col("n"),
       (col("s1") / col("n")).as("m"),
       ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("v"))
@@ -58,8 +68,13 @@ object StatsOps {
     * drift monitor's trend-following cousin (events_volume_anomaly compares
     * against a global mean; this compares against the recent trend).
     *
-    * The trend is the 8-term truncated EWMA of the PRECEDING days only,
-    * decay 1/2: `Σ_{j=1..8} x_{t-j}·2^(1-j) / Σ_{j present} 2^(1-j)` —
+    * The trend is the 8-term truncated EWMA of the preceding OBSERVED
+    * days only (row-based `lag`: days with zero events are absent from
+    * the day aggregation, so a calendar gap is treated as adjacent rows —
+    * after an outage the ratio compares against the pre-gap trend, and a
+    * collapse-to-zero day never appears as a row to flag; densify the day
+    * spine upstream if absence itself must alarm), decay 1/2:
+    * `Σ_{j=1..8} x_{t-j}·2^(1-j) / Σ_{j present} 2^(1-j)` —
     * excluding the current day is load-bearing: a trend that includes
     * today self-absorbs the spike it is supposed to flag (a 3× spike
     * lands at ratio ≈1.497 against an inclusive trend — under the 1.5
