@@ -1,6 +1,31 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.atomic.AtomicLong
+
 object Bench {
+
+  /** Cumulative task-metric counters: per-query deltas give measured
+    * shuffle volume and scan width, so scale exposure can be ranked by
+    * exchange bytes rather than plan-reading. Counters only ever grow;
+    * callers snapshot before/after a query and subtract. */
+  private final class MetricsListener extends SparkListener {
+    val shuffleBytes = new AtomicLong(0)
+    val rowsScanned = new AtomicLong(0)
+    val bytesScanned = new AtomicLong(0)
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        rowsScanned.addAndGet(m.inputMetrics.recordsRead)
+        bytesScanned.addAndGet(m.inputMetrics.bytesRead)
+      }
+    }
+    def snap(): (Long, Long, Long) =
+      (shuffleBytes.get, rowsScanned.get, bytesScanned.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // local[32] with 32 shuffle partitions is the documented target
@@ -37,8 +62,11 @@ object Bench {
     // stable signal a regression triage can trust.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val debug = sys.env.contains("SPARK_GRAFT_DEBUG")
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
     val results = selected.map { case (name, fn) =>
-      val best = (1 to reps).map { r =>
+      val perRep = (1 to reps).map { r =>
+        val s0 = listener.snap()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -49,15 +77,25 @@ object Bench {
           spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         } catch { case _: Throwable => () }
-        dt
-      }.min
-      name -> best
+        // listener-bus delivery is async; give stragglers a beat so the
+        // per-rep delta is complete (diagnostic counters, not timings)
+        Thread.sleep(50)
+        val s1 = listener.snap()
+        (dt, s1._1 - s0._1, s1._2 - s0._2, s1._3 - s0._3)
+      }
+      // report the metrics of the min-time rep: that's the timing the
+      // driver grades, and cached-fragment reps can under-scan
+      name -> perRep.minBy(_._1)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val ms = results.map { case (k, v) =>
+      s"\"" + k + "\":{\"shuffleBytes\":" + v._2 + ",\"rowsScanned\":" + v._3 +
+        ",\"bytesScanned\":" + v._4 + "}"
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"sf":"$sfDir"}"""
     // The full JSON also lands in a file: stdout tails get truncated when
     // the per-query map grows past the driver's capture window, and the
     // per-query timings are the whole point. Print the JSON FIRST, then
