@@ -42,10 +42,15 @@ final class GraftVectorStore(
     // neighbor graph (m best neighbors per record) under the store path;
     // `approximate = true` then beam-searches the graph (operators/GraphAnn,
     // the HNSW structural analogue; probeDepth scales the beam width).
-    // Appends INVALIDATE the persisted graph (the next approximate search
-    // rebuilds it from the full latest view), so results are never stale —
-    // the cadence is batch ingest -> one rebuild -> serve; per-record
-    // appends with HNSW-style incremental insertion are out of scope.
+    // Appends of NEW documents link into the existing graph incrementally
+    // (HNSW-style insert, [[operators.GraphAnn.insertNodes]]: each new
+    // record beam-searches the graph for its m neighbors, bidirectional
+    // edges added, touched lists re-capped at 2m) — the daily-append shape,
+    // O(batch) instead of an O(corpus) rebuild. Re-ingesting an EXISTING
+    // document (an update: same record ids, possibly new vectors) instead
+    // invalidates the graph so the next approximate search rebuilds —
+    // stale out-edges of an updated node must not stay navigable. Deletes
+    // always invalidate.
     graphM: Option[Int] = None,
     // Some(candidates): binary-sketch layout — rows stored plain;
     // `approximate = true` runs the two-stage Hamming search
@@ -83,15 +88,33 @@ final class GraftVectorStore(
       case (_, Some(cells)) => IndexTable.appendIvf(records, indexPath, cells)
       case _ => IndexTable.append(records, indexPath)
     }
-    // a graph layout's persisted index no longer covers the new records —
-    // invalidate it so the next approximate search rebuilds from the full
-    // latest view (batch-ingest cadence: ingest, then one rebuild, then
-    // serve; per-record appends with an HNSW-style incremental insert are
-    // out of scope and documented at the constructor)
+    // keep a persisted graph index live across appends: brand-new records
+    // link in incrementally (HNSW-style insert — O(batch), the same walk a
+    // query runs); an UPDATE (any incoming id already a graph node) means
+    // stale out-edges would stay navigable, so invalidate and let the next
+    // approximate search rebuild from the latest view
     if (graphM.nonEmpty) {
       val p = new org.apache.hadoop.fs.Path(graphPath(alias))
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) { fs.delete(p, true); () }
+      if (fs.exists(p)) {
+        val edges = spark.read.parquet(graphPath(alias))
+        val incoming = records.withColumn("__nid", xxhash64(col("id")))
+          .select(col("__nid"), col("page_content_vector")).distinct()
+        val graphIds = edges.select(col("src").as("__nid"))
+          .union(edges.select(col("dst").as("__nid"))).distinct()
+        val isUpdate = incoming.join(graphIds, Seq("__nid"), "left_semi")
+          .limit(1).count() > 0
+        if (isUpdate) { fs.delete(p, true); () }
+        else {
+          val merged = GraphAnn.insertNodes(
+              graphNodes(alias), edges, incoming, m = graphM.get, dim = dim,
+              vecCol = "page_content_vector", idCol = "__nid")
+            // materialize BEFORE overwriting the files the plan reads from
+            .localCheckpoint()
+          merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(graphPath(alias))
+        }
+      }
     }
   }
 

@@ -113,6 +113,67 @@ object GraphAnn {
     spark.read.parquet(path)
   }
 
+  /** HNSW-style incremental insert: link a batch of NEW nodes into an
+    * existing [[knnGraph]] edge table without rebuilding it — the
+    * daily-append shape every other store path already supports
+    * (delta compaction, incremental MinHash).
+    *
+    * Exactly HNSW's insertion recipe, batch-synchronously: each new node
+    * beam-searches the EXISTING graph (the same walk queries use — the
+    * insert cost IS a query cost) for its `m` best neighbors, links are
+    * added in BOTH directions, and every touched adjacency list is
+    * re-capped at 2m keeping the closest (the maxM prune [[knnGraph]]
+    * applies at build). Batch-internal near-neighbors (new↔new) come from
+    * the same LSH-candidate construction as the full build, run on the
+    * batch only — without it, two similar docs arriving in one batch
+    * would be invisible to each other until the next rebuild.
+    *
+    * `corpus` must carry vectors for BOTH old and new ids (the store's
+    * latest view after the append); `newNodes` is the batch. Ids in
+    * `newNodes` must be NEW — re-inserting an existing id would leave its
+    * stale out-edges navigable; callers detect updates and rebuild
+    * (see GraftVectorStore.addDocuments).
+    *
+    * Scale shape: the beam walk is |batch| × beam × 2m frontier-sized
+    * (constant in corpus size); the batch-internal build is LSH-bounded
+    * over the batch alone; the re-cap aggregation touches only nodes
+    * adjacent to an inserted edge (semi-join pruned), and every untouched
+    * adjacency row passes through without being grouped. Rebuild cost
+    * O(corpus) becomes insert cost O(batch). */
+  def insertNodes(corpus: DataFrame, edges: DataFrame, newNodes: DataFrame,
+                  m: Int = 8, beam: Int = 8, rounds: Int = 3, nEntry: Int = 8,
+                  nBits: Int = 4, nTables: Int = 8, dim: Int = 64, seed: Long = 7L,
+                  vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(m >= 1)
+    val q = newNodes.select(col(idCol).cast("long").as("q_id"),
+      col(vecCol).as("q_vec"))
+    // each new node's m best EXISTING neighbors, found the way a query
+    // would find them (entry sample + greedy walk over the old graph)
+    val found = beamSearch(corpus, edges, q, k = m, beam, rounds, nEntry,
+      corpusVec = vecCol, corpusId = idCol, queryVec = "q_vec",
+      queryId = "q_id", excludeSelf = true)
+    val toExisting = found.select(col("q_id").as("src"),
+      col(idCol).as("dst"), col("similarity").as("sim"))
+    // batch-internal candidates: the full build's LSH construction on the
+    // batch only (already symmetric + capped; re-capped below anyway)
+    val internal = knnGraph(newNodes, m, nBits, nTables, dim, seed, vecCol, idCol)
+    val added = toExisting
+      .unionByName(toExisting.select(col("dst").as("src"), col("src").as("dst"),
+        col("sim")))
+      .unionByName(internal)
+    // re-cap ONLY the touched adjacency lists; untouched nodes pass through
+    val touched = added.select(col("src")).distinct()
+    val cap2m = udaf(graft.functions.TopKBy(2 * m))
+    val recapped = edges.join(touched, Seq("src"), "left_semi")
+      .unionByName(added)
+      .dropDuplicates("src", "dst")
+      .groupBy(col("src"))
+      .agg(cap2m(col("sim"), col("dst")).as("__nn"))
+      .select(col("src"), explode(col("__nn")).as("e"))
+      .select(col("src"), col("e._2").as("dst"), col("e._1").as("sim"))
+    edges.join(touched, Seq("src"), "left_anti").unionByName(recapped)
+  }
+
   /** Batch greedy beam search over a [[knnGraph]] edge table.
     *
     * Entry points are a deterministic pseudo-random node sample (the same

@@ -80,17 +80,27 @@ class GraftVectorStoreSpec extends AnyFunSuite {
       .select($"id").as[String].collect().toSet
     assert(aRows.map(_._1).toSet.intersect(exact).size >= 2,
       "beam search must land mostly inside the exact top set")
-    // appending new documents invalidates the graph; the next approximate
-    // search rebuilds it and MUST reach the new records
+    // appending a brand-NEW document links into the persisted graph
+    // incrementally (HNSW-style insert): the graph files survive, and the
+    // very next approximate search must reach the new records through the
+    // inserted bidirectional links — no rebuild
     store.addDocuments(
       docs.limit(1).select(lit("brand_new_doc").as("document_path"),
         lit("zyzzyva quokka axolotl wombat").as("text")), "t", pageSize = 32)
-    assert(!new java.io.File(s"$path/_graft_knn_graph/t").exists(),
-      "append must invalidate the persisted graph")
+    assert(new java.io.File(s"$path/_graft_knn_graph/t").exists(),
+      "append of new documents must keep the graph (incremental insert)")
     val fresh = store.search("zyzzyva quokka axolotl wombat", "t", topN = 3,
       approximate = true, probeDepth = 4)
     assert(fresh.where($"document_path" === "brand_new_doc").count() >= 1,
-      "rebuilt graph must cover appended records")
+      "incrementally inserted node must be navigable from the old graph")
+    // re-ingesting the SAME document is an update: its node already sits in
+    // the graph with now-stale edges, so the graph invalidates and the next
+    // approximate search rebuilds from the latest view
+    store.addDocuments(
+      docs.limit(1).select(lit("brand_new_doc").as("document_path"),
+        lit("zyzzyva quokka axolotl wombat refreshed").as("text")), "t", pageSize = 32)
+    assert(!new java.io.File(s"$path/_graft_knn_graph/t").exists(),
+      "re-ingest of an existing document must invalidate the persisted graph")
     // drop removes the graph with the store
     store.dropIndex()
     assert(!new java.io.File(s"$path/_graft_knn_graph").exists())

@@ -82,6 +82,43 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(again === fresh, "existing index must be reused, never rebuilt")
   }
 
+  test("insertNodes: append ≡ rebuild — new nodes link bidirectionally, " +
+       "degree cap holds, and recall stays within tolerance of a full rebuild") {
+    val base = emb.where(col("vec_id") % 10 =!= 0)
+    val fresh = emb.where(col("vec_id") % 10 === 0)
+    val baseEdges = GraphAnn.knnGraph(base, m = 8, nBits = 4, nTables = 8, dim = 64)
+      .localCheckpoint()
+    val merged = GraphAnn.insertNodes(emb, baseEdges, fresh,
+      m = 8, beam = 8, rounds = 3, nEntry = 8, nBits = 4, nTables = 8, dim = 64)
+      .cache()
+    // structural contracts: degree cap 2m everywhere; every inserted node
+    // has out-edges AND in-edges (bidirectional linking — without in-edges
+    // a new node is unreachable by navigation)
+    val maxOut = merged.groupBy(col("src")).count().agg(max(col("count"))).as[Long].head()
+    assert(maxOut <= 16L, s"out-degree $maxOut exceeds 2m after insert")
+    val freshIds = fresh.select(col("vec_id")).as[Long].collect().toSet
+    val outSrcs = merged.select(col("src")).distinct().as[Long].collect().toSet
+    val inDsts = merged.select(col("dst")).distinct().as[Long].collect().toSet
+    assert(freshIds.subsetOf(outSrcs), "every inserted node needs out-edges")
+    assert(freshIds.subsetOf(inDsts), "every inserted node needs in-edges")
+    // recall: beam-search the merged corpus on the incremental graph vs on
+    // a from-scratch rebuild; the insert path may not collapse quality
+    val bf = SimilaritySearch.bruteForceTopK(emb, qs, 10)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    def recallOf(edges: org.apache.spark.sql.DataFrame): Double = {
+      val got = GraphAnn.beamSearch(emb, edges, qs, k = 10, beam = 8,
+          rounds = 3, nEntry = 8)
+        .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+      bf.intersect(got).size.toDouble / bf.size
+    }
+    val rebuilt = GraphAnn.knnGraph(emb, m = 8, nBits = 4, nTables = 8, dim = 64)
+      .localCheckpoint()
+    val rInc = recallOf(merged); val rFull = recallOf(rebuilt)
+    assert(rInc >= rFull - 0.15,
+      s"incremental recall $rInc must stay within 0.15 of rebuild recall $rFull")
+    merged.unpersist(false)
+  }
+
   test("beam search never scans the corpus: visited fraction stays far below 1") {
     val edges = GraphAnn.knnGraph(emb, m = 8, nBits = 4, nTables = 8, dim = 64).cache()
     edges.count()
