@@ -1674,6 +1674,34 @@ object SparkEntry {
         round(col("n_lsh").cast("double") / col("n_exact"), 4).as("recall"))
     }),
 
+    // The 100 TB-shaped form of the recall audit above: the quadratic
+    // exact side runs only on a deterministic md5 quarter-sample of the
+    // corpus (cost drops by sample²), while the LSH side is the
+    // PRODUCTION pair set restricted to sampled endpoints — an unbiased
+    // estimate of the same recall on the sampled pair universe, the
+    // pattern source_sketch_jaccard_scale set for the sketch audit.
+    // (A pair survives the sample with p = s², so size the sample off the
+    // expected duplicate count, not the corpus count.)
+    "dedup_minhash_recall_sampled" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val inS = docs.select(col("doc_id"))
+        .where(substring(md5(col("doc_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3"))
+      val lsh = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+          numHashes = 12, bands = 4, threshold = 0.30)
+        .join(inS.withColumnRenamed("doc_id", "id1"), Seq("id1"), "left_semi")
+        .join(inS.withColumnRenamed("doc_id", "id2"), Seq("id2"), "left_semi")
+        .select(col("id1"), col("id2"))
+      val exact = Dedup.ngramJaccardPairs(docs.join(inS, Seq("doc_id"), "left_semi"),
+        "text", "doc_id", n = 2, threshold = 0.30).select(col("id1"), col("id2"))
+      val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+      val nE = exact.agg(count(lit(1)).as("n_exact"))
+      nE.crossJoin(nL).select(col("n_exact"), col("n_lsh"),
+        when(col("n_exact") > 0,
+          round(col("n_lsh").cast("double") / col("n_exact"), 4))
+          .as("recall"))
+    }),
+
     // simhash32Fast = compiled one-pass twin of the declarative simhash32
     // (bit-identity pinned in DedupSpec); the oracle below IS the
     // declarative form in SQL.
@@ -6809,6 +6837,35 @@ object SparkEntry {
         |       WHERE round(CAST(shared AS DOUBLE) / (c1.n + c2.n - shared), 4) >= 0.30)
         |SELECT (SELECT count(*) FROM ex) AS n_exact, (SELECT count(*) FROM lsh) AS n_lsh,
         |  round(CAST((SELECT count(*) FROM lsh) AS DOUBLE) / (SELECT count(*) FROM ex), 4) AS recall""".stripMargin,
+
+    // The recall chain with the exact side restricted to the md5
+    // quarter-sample and the production LSH pairs filtered to sampled
+    // endpoints; recall NULL when the sampled truth set is empty.
+    "dedup_minhash_recall_sampled" ->
+      """WITH smp AS (SELECT doc_id FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')),
+        |w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) < 2 THEN [] ELSE list_distinct(list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])) END AS sh FROM w),
+        |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 11), i -> list_min(list_transform(sh, s -> md5(s || '#' || CAST(i AS VARCHAR))))) AS sig FROM sh WHERE len(sh) > 0),
+        |bk AS (SELECT doc_id, sh, list_transform(generate_series(0, 3), b -> md5(array_to_string(sig[(b*3+1):(b*3+3)], ','))) AS bks FROM sig),
+        |banded AS (SELECT doc_id, sh, b AS band_idx, bks[b+1] AS band_key FROM bk, generate_series(0, 3) AS t(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.sh AS sh1, b.sh AS sh2
+        |         FROM banded a JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |lsh AS (SELECT id1, id2 FROM
+        |        (SELECT id1, id2, CAST(len(list_filter(sh1, s -> list_contains(sh2, s))) AS DOUBLE) AS inter,
+        |                len(sh1) AS n1, len(sh2) AS n2 FROM cand)
+        |        WHERE round(inter / (n1 + n2 - inter), 4) >= 0.30
+        |          AND id1 IN (SELECT doc_id FROM smp) AND id2 IN (SELECT doc_id FROM smp)),
+        |se AS (SELECT doc_id, unnest(sh) AS shingle FROM sh
+        |       WHERE len(sh) > 0 AND doc_id IN (SELECT doc_id FROM smp)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM se GROUP BY doc_id),
+        |iv AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+        |       FROM se a JOIN se b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |ex AS (SELECT id1, id2 FROM iv JOIN cnt c1 ON id1 = c1.doc_id JOIN cnt c2 ON id2 = c2.doc_id
+        |       WHERE round(CAST(shared AS DOUBLE) / (c1.n + c2.n - shared), 4) >= 0.30)
+        |SELECT (SELECT count(*) FROM ex) AS n_exact, (SELECT count(*) FROM lsh) AS n_lsh,
+        |  CASE WHEN (SELECT count(*) FROM ex) > 0
+        |       THEN round(CAST((SELECT count(*) FROM lsh) AS DOUBLE) / (SELECT count(*) FROM ex), 4)
+        |       ELSE NULL END AS recall""".stripMargin,
 
     "dedup_simhash" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
