@@ -2680,6 +2680,29 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_no"))
     }),
 
+    // REAL video decode through the gate (the DocCodecs discipline applied
+    // to the video branch): each doc becomes an actual YUV4MPEG2 byte
+    // stream (8x8 C420, 1 + doc_id%4 frames, luma a pure function of
+    // (doc_id, frame, row)); VideoCodec parses the stream header, FRAME
+    // markers, and plane offsets for real, samples every 2nd frame, and
+    // emits exact-integer luminance band means. The oracle re-derives every
+    // band from the luma formula — a decoder that lands on wrong bytes
+    // hash-fails. (Compressed codecs remain stubbed: no codec libs here.)
+    "multimodal_video_real" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, graft.multimodal.VideoCodec.syntheticY4M(
+          id, nFrames = (1 + id % 4).toInt)))
+        .toDF("media_id", "payload")
+      graft.multimodal.VideoCodec.frameBands(s, media, stride = 2, featureDim = 4)
+        .select(col("media_id").as("doc_id"),
+          col("frame_no").cast("int").as("frame_no"),
+          col("n_frames").cast("int").as("n_frames"),
+          round(col("bands")(0), 4).as("b0"), round(col("bands")(1), 4).as("b1"),
+          round(col("bands")(2), 4).as("b2"), round(col("bands")(3), 4).as("b3"))
+        .orderBy(col("doc_id"), col("frame_no"))
+    }),
+
     // Perceptual-hash near-dup pairs (see [[graft.multimodal.PerceptualHash]]):
     // dHash over the image payloads + planted 1-byte mutants (media_id +
     // 1e6, replayable as 'x' || substr(text, 2)); candidates via the
@@ -7388,6 +7411,27 @@ object SparkEntry {
         |SELECT media_id, CAST(frame_no AS INT) AS frame_no,
         | CAST(least(64, n - frame_no * 64) AS BIGINT) AS frame_bytes
         |FROM f ORDER BY media_id, frame_no""".stripMargin,
+
+    // Re-derives the Y4M decoder's outputs from the fixture's luma formula
+    // Y(f, y) = (doc_id*31 + f*7 + y) mod 256 (constant along x, 8 wide,
+    // 2 rows per band): band mean = 8*(v(2b) + v(2b+1)) / (16*255). The
+    // integer sums are exact in both engines; division and round(4) act on
+    // identical doubles.
+    "multimodal_video_real" ->
+      """WITH f AS (SELECT doc_id, CAST(1 + doc_id % 4 AS INT) AS nf FROM documents),
+        |fr AS (SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS fno FROM f),
+        |sel AS (SELECT doc_id, nf, fno FROM fr WHERE fno % 2 = 0),
+        |b AS (SELECT doc_id, nf, fno, bb,
+        |        CAST(8 * ((doc_id*31 + fno*7 + 2*bb) % 256 +
+        |                  (doc_id*31 + fno*7 + 2*bb + 1) % 256) AS DOUBLE)
+        |          / (16 * 255.0) AS val
+        |      FROM sel CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bb))
+        |SELECT doc_id, CAST(fno AS INT) AS frame_no, CAST(nf AS INT) AS n_frames,
+        |  round(max(CASE WHEN bb = 0 THEN val END), 4) AS b0,
+        |  round(max(CASE WHEN bb = 1 THEN val END), 4) AS b1,
+        |  round(max(CASE WHEN bb = 2 THEN val END), 4) AS b2,
+        |  round(max(CASE WHEN bb = 3 THEN val END), 4) AS b3
+        |FROM b GROUP BY doc_id, fno, nf ORDER BY doc_id, frame_no""".stripMargin,
 
     // Replays PerceptualHash.nearDupPairs over the image media + planted
     // mutants: the 65-cell nearest-neighbor grid ((i*len)//65 — ascii()

@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * ([[Multimodal.decodeImageFeatures]]: PNG/JPEG/GIF/BMP → pixel-band
   * luminance features) and audio via JDK javax.sound.sampled
   * ([[Multimodal.decodeAudioFeatures]]: WAV/PCM16 → per-band amplitude);
-  * video and codec formats the JVM can't read fall back to a deterministic
-  * stub ([[Multimodal.fakeDecodeFeatures]]) so the pipeline stays total —
-  * the Spark-side contract (schema, batch shape, partitioning) is identical
-  * on every path.
+  * video decodes for REAL when the payload is an uncompressed YUV4MPEG2
+  * stream ([[VideoCodec.decodeY4MFrameBands]]: from-scratch Y4M parse →
+  * per-frame luminance bands); compressed codec formats the JVM can't read
+  * fall back to a deterministic stub ([[Multimodal.fakeDecodeFeatures]])
+  * so the pipeline stays total — the Spark-side contract (schema, batch
+  * shape, partitioning) is identical on every path.
   *
   * Schema: media(media_id BIGINT, kind STRING in {image,audio,video},
   * payload BINARY, meta STRUCT<source STRING, n_bytes BIGINT>).
@@ -205,6 +207,12 @@ object Multimodal {
           val features = (kind match {
             case "image" => decodeImageFeatures(payload, featureDim)
             case "audio" => decodeAudioFeatures(payload, featureDim)
+            // real Y4M decode (VideoCodec): clip-level features are the
+            // frame-band means averaged across frames; non-Y4M payloads
+            // (compressed codecs) fall back to the stub as before
+            case "video" => VideoCodec.decodeY4MFrameBands(payload, featureDim)
+              .map(fr => Array.tabulate(featureDim)(b =>
+                (fr.map(_(b)).sum / fr.length).toFloat))
             case _ => None
           }).getOrElse(fakeDecodeFeatures(payload, featureDim))
           MediaFeatures(id, kind, nBytes, features)
