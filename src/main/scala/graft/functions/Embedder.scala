@@ -81,8 +81,13 @@ object Embedder {
     * third — all md5/substring/strpos arithmetic ANSI SQL can replicate
     * exactly. Output is the SPARSE L2-normalized vector, one row per
     * non-zero bucket: (id, bucket, component). Shape at scale: explode ->
-    * map-side partial sum per (id, bucket) -> per-id norm -> join back; the
-    * shuffle carries at most (docs x dim) tiny rows, no dense vectors. */
+    * map-side partial sum per (id, bucket) -> ONE per-id aggregation that
+    * carries the (bucket, w) list (≤ dim entries, bounded) and the norm
+    * together, re-exploded — the norm is derived in the same pass instead
+    * of a second aggregation joined back, which would execute the whole
+    * explode/md5 chain twice (measured 2× on the logreg training path).
+    * The shuffle carries at most (docs × dim) tiny rows, no dense
+    * vectors. */
   def hashedComponents(df: org.apache.spark.sql.DataFrame, textCol: String,
                        idCol: String, dim: Int, seed: Int = DefaultSeed)
       : org.apache.spark.sql.DataFrame = {
@@ -101,10 +106,11 @@ object Embedder {
       .groupBy(col("id"), col("bucket"))
       .agg(sum(col("sign")).as("w"))
       .where(col("w") =!= 0.0)
-    val norms = weighted.groupBy(col("id"))
-      .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
-    weighted.join(norms, "id")
-      .select(col("id"), col("bucket"),
-        round(col("w") / col("norm"), 4).as("component"))
+    weighted.groupBy(col("id"))
+      .agg(collect_list(struct(col("bucket"), col("w"))).as("bw"),
+        sqrt(sum(col("w") * col("w"))).as("norm"))
+      .select(col("id"), explode(col("bw")).as("e"), col("norm"))
+      .select(col("id"), col("e.bucket").as("bucket"),
+        round(col("e.w") / col("norm"), 4).as("component"))
   }
 }

