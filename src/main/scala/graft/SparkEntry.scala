@@ -1013,7 +1013,9 @@ object SparkEntry {
         .select(col("bucket"), col("component").as("qc"))
       comp.join(broadcast(promptComp), "bucket")
         .groupBy(col("id").as("chunk_id"))
-        .agg(round(sum(col("component") * col("qc")), 4).as("similarity"))
+        // GridSum: order-proof round-4 (chunk-bounded fixed-point sum)
+        .agg(graft.functions.GridSum.gridRoundedSum(
+          col("component") * col("qc"), 10, 4).as("similarity"))
         .orderBy(desc("similarity"), col("chunk_id"))
         .limit(10)
     }),
@@ -2695,6 +2697,26 @@ object SparkEntry {
           id, nFrames = (1 + id % 4).toInt)))
         .toDF("media_id", "payload")
       graft.multimodal.VideoCodec.frameBands(s, media, stride = 2, featureDim = 4)
+        .select(col("media_id").as("doc_id"),
+          col("frame_no").cast("int").as("frame_no"),
+          col("n_frames").cast("int").as("n_frames"),
+          round(col("bands")(0), 4).as("b0"), round(col("bands")(1), 4).as("b1"),
+          round(col("bands")(2), 4).as("b2"), round(col("bands")(3), 4).as("b3"))
+        .orderBy(col("doc_id"), col("frame_no"))
+    }),
+
+    // The SECOND real container, gated independently: uncompressed 24bpp
+    // BI_RGB AVI (RIFF chunk walk, hdrl/strl/strf stream format, movi
+    // '00db' frames in bottom-up padded BGR rows — the parts a decoder can
+    // get wrong). Gray fixture Y(f, y) = (doc_id*37 + f*11 + y) mod 256;
+    // the oracle re-derives every band mean from that formula.
+    "multimodal_avi_real" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, graft.multimodal.VideoCodec.syntheticAvi(
+          id, nFrames = (1 + id % 3).toInt)))
+        .toDF("media_id", "payload")
+      graft.multimodal.VideoCodec.frameBands(s, media, stride = 1, featureDim = 4)
         .select(col("media_id").as("doc_id"),
           col("frame_no").cast("int").as("frame_no"),
           col("n_frames").cast("int").as("n_frames"),
@@ -4631,11 +4653,16 @@ object SparkEntry {
     // majority-class argmax.
     "classifier_logreg_eval" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // one hashed-feature build shared by training and scoring — the
+      // corpus-scan half of the cost, otherwise paid twice
+      val comps = graft.functions.Embedder
+        .hashedComponents(docs, "text", "doc_id", dim = 64).localCheckpoint()
       val w = QualityClassifier.trainLogReg(docs, "text", "doc_id",
-        label = col("lang") === "en", steps = 3)
+        label = col("lang") === "en", steps = 3, precomputed = Some(comps))
       val p = col("quality_prob")
       val y = col("is_en").cast("double")
-      QualityClassifier.score(docs, "text", "doc_id", weights = Some(w))
+      QualityClassifier.score(docs, "text", "doc_id", weights = Some(w),
+          precomputed = Some(comps))
         .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
           Seq("doc_id"))
         .groupBy(col("is_en"))
@@ -5457,13 +5484,20 @@ object SparkEntry {
         |lbl AS (SELECT doc_id AS id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents),
         |nn AS (SELECT CAST(count(DISTINCT id) AS DOUBLE) AS n FROM comp),
         |w0 AS (SELECT CAST(unnest(generate_series(0, 63)) AS INT) AS bucket, 0.0 AS w)""".stripMargin
+    // margins and gradients are GridSum fixed-point sums (1e-10-grid
+    // terms, integer accumulation, exact half-away division) — exactly
+    // the Spark side's order-proof arithmetic
     val stepsSql = (1 to 3).map { k =>
       s""",
-         |m$k AS (SELECT c.id, round(sum(c.component * w.w), 6) AS m
-         |        FROM comp c JOIN w${k - 1} w USING (bucket) GROUP BY c.id),
-         |g$k AS (SELECT c.bucket, sum(round(1.0 / (1.0 + exp(-m.m)) - l.y, 6) * c.component) AS g
+         |ms$k AS (SELECT c.id, sum(CAST(round(c.component * w.w * 1e10) AS BIGINT)) AS s
+         |         FROM comp c JOIN w${k - 1} w USING (bucket) GROUP BY c.id),
+         |m$k AS (SELECT id, CAST(CASE WHEN s >= 0 THEN (s + 5000) // 10000
+         |                             ELSE -((-s + 5000) // 10000) END AS DOUBLE) / 1e6 AS m
+         |        FROM ms$k),
+         |g$k AS (SELECT c.bucket,
+         |          sum(CAST(round(round(1.0 / (1.0 + exp(-m.m)) - l.y, 6) * c.component * 1e10) AS BIGINT)) AS g
          |        FROM comp c JOIN m$k m USING (id) JOIN lbl l USING (id) GROUP BY 1),
-         |w$k AS (SELECT w.bucket, round(w.w - round(1.0 * coalesce(g.g, 0.0) / (SELECT n FROM nn), 8), 6) AS w
+         |w$k AS (SELECT w.bucket, round(w.w - round(1.0 * coalesce(CAST(g.g AS DOUBLE) / 1e10, 0.0) / (SELECT n FROM nn), 8), 6) AS w
          |        FROM w${k - 1} w LEFT JOIN g$k g USING (bucket))""".stripMargin
     }.mkString
     head + stepsSql
@@ -5792,8 +5826,11 @@ object SparkEntry {
          |q_wh AS (SELECT CAST(i AS INT) AS bucket, md5('qw#' || CAST(i AS VARCHAR)) AS mh
          |         FROM (SELECT unnest(generate_series(0, 63)) AS i)),
          |q_wt AS (SELECT bucket, round(${hexToBigintSql("mh", 1)} / 4294967296.0 - 0.5, 6) AS wgt FROM q_wh),
-         |q_m AS (SELECT doc_id, round(sum(component * wgt), 6) AS margin
-         |        FROM q_comp JOIN q_wt USING (bucket) GROUP BY doc_id),
+         |q_ms AS (SELECT doc_id, sum(CAST(round(component * wgt * 1e10) AS BIGINT)) AS s
+         |         FROM q_comp JOIN q_wt USING (bucket) GROUP BY doc_id),
+         |q_m AS (SELECT doc_id, CAST(CASE WHEN s >= 0 THEN (s + 5000) // 10000
+         |                                 ELSE -((-s + 5000) // 10000) END AS DOUBLE) / 1e6 AS margin
+         |        FROM q_ms),
          |q_keep AS (SELECT doc_id FROM q_m WHERE round(1.0 / (1.0 + exp(-margin)), 4) >= 0.5),
          |$kmeansCtePrefix,
          |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.v AS v1, b.v AS v2
@@ -6432,7 +6469,9 @@ object SparkEntry {
 
     // same feature CTEs as embed_hashed_sparse, then the md5-seeded weight
     // table ((h/2^32)-0.5, round 6 — /2^32 is exact), broadcast-shaped join,
-    // margin round 6, sigmoid round 4, threshold on the ROUNDED prob.
+    // margin = GridSum fixed-point round-6 (1e-10-grid terms, BIGINT sums,
+    // integer half-away division — order-proof on both engines), sigmoid
+    // round 4, threshold on the ROUNDED prob.
     "quality_classifier" ->
       s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> len(t) > 0)) AS tok FROM documents),
          |h AS (SELECT doc_id, md5(tok || '#42') AS hx FROM toks),
@@ -6448,8 +6487,11 @@ object SparkEntry {
          |wh AS (SELECT CAST(i AS INT) AS bucket, md5('qw#' || CAST(i AS VARCHAR)) AS mh
          |       FROM (SELECT unnest(generate_series(0, 63)) AS i)),
          |wt AS (SELECT bucket, round(${hexToBigintSql("mh", 1)} / 4294967296.0 - 0.5, 6) AS wgt FROM wh),
-         |m AS (SELECT doc_id, round(sum(component * wgt), 6) AS margin
-         |      FROM comp JOIN wt USING (bucket) GROUP BY doc_id)
+         |ms AS (SELECT doc_id, sum(CAST(round(component * wgt * 1e10) AS BIGINT)) AS s
+         |       FROM comp JOIN wt USING (bucket) GROUP BY doc_id),
+         |m AS (SELECT doc_id, CAST(CASE WHEN s >= 0 THEN (s + 5000) // 10000
+         |                               ELSE -((-s + 5000) // 10000) END AS DOUBLE) / 1e6 AS margin
+         |      FROM ms)
          |SELECT doc_id, margin,
          |       round(1.0 / (1.0 + exp(-margin)), 4) AS quality_prob,
          |       round(1.0 / (1.0 + exp(-margin)), 4) >= 0.5 AS keep
@@ -7433,6 +7475,24 @@ object SparkEntry {
         |  round(max(CASE WHEN bb = 3 THEN val END), 4) AS b3
         |FROM b GROUP BY doc_id, fno, nf ORDER BY doc_id, frame_no""".stripMargin,
 
+    // AVI replay: gray pixels mean the decoder's (r+g+b) sums are 3×gray —
+    // band mean = 24*(v(2b) + v(2b+1)) / (16*3*255), exact integers until
+    // the one division.
+    "multimodal_avi_real" ->
+      """WITH f AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS nf FROM documents),
+        |fr AS (SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS fno FROM f),
+        |b AS (SELECT doc_id, nf, fno, bb,
+        |        CAST(24 * ((doc_id*37 + fno*11 + 2*bb) % 256 +
+        |                   (doc_id*37 + fno*11 + 2*bb + 1) % 256) AS DOUBLE)
+        |          / (16 * 3 * 255.0) AS val
+        |      FROM fr CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bb))
+        |SELECT doc_id, CAST(fno AS INT) AS frame_no, CAST(nf AS INT) AS n_frames,
+        |  round(max(CASE WHEN bb = 0 THEN val END), 4) AS b0,
+        |  round(max(CASE WHEN bb = 1 THEN val END), 4) AS b1,
+        |  round(max(CASE WHEN bb = 2 THEN val END), 4) AS b2,
+        |  round(max(CASE WHEN bb = 3 THEN val END), 4) AS b3
+        |FROM b GROUP BY doc_id, fno, nf ORDER BY doc_id, frame_no""".stripMargin,
+
     // Replays PerceptualHash.nearDupPairs over the image media + planted
     // mutants: the 65-cell nearest-neighbor grid ((i*len)//65 — ascii()
     // equals byte value on the pure-ASCII fixture), strict-> difference
@@ -7605,10 +7665,12 @@ object SparkEntry {
          |       FROM ph),
          |pagg AS (SELECT bucket, sum(sign) AS w FROM pw GROUP BY bucket HAVING sum(sign) <> 0),
          |pn AS (SELECT sqrt(sum(w*w)) AS norm FROM pagg),
-         |pcomp AS (SELECT bucket, round(w / (SELECT norm FROM pn), 4) AS qc FROM pagg)
-         |SELECT c.chunk_id, round(sum(c.component * p.qc), 4) AS similarity
-         |FROM comp c JOIN pcomp p USING (bucket)
-         |GROUP BY c.chunk_id
+         |pcomp AS (SELECT bucket, round(w / (SELECT norm FROM pn), 4) AS qc FROM pagg),
+         |ss AS (SELECT c.chunk_id, sum(CAST(round(c.component * p.qc * 1e10) AS BIGINT)) AS s
+         |       FROM comp c JOIN pcomp p USING (bucket) GROUP BY c.chunk_id)
+         |SELECT chunk_id, CAST(CASE WHEN s >= 0 THEN (s + 500000) // 1000000
+         |                           ELSE -((-s + 500000) // 1000000) END AS DOUBLE) / 1e4 AS similarity
+         |FROM ss
          |ORDER BY similarity DESC, chunk_id LIMIT 10""".stripMargin,
 
     // session_window semantics: a new session starts at gap >= 30 min
@@ -8679,8 +8741,11 @@ object SparkEntry {
     // mean probability + log-loss.
     "classifier_logreg_eval" ->
       s"""$logregOracleCtes,
-         |sm AS (SELECT c.id, round(sum(c.component * w.w), 6) AS m
-         |       FROM comp c JOIN w3 w USING (bucket) GROUP BY c.id),
+         |sms AS (SELECT c.id, sum(CAST(round(c.component * w.w * 1e10) AS BIGINT)) AS s
+         |        FROM comp c JOIN w3 w USING (bucket) GROUP BY c.id),
+         |sm AS (SELECT id, CAST(CASE WHEN s >= 0 THEN (s + 5000) // 10000
+         |                            ELSE -((-s + 5000) // 10000) END AS DOUBLE) / 1e6 AS m
+         |       FROM sms),
          |pv AS (SELECT id, round(1.0 / (1.0 + exp(-m)), 4) AS p FROM sm),
          |j AS (SELECT l.y = 1.0 AS is_en, l.y AS y, pv.p
          |      FROM pv JOIN lbl l USING (id))

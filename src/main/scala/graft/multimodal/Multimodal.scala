@@ -207,10 +207,10 @@ object Multimodal {
           val features = (kind match {
             case "image" => decodeImageFeatures(payload, featureDim)
             case "audio" => decodeAudioFeatures(payload, featureDim)
-            // real Y4M decode (VideoCodec): clip-level features are the
-            // frame-band means averaged across frames; non-Y4M payloads
+            // real Y4M/AVI decode (VideoCodec): clip-level features are the
+            // frame-band means averaged across frames; other containers
             // (compressed codecs) fall back to the stub as before
-            case "video" => VideoCodec.decodeY4MFrameBands(payload, featureDim)
+            case "video" => VideoCodec.decodeVideoFrameBands(payload, featureDim)
               .map(fr => Array.tabulate(featureDim)(b =>
                 (fr.map(_(b)).sum / fr.length).toFloat))
             case _ => None

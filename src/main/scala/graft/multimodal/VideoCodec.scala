@@ -133,11 +133,183 @@ object VideoCodec {
     if (frames.isEmpty) None else Some(frames.toSeq)
   }
 
+  // ------------------------- AVI (RIFF / BI_RGB) -------------------------
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  private def rdLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def fourCC(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** Encode grayscale frames (w*h top-down bytes each) as a minimal but
+    * fully well-formed uncompressed AVI: RIFF('AVI ') → LIST(hdrl){avih,
+    * LIST(strl){strh 'vids'/'DIB ', strf BITMAPINFOHEADER 24bpp BI_RGB}} →
+    * LIST(movi){'00db' bottom-up BGR rows, 4-byte padded}. The SECOND real
+    * container next to Y4M — RIFF chunk walking, stream-format parsing,
+    * and DIB row order/padding are the parts a decoder can get wrong. */
+  def aviBytes(w: Int, h: Int, grayFrames: Seq[Array[Byte]]): Array[Byte] = {
+    require(w >= 1 && h >= 1)
+    require(grayFrames.forall(_.length == w * h), "each frame must be w*h bytes")
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val dibSize = rowBytes * h
+    def dib(g: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](dibSize)
+      var yy = 0
+      while (yy < h) {
+        val srcRow = h - 1 - yy // bottom-up storage
+        var x = 0
+        while (x < w) {
+          val v = g(srcRow * w + x)
+          val o = yy * rowBytes + x * 3
+          out(o) = v; out(o + 1) = v; out(o + 2) = v // B G R
+          x += 1
+        }
+        yy += 1
+      }
+      out
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(id.getBytes("US-ASCII")); o.write(le32(body.length)); o.write(body)
+      if (body.length % 2 == 1) o.write(0) // RIFF word alignment
+      o.toByteArray
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("LIST".getBytes("US-ASCII")); o.write(le32(body.length + 4))
+      o.write(kind.getBytes("US-ASCII")); o.write(body)
+      o.toByteArray
+    }
+    val avih = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(le32(40000)); o.write(le32(dibSize * 25)); o.write(le32(0))
+      o.write(le32(0)); o.write(le32(grayFrames.length)); o.write(le32(0))
+      o.write(le32(1)); o.write(le32(dibSize)); o.write(le32(w)); o.write(le32(h))
+      (1 to 4).foreach(_ => o.write(le32(0)))
+      o.toByteArray
+    }
+    val strh = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("vids".getBytes("US-ASCII")); o.write("DIB ".getBytes("US-ASCII"))
+      o.write(le32(0)); o.write(le16(0)); o.write(le16(0)); o.write(le32(0))
+      o.write(le32(1)); o.write(le32(25)) // scale, rate
+      o.write(le32(0)); o.write(le32(grayFrames.length)); o.write(le32(dibSize))
+      o.write(le32(-1)); o.write(le32(0))
+      o.write(le16(0)); o.write(le16(0)); o.write(le16(w)); o.write(le16(h))
+      o.toByteArray
+    }
+    val strf = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(le32(40)); o.write(le32(w)); o.write(le32(h)); o.write(le16(1))
+      o.write(le16(24)); o.write(le32(0)) // BI_RGB
+      o.write(le32(dibSize)); o.write(le32(0)); o.write(le32(0))
+      o.write(le32(0)); o.write(le32(0))
+      o.toByteArray
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      grayFrames.map(g => chunk("00db", dib(g))).fold(Array.emptyByteArray)(_ ++ _))
+    val body = hdrl ++ movi
+    bos.write("RIFF".getBytes("US-ASCII")); bos.write(le32(body.length + 4))
+    bos.write("AVI ".getBytes("US-ASCII")); bos.write(body)
+    bos.toByteArray
+  }
+
+  /** The AVI gate fixture: gray value `(docId*37 + f*11 + y) mod 256`,
+    * constant along x — the [[syntheticY4M]] trick with its own constants,
+    * so each container's decoder is gated independently. */
+  def syntheticAvi(docId: Long, nFrames: Int, w: Int = 8, h: Int = 8): Array[Byte] = {
+    require(nFrames >= 1)
+    val frames = (0 until nFrames).map { f =>
+      Array.tabulate(w * h) { i =>
+        val y = i / w
+        (((docId * 37 + f * 11 + y) % 256).toInt & 0xff).toByte
+      }
+    }
+    aviBytes(w, h, frames)
+  }
+
+  /** Parse an uncompressed 24bpp BI_RGB AVI into per-frame luminance band
+    * means (luma = (r+g+b)/3, exact-integer sums — grayscale fixtures make
+    * it the gray value). None for anything malformed or unsupported:
+    * wrong RIFF magic, missing strf, compressed streams, non-24bpp, a
+    * truncated chunk, or zero video frames. */
+  def decodeAviFrameBands(payload: Array[Byte],
+                          featureDim: Int): Option[Seq[Array[Double]]] = {
+    if (payload == null || payload.length < 12) return None
+    if (fourCC(payload, 0) != "RIFF" || fourCC(payload, 8) != "AVI ") return None
+    var w = -1; var h = -1; var ok = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    // chunk walk: strf must precede movi (writer emits hdrl first; the AVI
+    // spec requires it); '00db'/'01db' are uncompressed DIB frames
+    def walk(from: Int, to: Int): Boolean = { // false = malformed
+      var pos = from
+      while (pos + 8 <= to) {
+        val id = fourCC(payload, pos)
+        val sz = rdLe32(payload, pos + 4)
+        if (sz < 0 || pos + 8 + sz > to) return false
+        if (id == "LIST") {
+          if (sz < 4) return false
+          if (!walk(pos + 12, pos + 8 + sz)) return false
+        } else if (id == "strf") {
+          if (sz < 40) return false
+          val bpp = (payload(pos + 8 + 14) & 0xff) | ((payload(pos + 8 + 15) & 0xff) << 8)
+          val comp = rdLe32(payload, pos + 8 + 16)
+          w = rdLe32(payload, pos + 8 + 4)
+          h = rdLe32(payload, pos + 8 + 8)
+          ok = bpp == 24 && comp == 0 && w > 0 && h > 0
+        } else if ((id == "00db" || id == "01db") && ok) {
+          val rowBytes = ((w * 3 + 3) / 4) * 4
+          if (sz < rowBytes * h) return false
+          val sums = new Array[Long](featureDim)
+          val counts = new Array[Long](featureDim)
+          var yy = 0
+          while (yy < h) {
+            val band = (yy.toLong * featureDim / h).toInt // top-down band
+            val row = h - 1 - yy                          // bottom-up storage
+            var x = 0
+            while (x < w) {
+              val o = pos + 8 + row * rowBytes + x * 3
+              sums(band) += (payload(o) & 0xff) + (payload(o + 1) & 0xff) +
+                (payload(o + 2) & 0xff)
+              counts(band) += 1
+              x += 1
+            }
+            yy += 1
+          }
+          frames += Array.tabulate(featureDim)(b =>
+            if (counts(b) == 0) 0.0 else sums(b) / (counts(b) * 3 * 255.0))
+        }
+        pos += 8 + sz + (sz & 1) // word alignment
+      }
+      true
+    }
+    if (!walk(12, payload.length)) return None
+    if (!ok || frames.isEmpty) None else Some(frames.toSeq)
+  }
+
+  /** Container dispatch: Y4M first (ASCII magic), then RIFF/AVI. */
+  def decodeVideoFrameBands(payload: Array[Byte],
+                            featureDim: Int): Option[Seq[Array[Double]]] =
+    decodeY4MFrameBands(payload, featureDim)
+      .orElse(decodeAviFrameBands(payload, featureDim))
+
   /** Distributed real-decode frame sampling: one output row per kept frame
     * (`frame_no % stride == 0`) with its luminance band means — the
     * [[Multimodal.sampleFrames]] explosion contract, but the decode is the
-    * real Y4M parse. Non-decodable payloads are dropped (count them
-    * upstream for a quarantine audit, the DocCodecs discipline). */
+    * real container parse (Y4M or AVI, [[decodeVideoFrameBands]]).
+    * Non-decodable payloads are dropped (count them upstream for a
+    * quarantine audit, the DocCodecs discipline). */
   def frameBands(spark: SparkSession, media: DataFrame, stride: Int,
                  featureDim: Int = 4,
                  payloadCol: String = "payload",
@@ -147,7 +319,7 @@ object VideoCodec {
     media.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, payload) =>
-        decodeY4MFrameBands(payload, featureDim) match {
+        decodeVideoFrameBands(payload, featureDim) match {
           case Some(frames) =>
             frames.zipWithIndex.collect {
               case (bands, f) if f % stride == 0 => (id, f, frames.length, bands)

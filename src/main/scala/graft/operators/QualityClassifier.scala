@@ -50,25 +50,34 @@ object QualityClassifier {
     *
     * Returns the trained (bucket, w) model table, directly usable as
     * [[score]]'s `weights` argument.
+    *
+    * `precomputed` lets a train-then-score pipeline build the hashed
+    * feature table ONCE (it must be [[Embedder.hashedComponents]] output,
+    * already materialized) — the feature build is the corpus-scan half of
+    * the cost, and an eval query otherwise pays it twice.
     */
   def trainLogReg(df: DataFrame, textCol: String, idCol: String,
                   label: Column, dim: Int = 64,
                   seed: Int = Embedder.DefaultSeed, steps: Int = 3,
-                  eta: Double = 1.0): DataFrame = {
+                  eta: Double = 1.0,
+                  precomputed: Option[DataFrame] = None): DataFrame = {
     require(steps >= 1 && dim >= 1)
     val spark = df.sparkSession
-    val comps = Embedder.hashedComponents(df, textCol, idCol, dim, seed)
-      .localCheckpoint()
+    val comps = precomputed.getOrElse(
+      Embedder.hashedComponents(df, textCol, idCol, dim, seed)
+        .localCheckpoint())
     val labels = df.select(col(idCol).as("id"),
       when(label, 1.0).otherwise(0.0).as("y"))
     val n = comps.select(col("id")).distinct().count().toDouble
     var w = Array.fill(dim)(0.0)
-    // Grid discipline (why two quantization stages): per-row residuals
-    // round to 6 (absorbs cross-engine exp() ulps), the per-bucket
-    // gradient step rounds to 8 AFTER the division (absorbs sum-order
-    // noise ~1e-15 nine orders under the 5e-9 half-grid), and only THEN
-    // does the round-6 weight update run — on bit-identical inputs, so
-    // the final rounding can never be decided by fold order.
+    // Grid discipline: margins are GridSum fixed-point sums (per-id,
+    // dim-bounded — exactly order-independent, so the round-6 can never
+    // be decided by fold order); per-row residuals round to 6 (absorbs
+    // cross-engine exp() ulps); the per-bucket GRADIENT is a corpus-sized
+    // cross-row sum, so its terms quantize onto the 1e-10 grid and sum as
+    // DECIMAL(38,0) scaled integers (long would overflow at corpus
+    // scale), with the round-8 step division done on the exact collected
+    // integer — the Pca.componentSums contract.
     def rnd(x: Double, s: Int): Double =
       BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
     for (_ <- 1 to steps) {
@@ -76,16 +85,20 @@ object QualityClassifier {
       val wDf = w.zipWithIndex.map { case (v, b) => (b, v) }.toSeq.toDF("bucket", "w")
       val margins = comps.join(broadcast(wDf), "bucket")
         .groupBy(col("id"))
-        .agg(round(sum(col("component") * col("w")), 6).as("m"))
+        .agg(graft.functions.GridSum.gridRoundedSum(
+          col("component") * col("w"), 10, 6).as("m"))
       val grad = margins.join(labels, "id")
         .withColumn("pmy",
           round(lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y"), 6))
         .join(comps, "id")
         .groupBy(col("bucket"))
-        .agg(sum(col("pmy") * col("component")).as("g"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        .agg(sum(round(col("pmy") * col("component") * lit(1e10), 0)
+          .cast("decimal(38,0)")).as("g"))
+        .collect().map(r => r.getInt(0) ->
+          BigInt(r.getDecimal(1).toBigInteger)).toMap
       w = w.zipWithIndex.map { case (v, b) =>
-        rnd(v - rnd(eta * grad.getOrElse(b, 0.0) / n, 8), 6)
+        val g = grad.getOrElse(b, BigInt(0)).toDouble / 1e10
+        rnd(v - rnd(eta * g / n, 8), 6)
       }
     }
     import spark.implicits._
@@ -98,12 +111,16 @@ object QualityClassifier {
   def score(df: DataFrame, textCol: String, idCol: String,
             dim: Int = 64, seed: Int = Embedder.DefaultSeed,
             weights: Option[DataFrame] = None,
-            weightSalt: String = "qw"): DataFrame = {
-    val comps = Embedder.hashedComponents(df, textCol, idCol, dim, seed)
+            weightSalt: String = "qw",
+            precomputed: Option[DataFrame] = None): DataFrame = {
+    val comps = precomputed.getOrElse(
+      Embedder.hashedComponents(df, textCol, idCol, dim, seed))
     val w = weights.getOrElse(weightsFor(df, dim, weightSalt))
     comps.join(broadcast(w), "bucket")
       .groupBy(col("id"))
-      .agg(round(sum(col("component") * col("w")), 6).as("margin"))
+      // GridSum: the margin round-6 must not depend on summation order
+      .agg(graft.functions.GridSum.gridRoundedSum(
+        col("component") * col("w"), 10, 6).as("margin"))
       .select(col("id").as(idCol), col("margin"),
         round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 4).as("quality_prob"))
       .withColumn("keep", col("quality_prob") >= 0.5)

@@ -60,6 +60,36 @@ class VideoCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("AVI: roundtrip with hand-computed bands, bottom-up row order, rejects") {
+    // 4x4 gray frame with DISTINCT row values: proves the decoder flips
+    // the bottom-up DIB storage back to top-down bands
+    val g = Array.tabulate(16)(i => ((i / 4) * 20).toByte) // rows 0,20,40,60
+    val avi = VideoCodec.aviBytes(4, 4, Seq(g))
+    val got = VideoCodec.decodeAviFrameBands(avi, 2).get
+    assert(got.length === 1)
+    // band0 = rows {0,20}: sums = 4*3*0 + 4*3*20 = 240; /(8*3*255)
+    assert(got(0)(0) === 240.0 / (8 * 3 * 255.0))
+    assert(got(0)(1) === (4 * 3 * 40 + 4 * 3 * 60).toDouble / (8 * 3 * 255.0))
+    // odd width exercises 4-byte row padding: w=3 -> rowBytes 12 != 9
+    val g3 = Array.tabulate(6)(i => ((i / 3) * 50).toByte)
+    val odd = VideoCodec.decodeAviFrameBands(VideoCodec.aviBytes(3, 2, Seq(g3)), 2).get
+    assert(odd(0)(0) === (3 * 3 * 0).toDouble / (3 * 3 * 255.0))
+    assert(odd(0)(1) === (3 * 3 * 50).toDouble / (3 * 3 * 255.0))
+    // rejects: non-RIFF, truncated movi chunk, and a compressed strf
+    assert(VideoCodec.decodeAviFrameBands("nope".getBytes, 2).isEmpty)
+    assert(VideoCodec.decodeAviFrameBands(avi.dropRight(4), 2).isEmpty)
+    val compressed = avi.clone()
+    // strf biCompression lives 16 bytes into the strf body; find it
+    val strfAt = avi.indices.find(i => i + 4 <= avi.length &&
+      new String(avi, i, 4, "US-ASCII") == "strf").get
+    compressed(strfAt + 8 + 16) = 1 // BI_RLE8
+    assert(VideoCodec.decodeAviFrameBands(compressed, 2).isEmpty)
+    // dispatch: the generic entry point decodes both containers
+    assert(VideoCodec.decodeVideoFrameBands(avi, 2).nonEmpty)
+    assert(VideoCodec.decodeVideoFrameBands(
+      VideoCodec.syntheticY4M(1L, 1), 2).nonEmpty)
+  }
+
   test("extractFeatures routes Y4M video payloads through the real decoder") {
     val y4m = VideoCodec.syntheticY4M(5L, nFrames = 2)
     val media = Seq((5L, "video", y4m), (6L, "video", "not a video".getBytes))
