@@ -326,6 +326,17 @@ object SparkEntry {
        |r AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM z),
        |rr AS (SELECT q_id, vec_id, similarity, CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)""".stripMargin
 
+  /** The knnGraph hyperplane families (4 tables × 4 planes, seeds 7+t) as
+    * SQL literals — the [[lshOraclePlaneValues]] replay trick per table,
+    * making the graph-ANN BUILD fully hash-checkable. */
+  private lazy val graphPlaneValues: String =
+    (0 until 4).flatMap { t =>
+      operators.SimilaritySearch.hyperplanes(nBits = 4, dim = 64, seed = 7L + t)
+        .zipWithIndex.map { case (p, i) =>
+          s"($t, $i, [${p.map(v => java.lang.Double.toString(v.toDouble)).mkString(", ")}])"
+        }
+    }.mkString(", ")
+
   private val fixedPrompt = "fast spark table scan query"
 
   /** Fixed keyword query for the lexical/hybrid retrieval gates — common
@@ -2167,6 +2178,20 @@ object SparkEntry {
         m = 16, nBits = 4, nTables = 8, dim = 64).cache()
       GraphAnn.beamSearch(emb, edges, qs, k = 10, beam = 8, rounds = 3, nEntry = 8)
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // The graph-ANN BUILD, fully hash-checked (upgrades the graph tier
+    // from rows-only+spec to an oracle-gated structure, the
+    // ann_lsh_bucketed trick): the seeded hyperplane family re-enters the
+    // oracle as literals, so DuckDB replays multi-table sign-LSH
+    // candidates, exact cosine, per-node top-m by (sim desc, id), the
+    // bidirectional union, and the 2m re-cap — every edge of the index
+    // must match. (Only the beam WALK stays rows-only: its entry sample
+    // uses Spark's murmur hash.)
+    "ann_graph_edges" -> ((s, d) => {
+      GraphAnn.knnGraph(t(s, d, "embeddings"), m = 4, nBits = 4, nTables = 4,
+          dim = 64)
+        .orderBy(col("src"), col("dst"))
     }),
 
     // ---------------- text analysis ----------------
@@ -7047,6 +7072,36 @@ object SparkEntry {
     "ann_lsh_bucketed" ->
       s"""WITH $lshTopKOracleCtes
          |SELECT q_id, vec_id, similarity, rank FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // Full knnGraph replay: per-table sign-LSH bucketing (plane literals),
+    // bucket-local candidate pairs, exact cosine round-4, symmetrize, per
+    // -node top-m (sim desc, id), bidirectional union, 2m re-cap.
+    "ann_graph_edges" ->
+      s"""WITH planes AS (SELECT * FROM (VALUES $graphPlaneValues) AS t(tid, pid, p)),
+         |emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |bits AS (SELECT e.vec_id, pl.tid, pl.pid,
+         |         CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN '1' ELSE '0' END AS bit
+         |         FROM emb e CROSS JOIN planes pl),
+         |bkt AS (SELECT vec_id, tid, CAST(tid AS VARCHAR) || ':' || string_agg(bit, '' ORDER BY pid) AS bkt
+         |        FROM bits GROUP BY vec_id, tid),
+         |pairs AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         |          FROM bkt a JOIN bkt b ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
+         |z AS (SELECT src, dst,
+         |        round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS sim
+         |      FROM (SELECT p.src, p.dst, list_dot_product(e1.v, e2.v) AS dp,
+         |                   sqrt(list_dot_product(e1.v, e1.v)) AS na,
+         |                   sqrt(list_dot_product(e2.v, e2.v)) AS nb
+         |            FROM pairs p JOIN emb e1 ON e1.vec_id = p.src
+         |                         JOIN emb e2 ON e2.vec_id = p.dst)),
+         |sym AS (SELECT src, dst, sim FROM z UNION ALL SELECT dst, src, sim FROM z),
+         |chosen AS (SELECT src, dst, sim FROM
+         |           (SELECT src, dst, sim, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn FROM sym)
+         |           WHERE rn <= 4),
+         |bidir AS (SELECT DISTINCT src, dst, sim FROM
+         |          (SELECT src, dst, sim FROM chosen UNION ALL SELECT dst, src, sim FROM chosen))
+         |SELECT src, dst, sim FROM
+         |  (SELECT src, dst, sim, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn FROM bidir)
+         |WHERE rn <= 8 ORDER BY src, dst""".stripMargin,
 
     // The evaluation harness ON the approximate tier: the LSH replay
     // (shared CTEs with ann_lsh_bucketed) scored against the exact
