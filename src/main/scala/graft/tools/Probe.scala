@@ -47,6 +47,35 @@ object Probe {
         time("full operator")(
           Dedup.minhashNearDupPairs(docs, "text", "doc_id", 12, 4, 0.30).count())
 
+      case "insert" =>
+        // graph-ANN incremental insert: append ≡ rebuild recall evidence
+        import graft.operators.GraphAnn
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+        emb.count()
+        val qs2 = emb.where(col("vec_id") % 40 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")).cache()
+        val bf = SimilaritySearch.bruteForceTopK(emb, qs2, 10)
+          .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+        def recallOf(edges: org.apache.spark.sql.DataFrame): Double = {
+          val got = GraphAnn.beamSearch(emb, edges, qs2, k = 10, beam = 8,
+              rounds = 3, nEntry = 8)
+            .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+          bf.intersect(got).size.toDouble / bf.size
+        }
+        println("config,appended_frac,recall_rebuild,recall_incremental")
+        for (mod <- Seq(10, 5, 2)) { // 10% / 20% / 50% of the corpus appended
+          val base = emb.where(col("vec_id") % mod =!= 0)
+          val fresh = emb.where(col("vec_id") % mod === 0)
+          val baseEdges = GraphAnn.knnGraph(base, m = 16, nBits = 4, nTables = 8,
+            dim = 64).localCheckpoint()
+          val merged = GraphAnn.insertNodes(emb, baseEdges, fresh, m = 16,
+            beam = 8, rounds = 3, nEntry = 8, nBits = 4, nTables = 8, dim = 64)
+            .localCheckpoint()
+          val rebuilt = GraphAnn.knnGraph(emb, m = 16, nBits = 4, nTables = 8,
+            dim = 64).localCheckpoint()
+          println(f"m=16,${1.0 / mod}%.2f,${recallOf(rebuilt)}%.3f,${recallOf(merged)}%.3f")
+        }
+
       case "logreg" =>
         // stage-by-stage scan accounting for the GD training loop
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
