@@ -185,16 +185,17 @@ object SparkEntry {
 
   /** dedup_semantic oracle: the SemDeDup pipeline end to end — the full
     * portable-Lloyd replay above, then within-cluster pairwise cosine
-    * (sum-over-unnest, round 4 — the [[operators.SemDedup]] recipe) and
-    * the keep-lowest-id verdict. Any drift in clustering OR pruning
-    * hash-fails. */
+    * (list_dot_product: an index-order fold, bit-identical to the Spark
+    * expression's loop AND exactly order-independent — the round-6
+    * hardening applied to every cosine oracle) and the keep-lowest-id
+    * verdict. Any drift in clustering OR pruning hash-fails. */
   private val semDedupOracleSql: String =
     s"""WITH $kmeansCtePrefix,
        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.v AS v1, b.v AS v2
        |      FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
-       |z AS (SELECT id1, id2, unnest(v1) AS x, unnest(v2) AS y FROM p),
-       |sc AS (SELECT id1, id2, sum(x*y) AS dp, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
-       |       FROM z GROUP BY id1, id2),
+       |sc AS (SELECT id1, id2, list_dot_product(v1, v2) AS dp,
+       |       sqrt(list_dot_product(v1, v1)) AS na, sqrt(list_dot_product(v2, v2)) AS nb
+       |       FROM p),
        |dup AS (SELECT DISTINCT id2 FROM sc
        |        WHERE round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) >= 0.4)
        |SELECT vec_id, CAST(cluster AS INT) AS cluster,
@@ -5445,13 +5446,12 @@ object SparkEntry {
     * oracle for `ann_bruteforce_batch` AND the `ann_ivf_full_probe`
     * contract query, which must reproduce it exactly. */
   private val exactAnnTopKSql: String =
-    """WITH qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-      |z AS (SELECT q.q_id, e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
-      |      FROM embeddings e, qs q WHERE e.vec_id <> q.q_id),
-      |s AS (SELECT q_id, vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
-      |             sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
-      |             sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
-      |      FROM z GROUP BY q_id, vec_id),
+    """WITH ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |qs AS (SELECT vec_id AS q_id, v AS qv FROM ev WHERE vec_id < 5),
+      |s AS (SELECT q.q_id, e.vec_id, list_dot_product(e.v, q.qv) AS dp,
+      |             sqrt(list_dot_product(e.v, e.v)) AS na,
+      |             sqrt(list_dot_product(q.qv, q.qv)) AS nb
+      |      FROM ev e, qs q WHERE e.vec_id <> q.q_id),
       |r AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM s),
       |rr AS (SELECT q_id, vec_id, similarity,
       |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)
@@ -5547,14 +5547,13 @@ object SparkEntry {
         |cand AS (SELECT q_id, vec_id, hamming,
         |  row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rn FROM hd
         |  QUALIFY rn <= 32),
-        |z AS (SELECT c.q_id, c.vec_id, c.hamming, unnest(e.embedding) AS a, unnest(qe.embedding) AS b
-        |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
-        |              JOIN embeddings qe ON c.q_id = qe.vec_id),
-        |sc AS (SELECT q_id, vec_id, min(hamming) AS hamming,
-        |  sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
-        |  sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
-        |  sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
-        |  FROM z GROUP BY q_id, vec_id),
+        |dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |sc AS (SELECT c.q_id, c.vec_id, c.hamming,
+        |  list_dot_product(e.v, qe.v) AS dp,
+        |  sqrt(list_dot_product(e.v, e.v)) AS na,
+        |  sqrt(list_dot_product(qe.v, qe.v)) AS nb
+        |  FROM cand c JOIN dv e ON c.vec_id = e.vec_id
+        |              JOIN dv qe ON c.q_id = qe.vec_id),
         |r AS (SELECT q_id, vec_id, hamming,
         |  round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM sc),
         |rr AS (SELECT q_id, vec_id, hamming, similarity,
@@ -5783,23 +5782,20 @@ object SparkEntry {
     * half-ulp boundary and flipped between engines. */
   private val mmrOracleSql: String = {
     val head =
-      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |z AS (SELECT e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
-        |      FROM embeddings e, q WHERE e.vec_id <> 0),
-        |sc AS (SELECT vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
-        |              sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
-        |              sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
-        |       FROM z GROUP BY vec_id),
+      """WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM dv WHERE vec_id = 0),
+        |sc AS (SELECT e.vec_id, list_dot_product(e.v, q.qv) AS dp,
+        |              sqrt(list_dot_product(e.v, e.v)) AS na,
+        |              sqrt(list_dot_product(q.qv, q.qv)) AS nb
+        |       FROM dv e, q WHERE e.vec_id <> 0),
         |cand AS MATERIALIZED (SELECT vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS relevance
         |       FROM sc ORDER BY relevance DESC, vec_id LIMIT 20),
-        |pv AS (SELECT c.vec_id, e.embedding FROM cand c JOIN embeddings e USING (vec_id)),
-        |z2 AS (SELECT x.vec_id AS pa, y.vec_id AS pb, unnest(x.embedding) AS xa, unnest(y.embedding) AS yb
-        |       FROM pv x, pv y WHERE x.vec_id <> y.vec_id),
+        |pv AS (SELECT c.vec_id, d.v FROM cand c JOIN dv d USING (vec_id)),
         |pr AS MATERIALIZED (SELECT pa, pb, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS sim FROM
-        |       (SELECT pa, pb, sum(CAST(xa AS DOUBLE)*CAST(yb AS DOUBLE)) AS dp,
-        |               sqrt(sum(CAST(xa AS DOUBLE)*CAST(xa AS DOUBLE))) AS na,
-        |               sqrt(sum(CAST(yb AS DOUBLE)*CAST(yb AS DOUBLE))) AS nb
-        |        FROM z2 GROUP BY pa, pb)),
+        |       (SELECT x.vec_id AS pa, y.vec_id AS pb, list_dot_product(x.v, y.v) AS dp,
+        |               sqrt(list_dot_product(x.v, x.v)) AS na,
+        |               sqrt(list_dot_product(y.v, y.v)) AS nb
+        |        FROM pv x, pv y WHERE x.vec_id <> y.vec_id)),
         |ce AS MATERIALIZED (SELECT vec_id, relevance, CAST(round(relevance * 10000) AS BIGINT) AS rel_e4 FROM cand),
         |pre AS MATERIALIZED (SELECT pa, pb, CAST(round(sim * 10000) AS BIGINT) AS sim_e4 FROM pr),
         |s1 AS MATERIALIZED (SELECT vec_id, relevance, 7 * rel_e4 AS score, 1 AS rank
@@ -5860,9 +5856,9 @@ object SparkEntry {
          |$kmeansCtePrefix,
          |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.v AS v1, b.v AS v2
          |      FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
-         |z AS (SELECT id1, id2, unnest(v1) AS x, unnest(v2) AS y FROM p),
-         |sc AS (SELECT id1, id2, sum(x*y) AS dp, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
-         |       FROM z GROUP BY id1, id2),
+         |sc AS (SELECT id1, id2, list_dot_product(v1, v2) AS dp,
+         |       sqrt(list_dot_product(v1, v1)) AS na, sqrt(list_dot_product(v2, v2)) AS nb
+         |       FROM p),
          |dup AS (SELECT DISTINCT id2 FROM sc
          |        WHERE round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) >= 0.4),
          |surv AS (SELECT d.doc_id, d.lang FROM documents d
@@ -5891,9 +5887,9 @@ object SparkEntry {
       s"""WITH RECURSIVE $kmeansCtePrefix,
          |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.v AS v1, b.v AS v2
          |      FROM a3 a JOIN a3 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
-         |z AS (SELECT id1, id2, unnest(v1) AS x, unnest(v2) AS y FROM p),
-         |sc AS (SELECT id1, id2, sum(x*y) AS dp, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
-         |       FROM z GROUP BY id1, id2),
+         |sc AS (SELECT id1, id2, list_dot_product(v1, v2) AS dp,
+         |       sqrt(list_dot_product(v1, v1)) AS na, sqrt(list_dot_product(v2, v2)) AS nb
+         |       FROM p),
          |pr AS (SELECT id1, id2 FROM sc
          |       WHERE round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) >= 0.4),
          |ed AS (SELECT id1 AS src, id2 AS dst FROM pr UNION SELECT id2, id1 FROM pr),
@@ -6535,13 +6531,12 @@ object SparkEntry {
         |ORDER BY vec_id""".stripMargin,
 
     "knn_topk" ->
-      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |z AS (SELECT e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
-        |      FROM embeddings e, q WHERE e.vec_id <> 0),
-        |s AS (SELECT vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
-        |             sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
-        |             sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
-        |      FROM z GROUP BY vec_id)
+      """WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM dv WHERE vec_id = 0),
+        |s AS (SELECT e.vec_id, list_dot_product(e.v, q.qv) AS dp,
+        |             sqrt(list_dot_product(e.v, e.v)) AS na,
+        |             sqrt(list_dot_product(q.qv, q.qv)) AS nb
+        |      FROM dv e, q WHERE e.vec_id <> 0)
         |SELECT vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity
         |FROM s ORDER BY similarity DESC, vec_id LIMIT 10""".stripMargin,
 
@@ -7054,13 +7049,11 @@ object SparkEntry {
          |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
 
     "dedup_embedding_cosine" ->
-      """WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.embedding AS v1, b.embedding AS v2
-        |           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
-        |z AS (SELECT id1, id2, unnest(v1) AS x, unnest(v2) AS y FROM p),
-        |s AS (SELECT id1, id2, sum(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) AS dp,
-        |             sqrt(sum(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS na,
-        |             sqrt(sum(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))) AS nb
-        |      FROM z GROUP BY id1, id2)
+      """WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT a.vec_id AS id1, b.vec_id AS id2, list_dot_product(a.v, b.v) AS dp,
+        |             sqrt(list_dot_product(a.v, a.v)) AS na,
+        |             sqrt(list_dot_product(b.v, b.v)) AS nb
+        |      FROM dv a JOIN dv b ON a.vec_id < b.vec_id)
         |SELECT id1, id2, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS cosine
         |FROM s WHERE round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) >= 0.45
         |ORDER BY id1, id2""".stripMargin,
@@ -7110,13 +7103,11 @@ object SparkEntry {
     "retrieval_eval_ndcg" ->
       s"""WITH $lshTopKOracleCtes,
          |sys AS (SELECT q_id, vec_id, rank AS sys_rank FROM rr WHERE rank <= 10),
-         |gz AS (SELECT q.q_id, e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
-         |       FROM embeddings e, (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5) q
+         |gs AS (SELECT q.q_id, e.vec_id, list_dot_product(e.v, q.qv) AS dp,
+         |              sqrt(list_dot_product(e.v, e.v)) AS na,
+         |              sqrt(list_dot_product(q.qv, q.qv)) AS nb
+         |       FROM emb e, (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < 5) q
          |       WHERE e.vec_id <> q.q_id),
-         |gs AS (SELECT q_id, vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
-         |              sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
-         |              sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
-         |       FROM gz GROUP BY q_id, vec_id),
          |gr AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM gs),
          |gt AS (SELECT q_id, vec_id, CAST(11 - grank AS DOUBLE) AS rel FROM
          |       (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS grank FROM gr)
@@ -7149,13 +7140,12 @@ object SparkEntry {
 
     // cosine vs query 7, per-source rank <= 2, then global top-10.
     "knn_source_capped" ->
-      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
-        |z AS (SELECT e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
-        |      FROM embeddings e, q WHERE e.vec_id <> 7),
-        |s AS (SELECT vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
-        |             sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
-        |             sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
-        |      FROM z GROUP BY vec_id),
+      """WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM dv WHERE vec_id = 7),
+        |s AS (SELECT e.vec_id, list_dot_product(e.v, q.qv) AS dp,
+        |             sqrt(list_dot_product(e.v, e.v)) AS na,
+        |             sqrt(list_dot_product(q.qv, q.qv)) AS nb
+        |      FROM dv e, q WHERE e.vec_id <> 7),
         |r AS (SELECT vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM s),
         |j AS (SELECT d.source, r.vec_id, r.similarity FROM r JOIN documents d ON r.vec_id = d.doc_id),
         |c AS (SELECT source, vec_id, similarity,
@@ -7167,14 +7157,12 @@ object SparkEntry {
 
     // exactAnnTopKSql over the 16-dim prefix subspace.
     "ann_truncated_dims" ->
-      """WITH em AS (SELECT vec_id, embedding[1:16] AS embedding FROM embeddings),
-        |qs AS (SELECT vec_id AS q_id, embedding AS qv FROM em WHERE vec_id < 5),
-        |z AS (SELECT q.q_id, e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
+      """WITH em AS (SELECT vec_id, list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |qs AS (SELECT vec_id AS q_id, v AS qv FROM em WHERE vec_id < 5),
+        |s AS (SELECT q.q_id, e.vec_id, list_dot_product(e.v, q.qv) AS dp,
+        |             sqrt(list_dot_product(e.v, e.v)) AS na,
+        |             sqrt(list_dot_product(q.qv, q.qv)) AS nb
         |      FROM em e, qs q WHERE e.vec_id <> q.q_id),
-        |s AS (SELECT q_id, vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
-        |             sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
-        |             sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
-        |      FROM z GROUP BY q_id, vec_id),
         |r AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM s),
         |rr AS (SELECT q_id, vec_id, similarity,
         |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)
@@ -7184,13 +7172,12 @@ object SparkEntry {
     // (queries stay unfiltered — a query vector needn't satisfy its own
     // filter).
     "ann_filtered" ->
-      """WITH qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-        |z AS (SELECT q.q_id, e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
-        |      FROM embeddings e, qs q WHERE e.vec_id <> q.q_id AND e.label = 1),
-        |s AS (SELECT q_id, vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
-        |             sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
-        |             sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
-        |      FROM z GROUP BY q_id, vec_id),
+      """WITH dv AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |qs AS (SELECT vec_id AS q_id, v AS qv FROM dv WHERE vec_id < 5),
+        |s AS (SELECT q.q_id, e.vec_id, list_dot_product(e.v, q.qv) AS dp,
+        |             sqrt(list_dot_product(e.v, e.v)) AS na,
+        |             sqrt(list_dot_product(q.qv, q.qv)) AS nb
+        |      FROM dv e, qs q WHERE e.vec_id <> q.q_id AND e.label = 1),
         |r AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM s),
         |rr AS (SELECT q_id, vec_id, similarity,
         |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)
@@ -7198,12 +7185,11 @@ object SparkEntry {
 
     // exact top-1 cosine neighbor per vector (every vector a query).
     "pairs_hard_negatives" ->
-      """WITH z AS (SELECT q.vec_id AS q_id, e.vec_id, unnest(e.embedding) AS a, unnest(q.embedding) AS b
-        |      FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id),
-        |s AS (SELECT q_id, vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
-        |             sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
-        |             sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
-        |      FROM z GROUP BY q_id, vec_id),
+      """WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT q.vec_id AS q_id, e.vec_id, list_dot_product(e.v, q.v) AS dp,
+        |             sqrt(list_dot_product(e.v, e.v)) AS na,
+        |             sqrt(list_dot_product(q.v, q.v)) AS nb
+        |      FROM dv e, dv q WHERE e.vec_id <> q.vec_id),
         |r AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM s),
         |rr AS (SELECT q_id, vec_id, similarity,
         |       row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS rn FROM r)
@@ -7240,11 +7226,11 @@ object SparkEntry {
     // (integer-valued doubles), summed lexical-then-vector, round(6).
     "hybrid_rrf" ->
       s"""WITH ${bm25OracleCtes("b_")},
-         |v_z AS (SELECT e.vec_id, unnest(e.embedding) AS a, unnest(q.embedding) AS b
-         |        FROM embeddings e, embeddings q WHERE q.vec_id = 7 AND e.vec_id <> 7),
-         |v_s AS (SELECT vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
-         |        sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
-         |        sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb FROM v_z GROUP BY vec_id),
+         |v_dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |v_s AS (SELECT e.vec_id, list_dot_product(e.v, q.v) AS dp,
+         |        sqrt(list_dot_product(e.v, e.v)) AS na,
+         |        sqrt(list_dot_product(q.v, q.v)) AS nb
+         |        FROM v_dv e, v_dv q WHERE q.vec_id = 7 AND e.vec_id <> 7),
          |v_r AS (SELECT vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM v_s),
          |v_rank AS (SELECT vec_id,
          |  CAST(row_number() OVER (ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM v_r),
@@ -8446,12 +8432,11 @@ object SparkEntry {
     // the reversed pair key; the a<b direction's rounded similarity is the
     // reported one.
     "pairs_mutual_knn" ->
-      """WITH z AS (SELECT q.vec_id AS q_id, e.vec_id, unnest(e.embedding) AS a, unnest(q.embedding) AS b
-        |      FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id),
-        |s AS (SELECT q_id, vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
-        |             sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
-        |             sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
-        |      FROM z GROUP BY q_id, vec_id),
+      """WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT q.vec_id AS q_id, e.vec_id, list_dot_product(e.v, q.v) AS dp,
+        |             sqrt(list_dot_product(e.v, e.v)) AS na,
+        |             sqrt(list_dot_product(q.v, q.v)) AS nb
+        |      FROM dv e, dv q WHERE e.vec_id <> q.vec_id),
         |r AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM s),
         |rr AS (SELECT q_id, vec_id, similarity,
         |       row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS rank FROM r),
@@ -8813,13 +8798,11 @@ object SparkEntry {
     "retrieval_eval_binary" ->
       s"""WITH $binaryHammingCtes,
          |sys AS (SELECT q_id, vec_id, rank AS sys_rank FROM rr WHERE rank <= 10),
-         |gz AS (SELECT q.q_id, e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
-         |       FROM embeddings e, (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5) q
+         |gs AS (SELECT q.q_id, e.vec_id, list_dot_product(e.v, q.qv) AS dp,
+         |              sqrt(list_dot_product(e.v, e.v)) AS na,
+         |              sqrt(list_dot_product(q.qv, q.qv)) AS nb
+         |       FROM dv e, (SELECT vec_id AS q_id, v AS qv FROM dv WHERE vec_id < 5) q
          |       WHERE e.vec_id <> q.q_id),
-         |gs AS (SELECT q_id, vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
-         |              sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
-         |              sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
-         |       FROM gz GROUP BY q_id, vec_id),
          |gr AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM gs),
          |gt AS (SELECT q_id, vec_id, CAST(11 - grank AS DOUBLE) AS rel FROM
          |       (SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS grank FROM gr)
@@ -9071,13 +9054,12 @@ object SparkEntry {
         |ORDER BY 1""".stripMargin,
 
     "pipeline_rag_context" ->
-      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |z AS (SELECT e.vec_id, unnest(e.embedding) AS a, unnest(q.qv) AS b
-        |      FROM embeddings e, q WHERE e.vec_id <> 0),
-        |s AS (SELECT vec_id, sum(CAST(a AS DOUBLE)*CAST(b AS DOUBLE)) AS dp,
-        |             sqrt(sum(CAST(a AS DOUBLE)*CAST(a AS DOUBLE))) AS na,
-        |             sqrt(sum(CAST(b AS DOUBLE)*CAST(b AS DOUBLE))) AS nb
-        |      FROM z GROUP BY vec_id),
+      """WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM dv WHERE vec_id = 0),
+        |s AS (SELECT e.vec_id, list_dot_product(e.v, q.qv) AS dp,
+        |             sqrt(list_dot_product(e.v, e.v)) AS na,
+        |             sqrt(list_dot_product(q.qv, q.qv)) AS nb
+        |      FROM dv e, q WHERE e.vec_id <> 0),
         |top AS (SELECT vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity
         |        FROM s ORDER BY similarity DESC, vec_id LIMIT 20),
         |tk AS (SELECT doc_id AS vec_id,
