@@ -338,6 +338,25 @@ object SparkEntry {
         }
     }.mkString(", ")
 
+  /** Shared by multimodal_video_real and streaming_video_frames (identical
+    * decode of identical synthesized clips): frames, stride-2 sampling,
+    * and band means re-derived from the fixture's luma formula. */
+  private val videoRealOracleSql: String =
+    """WITH f AS (SELECT doc_id, CAST(1 + doc_id % 4 AS INT) AS nf FROM documents),
+      |fr AS (SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS fno FROM f),
+      |sel AS (SELECT doc_id, nf, fno FROM fr WHERE fno % 2 = 0),
+      |b AS (SELECT doc_id, nf, fno, bb,
+      |        CAST(8 * ((doc_id*31 + fno*7 + 2*bb) % 256 +
+      |                  (doc_id*31 + fno*7 + 2*bb + 1) % 256) AS DOUBLE)
+      |          / (16 * 255.0) AS val
+      |      FROM sel CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bb))
+      |SELECT doc_id, CAST(fno AS INT) AS frame_no, CAST(nf AS INT) AS n_frames,
+      |  round(max(CASE WHEN bb = 0 THEN val END), 4) AS b0,
+      |  round(max(CASE WHEN bb = 1 THEN val END), 4) AS b1,
+      |  round(max(CASE WHEN bb = 2 THEN val END), 4) AS b2,
+      |  round(max(CASE WHEN bb = 3 THEN val END), 4) AS b3
+      |FROM b GROUP BY doc_id, fno, nf ORDER BY doc_id, frame_no""".stripMargin
+
   private val fixedPrompt = "fast spark table scan query"
 
   /** Fixed keyword query for the lexical/hybrid retrieval gates — common
@@ -2749,6 +2768,48 @@ object SparkEntry {
           round(col("bands")(0), 4).as("b0"), round(col("bands")(1), 4).as("b1"),
           round(col("bands")(2), 4).as("b2"), round(col("bands")(3), 4).as("b3"))
         .orderBy(col("doc_id"), col("frame_no"))
+    }),
+
+    // The streaming sibling of multimodal_video_real: clips decode inside
+    // a stateless streaming flatMap (append mode, zero state — decode is
+    // row-local), through the SAME VideoCodec.frameBands code path, gated
+    // against the SAME oracle. The media-landing-zone shape.
+    "streaming_video_frames" -> ((s, d) => {
+      graft.streaming.StreamingOps.videoFramesOnce(s, s"$d/documents.parquet",
+          queryName = s"graft_video_$runNonce")
+        .select(col("media_id").as("doc_id"),
+          col("frame_no").cast("int").as("frame_no"),
+          col("n_frames").cast("int").as("n_frames"),
+          round(col("bands")(0), 4).as("b0"), round(col("bands")(1), 4).as("b1"),
+          round(col("bands")(2), 4).as("b2"), round(col("bands")(3), 4).as("b3"))
+        .orderBy(col("doc_id"), col("frame_no"))
+    }),
+
+    // Inter-annotator agreement (Cohen's kappa) between the heuristic
+    // language-ID "rater" and the labeled lang — the label-QA statistic an
+    // RLHF/annotation pipeline reports before trusting either source of
+    // labels. Chance agreement from the confusion matrix's marginals; all
+    // counts exact integers, two divisions at the end. The confusion
+    // matrix is (langs × langs)-sized: every downstream term is
+    // model-sized arithmetic, map-side combinable.
+    "stats_cohen_kappa" -> ((s, d) => {
+      val conf = t(s, d, "documents")
+        .select(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val tot = conf.agg(sum(col("n")).as("t"))
+      val agree = conf.where(col("lang") === col("lang_pred"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("agree"))
+      val rowm = conf.groupBy(col("lang")).agg(sum(col("n")).as("rn"))
+      val colm = conf.groupBy(col("lang_pred")).agg(sum(col("n")).as("cn"))
+      val rc = rowm.join(colm, rowm("lang") === colm("lang_pred"))
+        .agg(sum(col("rn") * col("cn")).as("rc"))
+      val po = col("agree").cast("double") / col("t")
+      val pe = col("rc").cast("double") / (col("t") * col("t"))
+      tot.crossJoin(broadcast(agree)).crossJoin(broadcast(rc))
+        .select(col("t").as("n"),
+          round(po, 6).as("po"), round(pe, 6).as("pe"),
+          round((po - pe) / (lit(1.0) - pe), 4).as("kappa"))
     }),
 
     // Perceptual-hash near-dup pairs (see [[graft.multimodal.PerceptualHash]]):
@@ -7500,21 +7561,41 @@ object SparkEntry {
     // 2 rows per band): band mean = 8*(v(2b) + v(2b+1)) / (16*255). The
     // integer sums are exact in both engines; division and round(4) act on
     // identical doubles.
-    "multimodal_video_real" ->
-      """WITH f AS (SELECT doc_id, CAST(1 + doc_id % 4 AS INT) AS nf FROM documents),
-        |fr AS (SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS fno FROM f),
-        |sel AS (SELECT doc_id, nf, fno FROM fr WHERE fno % 2 = 0),
-        |b AS (SELECT doc_id, nf, fno, bb,
-        |        CAST(8 * ((doc_id*31 + fno*7 + 2*bb) % 256 +
-        |                  (doc_id*31 + fno*7 + 2*bb + 1) % 256) AS DOUBLE)
-        |          / (16 * 255.0) AS val
-        |      FROM sel CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bb))
-        |SELECT doc_id, CAST(fno AS INT) AS frame_no, CAST(nf AS INT) AS n_frames,
-        |  round(max(CASE WHEN bb = 0 THEN val END), 4) AS b0,
-        |  round(max(CASE WHEN bb = 1 THEN val END), 4) AS b1,
-        |  round(max(CASE WHEN bb = 2 THEN val END), 4) AS b2,
-        |  round(max(CASE WHEN bb = 3 THEN val END), 4) AS b3
-        |FROM b GROUP BY doc_id, fno, nf ORDER BY doc_id, frame_no""".stripMargin,
+    "multimodal_video_real" -> videoRealOracleSql,
+
+    // The streaming sibling runs the IDENTICAL decode on the identical
+    // synthesized clips — one oracle gates both executions.
+    "streaming_video_frames" -> videoRealOracleSql,
+
+    // The lang_id prediction chain, folded to the confusion matrix, then
+    // kappa = (po - pe) / (1 - pe) with po/pe from exact integer counts.
+    "stats_cohen_kappa" ->
+      """WITH w AS (SELECT doc_id, lang, text, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |sc AS (SELECT doc_id, lang, text,
+        |  len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','was','for','with'))) AS s_en,
+        |  len(list_filter(ws, x -> x IN ('el','la','de','y','en','es','un','una','por','con'))) AS s_es,
+        |  len(list_filter(ws, x -> x IN ('der','die','das','und','ist','ein','eine','mit','von','zu'))) AS s_de,
+        |  len(list_filter(ws, x -> x IN ('le','les','et','est','dans','pour','que','qui','sur','pas'))) AS s_fr
+        |  FROM w),
+        |p AS (SELECT doc_id, lang, text, greatest(s_en, s_es, s_de, s_fr) AS best, s_en, s_es, s_de, s_fr FROM sc),
+        |pred AS (SELECT lang, CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |  WHEN s_en = best AND best > 0 THEN 'en'
+        |  WHEN s_es = best AND best > 0 THEN 'es'
+        |  WHEN s_de = best AND best > 0 THEN 'de'
+        |  WHEN s_fr = best AND best > 0 THEN 'fr'
+        |  ELSE 'und' END AS lang_pred FROM p),
+        |conf AS (SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM conf),
+        |ag AS (SELECT coalesce(sum(n), 0) AS agree FROM conf WHERE lang = lang_pred),
+        |rm AS (SELECT lang AS c, sum(n) AS rn FROM conf GROUP BY 1),
+        |cm AS (SELECT lang_pred AS c, sum(n) AS cn FROM conf GROUP BY 1),
+        |rc AS (SELECT sum(rm.rn * cm.cn) AS rc FROM rm JOIN cm USING (c))
+        |SELECT (SELECT t FROM t) AS n,
+        |  round(CAST((SELECT agree FROM ag) AS DOUBLE) / (SELECT t FROM t), 6) AS po,
+        |  round(CAST((SELECT rc FROM rc) AS DOUBLE) / ((SELECT t FROM t) * (SELECT t FROM t)), 6) AS pe,
+        |  round((CAST((SELECT agree FROM ag) AS DOUBLE) / (SELECT t FROM t)
+        |         - CAST((SELECT rc FROM rc) AS DOUBLE) / ((SELECT t FROM t) * (SELECT t FROM t)))
+        |        / (1.0 - CAST((SELECT rc FROM rc) AS DOUBLE) / ((SELECT t FROM t) * (SELECT t FROM t))), 4) AS kappa""".stripMargin,
 
     // AVI replay: gray pixels mean the decoder's (r+g+b) sums are 3×gray —
     // band mean = 24*(v(2b) + v(2b+1)) / (16*3*255), exact integers until

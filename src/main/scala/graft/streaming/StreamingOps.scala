@@ -557,4 +557,37 @@ object StreamingOps {
     }
     spark.table(queryName)
   }
+
+  /** Streamed REAL video decode — the multimodal_video_real pipeline with
+    * payload synthesis and the Y4M container parse running INSIDE a
+    * stateless streaming flatMap (the media-landing-zone shape: clips
+    * arrive continuously, frames explode out). Exercises the same
+    * [[graft.multimodal.VideoCodec.frameBands]] code path as the batch
+    * twin, so the two share one oracle; append mode, ZERO state — the
+    * decode is row-local, which is exactly why it streams for free. */
+  def videoFramesOnce(spark: SparkSession, docsPath: String,
+                      queryName: String = "graft_stream_video"): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(docsPath).schema
+    val p = new org.apache.hadoop.fs.Path(docsPath)
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", p.getName)
+      .parquet(p.getParent.toString)
+    val media = raw.select(col("doc_id")).as[Long]
+      .map(id => (id, graft.multimodal.VideoCodec.syntheticY4M(
+        id, nFrames = (1 + id % 4).toInt)))
+      .toDF("media_id", "payload")
+    val frames = graft.multimodal.VideoCodec.frameBands(
+      spark, media, stride = 2, featureDim = 4)
+    withStatePartitions(spark) {
+      val q = frames.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+  }
 }
