@@ -3148,6 +3148,30 @@ object SparkEntry {
       BpeTrainer.mergesDF(s, bpeMerges(s, d)).orderBy(col("rank"))
     }),
 
+    // The SECOND tokenizer family (WordPiece greedy longest-match next to
+    // BPE's learned merges): frequency-built subword vocabulary (top-50
+    // substrings of the word types, weighted per occurrence position) —
+    // pure integer counts, zero float arithmetic anywhere in the family.
+    "vocab_wordpiece" -> ((s, d) => {
+      WordPiece.vocab(s, BpeTrainer.wordFreq(t(s, d, "documents"), "text"),
+          "word", "freq", maxPieceLen = 4, topK = 50)
+        .orderBy(col("rank"))
+    }),
+
+    // The vocabulary applied back: greedy longest-match-first encoding
+    // (the WordPiece/BERT inference rule, single-char fallback) — per-doc
+    // whitespace vs wordpiece token counts. The oracle re-derives the
+    // vocab, precomputes each word type's per-position longest match, and
+    // replays the greedy walk as a recursive CTE.
+    "vocab_wordpiece_encode" -> ((s, d) => {
+      val vm = WordPiece.vocab(s,
+          BpeTrainer.wordFreq(t(s, d, "documents"), "text"),
+          "word", "freq", maxPieceLen = 4, topK = 50)
+        .select(col("piece")).collect().map(_.getString(0)).toSet
+      WordPiece.encodeCounts(t(s, d, "documents"), "text", "doc_id", vm)
+        .orderBy(col("doc_id"))
+    }),
+
     // The learned tokenizer applied back to the corpus: per-doc whitespace
     // vs BPE token counts (the "how many training tokens is this corpus"
     // number). Encode is a narrow map with the merge list in the closure;
@@ -5994,6 +6018,57 @@ object SparkEntry {
         s"SELECT $k AS rank, l AS lhs, r AS rhs, CAST(c AS BIGINT) AS pair_count FROM m$k")
         .mkString(" UNION ALL ") +
       " ORDER BY rank"),
+
+    // Substring counting in plain SQL (positions × lengths 2..4, weighted
+    // by word-type frequency), top-50 by (cnt desc, piece).
+    "vocab_wordpiece" ->
+      """WITH w AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS word FROM documents),
+        |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY word),
+        |sub AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |  SELECT substr(wp.word, CAST(wp.i AS INT), CAST(ll.l AS INT)) AS piece, wp.freq
+        |  FROM (SELECT word, freq, unnest(generate_series(1, len(word))) AS i FROM wf) wp,
+        |       (SELECT unnest(generate_series(2, 4)) AS l) ll
+        |  WHERE wp.i + ll.l - 1 <= len(wp.word)
+        |) GROUP BY piece)
+        |SELECT rank, piece, cnt FROM
+        |  (SELECT piece, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INT) AS rank FROM sub)
+        |WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    // Vocab chain + per-position longest-match table + the greedy walk as
+    // a recursive CTE (pos advances by the matched length; termination =
+    // no best row past the word end); per-doc fold mirrors bpe's tail.
+    "vocab_wordpiece_encode" ->
+      """WITH RECURSIVE w AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS word FROM documents),
+        |wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY word),
+        |sub AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |  SELECT substr(wp.word, CAST(wp.i AS INT), CAST(ll.l AS INT)) AS piece, wp.freq
+        |  FROM (SELECT word, freq, unnest(generate_series(1, len(word))) AS i FROM wf) wp,
+        |       (SELECT unnest(generate_series(2, 4)) AS l) ll
+        |  WHERE wp.i + ll.l - 1 <= len(wp.word)
+        |) GROUP BY piece),
+        |vm AS MATERIALIZED (SELECT piece FROM
+        |  (SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rank FROM sub)
+        |  WHERE rank <= 50),
+        |best AS MATERIALIZED (SELECT word, p, CAST(max(l) AS BIGINT) AS step FROM (
+        |  SELECT wp.word, wp.p, ll.l
+        |  FROM (SELECT word, unnest(generate_series(0, len(word) - 1)) AS p FROM wf) wp,
+        |       (SELECT unnest(generate_series(1, 4)) AS l) ll
+        |  WHERE wp.p + ll.l <= len(wp.word)
+        |    AND (ll.l = 1 OR substr(wp.word, CAST(wp.p + 1 AS INT), CAST(ll.l AS INT)) IN (SELECT piece FROM vm))
+        |) GROUP BY word, p),
+        |walk(word, pos, n) AS (
+        |  SELECT word, CAST(0 AS BIGINT), 0 FROM wf
+        |  UNION ALL
+        |  SELECT wk.word, wk.pos + b.step, wk.n + 1
+        |  FROM walk wk JOIN best b ON b.word = wk.word AND b.p = wk.pos),
+        |wcnt AS (SELECT word, n AS n_wp FROM walk WHERE pos = len(word)),
+        |wl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |dtok AS (SELECT doc_id, unnest(ws) AS word FROM wl),
+        |agg AS (SELECT d.doc_id, CAST(sum(wc.n_wp) AS BIGINT) AS n_tokens_wp
+        |        FROM dtok d JOIN wcnt wc USING (word) GROUP BY 1)
+        |SELECT wl.doc_id, CAST(len(wl.ws) AS BIGINT) AS n_tokens_ws,
+        | coalesce(agg.n_tokens_wp, 0) AS n_tokens_wp
+        |FROM wl LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "bpe_token_count" -> (bpeOracleChain + s""",
         |wl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS ws FROM documents),
