@@ -357,6 +357,18 @@ object SparkEntry {
       |  round(max(CASE WHEN bb = 3 THEN val END), 4) AS b3
       |FROM b GROUP BY doc_id, fno, nf ORDER BY doc_id, frame_no""".stripMargin
 
+  /** Shared by inverted_postings (batch build) and
+    * streaming_inverted_postings (complete-mode state): identical index. */
+  private val invertedPostingsOracleSql: String =
+    """WITH toks AS (SELECT doc_id,
+      |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id)
+      |SELECT term, CAST(doc_id % 4 AS INT) AS shard, count(*) AS df_shard,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS doc_ids_md5,
+      |  md5(string_agg(CAST(tf AS VARCHAR), ',' ORDER BY doc_id)) AS tfs_md5
+      |FROM tf GROUP BY term, shard ORDER BY term, shard""".stripMargin
+
   private val fixedPrompt = "fast spark table scan query"
 
   /** Fixed keyword query for the lexical/hybrid retrieval gates — common
@@ -2025,6 +2037,22 @@ object SparkEntry {
     // list contents without relying on array hashing in the harness.
     "inverted_postings" -> ((s, d) => {
       Bm25.postings(t(s, d, "documents"), "text", "doc_id", nShards = 4)
+        .select(col("term"), col("shard"), col("df_shard"),
+          md5(concat_ws(",", transform(col("doc_ids"), _.cast("string"))))
+            .as("doc_ids_md5"),
+          md5(concat_ws(",", transform(col("tfs"), _.cast("string"))))
+            .as("tfs_md5"))
+        .orderBy(col("term"), col("shard"))
+    }),
+
+    // Streamed inverted-index maintenance: the postings table as
+    // complete-mode aggregation state (per-doc tf computed row-locally
+    // before the explode, so state is term×shard-sized) — each arriving
+    // document folds into its term rows instead of rebuilding the index.
+    // Gated against the SAME oracle as the batch build.
+    "streaming_inverted_postings" -> ((s, d) => {
+      graft.streaming.StreamingOps.postingsOnce(s, s"$d/documents.parquet",
+          nShards = 4, queryName = s"graft_postings_$runNonce")
         .select(col("term"), col("shard"), col("df_shard"),
           md5(concat_ws(",", transform(col("doc_ids"), _.cast("string"))))
             .as("doc_ids_md5"),
@@ -7347,15 +7375,10 @@ object SparkEntry {
     // oracle is the contract (ann_ivf_full_probe's pattern, lexical edition)
     "bm25_from_postings" -> bm25TopKOracleSql,
 
-    "inverted_postings" ->
-      """WITH toks AS (SELECT doc_id,
-        |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term
-        |  FROM documents),
-        |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id)
-        |SELECT term, CAST(doc_id % 4 AS INT) AS shard, count(*) AS df_shard,
-        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS doc_ids_md5,
-        |  md5(string_agg(CAST(tf AS VARCHAR), ',' ORDER BY doc_id)) AS tfs_md5
-        |FROM tf GROUP BY term, shard ORDER BY term, shard""".stripMargin,
+    "inverted_postings" -> invertedPostingsOracleSql,
+
+    // the streamed build folds to the IDENTICAL index state
+    "streaming_inverted_postings" -> invertedPostingsOracleSql,
 
     // BM25 chain (b_) + cosine chain for query vector 7 (v_) + reciprocal
     // rank fusion: both reciprocals divide exactly as in the Spark side

@@ -558,6 +558,49 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streamed inverted-index maintenance: the BM25 postings table built as
+    * complete-mode aggregation STATE — the incremental-index story for the
+    * lexical tier (batch posting builds rebuild the world; a stream folds
+    * each arriving document into its term rows). Per-document term
+    * frequencies are computed ROW-LOCALLY before the explode (the per-doc
+    * combine that makes state term×shard-sized, never token-stream-sized);
+    * the only shuffle keys on (term, shard), exactly the batch
+    * [[graft.operators.Bm25.postings]] shape. */
+  def postingsOnce(spark: SparkSession, docsPath: String, nShards: Int = 4,
+                   queryName: String = "graft_stream_postings"): DataFrame = {
+    val schema = spark.read.parquet(docsPath).schema
+    val p = new org.apache.hadoop.fs.Path(docsPath)
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", p.getName)
+      .parquet(p.getParent.toString)
+    val docTf = udf { (ws: Seq[String]) =>
+      if (ws == null) Seq.empty[(String, Long)]
+      else ws.groupBy(identity).map { case (t, g) => (t, g.size.toLong) }.toSeq
+    }
+    val tf = raw.select(col("doc_id").cast("long").as("doc_id"),
+        explode(docTf(graft.functions.TextFunctions.wsTokens(lower(col("text")))))
+          .as("e"))
+      .select(col("doc_id"), col("e._1").as("term"), col("e._2").as("tf"))
+    val posts = tf
+      .withColumn("shard", pmod(col("doc_id"), lit(nShards.toLong)).cast("int"))
+      .groupBy(col("term"), col("shard"))
+      .agg(count(lit(1)).cast("long").as("df_shard"),
+        array_sort(collect_list(struct(col("doc_id"), col("tf")))).as("p"))
+      .select(col("term"), col("shard"), col("df_shard"),
+        transform(col("p"), x => x.getField("doc_id")).as("doc_ids"),
+        transform(col("p"), x => x.getField("tf")).as("tfs"))
+    withStatePartitions(spark) {
+      val q = posts.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+  }
+
   /** Streamed REAL video decode — the multimodal_video_real pipeline with
     * payload synthesis and the Y4M container parse running INSIDE a
     * stateless streaming flatMap (the media-landing-zone shape: clips
