@@ -96,25 +96,54 @@ object EntityResolution {
     * can only lower recall — a record usually survives via its other,
     * more selective blocking passes — it can never invent a match).
     * Pair count is thereby ≤ passes · maxBlockFreq² · #blocks-touched.
+    *
+    * `subBlockKey`: instead of DROPPING a hot block, re-key its rows by
+    * `bk + '#' + subBlockKey(name)` and join within the sub-blocks — the
+    * standard recall-preserving refinement (every "smith" splits by, say,
+    * the second token). Pairs inside a hot block survive iff they share
+    * the secondary key; sub-blocks that are STILL hot fall back to the
+    * drop (the cap is a hard bound either way).
     */
   def resolve(dirty: DataFrame, clean: DataFrame, idCol: String,
               nameCol: String, blockKeys: Seq[Column => Column],
-              minScore: Double, maxBlockFreq: Int = 10000): DataFrame = {
+              minScore: Double, maxBlockFreq: Int = 10000,
+              subBlockKey: Option[Column => Column] = None): DataFrame = {
     require(blockKeys.nonEmpty, "at least one blocking key required")
     val d = dirty.select(col(idCol).as("dirty_id"), col(nameCol).as("dirty_name"))
     val c = clean.select(col(idCol).as("clean_id"), col(nameCol).as("clean_name"))
+    val proj = Seq(col("dirty_id"), col("dirty_name"), col("clean_id"),
+      col("clean_name"))
     val cand = blockKeys.map { bk =>
       val dk = d.withColumn("bk", bk(col("dirty_name")))
       val ck = c.withColumn("bk", bk(col("clean_name")))
       // per-side frequency gate for THIS pass (passes stay independent:
       // a key hot as a first word may be selective as a last word)
-      val ok = dk.groupBy(col("bk")).agg(count(lit(1)).as("__nd"))
-        .where(col("__nd") <= maxBlockFreq).select(col("bk"))
-        .join(ck.groupBy(col("bk")).agg(count(lit(1)).as("__nc"))
-          .where(col("__nc") <= maxBlockFreq).select(col("bk")), "bk")
-      dk.join(ok, Seq("bk"), "left_semi")
+      val freqD = dk.groupBy(col("bk")).agg(count(lit(1)).as("__nd"))
+      val freqC = ck.groupBy(col("bk")).agg(count(lit(1)).as("__nc"))
+      val ok = freqD.where(col("__nd") <= maxBlockFreq).select(col("bk"))
+        .join(freqC.where(col("__nc") <= maxBlockFreq).select(col("bk")), "bk")
+      val cold = dk.join(ok, Seq("bk"), "left_semi")
         .join(ck.join(ok, Seq("bk"), "left_semi"), "bk")
-        .select(col("dirty_id"), col("dirty_name"), col("clean_id"), col("clean_name"))
+        .select(proj: _*)
+      subBlockKey match {
+        case None => cold
+        case Some(sub) =>
+          val hot = freqD.where(col("__nd") > maxBlockFreq).select(col("bk"))
+            .unionByName(freqC.where(col("__nc") > maxBlockFreq).select(col("bk")))
+            .distinct()
+          val dh = dk.join(hot, Seq("bk"), "left_semi")
+            .withColumn("bk2", concat(col("bk"), lit("#"), sub(col("dirty_name"))))
+          val ch = ck.join(hot, Seq("bk"), "left_semi")
+            .withColumn("bk2", concat(col("bk"), lit("#"), sub(col("clean_name"))))
+          val ok2 = dh.groupBy(col("bk2")).agg(count(lit(1)).as("__nd"))
+            .where(col("__nd") <= maxBlockFreq).select(col("bk2"))
+            .join(ch.groupBy(col("bk2")).agg(count(lit(1)).as("__nc"))
+              .where(col("__nc") <= maxBlockFreq).select(col("bk2")), "bk2")
+          cold.unionByName(
+            dh.join(ok2, Seq("bk2"), "left_semi")
+              .join(ch.join(ok2, Seq("bk2"), "left_semi"), "bk2")
+              .select(proj: _*))
+      }
     }.reduce(_ unionByName _).distinct()
     cand
       .withColumn("jw", round(jaroWinklerUdf(col("dirty_name"), col("clean_name")), 4))

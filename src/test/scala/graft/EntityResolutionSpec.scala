@@ -79,5 +79,15 @@ class EntityResolutionSpec extends AnyFunSuite {
     // capped run really dropped a live block, not a no-op)
     assert(uncapped(41L) === 41L)
     assert((1L to 40L).forall(i => uncapped(i) === i))
+    // sub-blocking recovers the hot block's recall without the quadratic
+    // blow-up: re-keyed by the second token, "smith aaa *" is its own
+    // selective sub-block, so pair 41 comes back while the 40 smith
+    // siblings (distinct second tokens) still never meet
+    val subbed = graft.operators.EntityResolution.resolve(
+        dirtyDf, cleanDf, "id", "name", keys, minScore = 0.85,
+        maxBlockFreq = 10,
+        subBlockKey = Some(n => element_at(split(n, " "), 2)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(subbed === (1L to 41L).map(i => i -> i).toMap)
   }
 }
