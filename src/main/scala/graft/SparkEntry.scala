@@ -3176,6 +3176,19 @@ object SparkEntry {
       BpeTrainer.mergesDF(s, bpeMerges(s, d)).orderBy(col("rank"))
     }),
 
+    // Aho-Corasick dictionary tagging (see [[DictionaryTag]]): every
+    // occurrence of every dictionary phrase, overlaps included, in ONE
+    // automaton pass per document — the banned-phrase/gazetteer scan.
+    // The dictionary exercises suffix outputs ("ta" inside "table") and
+    // multi-word phrases; the oracle replays the all-start-positions
+    // substring count per phrase, so a broken fail/output link hash-fails.
+    "text_dictionary_tag" -> ((s, d) => {
+      DictionaryTag.tagCounts(t(s, d, "documents"), "text", "doc_id",
+          phrases = Seq("spark", "join", "scan", "table", "ta",
+            "batch batch", "the"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The SECOND tokenizer family (WordPiece greedy longest-match next to
     // BPE's learned merges): frequency-built subword vocabulary (top-50
     // substrings of the word types, weighted per occurrence position) —
@@ -6046,6 +6059,24 @@ object SparkEntry {
         s"SELECT $k AS rank, l AS lhs, r AS rhs, CAST(c AS BIGINT) AS pair_count FROM m$k")
         .mkString(" UNION ALL ") +
       " ORDER BY rank"),
+
+    // All-start-positions substring occurrence count per phrase (the AC
+    // match semantics: overlaps included), folded to the per-doc profile.
+    "text_dictionary_tag" ->
+      """WITH ph AS (SELECT * FROM (VALUES ('spark'), ('join'), ('scan'), ('table'), ('ta'), ('batch batch'), ('the')) AS t(p)),
+        |d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |pos AS MATERIALIZED (SELECT doc_id, t, p, unnest(generate_series(1, len(t) - len(p) + 1)) AS i
+        |        FROM d CROSS JOIN ph WHERE len(t) >= len(p)),
+        |occ AS (SELECT doc_id, p, count(*) AS n FROM pos
+        |        WHERE substr(t, CAST(i AS INT), len(p)) = p GROUP BY 1, 2),
+        |prof AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_matches,
+        |         CAST(count(*) AS INT) AS n_patterns,
+        |         md5(string_agg(p || ':' || CAST(n AS VARCHAR), ',' ORDER BY p)) AS matches_md5
+        |         FROM occ GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(prof.n_matches, 0) AS n_matches,
+        |  coalesce(prof.n_patterns, 0) AS n_patterns,
+        |  coalesce(prof.matches_md5, md5('')) AS matches_md5
+        |FROM d LEFT JOIN prof USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Substring counting in plain SQL (positions × lengths 2..4, weighted
     // by word-type frequency), top-50 by (cnt desc, piece).
