@@ -2798,6 +2798,29 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_no"))
     }),
 
+    // REAL audio decode through the gate (the video twin's discipline on
+    // the audio branch): each doc becomes a REAL mono PCM16 WAV (44-byte
+    // RIFF header written from scratch, samples a pure function of
+    // (doc_id, i)), parsed back by the JDK's own javax.sound reader, and
+    // folded to exact-integer absolute-amplitude band means the oracle
+    // re-derives from the PCM formula. Upgrades audio from
+    // ScalaTest-pinned to hash-checked end to end.
+    "multimodal_audio_real" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (64 + (id % 5) * 16).toInt
+          val b = graft.multimodal.Multimodal.decodeAudioBands(
+            graft.multimodal.Multimodal.syntheticWav(id, n), 4).get
+          (id, n, b(0), b(1), b(2), b(3))
+        }
+        .toDF("doc_id", "n_samples", "d0", "d1", "d2", "d3")
+        .select(col("doc_id"), col("n_samples"),
+          round(col("d0"), 4).as("b0"), round(col("d1"), 4).as("b1"),
+          round(col("d2"), 4).as("b2"), round(col("d3"), 4).as("b3"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The streaming sibling of multimodal_video_real: clips decode inside
     // a stateless streaming flatMap (append mode, zero state — decode is
     // row-local), through the SAME VideoCodec.frameBands code path, gated
@@ -7691,6 +7714,21 @@ object SparkEntry {
     // integer sums are exact in both engines; division and round(4) act on
     // identical doubles.
     "multimodal_video_real" -> videoRealOracleSql,
+
+    // Re-derives the WAV decoder's outputs from the PCM formula
+    // s(i) = ((doc_id*7 + i*13) mod 65536) - 32768: per-band
+    // sum(|s|) / (count * 32768) — exact integers until one division.
+    "multimodal_audio_real" ->
+      """WITH d AS (SELECT doc_id, CAST(64 + (doc_id % 5) * 16 AS INT) AS n FROM documents),
+        |smp AS MATERIALIZED (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d),
+        |v AS (SELECT doc_id, n, abs((doc_id*7 + i*13) % 65536 - 32768) AS a, (i*4) // n AS bb FROM smp),
+        |g AS (SELECT doc_id, n, bb, CAST(sum(a) AS BIGINT) AS s, count(*) AS c FROM v GROUP BY 1, 2, 3)
+        |SELECT doc_id, n AS n_samples,
+        |  round(max(CASE WHEN bb = 0 THEN CAST(s AS DOUBLE) / (c * 32768.0) END), 4) AS b0,
+        |  round(max(CASE WHEN bb = 1 THEN CAST(s AS DOUBLE) / (c * 32768.0) END), 4) AS b1,
+        |  round(max(CASE WHEN bb = 2 THEN CAST(s AS DOUBLE) / (c * 32768.0) END), 4) AS b2,
+        |  round(max(CASE WHEN bb = 3 THEN CAST(s AS DOUBLE) / (c * 32768.0) END), 4) AS b3
+        |FROM g GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
 
     // The streaming sibling runs the IDENTICAL decode on the identical
     // synthesized clips — one oracle gates both executions.

@@ -150,7 +150,15 @@ object Multimodal {
     * normalized to [0, 1]. Returns None for non-WAV/unsupported encodings
     * (mp3/ogg need codecs this container doesn't ship) — the caller falls
     * back to the deterministic stub, keeping the pipeline total. */
-  def decodeAudioFeatures(payload: Array[Byte], featureDim: Int): Option[Array[Float]] = {
+  def decodeAudioFeatures(payload: Array[Byte], featureDim: Int): Option[Array[Float]] =
+    decodeAudioBands(payload, featureDim).map(_.map(_.toFloat))
+
+  /** The exact double form behind [[decodeAudioFeatures]] — per-band
+    * (Σ|sample|) / (count · channels · 32768): the absolute-amplitude sums
+    * accumulate EXACT integers, so an oracle that knows the fixture's PCM
+    * formula reproduces each band bit-for-bit (no float truncation in
+    * this variant; the Float API keeps its legacy surface). */
+  def decodeAudioBands(payload: Array[Byte], featureDim: Int): Option[Array[Double]] = {
     if (payload == null || payload.isEmpty) return None
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -168,22 +176,55 @@ object Multimodal {
           if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
           else java.nio.ByteOrder.LITTLE_ENDIAN
         val buf = java.nio.ByteBuffer.wrap(bytes).order(order).asShortBuffer()
-        val sums = new Array[Double](featureDim)
+        val sums = new Array[Long](featureDim)
         val counts = new Array[Long](featureDim)
         var f = 0
         while (f < nFrames) {
           val band = (f.toLong * featureDim / nFrames).toInt
           var c = 0
-          var acc = 0.0
-          while (c < channels) { acc += math.abs(buf.get(f * channels + c).toDouble); c += 1 }
-          sums(band) += acc / (channels * 32768.0)
+          while (c < channels) {
+            sums(band) += math.abs(buf.get(f * channels + c).toInt).toLong
+            c += 1
+          }
           counts(band) += 1
           f += 1
         }
         Some(Array.tabulate(featureDim)(i =>
-          if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat))
+          if (counts(i) == 0) 0.0
+          else sums(i) / (counts(i) * channels * 32768.0)))
       } finally in.close()
     } catch { case _: Exception => None }
+  }
+
+  /** From-scratch mono PCM16 WAV writer (44-byte RIFF/WAVE/fmt/data
+    * header + little-endian samples) — the audio counterpart of
+    * [[VideoCodec.y4mBytes]], so gate fixtures are REAL WAV files the
+    * JDK's own parser must read back. */
+  def wavPcm16Bytes(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** The audio gate fixture: PCM samples a pure function of (docId, i) —
+    * `s(i) = ((docId*7 + i*13) mod 65536) - 32768` — so an ANSI oracle
+    * re-derives every decoded band mean from first principles. */
+  def syntheticWav(docId: Long, nSamples: Int): Array[Byte] = {
+    require(nSamples >= 1)
+    wavPcm16Bytes(Array.tabulate(nSamples)(i =>
+      (((docId * 7 + i * 13) % 65536) - 32768).toShort))
   }
 
   /** Feature extraction over the media table. `mapPartitions` so any real
