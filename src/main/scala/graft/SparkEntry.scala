@@ -1729,15 +1729,18 @@ object SparkEntry {
     // expected duplicate count, not the corpus count.)
     "dedup_minhash_recall_sampled" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val inS = docs.select(col("doc_id"))
+      val sampled = docs
         .where(substring(md5(col("doc_id").cast("string")), 1, 1)
           .isin("0", "1", "2", "3"))
-      val lsh = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
-          numHashes = 12, bands = 4, threshold = 0.30)
-        .join(inS.withColumnRenamed("doc_id", "id1"), Seq("id1"), "left_semi")
-        .join(inS.withColumnRenamed("doc_id", "id2"), Seq("id2"), "left_semi")
-        .select(col("id1"), col("id2"))
-      val exact = Dedup.ngramJaccardPairs(docs.join(inS, Seq("doc_id"), "left_semi"),
+      // signatures and band keys are per-doc (independent of the rest of
+      // the corpus), so the production pair set restricted to sampled
+      // endpoints ≡ the pair set of the sampled docs alone — filter the
+      // corpus BEFORE the chain and BOTH sides of the audit pay sample²
+      // cost (the oracle keeps the filter-after-full formulation, so the
+      // gate proves the equivalence)
+      val lsh = Dedup.minhashNearDupPairs(sampled, "text", "doc_id",
+        numHashes = 12, bands = 4, threshold = 0.30).select(col("id1"), col("id2"))
+      val exact = Dedup.ngramJaccardPairs(sampled,
         "text", "doc_id", n = 2, threshold = 0.30).select(col("id1"), col("id2"))
       val nL = lsh.agg(count(lit(1)).as("n_lsh"))
       val nE = exact.agg(count(lit(1)).as("n_exact"))
