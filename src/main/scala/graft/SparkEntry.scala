@@ -327,16 +327,89 @@ object SparkEntry {
        |r AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM z),
        |rr AS (SELECT q_id, vec_id, similarity, CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)""".stripMargin
 
-  /** The knnGraph hyperplane families (4 tables × 4 planes, seeds 7+t) as
+  /** The knnGraph hyperplane families (`nTables` × 4 planes, seeds 7+t) as
     * SQL literals — the [[lshOraclePlaneValues]] replay trick per table,
     * making the graph-ANN BUILD fully hash-checkable. */
-  private lazy val graphPlaneValues: String =
-    (0 until 4).flatMap { t =>
+  private def graphPlaneValuesFor(nTables: Int): String =
+    (0 until nTables).flatMap { t =>
       operators.SimilaritySearch.hyperplanes(nBits = 4, dim = 64, seed = 7L + t)
         .zipWithIndex.map { case (p, i) =>
           s"($t, $i, [${p.map(v => java.lang.Double.toString(v.toDouble)).mkString(", ")}])"
         }
     }.mkString(", ")
+
+  private lazy val graphPlaneValues: String = graphPlaneValuesFor(4)
+
+  /** The full [[operators.GraphAnn.knnGraph]] replay as g-prefixed CTEs
+    * ending in `gedges(src, dst, sim)` — shared by the build gate
+    * (ann_graph_edges inlines its own 4-table copy) and the beam-walk
+    * gate. `gemb`/`gedges` MATERIALIZED: the walk references them every
+    * round and DuckDB inlines CTEs by default (the bpe-chain lesson). */
+  private def knnGraphOracleCtes(nTables: Int, m: Int): String =
+    s"""gplanes AS (SELECT * FROM (VALUES ${graphPlaneValuesFor(nTables)}) AS t(tid, pid, p)),
+       |gemb AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |gbits AS (SELECT e.vec_id, pl.tid, pl.pid,
+       |          CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN '1' ELSE '0' END AS bit
+       |          FROM gemb e CROSS JOIN gplanes pl),
+       |gbkt AS (SELECT vec_id, tid, CAST(tid AS VARCHAR) || ':' || string_agg(bit, '' ORDER BY pid) AS bkt
+       |         FROM gbits GROUP BY vec_id, tid),
+       |gpairs AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |           FROM gbkt a JOIN gbkt b ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
+       |gz AS (SELECT src, dst, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS sim
+       |       FROM (SELECT p.src, p.dst, list_dot_product(e1.v, e2.v) AS dp,
+       |                    sqrt(list_dot_product(e1.v, e1.v)) AS na,
+       |                    sqrt(list_dot_product(e2.v, e2.v)) AS nb
+       |             FROM gpairs p JOIN gemb e1 ON e1.vec_id = p.src
+       |                           JOIN gemb e2 ON e2.vec_id = p.dst)),
+       |gsym AS (SELECT src, dst, sim FROM gz UNION ALL SELECT dst, src, sim FROM gz),
+       |gchosen AS (SELECT src, dst, sim FROM
+       |            (SELECT src, dst, sim, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn FROM gsym)
+       |            WHERE rn <= $m),
+       |gbidir AS (SELECT DISTINCT src, dst, sim FROM
+       |           (SELECT src, dst, sim FROM gchosen UNION ALL SELECT dst, src, sim FROM gchosen)),
+       |gedges AS MATERIALIZED (SELECT src, dst, sim FROM
+       |          (SELECT src, dst, sim, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn FROM gbidir)
+       |          WHERE rn <= ${2 * m})""".stripMargin
+
+  /** ann_graph_beam oracle: the 8-table m=16 build ([[knnGraphOracleCtes]])
+    * + the greedy walk UNROLLED — md5-ordered entry sample, then per round
+    * frontier-edge expansion, visited anti-join, cosine scoring, and the
+    * beam-8 cut; final top-10 over everything visited, self excluded. All
+    * selections compare (round-4 sim, id) — grid values, no float-order
+    * hazard anywhere. */
+  private lazy val graphBeamOracleSql: String = {
+    def cosine(fromClause: String): String =
+      s"""(SELECT q_id, cid, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS sim FROM
+         |   (SELECT __f.q_id, __f.cid, list_dot_product(c.v, q.qv) AS dp,
+         |           sqrt(list_dot_product(c.v, c.v)) AS na,
+         |           sqrt(list_dot_product(q.qv, q.qv)) AS nb
+         |    FROM $fromClause __f
+         |    JOIN gemb c ON c.vec_id = __f.cid JOIN gq q ON q.q_id = __f.q_id))""".stripMargin
+    val rounds = (1 to 3).map { k =>
+      s""",
+         |exp$k AS (SELECT DISTINCT f.q_id, e.dst AS cid FROM f${k - 1} f JOIN gedges e ON e.src = f.cid),
+         |fresh$k AS (SELECT x.q_id, x.cid FROM exp$k x
+         |            LEFT JOIN vis${k - 1} v ON v.q_id = x.q_id AND v.cid = x.cid
+         |            WHERE v.cid IS NULL),
+         |sc$k AS MATERIALIZED (SELECT * FROM ${cosine(s"fresh$k")}),
+         |vis$k AS MATERIALIZED (SELECT * FROM vis${k - 1} UNION ALL SELECT * FROM sc$k),
+         |f$k AS (SELECT q_id, cid FROM
+         |        (SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cid) AS rn FROM sc$k)
+         |        WHERE rn <= 8)""".stripMargin
+    }.mkString
+    s"""WITH ${knnGraphOracleCtes(nTables = 8, m = 16)},
+       |gq AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM gemb WHERE vec_id < 5),
+       |gentry AS (SELECT vec_id AS cid FROM gemb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       |vis0 AS MATERIALIZED (SELECT * FROM ${cosine("(SELECT q.q_id, e.cid FROM gq q, gentry e)")}),
+       |f0 AS (SELECT q_id, cid FROM
+       |       (SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cid) AS rn FROM vis0)
+       |       WHERE rn <= 8)$rounds
+       |SELECT q_id, cid AS vec_id, sim AS similarity, rank FROM
+       |  (SELECT q_id, cid, sim,
+       |          CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cid) AS INT) AS rank
+       |   FROM vis3 WHERE cid <> q_id)
+       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
 
   /** Shared by multimodal_video_real and streaming_video_frames (identical
     * decode of identical synthesized clips): frames, stride-2 sampling,
@@ -7286,6 +7359,13 @@ object SparkEntry {
     "ann_lsh_bucketed" ->
       s"""WITH $lshTopKOracleCtes
          |SELECT q_id, vec_id, similarity, rank FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // The graph tier's QUERY path, fully replayed: 8-table m=16 build +
+    // the 3-round greedy beam walk unrolled (md5 entry sample, frontier
+    // expansion, visited anti-join, beam-8 cuts, final top-10) — closes
+    // the last rows-only index structure; every selection compares
+    // (round-4 sim, id) grid values.
+    "ann_graph_beam" -> graphBeamOracleSql,
 
     // Full knnGraph replay: per-table sign-LSH bucketing (plane literals),
     // bucket-local candidate pairs, exact cosine round-4, symmetrize, per

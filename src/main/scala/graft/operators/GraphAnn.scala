@@ -176,9 +176,10 @@ object GraphAnn {
 
   /** Batch greedy beam search over a [[knnGraph]] edge table.
     *
-    * Entry points are a deterministic pseudo-random node sample (the same
-    * (hash(id), id) TakeOrdered trick as [[SimilaritySearch.ivfCentroids]]
-    * seeding); each round expands the frontier's out-edges, drops already-
+    * Entry points are a deterministic pseudo-random node sample ordered by
+    * (md5(id), id) — the kmeans-seed convention, ANSI-portable so an
+    * oracle can replay the walk; each round expands the frontier's
+    * out-edges, drops already-
     * visited (query, node) pairs with an anti-join, scores the fresh nodes,
     * and keeps the best `beam` new nodes per query as the next frontier.
     * After `rounds` expansions the answer is the top-`k` of everything each
@@ -259,8 +260,11 @@ object GraphAnn {
         .select(col("__qid"), explode(col("__f")).as("x"))
         .select(col("__qid"), col("x._2").as("__cid"))
 
+    // md5-ordered entry sample (the kmeans-seed convention) rather than
+    // Spark's murmur hash: same pseudo-random coverage, but ANSI-portable,
+    // which is what lets the whole walk replay in the DuckDB oracle
     val entries = c.select(col("__cid"))
-      .orderBy(hash(col("__cid")), col("__cid")).limit(nEntry)
+      .orderBy(md5(col("__cid").cast("string")), col("__cid")).limit(nEntry)
     var visited = score(q.select(col("__qid")).crossJoin(entries)).localCheckpoint()
     var frontier = bestNew(visited)
     for (_ <- 1 to rounds) {
