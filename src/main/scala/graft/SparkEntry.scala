@@ -7360,6 +7360,30 @@ object SparkEntry {
       s"""WITH $lshTopKOracleCtes
          |SELECT q_id, vec_id, similarity, rank FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
 
+    // The IVF nprobe serving path, fully replayed (possible since the
+    // build moved onto the portable Lloyd arithmetic): c0 seeds → a1
+    // assignment (round-8 grid) → c1 list means (round-6) → per-query
+    // 2-nearest-centroid routing by euclidean distance → list-pruned
+    // exact-cosine rank. The RECALL-bearing approximation is now
+    // oracle-gated like LSH, binary, and the graph walk.
+    "ann_ivf" ->
+      s"""WITH $kmeansCtePrefix,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 5),
+         |probe AS (SELECT q_id, cid FROM (
+         |  SELECT q.q_id, c.cid, row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |    sqrt(list_reduce(list_transform(generate_series(1, len(q.qv)), i -> (q.qv[i] - c.cent[i]) * (q.qv[i] - c.cent[i])), (x, y) -> x + y)), c.cid) AS rn
+         |  FROM q CROSS JOIN c1 c) WHERE rn <= 2),
+         |cand AS (SELECT p.q_id, a.vec_id FROM probe p JOIN a1 a ON a.cluster = p.cid
+         |         WHERE a.vec_id <> p.q_id),
+         |ivsc AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM
+         |  (SELECT cd.q_id, cd.vec_id, list_dot_product(e.v, q2.v) AS dp,
+         |          sqrt(list_dot_product(e.v, e.v)) AS na,
+         |          sqrt(list_dot_product(q2.v, q2.v)) AS nb
+         |   FROM cand cd JOIN v e ON e.vec_id = cd.vec_id JOIN v q2 ON q2.vec_id = cd.q_id))
+         |SELECT q_id, vec_id, similarity,
+         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank
+         |FROM ivsc QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
     // The graph tier's QUERY path, fully replayed: 8-table m=16 build +
     // the 3-round greedy beam walk unrolled (md5 entry sample, frontier
     // expansion, visited anti-join, beam-8 cuts, final top-10) — closes

@@ -257,7 +257,12 @@ object IndexTable {
       case Some(cdf) =>
         cdf.collect().map { r =>
           val id = r.getLong(r.fieldIndex("centroid_id"))
-          val c = r.getSeq[Float](r.fieldIndex("centroid"))
+          // codebooks written before round 6 carry float centroids, the
+          // portable build writes round-6 doubles — accept both
+          val c = r.getSeq[Any](r.fieldIndex("centroid")).map {
+            case f: Float => f.toDouble
+            case d: Double => d
+          }
           var s = 0.0
           var i = 0
           val n = math.min(c.length, queryVec.length)

@@ -119,29 +119,16 @@ object SimilaritySearch {
     * id order) + `iters` Lloyd iterations as DataFrame aggregations.
     * Returns (centroids dataframe: centroid_id, centroid). */
   def ivfCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 2,
-                   vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    // Seed selection: the nCentroids lowest (hash(id), id) rows — a
-    // deterministic pseudo-random sample that is insensitive to id density,
-    // offsets, and partitioning, needs no corpus count() or emptiness-probe
-    // job (the round-1 stride filter cost two extra jobs per build), and
-    // plans as a single TakeOrdered (per-partition partial top-k).
-    val seeds = corpus
-      .orderBy(hash(col(idCol)), col(idCol)).limit(nCentroids)
-    var centroids = seeds
-      .select(monotonically_increasing_id().as("centroid_id"), col(vecCol).as("centroid"))
-    val vectorAvg = udaf(graft.functions.VectorAvg)
-    for (_ <- 1 to iters) {
-      val assigned = assignToCentroid(corpus, centroids, vecCol, idCol)
-      // Lloyd update at scale: single-pass mergeable vector-mean UDAF
-      // ([[graft.functions.VectorAvg]]) — map-side partial sums mean the
-      // shuffle carries (partitions x centroids x dim) doubles, never member
-      // vectors; no posexplode row blow-up at high dim.
-      centroids = assigned
-        .groupBy(col("centroid_id"))
-        .agg(vectorAvg(col(vecCol)).as("centroid"))
-    }
-    centroids
-  }
+                   vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    // Round 6: delegate to the engine-PORTABLE Lloyd build
+    // ([[KMeans.centroidsDF]] — md5-ordered seeds, round-8 assignment
+    // grid, round-6 means) so every IVF structure, including the stored
+    // codebook, is replayable by an ANSI oracle. Seed ids are the
+    // (md5(id), id) rank — deterministic and partitioning-independent,
+    // like the old murmur TakeOrdered but portable.
+    KMeans.centroidsDF(corpus, vecCol, idCol, nCentroids, iters)
+      .select(col("__cid").cast("long").as("centroid_id"),
+        col("__cent").as("centroid"))
 
   /** Assign each corpus vector to its nearest centroid. Broadcast join +
     * min(struct(dist, centroid_id)) aggregation: the expanded
@@ -173,20 +160,33 @@ object SimilaritySearch {
   def ivfIndex(corpus: DataFrame, nCentroids: Int, iters: Int = 1,
                vecCol: String = "embedding", idCol: String = "vec_id")
       : (DataFrame, DataFrame) = {
-    val seeds = corpus.orderBy(hash(col(idCol)), col(idCol)).limit(nCentroids)
-    var centroids = seeds
-      .select(monotonically_increasing_id().as("centroid_id"), col(vecCol).as("centroid"))
-    val vectorAvg = udaf(graft.functions.VectorAvg)
-    var assigned: DataFrame = null
-    for (_ <- 1 to math.max(1, iters)) {
-      val next = assignToCentroid(corpus, centroids, vecCol, idCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before releasing the previous iteration
-      if (assigned != null) assigned.unpersist(false)
-      assigned = next
-      centroids = assigned.groupBy(col("centroid_id"))
-        .agg(vectorAvg(col(vecCol)).as("centroid"))
-    }
+    require(iters >= 1)
+    // Round 6: the build runs on the engine-PORTABLE Lloyd arithmetic
+    // (md5 seeds, round-8 assignment grid, round-6 means) — the change
+    // that let ann_ivf graduate from rows-only to oracle-gated. Contract
+    // preserved: `assigned` is the assignment against the
+    // (iters-1)-updated codebook and each list's ROUTING centroid is that
+    // list's mean (the iters-updated codebook).
+    val prev = KMeans.centroidsDF(corpus, vecCol, idCol, nCentroids, iters - 1)
+      .select(col("__cid").cast("long").as("centroid_id"),
+        col("__cent").as("centroid"))
+    val otherCols = corpus.columns.filterNot(c => c == idCol || c == vecCol)
+      .toIndexedSeq
+    val assigned = Dedup.spread(corpus)
+      .withColumn("__v", col(vecCol).cast("array<double>"))
+      .crossJoin(broadcast(prev))
+      .withColumn("__d", round(
+        graft.plans.VectorExpressions.squaredL2(col("__v"), col("centroid")), 8))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__d"), col("centroid_id")))
+        .getField("centroid_id").as("centroid_id"),
+        (first(col(vecCol)).as(vecCol) +:
+          otherCols.map(c => first(col(c)).as(c))): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    val centroids = KMeans.centroidsDF(corpus, vecCol, idCol, nCentroids, iters)
+      .select(col("__cid").cast("long").as("centroid_id"),
+        col("__cent").as("centroid"))
     (centroids, assigned)
   }
 
