@@ -7815,6 +7815,24 @@ object SparkEntry {
         | CAST(least(64, n - frame_no * 64) AS BIGINT) AS frame_bytes
         |FROM f ORDER BY media_id, frame_no""".stripMargin,
 
+    // Byte-level replay of the stub feature (exact-integer band-0 byte sum
+    // over the UTF-8 payload via to_hex(encode(text)), one division, the
+    // REAL cast mirroring the operator's float output) + the kind dispatch
+    // and char-count meta — multimodal_features graduates from rows-only.
+    "multimodal_features" ->
+      """WITH d AS (SELECT doc_id, text, to_hex(encode(text)) AS hx, octet_length(encode(text)) AS onb, len(text) AS nc FROM documents),
+        |b AS MATERIALIZED (SELECT doc_id, i,
+        |        (strpos('0123456789ABCDEF', substr(hx, CAST(2*i - 1 AS INT), 1)) - 1) * 16 +
+        |        (strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1) AS bv
+        |      FROM (SELECT doc_id, hx, unnest(generate_series(1, onb)) AS i FROM d)),
+        |s AS (SELECT doc_id, CAST(sum(CASE WHEN (i-1) % 8 = 0 THEN bv ELSE 0 END) AS BIGINT) AS s0 FROM b GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(d.nc AS BIGINT) AS n_bytes,
+        |  round(CASE WHEN d.onb = 0 OR s.s0 IS NULL THEN 0.0
+        |        ELSE CAST(CAST(s.s0 / (d.onb * 255.0) AS REAL) AS DOUBLE) END, 4) AS f0
+        |FROM d LEFT JOIN s USING (doc_id) ORDER BY media_id""".stripMargin,
+
     // Re-derives the Y4M decoder's outputs from the fixture's luma formula
     // Y(f, y) = (doc_id*31 + f*7 + y) mod 256 (constant along x, 8 wide,
     // 2 rows per band): band mean = 8*(v(2b) + v(2b+1)) / (16*255). The

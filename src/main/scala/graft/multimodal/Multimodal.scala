@@ -40,17 +40,25 @@ object Multimodal {
     * decode / audio PCM / video frame-sample) inside this per-partition
     * batch loop; here it derives `featureDim` deterministic pseudo-features
     * from payload bytes so the pipeline shape (mapPartitions batching, no
-    * per-row setup cost, stable output schema) is real and testable. */
+    * per-row setup cost, stable output schema) is real and testable.
+    * Arithmetic is EXACT-integer byte sums with one division and one final
+    * float cast — both reproducible in ANSI SQL (via to_hex(encode(..))
+    * byte access and a REAL cast), which is what lets multimodal_features
+    * gate on hashes instead of row counts. */
   def fakeDecodeFeatures(payload: Array[Byte], featureDim: Int): Array[Float] = {
     val out = new Array[Float](featureDim)
     if (payload != null && payload.nonEmpty) {
+      val sums = new Array[Long](featureDim)
       var i = 0
       while (i < payload.length) {
-        out(i % featureDim) += (payload(i) & 0xff) / 255.0f
+        sums(i % featureDim) += (payload(i) & 0xff)
         i += 1
       }
       var j = 0
-      while (j < featureDim) { out(j) /= payload.length; j += 1 }
+      while (j < featureDim) {
+        out(j) = (sums(j) / (payload.length * 255.0)).toFloat
+        j += 1
+      }
     }
     out
   }
