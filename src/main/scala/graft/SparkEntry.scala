@@ -3894,6 +3894,36 @@ object SparkEntry {
         .orderBy(col("dirty_id"))
     }),
 
+    // The hot-block machinery GATE-ACTIVE (not just spec'd): cap 10 on
+    // this 31-word vocabulary makes ~90% of first/last-word blocks hot,
+    // and the middle-word sub-block refinement recovers their recall —
+    // the oracle replays per-pass frequency gates, the cold join, the hot
+    // re-key, the sub-block cap, and the election, so a cap or sub-block
+    // regression hash-fails here while er_fuzzy_match (cap inactive)
+    // pins the baseline semantics.
+    "er_fuzzy_match_subblocked" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      val base = t(s, d, "documents")
+        .where(col("text").isNotNull && size(ws) >= 3)
+        .select(col("doc_id"), ws.as("ws"))
+      val cleanName = array_join(slice(col("ws"), 1, 3), " ")
+      val clean = base.select(col("doc_id"), cleanName.as("name"))
+      val dirty = base.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat_ws(" ", element_at(col("ws"), 2), element_at(col("ws"), 1),
+            element_at(col("ws"), 3)))
+          .when(col("doc_id") % 3 === 1,
+            expr("substring(concat_ws(' ', ws[0], ws[1], ws[2]), 1, length(concat_ws(' ', ws[0], ws[1], ws[2])) - 1)"))
+          .otherwise(cleanName).as("name"))
+      EntityResolution.resolve(dirty, clean, "doc_id", "name",
+          blockKeys = Seq(
+            n => element_at(split(n, " "), 1),
+            n => element_at(split(n, " "), -1)),
+          minScore = 0.85, maxBlockFreq = 10,
+          subBlockKey = Some(n => element_at(split(n, " "), 2)))
+        .orderBy(col("dirty_id"))
+    }),
+
     // RFM (recency / frequency / monetary) customer features with
     // quintile scores by the equidepth-boundary pattern (exact percentile
     // boundaries rounded to 4, one tiny agg row broadcast back — never a
@@ -8688,6 +8718,65 @@ object SparkEntry {
         |  UNION
         |  SELECT dirty_id, dirty_name, clean_id, clean_name FROM dd JOIN c
         |    ON string_split(dirty_name, ' ')[-1] = string_split(clean_name, ' ')[-1]),
+        |sc AS (SELECT dirty_id, clean_id,
+        |    round(jaro_winkler_similarity(dirty_name, clean_name), 4) AS jw
+        |  FROM cand),
+        |f AS (SELECT * FROM sc WHERE jw >= 0.85),
+        |mx AS (SELECT dirty_id, max(jw) AS mj FROM f GROUP BY 1)
+        |SELECT f.dirty_id, min(f.clean_id) AS match_id, max(f.jw) AS score
+        |FROM f JOIN mx ON f.dirty_id = mx.dirty_id AND f.jw = mx.mj
+        |GROUP BY f.dirty_id ORDER BY f.dirty_id""".stripMargin,
+
+    // Full cap + sub-block replay: per-pass per-side block frequencies,
+    // cold pairs where both sides <= 10, hot blocks re-keyed by
+    // bk || '#' || middle word with the cap applied AGAIN, then the
+    // er_fuzzy_match scoring/election over the distinct candidate union.
+    "er_fuzzy_match_subblocked" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+        |c AS (SELECT doc_id AS clean_id, ws[1] || ' ' || ws[2] || ' ' || ws[3] AS clean_name FROM d),
+        |dd AS (SELECT doc_id AS dirty_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN ws[2] || ' ' || ws[1] || ' ' || ws[3]
+        |       WHEN doc_id % 3 = 1 THEN substr(ws[1] || ' ' || ws[2] || ' ' || ws[3], 1,
+        |              length(ws[1] || ' ' || ws[2] || ' ' || ws[3]) - 1)
+        |       ELSE ws[1] || ' ' || ws[2] || ' ' || ws[3] END AS dirty_name FROM d),
+        |k1d AS (SELECT dirty_id, dirty_name, string_split(dirty_name, ' ')[1] AS bk FROM dd),
+        |k1c AS (SELECT clean_id, clean_name, string_split(clean_name, ' ')[1] AS bk FROM c),
+        |k2d AS (SELECT dirty_id, dirty_name, string_split(dirty_name, ' ')[-1] AS bk FROM dd),
+        |k2c AS (SELECT clean_id, clean_name, string_split(clean_name, ' ')[-1] AS bk FROM c),
+        |f1d AS (SELECT bk, count(*) AS nd FROM k1d GROUP BY 1),
+        |f1c AS (SELECT bk, count(*) AS nc FROM k1c GROUP BY 1),
+        |f2d AS (SELECT bk, count(*) AS nd FROM k2d GROUP BY 1),
+        |f2c AS (SELECT bk, count(*) AS nc FROM k2c GROUP BY 1),
+        |ok1 AS (SELECT f1d.bk FROM f1d JOIN f1c USING (bk) WHERE nd <= 10 AND nc <= 10),
+        |ok2 AS (SELECT f2d.bk FROM f2d JOIN f2c USING (bk) WHERE nd <= 10 AND nc <= 10),
+        |cold1 AS (SELECT a.dirty_id, a.dirty_name, b.clean_id, b.clean_name
+        |          FROM k1d a JOIN k1c b USING (bk) WHERE bk IN (SELECT bk FROM ok1)),
+        |cold2 AS (SELECT a.dirty_id, a.dirty_name, b.clean_id, b.clean_name
+        |          FROM k2d a JOIN k2c b USING (bk) WHERE bk IN (SELECT bk FROM ok2)),
+        |hot1 AS (SELECT bk FROM f1d WHERE nd > 10 UNION SELECT bk FROM f1c WHERE nc > 10),
+        |hot2 AS (SELECT bk FROM f2d WHERE nd > 10 UNION SELECT bk FROM f2c WHERE nc > 10),
+        |h1d AS (SELECT dirty_id, dirty_name, bk || '#' || string_split(dirty_name, ' ')[2] AS bk2
+        |        FROM k1d WHERE bk IN (SELECT bk FROM hot1)),
+        |h1c AS (SELECT clean_id, clean_name, bk || '#' || string_split(clean_name, ' ')[2] AS bk2
+        |        FROM k1c WHERE bk IN (SELECT bk FROM hot1)),
+        |h2d AS (SELECT dirty_id, dirty_name, bk || '#' || string_split(dirty_name, ' ')[2] AS bk2
+        |        FROM k2d WHERE bk IN (SELECT bk FROM hot2)),
+        |h2c AS (SELECT clean_id, clean_name, bk || '#' || string_split(clean_name, ' ')[2] AS bk2
+        |        FROM k2c WHERE bk IN (SELECT bk FROM hot2)),
+        |okb1 AS (SELECT a.bk2 FROM (SELECT bk2, count(*) AS nd FROM h1d GROUP BY 1) a
+        |         JOIN (SELECT bk2, count(*) AS nc FROM h1c GROUP BY 1) b USING (bk2)
+        |         WHERE nd <= 10 AND nc <= 10),
+        |okb2 AS (SELECT a.bk2 FROM (SELECT bk2, count(*) AS nd FROM h2d GROUP BY 1) a
+        |         JOIN (SELECT bk2, count(*) AS nc FROM h2c GROUP BY 1) b USING (bk2)
+        |         WHERE nd <= 10 AND nc <= 10),
+        |sub1 AS (SELECT a.dirty_id, a.dirty_name, b.clean_id, b.clean_name
+        |         FROM h1d a JOIN h1c b USING (bk2) WHERE bk2 IN (SELECT bk2 FROM okb1)),
+        |sub2 AS (SELECT a.dirty_id, a.dirty_name, b.clean_id, b.clean_name
+        |         FROM h2d a JOIN h2c b USING (bk2) WHERE bk2 IN (SELECT bk2 FROM okb2)),
+        |cand AS (SELECT DISTINCT dirty_id, dirty_name, clean_id, clean_name FROM
+        |  (SELECT * FROM cold1 UNION ALL SELECT * FROM sub1
+        |   UNION ALL SELECT * FROM cold2 UNION ALL SELECT * FROM sub2)),
         |sc AS (SELECT dirty_id, clean_id,
         |    round(jaro_winkler_similarity(dirty_name, clean_name), 4) AS jw
         |  FROM cand),
