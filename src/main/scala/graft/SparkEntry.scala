@@ -5601,7 +5601,7 @@ object SparkEntry {
       val scale = math.sqrt(3.0 / 16.0)
       val sv = t(s, d, "embeddings").where(col("vec_id") % 17 === 0)
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-      val enr = sv.withColumn("pv", array(planes.map(p =>
+      val enr = sv.withColumn("pv", array(planes.toIndexedSeq.map(p =>
         VectorFunctions.dotProductHof(col("v"), typedlit(p)) * lit(scale)): _*))
       def sqd(a: Column, b: Column): Column =
         sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),

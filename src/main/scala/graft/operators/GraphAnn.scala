@@ -58,7 +58,7 @@ object GraphAnn {
     val keyed = (0 until nTables).map { t =>
       val planes = SimilaritySearch.hyperplanes(nBits, dim, seed + t)
       c.select(col("id"),
-        concat(lit(t + ":"), SimilaritySearch.lshBucket(col("vec"), planes)).as("bkt"))
+        concat(lit(s"$t:"), SimilaritySearch.lshBucket(col("vec"), planes)).as("bkt"))
     }.reduce(_ unionByName _)
     val pairs = keyed.as("a")
       .join(keyed.as("b"), col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))

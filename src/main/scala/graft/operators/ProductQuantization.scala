@@ -75,7 +75,7 @@ object ProductQuantization {
             m: Int, k: Int, iters: Int = 3): Codebooks = {
     require(m > 0 && k > 1 && iters >= 0, s"bad PQ params m=$m k=$k iters=$iters")
     val sess = corpus.sparkSession
-    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
 
