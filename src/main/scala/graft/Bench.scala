@@ -94,19 +94,22 @@ object Bench {
         ",\"bytesScanned\":" + v._4 + "}"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val json =
+    val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"sf":"$sfDir"}"""
-    // The full JSON also lands in a file: stdout tails get truncated when
-    // the per-query map grows past the driver's capture window, and the
-    // per-query timings are the whole point. Print the JSON FIRST, then
-    // the path, so a tail of any length still leads with machine-readable
-    // data.
+    // Compact summary WITHOUT the bulky per-query metrics map — this is
+    // the line the driver's tail capture must parse, so it goes LAST
+    // (r6's single giant line overflowed the capture window from the
+    // front and the round's headline survived only in the file).
+    val compactJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes("UTF-8"))
+      (fullJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    println(json)
-    println(s"[bench] full per-query JSON written to $out")
+    println(fullJson)
+    println(s"[bench] full per-query JSON (with shuffle/scan metrics) written to $out")
     spark.stop()
+    // LAST stdout line: the driver-parseable compact totals.
+    println(compactJson)
   }
 }

@@ -102,8 +102,16 @@ final class GraftVectorStore(
           .select(col("__nid"), col("page_content_vector")).distinct()
         val graphIds = edges.select(col("src").as("__nid"))
           .union(edges.select(col("dst").as("__nid"))).distinct()
+        // An incoming id that is already a graph node is an update; so is
+        // the same NEW id appearing twice in one batch with different
+        // vectors (distinct keeps both — linking two conflicting variants
+        // under one node id would diverge from the index's latest-wins
+        // read). Both cases invalidate; the next approximate search
+        // rebuilds from the latest view.
         val isUpdate = incoming.join(graphIds, Seq("__nid"), "left_semi")
-          .limit(1).count() > 0
+          .limit(1).count() > 0 ||
+          incoming.groupBy("__nid").count().filter(col("count") > 1)
+            .limit(1).count() > 0
         if (isUpdate) { fs.delete(p, true); () }
         else {
           val merged = GraphAnn.insertNodes(

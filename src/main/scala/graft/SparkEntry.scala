@@ -208,7 +208,11 @@ object SparkEntry {
     * per-row term rounds onto the 1e-9 grid, sums as scaled integers
     * (BIGINT→HUGEINT here, DECIMAL(38,0) in Spark), then the round-6
     * component is derived by integer half-away-from-zero division — no
-    * float op touches the sum before the exact (< 2^53) int→double cast. */
+    * float op touches the sum before the exact (< 2^53) int→double cast.
+    * House convention: any oracle `round()` whose argument can be negative
+    * and near zero gets `+ 0` appended — DuckDB's round preserves IEEE
+    * -0.0 while Spark normalizes to +0.0, which is value-equal but
+    * byte-different under the driver's hash compare. */
   private val pcaOracleSql: String = {
     def iter(n: Int): String = {
       val prev = if (n == 1) "v0" else s"v${n - 1}"
@@ -228,7 +232,7 @@ object SparkEntry {
        |${iter(2)},
        |${iter(3)}
        |SELECT e.vec_id,
-       | round(list_reduce(list_transform(generate_series(1, 64), i -> e.v[i] * v3.vl[i]), (a, b) -> a + b), 4) AS pc1_proj
+       | round(list_reduce(list_transform(generate_series(1, 64), i -> e.v[i] * v3.vl[i]), (a, b) -> a + b), 4) + 0 AS pc1_proj
        |FROM e CROSS JOIN v3 ORDER BY vec_id""".stripMargin
   }
 
@@ -1503,9 +1507,10 @@ object SparkEntry {
     // Padding-waste accounting for training-batch assembly: id-order
     // batches of 16 vs length-bucketed batches — the measured argument for
     // bucketed batching (every slot pads to its batch max). The length
-    // rank is a row_number window HERE; production assembles via
-    // repartitionByRange(n_tok) (the zorder write pattern), so no
-    // single-partition sort exists at scale.
+    // rank is [[operators.RangePrefix]]'s two-level prefix (range grid on
+    // n_tok, per-cell row_numbers in parallel, broadcast cell offsets) —
+    // no corpus-wide single-partition sort anywhere; the oracle's naive
+    // global row_number proves the rewrite identical.
     "pack_padding_waste" -> ((s, d) => {
       val toks = t(s, d, "documents").select(col("doc_id"),
         TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"))
@@ -1521,8 +1526,9 @@ object SparkEntry {
             round(col("padding") / (col("padding") + col("tokens")), 6)
               .as("waste_frac"))
       val naive = toks.withColumn("batch", floor(col("doc_id") / 16))
-      val bucketed = toks.withColumn("rk",
-          row_number().over(Window.orderBy(col("n_tok"), col("doc_id"))))
+      val bucketed = operators.RangePrefix.runningRank(
+          operators.RangePrefix.withBucket(toks, col("n_tok")),
+          Seq(col("n_tok"), col("doc_id")), "rk")
         .withColumn("batch", floor((col("rk") - 1) / 16))
       waste(naive, "id_order").unionByName(waste(bucketed, "length_bucketed"))
         .orderBy(col("strategy"))
@@ -2369,19 +2375,20 @@ object SparkEntry {
     // Data selection under a token budget (the "best data for N tokens"
     // question every training run asks): greedy by quality-per-token
     // density — rank by (ratio desc, id), keep while the running token
-    // total fits the budget. The rank/cumsum window is corpus-wide HERE;
-    // production range-partitions by the rounded ratio (the zorder write
-    // pattern) so each partition owns a contiguous rank range and the
-    // cumsum becomes the packing operator's two-level prefix sum.
+    // total fits the budget. The running total is
+    // [[operators.RangePrefix]]'s two-level prefix over the DESCENDING
+    // ratio grid (per-cell LONG cumsums in parallel + broadcast cell
+    // offsets — exact under reorder); the oracle keeps the naive global
+    // window, so the gate proves the rewrite identical.
     "select_token_budget" -> ((s, d) => {
       val scored = t(s, d, "documents").select(col("doc_id"),
           TextFunctions.tokenCountWs(col("text")).cast("long").as("n_tok"),
           TextFunctions.qualityScore(col("text")).as("quality"))
         .where(col("n_tok") > 0)
         .withColumn("ratio", round(col("quality") / col("n_tok"), 6))
-      scored.withColumn("cum_tok", sum(col("n_tok")).over(
-          Window.orderBy(desc("ratio"), col("doc_id"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      operators.RangePrefix.runningSum(
+          operators.RangePrefix.withBucket(scored, col("ratio"), descending = true),
+          col("n_tok"), Seq(col("ratio").desc, col("doc_id")), "cum_tok")
         .where(col("cum_tok") <= 5000)
         .select(col("doc_id"), col("n_tok"), col("quality"),
           col("ratio"), col("cum_tok"))
@@ -2864,6 +2871,28 @@ object SparkEntry {
       val media = t(s, d, "documents").select(col("doc_id")).as[Long]
         .map(id => (id, graft.multimodal.VideoCodec.syntheticAvi(
           id, nFrames = (1 + id % 3).toInt)))
+        .toDF("media_id", "payload")
+      graft.multimodal.VideoCodec.frameBands(s, media, stride = 1, featureDim = 4)
+        .select(col("media_id").as("doc_id"),
+          col("frame_no").cast("int").as("frame_no"),
+          col("n_frames").cast("int").as("n_frames"),
+          round(col("bands")(0), 4).as("b0"), round(col("bands")(1), 4).as("b1"),
+          round(col("bands")(2), 4).as("b2"), round(col("bands")(3), 4).as("b3"))
+        .orderBy(col("doc_id"), col("frame_no"))
+    }),
+
+    // The THIRD gated video tier, and the first COMPRESSED codec decoded
+    // for real: MJPEG-in-AVI via the JDK's own JPEG codec (the one
+    // compressed video format a bare JVM can read). Fixture frames are
+    // 8×32 grays of four uniform 8×8 blocks — a uniform block is a
+    // DC-only DCT that round-trips bit-exactly at quality 1.0
+    // (VideoCodecSpec pins all 256 levels), so the oracle re-derives each
+    // band mean from the block formula despite the codec being lossy.
+    "multimodal_mjpeg_real" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, graft.multimodal.VideoCodec.syntheticMjpegAvi(
+          id, nFrames = (1 + id % 2).toInt)))
         .toDF("media_id", "payload")
       graft.multimodal.VideoCodec.frameBands(s, media, stride = 1, featureDim = 4)
         .select(col("media_id").as("doc_id"),
@@ -4468,17 +4497,24 @@ object SparkEntry {
 
     // Pareto / ABC classification of parts by revenue: rank by revenue,
     // cumulative share, class A (<=50%), B (<=80%), C — the inventory
-    // -prioritization profile. The global cumulative window runs at gate
-    // scale (select_token_budget's documented exemption); production
-    // range-partitions by the sort key, the two-level prefix pattern.
+    // -prioritization profile. The cumulative revenue is
+    // [[operators.RangePrefix]]'s two-level prefix over the DESCENDING
+    // revenue grid; since rev is a 4-dp double, it is scaled to exact
+    // DECIMAL(38,0) ten-thousandths first so the distributed sum reorders
+    // freely (the KS/PCA fixed-point convention). The oracle keeps the
+    // naive global window on the same scaled integers.
     "profile_pareto_abc" -> ((s, d) => {
       val rev = t(s, d, "lineitem").groupBy(col("l_partkey"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("rev"))
-      val tot = rev.agg(sum(col("rev")).as("total"))
-      val w = Window.orderBy(col("rev").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val ranked = rev.crossJoin(broadcast(tot))
-        .withColumn("cum_share", sum(col("rev")).over(w) / col("total"))
+        .withColumn("revi", round(col("rev") * 1e4)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      val tot = rev.agg(sum(col("revi")).as("total_i"))
+      val ranked = operators.RangePrefix.runningSum(
+          operators.RangePrefix.withBucket(rev.crossJoin(broadcast(tot)),
+            col("rev"), descending = true),
+          col("revi"), Seq(col("rev").desc, col("l_partkey")), "cum_i")
+        .withColumn("cum_share",
+          col("cum_i").cast("double") / col("total_i").cast("double"))
         .withColumn("abc_class",
           when(col("cum_share") <= 0.5, "A")
             .when(col("cum_share") <= 0.8, "B").otherwise("C"))
@@ -4649,18 +4685,22 @@ object SparkEntry {
         .when(col("doc_id") % 3 === 1,
           expr("substring(concat_ws(' ', ws[0], ws[1], ws[2]), 1, length(concat_ws(' ', ws[0], ws[1], ws[2])) - 1)"))
         .otherwise(cleanName)
-      val dirty = base.select(col("doc_id").as("d_id"), dirtyName.as("d_name"))
-      val clean = base.select(col("doc_id").as("c_id"), cleanName.as("c_name"))
+      val dirty = base.select(col("doc_id").as("id"), dirtyName.as("name"))
+      val clean = base.select(col("doc_id").as("id"), cleanName.as("name"))
       def fk(c: Column) = element_at(split(c, " "), 1)
       def lk(c: Column) = element_at(split(c, " "), -1)
-      val jw = udf((a: String, b: String) => EntityResolution.jaroWinkler(a, b))
-      val cand = dirty.join(clean, fk(col("d_name")) === fk(col("c_name")))
-        .unionByName(dirty.join(clean, lk(col("d_name")) === lk(col("c_name"))))
-        .select(col("d_id"), col("c_id"), col("d_name"), col("c_name")).distinct()
-      val pairs = cand
-        .where(round(jw(col("d_name"), col("c_name")), 4) >= 0.85 &&
-          col("d_id") =!= col("c_id"))
-        .select(col("d_id").as("id1"), col("c_id").as("id2"))
+      // candidate generation goes through the operator's capped path
+      // (EntityResolution.candidatePairs): the per-side hot-block
+      // frequency cut bounds the pair join at corpus scale. The default
+      // cap sits far above every fixture block, so the gate hash is the
+      // uncapped semantics — cap-active behavior is pinned separately by
+      // er_fuzzy_match_subblocked and EntityResolutionSpec.
+      val pairs = EntityResolution.candidatePairs(dirty, clean, "id", "name",
+          Seq(fk, lk))
+        .where(round(EntityResolution.jaroWinklerUdf(
+            col("dirty_name"), col("clean_name")), 4) >= 0.85 &&
+          col("dirty_id") =!= col("clean_id"))
+        .select(col("dirty_id").as("id1"), col("clean_id").as("id2"))
       Dedup.connectedComponents(pairs)
         .groupBy(col("comp"))
         .agg(count(lit(1)).as("n_members"))
@@ -5211,19 +5251,25 @@ object SparkEntry {
 
     // Propensity-style 1-NN caliper matching of F-status orders to
     // O-status controls on order total — nearest control by value via the
-    // union-frame cumulative-control-count trick (one global price sort,
-    // never an all-pairs distance join), with-replacement, caliper 1000.
+    // union-frame cumulative-control-count trick (never an all-pairs
+    // distance join), with-replacement, caliper 1000. Both the cumulative
+    // control count and the control rank are [[operators.RangePrefix]]'s
+    // two-level prefix over the price grid (one shared grid: a filtered
+    // subset stays bucket-monotone) — no corpus-wide price sort; the
+    // oracle keeps both naive global windows to prove the rewrite.
     "orders_propensity_match" -> ((s, d) => {
       val u = t(s, d, "orders").where(col("o_orderstatus").isin("F", "O"))
         .select(col("o_orderkey").as("k"), col("o_orderstatus").as("tag"),
           col("o_totalprice").as("p"))
-      val w = Window.orderBy(col("p"), col("tag"), col("k"))
-      val withC = u.withColumn("rc",
-        sum(when(col("tag") === "O", 1L).otherwise(0L)).over(w))
-      val controls = u.where(col("tag") === "O")
-        .select(col("k").as("ck"), col("p").as("cp"))
-        .withColumn("r", row_number()
-          .over(Window.orderBy(col("cp"), col("ck"))).cast("long"))
+      val ub = operators.RangePrefix.withBucket(u, col("p"))
+      val withC = operators.RangePrefix.runningSum(ub,
+        when(col("tag") === "O", 1L).otherwise(0L),
+        Seq(col("p"), col("tag"), col("k")), "rc")
+      val controls = operators.RangePrefix.runningRank(
+          ub.where(col("tag") === "O")
+            .select(col("k").as("ck"), col("p").as("cp"), col("__bk")),
+          Seq(col("cp"), col("ck")), "r")
+        .select(col("ck"), col("cp"), col("r"))
       val treat = withC.where(col("tag") === "F")
         .join(controls.select(col("r"), col("cp").as("prev_p")),
           col("rc") === col("r"), "left")
@@ -7937,6 +7983,19 @@ object SparkEntry {
         |  round(max(CASE WHEN bb = 3 THEN val END), 4) AS b3
         |FROM b GROUP BY doc_id, fno, nf ORDER BY doc_id, frame_no""".stripMargin,
 
+    "multimodal_mjpeg_real" ->
+      """WITH f AS (SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS nf FROM documents),
+        |fr AS (SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS fno FROM f),
+        |b AS (SELECT doc_id, nf, fno, bb,
+        |        CAST((doc_id*37 + fno*11 + bb*13) % 256 AS DOUBLE) / 255.0 AS val
+        |      FROM fr CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bb))
+        |SELECT doc_id, CAST(fno AS INT) AS frame_no, CAST(nf AS INT) AS n_frames,
+        |  round(max(CASE WHEN bb = 0 THEN val END), 4) AS b0,
+        |  round(max(CASE WHEN bb = 1 THEN val END), 4) AS b1,
+        |  round(max(CASE WHEN bb = 2 THEN val END), 4) AS b2,
+        |  round(max(CASE WHEN bb = 3 THEN val END), 4) AS b3
+        |FROM b GROUP BY doc_id, fno, nf ORDER BY doc_id, frame_no""".stripMargin,
+
     // Replays PerceptualHash.nearDupPairs over the image media + planted
     // mutants: the 65-cell nearest-neighbor grid ((i*len)//65 — ascii()
     // equals byte value on the pure-ASCII fixture), strict-> difference
@@ -9741,11 +9800,12 @@ object SparkEntry {
     "profile_pareto_abc" ->
       """WITH rev AS (SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
         |  FROM lineitem GROUP BY 1),
-        |t AS (SELECT sum(rev) AS total FROM rev),
+        |ri AS (SELECT l_partkey, rev, CAST(round(rev * 10000) AS HUGEINT) AS revi FROM rev),
+        |t AS (SELECT sum(revi) AS total_i FROM ri),
         |r AS (SELECT l_partkey, rev,
-        |    sum(rev) OVER (ORDER BY rev DESC, l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      / (SELECT total FROM t) AS cum_share
-        |  FROM rev),
+        |    CAST(sum(revi) OVER (ORDER BY rev DESC, l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      / CAST((SELECT total_i FROM t) AS DOUBLE) AS cum_share
+        |  FROM ri),
         |c AS (SELECT CASE WHEN cum_share <= 0.5 THEN 'A' WHEN cum_share <= 0.8 THEN 'B' ELSE 'C' END AS abc_class, rev FROM r)
         |SELECT abc_class, count(*) AS n_parts, round(sum(rev), 2) AS class_revenue
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,

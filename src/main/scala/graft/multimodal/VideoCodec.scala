@@ -176,33 +176,46 @@ object VideoCodec {
       }
       out
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
-      val o = new java.io.ByteArrayOutputStream()
-      o.write(id.getBytes("US-ASCII")); o.write(le32(body.length)); o.write(body)
-      if (body.length % 2 == 1) o.write(0) // RIFF word alignment
-      o.toByteArray
-    }
-    def list(kind: String, body: Array[Byte]): Array[Byte] = {
-      val o = new java.io.ByteArrayOutputStream()
-      o.write("LIST".getBytes("US-ASCII")); o.write(le32(body.length + 4))
-      o.write(kind.getBytes("US-ASCII")); o.write(body)
-      o.toByteArray
-    }
+    aviContainer(w, h, handler = "DIB ", biCompression = 0, bpp = 24,
+      frameId = "00db", frameSizeHint = dibSize, frames = grayFrames.map(dib))
+  }
+
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    o.write(id.getBytes("US-ASCII")); o.write(le32(body.length)); o.write(body)
+    if (body.length % 2 == 1) o.write(0) // RIFF word alignment
+    o.toByteArray
+  }
+
+  private def riffList(kind: String, body: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    o.write("LIST".getBytes("US-ASCII")); o.write(le32(body.length + 4))
+    o.write(kind.getBytes("US-ASCII")); o.write(body)
+    o.toByteArray
+  }
+
+  /** Shared RIFF/AVI assembly for both the uncompressed-DIB and the MJPEG
+    * writers: RIFF('AVI ') → LIST(hdrl){avih, LIST(strl){strh, strf}} →
+    * LIST(movi){frame chunks}. `frames` are the already-encoded per-frame
+    * chunk bodies. */
+  private def aviContainer(w: Int, h: Int, handler: String,
+                           biCompression: Int, bpp: Int, frameId: String,
+                           frameSizeHint: Int,
+                           frames: Seq[Array[Byte]]): Array[Byte] = {
     val avih = {
       val o = new java.io.ByteArrayOutputStream()
-      o.write(le32(40000)); o.write(le32(dibSize * 25)); o.write(le32(0))
-      o.write(le32(0)); o.write(le32(grayFrames.length)); o.write(le32(0))
-      o.write(le32(1)); o.write(le32(dibSize)); o.write(le32(w)); o.write(le32(h))
+      o.write(le32(40000)); o.write(le32(frameSizeHint * 25)); o.write(le32(0))
+      o.write(le32(0)); o.write(le32(frames.length)); o.write(le32(0))
+      o.write(le32(1)); o.write(le32(frameSizeHint)); o.write(le32(w)); o.write(le32(h))
       (1 to 4).foreach(_ => o.write(le32(0)))
       o.toByteArray
     }
     val strh = {
       val o = new java.io.ByteArrayOutputStream()
-      o.write("vids".getBytes("US-ASCII")); o.write("DIB ".getBytes("US-ASCII"))
+      o.write("vids".getBytes("US-ASCII")); o.write(handler.getBytes("US-ASCII"))
       o.write(le32(0)); o.write(le16(0)); o.write(le16(0)); o.write(le32(0))
       o.write(le32(1)); o.write(le32(25)) // scale, rate
-      o.write(le32(0)); o.write(le32(grayFrames.length)); o.write(le32(dibSize))
+      o.write(le32(0)); o.write(le32(frames.length)); o.write(le32(frameSizeHint))
       o.write(le32(-1)); o.write(le32(0))
       o.write(le16(0)); o.write(le16(0)); o.write(le16(w)); o.write(le16(h))
       o.toByteArray
@@ -210,19 +223,72 @@ object VideoCodec {
     val strf = {
       val o = new java.io.ByteArrayOutputStream()
       o.write(le32(40)); o.write(le32(w)); o.write(le32(h)); o.write(le16(1))
-      o.write(le16(24)); o.write(le32(0)) // BI_RGB
-      o.write(le32(dibSize)); o.write(le32(0)); o.write(le32(0))
+      o.write(le16(bpp)); o.write(le32(biCompression))
+      o.write(le32(frameSizeHint)); o.write(le32(0)); o.write(le32(0))
       o.write(le32(0)); o.write(le32(0))
       o.toByteArray
     }
-    val hdrl = list("hdrl", chunk("avih", avih) ++
-      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
-    val movi = list("movi",
-      grayFrames.map(g => chunk("00db", dib(g))).fold(Array.emptyByteArray)(_ ++ _))
+    val hdrl = riffList("hdrl", riffChunk("avih", avih) ++
+      riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
+    val movi = riffList("movi",
+      frames.map(f => riffChunk(frameId, f)).fold(Array.emptyByteArray)(_ ++ _))
     val body = hdrl ++ movi
+    val bos = new java.io.ByteArrayOutputStream()
     bos.write("RIFF".getBytes("US-ASCII")); bos.write(le32(body.length + 4))
     bos.write("AVI ".getBytes("US-ASCII")); bos.write(body)
     bos.toByteArray
+  }
+
+  /** 'MJPG' as the little-endian BITMAPINFOHEADER biCompression value. */
+  private val MjpgFourCC: Int =
+    'M'.toInt | ('J'.toInt << 8) | ('P'.toInt << 16) | ('G'.toInt << 24)
+
+  /** Encode one grayscale frame (w*h top-down samples) as a baseline
+    * single-component JPEG at compression quality 1.0 via the JDK's own
+    * ImageIO writer. Raster samples are written and read directly (no
+    * colorspace conversion), so a frame whose 8×8 blocks are each uniform
+    * round-trips BIT-EXACTLY: a uniform block is a DC-only DCT, the
+    * quality-1.0 quantization table is all ones, and the IDCT of a pure
+    * DC term reproduces the constant — verified for all 256 gray levels
+    * in VideoCodecSpec. That exactness is what lets an MJPEG fixture be
+    * oracle-re-derivable despite JPEG being a lossy codec. */
+  def jpegGrayBytes(w: Int, h: Int, gray: Array[Byte]): Array[Byte] = {
+    require(gray.length == w * h, "frame must be w*h bytes")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.getRaster.setSample(x, y, 0, gray(y * w + x) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); wr.dispose()
+    bos.toByteArray
+  }
+
+  /** Encode grayscale frames as an MJPEG AVI: the same RIFF container as
+    * [[aviBytes]] but with handler/biCompression 'MJPG' and each frame a
+    * real baseline JPEG in a '00dc' (compressed-DIB) chunk — the one
+    * compressed video codec a pure JVM can both write and read
+    * (ImageIO ships the JPEG codec; nothing external needed). */
+  def aviMjpegBytes(w: Int, h: Int, grayFrames: Seq[Array[Byte]]): Array[Byte] = {
+    require(w >= 1 && h >= 1)
+    require(grayFrames.forall(_.length == w * h), "each frame must be w*h bytes")
+    val jpegs = grayFrames.map(g => jpegGrayBytes(w, h, g))
+    val hint = if (jpegs.isEmpty) 0 else jpegs.map(_.length).max
+    aviContainer(w, h, handler = "MJPG", biCompression = MjpgFourCC, bpp = 24,
+      frameId = "00dc", frameSizeHint = hint, frames = jpegs)
   }
 
   /** The AVI gate fixture: gray value `(docId*37 + f*11 + y) mod 256`,
@@ -239,19 +305,38 @@ object VideoCodec {
     aviBytes(w, h, frames)
   }
 
-  /** Parse an uncompressed 24bpp BI_RGB AVI into per-frame luminance band
-    * means (luma = (r+g+b)/3, exact-integer sums — grayscale fixtures make
-    * it the gray value). None for anything malformed or unsupported:
-    * wrong RIFF magic, missing strf, compressed streams, non-24bpp, a
-    * truncated chunk, or zero video frames. */
+  /** The MJPEG gate fixture: 8×32 frames of four uniform 8×8-block rows,
+    * gray value `(docId*37 + f*11 + (y div 8)*13) mod 256`. Uniform blocks
+    * make the lossy codec round-trip bit-exact ([[jpegGrayBytes]]), and
+    * the four block rows land one per featureDim=4 band, so the oracle
+    * re-derives each band mean as `value/255` straight from the formula. */
+  def syntheticMjpegAvi(docId: Long, nFrames: Int): Array[Byte] = {
+    require(nFrames >= 1)
+    val w = 8; val h = 32
+    val frames = (0 until nFrames).map { f =>
+      Array.tabulate(w * h) { i =>
+        val blk = (i / w) / 8
+        (((docId * 37 + f * 11 + blk * 13) % 256).toInt & 0xff).toByte
+      }
+    }
+    aviMjpegBytes(w, h, frames)
+  }
+
+  /** Parse an uncompressed 24bpp BI_RGB AVI — or an MJPEG AVI, the one
+    * compressed codec the bare JVM ships ([[jpegGrayBytes]]) — into
+    * per-frame luminance band means (luma = (r+g+b)/3, exact-integer sums
+    * — grayscale fixtures make it the gray value). None for anything
+    * malformed or unsupported: wrong RIFF magic, missing strf, codecs
+    * other than BI_RGB/MJPG, a truncated chunk, or zero video frames. */
   def decodeAviFrameBands(payload: Array[Byte],
                           featureDim: Int): Option[Seq[Array[Double]]] = {
     if (payload == null || payload.length < 12) return None
     if (fourCC(payload, 0) != "RIFF" || fourCC(payload, 8) != "AVI ") return None
-    var w = -1; var h = -1; var ok = false
+    var w = -1; var h = -1; var ok = false; var mjpeg = false
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     // chunk walk: strf must precede movi (writer emits hdrl first; the AVI
-    // spec requires it); '00db'/'01db' are uncompressed DIB frames
+    // spec requires it); '00db'/'01db' are uncompressed DIB frames,
+    // '00dc'/'01dc' compressed frames (JPEG bytes when strf says 'MJPG')
     def walk(from: Int, to: Int): Boolean = { // false = malformed
       var pos = from
       while (pos + 8 <= to) {
@@ -268,6 +353,37 @@ object VideoCodec {
           w = rdLe32(payload, pos + 8 + 4)
           h = rdLe32(payload, pos + 8 + 8)
           ok = bpp == 24 && comp == 0 && w > 0 && h > 0
+          mjpeg = comp == MjpgFourCC && w > 0 && h > 0
+        } else if ((id == "00dc" || id == "01dc") && mjpeg) {
+          // MJPEG frame: a self-contained baseline JPEG — hand it to the
+          // JDK codec, then fold raster luma into the band means. Raster
+          // samples (not getRGB) for single-band images: gray→sRGB
+          // conversion is nonlinear and would corrupt the luma.
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload, pos + 8, sz))
+            catch { case _: Exception => null }
+          if (img == null || img.getWidth != w || img.getHeight != h) return false
+          val gray = img.getRaster.getNumBands == 1
+          val sums = new Array[Long](featureDim)
+          val counts = new Array[Long](featureDim)
+          var yy = 0
+          while (yy < h) {
+            val band = (yy.toLong * featureDim / h).toInt
+            var x = 0
+            while (x < w) {
+              if (gray) sums(band) += 3L * img.getRaster.getSample(x, yy, 0)
+              else {
+                val rgb = img.getRGB(x, yy)
+                sums(band) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              }
+              counts(band) += 1
+              x += 1
+            }
+            yy += 1
+          }
+          frames += Array.tabulate(featureDim)(b =>
+            if (counts(b) == 0) 0.0 else sums(b) / (counts(b) * 3 * 255.0))
         } else if ((id == "00db" || id == "01db") && ok) {
           val rowBytes = ((w * 3 + 3) / 4) * 4
           if (sz < rowBytes * h) return false
@@ -295,7 +411,7 @@ object VideoCodec {
       true
     }
     if (!walk(12, payload.length)) return None
-    if (!ok || frames.isEmpty) None else Some(frames.toSeq)
+    if (!(ok || mjpeg) || frames.isEmpty) None else Some(frames.toSeq)
   }
 
   /** Container dispatch: Y4M first (ASCII magic), then RIFF/AVI. */

@@ -28,6 +28,10 @@ import graft.functions.TextFunctions
   */
 object BpeTrainer {
 
+  /** Driver-side word-type cap for [[train]]: ~4M types × ~50 B/type keeps
+    * the collected table comfortably under typical driver heaps. */
+  val DefaultMaxTypes: Int = 4000000
+
   final case class Merge(rank: Int, left: String, right: String, pairCount: Long)
 
   /** Leftmost-greedy non-overlapping single-pair merge — the reference
@@ -77,11 +81,21 @@ object BpeTrainer {
     * argmax by (count desc, l, r) in UTF-8 byte order, leftmost-greedy
     * non-overlapping merge application. */
   def train(words: DataFrame, wordCol: String, freqCol: String,
-            numMerges: Int): Seq[Merge] = {
+            numMerges: Int, maxTypes: Int = BpeTrainer.DefaultMaxTypes): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    // The collect is vocabulary-sized by design, but web-scale corpora can
+    // reach 1e8+ word TYPES (typos, URLs). Cap the pull: fetch at most
+    // maxTypes + 1 rows (limit is a no-op when the table is under the cap,
+    // so in-gate hashes are unchanged) and fail loudly instead of OOMing
+    // the driver — callers over the cap should prefilter (e.g. drop
+    // freq == 1 hapax types, which BPE merges are insensitive to at scale).
     val types = words.select(col(wordCol).cast("string").as("word"),
         col(freqCol).cast("long").as("freq"))
+      .limit(maxTypes + 1)
       .collect()
+    require(types.length <= maxTypes,
+      s"word-type table exceeds maxTypes=$maxTypes; prefilter low-frequency " +
+        "types (e.g. freq >= 2) before BPE training or raise maxTypes")
     val syms: Array[Seq[String]] =
       types.map(r => r.getString(0).split("").filter(_.nonEmpty).toSeq)
     val freqs: Array[Long] = types.map(_.getLong(1))

@@ -92,13 +92,15 @@ object DictionaryTag {
 
   /** Per-document dictionary tags: total matches, distinct patterns hit,
     * and an md5 over the sorted "pattern:count" list (the hash-checkable
-    * full match profile). Text is lowercased with [[TextFunctions]]-free
-    * plain `lower` so the oracle's lower() matches exactly. */
+    * full match profile). Text is lowercased with Locale.ROOT so the
+    * mapping matches Spark's `lower()`/the DuckDB oracle on every JVM
+    * default locale (tr_TR would otherwise map 'I' to dotless 'ı'). */
   def tagCounts(df: DataFrame, textCol: String, idCol: String,
                 phrases: Seq[String]): DataFrame = {
-    val ac = new AhoCorasick(phrases.map(_.toLowerCase))
+    val ac = new AhoCorasick(phrases.map(_.toLowerCase(java.util.Locale.ROOT)))
     val tagUdf = udf { (t: String) =>
-      val c = ac.countMatches(if (t == null) null else t.toLowerCase)
+      val c = ac.countMatches(
+        if (t == null) null else t.toLowerCase(java.util.Locale.ROOT))
       val hit = (0 until ac.nPatterns).filter(c(_) > 0)
       val profile = hit.map(i => s"${ac.pattern(i)}:${c(i)}").mkString(",")
       (c.sum, hit.length, profile)

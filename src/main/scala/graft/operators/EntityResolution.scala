@@ -108,6 +108,31 @@ object EntityResolution {
               nameCol: String, blockKeys: Seq[Column => Column],
               minScore: Double, maxBlockFreq: Int = 10000,
               subBlockKey: Option[Column => Column] = None): DataFrame = {
+    val cand = candidatePairs(dirty, clean, idCol, nameCol, blockKeys,
+      maxBlockFreq, subBlockKey)
+    cand
+      .withColumn("jw", round(jaroWinklerUdf(col("dirty_name"), col("clean_name")), 4))
+      .where(col("jw") >= minScore)
+      .groupBy(col("dirty_id"))
+      .agg(
+        max_by(struct(col("clean_id"), col("jw")),
+          struct(col("jw"), (-col("clean_id")).as("nid"))).as("best"))
+      .select(col("dirty_id"), col("best.clean_id").as("match_id"),
+        col("best.jw").as("score"))
+  }
+
+  /** The capped, blocked candidate generator behind [[resolve]], exposed
+    * for flows that need the raw pair set rather than a best-match
+    * election (e.g. match-graph construction feeding connected
+    * components). Returns distinct (dirty_id, dirty_name, clean_id,
+    * clean_name) rows; the `maxBlockFreq` hot-block cut and the optional
+    * `subBlockKey` refinement apply exactly as documented on [[resolve]] —
+    * EVERY consumer of blocked candidates gets the bounded quadratic term,
+    * not just the election path. */
+  def candidatePairs(dirty: DataFrame, clean: DataFrame, idCol: String,
+                     nameCol: String, blockKeys: Seq[Column => Column],
+                     maxBlockFreq: Int = 10000,
+                     subBlockKey: Option[Column => Column] = None): DataFrame = {
     require(blockKeys.nonEmpty, "at least one blocking key required")
     val d = dirty.select(col(idCol).as("dirty_id"), col(nameCol).as("dirty_name"))
     val c = clean.select(col(idCol).as("clean_id"), col(nameCol).as("clean_name"))
@@ -146,13 +171,5 @@ object EntityResolution {
       }
     }.reduce(_ unionByName _).distinct()
     cand
-      .withColumn("jw", round(jaroWinklerUdf(col("dirty_name"), col("clean_name")), 4))
-      .where(col("jw") >= minScore)
-      .groupBy(col("dirty_id"))
-      .agg(
-        max_by(struct(col("clean_id"), col("jw")),
-          struct(col("jw"), (-col("clean_id")).as("nid"))).as("best"))
-      .select(col("dirty_id"), col("best.clean_id").as("match_id"),
-        col("best.jw").as("score"))
   }
 }

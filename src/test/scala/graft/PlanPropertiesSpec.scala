@@ -211,6 +211,24 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
   }
 
+  // the RangePrefix quartet: every global rank / running total must run the
+  // two-level prefix scheme — windows keyed on the grid cell, offsets via
+  // the triangular broadcast join, and NO unpartitioned corpus window
+  // (windowspecdefinition leading with a raw value column = the
+  // single-partition regression this pin exists to catch)
+  for (q <- Seq("select_token_budget", "profile_pareto_abc",
+                "pack_padding_waste", "orders_propensity_match"))
+    test(s"$q global prefix uses the two-level scheme — no corpus-wide window") {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      val specs = "windowspecdefinition\\(\\w+#\\d+".r.findAllIn(p).toList
+      assert(specs.nonEmpty, p)
+      assert(specs.forall(_.contains("bk#")), s"$specs\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+    }
+
   test("SemDeDup pair join is cluster-keyed equi-join, never a cartesian over the corpus") {
     val df = SparkEntry.queries("dedup_semantic")(spark, TestSpark.sf)
     df.collect()

@@ -90,6 +90,33 @@ class VideoCodecSpec extends AnyFunSuite {
       VideoCodec.syntheticY4M(1L, 1), 2).nonEmpty)
   }
 
+  test("MJPEG: uniform 8×8 blocks round-trip bit-exactly at quality 1.0 — all 256 levels") {
+    // the exactness claim the oracle formula rests on: a uniform block is
+    // a DC-only DCT and the quality-1.0 quantization table is all ones
+    for (g <- 0 until 256) {
+      val gray = Array.tabulate(8 * 32)(i => (((i / 8) / 8) * 13 + g).toByte)
+      val jpeg = VideoCodec.jpegGrayBytes(8, 32, gray)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      assert(img.getRaster.getNumBands === 1)
+      for (y <- 0 until 32; x <- 0 until 8)
+        assert(img.getRaster.getSample(x, y, 0) === (gray(y * 8 + x) & 0xff),
+          s"g=$g y=$y x=$x")
+    }
+  }
+
+  test("MJPEG AVI: decode matches the fixture formula; Y4M/DIB paths unaffected") {
+    val avi = VideoCodec.syntheticMjpegAvi(7L, 3)
+    val got = VideoCodec.decodeAviFrameBands(avi, 4).get
+    assert(got.length === 3)
+    for (f <- 0 until 3; b <- 0 until 4)
+      assert(got(f)(b) === ((7 * 37 + f * 11 + b * 13) % 256) / 255.0,
+        s"f=$f b=$b")
+    // generic dispatch reaches the MJPEG branch too
+    assert(VideoCodec.decodeVideoFrameBands(avi, 4).nonEmpty)
+    // a truncated JPEG chunk is malformed, not silently skipped
+    assert(VideoCodec.decodeAviFrameBands(avi.dropRight(6), 4).isEmpty)
+  }
+
   test("extractFeatures routes Y4M video payloads through the real decoder") {
     val y4m = VideoCodec.syntheticY4M(5L, nFrames = 2)
     val media = Seq((5L, "video", y4m), (6L, "video", "not a video".getBytes))
