@@ -229,13 +229,17 @@ final class GraftVectorStore(
     if (!fs.exists(p)) buildGraphIndex(alias)
     val nodes = graphNodes(alias)
     val edges = spark.read.parquet(graphPath(alias))
-    val q = Seq((-1L, qvec.toSeq)).toDF("q_id", "q_vec")
-    val hits = GraphAnn.beamSearch(nodes, edges, q, k = topN,
-      beam = 8 * math.max(1, probeDepth), rounds = 3, nEntry = 8,
-      corpusVec = "page_content_vector", corpusId = "__nid",
-      excludeSelf = false)
+    // round-7 serving path: the one-prompt walk is driver-paced
+    // ([[GraphAnn.beamSearchSingle]] — two keyed lookups per round instead
+    // of ~5 distributed stages), the HNSW serving access pattern. The
+    // distributed batch walk stays behind [[GraphAnn.beamSearch]] for
+    // query-batch workloads and the oracle-gated twin.
+    val hits = GraphAnn.beamSearchSingle(nodes, edges, qvec,
+        k = topN, beam = 8 * math.max(1, probeDepth), rounds = 3, nEntry = 8,
+        corpusVec = "page_content_vector", corpusId = "__nid")
+      .toDF("__nid", "similarity", "rank")
     KnnSearch.hitProjection(
-      hits.join(nodes, Seq("__nid")).orderBy(col("rank")))
+      nodes.join(broadcast(hits), Seq("__nid")).orderBy(col("rank")))
   }
 
   /** Time-travel search: exact KNN over the index exactly as it stood at a

@@ -190,11 +190,91 @@ object GraphAnn {
                  k: Int = 10, beam: Int = 8, rounds: Int = 3, nEntry: Int = 8,
                  corpusVec: String = "embedding", corpusId: String = "vec_id",
                  queryVec: String = "q_vec", queryId: String = "q_id",
-                 excludeSelf: Boolean = true): DataFrame = {
+                 excludeSelf: Boolean = true,
+                 portable: Boolean = true): DataFrame = {
     require(k >= 1)
     val visited = beamVisited(corpus, edges, queries, beam, rounds, nEntry,
-      corpusVec, corpusId, queryVec, queryId)
+      corpusVec, corpusId, queryVec, queryId, portable)
     topKFromVisited(visited, k, corpusId, queryId, excludeSelf)
+  }
+
+  /** Single-query serving walk, driver-paced — the HNSW access pattern.
+    *
+    * The batch walk ([[beamSearch]]) runs ~5 distributed stages per round
+    * (broadcasts, anti-join, checkpoint); for a query BATCH that cost
+    * amortizes, but a one-prompt facade search pays ~20 jobs of pure
+    * scheduler latency for frontier state that is at most beam × 2m rows.
+    * Here the walk state lives on the driver and each round issues exactly
+    * TWO keyed lookups: the frontier's out-edges (`src IN (...)` — an
+    * In-filter the parquet scan pushes down) and the fresh candidates'
+    * vectors from a once-materialized (id, vector) slice. At cluster scale
+    * those lookups are the index random-reads a graph-ANN serving tier is
+    * built around (vectors resident, edges keyed) — HNSW's economics, not
+    * a corpus pass per round.
+    *
+    * Arithmetic matches [[beamSearch]]'s serving mode (portable = false):
+    * identical md5 entry sample, float-widened cosine exactly as
+    * CosineSimilarityExpr computes it, (similarity desc, id asc) ties —
+    * so result sets agree with the distributed walk wherever rounding
+    * never decided a tie. Returns (id, similarity, rank), rank 1-based. */
+  def beamSearchSingle(corpus: DataFrame, edges: DataFrame,
+                       queryVec: Array[Float], k: Int = 10, beam: Int = 8,
+                       rounds: Int = 3, nEntry: Int = 8,
+                       corpusVec: String = "embedding",
+                       corpusId: String = "vec_id"): Seq[(Long, Double, Int)] = {
+    require(k >= 1 && beam >= 1 && rounds >= 0 && nEntry >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", WalkShufflePartitions)
+    try {
+      // serving-resident (id, vector) slice: one materialization, then
+      // every per-round fetch is an in-memory keyed filter
+      val c = corpus.select(col(corpusId).cast("long").as("__cid"),
+          col(corpusVec).cast("array<float>").as("__cvec"))
+        .localCheckpoint()
+      val e = edges.select(col("src").cast("long").as("__esrc"),
+        col("dst").cast("long").as("__edst"))
+      def cos(v: Seq[Float]): Double = {
+        val n = math.min(v.length, queryVec.length)
+        var dp = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val x = v(i).toDouble; val y = queryVec(i).toDouble
+          dp += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        if (denom == 0.0) 0.0 else dp / denom
+      }
+      val visited = scala.collection.mutable.HashMap.empty[Long, Double]
+      def scoreRows(rows: Array[(Long, Seq[Float])]): Seq[(Long, Double)] =
+        rows.toSeq.map { case (id, v) => (id, cos(v)) }
+      def best(xs: Seq[(Long, Double)], n: Int): Seq[Long] =
+        xs.sortBy { case (id, s) => (-s, id) }.take(n).map(_._1)
+      val entryRows = c.orderBy(md5(col("__cid").cast("string")), col("__cid"))
+        .limit(nEntry).as[(Long, Seq[Float])].collect()
+      var fresh = scoreRows(entryRows)
+      visited ++= fresh
+      var frontier = best(fresh, beam)
+      var r = 0
+      while (r < rounds && frontier.nonEmpty) {
+        val dsts = e.where(col("__esrc").isin(frontier: _*))
+          .select(col("__edst")).distinct().as[Long].collect()
+          .filterNot(visited.contains)
+        if (dsts.isEmpty) frontier = Nil
+        else {
+          val rows = c.where(col("__cid").isin(dsts.toSeq: _*))
+            .as[(Long, Seq[Float])].collect()
+          fresh = scoreRows(rows)
+          visited ++= fresh
+          frontier = best(fresh, beam)
+        }
+        r += 1
+      }
+      visited.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+        .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Rank a [[beamVisited]] set: top-k per query, self-excluded by default. */
@@ -221,23 +301,35 @@ object GraphAnn {
     * localCheckpoints are the only actions in scope). */
   private val WalkShufflePartitions = 8
 
+  /** `portable = true` (the gated default) keeps the oracle-replayable
+    * arithmetic: md5-ordered entry sample and round-4 similarities, so a
+    * DuckDB oracle reproduces the walk decision-for-decision. `portable =
+    * false` is the SERVING form behind [[graft.GraftVectorStore]]: same
+    * walk, but entries ranked by native xxhash64 (codegen, no per-id
+    * string md5) and raw double similarities (no per-score rounding) —
+    * still fully deterministic (ties break on id), just not replayable by
+    * an ANSI oracle. The twin discipline of embed_documents /
+    * embed_hashed_sparse, pointed the other way: the gate pays the
+    * portability tax, the serving path doesn't. */
   def beamVisited(corpus: DataFrame, edges: DataFrame, queries: DataFrame,
                   beam: Int = 8, rounds: Int = 3, nEntry: Int = 8,
                   corpusVec: String = "embedding", corpusId: String = "vec_id",
-                  queryVec: String = "q_vec", queryId: String = "q_id"): DataFrame = {
+                  queryVec: String = "q_vec", queryId: String = "q_id",
+                  portable: Boolean = true): DataFrame = {
     require(beam >= 1 && rounds >= 0 && nEntry >= 1)
     val spark = corpus.sparkSession
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", WalkShufflePartitions)
     try beamVisitedImpl(corpus, edges, queries, beam, rounds, nEntry,
-      corpusVec, corpusId, queryVec, queryId)
+      corpusVec, corpusId, queryVec, queryId, portable)
     finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   private def beamVisitedImpl(corpus: DataFrame, edges: DataFrame, queries: DataFrame,
                               beam: Int, rounds: Int, nEntry: Int,
                               corpusVec: String, corpusId: String,
-                              queryVec: String, queryId: String): DataFrame = {
+                              queryVec: String, queryId: String,
+                              portable: Boolean): DataFrame = {
     val c = corpus.select(col(corpusId).cast("long").as("__cid"),
       col(corpusVec).as("__cvec"))
     val q = queries.select(col(queryId).cast("long").as("__qid"),
@@ -246,12 +338,13 @@ object GraphAnn {
 
     // the candidate set is frontier-sized — ALWAYS the broadcast side; the
     // corpus vector table must only ever be probed by key, never shuffled
-    def score(cand: DataFrame): DataFrame = // (qid, cid) -> + similarity
+    def score(cand: DataFrame): DataFrame = { // (qid, cid) -> + similarity
+      val sim = VectorFunctions.cosineSimilarity(col("__cvec"), col("__qvec"))
       c.join(broadcast(cand), Seq("__cid"))
         .join(broadcast(q), Seq("__qid"))
-        .withColumn("similarity",
-          round(VectorFunctions.cosineSimilarity(col("__cvec"), col("__qvec")), 4))
+        .withColumn("similarity", if (portable) round(sim, 4) else sim)
         .select(col("__qid"), col("__cid"), col("similarity"))
+    }
 
     val topBeam = udaf(graft.functions.TopKBy(beam))
     def bestNew(scored: DataFrame): DataFrame = // next frontier: beam best
@@ -260,9 +353,12 @@ object GraphAnn {
         .select(col("__qid"), explode(col("__f")).as("x"))
         .select(col("__qid"), col("x._2").as("__cid"))
 
-    // md5-ordered entry sample (the kmeans-seed convention) rather than
-    // Spark's murmur hash: same pseudo-random coverage, but ANSI-portable,
-    // which is what lets the whole walk replay in the DuckDB oracle
+    // md5-ordered entry sample in BOTH modes (the kmeans-seed convention):
+    // portable mode needs it for oracle replay, and serving mode keeps it
+    // so the walk starts from the IDENTICAL entry set — measured recall of
+    // the serving form equals the gated twin's by construction (the only
+    // serving delta is unrounded scores, which moves near-ties only). The
+    // md5 ranking is one TakeOrdered over ids — noise next to the walk.
     val entries = c.select(col("__cid"))
       .orderBy(md5(col("__cid").cast("string")), col("__cid")).limit(nEntry)
     var visited = score(q.select(col("__qid")).crossJoin(entries)).localCheckpoint()

@@ -58,7 +58,20 @@ object KMeans {
     * -style routing) can bind the SAME centroids the batch training run
     * produces. Values are the round-6 portable form. */
   def centroidsDF(df: DataFrame, vecCol: String, idCol: String,
-                  k: Int, iters: Int): DataFrame = {
+                  k: Int, iters: Int): DataFrame =
+    centroidsSeq(df, vecCol, idCol, k, iters).last
+
+  /** Every codebook along the Lloyd chain: element i is the codebook after
+    * i update rounds (element 0 = the seeds). Each round's k-row codebook
+    * is localCheckpoint-ed, so round i+1's assignment joins a MATERIALIZED
+    * k-row table instead of replaying rounds 0..i lazily — the chain costs
+    * `iters` corpus passes, not a triangular number, and a caller needing
+    * two adjacent codebooks (e.g. IVF's assign-at-iters-1 / route-at-iters
+    * contract, [[SimilaritySearch.ivfIndex]]) pays the chain ONCE. Values
+    * are bit-identical to the unmaterialized form (checkpointing changes
+    * execution, never arithmetic). */
+  def centroidsSeq(df: DataFrame, vecCol: String, idCol: String,
+                   k: Int, iters: Int): Seq[DataFrame] = {
     require(k >= 1 && iters >= 0)
     val v = df.select(col(idCol).as("__kid"),
       col(vecCol).cast("array<double>").as("__v"))
@@ -69,6 +82,8 @@ object KMeans {
       .withColumn("__cid", (row_number().over(w) - 1).cast("int"))
       .select(col("__cid"),
         transform(col("__v"), x => round(x, 6)).as("__cent"))
+      .localCheckpoint()
+    val chain = scala.collection.mutable.ArrayBuffer(cents)
     for (_ <- 1 to iters) {
       val assigned = assignTo(v, cents)
       cents = assigned
@@ -80,8 +95,10 @@ object KMeans {
         .select(col("cluster").as("__cid"),
           transform(array_sort(col("__pm")), p => round(p.getField("__m"), 6))
             .as("__cent"))
+        .localCheckpoint()
+      chain += cents
     }
-    cents
+    chain.toSeq
   }
 
   private def assignTo(v: DataFrame, c: DataFrame): DataFrame =

@@ -166,8 +166,11 @@ object SimilaritySearch {
     // that let ann_ivf graduate from rows-only to oracle-gated. Contract
     // preserved: `assigned` is the assignment against the
     // (iters-1)-updated codebook and each list's ROUTING centroid is that
-    // list's mean (the iters-updated codebook).
-    val prev = KMeans.centroidsDF(corpus, vecCol, idCol, nCentroids, iters - 1)
+    // list's mean (the iters-updated codebook). Round 7: both codebooks
+    // come from ONE materialized Lloyd chain (KMeans.centroidsSeq) —
+    // identical values, half the build passes.
+    val chain = KMeans.centroidsSeq(corpus, vecCol, idCol, nCentroids, iters)
+    val prev = chain(iters - 1)
       .select(col("__cid").cast("long").as("centroid_id"),
         col("__cent").as("centroid"))
     val otherCols = corpus.columns.filterNot(c => c == idCol || c == vecCol)
@@ -184,7 +187,7 @@ object SimilaritySearch {
           otherCols.map(c => first(col(c)).as(c))): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     assigned.count()
-    val centroids = KMeans.centroidsDF(corpus, vecCol, idCol, nCentroids, iters)
+    val centroids = chain(iters)
       .select(col("__cid").cast("long").as("centroid_id"),
         col("__cent").as("centroid"))
     (centroids, assigned)

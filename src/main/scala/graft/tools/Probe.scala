@@ -207,6 +207,58 @@ object Probe {
           }
         }
 
+      case "storegraph" =>
+        // Graph-layout store + the round-7 serving arithmetic: quantifies
+        // the oracle-portability tax (md5 entry ranking + per-score
+        // round-4) that the gated twin pays and the facade no longer does.
+        // Part 1: operator-level beamSearch, portable vs serving, same
+        // graph, same queries — recall@10 vs brute force and wall time.
+        import graft.operators.GraphAnn
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+        emb.count()
+        val qs = emb.where(col("vec_id") % 40 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")).cache()
+        qs.count()
+        val bf = SimilaritySearch.bruteForceTopK(emb, qs, 10)
+          .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+        val edges = GraphAnn.knnGraph(emb, m = 16, nBits = 4, nTables = 8,
+          dim = 64).localCheckpoint()
+        println("config,recall_at_10,wall_s")
+        for (portable <- Seq(true, false); _ <- 1 to 2) {
+          val t0 = System.nanoTime
+          val got = GraphAnn.beamSearch(emb, edges, qs, k = 10, beam = 8,
+              rounds = 3, nEntry = 8, portable = portable)
+            .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+          val dt = (System.nanoTime - t0) / 1e9
+          val rec = bf.intersect(got).size.toDouble / bf.size
+          println(f"beam portable=$portable,$rec%.3f,$dt%.2f")
+        }
+        // Part 2: facade end-to-end — graph-layout store, exact vs
+        // approximate (serving) search per prompt.
+        val docsRaw = spark.read.parquet(s"$sfDir/documents.parquet")
+        val docs = docsRaw
+          .select(concat(lit("doc_"), col("doc_id")).as("document_path"), col("text"))
+        val prompts = docsRaw.where(col("doc_id") % 200 === 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+          .map { case (_, t) => t.split("\\s+").take(12).mkString(" ") }
+        val path = java.nio.file.Files
+          .createTempDirectory("probe_storegraph").toString + "/idx"
+        val store = new graft.GraftVectorStore(spark, path, graphM = Some(16))
+        time("ingest graph m=16")(store.addDocuments(docs, "tenant"))
+        println("config,recall_at_10,s_exact_per_q,s_approx_per_q")
+        var inter = 0; var tot = 0; var tEx = 0.0; var tAp = 0.0
+        prompts.foreach { p =>
+          val t0 = System.nanoTime
+          val ex = store.search(p, "tenant", 10).select("id").as[String].collect().toSet
+          val t1 = System.nanoTime
+          val ap = store.search(p, "tenant", 10, approximate = true)
+            .select("id").as[String].collect().toSet
+          tEx += (t1 - t0) / 1e9; tAp += (System.nanoTime - t1) / 1e9
+          inter += ex.intersect(ap).size; tot += ex.size
+        }
+        println(f"storegraph m=16 serving,${inter.toDouble / tot}%.3f," +
+          f"${tEx / prompts.length}%.3f,${tAp / prompts.length}%.3f")
+
       case "deduplsh" =>
         // Selectivity/recall evidence for the bucketed embedding near-dup:
         // candidate fraction and pair recall vs the exact all-pairs ground

@@ -67,6 +67,26 @@ class GraphAnnSpec extends AnyFunSuite {
     res.unpersist(false); edges.unpersist(false)
   }
 
+  test("beamSearchSingle ≡ distributed serving walk, query by query") {
+    val edges = GraphAnn.knnGraph(emb, m = 8, nBits = 4, nTables = 8, dim = 64)
+      .localCheckpoint()
+    val batch = GraphAnn.beamSearch(emb, edges, qs, k = 10, beam = 8,
+        rounds = 3, nEntry = 8, excludeSelf = false, portable = false)
+      .select(col("q_id"), col("vec_id"), col("rank"))
+      .as[(Long, Long, Int)].collect().groupBy(_._1)
+      .view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val queries = qs.select(col("q_id"), col("q_vec"))
+      .as[(Long, Seq[Float])].collect()
+    queries.foreach { case (qid, qv) =>
+      val single = GraphAnn.beamSearchSingle(emb, edges, qv.toArray, k = 10,
+        beam = 8, rounds = 3, nEntry = 8)
+      // identical entry sample + identical (sim desc, id) ordering on the
+      // same unrounded arithmetic → identical ranked ids
+      assert(single.map(_._1) === batch(qid), s"q=$qid")
+      assert(single.map(_._3) === (1 to single.length), s"q=$qid ranks")
+    }
+  }
+
   test("persisted neighbor graph: built once, bit-identical to the in-memory build") {
     val path = java.nio.file.Files.createTempDirectory("graft_gann").toString + "/idx"
     val fresh = GraphAnn.knnGraph(emb, m = 4, nBits = 4, nTables = 4, dim = 64)
