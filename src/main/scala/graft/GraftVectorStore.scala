@@ -50,7 +50,9 @@ final class GraftVectorStore(
     // document (an update: same record ids, possibly new vectors) instead
     // invalidates the graph so the next approximate search rebuilds —
     // stale out-edges of an updated node must not stay navigable. Deletes
-    // always invalidate.
+    // do NOT invalidate (round 7): tombstoned nodes lose their vector in
+    // the latest view, so the walk skips them (HNSW's deleted flag);
+    // compactIndex is the lazy re-link point (see deleteDocuments).
     graphM: Option[Int] = None,
     // Some(candidates): binary-sketch layout — rows stored plain;
     // `approximate = true` runs the two-stage Hamming search
@@ -129,20 +131,25 @@ final class GraftVectorStore(
   /** Tombstone-delete documents by path: every record (page) of each given
     * `document_path` is masked immediately and physically removed by the
     * next [[compactIndex]] + [[vacuumIndex]] (see
-    * [[operators.IndexTable.deleteRecords]]). Invalidates a persisted graph
-    * index the same way [[addDocuments]] does — deleted nodes must not stay
-    * navigable. */
+    * [[operators.IndexTable.deleteRecords]]).
+    *
+    * A persisted graph index SURVIVES deletes (round 7; it used to be
+    * invalidated): the walk reads node vectors through the latest view, so
+    * a tombstoned id simply has no vector — it can never be scored, never
+    * enters a frontier, and never appears in results. Edges pointing at it
+    * are dead ends until the next [[compactIndex]], which invalidates the
+    * graph so the rebuild re-links the deleted nodes' in-neighbors — the
+    * HNSW deleted-flag + lazy-repair discipline. The trade is bounded
+    * recall decay while tombstones accumulate (a deleted hub strands its
+    * neighborhood's through-paths), which is why compaction is the
+    * scheduled maintenance step. Updates still invalidate immediately:
+    * a STALE vector (unlike a missing one) would keep steering the walk. */
   def deleteDocuments(paths: Seq[String], alias: String): Unit = {
     import org.apache.spark.sql.functions.col
     val ids = IndexTable.readLatest(spark, indexPath, resolveAlias(alias))
       .where(col("document_path").isin(paths: _*))
       .select(col("id"))
     IndexTable.deleteRecords(ids, indexPath, resolveAlias(alias))
-    if (graphM.nonEmpty) {
-      val p = new org.apache.hadoop.fs.Path(graphPath(alias))
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) { fs.delete(p, true); () }
-    }
   }
 
   /** E2 retrieval: exact cosine top-k scored chunks for a prompt.
@@ -302,8 +309,19 @@ final class GraftVectorStore(
   /** Store maintenance: physically apply upserts and rewrite the tenant's
     * files (see [[IndexTable.compact]]). Returns surviving row count. */
   def compactIndex(alias: String,
-                   retainMillis: Long = IndexTable.DefaultRetainMillis): Long =
-    IndexTable.compact(spark, indexPath, resolveAlias(alias), retainMillis)
+                   retainMillis: Long = IndexTable.DefaultRetainMillis): Long = {
+    val gen = IndexTable.compact(spark, indexPath, resolveAlias(alias), retainMillis)
+    // compaction folds tombstones/updates out of the tenant — the lazy
+    // re-link point for a persisted graph ([[deleteDocuments]]): drop it
+    // so the next approximate search rebuilds over exactly the live rows,
+    // restoring every in-neighbor of the removed nodes.
+    if (graphM.nonEmpty) {
+      val p = new org.apache.hadoop.fs.Path(graphPath(alias))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
+    gen
+  }
 
   /** Retention-gated removal of superseded generations and folded delta
     * files (see [[IndexTable.vacuum]]) — run separately when compactions

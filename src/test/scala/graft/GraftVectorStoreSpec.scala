@@ -106,6 +106,39 @@ class GraftVectorStoreSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$path/_graft_knn_graph").exists())
   }
 
+  test("graph-ANN deletes: tombstones are skipped in the walk, graph survives, compact re-links") {
+    val path = java.nio.file.Files.createTempDirectory("graft_gdel").toString + "/idx"
+    val store = new GraftVectorStore(spark, path, graphM = Some(8))
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select($"source".as("document_path"), $"text")
+    store.addDocuments(docs, "t", pageSize = 32)
+    val before = store.search("fast spark table scan query", "t", topN = 5,
+      approximate = true, probeDepth = 2)
+    val victim = before.select($"document_path").as[String].head()
+    store.deleteDocuments(Seq(victim), "t")
+    // the graph SURVIVES the delete (HNSW deleted-flag discipline): the
+    // tombstoned records lose their vectors in the latest view, so the
+    // walk skips them without a rebuild
+    assert(new java.io.File(s"$path/_graft_knn_graph/t").exists(),
+      "delete must not invalidate the persisted graph")
+    val after = store.search("fast spark table scan query", "t", topN = 5,
+      approximate = true, probeDepth = 2)
+    assert(after.where($"document_path" === victim).count() === 0,
+      "tombstoned records must never surface from the surviving graph")
+    assert(after.count() >= 1)
+    // compaction folds the tombstones out — the lazy re-link point: the
+    // graph invalidates and the next approximate search rebuilds live-only
+    store.compactIndex("t", retainMillis = 0)
+    assert(!new java.io.File(s"$path/_graft_knn_graph/t").exists(),
+      "compaction must invalidate the graph for the re-link rebuild")
+    val rebuilt = store.search("fast spark table scan query", "t", topN = 5,
+      approximate = true, probeDepth = 2)
+    assert(rebuilt.where($"document_path" === victim).count() === 0)
+    assert(new java.io.File(s"$path/_graft_knn_graph/t").exists(),
+      "search after compaction rebuilds the graph over live rows")
+    store.dropIndex()
+  }
+
   test("re-ingesting a document upserts: newest record wins, no duplicate ids in search") {
     val path = java.nio.file.Files.createTempDirectory("graft_store3").toString + "/idx"
     val store = new GraftVectorStore(spark, path)

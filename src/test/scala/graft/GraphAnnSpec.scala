@@ -67,6 +67,26 @@ class GraphAnnSpec extends AnyFunSuite {
     res.unpersist(false); edges.unpersist(false)
   }
 
+  test("recall after deletes: stale edges over a live-only corpus still find the live top-k") {
+    // tombstone-aware serving: the graph keeps edges to deleted nodes, but
+    // the corpus view no longer carries their vectors — the walk can't
+    // score them, so they never enter a frontier or a result set. Recall
+    // against the LIVE ground truth must survive a 10% delete (dead-end
+    // edges cost through-paths, not correctness).
+    val edges = GraphAnn.knnGraph(emb, m = 16, nBits = 4, nTables = 8, dim = 64)
+      .localCheckpoint()
+    val live = emb.where(col("vec_id") % 10 =!= 3)
+    val liveQs = qs.where(col("q_id") % 10 =!= 3)
+    val bf = SimilaritySearch.bruteForceTopK(live, liveQs, 10)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val got = GraphAnn.beamSearch(live, edges, liveQs, k = 10, beam = 8,
+        rounds = 3, nEntry = 8)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    assert(got.forall(_._2 % 10 != 3), "a deleted node must never surface")
+    val recall = bf.intersect(got).size.toDouble / bf.size
+    assert(recall > 0.35, s"recall=$recall after 10% deletes")
+  }
+
   test("beamSearchSingle ≡ distributed serving walk, query by query") {
     val edges = GraphAnn.knnGraph(emb, m = 8, nBits = 4, nTables = 8, dim = 64)
       .localCheckpoint()
