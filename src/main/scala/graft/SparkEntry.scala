@@ -5088,12 +5088,17 @@ object SparkEntry {
     // in_base_topk marks which final hits round 1 alone would have found.
     "bm25_prf_expansion" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val r1 = Bm25.topK(docs, "text", "doc_id", bm25QueryTerms, k = 10)
+      // One Bm25.prepare definition feeds round 1, the expansion pick, and
+      // round 2. Deliberately NOT checkpointed: measured at sf0.1 (5-rep
+      // min 3.35 s lazy vs 3.69 s materialized), re-running the codegen'd
+      // tokenizer per branch beats serializing the corpus-sized token
+      // arrays — the same holds at cluster scale, where a corpus-sized
+      // intermediate is exactly what you don't persist.
+      val prepared = Bm25.prepare(docs, "text", "doc_id")
+      val r1 = Bm25.topKPrepared(prepared, bm25QueryTerms, k = 10)
         .localCheckpoint()
       val fb = r1.select(col("doc_id"))
-      val toks = docs.where(col("text").isNotNull)
-        .select(col("doc_id"),
-          explode(TextFunctions.wsTokens(lower(col("text")))).as("term"))
+      val toks = prepared.select(col("doc_id"), explode(col("toks")).as("term"))
       val fbtf = toks.join(broadcast(fb), Seq("doc_id"))
         .groupBy(col("term")).agg(count(lit(1)).as("tf_fb"))
       val dfq = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
@@ -5104,7 +5109,7 @@ object SparkEntry {
           round(col("tf_fb") * log(col("nd").cast("double") / col("df")), 6))
         .orderBy(col("escore").desc, col("term")).limit(3)
         .select(col("term")).collect().map(_.getString(0)).toSeq
-      Bm25.topK(docs, "text", "doc_id", bm25QueryTerms ++ expTerms, k = 10)
+      Bm25.topKPrepared(prepared, bm25QueryTerms ++ expTerms, k = 10)
         .join(r1.select(col("doc_id"), lit(true).as("ib")), Seq("doc_id"), "left")
         .select(col("rank"), col("doc_id"), col("score"),
           coalesce(col("ib"), lit(false)).as("in_base_topk"))

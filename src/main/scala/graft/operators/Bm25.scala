@@ -96,15 +96,30 @@ object Bm25 {
     * index (where they are one broadcast lookup) and scans nothing but the
     * query terms' posting rows; the scan-based form exists so the whole
     * computation stays one declarative, oracle-replayable plan. */
+  /** The tokenized (doc_id, toks, dl) frame every BM25 scoring pass reads.
+    * Exposed so multi-round flows (pseudo-relevance feedback, fuzzy
+    * expansion) share one definition across rounds. Sharing it LAZILY is
+    * usually right: measured at sf0.1, re-running the codegen'd tokenizer
+    * per plan branch beat localCheckpointing the corpus-sized token arrays
+    * by ~10% — materialize only when a caller's round count is large
+    * enough to amortize the serialization. */
+  def prepare(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    Dedup.spread(df).select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.wsTokens(lower(col(textCol))).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+
   def topK(df: DataFrame, textCol: String, idCol: String,
            queryTerms: Seq[String], k: Int = 10, qId: Long = 0L,
-           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    topKPrepared(prepare(df, textCol, idCol), queryTerms, k, qId, k1, b)
+
+  /** [[topK]] over an already-[[prepare]]d frame. */
+  def topKPrepared(docs: DataFrame,
+                   queryTerms: Seq[String], k: Int = 10, qId: Long = 0L,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.forall(t => t == t.toLowerCase),
       "queryTerms must be lowercase (the token stream is lowercased)")
-    val docs = Dedup.spread(df).select(col(idCol).cast("long").as("doc_id"),
-        TextFunctions.wsTokens(lower(col(textCol))).as("toks"))
-      .withColumn("dl", size(col("toks")).cast("double"))
     // corpus constants: one partial-aggregated row, broadcast back in
     val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
       sum(col("dl")).as("sum_dl"))
@@ -153,9 +168,7 @@ object Bm25 {
   def topKTermFrame(df: DataFrame, textCol: String, idCol: String,
                     terms: DataFrame, k: Int = 10, qId: Long = 0L,
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val docs = Dedup.spread(df).select(col(idCol).cast("long").as("doc_id"),
-        TextFunctions.wsTokens(lower(col(textCol))).as("toks"))
-      .withColumn("dl", size(col("toks")).cast("double"))
+    val docs = prepare(df, textCol, idCol)
     val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
       sum(col("dl")).as("sum_dl"))
     val toks = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))

@@ -207,6 +207,41 @@ object Probe {
           }
         }
 
+      case "streamjoin" =>
+        // Is the stream-stream join cost micro-batch COUNT (fixed
+        // machinery: state-store setup, commits, no-data batches) or
+        // per-batch WORK? Run it with progress capture and print each
+        // micro-batch's duration breakdown.
+        import org.apache.spark.sql.streaming.Trigger
+        val eventsPath = s"$sfDir/events.parquet"
+        val t0 = System.nanoTime
+        val df = graft.streaming.StreamingOps.attributionJoinOnce(spark, eventsPath)
+        val n = df.count()
+        println(f"[streamjoin] total wall ${(System.nanoTime - t0) / 1e9}%.2f s, rows=$n")
+        // re-run with a listener to capture per-batch progress
+        val progress = scala.collection.mutable.ArrayBuffer.empty[String]
+        val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+            val p = e.progress
+            progress += f"batch=${p.batchId} rows=${p.numInputRows} " +
+              f"ms=${p.batchDuration} addBatch=${p.durationMs.getOrDefault("addBatch", -1L)} " +
+              f"commit=${p.durationMs.getOrDefault("commitOffsets", -1L)} " +
+              f"getBatch=${p.durationMs.getOrDefault("getBatch", -1L)} " +
+              f"planning=${p.durationMs.getOrDefault("queryPlanning", -1L)} " +
+              f"stateRows=${p.stateOperators.map(_.numRowsTotal).sum}"
+          }
+        }
+        spark.streams.addListener(listener)
+        val t1 = System.nanoTime
+        val df2 = graft.streaming.StreamingOps.attributionJoinLeftOuterOnce(spark, eventsPath)
+        val n2 = df2.count()
+        Thread.sleep(500) // listener delivery is async
+        println(f"[streamjoin] left_outer wall ${(System.nanoTime - t1) / 1e9}%.2f s, rows=$n2")
+        progress.foreach(p => println("[streamjoin] " + p))
+        spark.streams.removeListener(listener)
+
       case "storegraph" =>
         // Graph-layout store + the round-7 serving arithmetic: quantifies
         // the oracle-portability tax (md5 entry ranking + per-score
