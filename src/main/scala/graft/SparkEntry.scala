@@ -2968,6 +2968,100 @@ object SparkEntry {
           round((po - pe) / (lit(1.0) - pe), 4).as("kappa"))
     }),
 
+    // Mann-Whitney U (rank-sum) test: do 'view' and 'purchase' event values
+    // come from the same distribution? The nonparametric A/B companion to
+    // events_ab_welch (no normality assumption). Pooled average ranks with
+    // the tie correction, computed WITHOUT a corpus window: values group to
+    // a distinct-value table, the cumulative count runs through
+    // [[operators.RangePrefix]], and every rank-sum term is kept as the
+    // exact INTEGER 2·rank (DECIMAL(38,0) corpus sums — the fixed-point
+    // convention), so only the final z arithmetic touches doubles, via a
+    // fixed expression tree the oracle mirrors operation for operation.
+    "stats_mann_whitney" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = events(s, d).where(col("event_type").isin("view", "purchase"))
+        .select(col("value"), (col("event_type") === "view").as("isA"))
+      val g = ev.groupBy(col("value")).agg(
+        sum(when(col("isA"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("isA"), 1L).otherwise(0L)).as("b"))
+      val t_ = col("a") + col("b")
+      val gc = operators.RangePrefix.runningSum(
+        operators.RangePrefix.withBucket(g, col("value")),
+        t_, Seq(col("value")), "cum")
+      // 2·avgrank(v) = 2·cnt_less + t + 1 — integral even with ties
+      val agg = gc.agg(
+        sum(col("a")).as("na"), sum(col("b")).as("nb"),
+        sum(col("a").cast(dec) *
+          (lit(2) * (col("cum") - t_) + t_ + 1).cast(dec)).as("r2a"),
+        sum(t_.cast(dec) * t_.cast(dec) * t_.cast(dec) - t_.cast(dec)).as("ties"))
+      val nD = (col("na") + col("nb")).cast("double")
+      val u2 = (col("r2a") -
+        col("na").cast(dec) * (col("na").cast(dec) + 1)).cast("double") // = 2U
+      val num = u2 - col("na").cast("double") * col("nb").cast("double")
+      val v = col("na").cast("double") * col("nb").cast("double") / lit(12.0) *
+        (nD + lit(1.0) - col("ties").cast("double") / (nD * (nD - lit(1.0))))
+      val z = num / (lit(2.0) * sqrt(v))
+      agg.select(col("na").as("n_a"), col("nb").as("n_b"),
+        round(u2 / 2.0, 4).as("u"), round(z, 4).as("z"),
+        (abs(z) > 1.96).as("reject"))
+    }),
+
+    // Spearman rank correlation between quantity and revenue-per-line —
+    // the monotone-association lens Pearson can't give. Average ranks for
+    // BOTH columns via [[operators.RangePrefix]] over their distinct-value
+    // tables (no corpus window), kept as exact integer 2·rank, folded
+    // through Pearson-on-ranks with DECIMAL(38,0) sums — ties handled the
+    // statistically honest way, all engine-noise-free until one final
+    // mirrored double expression.
+    "stats_spearman" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val li = t(s, d, "lineitem").select(col("l_quantity"), col("l_extendedprice"))
+      def ranks2(c: String, out: String): DataFrame = {
+        val g = li.groupBy(col(c)).agg(count(lit(1)).as("t"))
+        operators.RangePrefix.runningSum(
+            operators.RangePrefix.withBucket(g, col(c)),
+            col("t"), Seq(col(c)), "cum")
+          .select(col(c),
+            (lit(2) * (col("cum") - col("t")) + col("t") + 1).as(out))
+      }
+      val ranked = li
+        .join(ranks2("l_quantity", "rx"), Seq("l_quantity"))
+        .join(ranks2("l_extendedprice", "ry"), Seq("l_extendedprice"))
+      val x = col("rx").cast(dec); val y = col("ry").cast(dec)
+      val agg2 = ranked.agg(count(lit(1)).as("n"),
+        sum(x * y).as("sxy"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val d1 = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val d2 = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      agg2.select(col("n"), round(num / sqrt(d1 * d2), 4).as("rho"))
+    }),
+
+    // Chi-square independence: event_type × fixed value band — are value
+    // magnitudes distributed independently of type? Observed counts are
+    // exact; each cell's (O-E)²/E lands on the 1e-9 grid and sums as
+    // scaled integers (the classifier-margin convention), so the
+    // cells×cells fold is order-independent on both engines.
+    "stats_chi_square" -> ((s, d) => {
+      val cells = events(s, d)
+        .select(col("event_type"),
+          when(col("value") < 25.0, "lt25").when(col("value") < 50.0, "lt50")
+            .when(col("value") < 100.0, "lt100").otherwise("ge100").as("band"))
+        .groupBy(col("event_type"), col("band")).agg(count(lit(1)).as("o"))
+        .localCheckpoint()
+      val rowT = cells.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+      val colT = cells.groupBy(col("band")).agg(sum(col("o")).as("ct"))
+      val tot = cells.agg(sum(col("o")).as("n"),
+        countDistinct(col("event_type")).as("nr"), countDistinct(col("band")).as("nc"))
+      val e = col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double")
+      val term = (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+      cells.join(broadcast(rowT), "event_type").join(broadcast(colT), "band")
+        .crossJoin(broadcast(tot))
+        .agg(first(col("n")).as("n_events"),
+          first((col("nr") - 1) * (col("nc") - 1)).cast("int").as("dof"),
+          round(sum(round(term * 1e9).cast("long")) / 1e9, 4).as("chi2"))
+    }),
+
     // Perceptual-hash near-dup pairs (see [[graft.multimodal.PerceptualHash]]):
     // dHash over the image payloads + planted 1-byte mutants (media_id +
     // 1e6, replayable as 'x' || substr(text, 2)); candidates via the
@@ -7969,6 +8063,64 @@ object SparkEntry {
         |  round((CAST((SELECT agree FROM ag) AS DOUBLE) / (SELECT t FROM t)
         |         - CAST((SELECT rc FROM rc) AS DOUBLE) / ((SELECT t FROM t) * (SELECT t FROM t)))
         |        / (1.0 - CAST((SELECT rc FROM rc) AS DOUBLE) / ((SELECT t FROM t) * (SELECT t FROM t))), 4) AS kappa""".stripMargin,
+
+    // Naive global window over the distinct-value table proves the
+    // RangePrefix rewrite; all rank sums as exact HUGEINT (2·rank keeps
+    // tie-averaged ranks integral), final z mirrors Spark's expression
+    // tree op for op, with the house `+ 0` on the sign-indefinite round.
+    "stats_mann_whitney" ->
+      """WITH ev AS (SELECT value, event_type = 'view' AS isA FROM events
+        |            WHERE event_type IN ('view', 'purchase')),
+        |g AS (SELECT value, sum(CASE WHEN isA THEN 1 ELSE 0 END) AS a,
+        |             sum(CASE WHEN isA THEN 0 ELSE 1 END) AS b FROM ev GROUP BY 1),
+        |c AS (SELECT a, b, sum(a + b) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM g),
+        |s AS (SELECT CAST(sum(a) AS HUGEINT) AS na, CAST(sum(b) AS HUGEINT) AS nb,
+        |       sum(CAST(a AS HUGEINT) * CAST(2 * (cum - a - b) + (a + b) + 1 AS HUGEINT)) AS r2a,
+        |       sum(CAST(a + b AS HUGEINT) * CAST(a + b AS HUGEINT) * CAST(a + b AS HUGEINT) - CAST(a + b AS HUGEINT)) AS ties FROM c),
+        |f AS (SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |       CAST(r2a - na * (na + 1) AS DOUBLE) AS u2,
+        |       CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+        |       CAST(na + nb AS DOUBLE) AS nd, CAST(ties AS DOUBLE) AS tiesd FROM s)
+        |SELECT n_a, n_b, round(u2 / 2.0, 4) AS u,
+        |  round((u2 - nad * nbd) /
+        |    (2.0 * sqrt(nad * nbd / 12.0 * (nd + 1.0 - tiesd / (nd * (nd - 1.0))))), 4) + 0 AS z,
+        |  abs((u2 - nad * nbd) /
+        |    (2.0 * sqrt(nad * nbd / 12.0 * (nd + 1.0 - tiesd / (nd * (nd - 1.0)))))) > 1.96 AS reject
+        |FROM f""".stripMargin,
+
+    "stats_spearman" ->
+      """WITH li AS (SELECT l_quantity AS q, l_extendedprice AS p FROM lineitem),
+        |gq AS (SELECT q, count(*) AS t FROM li GROUP BY 1),
+        |rq AS (SELECT q, 2 * (sum(t) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t) + t + 1 AS rx FROM gq),
+        |gp AS (SELECT p, count(*) AS t FROM li GROUP BY 1),
+        |rp AS (SELECT p, 2 * (sum(t) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t) + t + 1 AS ry FROM gp),
+        |r AS (SELECT CAST(rx AS HUGEINT) AS x, CAST(ry AS HUGEINT) AS y
+        |      FROM li JOIN rq USING (q) JOIN rp USING (p)),
+        |s AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x * y) AS sxy, sum(x) AS sx,
+        |             sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy FROM r)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 4) + 0 AS rho
+        |FROM s""".stripMargin,
+
+    "stats_chi_square" ->
+      """WITH cells AS (SELECT event_type,
+        |    CASE WHEN value < 25.0 THEN 'lt25' WHEN value < 50.0 THEN 'lt50'
+        |         WHEN value < 100.0 THEN 'lt100' ELSE 'ge100' END AS band,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT band, sum(o) AS ct FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |        count(DISTINCT event_type) AS nr, count(DISTINCT band) AS nc FROM cells),
+        |terms AS (SELECT CAST(round((CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |             * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        |             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9) AS BIGINT) AS ts
+        |  FROM cells JOIN rt USING (event_type) JOIN ct USING (band) CROSS JOIN tot)
+        |SELECT (SELECT n FROM tot) AS n_events,
+        |  CAST((SELECT (nr - 1) * (nc - 1) FROM tot) AS INT) AS dof,
+        |  round(sum(ts) / 1e9, 4) AS chi2
+        |FROM terms""".stripMargin,
 
     // AVI replay: gray pixels mean the decoder's (r+g+b) sums are 3×gray —
     // band mean = 24*(v(2b) + v(2b+1)) / (16*3*255), exact integers until
