@@ -350,29 +350,36 @@ object SparkEntry {
     * gate. `gemb`/`gedges` MATERIALIZED: the walk references them every
     * round and DuckDB inlines CTEs by default (the bpe-chain lesson). */
   private def knnGraphOracleCtes(nTables: Int, m: Int): String =
-    s"""gplanes AS (SELECT * FROM (VALUES ${graphPlaneValuesFor(nTables)}) AS t(tid, pid, p)),
-       |gemb AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |gbits AS (SELECT e.vec_id, pl.tid, pl.pid,
+    knnGraphOracleCtesP("g", nTables, m, embWhere = "")
+
+  /** [[knnGraphOracleCtes]] parameterized by CTE-name prefix and an
+    * optional WHERE on the embedding subset — the HNSW layers reuse the
+    * whole build replay once per layer over nested node subsets. */
+  private def knnGraphOracleCtesP(p: String, nTables: Int, m: Int,
+                                  embWhere: String): String =
+    s"""${p}planes AS (SELECT * FROM (VALUES ${graphPlaneValuesFor(nTables)}) AS t(tid, pid, p)),
+       |${p}emb AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings $embWhere),
+       |${p}bits AS (SELECT e.vec_id, pl.tid, pl.pid,
        |          CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN '1' ELSE '0' END AS bit
-       |          FROM gemb e CROSS JOIN gplanes pl),
-       |gbkt AS (SELECT vec_id, tid, CAST(tid AS VARCHAR) || ':' || string_agg(bit, '' ORDER BY pid) AS bkt
-       |         FROM gbits GROUP BY vec_id, tid),
-       |gpairs AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-       |           FROM gbkt a JOIN gbkt b ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
-       |gz AS (SELECT src, dst, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS sim
+       |          FROM ${p}emb e CROSS JOIN ${p}planes pl),
+       |${p}bkt AS (SELECT vec_id, tid, CAST(tid AS VARCHAR) || ':' || string_agg(bit, '' ORDER BY pid) AS bkt
+       |         FROM ${p}bits GROUP BY vec_id, tid),
+       |${p}pairs AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |           FROM ${p}bkt a JOIN ${p}bkt b ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
+       |${p}z AS (SELECT src, dst, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS sim
        |       FROM (SELECT p.src, p.dst, list_dot_product(e1.v, e2.v) AS dp,
        |                    sqrt(list_dot_product(e1.v, e1.v)) AS na,
        |                    sqrt(list_dot_product(e2.v, e2.v)) AS nb
-       |             FROM gpairs p JOIN gemb e1 ON e1.vec_id = p.src
-       |                           JOIN gemb e2 ON e2.vec_id = p.dst)),
-       |gsym AS (SELECT src, dst, sim FROM gz UNION ALL SELECT dst, src, sim FROM gz),
-       |gchosen AS (SELECT src, dst, sim FROM
-       |            (SELECT src, dst, sim, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn FROM gsym)
+       |             FROM ${p}pairs p JOIN ${p}emb e1 ON e1.vec_id = p.src
+       |                           JOIN ${p}emb e2 ON e2.vec_id = p.dst)),
+       |${p}sym AS (SELECT src, dst, sim FROM ${p}z UNION ALL SELECT dst, src, sim FROM ${p}z),
+       |${p}chosen AS (SELECT src, dst, sim FROM
+       |            (SELECT src, dst, sim, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn FROM ${p}sym)
        |            WHERE rn <= $m),
-       |gbidir AS (SELECT DISTINCT src, dst, sim FROM
-       |           (SELECT src, dst, sim FROM gchosen UNION ALL SELECT dst, src, sim FROM gchosen)),
-       |gedges AS MATERIALIZED (SELECT src, dst, sim FROM
-       |          (SELECT src, dst, sim, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn FROM gbidir)
+       |${p}bidir AS (SELECT DISTINCT src, dst, sim FROM
+       |           (SELECT src, dst, sim FROM ${p}chosen UNION ALL SELECT dst, src, sim FROM ${p}chosen)),
+       |${p}edges AS MATERIALIZED (SELECT src, dst, sim FROM
+       |          (SELECT src, dst, sim, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn FROM ${p}bidir)
        |          WHERE rn <= ${2 * m})""".stripMargin
 
   /** ann_graph_beam oracle: the 8-table m=16 build ([[knnGraphOracleCtes]])
@@ -408,6 +415,71 @@ object SparkEntry {
        |f0 AS (SELECT q_id, cid FROM
        |       (SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cid) AS rn FROM vis0)
        |       WHERE rn <= 8)$rounds
+       |SELECT q_id, cid AS vec_id, sim AS similarity, rank FROM
+       |  (SELECT q_id, cid, sim,
+       |          CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cid) AS INT) AS rank
+       |   FROM vis3 WHERE cid <> q_id)
+       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** The md5 leading-zero-run HNSW level in SQL (mirrors
+    * [[operators.GraphAnn.layerOf]]). */
+  private def hnswLvlSql(idExpr: String): String =
+    s"length(md5(CAST($idExpr AS VARCHAR))) - length(ltrim(md5(CAST($idExpr AS VARCHAR)), '0'))"
+
+  /** The three per-layer knnGraph replays behind both HNSW gates: CTE
+    * prefixes h0/h1/h2, layer ℓ's embedding subset filtered to
+    * [[hnswLvlSql]] ≥ ℓ. */
+  private def hnswLayerCtes(nTables: Int, m: Int, maxLayer: Int): String =
+    (0 to maxLayer).map { l =>
+      val w = if (l == 0) "" else s"WHERE ${hnswLvlSql("vec_id")} >= $l"
+      knnGraphOracleCtesP(s"h$l", nTables, m, w)
+    }.mkString(",\n")
+
+  /** ann_hnsw_search oracle: the h0..h2 layer builds + the hierarchical
+    * walk unrolled — single deepest-node entry, 2 greedy best-1 rounds per
+    * upper layer, then the 3-round beam-8 layer-0 walk (the
+    * [[graphBeamOracleSql]] machinery seeded by the descent). */
+  private lazy val hnswSearchOracleSql: String = {
+    def cosine(fromClause: String): String =
+      s"""(SELECT q_id, cid, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS sim FROM
+         |   (SELECT __f.q_id, __f.cid, list_dot_product(c.v, q.qv) AS dp,
+         |           sqrt(list_dot_product(c.v, c.v)) AS na,
+         |           sqrt(list_dot_product(q.qv, q.qv)) AS nb
+         |    FROM $fromClause __f
+         |    JOIN h0emb c ON c.vec_id = __f.cid JOIN hq q ON q.q_id = __f.q_id))""".stripMargin
+    // descent steps: (layer 2, round 1..2), (layer 1, round 1..2)
+    val descSteps = Seq((2, 1), (2, 2), (1, 1), (1, 2))
+    val descent = descSteps.zipWithIndex.map { case ((l, _), i0) =>
+      val i = i0 + 1
+      s""",
+         |hc$i AS (SELECT q_id, cid FROM hd${i - 1}
+         |         UNION SELECT d.q_id, e.dst AS cid FROM hd${i - 1} d JOIN h${l}edges e ON e.src = d.cid),
+         |hs$i AS MATERIALIZED (SELECT * FROM ${cosine(s"hc$i")}),
+         |hd$i AS (SELECT q_id, cid FROM
+         |         (SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cid) AS rn FROM hs$i)
+         |         WHERE rn = 1)""".stripMargin
+    }.mkString
+    val rounds = (1 to 3).map { k =>
+      s""",
+         |exp$k AS (SELECT DISTINCT f.q_id, e.dst AS cid FROM f${k - 1} f JOIN h0edges e ON e.src = f.cid),
+         |fresh$k AS (SELECT x.q_id, x.cid FROM exp$k x
+         |            LEFT JOIN vis${k - 1} v ON v.q_id = x.q_id AND v.cid = x.cid
+         |            WHERE v.cid IS NULL),
+         |sc$k AS MATERIALIZED (SELECT * FROM ${cosine(s"fresh$k")}),
+         |vis$k AS MATERIALIZED (SELECT * FROM vis${k - 1} UNION ALL SELECT * FROM sc$k),
+         |f$k AS (SELECT q_id, cid FROM
+         |        (SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cid) AS rn FROM sc$k)
+         |        WHERE rn <= 8)""".stripMargin
+    }.mkString
+    s"""WITH ${hnswLayerCtes(nTables = 4, m = 4, maxLayer = 2)},
+       |hq AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM h0emb WHERE vec_id < 5),
+       |hent AS (SELECT vec_id AS cid FROM
+       |         (SELECT vec_id, least(${hnswLvlSql("vec_id")}, 2) AS lv FROM h0emb)
+       |         ORDER BY lv DESC, md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+       |hd0 AS (SELECT q.q_id, e.cid FROM hq q, hent e)$descent,
+       |vis0 AS MATERIALIZED (SELECT * FROM ${cosine("hd4")}),
+       |f0 AS (SELECT q_id, cid FROM vis0)$rounds
        |SELECT q_id, cid AS vec_id, sim AS similarity, rank FROM
        |  (SELECT q_id, cid, sim,
        |          CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cid) AS INT) AS rank
@@ -2324,6 +2396,35 @@ object SparkEntry {
         .orderBy(col("src"), col("dst"))
     }),
 
+    // The HNSW hierarchy, oracle-gated end to end — layered BUILD: layer 0
+    // is the full knnGraph, each layer above it the same LSH-candidate
+    // build over the nodes whose md5 leading-zero run ([[GraphAnn.layerOf]],
+    // geometric p = 1/16 — HNSW's level draw, made ANSI-portable) reaches
+    // that level. The oracle replays all three layers' builds over the
+    // nested node subsets.
+    "ann_hnsw_edges" -> ((s, d) => {
+      GraphAnn.hnswGraph(t(s, d, "embeddings"), m = 4, nBits = 4, nTables = 4,
+          dim = 64, maxLayer = 2)
+        .orderBy(col("layer"), col("src"), col("dst"))
+    }),
+
+    // ... and the hierarchical SEARCH: one global entry (the deepest node,
+    // (md5, id) ties), greedy 2-round descent per upper layer, then the
+    // standard 3-round beam walk on layer 0 seeded by the descent — every
+    // selection on the (round-4 sim, id) grid, the whole cascade unrolled
+    // in the oracle. Replaces the flat walk's random 8-entry sample with
+    // the logarithmic descent HNSW is named for.
+    "ann_hnsw_search" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val edges = GraphAnn.hnswGraph(emb, m = 4, nBits = 4, nTables = 4,
+        dim = 64, maxLayer = 2)
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      GraphAnn.hnswSearch(emb, edges, qs, k = 10, beam = 8, rounds = 3,
+          descentRounds = 2, maxLayer = 2)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // ---------------- text analysis ----------------
 
     "lang_id" -> ((s, d) => {
@@ -2414,6 +2515,33 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => {
       t(s, d, "documents")
         .select(col("doc_id"), TextFunctions.fingerprintMd5(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sentence segmentation ([[TextFunctions.splitSentences]]) + per-doc
+    // sentence-length stats. The corpus text is punctuation-free, so the
+    // fixture synthesizes terminators deterministically — every 7th word
+    // ends a sentence, terminator cycling . ! ? by sentence index (pure
+    // integer arithmetic: i % 21 ∈ {7, 14, 0}) — which exercises the
+    // multi-terminator split, run collapse, and trailing-strip paths. One
+    // narrow per-row projection; no shuffle at all.
+    "text_sentence_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .where(col("text").isNotNull && col("text") =!= "")
+      val ws = split(col("text"), " ")
+      val stext = array_join(
+        transform(sequence(lit(1), size(ws)), i =>
+          when(i % 21 === 7, concat(element_at(ws, i), lit(".")))
+            .when(i % 21 === 14, concat(element_at(ws, i), lit("!")))
+            .when(i % 21 === 0, concat(element_at(ws, i), lit("?")))
+            .otherwise(element_at(ws, i))), " ")
+      val sents = TextFunctions.splitSentences(stext)
+      val wl = transform(sents, x => size(split(x, " ")))
+      docs.select(col("doc_id"), size(sents).cast("int").as("n_sents"),
+          round(aggregate(wl, lit(0L), (acc, x) => acc + x).cast("double") /
+            size(sents), 4).as("avg_sent_words"),
+          array_max(wl).cast("int").as("max_sent_words"),
+          array_min(wl).cast("int").as("min_sent_words"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3060,6 +3188,48 @@ object SparkEntry {
         .agg(first(col("n")).as("n_events"),
           first((col("nr") - 1) * (col("nc") - 1)).cast("int").as("dof"),
           round(sum(round(term * 1e9).cast("long")) / 1e9, 4).as("chi2"))
+    }),
+
+    // Kendall tau-b between two DISCRETE lineitem columns, computed
+    // entirely from the |Vq|×|Vd| contingency table — the corpus enters
+    // only through the cell counts, so concordant/discordant pair counts
+    // come from a broadcast cell×cell fold (inequality join, never
+    // row-pairs). Exact DECIMAL(38,0) integers end to end (pair counts
+    // reach ~n² — far past LONG at corpus scale); one final mirrored
+    // double expression for tau. Discrete-column contract: the fold is
+    // |cells|² — right for bounded-cardinality columns (quantity,
+    // discount), not continuous ones (use stats_spearman there).
+    "stats_kendall_tau" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cells = t(s, d, "lineitem")
+        .groupBy(col("l_quantity").as("q"), col("l_discount").as("dsc"))
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      val a = cells.select(col("q").as("q1"), col("dsc").as("d1"),
+        col("c").cast(dec).as("c1"))
+      val b = cells.select(col("q").as("q2"), col("dsc").as("d2"),
+        col("c").cast(dec).as("c2"))
+      val zero = lit(0).cast(dec)
+      val pq = a.join(broadcast(b), col("q1") < col("q2"))
+        .agg(coalesce(sum(when(col("d1") < col("d2"),
+            col("c1") * col("c2"))), zero).as("p"),
+          coalesce(sum(when(col("d1") > col("d2"),
+            col("c1") * col("c2"))), zero).as("qd"))
+      val nAgg = cells.agg(sum(col("c")).cast(dec).as("n"))
+      // 2·n1 / 2·n2: tie terms Σ t(t−1) over the row / column marginals
+      def ties2(k: String, out: String): DataFrame = cells
+        .groupBy(col(k)).agg(sum(col("c")).cast(dec).as("t"))
+        .agg(sum(col("t") * (col("t") - 1)).as(out))
+      val joined = pq.crossJoin(broadcast(nAgg))
+        .crossJoin(broadcast(ties2("q", "t2")))
+        .crossJoin(broadcast(ties2("dsc", "u2")))
+      val n0x2 = col("n") * (col("n") - 1)
+      joined.select(col("n").cast("long").as("n"),
+        col("p").cast("long").as("concordant"),
+        col("qd").cast("long").as("discordant"),
+        // house convention: + 0 normalizes a possible IEEE -0.0
+        (round(lit(2.0) * (col("p") - col("qd")).cast("double") /
+          sqrt((n0x2 - col("t2")).cast("double") *
+               (n0x2 - col("u2")).cast("double")), 4) + 0).as("tau_b"))
     }),
 
     // Perceptual-hash near-dup pairs (see [[graft.multimodal.PerceptualHash]]):
@@ -7596,6 +7766,18 @@ object SparkEntry {
          |  (SELECT src, dst, sim, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn FROM bidir)
          |WHERE rn <= 8 ORDER BY src, dst""".stripMargin,
 
+    // Three nested per-layer knnGraph replays (h0 = full corpus, h1/h2 the
+    // md5-level subsets) unioned with their layer tags.
+    "ann_hnsw_edges" ->
+      s"""WITH ${hnswLayerCtes(nTables = 4, m = 4, maxLayer = 2)}
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS INT) AS layer, src, dst, sim FROM h0edges
+         |  UNION ALL SELECT CAST(1 AS INT) AS layer, src, dst, sim FROM h1edges
+         |  UNION ALL SELECT CAST(2 AS INT) AS layer, src, dst, sim FROM h2edges)
+         |ORDER BY layer, src, dst""".stripMargin,
+
+    "ann_hnsw_search" -> hnswSearchOracleSql,
+
     // The evaluation harness ON the approximate tier: the LSH replay
     // (shared CTEs with ann_lsh_bucketed) scored against the exact
     // top-10 ground truth (g-prefixed brute-force replay) — per-query
@@ -7865,6 +8047,26 @@ object SparkEntry {
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Same synthesized-terminator fixture as the Spark side (i % 21 picks
+    // the cycling . ! ?), then the splitter replayed: split on
+    // terminator-run + space, drop empties, strip trailing terminators.
+    "text_sentence_split" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE text IS NOT NULL AND text <> ''),
+        |sent AS (SELECT doc_id, array_to_string(list_transform(generate_series(1, len(ws)), i ->
+        |    CASE WHEN i % 21 = 7 THEN ws[i] || '.' WHEN i % 21 = 14 THEN ws[i] || '!'
+        |         WHEN i % 21 = 0 THEN ws[i] || '?' ELSE ws[i] END), ' ') AS stext FROM d),
+        |sp AS (SELECT doc_id, list_transform(
+        |    list_filter(string_split_regex(stext, '[.!?]+ '), x -> len(x) > 0),
+        |    x -> regexp_replace(x, '[.!?]+$', '')) AS sents FROM sent),
+        |w AS (SELECT doc_id, len(sents) AS n_sents,
+        |    list_transform(sents, x -> len(string_split(x, ' '))) AS wl FROM sp)
+        |SELECT doc_id, CAST(n_sents AS INT) AS n_sents,
+        |  round(CAST(list_sum(wl) AS DOUBLE) / n_sents, 4) AS avg_sent_words,
+        |  CAST(list_max(wl) AS INT) AS max_sent_words,
+        |  CAST(list_min(wl) AS INT) AS min_sent_words
+        |FROM w ORDER BY doc_id""".stripMargin,
+
     // gram hashes = first 8 md5 hex digits (unsigned 32-bit); window min
     // via per-window aggregate; rightmost tie = max(i) among h = min(h).
     "doc_winnow_fingerprints" ->
@@ -8121,6 +8323,27 @@ object SparkEntry {
         |  CAST((SELECT (nr - 1) * (nc - 1) FROM tot) AS INT) AS dof,
         |  round(sum(ts) / 1e9, 4) AS chi2
         |FROM terms""".stripMargin,
+
+    // Contingency-cell replay: P/Q from the cell×cell inequality join,
+    // tie terms from the marginals, all exact HUGEINT until the one
+    // mirrored tau expression (+ 0 normalizes a possible -0.0).
+    "stats_kendall_tau" ->
+      """WITH cells AS (SELECT l_quantity AS q, l_discount AS dsc, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |pq AS (SELECT
+        |    coalesce(sum(CASE WHEN a.dsc < b.dsc THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS p,
+        |    coalesce(sum(CASE WHEN a.dsc > b.dsc THEN CAST(a.c AS HUGEINT) * b.c END), 0) AS qd
+        |  FROM cells a JOIN cells b ON a.q < b.q),
+        |nn AS (SELECT CAST(sum(c) AS HUGEINT) AS n FROM cells),
+        |r1 AS (SELECT sum(CAST(t AS HUGEINT) * (t - 1)) AS t2 FROM
+        |       (SELECT q, sum(c) AS t FROM cells GROUP BY 1)),
+        |r2 AS (SELECT sum(CAST(t AS HUGEINT) * (t - 1)) AS u2 FROM
+        |       (SELECT dsc, sum(c) AS t FROM cells GROUP BY 1))
+        |SELECT CAST(n AS BIGINT) AS n, CAST(p AS BIGINT) AS concordant,
+        |  CAST(qd AS BIGINT) AS discordant,
+        |  round(2.0 * CAST(p - qd AS DOUBLE) /
+        |    sqrt(CAST(n * (n - 1) - t2 AS DOUBLE) * CAST(n * (n - 1) - u2 AS DOUBLE)), 4) + 0 AS tau_b
+        |FROM pq, nn, r1, r2""".stripMargin,
 
     // AVI replay: gray pixels mean the decoder's (r+g+b) sums are 3×gray —
     // band mean = 24*(v(2b) + v(2b+1)) / (16*3*255), exact integers until

@@ -66,6 +66,17 @@ object TextFunctions {
 
   // ----- LLM-data-pipeline text analysis (beyond the reference surface) -----
 
+  /** Sentence segmentation: split on a terminator (`.`/`!`/`?`, runs
+    * collapse) followed by a space, trailing terminators stripped from the
+    * final sentence. Regex-only — one narrow projection per document, and
+    * every decision ANSI-replayable (`string_split_regex` +
+    * `regexp_replace` in DuckDB). A terminator-free document is one
+    * sentence, mirroring the splitter contract of sentence-piece pipelines. */
+  def splitSentences(c: Column): Column =
+    transform(
+      filter(split(c, "[.!?]+ "), s => length(s) > 0),
+      s => regexp_replace(s, "[.!?]+$", ""))
+
   /** Whitespace token count. */
   def tokenCountWs(c: Column): Column = size(wsTokens(c))
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -90,6 +90,117 @@ object GraphAnn {
       .agg(cap2m(col("sim"), col("dst")).as("__nn"))
       .select(col("src"), explode(col("__nn")).as("e"))
       .select(col("src"), col("e._2").as("dst"), col("e._1").as("sim"))
+  }
+
+  /** Portable HNSW layer assignment: the run of leading '0' hex chars in
+    * md5(id) — geometric with p = 1/16 per level, the layer distribution
+    * HNSW draws with mL = 1/ln(16). ANSI-replayable (DuckDB:
+    * `length(h) - length(ltrim(h, '0'))`), deterministic, and
+    * partitioning-independent, like every other md5-seed convention. */
+  def layerOf(id: Column): Column =
+    length(regexp_extract(md5(id.cast("string")), "^0*", 0))
+
+  /** Hierarchical (HNSW-style) layered k-NN graph: layer 0 is the full
+    * [[knnGraph]]; each higher layer ℓ is the same LSH-candidate build over
+    * only the nodes with [[layerOf]] ≥ ℓ — nested subsets shrinking
+    * geometrically (×1/16 per level), exactly HNSW's pyramid. Returns
+    * (layer, src, dst, sim); a layer with fewer than two nodes simply
+    * contributes no edges. `maxLayer` bounds the pyramid height (layers
+    * above it fold into `maxLayer`'s node set by construction, since the
+    * filter is `≥ ℓ`).
+    *
+    * Scale shape: layer 0 dominates (the existing knnGraph cost); every
+    * layer above it runs over a 16×-smaller node set, so the whole
+    * hierarchy costs ~7% more than the flat graph while giving the search
+    * a logarithmic descent instead of a random entry sample. */
+  def hnswGraph(corpus: DataFrame, m: Int = 8, nBits: Int = 4, nTables: Int = 8,
+                dim: Int = 64, seed: Long = 7L, maxLayer: Int = 2,
+                vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(maxLayer >= 0)
+    (0 to maxLayer).map { l =>
+      val sub = if (l == 0) corpus
+                else corpus.where(layerOf(col(idCol)) >= l)
+      knnGraph(sub, m, nBits, nTables, dim, seed, vecCol, idCol)
+        .withColumn("layer", lit(l))
+        .select(col("layer"), col("src"), col("dst"), col("sim"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** HNSW-style search over a [[hnswGraph]]: start at the single global
+    * entry point (the max-layer node, ties by (md5, id) — the portable
+    * seed convention), greedily descend the upper layers (per layer,
+    * `descentRounds` rounds of "move to the best of current ∪ neighbors",
+    * best-1 by (round-4 sim desc, id)), then run the standard `beam`/
+    * `rounds` walk on layer 0 seeded with the descended per-query entry.
+    * Fixed round counts (rather than walk-until-no-improvement) keep the
+    * whole search a finite unrolled plan an ANSI oracle replays
+    * decision-for-decision — the ann_graph_beam discipline, extended with
+    * the hierarchy. Output: (queryId, corpusId, similarity, rank ≤ k),
+    * self excluded. */
+  def hnswSearch(corpus: DataFrame, layeredEdges: DataFrame, queries: DataFrame,
+                 k: Int = 10, beam: Int = 8, rounds: Int = 3,
+                 descentRounds: Int = 2, maxLayer: Int = 2,
+                 corpusVec: String = "embedding", corpusId: String = "vec_id",
+                 queryVec: String = "q_vec", queryId: String = "q_id"): DataFrame = {
+    require(k >= 1 && beam >= 1 && rounds >= 0 && descentRounds >= 1 && maxLayer >= 0)
+    val spark = corpus.sparkSession
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", WalkShufflePartitions)
+    try {
+      val c = corpus.select(col(corpusId).cast("long").as("__cid"),
+        col(corpusVec).as("__cvec"))
+      val q = queries.select(col(queryId).cast("long").as("__qid"),
+        col(queryVec).as("__qvec"))
+      def score(cand: DataFrame): DataFrame =
+        c.join(broadcast(cand), Seq("__cid"))
+          .join(broadcast(q), Seq("__qid"))
+          .withColumn("similarity",
+            round(VectorFunctions.cosineSimilarity(col("__cvec"), col("__qvec")), 4))
+          .select(col("__qid"), col("__cid"), col("similarity"))
+      def edgesAt(l: Int): DataFrame = layeredEdges.where(col("layer") === l)
+        .select(col("src").as("__esrc"), col("dst").as("__edst"))
+      // global entry: the deepest node, (md5, id)-tie-broken
+      val entry = c
+        .select(col("__cid"), least(layerOf(col("__cid")), lit(maxLayer)).as("__lv"))
+        .orderBy(col("__lv").desc, md5(col("__cid").cast("string")), col("__cid"))
+        .limit(1).select(col("__cid"))
+      var cur = q.select(col("__qid")).crossJoin(broadcast(entry)).localCheckpoint()
+      for (l <- maxLayer to 1 by -1; _ <- 1 to descentRounds) {
+        val el = edgesAt(l)
+        val nbr = el.join(broadcast(cur), col("__cid") === col("__esrc"))
+          .select(col("__qid"), col("__edst").as("__cid"))
+        val cand = cur.unionByName(nbr).distinct()
+        cur = score(cand)
+          .groupBy(col("__qid"))
+          .agg(max_by(col("__cid"),
+            struct(col("similarity"), (-col("__cid")).as("n"))).as("__cid"))
+          .localCheckpoint()
+      }
+      // layer-0 beam walk seeded with the descended entry (nEntry = 1)
+      val e0 = edgesAt(0)
+      val topBeam = udaf(graft.functions.TopKBy(beam))
+      def bestNew(scored: DataFrame): DataFrame =
+        scored.groupBy(col("__qid"))
+          .agg(topBeam(col("similarity"), col("__cid")).as("__f"))
+          .select(col("__qid"), explode(col("__f")).as("x"))
+          .select(col("__qid"), col("x._2").as("__cid"))
+      var visited = score(cur).localCheckpoint()
+      var frontier = bestNew(visited)
+      for (_ <- 1 to rounds) {
+        val expanded = e0
+          .join(broadcast(frontier), frontier("__cid") === col("__esrc"))
+          .select(col("__qid"), col("__edst").as("__cid")).distinct()
+        val fresh = expanded.join(visited.select(col("__qid"), col("__cid")),
+          Seq("__qid", "__cid"), "left_anti")
+        val freshScored = score(fresh)
+        visited = visited.unionByName(freshScored).localCheckpoint()
+        frontier = bestNew(freshScored)
+      }
+      SimilaritySearch.topKPerQuery(
+        visited.where(col("__cid") =!= col("__qid"))
+          .withColumnRenamed("__qid", queryId).withColumnRenamed("__cid", corpusId),
+        k, queryId, corpusId)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Build-once persisted neighbor graph — the index-on-disk form. A graph

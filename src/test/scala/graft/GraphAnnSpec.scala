@@ -159,6 +159,54 @@ class GraphAnnSpec extends AnyFunSuite {
     merged.unpersist(false)
   }
 
+  test("hnswGraph: layer 0 is the flat knnGraph; upper layers are nested " +
+       "md5-level subsets shrinking geometrically") {
+    val layered = GraphAnn.hnswGraph(emb, m = 4, nBits = 4, nTables = 4,
+      dim = 64, maxLayer = 2).cache()
+    val flat = GraphAnn.knnGraph(emb, m = 4, nBits = 4, nTables = 4, dim = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    val l0 = layered.where(col("layer") === 0)
+      .select(col("src"), col("dst"), col("sim"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(l0 === flat, "layer 0 must be exactly the flat graph")
+    // node sets nest: every node appearing at layer ℓ+1 appears at layer ℓ,
+    // and its md5 leading-zero run must reach its layer
+    def nodesAt(l: Int): Set[Long] = layered.where(col("layer") === l)
+      .select(col("src")).distinct().as[Long].collect().toSet
+    val (n0, n1) = (nodesAt(0), nodesAt(1))
+    assert(n1.subsetOf(n0))
+    val lvl = emb.select(col("vec_id"),
+        GraphAnn.layerOf(col("vec_id")).as("lv"))
+      .as[(Long, Int)].collect().toMap
+    assert(n1.forall(lvl(_) >= 1), "layer-1 nodes need md5 level >= 1")
+    // geometric thinning: p = 1/16 per level, so layer 1 should hold a
+    // small fraction of layer 0 (loose bound — small-sample variance)
+    assert(n1.size.toDouble / n0.size < 0.25,
+      s"layer 1 kept ${n1.size}/${n0.size} nodes — not thinning")
+    layered.unpersist(false)
+  }
+
+  test("hnswSearch: ranked shape holds and recall matches the flat walk's floor") {
+    val layered = GraphAnn.hnswGraph(emb, m = 8, nBits = 4, nTables = 8,
+      dim = 64, maxLayer = 2).localCheckpoint()
+    val res = GraphAnn.hnswSearch(emb, layered, qs, k = 10, beam = 8,
+      rounds = 3, descentRounds = 2, maxLayer = 2).cache()
+    val rows = res.select(col("q_id"), col("rank"), col("similarity"))
+      .as[(Long, Int, Double)].collect().groupBy(_._1)
+    rows.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to rs.length), s"q=$q ranks")
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sortBy(-(_: Double)).toSeq,
+        s"q=$q similarity must be non-increasing in rank")
+    }
+    val bf = SimilaritySearch.bruteForceTopK(emb, qs, 10)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val got = res.select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val recall = bf.intersect(got).size.toDouble / bf.size
+    assert(recall > 0.4, s"hnsw recall=$recall")
+    res.unpersist(false)
+  }
+
   test("beam search never scans the corpus: visited fraction stays far below 1") {
     val edges = GraphAnn.knnGraph(emb, m = 8, nBits = 4, nTables = 8, dim = 64).cache()
     edges.count()
