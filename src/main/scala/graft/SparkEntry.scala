@@ -487,6 +487,80 @@ object SparkEntry {
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** One unigram-LM EM round in SQL (mirrors [[operators.UnigramLm.train]]'s
+    * loop body): forward/backward 4-slot recursions against the `probs`
+    * CTE, then occurrence posteriors gridded to 1e9 fixed-point and
+    * HUGEINT-summed — emits CTEs {tag}a/{tag}b/{tag}z/{tag}occ/{tag}cnt/
+    * {tag}p. Term order inside every float sum is the driver loop's
+    * (l = 1..4, left-associated). */
+  private def unigramEmBlock(tag: String, probs: String): String =
+    s"""${tag}a AS (SELECT w, n, 0 AS i, CAST(1.0 AS DOUBLE) AS a0, CAST(0.0 AS DOUBLE) AS a1,
+       |                  CAST(0.0 AS DOUBLE) AS a2, CAST(0.0 AS DOUBLE) AS a3
+       |           FROM wf
+       |           UNION ALL
+       |           SELECT r.w, r.n, r.i + 1,
+       |             CASE WHEN r.i + 1 >= 1 THEN coalesce(q1.pr, 0) * r.a0 ELSE 0 END
+       |             + CASE WHEN r.i + 1 >= 2 THEN coalesce(q2.pr, 0) * r.a1 ELSE 0 END
+       |             + CASE WHEN r.i + 1 >= 3 THEN coalesce(q3.pr, 0) * r.a2 ELSE 0 END
+       |             + CASE WHEN r.i + 1 >= 4 THEN coalesce(q4.pr, 0) * r.a3 ELSE 0 END,
+       |             r.a0, r.a1, r.a2
+       |           FROM ${tag}a r
+       |           LEFT JOIN $probs q1 ON q1.pc = substr(r.w, r.i + 1, 1)
+       |           LEFT JOIN $probs q2 ON q2.pc = substr(r.w, r.i, 2)
+       |           LEFT JOIN $probs q3 ON q3.pc = substr(r.w, r.i - 1, 3)
+       |           LEFT JOIN $probs q4 ON q4.pc = substr(r.w, r.i - 2, 4)
+       |           WHERE r.i < r.n),
+       |${tag}b AS (SELECT w, n, n AS i, CAST(1.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
+       |                  CAST(0.0 AS DOUBLE) AS b2, CAST(0.0 AS DOUBLE) AS b3
+       |           FROM wf
+       |           UNION ALL
+       |           SELECT r.w, r.n, r.i - 1,
+       |             CASE WHEN r.i - 1 + 1 <= r.n THEN coalesce(q1.pr, 0) * r.b0 ELSE 0 END
+       |             + CASE WHEN r.i - 1 + 2 <= r.n THEN coalesce(q2.pr, 0) * r.b1 ELSE 0 END
+       |             + CASE WHEN r.i - 1 + 3 <= r.n THEN coalesce(q3.pr, 0) * r.b2 ELSE 0 END
+       |             + CASE WHEN r.i - 1 + 4 <= r.n THEN coalesce(q4.pr, 0) * r.b3 ELSE 0 END,
+       |             r.b0, r.b1, r.b2
+       |           FROM ${tag}b r
+       |           LEFT JOIN $probs q1 ON q1.pc = substr(r.w, r.i, 1)
+       |           LEFT JOIN $probs q2 ON q2.pc = substr(r.w, r.i, 2)
+       |           LEFT JOIN $probs q3 ON q3.pc = substr(r.w, r.i, 3)
+       |           LEFT JOIN $probs q4 ON q4.pc = substr(r.w, r.i, 4)
+       |           WHERE r.i > 0),
+       |${tag}z AS (SELECT w, a0 AS z FROM ${tag}a WHERE i = n),
+       |${tag}occ AS (SELECT o.pc,
+       |               CAST(round(o.f * (al.a0 * q.pr * be.b0 / z.z) * 1e9) AS HUGEINT) AS g
+       |             FROM occ o
+       |             JOIN $probs q ON q.pc = o.pc
+       |             JOIN ${tag}a al ON al.w = o.w AND al.i = o.j
+       |             JOIN ${tag}b be ON be.w = o.w AND be.i = o.j + o.l
+       |             JOIN ${tag}z z ON z.w = o.w),
+       |${tag}cnt AS (SELECT pc, sum(g) AS cnt FROM ${tag}occ GROUP BY pc),
+       |${tag}p AS MATERIALIZED (SELECT pc, CAST(cnt AS DOUBLE) /
+       |             (SELECT CAST(sum(cnt) AS DOUBLE) FROM ${tag}cnt) AS pr FROM ${tag}cnt)""".stripMargin
+
+  /** Everything through the two EM rounds' probs (e2p) / counts (e2cnt):
+    * word types, seed vocabulary (all singles + top-24 multis), occurrence
+    * enumeration, and [[unigramEmBlock]] ×2 — shared by both unigram
+    * oracles, as the logreg train/eval pair shares its step CTEs. */
+  private lazy val unigramOracleCtes: String =
+    s"""WITH RECURSIVE
+       |wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f, len(w) AS n FROM
+       |     (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |      WHERE text IS NOT NULL AND text <> '') t
+       |     WHERE w <> '' GROUP BY w),
+       |js AS (SELECT unnest(generate_series(0, 31)) AS j),
+       |ls AS (SELECT unnest(generate_series(1, 4)) AS l),
+       |sub AS (SELECT substr(w, j + 1, l) AS pc, sum(f * 1) AS cnt
+       |        FROM wf, js, ls WHERE j + l <= n GROUP BY 1),
+       |multitop AS (SELECT pc, cnt FROM sub WHERE len(pc) >= 2 ORDER BY cnt DESC, pc LIMIT 24),
+       |v0 AS (SELECT pc, cnt FROM sub WHERE len(pc) = 1 UNION ALL SELECT pc, cnt FROM multitop),
+       |p0 AS MATERIALIZED (SELECT pc, CAST(cnt AS DOUBLE) /
+       |        (SELECT CAST(sum(cnt) AS DOUBLE) FROM v0) AS pr FROM v0),
+       |occ AS MATERIALIZED (SELECT w, f, n, j, l, substr(w, j + 1, l) AS pc
+       |       FROM wf, js, ls WHERE j + l <= n),
+       |${unigramEmBlock("e1", "p0")},
+       |${unigramEmBlock("e2", "e1p")}""".stripMargin
+
   /** Shared by multimodal_video_real and streaming_video_frames (identical
     * decode of identical synthesized clips): frames, stride-2 sampling,
     * and band means re-derived from the fixture's luma formula. */
@@ -3605,6 +3679,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The THIRD tokenizer family (SentencePiece unigram LM next to BPE's
+    // merges and WordPiece's greedy match): seed vocabulary = all single
+    // chars + top-24 weighted multi-char substrings, then two
+    // forward–backward EM rounds over the word-type table
+    // ([[operators.UnigramLm]]). Output is the final round's 1e9-gridded
+    // expected counts — exact integers, so the gate compares no floats.
+    // The oracle replays BOTH EM rounds: alpha/beta as 4-slot recursive
+    // CTEs (one per direction per round), occurrence posteriors gridded
+    // per occurrence and HUGEINT-summed.
+    "vocab_unigram_lm" -> ((s, d) => {
+      val m = operators.UnigramLm.train(
+        operators.UnigramLm.wordFreq(t(s, d, "documents"), "text"),
+        "word", "freq", topMultis = 24, iterations = 2)
+      operators.UnigramLm.trainTable(s, m, topK = 50).orderBy(col("rank"))
+    }),
+
+    // ... and the unigram model applied back: Viterbi best segmentation
+    // per word type (strictly-greater / smallest-piece-first tie rule),
+    // distributed over distinct types and broadcast-joined to the corpus.
+    // The oracle re-derives the trained probs (the full two-round replay)
+    // and unrolls Viterbi as one more carried-state recursive CTE.
+    "vocab_unigram_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val m = operators.UnigramLm.train(
+        operators.UnigramLm.wordFreq(docs, "text"),
+        "word", "freq", topMultis = 24, iterations = 2)
+      operators.UnigramLm.encodeStats(docs, "text", "doc_id", m.probs)
+        .orderBy(col("doc_id"))
+    }),
+
     // The learned tokenizer applied back to the corpus: per-doc whitespace
     // vs BPE token counts (the "how many training tokens is this corpus"
     // number). Encode is a narrow map with the merge list in the closure;
@@ -6582,6 +6686,50 @@ object SparkEntry {
         |SELECT wl.doc_id, CAST(len(wl.ws) AS BIGINT) AS n_tokens_ws,
         | coalesce(agg.n_tokens_bpe, 0) AS n_tokens_bpe
         |FROM wl LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    // Both EM rounds replayed in full ([[unigramOracleCtes]]); the output
+    // is the final round's exact HUGEINT grid counts — no floats compared.
+    "vocab_unigram_lm" -> (unigramOracleCtes + """
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pc) AS INT) AS rank,
+        |       pc AS piece, CAST(cnt AS BIGINT) AS grid_count
+        |FROM e2cnt ORDER BY cnt DESC, pc LIMIT 50""".stripMargin),
+
+    // The trained probs re-derived, then Viterbi as one more carried-state
+    // recursion: per step the four candidate scores (−1 marks an
+    // out-of-range length), greatest() picks the max, and the first-match
+    // CASE reproduces the driver's smallest-piece-first tie rule.
+    "vocab_unigram_encode" -> (unigramOracleCtes + """,
+        |vit AS (SELECT w, n, 0 AS i, CAST(1.0 AS DOUBLE) AS s0, CAST(0.0 AS DOUBLE) AS s1,
+        |               CAST(0.0 AS DOUBLE) AS s2, CAST(0.0 AS DOUBLE) AS s3,
+        |               0 AS c0, 0 AS c1, 0 AS c2, 0 AS c3
+        |        FROM wf
+        |        UNION ALL
+        |        SELECT w, n, i + 1, gs, s0, s1, s2,
+        |          CASE WHEN t1 = gs THEN c0 + 1 WHEN t2 = gs THEN c1 + 1
+        |               WHEN t3 = gs THEN c2 + 1 ELSE c3 + 1 END,
+        |          c0, c1, c2
+        |        FROM (
+        |          SELECT r.w, r.n, r.i, r.s0, r.s1, r.s2, r.s3, r.c0, r.c1, r.c2, r.c3,
+        |            CASE WHEN r.i + 1 >= 1 THEN coalesce(q1.pr, 0) * r.s0 ELSE -1 END AS t1,
+        |            CASE WHEN r.i + 1 >= 2 THEN coalesce(q2.pr, 0) * r.s1 ELSE -1 END AS t2,
+        |            CASE WHEN r.i + 1 >= 3 THEN coalesce(q3.pr, 0) * r.s2 ELSE -1 END AS t3,
+        |            CASE WHEN r.i + 1 >= 4 THEN coalesce(q4.pr, 0) * r.s3 ELSE -1 END AS t4
+        |          FROM vit r
+        |          LEFT JOIN e2p q1 ON q1.pc = substr(r.w, r.i + 1, 1)
+        |          LEFT JOIN e2p q2 ON q2.pc = substr(r.w, r.i, 2)
+        |          LEFT JOIN e2p q3 ON q3.pc = substr(r.w, r.i - 1, 3)
+        |          LEFT JOIN e2p q4 ON q4.pc = substr(r.w, r.i - 2, 4)
+        |          WHERE r.i < r.n) s
+        |        CROSS JOIN (SELECT 1) one_
+        |        , LATERAL (SELECT greatest(t1, t2, t3, t4) AS gs) g_),
+        |vp AS (SELECT w, c0 AS pieces FROM vit WHERE i = n),
+        |ew AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |       FROM documents WHERE text IS NOT NULL AND text <> ''),
+        |agg AS (SELECT doc_id, count(*) AS n_words, sum(pieces) AS n_pieces
+        |        FROM ew JOIN vp USING (w) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words, CAST(n_pieces AS INT) AS n_pieces,
+        |       round(CAST(n_pieces AS DOUBLE) / n_words, 4) AS fertility
+        |FROM agg ORDER BY doc_id""".stripMargin),
 
     "q27_recursive_reach" ->
       """WITH RECURSIVE fp AS (SELECT DISTINCT source,

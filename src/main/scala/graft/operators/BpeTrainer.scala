@@ -58,7 +58,7 @@ object BpeTrainer {
     * collation) ORDER BY and DuckDB's, which Java's UTF-16 compareTo is
     * NOT for supplementary-plane text. Tie-breaks must use this order to
     * stay bit-compatible with the previous Spark-side argmax. */
-  private def u8Less(a: String, b: String): Boolean = {
+  private[operators] def u8Less(a: String, b: String): Boolean = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = math.min(x.length, y.length)
