@@ -126,6 +126,30 @@ object GraphAnn {
     }.reduce(_ unionByName _)
   }
 
+  /** Incremental insert into a [[hnswGraph]]: the layered twin of
+    * [[insertNodes]]. A new node's level is a pure function of its id
+    * ([[layerOf]] — the same rule the build uses), so layer membership
+    * needs no bookkeeping: for each layer ℓ the batch subset with level
+    * ≥ ℓ runs the flat insert against that layer's subgraph over the
+    * corpus subset with level ≥ ℓ. Costs one flat insert per layer, each
+    * 16× smaller than the last — the build pyramid's economics, kept at
+    * insert time. Ids must be NEW (the [[insertNodes]] update contract). */
+  def hnswInsert(corpus: DataFrame, layeredEdges: DataFrame, newNodes: DataFrame,
+                 m: Int = 8, beam: Int = 8, rounds: Int = 3, nEntry: Int = 8,
+                 nBits: Int = 4, nTables: Int = 8, dim: Int = 64, seed: Long = 7L,
+                 maxLayer: Int = 2,
+                 vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    (0 to maxLayer).map { l =>
+      val subCorpus = if (l == 0) corpus else corpus.where(layerOf(col(idCol)) >= l)
+      val subNew = if (l == 0) newNodes else newNodes.where(layerOf(col(idCol)) >= l)
+      val e = layeredEdges.where(col("layer") === l)
+        .select(col("src"), col("dst"), col("sim"))
+      insertNodes(subCorpus, e, subNew, m, beam, rounds, nEntry,
+          nBits, nTables, dim, seed, vecCol, idCol)
+        .withColumn("layer", lit(l))
+        .select(col("layer"), col("src"), col("dst"), col("sim"))
+    }.reduce(_ unionByName _)
+
   /** HNSW-style search over a [[hnswGraph]]: start at the single global
     * entry point (the max-layer node, ties by (md5, id) — the portable
     * seed convention), greedily descend the upper layers (per layer,

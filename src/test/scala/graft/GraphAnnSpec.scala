@@ -207,6 +207,44 @@ class GraphAnnSpec extends AnyFunSuite {
     res.unpersist(false)
   }
 
+  test("hnswInsert: append ≡ rebuild — layer membership holds and " +
+       "hierarchical recall stays within tolerance of a full rebuild") {
+    val base = emb.where(col("vec_id") % 10 =!= 0)
+    val fresh = emb.where(col("vec_id") % 10 === 0)
+    val baseL = GraphAnn.hnswGraph(base, m = 8, nBits = 4, nTables = 8,
+      dim = 64, maxLayer = 2).localCheckpoint()
+    val merged = GraphAnn.hnswInsert(emb, baseL, fresh,
+      m = 8, beam = 8, rounds = 3, nEntry = 8, nBits = 4, nTables = 8,
+      dim = 64, maxLayer = 2).cache()
+    // membership: a node appears at layer l only if its md5 level reaches l
+    val lvl = emb.select(col("vec_id"), GraphAnn.layerOf(col("vec_id")).as("lv"))
+      .as[(Long, Int)].collect().toMap
+    val byLayer = merged.select(col("layer"), col("src"))
+      .distinct().as[(Int, Long)].collect()
+    byLayer.foreach { case (l, id) => assert(lvl(id) >= l || l == 0, s"$id at $l") }
+    // every fresh node links bidirectionally at layer 0
+    val freshIds = fresh.select(col("vec_id")).as[Long].collect().toSet
+    val l0 = merged.where(col("layer") === 0).cache()
+    val srcs = l0.select(col("src")).distinct().as[Long].collect().toSet
+    val dsts = l0.select(col("dst")).distinct().as[Long].collect().toSet
+    assert(freshIds.subsetOf(srcs) && freshIds.subsetOf(dsts))
+    // recall: hierarchical search on the incremental pyramid vs a rebuild
+    val bf = SimilaritySearch.bruteForceTopK(emb, qs, 10)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    def recallOf(edges: org.apache.spark.sql.DataFrame): Double = {
+      val got = GraphAnn.hnswSearch(emb, edges, qs, k = 10, beam = 8,
+          rounds = 3, descentRounds = 2, maxLayer = 2)
+        .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+      bf.intersect(got).size.toDouble / bf.size
+    }
+    val rebuilt = GraphAnn.hnswGraph(emb, m = 8, nBits = 4, nTables = 8,
+      dim = 64, maxLayer = 2).localCheckpoint()
+    val rInc = recallOf(merged); val rFull = recallOf(rebuilt)
+    assert(rInc >= rFull - 0.15,
+      s"incremental hnsw recall $rInc must stay within 0.15 of rebuild $rFull")
+    merged.unpersist(false); l0.unpersist(false)
+  }
+
   test("beam search never scans the corpus: visited fraction stays far below 1") {
     val edges = GraphAnn.knnGraph(emb, m = 8, nBits = 4, nTables = 8, dim = 64).cache()
     edges.count()
