@@ -412,6 +412,74 @@ object Probe {
             .minhashSourceSimilarity(docs, "text", "source", 32, 3, auditExact = true)
             .count())
 
+      case "hnsw" =>
+        // phase timings for the hierarchical search (ann_hnsw_search is the
+        // battery's most expensive query — find which phase pays)
+        import graft.operators.GraphAnn
+        spark.conf.set("spark.sql.shuffle.partitions", "8") // the walk's setting
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+        time("warmup count")(emb.count())
+        val qs = emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val edges = GraphAnn.hnswGraph(emb, m = 4, nBits = 4, nTables = 4,
+          dim = 64, maxLayer = 2).cache()
+        time("edges build+cache")(edges.count())
+        val c = emb.select(col("vec_id").cast("long").as("__cid"),
+          col("embedding").as("__cvec"))
+        val q = qs.select(col("q_id").cast("long").as("__qid"),
+          col("q_vec").as("__qvec"))
+        def score(cand: DataFrame): DataFrame =
+          c.join(broadcast(cand), Seq("__cid"))
+            .join(broadcast(q), Seq("__qid"))
+            .withColumn("similarity", round(
+              graft.functions.VectorFunctions
+                .cosineSimilarity(col("__cvec"), col("__qvec")), 4))
+            .select(col("__qid"), col("__cid"), col("similarity"))
+        def edgesAt(l: Int): DataFrame = edges.where(col("layer") === l)
+          .select(col("src").as("__esrc"), col("dst").as("__edst"))
+        val entry = c
+          .select(col("__cid"),
+            least(GraphAnn.layerOf(col("__cid")), lit(2)).as("__lv"))
+          .orderBy(col("__lv").desc, md5(col("__cid").cast("string")), col("__cid"))
+          .limit(1).select(col("__cid"))
+        var cur = time("entry")(
+          q.select(col("__qid")).crossJoin(broadcast(entry)).localCheckpoint())
+        for (l <- 2 to 1 by -1; r <- 1 to 2) {
+          val el = edgesAt(l)
+          val nbr = el.join(broadcast(cur), col("__cid") === col("__esrc"))
+            .select(col("__qid"), col("__edst").as("__cid"))
+          val cand = cur.unionByName(nbr).distinct()
+          cur = time(s"descent l=$l r=$r")(score(cand)
+            .groupBy(col("__qid"))
+            .agg(max_by(col("__cid"),
+              struct(col("similarity"), (-col("__cid")).as("n"))).as("__cid"))
+            .localCheckpoint())
+        }
+        val e0 = edgesAt(0)
+        val topBeam = udaf(graft.functions.TopKBy(8))
+        def bestNew(scored: DataFrame): DataFrame =
+          scored.groupBy(col("__qid"))
+            .agg(topBeam(col("similarity"), col("__cid")).as("__f"))
+            .select(col("__qid"), explode(col("__f")).as("x"))
+            .select(col("__qid"), col("x._2").as("__cid"))
+        var visited = time("walk seed score")(score(cur).localCheckpoint())
+        var frontier = bestNew(visited)
+        for (i <- 1 to 3) {
+          val expanded = e0
+            .join(broadcast(frontier), frontier("__cid") === col("__esrc"))
+            .select(col("__qid"), col("__edst").as("__cid")).distinct()
+          val fresh = expanded.join(visited.select(col("__qid"), col("__cid")),
+            Seq("__qid", "__cid"), "left_anti")
+          val freshScored = time(s"walk round $i")(score(fresh).localCheckpoint())
+          visited = visited.unionByName(freshScored)
+          frontier = bestNew(freshScored)
+        }
+        time("topk")(visited.where(col("__cid") =!= col("__qid"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("__qid"))
+              .orderBy(col("similarity").desc, col("__cid"))))
+          .where(col("rank") <= 10).count())
+
       case "recallbin" =>
         // binary-quantization rows only (the full "recall" sweep's graph
         // section is minutes at sf0.1; this isolates the packed tier)
