@@ -3310,6 +3310,52 @@ object SparkEntry {
                (n0x2 - col("u2")).cast("double")), 4) + 0).as("tau_b"))
     }),
 
+    // Kruskal-Wallis H: the k-group extension of stats_mann_whitney (one-
+    // way ANOVA on ranks — do the five event types draw values from one
+    // distribution?). Same machinery: pooled average ranks as exact
+    // integer 2·rank via [[operators.RangePrefix]] (no corpus window),
+    // DECIMAL(38,0) group rank-sums, tie term Σ(t³−t). Each group's
+    // (2Rᵢ)²/(4nᵢN(N+1)) term is gridded to 1e9 and exact-summed (the
+    // stats_chi_square convention — float addition across groups would be
+    // engine-order-dependent); one final mirrored double expression, with
+    // the dof-indexed χ² 0.05 critical value for the verdict.
+    "stats_kruskal_wallis" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = events(s, d).select(col("event_type"), col("value"))
+      val rt = ev.groupBy(col("value")).agg(count(lit(1)).as("t"))
+      val rk = operators.RangePrefix.runningSum(
+          operators.RangePrefix.withBucket(rt, col("value")),
+          col("t"), Seq(col("value")), "cum")
+        .select(col("value"),
+          (lit(2) * (col("cum") - col("t")) + col("t") + 1).as("r2"))
+      val per = ev.groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("c"))
+        .join(rk, Seq("value"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).as("ni"),
+          sum(col("c").cast(dec) * col("r2").cast(dec)).as("r2i"))
+      val tot = rt.agg(sum(col("t")).as("n"),
+        sum(col("t").cast(dec) * col("t").cast(dec) * col("t").cast(dec)
+          - col("t").cast(dec)).as("ties"))
+      val nD = col("n").cast("double")
+      val term = col("r2i").cast("double") * col("r2i").cast("double") /
+        lit(4.0) / col("ni").cast("double") / (nD * (nD + lit(1.0)))
+      val agg = per.crossJoin(broadcast(tot))
+        .agg(first(col("n")).as("n"), first(col("ties")).as("tiesum"),
+          count(lit(1)).cast("int").as("k"),
+          sum(round(term * lit(1e9)).cast(dec)).as("tg"))
+      val nF = col("n").cast("double")
+      val h = lit(12.0) * (col("tg").cast("double") / lit(1e9)) -
+        lit(3.0) * (nF + lit(1.0))
+      val hAdj = h / (lit(1.0) -
+        col("tiesum").cast("double") / (nF * nF * nF - nF))
+      val crit = when(col("k") === 2, 3.841).when(col("k") === 3, 5.991)
+        .when(col("k") === 4, 7.815).when(col("k") === 5, 9.488)
+        .otherwise(11.07)
+      agg.select(col("k").as("k_groups"), col("n").cast("long").as("n"),
+        (round(h, 4) + 0).as("h"), (round(hAdj, 4) + 0).as("h_adj"),
+        (hAdj > crit).as("reject"))
+    }),
+
     // Perceptual-hash near-dup pairs (see [[graft.multimodal.PerceptualHash]]):
     // dHash over the image payloads + planted 1-byte mutants (media_id +
     // 1e6, replayable as 'x' || substr(text, 2)); candidates via the
@@ -3710,6 +3756,25 @@ object SparkEntry {
         operators.UnigramLm.wordFreq(docs, "text"),
         "word", "freq", topMultis = 24, iterations = 2)
       operators.UnigramLm.encodeStats(docs, "text", "doc_id", m.probs)
+        .orderBy(col("doc_id"))
+    }),
+
+    // CCNet-style perplexity filtering (Wenzek et al. 1911.00359 — THE
+    // public method for LM-corpus curation): per-piece cross entropy of
+    // each document under the trained unigram LM, corpus cut into
+    // head/middle/tail tertiles. −ln of each word type's Viterbi best-
+    // segmentation probability is gridded to a 1e6 LONG (round-before-sum,
+    // so per-doc totals reorder exactly); the tertile rank runs through
+    // [[operators.RangePrefix]] — no corpus window. The oracle re-derives
+    // the trained probs (full two-round EM replay), re-runs Viterbi with
+    // the score slot kept, and takes the naive global row_number, proving
+    // the scalable rank identical.
+    "quality_unigram_ppl" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val m = operators.UnigramLm.train(
+        operators.UnigramLm.wordFreq(docs, "text"),
+        "word", "freq", topMultis = 24, iterations = 2)
+      operators.UnigramLm.pplStats(docs, "text", "doc_id", m.probs)
         .orderBy(col("doc_id"))
     }),
 
@@ -6047,6 +6112,43 @@ object SparkEntry {
           countDistinct(col("c_mktsegment")).as("n_sensitive"))
         .withColumn("l_pass", col("n_sensitive") >= 3)
         .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+    }),
+
+    // t-closeness (Li et al., ICDE 2007) — completes the release-audit
+    // trio over the same QI grouping as dq_k_anonymity / dq_l_diversity:
+    // per equivalence class, the total variation distance between the
+    // class's sensitive-attribute distribution and the corpus-wide one
+    // (the categorical-attribute EMD). The class×segment grid comes from
+    // a broadcast cross join of the two marginal tables left-joined to
+    // the observed cells (absent cells count |0 − global share|); each
+    // |Δp| term is gridded to 1e9 and exact-summed (the chi-square
+    // convention — cross-segment float order is engine-dependent), and
+    // the t ≤ 0.02 verdict compares INTEGER grids (tvd ≤ 0.02 ⟺
+    // grid-sum ≤ 4e7) — no float in the pass/fail at all. Everything
+    // after the one orders⋈customer join is class-count-sized.
+    "dq_t_closeness" -> ((s, d) => {
+      val cell = t(s, d, "orders")
+        .join(t(s, d, "customer").select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment")), Seq("o_custkey"))
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("c")).localCheckpoint()
+      val cls = cell.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(sum(col("c")).as("nc"))
+      val seg = cell.groupBy(col("c_mktsegment")).agg(sum(col("c")).as("gs"))
+      val tot = cell.agg(sum(col("c")).as("n"))
+      val dterm = abs(coalesce(col("c"), lit(0L)).cast("double") / col("nc") -
+        col("gs").cast("double") / col("n"))
+      cls.crossJoin(broadcast(seg))
+        .join(cell, Seq("o_orderpriority", "o_orderstatus", "c_mktsegment"), "left")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(first(col("nc")).as("n_rows"),
+          sum(round(dterm * lit(1e9)).cast("long")).as("tg"))
+        .select(col("o_orderpriority"), col("o_orderstatus"),
+          col("n_rows").cast("long").as("n_rows"),
+          round(col("tg").cast("double") / 1e9 / lit(2.0), 4).as("tvd"),
+          (col("tg") <= 40000000L).as("t_pass"))
+        .orderBy(col("o_orderpriority"), col("o_orderstatus"))
     })
   )
 
@@ -6734,6 +6836,52 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_words AS INT) AS n_words, CAST(n_pieces AS INT) AS n_pieces,
         |       round(CAST(n_pieces AS DOUBLE) / n_words, 4) AS fertility
         |FROM agg ORDER BY doc_id""".stripMargin),
+
+    // Same Viterbi recursion with the score slot read out (s0 at i = n is
+    // the best-segmentation probability): −ln gridded per word type, LONG
+    // sums per doc, tertiles by the naive global row_number the RangePrefix
+    // rank must reproduce.
+    "quality_unigram_ppl" -> (unigramOracleCtes + """,
+        |vit AS (SELECT w, n, 0 AS i, CAST(1.0 AS DOUBLE) AS s0, CAST(0.0 AS DOUBLE) AS s1,
+        |               CAST(0.0 AS DOUBLE) AS s2, CAST(0.0 AS DOUBLE) AS s3,
+        |               0 AS c0, 0 AS c1, 0 AS c2, 0 AS c3
+        |        FROM wf
+        |        UNION ALL
+        |        SELECT w, n, i + 1, gs, s0, s1, s2,
+        |          CASE WHEN t1 = gs THEN c0 + 1 WHEN t2 = gs THEN c1 + 1
+        |               WHEN t3 = gs THEN c2 + 1 ELSE c3 + 1 END,
+        |          c0, c1, c2
+        |        FROM (
+        |          SELECT r.w, r.n, r.i, r.s0, r.s1, r.s2, r.s3, r.c0, r.c1, r.c2, r.c3,
+        |            CASE WHEN r.i + 1 >= 1 THEN coalesce(q1.pr, 0) * r.s0 ELSE -1 END AS t1,
+        |            CASE WHEN r.i + 1 >= 2 THEN coalesce(q2.pr, 0) * r.s1 ELSE -1 END AS t2,
+        |            CASE WHEN r.i + 1 >= 3 THEN coalesce(q3.pr, 0) * r.s2 ELSE -1 END AS t3,
+        |            CASE WHEN r.i + 1 >= 4 THEN coalesce(q4.pr, 0) * r.s3 ELSE -1 END AS t4
+        |          FROM vit r
+        |          LEFT JOIN e2p q1 ON q1.pc = substr(r.w, r.i + 1, 1)
+        |          LEFT JOIN e2p q2 ON q2.pc = substr(r.w, r.i, 2)
+        |          LEFT JOIN e2p q3 ON q3.pc = substr(r.w, r.i - 1, 3)
+        |          LEFT JOIN e2p q4 ON q4.pc = substr(r.w, r.i - 2, 4)
+        |          WHERE r.i < r.n) s
+        |        CROSS JOIN (SELECT 1) one_
+        |        , LATERAL (SELECT greatest(t1, t2, t3, t4) AS gs) g_),
+        |wg AS (SELECT w, c0 AS pieces,
+        |         CASE WHEN s0 > 0 THEN CAST(round(-ln(s0) * 1e6) AS BIGINT)
+        |              ELSE 80000000 END AS g
+        |       FROM vit WHERE i = n),
+        |ew AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |       FROM documents WHERE text IS NOT NULL AND text <> ''),
+        |agg AS (SELECT doc_id, sum(pieces) AS np, sum(g) AS gs_
+        |        FROM ew JOIN wg USING (w) GROUP BY doc_id),
+        |sc AS (SELECT doc_id, np, round(CAST(gs_ AS DOUBLE) / 1e6 / np, 4) AS xent
+        |       FROM agg),
+        |rk AS (SELECT doc_id, np, xent,
+        |         row_number() OVER (ORDER BY xent, doc_id) AS r,
+        |         count(*) OVER () AS n FROM sc)
+        |SELECT doc_id, CAST(np AS INT) AS n_pieces, xent,
+        |  CASE WHEN r * 3 <= n THEN 'head'
+        |       WHEN r * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM rk ORDER BY doc_id""".stripMargin),
 
     "q27_recursive_reach" ->
       """WITH RECURSIVE fp AS (SELECT DISTINCT source,
@@ -8440,6 +8588,35 @@ object SparkEntry {
         |    (2.0 * sqrt(nad * nbd / 12.0 * (nd + 1.0 - tiesd / (nd * (nd - 1.0))))), 4) + 0 AS z,
         |  abs((u2 - nad * nbd) /
         |    (2.0 * sqrt(nad * nbd / 12.0 * (nd + 1.0 - tiesd / (nd * (nd - 1.0)))))) > 1.96 AS reject
+        |FROM f""".stripMargin,
+
+    // Naive single-window ranks; per-group terms gridded to 1e9 before the
+    // cross-group sum (float addition across groups is order-dependent),
+    // mirrored final expression, dof-indexed critical value.
+    "stats_kruskal_wallis" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |rt AS (SELECT value, count(*) AS t FROM ev GROUP BY 1),
+        |rk AS (SELECT value, 2 * (sum(t) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t) + t + 1 AS r2 FROM rt),
+        |per AS (SELECT event_type, sum(c) AS ni, sum(CAST(c AS HUGEINT) * CAST(r2 AS HUGEINT)) AS r2i
+        |        FROM (SELECT event_type, value, count(*) AS c FROM ev GROUP BY 1, 2) gv
+        |        JOIN rk USING (value) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(t) AS HUGEINT) AS n,
+        |               sum(CAST(t AS HUGEINT) * t * t - t) AS ties FROM rt),
+        |ag AS (SELECT max(CAST(n AS BIGINT)) AS n, max(CAST(ties AS DOUBLE)) AS tiesd,
+        |         CAST(count(*) AS INT) AS k,
+        |         sum(CAST(round(CAST(r2i AS DOUBLE) * CAST(r2i AS DOUBLE) / 4.0 /
+        |               CAST(ni AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * 1e9)
+        |             AS HUGEINT)) AS tg
+        |       FROM per, tot),
+        |f AS (SELECT k, n, CAST(n AS DOUBLE) AS nd, tiesd,
+        |             CAST(tg AS DOUBLE) / 1e9 AS tsum FROM ag)
+        |SELECT k AS k_groups, n,
+        |  round(12.0 * tsum - 3.0 * (nd + 1.0), 4) + 0 AS h,
+        |  round((12.0 * tsum - 3.0 * (nd + 1.0)) /
+        |        (1.0 - tiesd / (nd * nd * nd - nd)), 4) + 0 AS h_adj,
+        |  (12.0 * tsum - 3.0 * (nd + 1.0)) / (1.0 - tiesd / (nd * nd * nd - nd)) >
+        |    CASE WHEN k = 2 THEN 3.841 WHEN k = 3 THEN 5.991
+        |         WHEN k = 4 THEN 7.815 WHEN k = 5 THEN 9.488 ELSE 11.07 END AS reject
         |FROM f""".stripMargin,
 
     "stats_spearman" ->
@@ -10279,6 +10456,26 @@ object SparkEntry {
         |  count(DISTINCT c_mktsegment) >= 3 AS l_pass
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // |Δp| terms gridded to 1e9 before the cross-segment sum; the t-pass
+    // verdict compares integer grids only.
+    "dq_t_closeness" ->
+      """WITH j AS (SELECT o_orderpriority AS pri, o_orderstatus AS st, c_mktsegment AS seg
+        |           FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cell AS (SELECT pri, st, seg, count(*) AS c FROM j GROUP BY 1, 2, 3),
+        |cls AS (SELECT pri, st, sum(c) AS nc FROM cell GROUP BY 1, 2),
+        |sg AS (SELECT seg, sum(c) AS gs FROM cell GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n FROM cell),
+        |grid AS (SELECT cls.pri, cls.st, cls.nc, sg.gs, coalesce(cell.c, 0) AS c, tot.n
+        |         FROM cls CROSS JOIN sg
+        |         LEFT JOIN cell ON cell.pri = cls.pri AND cell.st = cls.st AND cell.seg = sg.seg, tot),
+        |ag AS (SELECT pri, st, max(nc) AS n_rows,
+        |         sum(CAST(round(abs(CAST(c AS DOUBLE) / nc - CAST(gs AS DOUBLE) / n) * 1e9) AS BIGINT)) AS tg
+        |       FROM grid GROUP BY 1, 2)
+        |SELECT pri AS o_orderpriority, st AS o_orderstatus, CAST(n_rows AS BIGINT) AS n_rows,
+        |  round(CAST(tg AS DOUBLE) / 1e9 / 2.0, 4) AS tvd,
+        |  tg <= 40000000 AS t_pass
+        |FROM ag ORDER BY 1, 2""".stripMargin,
 
     "profile_table_stats" ->
       """WITH a AS (SELECT count(*) AS n_rows,

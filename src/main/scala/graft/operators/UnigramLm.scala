@@ -185,6 +185,83 @@ object UnigramLm {
     cnt(n)
   }
 
+  /** Gridded −ln ceiling for a word whose best segmentation probability is
+    * exactly zero (possible only if EM zeroes every piece of the word's
+    * sole segmentation — ~e⁻⁸⁰, far below any reachable probability).
+    * A fixed constant keeps the score finite and engine-portable. */
+  val ZeroProbGrid = 80000000L
+
+  /** Viterbi best segmentation for one word, returning BOTH the piece
+    * count ([[viterbiPieces]]'s value, same tie rule) and the segmentation
+    * score as the 1e6-gridded negative log probability — an exact LONG, so
+    * per-document sums reorder freely (the GridSum convention). The ln is
+    * taken once per word TYPE on a probability derived through a fixed
+    * IEEE expression both engines replay, then gridded — the same
+    * round-before-ranking discipline the sampling oracles use. */
+  def viterbiScore(w: String, probs: Map[String, Double]): (Int, Long) = {
+    val n = w.length
+    val best = new Array[Double](n + 1)
+    val cnt = new Array[Int](n + 1)
+    best(0) = 1.0
+    var i = 1
+    while (i <= n) {
+      var b = -1.0
+      var bc = 0
+      var l = 1
+      while (l <= MaxPieceLen) {
+        if (l <= i) {
+          val s = best(i - l) * probs.getOrElse(w.substring(i - l, i), 0.0)
+          if (s > b) { b = s; bc = cnt(i - l) + 1 }
+        }
+        l += 1
+      }
+      best(i) = b; cnt(i) = bc
+      i += 1
+    }
+    val g = if (best(n) > 0) math.round(-math.log(best(n)) * 1e6) else ZeroProbGrid
+    (cnt(n), g)
+  }
+
+  /** CCNet-style perplexity quality filter (Wenzek et al., arXiv:1911.00359
+    * — language-model perplexity as the data-quality signal, corpus
+    * bucketed into head/middle/tail thirds). Score = per-piece cross
+    * entropy of the Viterbi best segmentation under the trained unigram
+    * LM: Σ_w −ln p(best seg of w) / Σ_w pieces(w), both sums exact LONGs
+    * (the −ln gridded to 1e6 per word TYPE, summed per document).
+    * Buckets are exact global tertiles of (xent asc, id) — ranked through
+    * [[RangePrefix]], so no corpus-wide window exists (the CCNet cut
+    * itself is a global order statistic; the two-level prefix is its
+    * scalable form).
+    *
+    * Scale shape: the corpus appears through one word explode + one
+    * broadcast join of the type-sized score table + one per-doc agg; the
+    * rank is the audited two-level scheme. Output:
+    * (id, n_pieces, xent, bucket). */
+  def pplStats(df: DataFrame, textCol: String, idCol: String,
+               probs: Map[String, Double]): DataFrame = {
+    val ew = df.where(col(textCol).isNotNull && col(textCol) =!= "")
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__w"))
+      .where(col("__w") =!= "")
+    val vUdf = udf((w: String) => viterbiScore(w, probs))
+    val wp = ew.select(col("__w")).distinct()
+      .withColumn("__s", vUdf(col("__w")))
+      .select(col("__w"), col("__s._1").as("__pieces"), col("__s._2").as("__g"))
+    val perDoc = ew.join(broadcast(wp), "__w")
+      .groupBy(col(idCol))
+      .agg(sum(col("__pieces").cast("long")).as("__np"), sum(col("__g")).as("__gs"))
+      .withColumn("xent",
+        round(col("__gs").cast("double") / 1e6 / col("__np"), 4))
+    val n = perDoc.agg(count(lit(1)).as("__n"))
+    RangePrefix.runningRank(
+        RangePrefix.withBucket(perDoc, col("xent")),
+        Seq(col("xent"), col(idCol)), "__rk")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("__np").cast("int").as("n_pieces"), col("xent"),
+        when(col("__rk") * 3 <= col("__n"), "head")
+          .when(col("__rk") * 3 <= col("__n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Per-document encode statistics: (id, n_words, n_pieces, fertility).
     * Viterbi runs distributed once per distinct word type; the piece-count
     * table (type-table-sized) broadcast-joins back to the exploded corpus,

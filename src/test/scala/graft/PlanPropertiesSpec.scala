@@ -217,7 +217,8 @@ class PlanPropertiesSpec extends AnyFunSuite {
   // (windowspecdefinition leading with a raw value column = the
   // single-partition regression this pin exists to catch)
   for (q <- Seq("select_token_budget", "profile_pareto_abc",
-                "pack_padding_waste", "orders_propensity_match"))
+                "pack_padding_waste", "orders_propensity_match",
+                "quality_unigram_ppl", "stats_kruskal_wallis"))
     test(s"$q global prefix uses the two-level scheme — no corpus-wide window") {
       val df = SparkEntry.queries(q)(spark, TestSpark.sf)
       df.collect()

@@ -54,6 +54,38 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(UnigramLm.viterbiPieces("ab", tied) === 2)
   }
 
+  test("viterbiScore: piece count matches viterbiPieces; grid is -ln(best)" +
+       " at 1e6; zero-prob words hit the documented ceiling") {
+    val ws = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "").distinct().as[String].collect()
+    ws.take(100).foreach { w =>
+      val (p, g) = UnigramLm.viterbiScore(w, model.probs)
+      assert(p === UnigramLm.viterbiPieces(w, model.probs))
+      assert(g >= 0, s"$w: neg-logprob grid must be non-negative, got $g")
+    }
+    // a one-piece word with prob 0.9: grid = round(-ln(0.9) * 1e6)
+    val p = Map("ab" -> 0.9, "a" -> 0.05, "b" -> 0.05)
+    assert(UnigramLm.viterbiScore("ab", p)._2 ===
+      math.round(-math.log(0.9) * 1e6))
+    // unsegmentable (a char with prob 0 and no alternative) -> ceiling
+    val z = Map("a" -> 1.0, "b" -> 0.0)
+    assert(UnigramLm.viterbiScore("b", z)._2 === UnigramLm.ZeroProbGrid)
+  }
+
+  test("pplStats: tertile buckets are balanced and ordered by xent") {
+    val ppl = UnigramLm.pplStats(docs, "text", "doc_id", model.probs)
+      .select(col("doc_id"), col("xent"), col("bucket"))
+      .as[(Long, Double, String)].collect()
+    val n = ppl.length
+    val byB = ppl.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byB.keySet === Set("head", "middle", "tail"))
+    // exact tertiles: sizes within 1 of n/3
+    byB.values.foreach(v => assert(math.abs(v.length - n / 3.0) <= 1.0))
+    // every head xent <= every middle xent <= every tail xent
+    assert(byB("head").max <= byB("middle").min)
+    assert(byB("middle").max <= byB("tail").min)
+  }
+
   test("encodeStats: per-doc totals equal the sum of per-word viterbi counts") {
     val enc = UnigramLm.encodeStats(docs, "text", "doc_id", model.probs)
       .orderBy(col("doc_id"))
