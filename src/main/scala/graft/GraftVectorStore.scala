@@ -54,6 +54,16 @@ final class GraftVectorStore(
     // the latest view, so the walk skips them (HNSW's deleted flag);
     // compactIndex is the lazy re-link point (see deleteDocuments).
     graphM: Option[Int] = None,
+    // With graphM set, graphLayers > 0 upgrades the persisted graph to the
+    // HNSW hierarchy ([[operators.GraphAnn.hnswGraph]], graphLayers = max
+    // layer): layer 0 is the flat k-NN graph, each upper layer the same
+    // build over a 16x-smaller nested subset ([[operators.GraphAnn.layerOf]]
+    // — the node's level is a pure function of its id, so membership needs
+    // no bookkeeping). Search descends the hierarchy from a single deepest
+    // entry instead of sampling nEntry random entries; appends run the
+    // per-layer incremental insert ([[operators.GraphAnn.hnswInsert]]).
+    // 0 (default) keeps the flat single-layer graph.
+    graphLayers: Int = 0,
     // Some(candidates): binary-sketch layout — rows stored plain;
     // `approximate = true` runs the two-stage Hamming search
     // (operators/BinaryQuant): sign-bit sketch of the leading 64 dims
@@ -65,6 +75,8 @@ final class GraftVectorStore(
 
   require(Seq(lshBits, ivfCells, graphM, binaryCandidates).count(_.nonEmpty) <= 1,
     "choose ONE approximate layout: lshBits (sign-LSH buckets), ivfCells (IVF cells), graphM (k-NN graph), or binaryCandidates (Hamming sketch)")
+  require(graphLayers == 0 || graphM.nonEmpty,
+    "graphLayers (the HNSW hierarchy) requires graphM")
 
   private def resolveAlias(alias: String): String =
     if (encryptAlias) IndexTable.encodeAlias(alias) else alias
@@ -116,9 +128,15 @@ final class GraftVectorStore(
             .limit(1).count() > 0
         if (isUpdate) { fs.delete(p, true); () }
         else {
-          val merged = GraphAnn.insertNodes(
-              graphNodes(alias), edges, incoming, m = graphM.get, dim = dim,
-              vecCol = "page_content_vector", idCol = "__nid")
+          val merged = (if (graphLayers > 0)
+              GraphAnn.hnswInsert(
+                graphNodes(alias), edges, incoming, m = graphM.get, dim = dim,
+                maxLayer = graphLayers,
+                vecCol = "page_content_vector", idCol = "__nid")
+            else
+              GraphAnn.insertNodes(
+                graphNodes(alias), edges, incoming, m = graphM.get, dim = dim,
+                vecCol = "page_content_vector", idCol = "__nid"))
             // materialize BEFORE overwriting the files the plan reads from
             .localCheckpoint()
           merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -222,9 +240,13 @@ final class GraftVectorStore(
   def buildGraphIndex(alias: String): Unit = {
     val m = graphM.getOrElse(throw new IllegalArgumentException(
       "buildGraphIndex requires the store to be constructed with graphM"))
-    GraphAnn.knnGraph(graphNodes(alias), m = m, dim = dim,
-        vecCol = "page_content_vector", idCol = "__nid")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    val g = if (graphLayers > 0)
+        GraphAnn.hnswGraph(graphNodes(alias), m = m, dim = dim,
+          maxLayer = graphLayers, vecCol = "page_content_vector", idCol = "__nid")
+      else
+        GraphAnn.knnGraph(graphNodes(alias), m = m, dim = dim,
+          vecCol = "page_content_vector", idCol = "__nid")
+    g.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(graphPath(alias))
   }
 
@@ -238,12 +260,21 @@ final class GraftVectorStore(
     val edges = spark.read.parquet(graphPath(alias))
     // round-7 serving path: the one-prompt walk is driver-paced
     // ([[GraphAnn.beamSearchSingle]] — two keyed lookups per round instead
-    // of ~5 distributed stages), the HNSW serving access pattern. The
-    // distributed batch walk stays behind [[GraphAnn.beamSearch]] for
-    // query-batch workloads and the oracle-gated twin.
-    val hits = GraphAnn.beamSearchSingle(nodes, edges, qvec,
-        k = topN, beam = 8 * math.max(1, probeDepth), rounds = 3, nEntry = 8,
-        corpusVec = "page_content_vector", corpusId = "__nid")
+    // of ~5 distributed stages), the HNSW serving access pattern. With
+    // graphLayers > 0 the walk descends the persisted hierarchy from its
+    // single deepest entry instead of sampling nEntry random entries
+    // ([[GraphAnn.hnswSearchSingle]]). The distributed batch walks stay
+    // behind [[GraphAnn.beamSearch]]/[[GraphAnn.hnswSearch]] for
+    // query-batch workloads and the oracle-gated twins.
+    val hits = (if (graphLayers > 0)
+        GraphAnn.hnswSearchSingle(nodes, edges, qvec,
+          k = topN, beam = 8 * math.max(1, probeDepth), rounds = 3,
+          maxLayer = graphLayers,
+          corpusVec = "page_content_vector", corpusId = "__nid")
+      else
+        GraphAnn.beamSearchSingle(nodes, edges, qvec,
+          k = topN, beam = 8 * math.max(1, probeDepth), rounds = 3, nEntry = 8,
+          corpusVec = "page_content_vector", corpusId = "__nid"))
       .toDF("__nid", "similarity", "rank")
     KnnSearch.hitProjection(
       nodes.join(broadcast(hits), Seq("__nid")).orderBy(col("rank")))

@@ -438,6 +438,97 @@ object GraphAnn {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Single-query HNSW serving walk, driver-paced — [[beamSearchSingle]]'s
+    * hierarchical twin over a [[hnswGraph]]. The descent replaces the flat
+    * walk's nEntry random sample: start at the single deepest node, then per
+    * upper layer run `descentRounds` greedy best-1 moves (each round is the
+    * same two keyed lookups as the flat walk — frontier out-edges by
+    * `src IN (...)`, candidate vectors by id), landing the layer-0 beam walk
+    * at an entry already near the query. Upper layers shrink 16× per level
+    * ([[layerOf]]), so the descent touches O(descentRounds × 2m) nodes
+    * total — at corpus scale the descent is what lets a single entry match
+    * the recall of a wide entry sample without scoring one.
+    *
+    * Arithmetic is the serving form (raw double cosine, ties on id) — the
+    * portable, oracle-replayable hierarchy walk is [[hnswSearch]], the same
+    * gate/serving twin split as beamSearch/beamSearchSingle. Every node
+    * scored anywhere (entry, descent candidates, walk) stays in the visited
+    * pool the final top-k ranks over. Returns (id, similarity, rank). */
+  def hnswSearchSingle(corpus: DataFrame, layeredEdges: DataFrame,
+                       queryVec: Array[Float], k: Int = 10, beam: Int = 8,
+                       rounds: Int = 3, descentRounds: Int = 2, maxLayer: Int = 2,
+                       corpusVec: String = "embedding",
+                       corpusId: String = "vec_id"): Seq[(Long, Double, Int)] = {
+    require(k >= 1 && beam >= 1 && rounds >= 0 && descentRounds >= 1 && maxLayer >= 0)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", WalkShufflePartitions)
+    try {
+      val c = corpus.select(col(corpusId).cast("long").as("__cid"),
+          col(corpusVec).cast("array<float>").as("__cvec"))
+        .localCheckpoint()
+      def edgesAt(l: Int): DataFrame = layeredEdges.where(col("layer") === l)
+        .select(col("src").cast("long").as("__esrc"),
+          col("dst").cast("long").as("__edst"))
+      def cos(v: Seq[Float]): Double = {
+        val n = math.min(v.length, queryVec.length)
+        var dp = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val x = v(i).toDouble; val y = queryVec(i).toDouble
+          dp += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        if (denom == 0.0) 0.0 else dp / denom
+      }
+      val visited = scala.collection.mutable.HashMap.empty[Long, Double]
+      def fetchScore(ids: Seq[Long]): Seq[(Long, Double)] = {
+        val rows = c.where(col("__cid").isin(ids: _*))
+          .as[(Long, Seq[Float])].collect()
+        val scored = rows.toSeq.map { case (id, v) => (id, cos(v)) }
+        visited ++= scored
+        scored
+      }
+      def best(xs: Seq[(Long, Double)], n: Int): Seq[Long] =
+        xs.sortBy { case (id, s) => (-s, id) }.take(n).map(_._1)
+      // global entry: the deepest node, (md5, id)-tie-broken — the same
+      // convention as the distributed hierarchy walk
+      val entryId = c
+        .select(col("__cid"), least(layerOf(col("__cid")), lit(maxLayer)).as("__lv"))
+        .orderBy(col("__lv").desc, md5(col("__cid").cast("string")), col("__cid"))
+        .limit(1).select(col("__cid")).as[Long].collect()
+      if (entryId.isEmpty) return Seq.empty
+      var cur = fetchScore(entryId.toSeq) // (id, sim) best-so-far, 1 element
+      for (l <- maxLayer to 1 by -1; _ <- 1 to descentRounds) {
+        val e = edgesAt(l)
+        val dsts = e.where(col("__esrc") === cur.head._1)
+          .select(col("__edst")).distinct().as[Long].collect()
+          .filterNot(visited.contains)
+        if (dsts.nonEmpty) {
+          val scored = fetchScore(dsts.toSeq)
+          // greedy best-1 over current ∪ neighbors, (sim desc, id asc) ties
+          cur = (cur ++ scored).sortBy { case (id, s) => (-s, id) }.take(1)
+        }
+      }
+      // layer-0 beam walk seeded by the descended entry
+      val e0 = edgesAt(0)
+      var frontier = cur.map(_._1)
+      var r = 0
+      while (r < rounds && frontier.nonEmpty) {
+        val dsts = e0.where(col("__esrc").isin(frontier: _*))
+          .select(col("__edst")).distinct().as[Long].collect()
+          .filterNot(visited.contains)
+        if (dsts.isEmpty) frontier = Nil
+        else frontier = best(fetchScore(dsts.toSeq), beam)
+        r += 1
+      }
+      visited.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+        .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Rank a [[beamVisited]] set: top-k per query, self-excluded by default. */
   def topKFromVisited(visited: DataFrame, k: Int,
                       corpusId: String = "vec_id", queryId: String = "q_id",

@@ -106,6 +106,47 @@ class GraftVectorStoreSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$path/_graft_knn_graph").exists())
   }
 
+  test("HNSW store: layered graph persists, descent search works, inserts stay incremental") {
+    val path = java.nio.file.Files.createTempDirectory("graft_store_hnsw").toString + "/idx"
+    val store = new GraftVectorStore(spark, path, graphM = Some(8), graphLayers = 2)
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select($"source".as("document_path"), $"text")
+    store.addDocuments(docs, "t", pageSize = 32)
+    // first approximate search builds the persisted HIERARCHY on demand
+    val approx = store.search("fast spark table scan query", "t", topN = 5,
+      approximate = true, probeDepth = 2)
+    val aRows = approx.select($"id", $"similarity").as[(String, Double)].collect()
+    assert(aRows.length === 5)
+    assert(aRows.map(_._2).toSeq === aRows.map(_._2).sortBy(-(_: Double)).toSeq)
+    // the persisted edge table is layered (layer 0 = flat graph + upper tiers)
+    val layers = spark.read.parquet(s"$path/_graft_knn_graph/t")
+      .select($"layer").distinct().as[Int].collect().toSet
+    assert(layers.contains(0), s"layer 0 must exist, got $layers")
+    // quality: descent-seeded walk lands mostly inside the exact top set
+    val exact = store.search("fast spark table scan query", "t", topN = 5)
+      .select($"id").as[String].collect().toSet
+    assert(aRows.map(_._1).toSet.intersect(exact).size >= 2,
+      s"hnsw search must overlap the exact top set: got ${aRows.map(_._1).toSet} vs $exact")
+    // appending a brand-NEW document links in per layer (hnswInsert): the
+    // hierarchy files survive and the new records are navigable
+    store.addDocuments(
+      docs.limit(1).select(lit("brand_new_doc").as("document_path"),
+        lit("zyzzyva quokka axolotl wombat").as("text")), "t", pageSize = 32)
+    assert(new java.io.File(s"$path/_graft_knn_graph/t").exists(),
+      "append of new documents must keep the hierarchy (incremental insert)")
+    val fresh = store.search("zyzzyva quokka axolotl wombat", "t", topN = 3,
+      approximate = true, probeDepth = 4)
+    assert(fresh.where($"document_path" === "brand_new_doc").count() >= 1,
+      "incrementally inserted node must be navigable from the hierarchy")
+    // an update still invalidates (stale out-edges must not stay navigable)
+    store.addDocuments(
+      docs.limit(1).select(lit("brand_new_doc").as("document_path"),
+        lit("zyzzyva quokka axolotl wombat refreshed").as("text")), "t", pageSize = 32)
+    assert(!new java.io.File(s"$path/_graft_knn_graph/t").exists(),
+      "re-ingest of an existing document must invalidate the hierarchy")
+    store.dropIndex()
+  }
+
   test("graph-ANN deletes: tombstones are skipped in the walk, graph survives, compact re-links") {
     val path = java.nio.file.Files.createTempDirectory("graft_gdel").toString + "/idx"
     val store = new GraftVectorStore(spark, path, graphM = Some(8))
@@ -261,6 +302,9 @@ class GraftVectorStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       new GraftVectorStore(spark, "/tmp/nope", graphM = Some(8),
         binaryCandidates = Some(64))
+    }
+    intercept[IllegalArgumentException] { // the hierarchy needs a graph
+      new GraftVectorStore(spark, "/tmp/nope", graphLayers = 2)
     }
   }
 

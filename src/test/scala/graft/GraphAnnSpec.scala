@@ -107,6 +107,28 @@ class GraphAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("hnswSearchSingle: descent-seeded serving walk — ranked shape, recall floor") {
+    val layered = GraphAnn.hnswGraph(emb, m = 8, nBits = 4, nTables = 8,
+      dim = 64, maxLayer = 2).localCheckpoint()
+    val bf = SimilaritySearch.bruteForceTopK(emb, qs, 10)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val queries = qs.select(col("q_id"), col("q_vec"))
+      .as[(Long, Seq[Float])].collect()
+    var hit = 0; var total = 0
+    queries.foreach { case (qid, qv) =>
+      val single = GraphAnn.hnswSearchSingle(emb, layered, qv.toArray,
+        k = 10, beam = 8, rounds = 3, descentRounds = 2, maxLayer = 2)
+      assert(single.map(_._3) === (1 to single.length), s"q=$qid ranks")
+      val sims = single.map(_._2)
+      assert(sims === sims.sortBy(-(_: Double)), s"q=$qid sims non-increasing")
+      hit += bf(qid).intersect(single.map(_._1).toSet).size
+      total += bf(qid).size
+    }
+    val recall = hit.toDouble / total
+    assert(recall > 0.4, s"hnsw single-query recall=$recall")
+  }
+
   test("persisted neighbor graph: built once, bit-identical to the in-memory build") {
     val path = java.nio.file.Files.createTempDirectory("graft_gann").toString + "/idx"
     val fresh = GraphAnn.knnGraph(emb, m = 4, nBits = 4, nTables = 4, dim = 64)
