@@ -3652,6 +3652,21 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // HITS hubs & authorities (see [[Graph.hits]]) over the DIRECTED
+    // fingerprint-overlap graph (source_a -> source_b, the pagerank_directed
+    // edge set): 3 mutual-reinforcement rounds, L1-normalized each
+    // half-round so the oracle replays the normalizers as plain-sum CTEs.
+    // Sources that only ever appear as overlap targets become pure
+    // authorities (zero hub) and vice versa — both directions live here
+    // because the one-way edge list is asymmetric by construction.
+    "graph_hits" -> ((s, d) => {
+      val ov = sourceFpOverlap(s, d)
+      val edges = ov.select(col("source_a").as("src"), col("source_b").as("dst"))
+      Graph.hits(edges, "src", "dst", iters = 3)
+        .withColumnRenamed("node", "source")
+        .orderBy(col("source"))
+    }),
+
     // Personalized PageRank (see [[Graph.personalizedPageRank]]): restart
     // to the two lexicographically-smallest sources over the directed
     // overlap graph — the graph-expansion primitive (rank concentrates
@@ -6400,6 +6415,38 @@ object SparkEntry {
       "\nSELECT node AS source, round(pr, 4) AS pagerank FROM r5 ORDER BY source"
   }
 
+  /** graph_hits oracle: 3 HITS rounds unrolled — per round, raw authority
+    * inflow (hub mass over in-edges), its L1 normalizer as a one-row CTE,
+    * then the hub half the same way over out-edges. Same directed edge set
+    * as graph_pagerank_directed. */
+  private val hitsOracleSql: String = {
+    val head =
+      """WITH fp AS (SELECT DISTINCT source,
+        |  md5(coalesce(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)[1:8], ' '), '')) AS fp
+        |  FROM documents),
+        |e AS (SELECT DISTINCT a.source AS src, b.source AS dst
+        |      FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |h0 AS (SELECT node, 1.0 / nn.n AS h FROM nodes, nn)""".stripMargin
+    val steps = (1 to 3).map { i =>
+      s"""ar$i AS (SELECT nd.node, coalesce(c.araw, 0) AS araw FROM nodes nd LEFT JOIN
+         |  (SELECT e.dst AS node, sum(h.h) AS araw FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1) c
+         |  ON nd.node = c.node),
+         |an$i AS (SELECT sum(araw) AS s FROM ar$i),
+         |a$i AS (SELECT node, araw / an.s AS a FROM ar$i, an$i an),
+         |hr$i AS (SELECT nd.node, coalesce(c.hraw, 0) AS hraw FROM nodes nd LEFT JOIN
+         |  (SELECT e.src AS node, sum(a.a) AS hraw FROM e JOIN a$i a ON e.dst = a.node GROUP BY 1) c
+         |  ON nd.node = c.node),
+         |hn$i AS (SELECT sum(hraw) AS s FROM hr$i),
+         |h$i AS (SELECT node, hraw / hn.s AS h FROM hr$i, hn$i hn)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      """
+        |SELECT h.node AS source, round(h.h, 4) AS hub, round(a.a, 4) AS authority
+        |FROM h3 h JOIN a3 a ON h.node = a.node ORDER BY source""".stripMargin
+  }
+
   /** Shared by events_volume_anomaly AND its streamed-state twin. */
   /** Shared by events_ewma_trend AND streaming_ewma_trend (batch parity):
     * 8 preceding-day lag terms, dyadic weights, NULL trend on day 1. */
@@ -6601,6 +6648,7 @@ object SparkEntry {
     "graph_pagerank" -> pageRankOracleSql,
 
     "graph_pagerank_directed" -> pageRankDirectedOracleSql,
+    "graph_hits" -> hitsOracleSql,
     "graph_ppr" -> pprOracleSql,
 
     "embedding_kmeans" -> kmeansOracleSql,

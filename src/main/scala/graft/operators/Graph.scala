@@ -134,6 +134,56 @@ object Graph {
     ranks.select(col("node"), round(col("rank"), 4).as("ppr"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999), fixed iteration count over a
+    * DIRECTED edge list. Per iteration: authority(v) = Σ_{u→v} hub(u), then
+    * L1-normalize; hub(u) = Σ_{u→v} authority(v), then L1-normalize — the
+    * mutual-reinforcement recursion, L1 rather than L2 so each round's
+    * normalizer is a plain sum (the dangling-mass shape: one-row aggregate
+    * broadcast back via cross join, never a collect). Nodes appearing only
+    * on one side still hold both scores (zero on the side they lack edges
+    * for after round 1).
+    *
+    * Scale shape mirrors [[pageRank]]: the edge table is checkpointed once,
+    * each half-round is one src- or dst-keyed join + map-side-partial
+    * aggregate, score frames are node-sized, and lineage is truncated
+    * every 3 rounds. Returns (node, hub, authority), round-4. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "hits needs a non-empty edge set")
+    var hub = nodes.withColumn("h", lit(1.0 / n))
+    var auth = nodes.withColumn("a", lit(1.0 / n))
+    for (i <- 1 to iters) {
+      val aRaw = nodes.join(
+        e0.join(hub, e0("src") === hub("node"))
+          .groupBy(col("dst").as("node")).agg(sum(col("h")).as("araw")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("araw"), lit(0.0)).as("araw"))
+      val aNorm = aRaw.agg(sum(col("araw")).as("s"))
+      auth = aRaw.crossJoin(broadcast(aNorm))
+        .select(col("node"), (col("araw") / col("s")).as("a"))
+      val hRaw = nodes.join(
+        e0.join(auth, e0("dst") === auth("node"))
+          .groupBy(col("src").as("node")).agg(sum(col("a")).as("hraw")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("hraw"), lit(0.0)).as("hraw"))
+      val hNorm = hRaw.agg(sum(col("hraw")).as("s"))
+      hub = hRaw.crossJoin(broadcast(hNorm))
+        .select(col("node"), (col("hraw") / col("s")).as("h"))
+      if (i % 3 == 0 && i < iters) {
+        hub = hub.localCheckpoint(); auth = auth.localCheckpoint()
+      }
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"), round(col("h"), 4).as("hub"),
+        round(col("a"), 4).as("authority"))
+  }
+
   /** Degree-ordered DAG orientation of an undirected edge set: edges are
     * canonicalized (self-loops dropped, both directions collapsed, duplicates
     * removed) and then oriented from the lower-(degree, id) endpoint to the

@@ -100,6 +100,51 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(a.values.sum - 1.0) < 1e-3) // no dangling -> mass conserved
   }
 
+  /** Brute-force HITS reference (dense maps, L1 normalization). */
+  private def hitsRef(edges: Seq[(String, String)],
+                      iters: Int): Map[String, (Double, Double)] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    var h = nodes.map(_ -> 1.0 / nodes.size).toMap
+    var a = h
+    for (_ <- 1 to iters) {
+      val ar = nodes.map(v => v -> e.filter(_._2 == v).map(p => h(p._1)).sum).toMap
+      val as = ar.values.sum
+      a = ar.view.mapValues(_ / as).toMap
+      val hr = nodes.map(v => v -> e.filter(_._1 == v).map(p => a(p._2)).sum).toMap
+      val hs = hr.values.sum
+      h = hr.view.mapValues(_ / hs).toMap
+    }
+    nodes.map(v => v -> ((h(v), a(v)))).toMap
+  }
+
+  test("hits matches the brute-force reference; pure hubs and authorities split") {
+    // bipartite-ish: h1, h2 point at a1, a2, a3; a3 also points back at h1
+    // (so h1 gets authority mass and a3 gets hub mass); plus duplicate edge
+    val edges = Seq(("h1", "a1"), ("h1", "a2"), ("h1", "a3"), ("h2", "a1"),
+      ("h2", "a2"), ("a3", "h1"), ("h1", "a1"))
+    val got = Graph.hits(edges.toDF("src", "dst"), "src", "dst", iters = 3)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = hitsRef(edges, 3)
+    want.foreach { case (v, (h, a)) =>
+      assert(math.abs(got(v)._1 - h) < 1e-3, s"$v hub: got ${got(v)._1} want $h")
+      assert(math.abs(got(v)._2 - a) < 1e-3, s"$v auth: got ${got(v)._2} want $a")
+    }
+    // h1 is the dominant hub; a1/a2 are the dominant authorities; a pure
+    // authority (a1) has zero hub score, and scores L1-normalize
+    assert(got("h1")._1 === got.values.map(_._1).max)
+    assert(got("a1")._1 === 0.0)
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-3)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-3)
+    // repartition-invariant
+    val again = Graph.hits(edges.toDF("src", "dst").repartition(5),
+      "src", "dst", iters = 3)
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again === got)
+  }
+
   test("MMR demotes near-duplicates that pure relevance would rank adjacent") {
     import graft.operators.KnnSearch
     // c1 and c2 are near-identical top candidates; c3 is orthogonal-ish with
