@@ -3397,6 +3397,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-document BLEU-4 (see [[operators.TextEval]]): reference = the
+    // doc's first 64 lowercased tokens, candidate = the same stream with
+    // every 7th token dropped (a deterministic, in-plan degradation that
+    // exercises clipping, partial n-gram precisions, and the brevity
+    // penalty). ZERO shuffles: n-gram extraction and clipped matching are
+    // higher-order array functions inside one codegen'd projection.
+    "eval_bleu" -> ((s, d) => {
+      val toks = slice(TextFunctions.wsTokens(lower(col("text"))), 1, 64)
+      val base = t(s, d, "documents").select(col("doc_id"), toks.as("ref"))
+        .withColumn("cand", filter(col("ref"), (_, i) => (i + 1) % 7 =!= 0))
+      TextEval.bleuPerDoc(base, col("ref"), col("cand"), col("doc_id"))
+        .select(col("id").as("doc_id"), col("ref_len"), col("cand_len"),
+          col("p1"), col("p2"), col("p3"), col("p4"), col("bp"), col("bleu"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-level BLEU over the same pairs: the per-document INTEGER
+    // clipped/total counts aggregate exactly (order-independent map-side
+    // partials), then ONE geometric mean + brevity penalty on the corpus
+    // totals — the standard corpus definition, not a mean of doc scores.
+    "eval_bleu_corpus" -> ((s, d) => {
+      val toks = slice(TextFunctions.wsTokens(lower(col("text"))), 1, 64)
+      val base = t(s, d, "documents").select(col("doc_id"), toks.as("ref"))
+        .withColumn("cand", filter(col("ref"), (_, i) => (i + 1) % 7 =!= 0))
+      TextEval.bleuCorpus(base, col("ref"), col("cand"), col("doc_id"))
+        .select(col("n_docs"), col("ref_len"), col("cand_len"),
+          col("p1"), col("p2"), col("p3"), col("p4"), col("bp"), col("bleu"))
+    }),
+
     // One-pass per-source corpus profile: doc counts, token volume,
     // quality / language mix, short-doc share — one hash aggregation keyed
     // by source (key space = number of sources).
@@ -6447,6 +6476,64 @@ object SparkEntry {
         |FROM h3 h JOIN a3 a ON h.node = a.node ORDER BY source""".stripMargin
   }
 
+  /** eval_bleu / eval_bleu_corpus shared CTEs: per-doc clipped/total n-gram
+    * counts as exact integers (list comprehension over distinct candidate
+    * grams, least(cand count, ref count)); the scoring projection mirrors
+    * TextEval.scored — round-4 precisions, unrounded bp inside the product,
+    * zero when any precision is zero. */
+  private val bleuCountCtes: String = {
+    def gramsOf(l: String, n: Int): String =
+      if (n == 1) l
+      else s"CASE WHEN len($l) >= $n THEN list_transform(generate_series(1, len($l)-${n - 1}), i -> array_to_string($l[i:i+${n - 1}], ' ')) ELSE [] END"
+    val gramCols = (1 to 4).flatMap(n => Seq(
+      s"${gramsOf("ref", n)} AS rg$n", s"${gramsOf("cand", n)} AS cg$n")).mkString(",\n  ")
+    val countCols = (1 to 4).flatMap(n => Seq(
+      s"coalesce(list_sum(list_transform(list_distinct(cg$n), g -> least(len(list_filter(cg$n, x -> x = g)), len(list_filter(rg$n, x -> x = g))))), 0) AS clipped_$n",
+      s"greatest(cand_len - ${n - 1}, 0) AS total_$n")).mkString(",\n  ")
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)[1:64] AS ref FROM documents),
+       |cnd AS (SELECT doc_id, ref, list_filter(ref, (x, i) -> i % 7 <> 0) AS cand FROM w),
+       |gr AS (SELECT doc_id, len(ref) AS ref_len, len(cand) AS cand_len,
+       |  $gramCols
+       |  FROM cnd),
+       |ct AS (SELECT doc_id, ref_len, cand_len,
+       |  $countCols
+       |  FROM gr)""".stripMargin
+  }
+
+  /** The scoring SELECT over a (ref_len, cand_len, clipped_n, total_n)
+    * frame — shared verbatim by the per-doc and corpus BLEU oracles. */
+  private def bleuScoreSelect(src: String, leading: String,
+                              lenType: String): String = {
+    val ps = (1 to 4).map(n =>
+      s"CASE WHEN total_$n > 0 THEN round(CAST(clipped_$n AS DOUBLE) / total_$n, 4) ELSE 0.0 END AS p$n").mkString(",\n  ")
+    val anyZero = (1 to 4).map(n => s"total_$n = 0 OR clipped_$n = 0").mkString(" OR ")
+    val logSum = (1 to 4).map(n => s"ln(CAST(clipped_$n AS DOUBLE) / total_$n)").mkString(" + ")
+    val bpRaw = "CASE WHEN cand_len >= ref_len THEN 1.0 ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / cand_len) END"
+    s"""SELECT $leading, CAST(ref_len AS $lenType) AS ref_len,
+       |  CAST(cand_len AS $lenType) AS cand_len,
+       |  $ps,
+       |  CASE WHEN cand_len > 0 THEN round($bpRaw, 4) ELSE 0.0 END AS bp,
+       |  CASE WHEN cand_len = 0 OR $anyZero THEN 0.0
+       |       ELSE round(($bpRaw) * exp(($logSum) / 4.0), 4) END AS bleu
+       |FROM $src""".stripMargin
+  }
+
+  private val bleuOracleSql: String =
+    bleuCountCtes + "\n" + bleuScoreSelect("ct", "doc_id", "INT") + " ORDER BY doc_id"
+
+  private val bleuCorpusOracleSql: String = {
+    val sums = (1 to 4).flatMap(n => Seq(
+      s"CAST(sum(clipped_$n) AS BIGINT) AS clipped_$n",
+      s"CAST(sum(total_$n) AS BIGINT) AS total_$n")).mkString(",\n  ")
+    bleuCountCtes +
+      s""",
+         |tot AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(ref_len) AS BIGINT) AS ref_len, CAST(sum(cand_len) AS BIGINT) AS cand_len,
+         |  $sums
+         |  FROM ct)
+         |""".stripMargin + bleuScoreSelect("tot", "n_docs", "BIGINT")
+  }
+
   /** Shared by events_volume_anomaly AND its streamed-state twin. */
   /** Shared by events_ewma_trend AND streaming_ewma_trend (batch parity):
     * 8 preceding-day lag terms, dyadic weights, NULL trend on day 1. */
@@ -6649,6 +6736,8 @@ object SparkEntry {
 
     "graph_pagerank_directed" -> pageRankDirectedOracleSql,
     "graph_hits" -> hitsOracleSql,
+    "eval_bleu" -> bleuOracleSql,
+    "eval_bleu_corpus" -> bleuCorpusOracleSql,
     "graph_ppr" -> pprOracleSql,
 
     "embedding_kmeans" -> kmeansOracleSql,

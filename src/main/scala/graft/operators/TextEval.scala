@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-generation evaluation metrics (BLEU family) — the model-eval side
+  * of the training-data pipeline, next to the retrieval metrics
+  * (retrieval_eval_ndcg) and the LM scores (lm_cross_entropy).
+  *
+  * Everything here is computed with higher-order array functions in ONE
+  * row-local projection per document: n-gram extraction, clipped-count
+  * matching, and the precision terms never leave the row, so per-document
+  * BLEU is a zero-shuffle map over the pair table — the shape that scales
+  * to any corpus (no join, no grouping on n-grams). Corpus-level BLEU then
+  * aggregates the per-document INTEGER clipped/total counts (exact,
+  * order-independent sums) and applies the geometric mean once.
+  */
+object TextEval {
+
+  /** Word n-grams of a token array as space-joined strings; empty below n
+    * tokens. Row-local (`transform` over `sequence`). */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Clipped n-gram match count (Papineni et al. 2002): for each DISTINCT
+    * candidate n-gram, min(count in candidate, count in reference), summed.
+    * Row-local: O(|grams|^2) comparisons inside one codegen'd projection —
+    * bounded by the token cap the caller applies, never a shuffle. */
+  private def clippedMatches(candGrams: Column, refGrams: Column): Column =
+    aggregate(array_distinct(candGrams), lit(0),
+      (acc, g) => acc + least(
+        size(filter(candGrams, x => x === g)),
+        size(filter(refGrams, x => x === g))))
+
+  /** Per-document BLEU-`maxN`: modified n-gram precisions p_1..p_maxN,
+    * brevity penalty, and the geometric-mean score. The standard (un-
+    * smoothed) definition: any zero precision zeroes the score. Returns
+    * (id, ref_len, cand_len, clipped_n/total_n per n, p_n per n, bp, bleu)
+    * — the count columns are kept so [[bleuCorpus]] and the oracle can
+    * aggregate the exact integers. */
+  def bleuPerDoc(pairs: DataFrame, refToks: Column, candToks: Column,
+                 idCol: Column, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 4, s"maxN in [1,4], got $maxN")
+    val withCounts = (1 to maxN).foldLeft(
+      pairs.select(idCol.as("id"), refToks.as("__r"), candToks.as("__c"))) {
+      case (df, n) =>
+        df.withColumn(s"clipped_$n", clippedMatches(ngrams(col("__c"), n),
+            ngrams(col("__r"), n)))
+          .withColumn(s"total_$n", greatest(size(col("__c")) - (n - 1), lit(0)))
+    }
+    val base = withCounts
+      .withColumn("ref_len", size(col("__r")))
+      .withColumn("cand_len", size(col("__c")))
+    scored(base, maxN).drop("__r", "__c")
+  }
+
+  /** Corpus BLEU: sum the per-document integer counts (exact,
+    * order-independent), then one brevity penalty + geometric mean over the
+    * corpus totals — the standard corpus-level definition (NOT the mean of
+    * per-document scores). One map-side-partial aggregation. */
+  def bleuCorpus(pairs: DataFrame, refToks: Column, candToks: Column,
+                 idCol: Column, maxN: Int = 4): DataFrame = {
+    val per = bleuPerDoc(pairs, refToks, candToks, idCol, maxN)
+    val sums = (1 to maxN).flatMap(n => Seq(
+      sum(col(s"clipped_$n")).as(s"clipped_$n"),
+      sum(col(s"total_$n")).as(s"total_$n"))) ++ Seq(
+      sum(col("ref_len")).as("ref_len"),
+      sum(col("cand_len")).as("cand_len"),
+      count(lit(1)).as("n_docs"))
+    scored(per.agg(sums.head, sums.tail: _*), maxN)
+  }
+
+  /** Shared precision/BP/score projection over clipped/total/len columns. */
+  private def scored(df: DataFrame, maxN: Int): DataFrame = {
+    val withP = (1 to maxN).foldLeft(df) { case (d, n) =>
+      d.withColumn(s"p$n",
+        when(col(s"total_$n") > 0,
+          round(col(s"clipped_$n").cast("double") / col(s"total_$n"), 4))
+          .otherwise(lit(0.0)))
+    }
+    val anyZero = (1 to maxN).map(n =>
+      col(s"total_$n") === 0 || col(s"clipped_$n") === 0)
+      .reduce(_ || _)
+    val logSum = (1 to maxN).map(n =>
+      log(col(s"clipped_$n").cast("double") / col(s"total_$n")))
+      .reduce(_ + _)
+    val bp = when(col("cand_len") >= col("ref_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        col("ref_len").cast("double") / col("cand_len")))
+    withP
+      .withColumn("bp", when(col("cand_len") > 0, round(bp, 4)).otherwise(lit(0.0)))
+      .withColumn("bleu",
+        when(col("cand_len") === 0 || anyZero, lit(0.0))
+          .otherwise(round(bp * exp(logSum / maxN), 4)))
+  }
+}

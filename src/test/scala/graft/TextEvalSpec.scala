@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextEval
+
+class TextEvalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def pairs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "ref_text", "cand_text")
+      .select(col("doc_id"),
+        split(col("ref_text"), " ").as("ref"),
+        split(col("cand_text"), " ").as("cand"))
+
+  test("bleuPerDoc: clipping caps repeated grams; zero precision zeroes the score") {
+    // the Papineni clipping example: 'the' appears 3x in cand, 2x in ref
+    val df = TextEval.bleuPerDoc(
+      pairs((1L, "the cat is on the mat", "the the the cat mat")),
+      col("ref"), col("cand"), col("doc_id"))
+    val r = df.select($"p1", $"p2", $"p3", $"p4", $"bleu")
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(r._1 === 0.8)   // clipped: the->2, cat->1, mat->1 over 5
+    assert(r._2 === 0.25)  // only 'the cat' of 4 bigrams survives
+    assert(r._3 === 0.0 && r._4 === 0.0)
+    assert(r._5 === 0.0, "any zero precision must zero BLEU")
+  }
+
+  test("bleuPerDoc: identical pair scores 1; pure-prefix pair pays only brevity") {
+    val df = TextEval.bleuPerDoc(
+      pairs((1L, "the cat is on the mat", "the cat is on the mat"),
+            (2L, "the cat is on the mat", "the cat is on")),
+      col("ref"), col("cand"), col("doc_id")).orderBy($"id")
+    val rows = df.select($"id", $"p1", $"p4", $"bp", $"bleu")
+      .as[(Long, Double, Double, Double, Double)].collect()
+    assert(rows(0) === ((1L, 1.0, 1.0, 1.0, 1.0)))
+    // prefix: all precisions 1, bp = exp(1 - 6/4)
+    val bp = math.round(math.exp(1.0 - 6.0 / 4.0) * 1e4) / 1e4
+    assert(rows(1)._2 === 1.0 && rows(1)._3 === 1.0)
+    assert(rows(1)._4 === bp && rows(1)._5 === bp)
+  }
+
+  test("bleuCorpus: aggregates counts, not doc scores; empty candidate handled") {
+    val p = pairs(
+      (1L, "a b c d e", "a b c d e"),     // perfect
+      (2L, "a b c d e", "x y z w v"))     // zero overlap
+    val corpus = TextEval.bleuCorpus(p, col("ref"), col("cand"), col("doc_id"))
+      .select($"n_docs", $"ref_len", $"cand_len", $"p1", $"bleu")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(corpus._1 === 2L && corpus._2 === 10L && corpus._3 === 10L)
+    assert(corpus._4 === 0.5) // 5 clipped of 10 — counts pooled before dividing
+    // corpus p4 = 2/4 > 0 so corpus BLEU is positive even though doc 2 is 0
+    assert(corpus._5 > 0.0)
+    // mean of per-doc scores would be 0.5; corpus-BLEU must differ (geometric
+    // pooling): here exp(mean ln p_n) with p = (.5,.5,.667... no—counts pool)
+    val perDoc = TextEval.bleuPerDoc(p, col("ref"), col("cand"), col("doc_id"))
+      .select($"bleu").as[Double].collect()
+    assert(perDoc.sorted.toSeq === Seq(0.0, 1.0))
+    // empty candidate: zero everything, no division error
+    val e = TextEval.bleuPerDoc(
+      pairs((9L, "a b", "")).withColumn("cand", array().cast("array<string>")),
+      col("ref"), col("cand"), col("doc_id"))
+      .select($"bp", $"bleu").as[(Double, Double)].head()
+    assert(e === ((0.0, 0.0)))
+  }
+}
