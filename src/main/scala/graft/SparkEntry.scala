@@ -3356,6 +3356,48 @@ object SparkEntry {
         (hAdj > crit).as("reject"))
     }),
 
+    // Benjamini–Hochberg FDR correction (see [[StatsOps.bhFdr]]) over the
+    // multiple-testing family every monitoring dashboard silently runs:
+    // each (event_type, weekday) cell Welch-z-tested against the rest of
+    // the stream (sufficient statistics only — n, Σv, Σv² per cell, rest =
+    // global − cell), two-sided p via the logistic probit approximation
+    // 2/(1+exp(1.702·|z|)) (portable: exp in both engines, no erf needed),
+    // then the BH step-up at q=0.1. The hypothesis table is cell-count
+    // sized, so the rank window and cutoff aggregate never touch the
+    // corpus. weekday = Monday-0 (Spark weekday ≡ DuckDB isodow-1).
+    // The near-uniform synthetic stream would accept every cell, leaving
+    // the step-up's reject branch untested at the gate — so one cell
+    // (purchase Mondays) carries a planted +75% shift (the phash-mutant
+    // discipline: the fixture keeps BOTH decision branches provably live).
+    "stats_bh_fdr" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type"),
+        weekday(col("ts")).as("dow"),
+        (col("value").cast("double") *
+          when(col("event_type") === "purchase" && weekday(col("ts")) === 0,
+            1.75).otherwise(1.0)).as("v"))
+      val cell = ev.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("v")).as("s1"), sum(col("v") * col("v")).as("s2"))
+      val tot = cell.agg(sum(col("n")).as("tn"), sum(col("s1")).as("ts1"),
+        sum(col("s2")).as("ts2"))
+      val withRest = cell.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("dow"), col("n"),
+          (col("s1") / col("n")).as("mc"),
+          ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("vc"),
+          ((col("ts1") - col("s1")) / (col("tn") - col("n"))).as("mr"),
+          (((col("ts2") - col("s2")) -
+            (col("ts1") - col("s1")) * (col("ts1") - col("s1")) / (col("tn") - col("n"))) /
+            (col("tn") - col("n") - 1)).as("vr"),
+          (col("tn") - col("n")).as("nr"))
+      val z = (col("mc") - col("mr")) /
+        sqrt(col("vc") / col("n") + col("vr") / col("nr"))
+      val tests = withRest.select(col("event_type"), col("dow"),
+        col("n").cast("long").as("n"),
+        round(lit(2.0) / (lit(1.0) + exp(lit(1.702) * abs(z))), 6).as("p"))
+      StatsOps.bhFdr(tests, "p", Seq("event_type", "dow"), q = 0.1)
+        .orderBy(col("rank"))
+    }),
+
     // Perceptual-hash near-dup pairs (see [[graft.multimodal.PerceptualHash]]):
     // dHash over the image payloads + planted 1-byte mutants (media_id +
     // 1e6, replayable as 'x' || substr(text, 2)); candidates via the
@@ -8755,6 +8797,29 @@ object SparkEntry {
         |    CASE WHEN k = 2 THEN 3.841 WHEN k = 3 THEN 5.991
         |         WHEN k = 4 THEN 7.815 WHEN k = 5 THEN 9.488 ELSE 11.07 END AS reject
         |FROM f""".stripMargin,
+
+    "stats_bh_fdr" ->
+      """WITH ev AS (SELECT event_type, CAST(isodow(ts) - 1 AS INT) AS dow,
+        |  CAST(value AS DOUBLE) * (CASE WHEN event_type = 'purchase' AND isodow(ts) - 1 = 0 THEN 1.75 ELSE 1.0 END) AS v
+        |  FROM events),
+        |cell AS (SELECT event_type, dow, CAST(count(*) AS DOUBLE) AS n, sum(v) AS s1, sum(v * v) AS s2 FROM ev GROUP BY 1, 2),
+        |tot AS (SELECT sum(n) AS tn, sum(s1) AS ts1, sum(s2) AS ts2 FROM cell),
+        |tz AS (SELECT event_type, dow, n, s1 / n AS mc,
+        |         (s2 - s1 * s1 / n) / (n - 1) AS vc,
+        |         (ts1 - s1) / (tn - n) AS mr,
+        |         ((ts2 - s2) - (ts1 - s1) * (ts1 - s1) / (tn - n)) / (tn - n - 1) AS vr,
+        |         tn - n AS nr
+        |       FROM cell, tot),
+        |tests AS (SELECT event_type, dow, CAST(n AS BIGINT) AS n,
+        |    round(2.0 / (1.0 + exp(1.702 * abs((mc - mr) / sqrt(vc / n + vr / nr)))), 6) AS p
+        |  FROM tz),
+        |mm AS (SELECT count(*) AS m FROM tests),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY p, event_type, dow) AS rank FROM tests),
+        |cut AS (SELECT coalesce(max(CASE WHEN p <= rank * 0.1 / mm.m THEN rank END), 0) AS cut FROM rk, mm)
+        |SELECT event_type, dow, n, p, CAST(rank AS INT) AS rank,
+        |  round(rank * 0.1 / mm.m, 6) AS bh_critical,
+        |  rank <= cut.cut AS reject
+        |FROM rk, mm, cut ORDER BY rank""".stripMargin,
 
     "stats_spearman" ->
       """WITH li AS (SELECT l_quantity AS q, l_extendedprice AS p FROM lineitem),

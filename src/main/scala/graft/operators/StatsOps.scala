@@ -297,4 +297,35 @@ object StatsOps {
         round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
         round(col("n_ab") * lit(nBaskets) / (col("n_a") * col("n_b")), 6).as("lift"))
   }
+
+  /** Benjamini–Hochberg step-up FDR correction over a family of m
+    * hypotheses (one row each, a precomputed p-value column): rank p
+    * ascending, find the LARGEST rank k with p_(k) <= k/m * q, reject
+    * hypotheses ranked 1..k. The step-up cutoff is what distinguishes BH
+    * from a naive per-row threshold: a hypothesis with p above its own
+    * critical value is still rejected when a later rank passes.
+    *
+    * `tieCols` break p-value ties so ranks are total and deterministic.
+    * Scale shape: the input is a HYPOTHESIS table (one row per test —
+    * model-sized, never the underlying data), so the rank window over m
+    * rows and the one-row cutoff aggregate (re-entering via broadcast
+    * cross join) are both bounded by the number of tests, not the corpus.
+    * Returns the input columns + (rank, bh_critical, reject). */
+  def bhFdr(tests: DataFrame, pCol: String, tieCols: Seq[String],
+            q: Double): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q in (0,1), got $q")
+    val w = Window.orderBy(col(pCol) +: tieCols.map(col): _*)
+    val m = tests.count()
+    require(m > 0, "bhFdr needs at least one hypothesis")
+    val ranked = tests
+      .withColumn("rank", row_number().over(w))
+      .withColumn("bh_critical",
+        round(col("rank").cast("double") * q / m, 6))
+    val cutoff = ranked
+      .agg(coalesce(max(when(col(pCol) <= col("rank") * lit(q) / m,
+        col("rank"))), lit(0)).as("__cut"))
+    ranked.crossJoin(broadcast(cutoff))
+      .withColumn("reject", col("rank") <= col("__cut"))
+      .drop("__cut")
+  }
 }

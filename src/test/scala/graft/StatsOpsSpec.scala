@@ -188,4 +188,27 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(out.getDouble(2) === 0.0)
     assert(out.getDate(1).toString === "2024-02-01") // all-zero stats: earliest day
   }
+
+  test("bhFdr step-up: a hypothesis failing its own critical value is still " +
+      "rejected when a later rank passes") {
+    // m=3, q=0.1: criticals 1/30, 2/30, 3/30. p1=0.05 fails its own
+    // critical, but p3=0.09 <= 0.1 passes -> the step-up rejects ALL three.
+    val tests = Seq(("a", 0.05), ("b", 0.06), ("c", 0.09)).toDF("hyp", "p")
+    val out = StatsOps.bhFdr(tests, "p", Seq("hyp"), q = 0.1)
+      .orderBy($"rank").select($"hyp", $"rank", $"reject")
+      .as[(String, Int, Boolean)].collect().toSeq
+    assert(out === Seq(("a", 1, true), ("b", 2, true), ("c", 3, true)))
+    // and when no rank passes its critical value, nothing is rejected
+    val none = Seq(("a", 0.06), ("b", 0.11)).toDF("hyp", "p")
+    val out2 = StatsOps.bhFdr(none, "p", Seq("hyp"), q = 0.1)
+      .select($"reject").as[Boolean].collect().toSeq
+    assert(out2 === Seq(false, false))
+    // mixed case: only the prefix up to the last passing rank is rejected
+    val mixed = Seq(("a", 0.001), ("b", 0.5), ("c", 0.6), ("d", 0.7))
+      .toDF("hyp", "p")
+    val out3 = StatsOps.bhFdr(mixed, "p", Seq("hyp"), q = 0.1)
+      .orderBy($"rank").select($"hyp", $"reject")
+      .as[(String, Boolean)].collect().toSeq
+    assert(out3 === Seq(("a", true), ("b", false), ("c", false), ("d", false)))
+  }
 }
