@@ -3486,6 +3486,28 @@ object SparkEntry {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // Bloom-filter membership dedup (see [[BloomSketch]]): build the m=1024
+    // k=4 filter over the reference third of the corpus (doc_id % 3 == 0,
+    // 8-word-prefix fingerprints — the decontamination key), probe the
+    // rest, and report each probe's bloom verdict NEXT TO exact truth so
+    // the gate pins both the no-false-negative guarantee and the exact
+    // false-positive pattern of the portable hash. m deliberately small so
+    // collisions are LIVE at gate scale (the planted-branch discipline).
+    "dedup_bloom_filter" -> ((s, d) => {
+      val fp = md5(array_join(
+        slice(TextFunctions.wsTokens(lower(col("text"))), 1, 8), " "))
+      val docs = t(s, d, "documents").select(col("doc_id"), fp.as("fp"))
+      val ref = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+      val probes = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      val bits = BloomSketch.build(ref, col("fp"), k = 4, m = 1024)
+      val probed = BloomSketch.probe(probes, col("fp"), bits, k = 4, m = 1024)
+      probed.join(ref.select(col("fp")).distinct()
+          .withColumn("is_dup", lit(true)), Seq("fp"), "left")
+        .select(col("doc_id"), col("bloom_hit"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cluster-size histogram over the trigram-jaccard dedup clusters: is
     // duplication a long tail of pairs or a few megaclusters? Two
     // metadata-keyed aggregations after the pair/CC stages.
@@ -7954,6 +7976,18 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(ws) - len(kept) AS INT) AS n_removed,
         |  coalesce(array_to_string(kept, ' '), '') AS text_clean
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    "dedup_bloom_filter" ->
+      s"""WITH d AS (SELECT doc_id, md5(coalesce(array_to_string(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)[1:8], ' '), '')) AS fp FROM documents),
+         |r AS (SELECT DISTINCT fp FROM d WHERE doc_id % 3 = 0),
+         |p AS (SELECT doc_id, fp FROM d WHERE doc_id % 3 <> 0),
+         |rh AS (SELECT md5(fp || '#' || CAST(j AS VARCHAR)) AS h FROM r CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) jj),
+         |bits AS (SELECT DISTINCT (${hexToBigintSql("h", 1)}) % 1024 AS pos FROM rh),
+         |ph AS (SELECT doc_id, fp, md5(fp || '#' || CAST(j AS VARCHAR)) AS h FROM p CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) jj),
+         |pp AS (SELECT doc_id, fp, (${hexToBigintSql("h", 1)}) % 1024 AS pos FROM ph),
+         |hit AS (SELECT doc_id, fp, bool_and(pos IN (SELECT pos FROM bits)) AS bloom_hit FROM pp GROUP BY 1, 2)
+         |SELECT doc_id, bloom_hit, fp IN (SELECT fp FROM r) AS is_dup
+         |FROM hit ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_lsh" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
