@@ -3439,6 +3439,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Interpolated Kneser–Ney bigram cross-entropy (see
+    // [[LangModel.knCrossEntropy]]) — the KenLM-default smoothing next to
+    // the add-alpha baseline: absolute discount 0.75 with continuation-
+    // count backoff, all four statistics exact integers off ONE aggregated
+    // bigram table. Oracle replays train + score end to end.
+    "lm_kneser_ney" -> ((s, d) => {
+      LangModel.knCrossEntropy(t(s, d, "documents"), "text", "doc_id",
+        discount = 0.75)
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-document BLEU-4 (see [[operators.TextEval]]): reference = the
     // doc's first 64 lowercased tokens, candidate = the same stream with
     // every 7th token dropped (a deterministic, in-plan degradation that
@@ -9291,6 +9302,24 @@ object SparkEntry {
         |       FROM bg b JOIN bc USING (bg) JOIN cc ON split_part(b.bg, ' ', 1) = cc.w1 CROSS JOIN v
         |       GROUP BY b.doc_id)
         |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.cross_entropy
+        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "lm_kneser_ney" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])) AS bg
+        |       FROM w WHERE len(ws) >= 2),
+        |bc AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+        |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1f FROM bc GROUP BY 1),
+        |cont AS (SELECT split_part(bg, ' ', 2) AS w2, count(*) AS nctx FROM bc GROUP BY 1),
+        |bt AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM bc),
+        |sc AS (SELECT g.doc_id, count(*) AS n_bigrams,
+        |       round(avg(-ln((bc.c12 - 0.75) / ctx.c1 + 0.75 * ctx.n1f / ctx.c1 * (cont.nctx / bt.b))), 4) AS kn_entropy
+        |       FROM bg g JOIN bc USING (bg)
+        |       JOIN ctx ON split_part(g.bg, ' ', 1) = ctx.w1
+        |       JOIN cont ON split_part(g.bg, ' ', 2) = cont.w2
+        |       CROSS JOIN bt
+        |       GROUP BY g.doc_id)
+        |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.kn_entropy
         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Per-source profile: replays tokenCountWs + qualityScore + langId

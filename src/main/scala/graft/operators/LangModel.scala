@@ -83,6 +83,68 @@ object LangModel {
         col("cross_entropy"))
   }
 
+  /** Interpolated Kneser–Ney bigram cross-entropy per document (Kneser &
+    * Ney 1995; Chen & Goodman 1999's interpolated form) — the smoothing
+    * real LM toolchains (KenLM, SRILM) default to, next to the add-alpha
+    * baseline above:
+    *
+    *   P(w2|w1) = max(c(w1 w2) - D, 0)/c(w1 ·)
+    *            + D · N1+(w1 ·)/c(w1 ·) · N1+(· w2)/N1+(· ·)
+    *
+    * where D = `discount`, N1+(w1 ·) = distinct continuations of w1,
+    * N1+(· w2) = distinct contexts w2 follows (the continuation count that
+    * makes "Francisco" cheap despite its unigram frequency), N1+(· ·) =
+    * total bigram types. Scoring the training corpus itself means every
+    * scored bigram has c >= 1 and every context exists, so the max(·,0)
+    * and unseen-context branches never truncate — all four statistics are
+    * exact integers and the probability is a deterministic double.
+    *
+    * Same scale shape as [[bigramCrossEntropy]]: all three model tables
+    * derive from the ONE aggregated bigram-count table (no second corpus
+    * pass), scoring joins the bigram stream against vocabulary-sized model
+    * tables on the ngram key, and the type total travels as a broadcast
+    * one-row relation.
+    *
+    * Output: idCol, n_bigrams (0 for <2-token docs), kn_entropy
+    * (round-4 mean -ln P, NULL when n_bigrams = 0). */
+  def knCrossEntropy(df: DataFrame, textCol: String, idCol: String,
+                     discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount in (0,1), got $discount")
+    val id = col(idCol)
+    val ws = TextFunctions.wsTokens(lower(col(textCol)))
+    val toks = df.select(id, ws.as("ws"))
+    val bigrams = zip_with(
+      slice(col("ws"), lit(1), size(col("ws")) - 1),
+      slice(col("ws"), lit(2), size(col("ws")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val bgl = toks.where(size(col("ws")) >= 2)
+      .select(id, explode(bigrams).as("bg"))
+    val bgCounts = bgl.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val ctx = bgCounts
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val cont = bgCounts
+      .groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("nctx"))
+    val types = bgCounts.agg(count(lit(1)).cast("double").as("b"))
+    val p = (col("c12") - lit(discount)) / col("c1") +
+      lit(discount) * col("n1f") / col("c1") * (col("nctx") / col("b"))
+    val perDoc = bgl
+      .join(bgCounts, "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(ctx, "w1")
+      .join(cont, "w2")
+      .crossJoin(broadcast(types))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(p)), 4).as("kn_entropy"))
+    df.select(id).join(perDoc, Seq(idCol), "left")
+      .select(id, coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("kn_entropy"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2302.03169: Data Selection
     * via Importance Resampling): score every raw document by how much more
     * likely its HASHED bigram features are under the target distribution

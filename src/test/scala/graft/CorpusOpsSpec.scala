@@ -111,6 +111,49 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(0)._3.get < got(2)._3.get)
   }
 
+  test("Kneser-Ney cross-entropy matches a brute-force interpolated-KN model") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran"),
+      (3L, "san francisco san francisco"), // 'francisco' follows ONE context
+      (4L, "single"),
+      (5L, "the cat sat on the mat"))
+    val d = 0.75
+    val tokens = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+    val allBigrams = tokens.flatMap { case (_, ws) =>
+      ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")) }
+    val bgCount = allBigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctxC = bgCount.groupBy(_._1.split(" ")(0)).view.mapValues(_.values.sum).toMap
+    val ctxN = bgCount.groupBy(_._1.split(" ")(0)).view.mapValues(_.size).toMap
+    val contN = bgCount.groupBy(_._1.split(" ")(1)).view.mapValues(_.size).toMap
+    val types = bgCount.size.toDouble
+    def xent(ws: Seq[String]): Option[Double] = {
+      val bgs = ws.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      if (bgs.isEmpty) None
+      else {
+        val nll = bgs.map { bg =>
+          val Array(w1, w2) = bg.split(" ")
+          val p = (bgCount(bg) - d) / ctxC(w1) +
+            d * ctxN(w1) / ctxC(w1) * (contN(w2) / types)
+          -math.log(p)
+        }
+        Some(BigDecimal(nll.sum / nll.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    val got = LangModel.knCrossEntropy(docs.toDF("doc_id", "text"), "text", "doc_id", d)
+      .select($"doc_id", $"n_bigrams", $"kn_entropy")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    for ((id, ws) <- tokens) {
+      val (_, nBg, ce) = got(id.toInt - 1)
+      assert(nBg === math.max(ws.length - 1, 0), s"doc $id n_bigrams")
+      assert(ce === xent(ws), s"doc $id kn_entropy")
+    }
+    assert(got(0)._3 === got(4)._3) // identical docs score identically
+    assert(got(3)._3.isEmpty && got(3)._2 === 0L) // 1-token doc: no bigrams
+  }
+
   test("cross-entropy is invariant under repartitioning (deterministic aggregation)") {
     val docs = (1L to 40L).map(i => (i, s"alpha b$i gamma alpha b${i % 7} delta")).toDF("doc_id", "text")
     val a = LangModel.bigramCrossEntropy(docs, "text", "doc_id")
