@@ -5550,6 +5550,41 @@ object SparkEntry {
         .orderBy(col("is_en"))
     }),
 
+    // Calibration audit of the trained logreg (reliability diagram +
+    // expected calibration error): probabilities into 10 equal-width bins,
+    // per-bin mean confidence vs observed positive rate, ECE = the
+    // n-weighted mean absolute gap (one-row aggregate re-entering via
+    // cross join — the bin table is 10 rows, never the corpus). A model
+    // kept by the pipeline should not just rank well (logloss, above) but
+    // mean what it says when it outputs 0.8 — this is the query that
+    // catches the difference.
+    "classifier_calibration_ece" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val comps = graft.functions.Embedder
+        .hashedComponents(docs, "text", "doc_id", dim = 64).localCheckpoint()
+      val w = QualityClassifier.trainLogReg(docs, "text", "doc_id",
+        label = col("lang") === "en", steps = 3, precomputed = Some(comps))
+      val scoredDf = QualityClassifier.score(docs, "text", "doc_id",
+          weights = Some(w), precomputed = Some(comps))
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("double").as("y")), Seq("doc_id"))
+      val bins = scoredDf
+        .withColumn("bin",
+          least(floor(col("quality_prob") * 10), lit(9L)).cast("int"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("quality_prob")), 4).as("mean_conf"),
+          round(avg(col("y")), 4).as("frac_pos"))
+      val ece = bins.crossJoin(broadcast(
+          bins.agg(sum(col("n")).cast("double").as("nn"))))
+        .agg(round(sum(col("n") * abs(col("frac_pos") - col("mean_conf"))) /
+          first(col("nn")), 6).as("ece"))
+      bins.crossJoin(broadcast(ece))
+        .select(col("bin"), col("n"), col("mean_conf"), col("frac_pos"),
+          col("ece"))
+        .orderBy(col("bin"))
+    }),
+
     // Retrieval evaluation of the BINARY tier (mirror of
     // retrieval_eval_ndcg, which audits LSH): nDCG@10 / MRR / hit count of
     // the Hamming-sweep+rerank ranking against exact ground truth, both
@@ -10288,6 +10323,23 @@ object SparkEntry {
          |  round(avg(p), 4) AS mean_p,
          |  round(avg(-y * ln(p) - (1.0 - y) * ln(1.0 - p)), 4) AS logloss
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same scored chain (pv), binned to the reliability diagram + ECE.
+    "classifier_calibration_ece" ->
+      s"""$logregOracleCtes,
+         |sms AS (SELECT c.id, sum(CAST(round(c.component * w.w * 1e10) AS BIGINT)) AS s
+         |        FROM comp c JOIN w3 w USING (bucket) GROUP BY c.id),
+         |sm AS (SELECT id, CAST(CASE WHEN s >= 0 THEN (s + 5000) // 10000
+         |                            ELSE -((-s + 5000) // 10000) END AS DOUBLE) / 1e6 AS m
+         |       FROM sms),
+         |pv AS (SELECT id, round(1.0 / (1.0 + exp(-m)), 4) AS p FROM sm),
+         |j AS (SELECT pv.p, l.y FROM pv JOIN lbl l USING (id)),
+         |b AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, count(*) AS n,
+         |             round(avg(p), 4) AS mean_conf, round(avg(y), 4) AS frac_pos
+         |      FROM j GROUP BY 1),
+         |e AS (SELECT round(sum(n * abs(frac_pos - mean_conf)) /
+         |               (SELECT CAST(sum(n) AS DOUBLE) FROM b), 6) AS ece FROM b)
+         |SELECT bin, n, mean_conf, frac_pos, e.ece FROM b, e ORDER BY bin""".stripMargin,
 
     // Binary chain (rr) + exact ground truth + eval metrics.
     "retrieval_eval_binary" ->
