@@ -3417,6 +3417,25 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // SymSpell spell correction (see [[SpellCorrect]]): dictionary = corpus
+    // terms with freq >= 2 and length 3..20; queries = the 50 most frequent
+    // terms with their 2nd character deleted (a deterministic, in-plan
+    // misspelling — the oracle re-derives it). Candidates come from the
+    // symmetric-delete hash join, never an all-pairs edit distance; exact
+    // levenshtein verifies and (distance, freq desc, term) ranks top-3.
+    "text_spell_correct" -> ((s, d) => {
+      val vocab = t(s, d, "documents")
+        .select(explode(TextFunctions.wsTokens(lower(col("text")))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        .where(col("freq") >= 2 && length(col("term")).between(3, 20))
+      val qs = vocab.orderBy(col("freq").desc, col("term")).limit(50)
+        .select(concat(col("term").substr(lit(1), lit(1)),
+          col("term").substr(lit(3), length(col("term")) - 2)).as("query_term"))
+        .distinct()
+      SpellCorrect.correct(vocab, "term", "freq", qs, "query_term", n = 3)
+        .orderBy(col("query_term"), col("rank"))
+    }),
+
     // ------------- corpus LM / profiling / overlap-chunking -------------
 
     // Sliding-window chunking with overlap (window 48 words, stride 32 —
@@ -9338,6 +9357,27 @@ object SparkEntry {
         |       GROUP BY b.doc_id)
         |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.cross_entropy
         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "text_spell_correct" ->
+      """WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term FROM documents),
+        |v AS (SELECT term, count(*) AS freq FROM tok GROUP BY 1
+        |      HAVING count(*) >= 2 AND len(term) BETWEEN 3 AND 20),
+        |q AS (SELECT DISTINCT substr(term, 1, 1) || substr(term, 3, len(term) - 2) AS query_term
+        |      FROM (SELECT term FROM v ORDER BY freq DESC, term LIMIT 50) t),
+        |vk AS (SELECT term, freq,
+        |         unnest(list_distinct(list_append(list_transform(generate_series(1, len(term)),
+        |           i -> substr(term, 1, i - 1) || substr(term, i + 1, len(term) - i)), term))) AS key
+        |       FROM v),
+        |qk AS (SELECT query_term,
+        |         unnest(list_distinct(list_append(list_transform(generate_series(1, len(query_term)),
+        |           i -> substr(query_term, 1, i - 1) || substr(query_term, i + 1, len(query_term) - i)), query_term))) AS key
+        |       FROM q),
+        |cand AS (SELECT DISTINCT query_term, term, freq FROM qk JOIN vk USING (key)),
+        |ver AS (SELECT query_term, term, freq, CAST(levenshtein(query_term, term) AS INT) AS distance
+        |        FROM cand WHERE levenshtein(query_term, term) <= 1),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_term ORDER BY distance, freq DESC, term) AS INT) AS rank FROM ver)
+        |SELECT query_term, term AS suggestion, distance, freq, rank
+        |FROM rk WHERE rank <= 3 ORDER BY query_term, rank""".stripMargin,
 
     "lm_kneser_ney" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
