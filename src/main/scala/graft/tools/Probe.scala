@@ -1,9 +1,9 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, RangeJoin, SimilaritySearch}
+import graft.operators.{Dedup, EntityResolution, RangeJoin, SimilaritySearch}
 
 /** Ad-hoc profiling/evidence mains (not part of the driver contract).
   * `runMain graft.tools.Probe minhash <sfDir>`   — stage-by-stage timings
@@ -317,6 +317,52 @@ object Probe {
             else exact.intersect(found).size.toDouble / exact.size
           println(f"deduplsh b=$bits L=$tabs,$th%.2f,${exact.size}%d,$rec%.3f,${nc / allPairs}%.3f")
         }
+
+      case "ergolden" =>
+        // Stage-by-stage cost of er_golden_record (the battery's most
+        // expensive query): fixture build, capped candidate generation,
+        // Jaro-Winkler verify, connected components, final fold.
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val ws0 = split(col("text"), " ")
+        val base = docs.where(col("text").isNotNull && size(ws0) >= 3)
+          .select(col("doc_id"), ws0.as("ws"))
+        val cleanName = array_join(slice(col("ws"), 1, 3), " ")
+        val dirtyName = when(col("doc_id") % 3 === 0,
+            concat_ws(" ", element_at(col("ws"), 2), element_at(col("ws"), 1),
+              element_at(col("ws"), 3)))
+          .when(col("doc_id") % 3 === 1,
+            expr("substring(concat_ws(' ', ws[0], ws[1], ws[2]), 1, length(concat_ws(' ', ws[0], ws[1], ws[2])) - 1)"))
+          .otherwise(cleanName)
+        val dirty = base.select(col("doc_id").as("id"), dirtyName.as("name"))
+        val clean = base.select(col("doc_id").as("id"), cleanName.as("name"))
+        val fkc: Column => Column = c => element_at(split(c, " "), 1)
+        val lkc: Column => Column = c => element_at(split(c, " "), -1)
+        def timed[T](label: String)(f: => T): T = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"$label%-22s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+        }
+        timed("fixture count")(dirty.count() + clean.count())
+        val pairs = EntityResolution.candidatePairs(dirty, clean, "id", "name",
+          Seq(fkc, lkc)).localCheckpoint()
+        timed("candidatePairs")(println(s"  pairs=${pairs.count()}"))
+        val verified = pairs
+          .where(round(EntityResolution.jaroWinklerUdf(
+              col("dirty_name"), col("clean_name")), 4) >= 0.85 &&
+            col("dirty_id") =!= col("clean_id"))
+          .select(col("dirty_id").as("id1"), col("clean_id").as("id2"))
+          .localCheckpoint()
+        timed("jaro-winkler verify")(println(s"  matches=${verified.count()}"))
+        val cc = timed("connectedComponents")(
+          Dedup.connectedComponents(verified).localCheckpoint())
+        timed("final fold")(cc.groupBy(col("comp")).count().count())
+        timed("cc again (warm)")(
+          Dedup.connectedComponents(verified).count())
+        for (parts <- Seq("8", "4")) {
+          spark.conf.set("spark.sql.shuffle.partitions", parts)
+          timed(s"cc at $parts partitions")(
+            Dedup.connectedComponents(verified).count())
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", cpus)
 
       case "lev" =>
         // Stage-by-stage cost of the banded-Levenshtein near-dup at this SF:
