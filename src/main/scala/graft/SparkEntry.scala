@@ -3485,6 +3485,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-document ROUGE-1/ROUGE-2 (recall/precision/F1) over the same
+    // degraded-candidate pairs as eval_bleu — the recall-oriented
+    // complement (see [[operators.TextEval.rougePerDoc]]); candidate
+    // bigrams that straddle a dropped token don't exist in the reference,
+    // so precision < 1 and the clipping is live in both directions.
+    "eval_rouge" -> ((s, d) => {
+      val toks = slice(TextFunctions.wsTokens(lower(col("text"))), 1, 64)
+      val base = t(s, d, "documents").select(col("doc_id"), toks.as("ref"))
+        .withColumn("cand", filter(col("ref"), (_, i) => (i + 1) % 7 =!= 0))
+      TextEval.rougePerDoc(base, col("ref"), col("cand"), col("doc_id"))
+        .select(col("id").as("doc_id"), col("ref_len"), col("cand_len"),
+          col("rouge1_recall"), col("rouge1_precision"), col("rouge1_f1"),
+          col("rouge2_recall"), col("rouge2_precision"), col("rouge2_f1"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus-level BLEU over the same pairs: the per-document INTEGER
     // clipped/total counts aggregate exactly (order-independent map-side
     // partials), then ONE geometric mean + brevity penalty on the corpus
@@ -6618,7 +6634,8 @@ object SparkEntry {
       s"${gramsOf("ref", n)} AS rg$n", s"${gramsOf("cand", n)} AS cg$n")).mkString(",\n  ")
     val countCols = (1 to 4).flatMap(n => Seq(
       s"coalesce(list_sum(list_transform(list_distinct(cg$n), g -> least(len(list_filter(cg$n, x -> x = g)), len(list_filter(rg$n, x -> x = g))))), 0) AS clipped_$n",
-      s"greatest(cand_len - ${n - 1}, 0) AS total_$n")).mkString(",\n  ")
+      s"greatest(cand_len - ${n - 1}, 0) AS total_$n",
+      s"greatest(ref_len - ${n - 1}, 0) AS rtotal_$n")).mkString(",\n  ")
     s"""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)[1:64] AS ref FROM documents),
        |cnd AS (SELECT doc_id, ref, list_filter(ref, (x, i) -> i % 7 <> 0) AS cand FROM w),
        |gr AS (SELECT doc_id, len(ref) AS ref_len, len(cand) AS cand_len,
@@ -6649,6 +6666,21 @@ object SparkEntry {
 
   private val bleuOracleSql: String =
     bleuCountCtes + "\n" + bleuScoreSelect("ct", "doc_id", "INT") + " ORDER BY doc_id"
+
+  /** eval_rouge oracle: recall/precision/F1 off the same clipped/total
+    * CTEs as BLEU, plus the reference-side totals. */
+  private val rougeOracleSql: String = {
+    val cols = Seq(1, 2).flatMap { n =>
+      val r = s"CAST(clipped_$n AS DOUBLE) / rtotal_$n"
+      val p = s"CAST(clipped_$n AS DOUBLE) / total_$n"
+      Seq(
+        s"CASE WHEN rtotal_$n > 0 THEN round($r, 4) ELSE 0.0 END AS rouge${n}_recall",
+        s"CASE WHEN total_$n > 0 THEN round($p, 4) ELSE 0.0 END AS rouge${n}_precision",
+        s"CASE WHEN rtotal_$n > 0 AND total_$n > 0 AND clipped_$n > 0 THEN round(2.0 * ($r) * ($p) / (($r) + ($p)), 4) ELSE 0.0 END AS rouge${n}_f1")
+    }.mkString(",\n  ")
+    bleuCountCtes +
+      s"\nSELECT doc_id, CAST(ref_len AS INT) AS ref_len, CAST(cand_len AS INT) AS cand_len,\n  $cols\nFROM ct ORDER BY doc_id"
+  }
 
   private val bleuCorpusOracleSql: String = {
     val sums = (1 to 4).flatMap(n => Seq(
@@ -6867,6 +6899,7 @@ object SparkEntry {
     "graph_hits" -> hitsOracleSql,
     "eval_bleu" -> bleuOracleSql,
     "eval_bleu_corpus" -> bleuCorpusOracleSql,
+    "eval_rouge" -> rougeOracleSql,
     "graph_ppr" -> pprOracleSql,
 
     "embedding_kmeans" -> kmeansOracleSql,

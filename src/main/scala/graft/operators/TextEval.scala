@@ -57,6 +57,42 @@ object TextEval {
     scored(base, maxN).drop("__r", "__c")
   }
 
+  /** Per-document ROUGE-N (Lin 2004, the recall-oriented complement of
+    * BLEU): for each n, recall = clipped matches / reference n-gram count,
+    * precision = clipped matches / candidate n-gram count, F1 their
+    * harmonic mean — the same row-local clipped-count machinery as
+    * [[bleuPerDoc]], zero shuffles. Returns (id, ref_len, cand_len) plus
+    * (rouge{n}_recall, rouge{n}_precision, rouge{n}_f1) per requested n,
+    * all round-4, zero when the relevant gram count is zero. */
+  def rougePerDoc(pairs: DataFrame, refToks: Column, candToks: Column,
+                  idCol: Column, ns: Seq[Int] = Seq(1, 2)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 4))
+    val base = ns.foldLeft(
+      pairs.select(idCol.as("id"), refToks.as("__r"), candToks.as("__c"))) {
+      case (df, n) =>
+        df.withColumn(s"__m$n", clippedMatches(ngrams(col("__c"), n),
+            ngrams(col("__r"), n)))
+          .withColumn(s"__rt$n", greatest(size(col("__r")) - (n - 1), lit(0)))
+          .withColumn(s"__ct$n", greatest(size(col("__c")) - (n - 1), lit(0)))
+    }
+    val scored = ns.foldLeft(base) { case (df, n) =>
+      val r = col(s"__m$n").cast("double") / col(s"__rt$n")
+      val p = col(s"__m$n").cast("double") / col(s"__ct$n")
+      df.withColumn(s"rouge${n}_recall",
+          when(col(s"__rt$n") > 0, round(r, 4)).otherwise(lit(0.0)))
+        .withColumn(s"rouge${n}_precision",
+          when(col(s"__ct$n") > 0, round(p, 4)).otherwise(lit(0.0)))
+        .withColumn(s"rouge${n}_f1",
+          when(col(s"__rt$n") > 0 && col(s"__ct$n") > 0 && col(s"__m$n") > 0,
+            round(lit(2.0) * r * p / (r + p), 4)).otherwise(lit(0.0)))
+    }
+    scored
+      .withColumn("ref_len", size(col("__r")))
+      .withColumn("cand_len", size(col("__c")))
+      .drop("__r", "__c")
+      .drop(ns.flatMap(n => Seq(s"__m$n", s"__rt$n", s"__ct$n")): _*)
+  }
+
   /** Corpus BLEU: sum the per-document integer counts (exact,
     * order-independent), then one brevity penalty + geometric mean over the
     * corpus totals — the standard corpus-level definition (NOT the mean of

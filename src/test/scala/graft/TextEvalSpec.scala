@@ -42,6 +42,27 @@ class TextEvalSpec extends AnyFunSuite {
     assert(rows(1)._4 === bp && rows(1)._5 === bp)
   }
 
+  test("rougePerDoc: recall counts against the reference, precision against the candidate") {
+    // ref 6 tokens, cand keeps 4 of them (subsequence with a gap)
+    val df = TextEval.rougePerDoc(
+      pairs((1L, "a b c d e f", "a b d e")),
+      col("ref"), col("cand"), col("doc_id"))
+    val r = df.select($"rouge1_recall", $"rouge1_precision", $"rouge1_f1",
+        $"rouge2_recall", $"rouge2_precision")
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(r._1 === 0.6667) // 4 of 6 unigrams recalled
+    assert(r._2 === 1.0)    // every cand unigram is in ref
+    assert(r._3 === 0.8)    // 2PR/(P+R) = 2*.6667*1/1.6667
+    // cand bigrams: ab, bd, de -> bd straddles the gap, only ab/de match
+    assert(r._4 === 0.4)    // 2 of 5 ref bigrams
+    assert(r._5 === 0.6667) // 2 of 3 cand bigrams
+    // identical pair: all ones
+    val perfect = TextEval.rougePerDoc(pairs((2L, "x y z", "x y z")),
+      col("ref"), col("cand"), col("doc_id"))
+      .select($"rouge2_f1").as[Double].head()
+    assert(perfect === 1.0)
+  }
+
   test("bleuCorpus: aggregates counts, not doc scores; empty candidate handled") {
     val p = pairs(
       (1L, "a b c d e", "a b c d e"),     // perfect
