@@ -2913,6 +2913,18 @@ object SparkEntry {
         .select(col("psi"), (col("psi") > 0.1).as("drifted"))
     }),
 
+    // Pairwise Jensen–Shannon divergence between source term distributions
+    // (see [[CorpusStats.jsDivergenceMatrix]]) — the bounded symmetric
+    // drift matrix next to PSI: which corpus slices speak the same
+    // language, information-theoretically. Six lexicographically-first
+    // sources -> 15 pairs; contributions gridded to 1e9 and decimal-summed
+    // so the ln-term fold reorders exactly.
+    "corpus_js_divergence" -> ((s, d) => {
+      CorpusStats.jsDivergenceMatrix(t(s, d, "documents"), "text", "source",
+          maxKeys = 6)
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     "corpus_drift_psi" -> ((s, d) => {
       val ev = events(s, d)
       val ref = ev.where(pmod(col("event_id"), lit(2)) === 0)
@@ -9298,8 +9310,33 @@ object SparkEntry {
         |  round(sum((p - q) * ln(p / q)), 4) > 0.1 AS drifted
         |FROM rp JOIN c1p USING (b)""".stripMargin,
 
+    "corpus_js_divergence" ->
+      """WITH ks AS (SELECT DISTINCT source AS k FROM documents ORDER BY 1 LIMIT 6),
+        |tc AS (SELECT k, term, count(*) AS c FROM (
+        |         SELECT ks.k, unnest(list_filter(string_split_regex(lower(d.text), '\s+'), x -> len(x) > 0)) AS term
+        |         FROM documents d JOIN ks ON d.source = ks.k) tt
+        |       GROUP BY 1, 2),
+        |tot AS (SELECT k, sum(c) AS n FROM tc GROUP BY 1),
+        |pt AS (SELECT tc.k, tc.term, tc.c / tot.n AS p FROM tc JOIN tot USING (k)),
+        |ab AS (SELECT a.k AS source_a, b.k AS source_b FROM ks a, ks b WHERE a.k < b.k),
+        |ta AS (SELECT ab.source_a, ab.source_b, pt.term, pt.p AS pa FROM ab JOIN pt ON pt.k = ab.source_a),
+        |tb AS (SELECT ab.source_a, ab.source_b, pt.term, pt.p AS pb FROM ab JOIN pt ON pt.k = ab.source_b),
+        |u AS (SELECT coalesce(ta.source_a, tb.source_a) AS source_a,
+        |             coalesce(ta.source_b, tb.source_b) AS source_b,
+        |             ta.pa, tb.pb
+        |      FROM ta FULL OUTER JOIN tb
+        |        ON ta.source_a = tb.source_a AND ta.source_b = tb.source_b AND ta.term = tb.term),
+        |g AS (SELECT source_a, source_b,
+        |        CAST(round((0.5 * (CASE WHEN pa > 0 THEN pa * ln(pa / ((coalesce(pa, 0.0) + coalesce(pb, 0.0)) / 2)) ELSE 0.0 END)
+        |                  + 0.5 * (CASE WHEN pb > 0 THEN pb * ln(pb / ((coalesce(pa, 0.0) + coalesce(pb, 0.0)) / 2)) ELSE 0.0 END)) * 1e9) AS BIGINT) AS gr
+        |      FROM u)
+        |SELECT source_a, source_b, count(*) AS n_terms,
+        |  round(sum(gr) / 1e9, 6) AS js,
+        |  round(sum(gr) / 1e9 / 0.6931471805599453, 4) AS js_norm
+        |FROM g GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+
     "corpus_drift_psi" ->
-      """WITH e AS (SELECT event_id, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+"""WITH e AS (SELECT event_id, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
         |r AS (SELECT v FROM e WHERE event_id % 2 = 0),
         |c1 AS (SELECT v FROM e WHERE event_id % 2 = 1),
         |c2 AS (SELECT v * 1.5 AS v FROM e WHERE event_id % 2 = 1),

@@ -317,6 +317,53 @@ object CorpusStats {
     * Determinism: proportions round to 6, the final sum to 4 (ln is not
     * bit-specified across engines; the grid is 11 orders above the noise).
     */
+  /** Pairwise Jensen–Shannon divergence between the term distributions of
+    * the `maxKeys` lexicographically-first sources — the bounded symmetric
+    * information-theoretic drift measure next to [[psi]]'s bucket PSI:
+    * JS(P,Q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m), m = (p+q)/2, with 0·ln(0/m)
+    * terms contributing zero. js_norm = JS / ln 2 lands in [0,1]
+    * (0 = identical distributions, 1 = disjoint support).
+    *
+    * Scale shape: per-source term proportions are one map-side-combinable
+    * count agg; the pair frame is (maxKeys choose 2) × union-vocab rows —
+    * bounded by the slice count squared, the audit's own dial, never the
+    * corpus. Per-term contributions are gridded to 1e9 and decimal-summed
+    * (the chi-square discipline) so the cross-term fold is
+    * order-independent despite ln. */
+  def jsDivergenceMatrix(df: DataFrame, textCol: String, keyCol: String,
+                         maxKeys: Int = 6): DataFrame = {
+    require(maxKeys >= 2)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val keys = df.select(col(keyCol).as("__k")).distinct()
+      .orderBy(col("__k")).limit(maxKeys)
+    val tc = df.join(broadcast(keys), col(keyCol) === col("__k"))
+      .select(col("__k"),
+        explode(TextFunctions.wsTokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("__k"), col("term")).agg(count(lit(1)).as("c"))
+    val tot = tc.groupBy(col("__k")).agg(sum(col("c")).as("n"))
+    val pt = tc.join(broadcast(tot), "__k")
+      .select(col("__k"), col("term"), (col("c") / col("n")).as("p"))
+    val ab = keys.select(col("__k").as("source_a"))
+      .crossJoin(keys.select(col("__k").as("source_b")))
+      .where(col("source_a") < col("source_b"))
+    val ta = ab.join(pt.select(col("__k").as("source_a"), col("term"),
+      col("p").as("pa")), Seq("source_a"))
+    val tb = ab.join(pt.select(col("__k").as("source_b"), col("term"),
+      col("p").as("pb")), Seq("source_b"))
+    val u = ta.join(tb, Seq("source_a", "source_b", "term"), "full_outer")
+    val m = (coalesce(col("pa"), lit(0.0)) + coalesce(col("pb"), lit(0.0))) / 2
+    val contrib =
+      lit(0.5) * when(col("pa") > 0, col("pa") * log(col("pa") / m)).otherwise(0.0) +
+      lit(0.5) * when(col("pb") > 0, col("pb") * log(col("pb") / m)).otherwise(0.0)
+    u.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(round(contrib * lit(1e9)).cast(dec)).as("__g"))
+      .select(col("source_a"), col("source_b"), col("n_terms"),
+        round(col("__g").cast("double") / 1e9, 6).as("js"),
+        round(col("__g").cast("double") / 1e9 / lit(0.6931471805599453), 4)
+          .as("js_norm"))
+  }
+
   def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
           nBuckets: Int = 10): DataFrame = {
     val (lo, hi) = refBounds(ref, valueCol)

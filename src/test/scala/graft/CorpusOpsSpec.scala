@@ -177,6 +177,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got === Seq(("books", 1L, 10L, 1L, 0L), ("web", 2L, 12L, 2L, 1L)))
   }
 
+  test("JS divergence: 0 for identical term distributions, ln2 for disjoint, between otherwise") {
+    val docs = Seq(
+      ("a", "x y z x"), ("b", "x y z x"),      // identical distributions
+      ("c", "p q r s"),                         // disjoint from a/b
+      ("d", "x y p q"))                         // half-overlapping
+      .toDF("source", "text")
+    val got = CorpusStats.jsDivergenceMatrix(docs, "text", "source")
+      .select($"source_a", $"source_b", $"js", $"js_norm")
+      .as[(String, String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("a", "b")) === ((0.0, 0.0)))
+    assert(got(("a", "c"))._2 === 1.0, "disjoint support must normalize to 1")
+    assert(math.abs(got(("a", "c"))._1 - math.log(2.0)) < 1e-4)
+    val half = got(("a", "d"))._2
+    assert(half > 0.0 && half < 1.0, s"partial overlap should land inside (0,1): $half")
+    // symmetric measure: flipping which source sorts first cannot change js
+    val flipped = CorpusStats.jsDivergenceMatrix(
+      docs.withColumn("source", when($"source" === "a", "zz").otherwise($"source")),
+      "text", "source")
+      .where($"source_a" === "d" && $"source_b" === "zz")
+      .select($"js_norm").as[Double].head()
+    assert(flipped === half)
+  }
+
   test("source overlap counts distinct shared fingerprints once per source pair") {
     val docs = Seq(
       ("a", "x"), ("a", "x"), // duplicate fp within source a: counted once
