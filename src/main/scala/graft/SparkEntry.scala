@@ -3566,6 +3566,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Streamed Bloom maintenance (see [[graft.streaming.StreamingOps
+    // .bloomBitsOnce]]): the reference third arrives as a stream, set
+    // positions fold into complete-mode state (<= m rows — fixed-width no
+    // matter how much corpus streams past), then the SAME batch probe runs
+    // against the streamed filter. Gated against the identical oracle as
+    // dedup_bloom_filter: streamed state may not probe differently.
+    "streaming_bloom_dedup" -> ((s, d) => {
+      val posRows = graft.streaming.StreamingOps.bloomBitsOnce(
+        s, s"$d/documents.parquet", k = 4, m = 1024,
+        queryName = s"graft_bloom_$runNonce")
+      val bits = posRows.agg(array_sort(collect_set(col("pos"))).as("bits"))
+      val fp = md5(array_join(
+        slice(TextFunctions.wsTokens(lower(col("text"))), 1, 8), " "))
+      val docs = t(s, d, "documents").select(col("doc_id"), fp.as("fp"))
+      val ref = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+      val probes = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      val probed = BloomSketch.probe(probes, col("fp"), bits, k = 4, m = 1024)
+      probed.join(ref.select(col("fp")).distinct()
+          .withColumn("is_dup", lit(true)), Seq("fp"), "left")
+        .select(col("doc_id"), col("bloom_hit"),
+          coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cluster-size histogram over the trigram-jaccard dedup clusters: is
     // duplication a long tail of pairs or a few megaclusters? Two
     // metadata-keyed aggregations after the pair/CC stages.
@@ -6633,6 +6657,22 @@ object SparkEntry {
         |FROM h3 h JOIN a3 a ON h.node = a.node ORDER BY source""".stripMargin
   }
 
+  /** dedup_bloom_filter oracle (shared verbatim by streaming_bloom_dedup:
+    * the streamed complete-mode filter state must probe identically to the
+    * batch build): the full md5 Bloom replay — reference fingerprints, the
+    * k=4 delete positions, the distinct bit set, per-probe bool_and. */
+  private val bloomOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, md5(coalesce(array_to_string(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)[1:8], ' '), '')) AS fp FROM documents),
+       |r AS (SELECT DISTINCT fp FROM d WHERE doc_id % 3 = 0),
+       |p AS (SELECT doc_id, fp FROM d WHERE doc_id % 3 <> 0),
+       |rh AS (SELECT md5(fp || '#' || CAST(j AS VARCHAR)) AS h FROM r CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) jj),
+       |bits AS (SELECT DISTINCT (${hexToBigintSql("h", 1)}) % 1024 AS pos FROM rh),
+       |ph AS (SELECT doc_id, fp, md5(fp || '#' || CAST(j AS VARCHAR)) AS h FROM p CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) jj),
+       |pp AS (SELECT doc_id, fp, (${hexToBigintSql("h", 1)}) % 1024 AS pos FROM ph),
+       |hit AS (SELECT doc_id, fp, bool_and(pos IN (SELECT pos FROM bits)) AS bloom_hit FROM pp GROUP BY 1, 2)
+       |SELECT doc_id, bloom_hit, fp IN (SELECT fp FROM r) AS is_dup
+       |FROM hit ORDER BY doc_id""".stripMargin
+
   /** eval_bleu / eval_bleu_corpus shared CTEs: per-doc clipped/total n-gram
     * counts as exact integers (list comprehension over distinct candidate
     * grams, least(cand count, ref count)); the scoring projection mirrors
@@ -8087,17 +8127,9 @@ object SparkEntry {
         |  coalesce(array_to_string(kept, ' '), '') AS text_clean
         |FROM k ORDER BY doc_id""".stripMargin,
 
-    "dedup_bloom_filter" ->
-      s"""WITH d AS (SELECT doc_id, md5(coalesce(array_to_string(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)[1:8], ' '), '')) AS fp FROM documents),
-         |r AS (SELECT DISTINCT fp FROM d WHERE doc_id % 3 = 0),
-         |p AS (SELECT doc_id, fp FROM d WHERE doc_id % 3 <> 0),
-         |rh AS (SELECT md5(fp || '#' || CAST(j AS VARCHAR)) AS h FROM r CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) jj),
-         |bits AS (SELECT DISTINCT (${hexToBigintSql("h", 1)}) % 1024 AS pos FROM rh),
-         |ph AS (SELECT doc_id, fp, md5(fp || '#' || CAST(j AS VARCHAR)) AS h FROM p CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) jj),
-         |pp AS (SELECT doc_id, fp, (${hexToBigintSql("h", 1)}) % 1024 AS pos FROM ph),
-         |hit AS (SELECT doc_id, fp, bool_and(pos IN (SELECT pos FROM bits)) AS bloom_hit FROM pp GROUP BY 1, 2)
-         |SELECT doc_id, bloom_hit, fp IN (SELECT fp FROM r) AS is_dup
-         |FROM hit ORDER BY doc_id""".stripMargin,
+    "dedup_bloom_filter" -> bloomOracleSql,
+    // the streamed filter state must probe IDENTICALLY to the batch build
+    "streaming_bloom_dedup" -> bloomOracleSql,
 
     "dedup_minhash_lsh" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),

@@ -601,6 +601,39 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streamed Bloom-filter maintenance: reference documents arrive as a
+    * stream and fold their set bit positions into complete-mode
+    * aggregation state — the filter state is AT MOST m rows (fixed-width
+    * regardless of how much reference corpus has streamed past), the
+    * textbook streaming-sketch shape. Returns the final position table;
+    * the caller probes against it exactly like the batch build
+    * ([[graft.operators.BloomSketch.build]]), and the gate compares the
+    * whole probe output against the SAME oracle as the batch twin. */
+  def bloomBitsOnce(spark: SparkSession, docsPath: String, k: Int, m: Int,
+                    queryName: String = "graft_stream_bloom"): DataFrame = {
+    val schema = spark.read.parquet(docsPath).schema
+    val p = new org.apache.hadoop.fs.Path(docsPath)
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", p.getName)
+      .parquet(p.getParent.toString)
+    val fp = md5(array_join(
+      slice(graft.functions.TextFunctions.wsTokens(lower(col("text"))), 1, 8), " "))
+    val pos = raw.where(pmod(col("doc_id"), lit(3)) === 0)
+      .select(explode(graft.operators.BloomSketch.keyPositions(fp, k, m)).as("pos"))
+      .groupBy(col("pos")).agg(count(lit(1)).as("__n")) // state: <= m rows
+      .select(col("pos"))
+    withStatePartitions(spark) {
+      val q = pos.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+  }
+
   /** Streamed REAL video decode — the multimodal_video_real pipeline with
     * payload synthesis and the Y4M container parse running INSIDE a
     * stateless streaming flatMap (the media-landing-zone shape: clips
