@@ -3842,6 +3842,24 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Closeness + harmonic centrality (see [[Graph.closeness]]) for the 4
+    // lexicographically-smallest sources over the UNDIRECTED overlap graph
+    // — 3-hop multi-source BFS (the sampled-seed approximation every
+    // at-scale centrality job runs; frontier joins are seed×reached
+    // bounded). Hop sums are exact integers; the oracle unrolls all three
+    // BFS rounds.
+    "graph_closeness" -> ((s, d) => {
+      val ov = sourceFpOverlap(s, d)
+      val edges = ov.select(col("source_a").as("src"), col("source_b").as("dst"))
+        .union(ov.select(col("source_b"), col("source_a")))
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.orderBy(col("node")).limit(4)
+      Graph.closeness(edges, "src", "dst", seeds, rounds = 3)
+        .withColumnRenamed("seed", "source")
+        .orderBy(col("source"))
+    }),
+
     // Personalized PageRank (see [[Graph.personalizedPageRank]]): restart
     // to the two lexicographically-smallest sources over the directed
     // overlap graph — the graph-expansion primitive (rank concentrates
@@ -6657,6 +6675,37 @@ object SparkEntry {
         |FROM h3 h JOIN a3 a ON h.node = a.node ORDER BY source""".stripMargin
   }
 
+  /** graph_closeness oracle: the 3 BFS rounds unrolled — per round, the
+    * frontier's out-neighbors minus everything already visited; then the
+    * per-seed closeness/harmonic fold over exact hop integers. */
+  private val closenessOracleSql: String = {
+    val head =
+      """WITH fp AS (SELECT DISTINCT source,
+        |  md5(coalesce(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)[1:8], ' '), '')) AS fp
+        |  FROM documents),
+        |ov AS (SELECT a.source AS sa, b.source AS sb
+        |       FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source GROUP BY 1, 2),
+        |e AS (SELECT sa AS src, sb AS dst FROM ov UNION SELECT sb, sa FROM ov),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |seeds AS (SELECT node AS seed FROM nodes ORDER BY node LIMIT 4),
+        |v0 AS (SELECT seed, seed AS node, 0 AS dist FROM seeds)""".stripMargin
+    val steps = (1 to 3).map { i =>
+      val prevAll = (0 until i).map(j => s"SELECT seed, node FROM v$j").mkString(" UNION ALL ")
+      s"""f$i AS (SELECT DISTINCT p.seed, e.dst AS node
+         |  FROM v${i - 1} p JOIN e ON p.node = e.src),
+         |v$i AS (SELECT f.seed, f.node, $i AS dist FROM f$i f
+         |  WHERE NOT EXISTS (SELECT 1 FROM ($prevAll) pv
+         |                    WHERE pv.seed = f.seed AND pv.node = f.node))""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      """,
+        |vis AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3)
+        |SELECT seed AS source, count(*) AS n_reached,
+        |  round(CAST(count(*) AS DOUBLE) / sum(dist), 6) AS closeness,
+        |  round(sum(1.0 / dist), 6) AS harmonic
+        |FROM vis GROUP BY 1 ORDER BY source""".stripMargin
+  }
+
   /** dedup_bloom_filter oracle (shared verbatim by streaming_bloom_dedup:
     * the streamed complete-mode filter state must probe identically to the
     * batch build): the full md5 Bloom replay — reference fingerprints, the
@@ -6949,6 +6998,7 @@ object SparkEntry {
 
     "graph_pagerank_directed" -> pageRankDirectedOracleSql,
     "graph_hits" -> hitsOracleSql,
+    "graph_closeness" -> closenessOracleSql,
     "eval_bleu" -> bleuOracleSql,
     "eval_bleu_corpus" -> bleuCorpusOracleSql,
     "eval_rouge" -> rougeOracleSql,

@@ -184,6 +184,55 @@ object Graph {
         round(col("a"), 4).as("authority"))
   }
 
+  /** Batch-synchronous multi-source BFS: shortest hop-distance from each
+    * seed to every node it reaches within `rounds` hops. Per round the
+    * frontier joins the edge table and anti-joins the visited set — both
+    * frontier-keyed shuffles whose size is bounded by seeds × reached
+    * nodes, the [[GraphAnn.beamSearch]] cadence with exact (not beam-
+    * pruned) frontiers. Returns (seed, node, dist), dist 0 for the seed
+    * itself. */
+  def multiSourceBfs(edges: DataFrame, srcCol: String, dstCol: String,
+                     seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .distinct().localCheckpoint()
+    var vis = seeds.select(col(seeds.columns.head).as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"), lit(0).as("dist"))
+      .localCheckpoint()
+    var frontier = vis
+    for (r <- 1 to rounds) {
+      val next = e.join(frontier, e("__s") === frontier("node"))
+        .select(col("seed"), col("__d").as("node")).distinct()
+        .join(vis.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti")
+        .withColumn("dist", lit(r))
+        .localCheckpoint()
+      vis = vis.unionByName(next)
+      frontier = next
+    }
+    vis
+  }
+
+  /** Closeness centrality of a seed set from a bounded-radius BFS
+    * ([[multiSourceBfs]]): closeness n_reached / Σ dist (self excluded) and
+    * harmonic closeness Σ 1/dist (the form that stays meaningful on
+    * disconnected graphs), both over the nodes actually reached within
+    * `rounds` hops — the standard sampled-seed approximation; exact when
+    * `rounds` >= the graph diameter. Sums are hop-count integers (exact)
+    * and dyadic-free reciprocals gridded by the round-6 output. */
+  def closeness(edges: DataFrame, srcCol: String, dstCol: String,
+                seeds: DataFrame, rounds: Int): DataFrame = {
+    val bfs = multiSourceBfs(edges, srcCol, dstCol, seeds, rounds)
+    bfs.where(col("dist") > 0)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("dist")).as("dist_sum"),
+        round(sum(lit(1.0) / col("dist")), 6).as("harmonic"))
+      .select(col("seed"), col("n_reached"),
+        round(col("n_reached").cast("double") / col("dist_sum"), 6)
+          .as("closeness"),
+        col("harmonic"))
+  }
+
   /** Degree-ordered DAG orientation of an undirected edge set: edges are
     * canonicalized (self-loops dropped, both directions collapsed, duplicates
     * removed) and then oriented from the lower-(degree, id) endpoint to the

@@ -145,6 +145,30 @@ class GraphSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("closeness: path graph distances are exact; radius bounds the reach") {
+    // undirected path a-b-c-d-e (both directions given)
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq("a", "c").toDF("node")
+    val got = Graph.closeness(edges, "src", "dst", seeds, rounds = 3)
+      .select($"seed", $"n_reached", $"closeness", $"harmonic")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // a reaches b@1 c@2 d@3 within 3 hops (e is 4 away): 3/(1+2+3)
+    assert(got("a") === ((3L, 0.5, math.round((1.0 + 0.5 + 1.0 / 3) * 1e6) / 1e6)))
+    // c reaches everything within 2: 4/(1+1+2+2)
+    assert(got("c") === ((4L, round6(4.0 / 6), 3.0)))
+    // BFS distances are min-hop, not path-dependent: add a chord a-c and
+    // d's distance from a drops to 2
+    val chord = (und ++ Seq(("a", "c"))) ++ (und ++ Seq(("a", "c"))).map(_.swap)
+    val got2 = Graph.closeness(chord.toDF("src", "dst"), "src", "dst",
+        Seq("a").toDF("node"), rounds = 3)
+      .select($"n_reached", $"closeness").as[(Long, Double)].head()
+    assert(got2 === ((4L, round6(4.0 / (1 + 1 + 2 + 3)))))
+  }
+
+  private def round6(x: Double): Double = math.round(x * 1e6) / 1e6
+
   test("MMR demotes near-duplicates that pure relevance would rank adjacent") {
     import graft.operators.KnnSearch
     // c1 and c2 are near-identical top candidates; c3 is orthogonal-ish with
