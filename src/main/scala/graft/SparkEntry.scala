@@ -3368,6 +3368,70 @@ object SparkEntry {
         (hAdj > crit).as("reject"))
     }),
 
+    // One-way ANOVA F — the parametric twin of stats_kruskal_wallis on the
+    // same grouping: sufficient statistics only (per-group n, Σv, Σv² in
+    // one pass), SSB/SSW via the sum-of-squares identities, plus eta²
+    // effect size (SSB/SST — the "is it significant AND does it matter"
+    // pair). Rejection uses the large-n approximation F ≈ χ²(k−1)/(k−1)
+    // (the same critical table as the Kruskal query, scaled), documented
+    // rather than hidden. Per-group frame is group-count sized.
+    "stats_anova_f" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_type"),
+        col("value").cast("double").as("v"))
+      val g = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("v")).as("s1"), sum(col("v") * col("v")).as("s2"))
+      val agg = g.agg(count(lit(1)).cast("int").as("k"),
+        sum(col("n")).as("nn"), sum(col("s1")).as("ts1"),
+        sum(col("s2")).as("ts2"),
+        sum(col("s1") * col("s1") / col("n")).as("sq"))
+      val ssb = col("sq") - col("ts1") * col("ts1") / col("nn")
+      val ssw = col("ts2") - col("sq")
+      val sst = col("ts2") - col("ts1") * col("ts1") / col("nn")
+      val f = (ssb / (col("k") - 1)) / (ssw / (col("nn") - col("k")))
+      val crit = (when(col("k") === 2, 3.841).when(col("k") === 3, 5.991)
+        .when(col("k") === 4, 7.815).when(col("k") === 5, 9.488)
+        .otherwise(11.07)) / (col("k") - 1)
+      agg.select(col("k").as("k_groups"), col("nn").cast("long").as("n"),
+        (round(f, 4) + 0).as("f_stat"),
+        (round(ssb / sst, 6) + 0).as("eta_sq"),
+        (f > crit).as("reject"))
+    }),
+
+    // Mutual information between event type and the value band (the
+    // chi-square fixture's cells): MI = Σ p_xy ln(p_xy/(p_x p_y)), plus
+    // the sqrt-normalized NMI — the feature-selection measure next to the
+    // independence test. Per-cell ln contributions gridded to 1e9 and
+    // summed exactly (the chi-square discipline); entropies likewise.
+    "stats_mutual_info" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cells = events(s, d).groupBy(col("event_type"),
+          when(col("value") < 25.0, "lt25").when(col("value") < 50.0, "lt50")
+            .when(col("value") < 100.0, "lt100").otherwise("ge100").as("band"))
+        .agg(count(lit(1)).as("o"))
+      val rt = cells.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+      val ct = cells.groupBy(col("band")).agg(sum(col("o")).as("ct"))
+      val tot = cells.agg(sum(col("o")).cast("double").as("n"))
+      val j = cells.join(rt, "event_type").join(ct, "band")
+        .crossJoin(broadcast(tot))
+      val pxy = col("o") / col("n")
+      val term = pxy * log(col("o") * col("n") / (col("rt") * col("ct")))
+      val hr = rt.crossJoin(broadcast(tot))
+        .agg(sum(round((col("rt") / col("n")) *
+          log(col("rt") / col("n")) * lit(-1e9)).cast(dec)).as("hx"))
+      val hc = ct.crossJoin(broadcast(tot))
+        .agg(sum(round((col("ct") / col("n")) *
+          log(col("ct") / col("n")) * lit(-1e9)).cast(dec)).as("hy"))
+      j.agg(max(col("n")).cast("long").as("n"),
+          sum(round(term * lit(1e9)).cast(dec)).as("mig"))
+        .crossJoin(broadcast(hr)).crossJoin(broadcast(hc))
+        .select(col("n"),
+          (round(col("mig").cast("double") / 1e9, 6) + 0).as("mi"),
+          (round(col("mig").cast("double") / 1e9 /
+            sqrt((col("hx").cast("double") / 1e9) *
+              (col("hy").cast("double") / 1e9)), 6) + 0).as("nmi"))
+    }),
+
     // Benjamini–Hochberg FDR correction (see [[StatsOps.bhFdr]]) over the
     // multiple-testing family every monitoring dashboard silently runs:
     // each (event_type, weekday) cell Welch-z-tested against the rest of
@@ -9023,6 +9087,40 @@ object SparkEntry {
         |    CASE WHEN k = 2 THEN 3.841 WHEN k = 3 THEN 5.991
         |         WHEN k = 4 THEN 7.815 WHEN k = 5 THEN 9.488 ELSE 11.07 END AS reject
         |FROM f""".stripMargin,
+
+    "stats_anova_f" ->
+      """WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+        |g AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n, sum(v) AS s1, sum(v * v) AS s2 FROM ev GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS INT) AS k, sum(n) AS nn, sum(s1) AS ts1, sum(s2) AS ts2,
+        |             sum(s1 * s1 / n) AS sq FROM g)
+        |SELECT k AS k_groups, CAST(nn AS BIGINT) AS n,
+        |  round(((sq - ts1 * ts1 / nn) / (k - 1)) / ((ts2 - sq) / (nn - k)), 4) + 0 AS f_stat,
+        |  round((sq - ts1 * ts1 / nn) / (ts2 - ts1 * ts1 / nn), 6) + 0 AS eta_sq,
+        |  ((sq - ts1 * ts1 / nn) / (k - 1)) / ((ts2 - sq) / (nn - k)) >
+        |    (CASE WHEN k = 2 THEN 3.841 WHEN k = 3 THEN 5.991
+        |          WHEN k = 4 THEN 7.815 WHEN k = 5 THEN 9.488 ELSE 11.07 END) / (k - 1) AS reject
+        |FROM a""".stripMargin,
+
+    "stats_mutual_info" ->
+      """WITH cells AS (SELECT event_type,
+        |    CASE WHEN value < 25.0 THEN 'lt25' WHEN value < 50.0 THEN 'lt50'
+        |         WHEN value < 100.0 THEN 'lt100' ELSE 'ge100' END AS band,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+        |ct AS (SELECT band, sum(o) AS ct FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM cells),
+        |j AS (SELECT c.o, r.rt, cc.ct, tot.n
+        |      FROM cells c JOIN rt r USING (event_type) JOIN ct cc USING (band) CROSS JOIN tot),
+        |mig AS (SELECT max(n) AS n,
+        |          sum(CAST(round(o / n * ln(o * n / (rt * ct)) * 1e9) AS HUGEINT)) AS mig FROM j),
+        |hx AS (SELECT sum(CAST(round(rt / tot.n * ln(rt / tot.n) * -1e9) AS HUGEINT)) AS hx FROM rt, tot),
+        |hy AS (SELECT sum(CAST(round(ct / tot.n * ln(ct / tot.n) * -1e9) AS HUGEINT)) AS hy FROM ct, tot)
+        |SELECT CAST(mig.n AS BIGINT) AS n,
+        |  round(CAST(mig AS DOUBLE) / 1e9, 6) + 0 AS mi,
+        |  round(CAST(mig AS DOUBLE) / 1e9 /
+        |        sqrt((CAST(hx AS DOUBLE) / 1e9) * (CAST(hy AS DOUBLE) / 1e9)), 6) + 0 AS nmi
+        |FROM mig, hx, hy""".stripMargin,
 
     "stats_bh_fdr" ->
       """WITH ev AS (SELECT event_type, CAST(isodow(ts) - 1 AS INT) AS dow,
