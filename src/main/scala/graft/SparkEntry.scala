@@ -5738,6 +5738,33 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
+    // Isotonic calibration of the same reliability bins (see
+    // [[StatsOps.isotonicBins]]) — PAVA's exact fit via the minimax
+    // identity max_j min_k mean(j..k), three bins-bounded joins instead of
+    // a sequential pool loop, so the calibrator trains fully in-plan and
+    // the oracle replays it. iso is non-decreasing by construction; where
+    // the raw frac_pos violates monotonicity the pooled level shows.
+    "classifier_calibration_isotonic" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val comps = graft.functions.Embedder
+        .hashedComponents(docs, "text", "doc_id", dim = 64).localCheckpoint()
+      val w = QualityClassifier.trainLogReg(docs, "text", "doc_id",
+        label = col("lang") === "en", steps = 3, precomputed = Some(comps))
+      val bins = QualityClassifier.score(docs, "text", "doc_id",
+          weights = Some(w), precomputed = Some(comps))
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("double").as("y")), Seq("doc_id"))
+        .withColumn("bin",
+          least(floor(col("quality_prob") * 10), lit(9L)).cast("int"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("pos"))
+      StatsOps.isotonicBins(bins, "bin", "n", "pos")
+        .select(col("bin"), col("n"),
+          round(col("pos").cast("double") / col("n"), 4).as("frac_pos"),
+          col("iso"))
+        .orderBy(col("bin"))
+    }),
+
     // Retrieval evaluation of the BINARY tier (mirror of
     // retrieval_eval_ndcg, which audits LSH): nDCG@10 / MRR / hit count of
     // the Hamming-sweep+rerank ranking against exact ground truth, both
@@ -10630,6 +10657,29 @@ object SparkEntry {
          |e AS (SELECT round(sum(n * abs(frac_pos - mean_conf)) /
          |               (SELECT CAST(sum(n) AS DOUBLE) FROM b), 6) AS ece FROM b)
          |SELECT bin, n, mean_conf, frac_pos, e.ece FROM b, e ORDER BY bin""".stripMargin,
+
+    // Same bins, isotonic fit replayed via the minimax identity.
+    "classifier_calibration_isotonic" ->
+      s"""$logregOracleCtes,
+         |sms AS (SELECT c.id, sum(CAST(round(c.component * w.w * 1e10) AS BIGINT)) AS s
+         |        FROM comp c JOIN w3 w USING (bucket) GROUP BY c.id),
+         |sm AS (SELECT id, CAST(CASE WHEN s >= 0 THEN (s + 5000) // 10000
+         |                            ELSE -((-s + 5000) // 10000) END AS DOUBLE) / 1e6 AS m
+         |       FROM sms),
+         |pv AS (SELECT id, round(1.0 / (1.0 + exp(-m)), 4) AS p FROM sm),
+         |jj AS (SELECT pv.p, l.y FROM pv JOIN lbl l USING (id)),
+         |b AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, count(*) AS n,
+         |             CAST(sum(y) AS BIGINT) AS pos
+         |      FROM jj GROUP BY 1),
+         |iv AS (SELECT lo.bin AS j, hi.bin AS k, CAST(sum(x.pos) AS DOUBLE) / sum(x.n) AS mean
+         |       FROM b lo JOIN b hi ON lo.bin <= hi.bin
+         |       JOIN b x ON x.bin BETWEEN lo.bin AND hi.bin
+         |       GROUP BY 1, 2),
+         |mn AS (SELECT i.bin AS i, iv.j, min(iv.mean) AS mn
+         |       FROM b i JOIN iv ON iv.j <= i.bin AND iv.k >= i.bin GROUP BY 1, 2),
+         |iso AS (SELECT i, round(max(mn), 6) AS iso FROM mn GROUP BY 1)
+         |SELECT b.bin, b.n, round(CAST(b.pos AS DOUBLE) / b.n, 4) AS frac_pos, iso.iso
+         |FROM b JOIN iso ON b.bin = iso.i ORDER BY bin""".stripMargin,
 
     // Binary chain (rr) + exact ground truth + eval metrics.
     "retrieval_eval_binary" ->

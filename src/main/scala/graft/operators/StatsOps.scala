@@ -298,6 +298,40 @@ object StatsOps {
         round(col("n_ab") * lit(nBaskets) / (col("n_a") * col("n_b")), 6).as("lift"))
   }
 
+  /** Isotonic regression over an ordered bin table — PAVA's result
+    * computed EXACTLY via the minimax identity instead of the sequential
+    * pool-adjacent-violators loop:
+    *
+    *   iso_i = max_{j <= i} min_{k >= i} mean(j..k),
+    *   mean(j..k) = Σ_{b in [j,k]} pos_b / Σ_{b in [j,k]} n_b
+    *
+    * — the closed form of the isotonic fit (Robertson/Wright/Dykstra),
+    * which makes the whole fit three joins over the bin table: interval
+    * sums (bins² rows), the per-(i, j) min over k, the per-i max over j.
+    * All interval means are exact integer ratios. The input is a BIN
+    * table (the reliability-diagram cadence: bins are model-sized), so
+    * every frame here is bins²/bins³-bounded — never the corpus.
+    * Output: the input bins + `iso` (round-6 isotonic-calibrated rate),
+    * non-decreasing in `binCol` by construction. */
+  def isotonicBins(bins: DataFrame, binCol: String, nCol: String,
+                   posCol: String): DataFrame = {
+    val b = bins.select(col(binCol).as("__b"), col(nCol).as("__n"),
+      col(posCol).as("__p"))
+    val intervals = b.select(col("__b").as("__j"))
+      .crossJoin(b.select(col("__b").as("__k")))
+      .where(col("__j") <= col("__k"))
+      .join(b, col("__b").between(col("__j"), col("__k")))
+      .groupBy(col("__j"), col("__k"))
+      .agg((sum(col("__p")).cast("double") / sum(col("__n"))).as("__mean"))
+    val inner = b.select(col("__b").as("__i"))
+      .join(intervals, col("__j") <= col("__i") && col("__k") >= col("__i"))
+      .groupBy(col("__i"), col("__j"))
+      .agg(min(col("__mean")).as("__mn"))
+      .groupBy(col("__i"))
+      .agg(round(max(col("__mn")), 6).as("iso"))
+    bins.join(inner, col(binCol) === col("__i")).drop("__i")
+  }
+
   /** Benjamini–Hochberg step-up FDR correction over a family of m
     * hypotheses (one row each, a precomputed p-value column): rank p
     * ascending, find the LARGEST rank k with p_(k) <= k/m * q, reject

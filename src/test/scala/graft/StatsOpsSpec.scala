@@ -189,6 +189,31 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(out.getDate(1).toString === "2024-02-01") // all-zero stats: earliest day
   }
 
+  test("isotonicBins reproduces PAVA: violators pool to their weighted mean") {
+    // bins 2,3 violate monotonicity (0.4 > 0.3) -> pool to 0.35
+    val bins = Seq((0, 10L, 1L), (1, 10L, 4L), (2, 10L, 3L), (3, 10L, 8L))
+      .toDF("bin", "n", "pos")
+    val got = StatsOps.isotonicBins(bins, "bin", "n", "pos")
+      .orderBy($"bin").select($"bin", $"iso").as[(Int, Double)].collect().toSeq
+    assert(got === Seq((0, 0.1), (1, 0.35), (2, 0.35), (3, 0.8)))
+    // cascading pool: a strictly decreasing prefix all pools to one level
+    val casc = Seq((0, 10L, 9L), (1, 10L, 5L), (2, 10L, 1L), (3, 10L, 10L))
+      .toDF("bin", "n", "pos")
+    val got2 = StatsOps.isotonicBins(casc, "bin", "n", "pos")
+      .orderBy($"bin").select($"iso").as[Double].collect().toSeq
+    assert(got2 === Seq(0.5, 0.5, 0.5, 1.0))
+    // unequal weights: pooled level is the WEIGHTED mean
+    val wt = Seq((0, 30L, 3L), (1, 10L, 9L), (2, 10L, 1L)).toDF("bin", "n", "pos")
+    val got3 = StatsOps.isotonicBins(wt, "bin", "n", "pos")
+      .orderBy($"bin").select($"iso").as[Double].collect().toSeq
+    assert(got3 === Seq(0.1, 0.5, 0.5)) // (9+1)/(10+10)
+    // already monotone: identity
+    val mono = Seq((0, 5L, 1L), (1, 5L, 2L), (2, 5L, 5L)).toDF("bin", "n", "pos")
+    val got4 = StatsOps.isotonicBins(mono, "bin", "n", "pos")
+      .orderBy($"bin").select($"iso").as[Double].collect().toSeq
+    assert(got4 === Seq(0.2, 0.4, 1.0))
+  }
+
   test("bhFdr step-up: a hypothesis failing its own critical value is still " +
       "rejected when a later rank passes") {
     // m=3, q=0.1: criticals 1/30, 2/30, 3/30. p1=0.05 fails its own
