@@ -3577,6 +3577,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Word + character error rate (see [[operators.TextEval.werCer]]):
+    // token-level WER via the row-local ASCII-encode trick (per-pair union
+    // vocabulary -> chr(33+i) -> built-in levenshtein IS the token edit
+    // distance; 40-token cap keeps the alphabet inside the 94 printable
+    // symbols), CER over the raw strings. Drop-every-7th candidates give
+    // WER = deletions/ref_len exactly.
+    "eval_wer" -> ((s, d) => {
+      val toks = slice(TextFunctions.wsTokens(lower(col("text"))), 1, 40)
+      val base = t(s, d, "documents").select(col("doc_id"), toks.as("ref"))
+        .withColumn("cand", filter(col("ref"), (_, i) => (i + 1) % 7 =!= 0))
+      TextEval.werCer(base, col("ref"), col("cand"), col("doc_id"))
+        .select(col("id").as("doc_id"), col("ref_len"), col("cand_len"),
+          col("wer"), col("cer"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus-level BLEU over the same pairs: the per-document INTEGER
     // clipped/total counts aggregate exactly (order-independent map-side
     // partials), then ONE geometric mean + brevity penalty on the corpus
@@ -7093,6 +7109,19 @@ object SparkEntry {
     "eval_bleu" -> bleuOracleSql,
     "eval_bleu_corpus" -> bleuCorpusOracleSql,
     "eval_rouge" -> rougeOracleSql,
+    "eval_wer" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)[1:40] AS ref FROM documents),
+        |c AS (SELECT doc_id, ref, list_filter(ref, (x, i) -> i % 7 <> 0) AS cand FROM w),
+        |v AS (SELECT doc_id, ref, cand, list_distinct(list_concat(ref, cand)) AS vv FROM c),
+        |e AS (SELECT doc_id, len(ref) AS ref_len, len(cand) AS cand_len,
+        |        array_to_string(list_transform(ref, t -> chr(33 + CAST(list_position(vv, t) AS INT) - 1)), '') AS er,
+        |        array_to_string(list_transform(cand, t -> chr(33 + CAST(list_position(vv, t) AS INT) - 1)), '') AS ec,
+        |        array_to_string(ref, ' ') AS rs, array_to_string(cand, ' ') AS cs
+        |      FROM v)
+        |SELECT doc_id, CAST(ref_len AS INT) AS ref_len, CAST(cand_len AS INT) AS cand_len,
+        |  CASE WHEN ref_len > 0 THEN round(CAST(levenshtein(er, ec) AS DOUBLE) / ref_len, 4) ELSE 0.0 END AS wer,
+        |  CASE WHEN len(rs) > 0 THEN round(CAST(levenshtein(rs, cs) AS DOUBLE) / len(rs), 4) ELSE 0.0 END AS cer
+        |FROM e ORDER BY doc_id""".stripMargin,
     "graph_ppr" -> pprOracleSql,
 
     "embedding_kmeans" -> kmeansOracleSql,

@@ -109,6 +109,42 @@ object TextEval {
     scored(per.agg(sums.head, sums.tail: _*), maxN)
   }
 
+  /** Per-document word error rate + character error rate. WER needs a
+    * TOKEN-level edit distance, which neither engine ships — so each
+    * pair's union vocabulary (row-local `array_distinct`) maps every token
+    * to one printable ASCII character (chr(33 + position), 94 symbols
+    * available) and the built-in character `levenshtein` on the encoded
+    * strings IS the token-level distance. Callers must cap tokens so
+    * |union vocabulary| <= 94 per pair (e.g. 40 per side); a require-like
+    * guard is impossible row-wise, so encoding OVERFLOW tokens would
+    * alias — the cap is the contract. CER is plain levenshtein over the
+    * raw (capped) strings. Everything is one row-local projection.
+    * Output: (id, ref_len, cand_len, wer, cer), round-4; wer/cer 0 when
+    * the reference side is empty. */
+  def werCer(pairs: DataFrame, refToks: Column, candToks: Column,
+             idCol: Column): DataFrame = {
+    def enc(toks: Column, vocab: Column): Column =
+      array_join(transform(toks,
+        t => chr(lit(33) + array_position(vocab, t) - 1)), "")
+    val base = pairs.select(idCol.as("id"), refToks.as("__r"), candToks.as("__c"))
+      .withColumn("__v", array_distinct(concat(col("__r"), col("__c"))))
+    val refStr = array_join(col("__r"), " ")
+    val candStr = array_join(col("__c"), " ")
+    base
+      .withColumn("ref_len", size(col("__r")))
+      .withColumn("cand_len", size(col("__c")))
+      .withColumn("wer",
+        when(col("ref_len") > 0,
+          round(levenshtein(enc(col("__r"), col("__v")),
+            enc(col("__c"), col("__v"))).cast("double") / col("ref_len"), 4))
+          .otherwise(lit(0.0)))
+      .withColumn("cer",
+        when(length(refStr) > 0,
+          round(levenshtein(refStr, candStr).cast("double") / length(refStr), 4))
+          .otherwise(lit(0.0)))
+      .drop("__r", "__c", "__v")
+  }
+
   /** Shared precision/BP/score projection over clipped/total/len columns. */
   private def scored(df: DataFrame, maxN: Int): DataFrame = {
     val withP = (1 to maxN).foldLeft(df) { case (d, n) =>

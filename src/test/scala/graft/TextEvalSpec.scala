@@ -63,6 +63,25 @@ class TextEvalSpec extends AnyFunSuite {
     assert(perfect === 1.0)
   }
 
+  test("werCer: substitutions/deletions/insertions count at the token level") {
+    val df = TextEval.werCer(pairs(
+      (1L, "the cat sat on the mat", "the cat sat on the mat"), // perfect
+      (2L, "the cat sat on the mat", "the dog sat on mat"),     // 1 sub + 1 del... and 1 del
+      (3L, "a b c", "a b c d e")),                              // 2 insertions
+      col("ref"), col("cand"), col("doc_id")).orderBy($"id")
+    val rows = df.select($"id", $"wer", $"cer").as[(Long, Double, Double)].collect()
+    assert(rows(0) === ((1L, 0.0, 0.0)))
+    // ref has 6 tokens; cand: cat->dog sub, 'the'(5th) deleted -> 2 edits / 6
+    assert(rows(1)._2 === 0.3333)
+    // token-level, not char-level: 2 token inserts over 3 ref tokens
+    assert(rows(2)._2 === 0.6667)
+    // repeated tokens must encode to the SAME symbol (WER of a swap is 2)
+    val swap = TextEval.werCer(pairs((9L, "x y x y", "y x y x")),
+      col("ref"), col("cand"), col("doc_id"))
+      .select($"wer").as[Double].head()
+    assert(swap === 0.5) // one del + one insert realigns the alternation
+  }
+
   test("bleuCorpus: aggregates counts, not doc scores; empty candidate handled") {
     val p = pairs(
       (1L, "a b c d e", "a b c d e"),     // perfect
