@@ -2038,6 +2038,34 @@ object SparkEntry {
             / (col("sxx") - col("sx") * col("sx") / col("nv")), 4).as("slope"))
     }),
 
+    // Vocabulary coverage curve: what fraction of the token STREAM the
+    // top-k vocabulary covers, k in {100, 1k, 10k} — the number that sizes
+    // a tokenizer vocabulary (diminishing-returns elbow). One frequency
+    // agg + a vocabulary-sized rank/cumsum window (the zipf_slope cadence)
+    // + a 3-row fold; the token stream itself is touched once.
+    "vocab_coverage_curve" -> ((s, d) => {
+      val counts = t(s, d, "documents")
+        .select(explode(TextFunctions.wsTokens(lower(col("text")))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val ranked = counts.withColumn("r",
+          row_number().over(Window.orderBy(desc("c"), col("tok"))))
+        .withColumn("cum", sum(col("c")).over(
+          Window.orderBy(desc("c"), col("tok"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = counts.agg(sum(col("c")).cast("double").as("n"),
+        count(lit(1)).as("v"))
+      val ks = s.range(2, 5).select(pow(lit(10.0), col("id")).cast("int").as("k"))
+      ks.crossJoin(broadcast(tot))
+        .join(ranked.select(col("r"), col("cum")), col("r") <= col("k"), "left")
+        .groupBy(col("k"))
+        .agg(first(col("n")).as("n"), first(col("v")).as("v"),
+          max(col("cum")).as("covered"))
+        .select(col("k"), least(col("k").cast("long"), col("v")).as("vocab_used"),
+          round(coalesce(col("covered"), lit(0L)).cast("double") / col("n"), 6)
+            .as("coverage"))
+        .orderBy(col("k"))
+    }),
+
     "dedup_jaccard_ngram" -> ((s, d) => {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
         n = 3, threshold = 0.30)
@@ -7109,6 +7137,19 @@ object SparkEntry {
     "eval_bleu" -> bleuOracleSql,
     "eval_bleu_corpus" -> bleuCorpusOracleSql,
     "eval_rouge" -> rougeOracleSql,
+    "vocab_coverage_curve" ->
+      """WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok FROM documents),
+        |vc AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r,
+        |         sum(c) OVER (ORDER BY c DESC, tok ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM vc),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n, count(*) AS v FROM vc),
+        |ks AS (SELECT CAST(pow(10, x) AS INT) AS k FROM (SELECT unnest(generate_series(2, 4)) AS x) xs)
+        |SELECT k, least(CAST(k AS BIGINT), tot.v) AS vocab_used,
+        |  round(coalesce(max(rk.cum), 0) / tot.n, 6) AS coverage
+        |FROM ks CROSS JOIN tot LEFT JOIN rk ON rk.r <= ks.k
+        |GROUP BY k, tot.v, tot.n ORDER BY k""".stripMargin,
+
     "eval_wer" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)[1:40] AS ref FROM documents),
         |c AS (SELECT doc_id, ref, list_filter(ref, (x, i) -> i % 7 <> 0) AS cand FROM w),
