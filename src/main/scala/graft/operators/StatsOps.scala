@@ -317,14 +317,16 @@ object StatsOps {
                    posCol: String): DataFrame = {
     val b = bins.select(col(binCol).as("__b"), col(nCol).as("__n"),
       col(posCol).as("__p"))
+    // all three non-equi joins are bins-/bins²-sized: broadcast them so the
+    // plan is BroadcastNestedLoopJoin, never a CartesianProduct
     val intervals = b.select(col("__b").as("__j"))
-      .crossJoin(b.select(col("__b").as("__k")))
+      .crossJoin(broadcast(b.select(col("__b").as("__k"))))
       .where(col("__j") <= col("__k"))
-      .join(b, col("__b").between(col("__j"), col("__k")))
+      .join(broadcast(b), col("__b").between(col("__j"), col("__k")))
       .groupBy(col("__j"), col("__k"))
       .agg((sum(col("__p")).cast("double") / sum(col("__n"))).as("__mean"))
     val inner = b.select(col("__b").as("__i"))
-      .join(intervals, col("__j") <= col("__i") && col("__k") >= col("__i"))
+      .join(broadcast(intervals), col("__j") <= col("__i") && col("__k") >= col("__i"))
       .groupBy(col("__i"), col("__j"))
       .agg(min(col("__mean")).as("__mn"))
       .groupBy(col("__i"))
