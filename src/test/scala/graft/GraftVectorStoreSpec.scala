@@ -138,10 +138,23 @@ class GraftVectorStoreSpec extends AnyFunSuite {
       approximate = true, probeDepth = 4)
     assert(fresh.where($"document_path" === "brand_new_doc").count() >= 1,
       "incrementally inserted node must be navigable from the hierarchy")
+    // deletes do NOT invalidate the hierarchy (the flat tier's tombstone
+    // contract): the walk reads vectors through the latest view, so the
+    // tombstoned doc is unscorable at every layer and never surfaces
+    store.deleteDocuments(Seq("brand_new_doc"), "t")
+    assert(new java.io.File(s"$path/_graft_knn_graph/t").exists(),
+      "delete must not invalidate the persisted hierarchy")
+    val afterDel = store.search("zyzzyva quokka axolotl wombat", "t", topN = 5,
+      approximate = true, probeDepth = 4)
+    assert(afterDel.where($"document_path" === "brand_new_doc").count() === 0,
+      "tombstoned records must never surface from the surviving hierarchy")
     // an update still invalidates (stale out-edges must not stay navigable)
     store.addDocuments(
-      docs.limit(1).select(lit("brand_new_doc").as("document_path"),
-        lit("zyzzyva quokka axolotl wombat refreshed").as("text")), "t", pageSize = 32)
+      docs.limit(1).select(lit("other_existing").as("document_path"),
+        lit("completely different refreshed words").as("text")), "t", pageSize = 32)
+    store.addDocuments(
+      docs.limit(1).select(lit("other_existing").as("document_path"),
+        lit("completely different refreshed words again").as("text")), "t", pageSize = 32)
     assert(!new java.io.File(s"$path/_graft_knn_graph/t").exists(),
       "re-ingest of an existing document must invalidate the hierarchy")
     store.dropIndex()
