@@ -38,17 +38,17 @@ object Scd2 {
     // legs of the single join; <=> makes NULL attribute values compare sanely
     val unchanged = j.where(col("__new").isNull || col("__old") <=> col("__new"))
       .where(col("__old").isNotNull)
-      .select(dim.columns.map(col): _*)
+      .select(dim.columns.toIndexedSeq.map(col): _*)
     val closed = j.where(col("__old").isNotNull && col("__new").isNotNull &&
         !(col("__old") <=> col("__new")))
-      .select(dim.columns.map(col): _*)
+      .select(dim.columns.toIndexedSeq.map(col): _*)
       .withColumn("valid_to", lit(ts))
     val opened = j.where(col("__new").isNotNull &&
         (col("__old").isNull || !(col("__old") <=> col("__new"))))
       .select(Seq(col(keyCol)) ++
         attrCols.map(c => col(s"__new.$c").as(c)) ++
         Seq(lit(ts).as("valid_from"), lit(null).cast("long").as("valid_to")): _*)
-      .select(dim.columns.map(col): _*)
+      .select(dim.columns.toIndexedSeq.map(col): _*)
     history.unionByName(unchanged).unionByName(closed).unionByName(opened)
   }
 
