@@ -2020,14 +2020,17 @@ object SparkEntry {
     // Zipf rank-frequency slope by least squares over (ln rank, ln count)
     // — the one-number sanity check that a corpus's token distribution is
     // natural-language-shaped (~-1) rather than synthetic/degenerate. The
-    // rank window runs over the VOCABULARY (model-sized relative to the
-    // corpus), never the token stream.
+    // vocabulary rank runs the two-level RangePrefix scheme: web-scale
+    // vocabularies reach 1e8-1e9 types (the BpeTrainer maxTypes argument),
+    // so a single-partition vocabulary window is exactly the one-reducer
+    // sort this profiling query would trip over at the scale it exists for.
     "vocab_zipf_slope" -> ((s, d) => {
       val counts = t(s, d, "documents")
         .select(explode(TextFunctions.wsTokens(lower(col("text")))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      val xy = counts.withColumn("r",
-          row_number().over(Window.orderBy(desc("c"), col("tok"))))
+      val xy = operators.RangePrefix.runningRank(
+          operators.RangePrefix.withBucket(counts, col("c"), descending = true),
+          Seq(col("c").desc, col("tok")), "r")
         .select(log(col("r").cast("double")).as("x"),
           log(col("c").cast("double")).as("y"))
       xy.agg(count(lit(1)).cast("double").as("nv"), sum(col("x")).as("sx"),
@@ -2041,17 +2044,20 @@ object SparkEntry {
     // Vocabulary coverage curve: what fraction of the token STREAM the
     // top-k vocabulary covers, k in {100, 1k, 10k} — the number that sizes
     // a tokenizer vocabulary (diminishing-returns elbow). One frequency
-    // agg + a vocabulary-sized rank/cumsum window (the zipf_slope cadence)
-    // + a 3-row fold; the token stream itself is touched once.
+    // agg + the two-level RangePrefix rank/cumsum (one withBucket, both
+    // prefixes share the grid — the zipf_slope cadence) + a 3-row fold;
+    // the token stream itself is touched once.
     "vocab_coverage_curve" -> ((s, d) => {
       val counts = t(s, d, "documents")
         .select(explode(TextFunctions.wsTokens(lower(col("text")))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      val ranked = counts.withColumn("r",
-          row_number().over(Window.orderBy(desc("c"), col("tok"))))
-        .withColumn("cum", sum(col("c")).over(
-          Window.orderBy(desc("c"), col("tok"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val order = Seq(col("c").desc, col("tok"))
+      val ranked = operators.RangePrefix.runningSum(
+          operators.RangePrefix.runningRank(
+            operators.RangePrefix.withBucket(counts, col("c"), descending = true),
+            order, "r"),
+          col("c"), order, "cum")
+        .drop("__bk")
       val tot = counts.agg(sum(col("c")).cast("double").as("n"),
         count(lit(1)).as("v"))
       val ks = s.range(2, 5).select(pow(lit(10.0), col("id")).cast("int").as("k"))
@@ -2557,25 +2563,21 @@ object SparkEntry {
     }),
 
     // Dense contiguous ID assignment (the re-keying primitive operators
-    // like Contrastive's shift-by-hash assume): per-bucket local ranks
-    // (PARALLEL windows, one per bucket) + a bucket-offsets prefix over the
-    // bucket-count table (config-sized) — the packing operator's two-level
-    // scheme, so NO corpus-wide window exists. The oracle is the global
+    // like Contrastive's shift-by-hash assume), through [[operators
+    // .RangePrefix]] — the scheme this query's hand-rolled round-5 form
+    // prototyped. The factored version's grid is a CONSTANT 64 cells
+    // (the prototype's doc_id/50 bucketing made the offsets table itself
+    // corpus-proportional — n/50 rows through one reducer at scale), and
+    // its offsets come from the triangular broadcast join, so no ordered
+    // single-partition pass exists at any size. The oracle is the global
     // row_number the naive formulation would use: the gate PROVES the
     // scalable rewrite is semantics-identical.
     "assign_dense_ids" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"))
-        .withColumn("b", floor(col("doc_id") / 50))
-      val local = docs.withColumn("lrank",
-        (row_number().over(Window.partitionBy(col("b")).orderBy(col("doc_id")))
-          - 1).cast("long"))
-      val offs = docs.groupBy(col("b")).agg(count(lit(1)).as("n"))
-        .withColumn("off", coalesce(sum(col("n")).over(
-          Window.orderBy(col("b"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("b"), col("off"))
-      local.join(broadcast(offs), "b")
-        .select(col("doc_id"), (col("off") + col("lrank")).as("dense_id"))
+      operators.RangePrefix.runningRank(
+          operators.RangePrefix.withBucket(docs, col("doc_id")),
+          Seq(col("doc_id")), "r")
+        .select(col("doc_id"), (col("r") - 1).as("dense_id"))
         .orderBy(col("doc_id"))
     }),
 
@@ -6412,13 +6414,18 @@ object SparkEntry {
           max(when(col("cls") === col("true_label"), col("score")))).as("nc"))
       val cal = a.where(col("doc_id") % 4 === 1)
       val tst = a.where(col("doc_id") % 4 === 3)
-      // calibration set is model-sized; the rank pick is a tiny window.
+      // the calibration set is a QUARTER OF THE CORPUS, so the order
+      // statistic must come from the two-level RangePrefix rank (parallel
+      // per-cell windows + broadcast offsets), never a single-reducer
+      // global sort. nc is non-null by construction (every trained class
+      // scores every doc — the RangePrefix non-null-key contract holds).
       // rank clamps to n_cal: for n_cal < 9, ceil(0.9*(n_cal+1)) exceeds
       // n_cal and the unclamped pick would go empty — Spark's crossJoin
       // would then return zero rows while the oracle's empty scalar
       // subquery yields NULL rows, an engine-divergent small-fixture edge
-      val w = Window.orderBy(col("nc"), col("doc_id"))
-      val thr = cal.withColumn("r", row_number().over(w).cast("long"))
+      val thr = operators.RangePrefix.runningRank(
+          operators.RangePrefix.withBucket(cal, col("nc")),
+          Seq(col("nc"), col("doc_id")), "r")
         .crossJoin(broadcast(cal.agg(count(lit(1)).as("n_cal"))))
         .where(col("r") ===
           least(ceil(lit(0.9) * (col("n_cal") + 1)).cast("long"), col("n_cal")))
@@ -6426,6 +6433,45 @@ object SparkEntry {
       tst.crossJoin(broadcast(thr))
         .groupBy(col("true_label").as("true_lang"))
         .agg(count(lit(1)).as("n_test"),
+          sum(when(col("nc") <= col("thr"), 1L).otherwise(0L)).as("n_covered"),
+          round(sum(when(col("nc") <= col("thr"), 1L).otherwise(0L)) * lit(1.0) /
+            count(lit(1)), 4).as("coverage"),
+          round(first(col("thr")), 4).as("threshold"))
+        .orderBy(col("true_lang"))
+    }),
+
+    // Split-conformal in its PRODUCTION shape: the calibration set is a
+    // FIXED-SIZE md5-drawn sample (<=128 docs) of the calibration quarter
+    // — the statistically standard form (calibration sets are
+    // constant-sized by construction; the guarantee needs only
+    // exchangeability, which a deterministic hash draw preserves). The
+    // sample lands via TakeOrderedAndProject (per-partition top-k, no
+    // global sort), and the order-statistic window runs over <=128 rows —
+    // constant in corpus size, audited in PlanSweepSpec. Coverage >= 1-a
+    // in expectation is pinned empirically in StatsOpsSpec.
+    "nb_conformal_sampled" -> ((s, d) => {
+      val toks = t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          explode(TextFunctions.wsTokens(lower(col("text")))).as("tok"))
+      val sc = NaiveBayes.scores(
+        toks.where(col("doc_id") % 2 === 0),
+        toks.where(col("doc_id") % 2 === 1), "doc_id", "lang", "tok")
+      val a = sc.groupBy(col("doc_id"), col("true_label"))
+        .agg((max(when(col("cls") =!= col("true_label"), col("score"))) -
+          max(when(col("cls") === col("true_label"), col("score")))).as("nc"))
+      val cal = a.where(col("doc_id") % 4 === 1)
+        .withColumn("draw", md5(concat_ws("#", col("doc_id"), lit("cal"))))
+        .orderBy(col("draw"), col("doc_id")).limit(128)
+      val tst = a.where(col("doc_id") % 4 === 3)
+      val w = Window.orderBy(col("nc"), col("doc_id")) // <=128-row frame
+      val thr = cal.withColumn("r", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(cal.agg(count(lit(1)).as("n_cal"))))
+        .where(col("r") ===
+          least(ceil(lit(0.9) * (col("n_cal") + 1)).cast("long"), col("n_cal")))
+        .select(col("nc").as("thr"), col("n_cal"))
+      tst.crossJoin(broadcast(thr))
+        .groupBy(col("true_label").as("true_lang"))
+        .agg(first(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
           sum(when(col("nc") <= col("thr"), 1L).otherwise(0L)).as("n_covered"),
           round(sum(when(col("nc") <= col("thr"), 1L).otherwise(0L)) * lit(1.0) /
             count(lit(1)), 4).as("coverage"),
@@ -11118,6 +11164,26 @@ object SparkEntry {
         |q AS (SELECT nc AS thr FROM (SELECT nc, row_number() OVER (ORDER BY nc, doc_id) AS r, count(*) OVER () AS n FROM cal)
         |      WHERE r = least(CAST(ceil(0.9 * (n + 1)) AS BIGINT), n))
         |SELECT true_lang, CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN nc <= (SELECT thr FROM q) THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  round(sum(CASE WHEN nc <= (SELECT thr FROM q) THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS coverage,
+        |  round((SELECT thr FROM q), 4) AS threshold
+        |FROM tst GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Fixed-size-calibration replay: the md5 draw string is
+    // '<doc_id>#cal' in both engines (concat_ws('#') == VARCHAR concat);
+    // LIMIT after ORDER BY draw, doc_id mirrors the TakeOrdered sample.
+    "nb_conformal_sampled" ->
+      s"""WITH $nbScoreCtes,
+        |a AS (SELECT doc_id, true_lang,
+        |    max(CASE WHEN lang <> true_lang THEN score END) - max(CASE WHEN lang = true_lang THEN score END) AS nc
+        |  FROM tot GROUP BY 1, 2),
+        |cal AS (SELECT doc_id, true_lang, nc FROM (
+        |    SELECT *, md5(CAST(doc_id AS VARCHAR) || '#cal') AS draw
+        |    FROM a WHERE doc_id % 4 = 1) ORDER BY draw, doc_id LIMIT 128),
+        |tst AS (SELECT * FROM a WHERE doc_id % 4 = 3),
+        |q AS (SELECT nc AS thr, n AS n_cal FROM (SELECT nc, row_number() OVER (ORDER BY nc, doc_id) AS r, count(*) OVER () AS n FROM cal)
+        |      WHERE r = least(CAST(ceil(0.9 * (n + 1)) AS BIGINT), n))
+        |SELECT true_lang, (SELECT n_cal FROM q) AS n_cal, CAST(count(*) AS BIGINT) AS n_test,
         |  CAST(sum(CASE WHEN nc <= (SELECT thr FROM q) THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
         |  round(sum(CASE WHEN nc <= (SELECT thr FROM q) THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS coverage,
         |  round((SELECT thr FROM q), 4) AS threshold

@@ -37,7 +37,14 @@ object RangePrefix {
     * monotone non-decreasing in `key` ascending order (or descending when
     * `descending = true`). Adds a broadcast of the 1-row (min, max) agg.
     * `key` is cast to double for bucketing only — bucket boundaries never
-    * affect results, only the monotone ordering of buckets matters. */
+    * affect results, only the monotone ordering of buckets matters.
+    *
+    * CONTRACT: `key` must be NON-NULL on every row. A corpus-wide
+    * `Window.orderBy` would rank NULL keys first; the grid has no cell
+    * for them, and silently dropping them at [[runningSum]]'s `__bk` join
+    * would diverge from the window semantics this class is bit-identical
+    * to. A NULL key therefore fails loudly here (codegen'd branch, no
+    * extra pass) instead of dropping rows downstream. */
   def withBucket(df: DataFrame, key: Column, cells: Int = 64,
                  descending: Boolean = false): DataFrame = {
     require(cells >= 1, s"cells must be >= 1, got $cells")
@@ -47,9 +54,13 @@ object RangePrefix {
     // MinPositiveValue only matters when kmax == kmin (everything in cell
     // 0); otherwise it is absorbed. least(..) guards the kmax row itself.
     df.crossJoin(broadcast(b))
-      .withColumn("__bk", least(floor(pos * cells /
-        (col("__kmax") - col("__kmin") + lit(Double.MinPositiveValue))),
-        lit((cells - 1).toLong)))
+      .withColumn("__bk", when(kd.isNull, raise_error(lit(
+          "RangePrefix.withBucket: NULL sort key — the two-level scheme " +
+          "requires non-null keys (a global window would rank NULLs first; " +
+          "filter or coalesce the key before bucketing)")))
+        .otherwise(least(floor(pos * cells /
+          (col("__kmax") - col("__kmin") + lit(Double.MinPositiveValue))),
+          lit((cells - 1).toLong))))
       .drop("__kmin", "__kmax")
   }
 

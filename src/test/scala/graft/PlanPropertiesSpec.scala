@@ -218,7 +218,9 @@ class PlanPropertiesSpec extends AnyFunSuite {
   // single-partition regression this pin exists to catch)
   for (q <- Seq("select_token_budget", "profile_pareto_abc",
                 "pack_padding_waste", "orders_propensity_match",
-                "quality_unigram_ppl", "stats_kruskal_wallis"))
+                "quality_unigram_ppl", "stats_kruskal_wallis",
+                "nb_conformal", "vocab_zipf_slope", "vocab_coverage_curve",
+                "assign_dense_ids"))
     test(s"$q global prefix uses the two-level scheme — no corpus-wide window") {
       val df = SparkEntry.queries(q)(spark, TestSpark.sf)
       df.collect()

@@ -24,6 +24,51 @@ class PlanSweepSpec extends AnyFunSuite {
     "bpe_", "embedding_kmeans", "embedding_power", "dedup_semantic",
     "q18_salted")
 
+  // Every unpartitioned WindowExec in the battery, audited: each entry
+  // names the query and the reason its global window frame is SMALL BY
+  // CONSTRUCTION (never corpus-proportional). The sweep asserts exact
+  // set equality, so a new query cannot quietly add a single-partition
+  // corpus window (the one-reducer sort that never survives 100x), and a
+  // de-windowed query must be removed from this list (no stale excuses).
+  private val auditedGlobalWindows: Set[String] = Set(
+    "knn_source_capped",   // rank over a post-limit(10) 10-row frame
+    "dsir_importance",     // rank over a post-limit(100) 100-row frame
+    "stats_bh_fdr",        // step-up rank over the hypothesis family
+                           // (event_type x weekday cells — config-sized)
+    "corpus_gini",         // Lorenz rank over the per-source totals table
+    "events_kaplan_meier", // product-limit over distinct day-durations
+                           // (bounded by the observation span in days)
+    "compact_bin_packing", // first-fit over a file-compaction manifest
+                           // (files-per-partition config scale)
+    "dq_value_drift_ks",   // cell-offsets prefix over the CONSTANT 64-row
+                           // grid-totals table (hand-rolled RangePrefix
+                           // predecessor; data-sized side is bk-keyed)
+    "pack_sequences",      // bucket-offsets prefix over the length-bucket
+                           // totals (max_doc_tokens/50 rows — bounded by
+                           // document length, not corpus size)
+    "nb_conformal_sampled" // order statistic over the fixed <=128-row
+                           // md5-drawn calibration sample (constant by
+                           // construction — the split-conformal shape)
+  )
+
+  test("unpartitioned WindowExec only where the frame is audited small") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => excludePrefixes.exists(n.startsWith))
+    val offenders = names.flatMap { name =>
+      try {
+        val df = SparkEntry.queries(name)(spark, TestSpark.sf)
+        val globals = df.queryExecution.sparkPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        if (globals.nonEmpty) Some(name) else None
+      } catch { case _: Throwable => None } // planning failures → cartesian sweep
+    }.toSet
+    assert(offenders == auditedGlobalWindows,
+      s"unaudited global windows: ${(offenders -- auditedGlobalWindows).toSeq.sorted.mkString(", ")}; " +
+      s"stale audit entries: ${(auditedGlobalWindows -- offenders).toSeq.sorted.mkString(", ")}")
+  }
+
   test("no registered batch query plans a CartesianProduct") {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => excludePrefixes.exists(n.startsWith))

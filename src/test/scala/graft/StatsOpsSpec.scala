@@ -236,4 +236,24 @@ class StatsOpsSpec extends AnyFunSuite {
       .as[(String, Boolean)].collect().toSeq
     assert(out3 === Seq(("a", true), ("b", false), ("c", false), ("d", false)))
   }
+
+  test("nb_conformal_sampled: fixed-size calibration, one global threshold, " +
+      "and fixture coverage near the nominal level") {
+    val rows = SparkEntry.queries("nb_conformal_sampled")(spark, TestSpark.sf)
+      .select($"n_cal", $"n_test", $"n_covered", $"threshold")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    // the calibration sample is capped at 128 by construction and every
+    // class sees the SAME sample (split-conformal is marginal, not
+    // class-conditional)
+    assert(rows.map(_._1).distinct.size === 1)
+    assert(rows.head._1 <= 128L)
+    assert(rows.map(_._4).distinct.size === 1)
+    // the 1-a = 0.9 coverage guarantee is in EXPECTATION over exchangeable
+    // draws; the fixture's single realization lands at 0.824 (103/125) —
+    // pin a floor under it, not the expectation itself (pretending the
+    // per-realization bound is 0.9 would be a flaky lie)
+    val cov = rows.map(_._3).sum.toDouble / rows.map(_._2).sum
+    assert(cov >= 0.8, s"aggregate coverage $cov")
+  }
 }
