@@ -62,31 +62,37 @@ object KMeans {
     centroidsSeq(df, vecCol, idCol, k, iters).last
 
   /** Every codebook along the Lloyd chain: element i is the codebook after
-    * i update rounds (element 0 = the seeds). Each round's k-row codebook
-    * is localCheckpoint-ed, so round i+1's assignment joins a MATERIALIZED
-    * k-row table instead of replaying rounds 0..i lazily — the chain costs
-    * `iters` corpus passes, not a triangular number, and a caller needing
-    * two adjacent codebooks (e.g. IVF's assign-at-iters-1 / route-at-iters
-    * contract, [[SimilaritySearch.ivfIndex]]) pays the chain ONCE. Values
-    * are bit-identical to the unmaterialized form (checkpointing changes
+    * i update rounds (element 0 = the seeds). LAZY by default: consuming
+    * element i replays rounds 0..i inside ONE job (the seed subtree and
+    * each round's k-row broadcast evaluate once per consuming job, so a
+    * caller reading two ADJACENT codebooks only duplicates the cheap seed
+    * TakeOrdered). `materialize = true` localCheckpoints every round —
+    * each round becomes its own eager job, which round 8's Probe
+    * `ivfbuild` measured as a ~1 s/query LOSS on the IVF gate shape
+    * (1.6-1.8 s vs 0.7-0.8 s at sf0.1: per-job fixed costs exceed the
+    * replayed work at any corpus size where the rounds are
+    * broadcast-sized). Reach for it only on LONG chains whose consumers
+    * read many non-adjacent elements (genuinely triangular replay).
+    * Values are bit-identical either way (materialization changes
     * execution, never arithmetic). */
   def centroidsSeq(df: DataFrame, vecCol: String, idCol: String,
-                   k: Int, iters: Int): Seq[DataFrame] = {
+                   k: Int, iters: Int,
+                   materialize: Boolean = false): Seq[DataFrame] = {
     require(k >= 1 && iters >= 0)
+    def mat(d: DataFrame): DataFrame = if (materialize) d.localCheckpoint() else d
     val v = df.select(col(idCol).as("__kid"),
       col(vecCol).cast("array<double>").as("__v"))
     val seedOrder = Seq(md5(col("__kid").cast("string")), col("__kid"))
     val seeds = v.orderBy(seedOrder: _*).limit(k)
     val w = org.apache.spark.sql.expressions.Window.orderBy(seedOrder: _*)
-    var cents = seeds
+    var cents = mat(seeds
       .withColumn("__cid", (row_number().over(w) - 1).cast("int"))
       .select(col("__cid"),
-        transform(col("__v"), x => round(x, 6)).as("__cent"))
-      .localCheckpoint()
+        transform(col("__v"), x => round(x, 6)).as("__cent")))
     val chain = scala.collection.mutable.ArrayBuffer(cents)
     for (_ <- 1 to iters) {
       val assigned = assignTo(v, cents)
-      cents = assigned
+      cents = mat(assigned
         .select(col("cluster"), posexplode(col("__v")))
         .groupBy(col("cluster"), col("pos"))
         .agg(avg(col("col")).as("__m"))
@@ -94,8 +100,7 @@ object KMeans {
         .agg(collect_list(struct(col("pos"), col("__m"))).as("__pm"))
         .select(col("cluster").as("__cid"),
           transform(array_sort(col("__pm")), p => round(p.getField("__m"), 6))
-            .as("__cent"))
-        .localCheckpoint()
+            .as("__cent")))
       chain += cents
     }
     chain.toSeq

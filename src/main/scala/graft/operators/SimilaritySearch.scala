@@ -158,7 +158,8 @@ object SimilaritySearch {
     * is materialized before the previous one is released, so peak cache is
     * one corpus copy. */
   def ivfIndex(corpus: DataFrame, nCentroids: Int, iters: Int = 1,
-               vecCol: String = "embedding", idCol: String = "vec_id")
+               vecCol: String = "embedding", idCol: String = "vec_id",
+               materializeChain: Boolean = false)
       : (DataFrame, DataFrame) = {
     require(iters >= 1)
     // Round 6: the build runs on the engine-PORTABLE Lloyd arithmetic
@@ -166,10 +167,14 @@ object SimilaritySearch {
     // that let ann_ivf graduate from rows-only to oracle-gated. Contract
     // preserved: `assigned` is the assignment against the
     // (iters-1)-updated codebook and each list's ROUTING centroid is that
-    // list's mean (the iters-updated codebook). Round 7: both codebooks
-    // come from ONE materialized Lloyd chain (KMeans.centroidsSeq) —
-    // identical values, half the build passes.
-    val chain = KMeans.centroidsSeq(corpus, vecCol, idCol, nCentroids, iters)
+    // list's mean (the iters-updated codebook). Round 8: the chain is
+    // LAZY — round 7 materialized every Lloyd round via localCheckpoint
+    // ("half the build passes" in theory) and Probe `ivfbuild` measured
+    // it ~1 s/query SLOWER on the gate shape (eager per-round jobs cost
+    // more than the replayed seed TakeOrdered they save); identical
+    // values either way.
+    val chain = KMeans.centroidsSeq(corpus, vecCol, idCol, nCentroids, iters,
+      materialize = materializeChain)
     val prev = chain(iters - 1)
       .select(col("__cid").cast("long").as("centroid_id"),
         col("__cent").as("centroid"))
@@ -199,8 +204,10 @@ object SimilaritySearch {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nprobe: Int = 2,
               corpusVec: String = "embedding", corpusId: String = "vec_id",
-              queryVec: String = "q_vec", queryId: String = "q_id"): DataFrame = {
-    val (centroids0, assigned) = ivfIndex(corpus, nCentroids, iters = 1, corpusVec, corpusId)
+              queryVec: String = "q_vec", queryId: String = "q_id",
+              materializeChain: Boolean = false): DataFrame = {
+    val (centroids0, assigned) = ivfIndex(corpus, nCentroids, iters = 1, corpusVec, corpusId,
+      materializeChain = materializeChain)
     val centroids = centroids0.cache()
     val qw = Window.partitionBy(col(queryId)).orderBy(asc("qdist"), asc("centroid_id"))
     val probes = queries.join(broadcast(centroids))

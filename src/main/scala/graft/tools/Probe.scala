@@ -47,6 +47,31 @@ object Probe {
         time("full operator")(
           Dedup.minhashNearDupPairs(docs, "text", "doc_id", 12, 4, 0.30).count())
 
+      case "ivfbuild" =>
+        // r8: the r7 per-round localCheckpoint chain vs the lazy chain,
+        // end-to-end on the ann_ivf gate shape (c=8, nprobe=2, k=10).
+        // min-of-3 warm; `assigned` is unpersisted between runs so each
+        // measurement pays the full build.
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+        emb.count()
+        val qs = emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")).cache()
+        qs.count()
+        def runIvf(materialize: Boolean): Double = {
+          val t0 = System.nanoTime()
+          SimilaritySearch.ivfTopK(emb, qs, 10, 8, 2,
+            materializeChain = materialize).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(true))
+          emb.cache(); emb.count(); qs.cache(); qs.count()
+          dt
+        }
+        runIvf(materialize = true) // warm both code paths once
+        runIvf(materialize = false)
+        for (m <- Seq(true, false, true, false, true, false))
+          println(f"[probe] ivfTopK materializeChain=$m%-5s ${runIvf(m)}%6.2f s")
+
       case "insert" =>
         // graph-ANN incremental insert: append ≡ rebuild recall evidence
         import graft.operators.GraphAnn
