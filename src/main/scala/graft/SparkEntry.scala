@@ -5452,6 +5452,11 @@ object SparkEntry {
       // er_fuzzy_match_subblocked and EntityResolutionSpec.
       val pairs = EntityResolution.candidatePairs(dirty, clean, "id", "name",
           Seq(fk, lk))
+        // codegen length+char-bag JW upper bound gates the O(l1*l2) UDF
+        // (the EntityResolution.resolve verify ladder) — admissible, so
+        // the surviving pair set and every hash downstream are unchanged
+        .where(plans.CharBagExpressions.jwUpperBound(
+          col("dirty_name"), col("clean_name")) >= 0.85 - 1e-4)
         .where(round(EntityResolution.jaroWinklerUdf(
             col("dirty_name"), col("clean_name")), 4) >= 0.85 &&
           col("dirty_id") =!= col("clean_id"))

@@ -111,6 +111,13 @@ object EntityResolution {
     val cand = candidatePairs(dirty, clean, idCol, nameCol, blockKeys,
       maxBlockFreq, subBlockKey)
     cand
+      // verify ladder (the Dedup.levenshtein discipline): the codegen
+      // length+char-bag upper bound rejects pairs that provably cannot
+      // round to >= minScore before the O(l1*l2) JW window scan runs —
+      // admissible (CharBag.jwUpperBound), so the survivors' scores and
+      // the election are bit-identical. The 1e-4 margin covers round(.,4).
+      .where(graft.plans.CharBagExpressions.jwUpperBound(
+        col("dirty_name"), col("clean_name")) >= minScore - 1e-4)
       .withColumn("jw", round(jaroWinklerUdf(col("dirty_name"), col("clean_name")), 4))
       .where(col("jw") >= minScore)
       .groupBy(col("dirty_id"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, StringType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Character-multiset ("bag") prefilter for edit-distance candidate pairs.
@@ -68,6 +68,42 @@ object CharBag {
       else if (c == ' ') 26
       else -1
     if (bin >= 0 && (out(bin) & 0xff) < 0xff) out(bin) = (out(bin) + 1).toByte
+  }
+
+  /** ADMISSIBLE upper bound on DuckDB-semantics Jaro-Winkler (see
+    * [[graft.operators.EntityResolution.jaroWinkler]]) from lengths + the
+    * 27-bin bags — the cheap reject that gates the O(l1*l2) window scan:
+    *
+    *   m <= sum_k min(c1_k, c2_k) over TRUE per-char histograms. Split
+    *   into bag bins vs uncounted chars (digits/punct + saturation loss):
+    *   m <= (sa + sb - L1(bag1,bag2))/2 + (l1 - sa) + (l2 - sb), each
+    *   uncounted char granted a match (lowercased bins also over-grant
+    *   case-insensitive matches — all slack is one-sided). Clamp to
+    *   min(l1, l2), take t = 0, and apply the full p=4 Winkler bonus
+    *   whenever the bounded jaro clears 0.7 (if the bound doesn't clear
+    *   0.7 the true jaro can't either, so the no-bonus branch is safe).
+    *
+    * Every relaxation only RAISES the bound, so `jwUpperBound < s` proves
+    * `jaroWinkler < s`: a filter on it drops no true match. */
+  def jwUpperBound(s1: UTF8String, s2: UTF8String): Double = {
+    val l1 = if (s1.isFullAscii) s1.numBytes else s1.toString.length
+    val l2 = if (s2.isFullAscii) s2.numBytes else s2.toString.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val a = bag(s1); val b = bag(s2)
+    var sa = 0; var sb = 0; var l1d = 0
+    var i = 0
+    while (i < Bins) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      sa += x; sb += y
+      l1d += (if (x > y) x - y else y - x)
+      i += 1
+    }
+    var m = (sa + sb - l1d) / 2 + (l1 - sa) + (l2 - sb)
+    val mn = if (l1 < l2) l1 else l2
+    if (m > mn) m = mn
+    if (m <= 0) return 0.0
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 + 1.0) / 3.0
+    if (jaro <= 0.7) jaro else jaro + 0.4 * (1.0 - jaro)
   }
 
   /** True iff the L1 distance between two equal-length byte histograms is
@@ -138,10 +174,35 @@ case class BagL1WithinExpr(left: Expression, right: Expression, bound: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** jw_upper_bound(s1, s2): see [[CharBag.jwUpperBound]]. */
+case class JwUpperBoundExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "jw_upper_bound"
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected (string, string), got (${left.dataType}, ${right.dataType})")
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    CharBag.jwUpperBound(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"graft.plans.CharBag.jwUpperBound($l, $r)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object CharBagExpressions {
   def charBag(s: Column): Column =
     ColumnBridge.column(CharBagExpr(ColumnBridge.expression(s)))
   def bagL1Within(a: Column, b: Column, bound: Int): Column =
     ColumnBridge.column(BagL1WithinExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b), bound))
+  def jwUpperBound(a: Column, b: Column): Column =
+    ColumnBridge.column(JwUpperBoundExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -28,6 +28,29 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(jaroWinkler(null, "abc") === 0.0)
   }
 
+  test("jwUpperBound is admissible: never below the true Jaro-Winkler") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ub(a: String, b: String): Double =
+      graft.plans.CharBag.jwUpperBound(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    // the hand cases above, both orders
+    val hand = Seq("martha" -> "marhta", "dwayne" -> "duane",
+      "crate" -> "trace", "abc" -> "abc", "abc" -> "xyz",
+      "aXXXX" -> "aYYYY", "abcdef" -> "bcadef", "ab" -> "ba",
+      "" -> "abc", "a1b2" -> "ab12", "Smith Jon" -> "jon smith")
+    for ((a, b) <- hand ++ hand.map(_.swap))
+      assert(ub(a, b) >= jaroWinkler(a, b) - 1e-12, s"($a, $b)")
+    // randomized sweep over a small alphabet (maximizes near-misses) plus
+    // digits/punct (exercises the uncounted-char term)
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcAB 19-."
+    def rs(): String = Seq.fill(rnd.nextInt(12))(alpha(rnd.nextInt(alpha.length))).mkString
+    for (_ <- 1 to 5000) {
+      val a = rs(); val b = rs()
+      assert(ub(a, b) >= jaroWinkler(a, b) - 1e-12, s"counterexample: ('$a', '$b')")
+    }
+  }
+
   test("resolve: planted mutations recover their own entity; election deterministic") {
     val clean = Seq((1L, "hash key value"), (2L, "merge sort scan"), (3L, "big fast join"))
       .toDF("id", "name")
