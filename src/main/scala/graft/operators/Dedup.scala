@@ -807,11 +807,15 @@ object Dedup {
     // on the er_golden_record match graph). Scope the loop's partitions to
     // the observed node count (~1M labels per reducer), never above the
     // session setting — at corpus scale the clamp is a no-op, exactly the
-    // GraphAnn.WalkShufflePartitions discipline. Restored on exit.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.max(1L, math.min(prevParts.toLong, nNodes / 1000000L + 1L))
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-    try {
+    // GraphAnn.WalkShufflePartitions discipline. The scoped setting lives
+    // on a SESSION CLONE (own SQLConf, shared context/cache) and only the
+    // loop's eager checkpoints execute under it — round 8's fix for the
+    // conf-mutation race two concurrent queries on one session would hit.
+    val loopParts = math.max(1L, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toLong,
+      nNodes / 1000000L + 1L))
+    val loopSession = spark.newSession()
+    loopSession.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     var it = 0
     var done = false
     while (!done && it < maxIter) {
@@ -825,18 +829,21 @@ object Dedup {
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
       // Round part 2: pointer jump — comp(v) <- comp(comp(v)). Labels always
       // point at smaller ids, so chains halve every round.
-      val (next, cur) = checkpointWithChecksum(afterNbr
-        .join(afterNbr.select(col("id").as("comp"), col("comp").as("parent_comp")),
-          Seq("comp"), "left")
-        .select(col("id"), coalesce(col("parent_comp"), col("comp")).as("comp")))
+      val (next, cur) = checkpointWithChecksum(
+        org.apache.spark.sql.graftbridge.SessionBridge.withSession(afterNbr
+          .join(afterNbr.select(col("id").as("comp"), col("comp").as("parent_comp")),
+            Seq("comp"), "left")
+          .select(col("id"), coalesce(col("parent_comp"), col("comp")).as("comp")),
+          loopSession))
       done = cur.compareTo(prev) == 0
       prev = cur
       labels.unpersist()
       labels = next
       it += 1
     }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     edges.unpersist()
-    labels
+    // re-bind the final checkpointed labels to the CALLER's session so
+    // downstream (corpus-sized) shuffles plan at the caller's partitions
+    org.apache.spark.sql.graftbridge.SessionBridge.withSession(labels, spark)
   }
 }

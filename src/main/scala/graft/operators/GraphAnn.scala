@@ -168,12 +168,15 @@ object GraphAnn {
                  queryVec: String = "q_vec", queryId: String = "q_id"): DataFrame = {
     require(k >= 1 && beam >= 1 && rounds >= 0 && descentRounds >= 1 && maxLayer >= 0)
     val spark = corpus.sparkSession
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", WalkShufflePartitions)
-    try {
-      val c = corpus.select(col(corpusId).cast("long").as("__cid"),
+    // walk-sized shuffles run on a session CLONE scoped to
+    // WalkShufflePartitions (own SQLConf — no shared-conf mutation to race
+    // with concurrent queries); only the loop's eager checkpoints execute
+    // under it, and the returned frame re-binds to the caller's session.
+    val walk = walkSession(spark)
+    locally {
+      val c = walk(corpus).select(col(corpusId).cast("long").as("__cid"),
         col(corpusVec).as("__cvec"))
-      val q = queries.select(col(queryId).cast("long").as("__qid"),
+      val q = walk(queries).select(col(queryId).cast("long").as("__qid"),
         col(queryVec).as("__qvec"))
       def score(cand: DataFrame): DataFrame =
         c.join(broadcast(cand), Seq("__cid"))
@@ -226,11 +229,13 @@ object GraphAnn {
         visited = visited.unionByName(freshScored)
         frontier = bestNew(freshScored)
       }
-      SimilaritySearch.topKPerQuery(
-        visited.where(col("__cid") =!= col("__qid"))
-          .withColumnRenamed("__qid", queryId).withColumnRenamed("__cid", corpusId),
-        k, queryId, corpusId)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      org.apache.spark.sql.graftbridge.SessionBridge.withSession(
+        SimilaritySearch.topKPerQuery(
+          visited.where(col("__cid") =!= col("__qid"))
+            .withColumnRenamed("__qid", queryId).withColumnRenamed("__cid", corpusId),
+          k, queryId, corpusId),
+        spark)
+    }
   }
 
   /** Build-once persisted neighbor graph — the index-on-disk form. A graph
@@ -386,15 +391,16 @@ object GraphAnn {
     require(k >= 1 && beam >= 1 && rounds >= 0 && nEntry >= 1)
     val spark = corpus.sparkSession
     import spark.implicits._
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", WalkShufflePartitions)
-    try {
+    // every frame in the walk roots at the scoped clone (the whole body is
+    // driver-paced eager work; the return is a plain Seq) — see walkSession
+    val walk = walkSession(spark)
+    locally {
       // serving-resident (id, vector) slice: one materialization, then
       // every per-round fetch is an in-memory keyed filter
-      val c = corpus.select(col(corpusId).cast("long").as("__cid"),
+      val c = walk(corpus).select(col(corpusId).cast("long").as("__cid"),
           col(corpusVec).cast("array<float>").as("__cvec"))
         .localCheckpoint()
-      val e = edges.select(col("src").cast("long").as("__esrc"),
+      val e = walk(edges).select(col("src").cast("long").as("__esrc"),
         col("dst").cast("long").as("__edst"))
       def cos(v: Seq[Float]): Double = {
         val n = math.min(v.length, queryVec.length)
@@ -435,7 +441,7 @@ object GraphAnn {
       }
       visited.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
         .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Single-query HNSW serving walk, driver-paced — [[beamSearchSingle]]'s
@@ -462,13 +468,14 @@ object GraphAnn {
     require(k >= 1 && beam >= 1 && rounds >= 0 && descentRounds >= 1 && maxLayer >= 0)
     val spark = corpus.sparkSession
     import spark.implicits._
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", WalkShufflePartitions)
-    try {
-      val c = corpus.select(col(corpusId).cast("long").as("__cid"),
+    // same clone-scoped discipline as beamSearchSingle (see walkSession)
+    val walk = walkSession(spark)
+    locally {
+      val c = walk(corpus).select(col(corpusId).cast("long").as("__cid"),
           col(corpusVec).cast("array<float>").as("__cvec"))
         .localCheckpoint()
-      def edgesAt(l: Int): DataFrame = layeredEdges.where(col("layer") === l)
+      def edgesAt(l: Int): DataFrame = walk(layeredEdges)
+        .where(col("layer") === l)
         .select(col("src").cast("long").as("__esrc"),
           col("dst").cast("long").as("__edst"))
       def cos(v: Seq[Float]): Double = {
@@ -526,7 +533,7 @@ object GraphAnn {
       }
       visited.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
         .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Rank a [[beamVisited]] set: top-k per query, self-excluded by default. */
@@ -553,16 +560,28 @@ object GraphAnn {
     * localCheckpoints are the only actions in scope). */
   private val WalkShufflePartitions = 8
 
+  /** Session clone scoped to [[WalkShufflePartitions]] for walk-sized
+    * frames: returns a re-binder that roots a DataFrame's plan at the
+    * clone (own SQLConf, shared context/cache/checkpoints). Replaces the
+    * round-7 set/restore of `spark.sql.shuffle.partitions` on the SHARED
+    * session, which raced against concurrent queries (their corpus-sized
+    * shuffles could plan at the walk's 8 partitions). */
+  private def walkSession(spark: org.apache.spark.sql.SparkSession)
+      : DataFrame => DataFrame =
+    org.apache.spark.sql.graftbridge.SessionBridge
+      .scopedShuffle(spark, WalkShufflePartitions)
+
   /** `portable = true` (the gated default) keeps the oracle-replayable
     * arithmetic: md5-ordered entry sample and round-4 similarities, so a
     * DuckDB oracle reproduces the walk decision-for-decision. `portable =
     * false` is the SERVING form behind [[graft.GraftVectorStore]]: same
-    * walk, but entries ranked by native xxhash64 (codegen, no per-id
-    * string md5) and raw double similarities (no per-score rounding) —
-    * still fully deterministic (ties break on id), just not replayable by
-    * an ANSI oracle. The twin discipline of embed_documents /
-    * embed_hashed_sparse, pointed the other way: the gate pays the
-    * portability tax, the serving path doesn't. */
+    * walk — including the md5-ordered entry sample (one tiny TakeOrdered
+    * either way, so serving keeps the gate's entry choice) — with raw
+    * double similarities (no per-score rounding): still fully
+    * deterministic (ties break on id), just not replayable by an ANSI
+    * oracle. The twin discipline of embed_documents / embed_hashed_sparse,
+    * pointed the other way: the gate pays the portability tax, the
+    * serving path doesn't. */
   def beamVisited(corpus: DataFrame, edges: DataFrame, queries: DataFrame,
                   beam: Int = 8, rounds: Int = 3, nEntry: Int = 8,
                   corpusVec: String = "embedding", corpusId: String = "vec_id",
@@ -570,11 +589,14 @@ object GraphAnn {
                   portable: Boolean = true): DataFrame = {
     require(beam >= 1 && rounds >= 0 && nEntry >= 1)
     val spark = corpus.sparkSession
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", WalkShufflePartitions)
-    try beamVisitedImpl(corpus, edges, queries, beam, rounds, nEntry,
-      corpusVec, corpusId, queryVec, queryId, portable)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // the walk's eager checkpoints run on the scoped clone; the returned
+    // (lazy) visited frame re-binds to the caller's session — the same
+    // boundary the old set/restore drew, minus the shared-conf race
+    val walk = walkSession(spark)
+    org.apache.spark.sql.graftbridge.SessionBridge.withSession(
+      beamVisitedImpl(walk(corpus), walk(edges), walk(queries), beam, rounds,
+        nEntry, corpusVec, corpusId, queryVec, queryId, portable),
+      spark)
   }
 
   private def beamVisitedImpl(corpus: DataFrame, edges: DataFrame, queries: DataFrame,

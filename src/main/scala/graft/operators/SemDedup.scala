@@ -90,12 +90,15 @@ object SemDedup {
                     k: Int, iters: Int, threshold: Double): DataFrame = {
     // the pair graph and its component labels are dup-set-sized (orders of
     // magnitude below the corpus) — scope the shuffle width down for the
-    // iterative section, as GraphAnn.beamVisited does for its walk
+    // iterative section, as GraphAnn.beamVisited does for its walk. The
+    // scoped width lives on a session clone (SessionBridge.scopedShuffle):
+    // no shared-conf mutation to race with concurrent queries.
     val spark = df.sparkSession
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try resolveGroupsImpl(df, vecCol, idCol, k, iters, threshold)
-    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val scoped = org.apache.spark.sql.graftbridge.SessionBridge
+      .scopedShuffle(spark, 8)
+    org.apache.spark.sql.graftbridge.SessionBridge.withSession(
+      resolveGroupsImpl(scoped(df), vecCol, idCol, k, iters, threshold),
+      spark)
   }
 
   private def resolveGroupsImpl(df: DataFrame, vecCol: String, idCol: String,

@@ -285,4 +285,39 @@ class DedupSpec extends AnyFunSuite {
     assert(comps.size === 64)
     assert(comps.values.toSet === Set(1L))
   }
+
+  test("iterative loops never write the shared session conf (concurrent " +
+      "queries keep the session's shuffle width)") {
+    // the loop-scoped shuffle width lives on a session CLONE
+    // (SessionBridge.scopedShuffle); the r7 form set/restored
+    // spark.sql.shuffle.partitions on the SHARED session, so a concurrent
+    // query could plan its corpus-sized shuffle at the loop's 1-2
+    // partitions. Poll the shared conf at ~1ms while the operators run —
+    // the old write was held across the whole multi-second loop, so any
+    // regression is caught with margin.
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    @volatile var running = true
+    @volatile var dirty: Option[String] = None
+    val poller = new Thread(() => {
+      while (running) {
+        val v = spark.conf.get("spark.sql.shuffle.partitions")
+        if (v != before && dirty.isEmpty) dirty = Some(v)
+        Thread.sleep(1)
+      }
+    })
+    poller.start()
+    try {
+      val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id1", "id2")
+      assert(Dedup.connectedComponents(chain).count() === 40)
+      val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      val edges = graft.operators.GraphAnn.knnGraph(
+        emb.where($"vec_id" < 200), m = 4, nBits = 3, nTables = 2, dim = 64)
+      val got = graft.operators.GraphAnn.beamSearchSingle(
+        emb.where($"vec_id" < 200), edges,
+        Array.fill(64)(0.1f), k = 5, beam = 4, rounds = 2)
+      assert(got.nonEmpty)
+    } finally { running = false; poller.join() }
+    assert(dirty.isEmpty, s"shared session conf mutated to $dirty mid-run")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+  }
 }
