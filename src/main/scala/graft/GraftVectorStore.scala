@@ -112,6 +112,14 @@ final class GraftVectorStore(
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) {
         val edges = spark.read.parquet(graphPath(alias))
+        if (!graphLayoutMatches(edges)) {
+          // the persisted index was built under a DIFFERENT graphLayers
+          // setting: a layered table read as flat leaks upper-layer edges
+          // into the walk; a flat table read as layered fails on the
+          // missing column. Layout mismatch invalidates like an update —
+          // the next approximate search rebuilds under this store's layout.
+          fs.delete(p, true)
+        } else {
         val incoming = records.withColumn("__nid", xxhash64(col("id")))
           .select(col("__nid"), col("page_content_vector")).distinct()
         val graphIds = edges.select(col("src").as("__nid"))
@@ -142,9 +150,15 @@ final class GraftVectorStore(
           merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(graphPath(alias))
         }
+        }
       }
     }
   }
+
+  /** True iff a persisted edge table's layout (presence of the `layer`
+    * column) matches this store's `graphLayers` declaration. */
+  private def graphLayoutMatches(edges: org.apache.spark.sql.DataFrame): Boolean =
+    edges.columns.contains("layer") == (graphLayers > 0)
 
   /** Tombstone-delete documents by path: every record (page) of each given
     * `document_path` is masked immediately and physically removed by the
@@ -257,7 +271,16 @@ final class GraftVectorStore(
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) buildGraphIndex(alias)
     val nodes = graphNodes(alias)
-    val edges = spark.read.parquet(graphPath(alias))
+    val edges = {
+      val persisted = spark.read.parquet(graphPath(alias))
+      if (graphLayoutMatches(persisted)) persisted
+      else {
+        // persisted under a different graphLayers setting (see the append
+        // path): rebuild under THIS store's declared layout
+        buildGraphIndex(alias)
+        spark.read.parquet(graphPath(alias))
+      }
+    }
     // round-7 serving path: the one-prompt walk is driver-paced
     // ([[GraphAnn.beamSearchSingle]] — two keyed lookups per round instead
     // of ~5 distributed stages), the HNSW serving access pattern. With

@@ -3343,9 +3343,13 @@ object SparkEntry {
         .crossJoin(broadcast(ties2("q", "t2")))
         .crossJoin(broadcast(ties2("dsc", "u2")))
       val n0x2 = col("n") * (col("n") - 1)
+      // pair counts stay DECIMAL(38,0) in the OUTPUT too — they reach ~n²
+      // (past LONG at corpus scale), so a long cast here would overflow
+      // the very columns the exact-integer contract exists for. n itself
+      // is a row count (long-safe at any real scale).
       joined.select(col("n").cast("long").as("n"),
-        col("p").cast("long").as("concordant"),
-        col("qd").cast("long").as("discordant"),
+        col("p").as("concordant"),
+        col("qd").as("discordant"),
         // house convention: + 0 normalizes a possible IEEE -0.0
         (round(lit(2.0) * (col("p") - col("qd")).cast("double") /
           sqrt((n0x2 - col("t2")).cast("double") *
@@ -9342,8 +9346,8 @@ object SparkEntry {
         |       (SELECT q, sum(c) AS t FROM cells GROUP BY 1)),
         |r2 AS (SELECT sum(CAST(t AS HUGEINT) * (t - 1)) AS u2 FROM
         |       (SELECT dsc, sum(c) AS t FROM cells GROUP BY 1))
-        |SELECT CAST(n AS BIGINT) AS n, CAST(p AS BIGINT) AS concordant,
-        |  CAST(qd AS BIGINT) AS discordant,
+        |SELECT CAST(n AS BIGINT) AS n, CAST(p AS DECIMAL(38,0)) AS concordant,
+        |  CAST(qd AS DECIMAL(38,0)) AS discordant,
         |  round(2.0 * CAST(p - qd AS DOUBLE) /
         |    sqrt(CAST(n * (n - 1) - t2 AS DOUBLE) * CAST(n * (n - 1) - u2 AS DOUBLE)), 4) + 0 AS tau_b
         |FROM pq, nn, r1, r2""".stripMargin,

@@ -115,18 +115,30 @@ object TextEval {
     * to one printable ASCII character (chr(33 + position), 94 symbols
     * available) and the built-in character `levenshtein` on the encoded
     * strings IS the token-level distance. Callers must cap tokens so
-    * |union vocabulary| <= 94 per pair (e.g. 40 per side); a require-like
-    * guard is impossible row-wise, so encoding OVERFLOW tokens would
-    * alias — the cap is the contract. CER is plain levenshtein over the
-    * raw (capped) strings. Everything is one row-local projection.
+    * |union vocabulary| <= 94 per pair; `maxTokensPerSide` (loud-capped
+    * at build like BpeTrainer's maxTypes: 2x the per-side cap must fit
+    * the 94 symbols) is that contract made checkable, and a pair whose
+    * sides EXCEED the cap fails the job with raise_error instead of
+    * silently alias-encoding overflow tokens. CER is plain levenshtein
+    * over the raw strings. Everything is one row-local projection.
     * Output: (id, ref_len, cand_len, wer, cer), round-4; wer/cer 0 when
     * the reference side is empty. */
   def werCer(pairs: DataFrame, refToks: Column, candToks: Column,
-             idCol: Column): DataFrame = {
+             idCol: Column, maxTokensPerSide: Int = 40): DataFrame = {
+    require(maxTokensPerSide >= 1 && 2 * maxTokensPerSide <= 94,
+      s"maxTokensPerSide must be in [1, 47] so the per-pair union " +
+      s"vocabulary fits the 94 printable-ASCII symbols; got $maxTokensPerSide")
     def enc(toks: Column, vocab: Column): Column =
       array_join(transform(toks,
         t => chr(lit(33) + array_position(vocab, t) - 1)), "")
-    val base = pairs.select(idCol.as("id"), refToks.as("__r"), candToks.as("__c"))
+    def capped(c: Column, side: String): Column =
+      when(size(c) > maxTokensPerSide, raise_error(concat(
+        lit(s"TextEval.werCer: $side side exceeds maxTokensPerSide=" +
+          s"$maxTokensPerSide tokens ("), size(c).cast("string"),
+        lit(") — slice the inputs or raise the cap (<= 47)"))))
+      .otherwise(c)
+    val base = pairs.select(idCol.as("id"),
+        capped(refToks, "ref").as("__r"), capped(candToks, "cand").as("__c"))
       .withColumn("__v", array_distinct(concat(col("__r"), col("__c"))))
     val refStr = array_join(col("__r"), " ")
     val candStr = array_join(col("__c"), " ")

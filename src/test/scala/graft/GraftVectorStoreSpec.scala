@@ -308,6 +308,42 @@ class GraftVectorStoreSpec extends AnyFunSuite {
       s"approx=$approxIds exact=$exactIds")
   }
 
+  test("persisted graph layout is validated against graphLayers: a store " +
+      "opened under the OTHER layout rebuilds instead of misreading") {
+    val path = java.nio.file.Files.createTempDirectory("graft_store_lay").toString + "/idx"
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select($"source".as("document_path"), $"text").limit(40)
+    // build FLAT, then reopen LAYERED over the same files: without the
+    // layout check the layered walk fails on the missing `layer` column
+    val flat = new GraftVectorStore(spark, path, graphM = Some(8))
+    flat.addDocuments(docs, "t", pageSize = 32)
+    assert(flat.search("spark table scan", "t", topN = 3,
+      approximate = true).count() === 3)
+    val layered = new GraftVectorStore(spark, path, graphM = Some(8), graphLayers = 2)
+    val viaLayered = layered.search("spark table scan", "t", topN = 3,
+      approximate = true)
+    assert(viaLayered.count() === 3)
+    // the rebuild persisted the LAYERED schema
+    assert(spark.read.parquet(s"$path/_graft_knn_graph/t")
+      .columns.contains("layer"))
+    // and back: reopening FLAT over the layered index must not leak
+    // upper-layer edges into a flat walk — it rebuilds flat
+    val flat2 = new GraftVectorStore(spark, path, graphM = Some(8))
+    assert(flat2.search("spark table scan", "t", topN = 3,
+      approximate = true).count() === 3)
+    assert(!spark.read.parquet(s"$path/_graft_knn_graph/t")
+      .columns.contains("layer"))
+    // append-path validation: a mismatched persisted layout invalidates on
+    // append (like an update) rather than linking into the wrong schema
+    val layered2 = new GraftVectorStore(spark, path, graphM = Some(8), graphLayers = 2)
+    layered2.addDocuments(
+      docs.limit(1).select(lit("new_doc_x").as("document_path"),
+        lit("zyzzyva quokka").as("text")), "t", pageSize = 32)
+    assert(!new java.io.File(s"$path/_graft_knn_graph/t").exists(),
+      "append under a mismatched layout must invalidate the persisted graph")
+    flat2.dropIndex()
+  }
+
   test("one approximate layout at a time") {
     intercept[IllegalArgumentException] {
       new GraftVectorStore(spark, "/tmp/nope", lshBits = Some(4), ivfCells = Some(8))

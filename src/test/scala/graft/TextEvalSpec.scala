@@ -82,6 +82,31 @@ class TextEvalSpec extends AnyFunSuite {
     assert(swap === 0.5) // one del + one insert realigns the alternation
   }
 
+  test("werCer token cap: loud at build past 47, loud at runtime past the " +
+      "cap, exact at the boundary") {
+    // build-time: 2*cap must fit the 94 printable symbols
+    assertThrows[IllegalArgumentException] {
+      TextEval.werCer(pairs((1L, "a", "a")),
+        col("ref"), col("cand"), col("doc_id"), maxTokensPerSide = 48)
+    }
+    // boundary: exactly cap tokens per side, all distinct across sides
+    // (union vocab = 2*cap = 94 symbols) still encodes exactly
+    val refs = (1 to 47).map(i => s"r$i").mkString(" ")
+    val cands = (1 to 47).map(i => s"c$i").mkString(" ")
+    val edge = TextEval.werCer(pairs((1L, refs, cands)),
+      col("ref"), col("cand"), col("doc_id"), maxTokensPerSide = 47)
+      .select($"wer").as[Double].head()
+    assert(edge === 1.0) // fully disjoint: every ref token substituted
+    // over-cap input: the job FAILS (raise_error), never alias-encodes
+    val over = (1 to 48).map(i => s"t$i").mkString(" ")
+    val ex = intercept[Exception] {
+      TextEval.werCer(pairs((1L, over, "a")),
+        col("ref"), col("cand"), col("doc_id"), maxTokensPerSide = 47)
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("bleuCorpus: aggregates counts, not doc scores; empty candidate handled") {
     val p = pairs(
       (1L, "a b c d e", "a b c d e"),     // perfect
