@@ -100,6 +100,11 @@ final class GraftVectorStore(
     (lshBits, ivfCells) match {
       case (Some(bits), _) => IndexTable.appendBucketed(records, indexPath, bits, dim, lshSeed)
       case (_, Some(cells)) => IndexTable.appendIvf(records, indexPath, cells)
+      // graph stores write the id-hash-bucketed layout: the walk's
+      // per-round vector fetches file-prune on the node bucket
+      // ([[IndexTable.readLatestPrunedNodes]]) instead of scanning a
+      // cached full slice
+      case _ if graphM.nonEmpty => IndexTable.appendNodeBucketed(records, indexPath)
       case _ => IndexTable.append(records, indexPath)
     }
     // keep a persisted graph index live across appends: brand-new records
@@ -118,7 +123,7 @@ final class GraftVectorStore(
           // into the walk; a flat table read as layered fails on the
           // missing column. Layout mismatch invalidates like an update —
           // the next approximate search rebuilds under this store's layout.
-          fs.delete(p, true)
+          invalidateGraph(alias)
         } else {
         val incoming = records.withColumn("__nid", xxhash64(col("id")))
           .select(col("__nid"), col("page_content_vector")).distinct()
@@ -134,7 +139,7 @@ final class GraftVectorStore(
           .limit(1).count() > 0 ||
           incoming.groupBy("__nid").count().filter(col("count") > 1)
             .limit(1).count() > 0
-        if (isUpdate) { fs.delete(p, true); () }
+        if (isUpdate) invalidateGraph(alias)
         else {
           val merged = (if (graphLayers > 0)
               GraphAnn.hnswInsert(
@@ -241,6 +246,21 @@ final class GraftVectorStore(
   private def graphPath(alias: String): String =
     s"$indexPath/_graft_knn_graph/${resolveAlias(alias)}"
 
+  /** Persisted walk entry points (one deepest node for the hierarchy, the
+    * nEntry md5-ordered sample for the flat graph) — written with the
+    * graph so a serving walk never runs the corpus-wide entry scan. */
+  private def graphEntriesPath(alias: String): String =
+    s"$indexPath/_graft_graph_entry/${resolveAlias(alias)}"
+
+  /** Drop the persisted graph AND its entry file together (an entry
+    * without its graph, or vice versa, is a stale pair). */
+  private def invalidateGraph(alias: String): Unit =
+    for (d <- Seq(graphPath(alias), graphEntriesPath(alias))) {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
+
   /** Record ids are sha1 hex strings; the graph walks 8-byte node ids, so
     * nodes are keyed by xxhash64(id) (collision over a tenant is ~n^2/2^64 —
     * vanishing, and an approximate tier by definition tolerates it). */
@@ -260,8 +280,25 @@ final class GraftVectorStore(
       else
         GraphAnn.knnGraph(graphNodes(alias), m = m, dim = dim,
           vecCol = "page_content_vector", idCol = "__nid")
-    g.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    // src-clustered files: the walk's per-round `src IN (frontier)` fetch
+    // pushes to parquet, and row-group min/max stats skip everything off
+    // the frontier when edges are sorted by src
+    g.repartition(col("src")).sortWithinPartitions("src")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(graphPath(alias))
+    // persist the walk's entry point(s) — the exact convention each walk
+    // uses, so serving skips the corpus-wide entry scan
+    val nids = graphNodes(alias).select(col("__nid"))
+    val entries = if (graphLayers > 0)
+        nids.withColumn("__lv",
+            least(GraphAnn.layerOf(col("__nid")), lit(graphLayers)))
+          .orderBy(col("__lv").desc, md5(col("__nid").cast("string")), col("__nid"))
+          .limit(1).select(col("__nid"))
+      else
+        nids.orderBy(md5(col("__nid").cast("string")), col("__nid"))
+          .limit(8).select(col("__nid"))
+    entries.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(graphEntriesPath(alias))
   }
 
   private def graphSearch(qvec: Array[Float], alias: String, topN: Int,
@@ -289,18 +326,44 @@ final class GraftVectorStore(
     // ([[GraphAnn.hnswSearchSingle]]). The distributed batch walks stay
     // behind [[GraphAnn.beamSearch]]/[[GraphAnn.hnswSearch]] for
     // query-batch workloads and the oracle-gated twins.
+    //
+    // Round 8: each round's vector fetch rides the NODE-BUCKETED index
+    // layout (PartitionFilters on __node_bucket — file-pruned point
+    // lookups), and the entry comes from the file persisted at build time,
+    // so the walk materializes NO corpus-sized slice. Tombstoned ids have
+    // no row in the pruned latest view → unscorable → unreachable (the
+    // delete contract, unchanged).
+    val pointFetch = IndexTable.nodePointFetcher(spark, indexPath, resolveAlias(alias))
+    val prunedFetch: Seq[Long] => DataFrame = ids =>
+      pointFetch(ids)
+        .withColumn("__nid", xxhash64(col("id")))
+        .where(col("__nid").isin(ids: _*))
+    val entryNids: Seq[Long] = {
+      val ep = new org.apache.hadoop.fs.Path(graphEntriesPath(alias))
+      if (fs.exists(ep))
+        spark.read.parquet(graphEntriesPath(alias)).as[Long].collect().toSeq
+      else Seq.empty
+    }
     val hits = (if (graphLayers > 0)
         GraphAnn.hnswSearchSingle(nodes, edges, qvec,
           k = topN, beam = 8 * math.max(1, probeDepth), rounds = 3,
           maxLayer = graphLayers,
-          corpusVec = "page_content_vector", corpusId = "__nid")
+          corpusVec = "page_content_vector", corpusId = "__nid",
+          fetchVectors = Some(prunedFetch),
+          entryId = entryNids.headOption)
       else
         GraphAnn.beamSearchSingle(nodes, edges, qvec,
           k = topN, beam = 8 * math.max(1, probeDepth), rounds = 3, nEntry = 8,
-          corpusVec = "page_content_vector", corpusId = "__nid"))
+          corpusVec = "page_content_vector", corpusId = "__nid",
+          fetchVectors = Some(prunedFetch),
+          entryIds = if (entryNids.nonEmpty) Some(entryNids) else None))
       .toDF("__nid", "similarity", "rank")
+    // final projection: fetch the k hit records through the same pruned
+    // point lookup instead of re-scanning the tenant's full latest view
+    val hitRows = prunedFetch(
+      hits.select($"__nid").as[Long].collect().toSeq)
     KnnSearch.hitProjection(
-      nodes.join(broadcast(hits), Seq("__nid")).orderBy(col("rank")))
+      hitRows.join(broadcast(hits), Seq("__nid")).orderBy(col("rank")))
   }
 
   /** Time-travel search: exact KNN over the index exactly as it stood at a
@@ -369,11 +432,7 @@ final class GraftVectorStore(
     // re-link point for a persisted graph ([[deleteDocuments]]): drop it
     // so the next approximate search rebuilds over exactly the live rows,
     // restoring every in-neighbor of the removed nodes.
-    if (graphM.nonEmpty) {
-      val p = new org.apache.hadoop.fs.Path(graphPath(alias))
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) { fs.delete(p, true); () }
-    }
+    if (graphM.nonEmpty) invalidateGraph(alias)
     gen
   }
 

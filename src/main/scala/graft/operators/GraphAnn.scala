@@ -387,7 +387,10 @@ object GraphAnn {
                        queryVec: Array[Float], k: Int = 10, beam: Int = 8,
                        rounds: Int = 3, nEntry: Int = 8,
                        corpusVec: String = "embedding",
-                       corpusId: String = "vec_id"): Seq[(Long, Double, Int)] = {
+                       corpusId: String = "vec_id",
+                       fetchVectors: Option[Seq[Long] => DataFrame] = None,
+                       fetchEdges: Option[Seq[Long] => DataFrame] = None,
+                       entryIds: Option[Seq[Long]] = None): Seq[(Long, Double, Int)] = {
     require(k >= 1 && beam >= 1 && rounds >= 0 && nEntry >= 1)
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -396,12 +399,29 @@ object GraphAnn {
     val walk = walkSession(spark)
     locally {
       // serving-resident (id, vector) slice: one materialization, then
-      // every per-round fetch is an in-memory keyed filter
-      val c = walk(corpus).select(col(corpusId).cast("long").as("__cid"),
+      // every per-round fetch is an in-memory keyed filter. With
+      // `fetchVectors` (a partition-pruned point lookup — the store's
+      // node-bucketed layout) the full-corpus slice is NEVER materialized:
+      // each round reads only the frontier ids' files, the access shape
+      // that survives a 100 TB index.
+      lazy val c = walk(corpus).select(col(corpusId).cast("long").as("__cid"),
           col(corpusVec).cast("array<float>").as("__cvec"))
         .localCheckpoint()
-      val e = walk(edges).select(col("src").cast("long").as("__esrc"),
+      lazy val e = walk(edges).select(col("src").cast("long").as("__esrc"),
         col("dst").cast("long").as("__edst"))
+      def vecRows(ids: Seq[Long]): Array[(Long, Seq[Float])] = fetchVectors match {
+        case Some(f) => walk(f(ids))
+          .select(col(corpusId).cast("long"), col(corpusVec).cast("array<float>"))
+          .as[(Long, Seq[Float])].collect()
+        case None => c.where(col("__cid").isin(ids: _*))
+          .as[(Long, Seq[Float])].collect()
+      }
+      def neighborIds(srcs: Seq[Long]): Array[Long] = (fetchEdges match {
+        case Some(f) => walk(f(srcs))
+          .select(col("dst").cast("long")).distinct()
+        case None => e.where(col("__esrc").isin(srcs: _*))
+          .select(col("__edst")).distinct()
+      }).as[Long].collect()
       def cos(v: Seq[Float]): Double = {
         val n = math.min(v.length, queryVec.length)
         var dp = 0.0; var na = 0.0; var nb = 0.0
@@ -419,21 +439,27 @@ object GraphAnn {
         rows.toSeq.map { case (id, v) => (id, cos(v)) }
       def best(xs: Seq[(Long, Double)], n: Int): Seq[Long] =
         xs.sortBy { case (id, s) => (-s, id) }.take(n).map(_._1)
-      val entryRows = c.orderBy(md5(col("__cid").cast("string")), col("__cid"))
-        .limit(nEntry).as[(Long, Seq[Float])].collect()
+      // `entryIds` (persisted with the store's graph build) skips the
+      // corpus-wide md5 TakeOrdered — with it and the fetch closures set,
+      // the walk touches no corpus-sized frame at all
+      def entryScan(): Array[(Long, Seq[Float])] =
+        c.orderBy(md5(col("__cid").cast("string")), col("__cid"))
+          .limit(nEntry).as[(Long, Seq[Float])].collect()
+      val entryRows = entryIds match {
+        // persisted entries may all be tombstoned since the build — fall
+        // back to the live scan rather than returning an empty result
+        case Some(ids) => val r = vecRows(ids); if (r.nonEmpty) r else entryScan()
+        case None => entryScan()
+      }
       var fresh = scoreRows(entryRows)
       visited ++= fresh
       var frontier = best(fresh, beam)
       var r = 0
       while (r < rounds && frontier.nonEmpty) {
-        val dsts = e.where(col("__esrc").isin(frontier: _*))
-          .select(col("__edst")).distinct().as[Long].collect()
-          .filterNot(visited.contains)
+        val dsts = neighborIds(frontier).filterNot(visited.contains)
         if (dsts.isEmpty) frontier = Nil
         else {
-          val rows = c.where(col("__cid").isin(dsts.toSeq: _*))
-            .as[(Long, Seq[Float])].collect()
-          fresh = scoreRows(rows)
+          fresh = scoreRows(vecRows(dsts.toSeq))
           visited ++= fresh
           frontier = best(fresh, beam)
         }
@@ -464,20 +490,30 @@ object GraphAnn {
                        queryVec: Array[Float], k: Int = 10, beam: Int = 8,
                        rounds: Int = 3, descentRounds: Int = 2, maxLayer: Int = 2,
                        corpusVec: String = "embedding",
-                       corpusId: String = "vec_id"): Seq[(Long, Double, Int)] = {
+                       corpusId: String = "vec_id",
+                       fetchVectors: Option[Seq[Long] => DataFrame] = None,
+                       fetchEdges: Option[(Int, Seq[Long]) => DataFrame] = None,
+                       entryId: Option[Long] = None): Seq[(Long, Double, Int)] = {
     require(k >= 1 && beam >= 1 && rounds >= 0 && descentRounds >= 1 && maxLayer >= 0)
     val spark = corpus.sparkSession
     import spark.implicits._
-    // same clone-scoped discipline as beamSearchSingle (see walkSession)
+    // same clone-scoped discipline as beamSearchSingle (see walkSession);
+    // with the fetch closures + persisted entry the walk touches no
+    // corpus-sized frame (node-bucketed point lookups per round)
     val walk = walkSession(spark)
     locally {
-      val c = walk(corpus).select(col(corpusId).cast("long").as("__cid"),
+      lazy val c = walk(corpus).select(col(corpusId).cast("long").as("__cid"),
           col(corpusVec).cast("array<float>").as("__cvec"))
         .localCheckpoint()
       def edgesAt(l: Int): DataFrame = walk(layeredEdges)
         .where(col("layer") === l)
         .select(col("src").cast("long").as("__esrc"),
           col("dst").cast("long").as("__edst"))
+      def neighborIds(l: Int, srcs: Seq[Long]): Array[Long] = (fetchEdges match {
+        case Some(f) => walk(f(l, srcs)).select(col("dst").cast("long")).distinct()
+        case None => edgesAt(l).where(col("__esrc").isin(srcs: _*))
+          .select(col("__edst")).distinct()
+      }).as[Long].collect()
       def cos(v: Seq[Float]): Double = {
         val n = math.min(v.length, queryVec.length)
         var dp = 0.0; var na = 0.0; var nb = 0.0
@@ -492,8 +528,13 @@ object GraphAnn {
       }
       val visited = scala.collection.mutable.HashMap.empty[Long, Double]
       def fetchScore(ids: Seq[Long]): Seq[(Long, Double)] = {
-        val rows = c.where(col("__cid").isin(ids: _*))
-          .as[(Long, Seq[Float])].collect()
+        val rows = fetchVectors match {
+          case Some(f) => walk(f(ids))
+            .select(col(corpusId).cast("long"), col(corpusVec).cast("array<float>"))
+            .as[(Long, Seq[Float])].collect()
+          case None => c.where(col("__cid").isin(ids: _*))
+            .as[(Long, Seq[Float])].collect()
+        }
         val scored = rows.toSeq.map { case (id, v) => (id, cos(v)) }
         visited ++= scored
         scored
@@ -501,18 +542,23 @@ object GraphAnn {
       def best(xs: Seq[(Long, Double)], n: Int): Seq[Long] =
         xs.sortBy { case (id, s) => (-s, id) }.take(n).map(_._1)
       // global entry: the deepest node, (md5, id)-tie-broken — the same
-      // convention as the distributed hierarchy walk
-      val entryId = c
+      // convention as the distributed hierarchy walk; `entryId` (persisted
+      // at build time) skips the corpus-wide scan
+      def entryScan(): Array[Long] = c
         .select(col("__cid"), least(layerOf(col("__cid")), lit(maxLayer)).as("__lv"))
         .orderBy(col("__lv").desc, md5(col("__cid").cast("string")), col("__cid"))
         .limit(1).select(col("__cid")).as[Long].collect()
-      if (entryId.isEmpty) return Seq.empty
-      var cur = fetchScore(entryId.toSeq) // (id, sim) best-so-far, 1 element
+      val entry = entryId.map(Array(_)).getOrElse(entryScan())
+      if (entry.isEmpty) return Seq.empty
+      var cur = fetchScore(entry.toSeq) // (id, sim) best-so-far, 1 element
+      if (cur.isEmpty && entryId.nonEmpty) {
+        // persisted entry tombstoned since the build — live rescan
+        val live = entryScan()
+        if (live.nonEmpty) cur = fetchScore(live.toSeq)
+      }
+      if (cur.isEmpty) return Seq.empty
       for (l <- maxLayer to 1 by -1; _ <- 1 to descentRounds) {
-        val e = edgesAt(l)
-        val dsts = e.where(col("__esrc") === cur.head._1)
-          .select(col("__edst")).distinct().as[Long].collect()
-          .filterNot(visited.contains)
+        val dsts = neighborIds(l, Seq(cur.head._1)).filterNot(visited.contains)
         if (dsts.nonEmpty) {
           val scored = fetchScore(dsts.toSeq)
           // greedy best-1 over current ∪ neighbors, (sim desc, id asc) ties
@@ -520,13 +566,10 @@ object GraphAnn {
         }
       }
       // layer-0 beam walk seeded by the descended entry
-      val e0 = edgesAt(0)
       var frontier = cur.map(_._1)
       var r = 0
       while (r < rounds && frontier.nonEmpty) {
-        val dsts = e0.where(col("__esrc").isin(frontier: _*))
-          .select(col("__edst")).distinct().as[Long].collect()
-          .filterNot(visited.contains)
+        val dsts = neighborIds(0, frontier).filterNot(visited.contains)
         if (dsts.isEmpty) frontier = Nil
         else frontier = best(fetchScore(dsts.toSeq), beam)
         r += 1

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -148,6 +148,14 @@ object IndexTable {
       stampIngest(tomb.withColumn(CellCol, lit(TombPartition)))
         .write.mode(SaveMode.Append)
         .partitionBy("index_alias", CellCol).parquet(path)
+    else if (hasLayout(NodeBucketCol))
+      // the node bucket is a PURE function of the id (unlike the
+      // vector-derived LSH/IVF layouts), so a tombstone can land in the
+      // exact bucket holding its id's live rows — pruned reads see the
+      // mask with no tomb-partition scan
+      stampIngest(tomb.withColumn(NodeBucketCol, nodeBucketOf(col("id"))))
+        .write.mode(SaveMode.Append)
+        .partitionBy("index_alias", NodeBucketCol).parquet(path)
     else append(tomb, path)
   }
 
@@ -194,6 +202,51 @@ object IndexTable {
       .withColumn(BucketCol,
         concat(lit("b"), SimilaritySearch.lshBucket(col("page_content_vector"), planes)))
       .write.mode(SaveMode.Append).partitionBy("index_alias", BucketCol).parquet(path)
+  }
+
+  // ---------------- node-bucketed layout (graph stores) ----------------
+
+  /** Id-hash bucket partition column — the layout for GRAPH-indexed stores,
+    * whose serving access pattern is per-round POINT LOOKUPS of node ids
+    * (the HNSW walk), not vector-similarity probes. The bucket is a pure
+    * function of the record id (`pmod(xxhash64(id), GraphNodeBuckets)` —
+    * the walk's own node key), so every version of an id, its tombstone
+    * included, lives in ONE bucket: pruned reads have none of the
+    * re-ingest staleness caveat the vector-derived layouts carry. */
+  val NodeBucketCol: String = "__node_bucket"
+
+  /** Bucket fanout. 64 keeps a frontier round's probe set at <= a few
+    * dozen directories while a 100 TB tenant's per-bucket slice is 1/64 of
+    * the corpus — the walk reads files proportional to the frontier, not
+    * the index. */
+  val GraphNodeBuckets: Int = 64
+
+  private def nodeBucketOf(id: Column): Column =
+    concat(lit("n"), pmod(xxhash64(id), lit(GraphNodeBuckets.toLong)))
+
+  /** K1 at the graph-serving scale point: append with the id-hash bucket as
+    * a SECOND partition column, so the graph walk's per-round vector
+    * fetches prune at the FILE level ([[readLatestPrunedNodes]]). */
+  def appendNodeBucketed(records: DataFrame, path: String): Unit =
+    stampIngest(records)
+      .withColumn(NodeBucketCol, nodeBucketOf(col("id")))
+      .write.mode(SaveMode.Append)
+      .partitionBy("index_alias", NodeBucketCol).parquet(path)
+
+  /** Node-pruned tenant read: scan only the buckets holding the given
+    * xxhash64 node keys (plus legacy unrouted tombstones). Latest-per-id
+    * within the slice is EXACT here — an id's bucket never moves — so
+    * unlike the vector layouts there is no staleness window. */
+  def readLatestPrunedNodes(spark: SparkSession, path: String, alias: String,
+                            nodeIds: Seq[Long]): DataFrame = {
+    val probes = nodeIds.map(n =>
+      "n" + java.lang.Math.floorMod(n, GraphNodeBuckets.toLong)).distinct
+    latestView(spark, path, alias, df =>
+      if (df.columns.contains(NodeBucketCol))
+        df.where(col(NodeBucketCol).isin((probes :+ TombPartition): _*) ||
+          col(NodeBucketCol).isNull)
+      else df // unbucketed legacy store: unpruned but correct
+    ).drop(NodeBucketCol)
   }
 
   // ---------------- IVF-partitioned layout ----------------
@@ -463,7 +516,8 @@ object IndexTable {
       .transform(df =>
         if (!df.columns.contains("is_deleted")) df
         else df.where(!coalesce(col("is_deleted"), lit(false))))
-    val layoutCols = Seq(BucketCol, CellCol).filter(resolved.columns.contains)
+    val layoutCols = Seq(BucketCol, CellCol, NodeBucketCol)
+      .filter(resolved.columns.contains)
     val genDir = new org.apache.hadoop.fs.Path(baseRoot(path), s"gen_${nextGenId()}")
     stampIngest(resolved)
       .write.partitionBy(("index_alias" +: layoutCols): _*)
@@ -620,6 +674,15 @@ object IndexTable {
   private def latestView(spark: SparkSession, path: String, alias: String,
                          prune: DataFrame => DataFrame): DataFrame = {
     val (genDf, deltaDf) = splitView(spark, path, alias)
+    resolveLatest(spark, path, alias, genDf, deltaDf, prune)
+  }
+
+  /** The delta-overlay resolution shared by [[latestView]] and the
+    * serving-path [[nodePointFetcher]] (which resolves the file view once
+    * and re-applies only the prune per call). */
+  private def resolveLatest(spark: SparkSession, path: String, alias: String,
+                            genDf: Option[DataFrame], deltaDf: Option[DataFrame],
+                            prune: DataFrame => DataFrame): DataFrame = {
     val resolved = (genDf.map(prune), deltaDf.map(prune)) match {
       case (None, None) =>
         prune(viewFrame(spark, path, alias, None, Seq.empty)).drop("ingest_seq")
@@ -634,6 +697,28 @@ object IndexTable {
           .unionByName(untouched.drop("ingest_seq"), allowMissingColumns = true)
     }
     dropTombstones(resolved)
+  }
+
+  /** Serving-resident point-lookup fetcher for a node-bucketed store: the
+    * tenant's file view (generation + delta relations, with their file
+    * indexes) resolves ONCE at construction; each call plans a
+    * bucket-pruned latest read over the CACHED relations — PartitionFilters
+    * on [[NodeBucketCol]], no per-call directory listing. This is the
+    * walk's per-round fetch shape: cost scales with the frontier's
+    * buckets, never the index. */
+  def nodePointFetcher(spark: SparkSession, path: String, alias: String)
+      : Seq[Long] => DataFrame = {
+    val (genDf, deltaDf) = splitView(spark, path, alias)
+    nodeIds => {
+      val probes = nodeIds.map(n =>
+        "n" + java.lang.Math.floorMod(n, GraphNodeBuckets.toLong)).distinct
+      resolveLatest(spark, path, alias, genDf, deltaDf, df =>
+        if (df.columns.contains(NodeBucketCol))
+          df.where(col(NodeBucketCol).isin((probes :+ TombPartition): _*) ||
+            col(NodeBucketCol).isNull)
+        else df
+      ).drop(NodeBucketCol)
+    }
   }
 
   /** Serve only live rows: an id whose NEWEST record is a tombstone

@@ -308,6 +308,49 @@ class GraftVectorStoreSpec extends AnyFunSuite {
       s"approx=$approxIds exact=$exactIds")
   }
 
+  test("graph store: the walk's vector fetch file-prunes on the node bucket " +
+      "and the entry point is persisted, not rescanned") {
+    val path = java.nio.file.Files.createTempDirectory("graft_store_nb").toString + "/idx"
+    val store = new GraftVectorStore(spark, path, graphM = Some(8))
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(concat_ws("/", $"source", $"doc_id").as("document_path"), $"text")
+    store.addDocuments(docs, "t", pageSize = 32)
+    // the index is written under the id-hash bucket layout
+    val aliasDir = new java.io.File(s"$path/index_alias=t")
+    assert(aliasDir.listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("__node_bucket=")),
+      s"expected node-bucket partitions in ${aliasDir.listFiles().map(_.getName).toSeq}")
+    // first approximate search builds graph + entry file
+    val approx = store.search("fast spark table scan query", "t", topN = 5,
+      approximate = true)
+    assert(approx.count() === 5)
+    assert(new java.io.File(s"$path/_graft_graph_entry/t").exists(),
+      "the walk entry point must persist with the graph")
+    // the pin: a pruned point lookup (the walk's per-round fetch) carries
+    // PartitionFilters on __node_bucket — file pruning, not a full scan
+    val someIds = graft.operators.IndexTable.readLatest(spark, path, "t")
+      .select(xxhash64($"id")).as[Long].head(3).toSeq
+    val fetch = graft.operators.IndexTable
+      .readLatestPrunedNodes(spark, path, "t", someIds)
+    fetch.collect()
+    val plan = fetch.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__node_bucket"),
+      s"expected __node_bucket in PartitionFilters:\n$plan")
+    // pruned-read correctness: exactly the requested ids' records, latest
+    val got = fetch.select(xxhash64($"id")).as[Long].collect().toSet
+    assert(someIds.toSet.subsetOf(got))
+    // deletes still mask through the pruned view (tombstone routed to the
+    // id's own bucket)
+    val victim = store.search("fast spark table scan query", "t", topN = 1,
+      approximate = true).select($"document_path").as[String].head()
+    store.deleteDocuments(Seq(victim), "t")
+    val after = store.search("fast spark table scan query", "t", topN = 5,
+      approximate = true)
+    assert(after.where($"document_path" === victim).count() === 0,
+      "tombstoned doc must be unreachable through the pruned walk")
+    store.dropIndex()
+  }
+
   test("persisted graph layout is validated against graphLayers: a store " +
       "opened under the OTHER layout rebuilds instead of misreading") {
     val path = java.nio.file.Files.createTempDirectory("graft_store_lay").toString + "/idx"
