@@ -3579,6 +3579,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // One DoReMi-style exponentiated-gradient round over the source
+    // mixture (see [[LangModel.doremiRound]]): domains whose bigram NLL
+    // under the one corpus model exceeds the corpus mean get upweighted —
+    // the data-mixture optimization step a pretraining pipeline runs
+    // between reference-model fits. Per-bigram -ln p gridded to 1e9 and
+    // LONG-summed (exact under reorder); the exp argument rounds to 9 so
+    // both engines exponentiate the same double; the normalizer is an
+    // exact integer sum of gridded raw weights.
+    "mixture_doremi_round" -> ((s, d) => {
+      LangModel.doremiRound(t(s, d, "documents"), "text", "source",
+        alpha = 0.5, eta = 1.0)
+        .orderBy(col("source"))
+    }),
+
     // Per-document BLEU-4 (see [[operators.TextEval]]): reference = the
     // doc's first 64 lowercased tokens, candidate = the same stream with
     // every 7th token dropped (a deterministic, in-plan degradation that
@@ -5756,6 +5770,41 @@ object SparkEntry {
           round(avg(-y * log(p) - (lit(1.0) - y) * log(lit(1.0) - p)), 4)
             .as("logloss"))
         .orderBy(col("is_en"))
+    }),
+
+    // Exact ROC-AUC of the trained logreg via the rank identity
+    // AUC = (2·R1 - n1(n1+1)) / (2·n1·n0) with AVERAGE ranks on tied
+    // scores (scores are round-4 probabilities, so ties are structural) —
+    // the threshold-free ranking quality next to logloss (above) and
+    // calibration (below). Ranks come from [[operators.RangePrefix]] over
+    // the DISTINCT-score table (2·avg-rank per tied group = 2·(cum−t)+t+1,
+    // all LONG-exact), never a corpus-wide window — exact AUC at any
+    // corpus size. Gini = 2·AUC − 1 rides along.
+    "classifier_roc_auc" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val comps = graft.functions.Embedder
+        .hashedComponents(docs, "text", "doc_id", dim = 64).localCheckpoint()
+      val w = QualityClassifier.trainLogReg(docs, "text", "doc_id",
+        label = col("lang") === "en", steps = 3, precomputed = Some(comps))
+      val sc = QualityClassifier.score(docs, "text", "doc_id",
+          weights = Some(w), precomputed = Some(comps))
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("long").as("y")), Seq("doc_id"))
+        .select(col("quality_prob").as("p"), col("y"))
+      val g = sc.groupBy(col("p"))
+        .agg(count(lit(1)).as("t"), sum(col("y")).as("t1"))
+      val ranked = operators.RangePrefix.runningSum(
+        operators.RangePrefix.withBucket(g, col("p")),
+        col("t"), Seq(col("p")), "cum")
+      val aucExpr = (col("r2") - col("n1") * (col("n1") + 1)).cast("double") /
+        (lit(2.0) * col("n1") * (col("n") - col("n1")))
+      ranked.agg(
+          sum(col("t1") * (lit(2L) * (col("cum") - col("t")) + col("t") + 1))
+            .as("r2"),
+          sum(col("t1")).as("n1"), sum(col("t")).as("n"))
+        .select(col("n1").as("n_pos"), (col("n") - col("n1")).as("n_neg"),
+          round(aucExpr, 4).as("auc"),
+          round(lit(2.0) * aucExpr - 1.0, 4).as("gini"))
     }),
 
     // Calibration audit of the trained logreg (reliability diagram +
@@ -9760,6 +9809,33 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.cross_entropy
         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    // Same bigram-model CTEs as lm_cross_entropy, aggregated per SOURCE
+    // with the 1e9 NLL grid; the EG update replays with the identical
+    // gridded exp argument and integer normalizer.
+    "mixture_doremi_round" ->
+      """WITH w AS (SELECT source, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |bg AS (SELECT source, unnest(list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])) AS bg
+        |       FROM w WHERE len(ws) >= 2),
+        |bc AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+        |cc AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT wd) AS BIGINT) AS v FROM (SELECT unnest(ws) AS wd FROM w)),
+        |ps AS (SELECT b.source, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(CAST(round(-ln((bc.c12 + 0.5) / (cc.c1 + 0.5 * v.v)) * 1e9) AS BIGINT)) AS BIGINT) AS nll9
+        |       FROM bg b JOIN bc USING (bg) JOIN cc ON split_part(b.bg, ' ', 1) = cc.w1 CROSS JOIN v
+        |       GROUP BY b.source),
+        |tt AS (SELECT CAST(sum(n_bigrams) AS BIGINT) AS nt, CAST(sum(nll9) AS BIGINT) AS nllt9 FROM ps),
+        |u AS (SELECT source, n_bigrams,
+        |        CAST(n_bigrams AS DOUBLE) / nt AS w0,
+        |        nll9 / 1e9 / n_bigrams AS nll,
+        |        greatest(0.0, round(nll9 / 1e9 / n_bigrams - nllt9 / 1e9 / nt, 9)) AS excess
+        |      FROM ps CROSS JOIN tt),
+        |u9 AS (SELECT *, CAST(round(w0 * exp(1.0 * excess) * 1e9) AS BIGINT) AS wraw9 FROM u),
+        |z AS (SELECT CAST(sum(wraw9) AS BIGINT) AS z9 FROM u9)
+        |SELECT source, n_bigrams, round(w0, 6) AS w0, round(nll, 6) AS nll,
+        |  round(excess, 6) AS excess,
+        |  round(CAST(wraw9 AS DOUBLE) / z9, 4) AS w1
+        |FROM u9 CROSS JOIN z ORDER BY source""".stripMargin,
+
     "text_spell_correct" ->
       """WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS term FROM documents),
         |v AS (SELECT term, count(*) AS freq FROM tok GROUP BY 1
@@ -10765,6 +10841,29 @@ object SparkEntry {
          |  round(avg(p), 4) AS mean_p,
          |  round(avg(-y * ln(p) - (1.0 - y) * ln(1.0 - p)), 4) AS logloss
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same scored chain (pv); distinct-score average-rank AUC replayed
+    // with a window over the score-distinct table (score cardinality is
+    // bounded by the round-4 grid — model-sized, fine for the oracle; the
+    // Spark side runs the RangePrefix scheme instead).
+    "classifier_roc_auc" ->
+      s"""$logregOracleCtes,
+         |sms AS (SELECT c.id, sum(CAST(round(c.component * w.w * 1e10) AS BIGINT)) AS s
+         |        FROM comp c JOIN w3 w USING (bucket) GROUP BY c.id),
+         |sm AS (SELECT id, CAST(CASE WHEN s >= 0 THEN (s + 5000) // 10000
+         |                            ELSE -((-s + 5000) // 10000) END AS DOUBLE) / 1e6 AS m
+         |       FROM sms),
+         |pv AS (SELECT id, round(1.0 / (1.0 + exp(-m)), 4) AS p FROM sm),
+         |g AS (SELECT pv.p, CAST(count(*) AS BIGINT) AS t,
+         |        CAST(sum(CAST(l.y AS BIGINT)) AS BIGINT) AS t1
+         |      FROM pv JOIN lbl l USING (id) GROUP BY pv.p),
+         |r AS (SELECT *, CAST(sum(t) OVER (ORDER BY p) AS BIGINT) AS cum FROM g),
+         |a AS (SELECT CAST(sum(t1 * (2 * (cum - t) + t + 1)) AS BIGINT) AS r2,
+         |        CAST(sum(t1) AS BIGINT) AS n1, CAST(sum(t) AS BIGINT) AS n FROM r)
+         |SELECT n1 AS n_pos, n - n1 AS n_neg,
+         |  round(CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / (2.0 * n1 * (n - n1)), 4) AS auc,
+         |  round(2.0 * (CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / (2.0 * n1 * (n - n1))) - 1.0, 4) AS gini
+         |FROM a""".stripMargin,
 
     // Same scored chain (pv), binned to the reliability diagram + ECE.
     "classifier_calibration_ece" ->

@@ -210,4 +210,75 @@ object LangModel {
     df.select(id).join(perDoc, Seq(idCol), "left")
       .select(id, coalesce(col("n_feats"), lit(0L)).as("n_feats"), col("imp_weight"))
   }
+
+  /** One DoReMi-style domain-reweighting round (Xie et al. 2023,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining" — the exponentiated-gradient update over domain
+    * weights, with the trained-model losses stood in by the in-engine
+    * add-alpha bigram LM):
+    *
+    *   excess(s) = max(0, L(s) - L(corpus)),
+    *   w'(s) ∝ w0(s) · exp(eta · excess(s)),
+    *
+    * where L(s) is domain s's mean bigram NLL under the ONE corpus-trained
+    * model and w0 is the domain's bigram share (the observed mixture). A
+    * domain whose loss exceeds the corpus average is upweighted — the
+    * worst-case-domain pressure that makes DoReMi mixtures robust.
+    *
+    * Determinism contract: each bigram's -ln p is gridded to 1e9 and
+    * summed as LONG (exact under reorder — the kruskal convention), so
+    * L(s) is an exact integer ratio; the exp argument is rounded to 9
+    * before exp so both engines exponentiate the identical double.
+    *
+    * Scale shape: one corpus pass for the bigram stream; model tables are
+    * vocabulary-sized equi-joins (the [[bigramCrossEntropy]] plan); the
+    * weight update runs on the DOMAIN table (a handful of rows). Output:
+    * (srcCol, n_bigrams, w0, nll, excess, w1), ordered by caller. */
+  def doremiRound(df: DataFrame, textCol: String, srcCol: String,
+                  alpha: Double = 0.5, eta: Double = 1.0): DataFrame = {
+    require(alpha > 0.0 && eta > 0.0)
+    val src = col(srcCol)
+    val ws = TextFunctions.wsTokens(lower(col(textCol)))
+    val toks = df.select(src, ws.as("ws"))
+    val bigrams = zip_with(
+      slice(col("ws"), lit(1), size(col("ws")) - 1),
+      slice(col("ws"), lit(2), size(col("ws")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val bgl = toks.where(size(col("ws")) >= 2)
+      .select(src, explode(bigrams).as("bg"))
+    val bgCounts = bgl.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val ctxCounts = bgCounts
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"))
+    val vocab = toks.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val p = (col("c12") + lit(alpha)) / (col("c1") + lit(alpha) * col("v"))
+    val perSrc = bgl
+      .join(bgCounts, "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(ctxCounts, "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy(src)
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(round(-log(p) * 1e9).cast("long")).as("nll9"))
+    val tot = perSrc.agg(sum(col("n_bigrams")).as("nt"),
+      sum(col("nll9")).as("nllt9"))
+    val upd = perSrc.crossJoin(broadcast(tot))
+      .withColumn("w0", col("n_bigrams").cast("double") / col("nt"))
+      .withColumn("nll", col("nll9") / 1e9 / col("n_bigrams"))
+      .withColumn("excess", greatest(lit(0.0),
+        round(col("nll") - col("nllt9") / 1e9 / col("nt"), 9)))
+      // wraw gridded to 1e9 LONG so the normalizer is an exact integer sum
+      // (domain-count rows, but exactness costs nothing and kills the
+      // engine-order last-ulp class outright)
+      .withColumn("wraw9",
+        round(col("w0") * exp(lit(eta) * col("excess")) * 1e9).cast("long"))
+    val z = upd.agg(sum(col("wraw9")).as("z9"))
+    upd.crossJoin(broadcast(z))
+      .select(src, col("n_bigrams"),
+        round(col("w0"), 6).as("w0"),
+        round(col("nll"), 6).as("nll"),
+        round(col("excess"), 6).as("excess"),
+        round(col("wraw9").cast("double") / col("z9"), 4).as("w1"))
+  }
 }
