@@ -4557,6 +4557,17 @@ object SparkEntry {
       StatsOps.welchTTest(ev, "value", "grp")
     }),
 
+    // CUPED variance-reduced A/B (see [[StatsOps.cupedAdjustedTest]]):
+    // pre-period per-user spend as the covariate, theta = cov/var pooled,
+    // Welch on the adjusted metric next to the raw one — the sensitivity
+    // upgrade every experimentation platform applies before the raw
+    // t-test. DECIMAL-exact per-user sums and moments; per-user adjusted
+    // contributions on integer grids (no order-dependent double sums).
+    "events_ab_cuped" -> ((s, d) => {
+      StatsOps.cupedAdjustedTest(events(s, d), "user_id", "value", "ts",
+        when(col("user_id") % 2 === 0, "control").otherwise("treatment"))
+    }),
+
     // EWMA trend monitor: daily counts per event type smoothed by the
     // 8-term decay-1/2 EWMA (exact dyadic arithmetic — see
     // StatsOps.ewmaDaily), with an off-trend ratio flag. The
@@ -10180,6 +10191,47 @@ object SparkEntry {
         |  round((vva / na + vvb / nb) * (vva / na + vvb / nb) /
         |    ((vva / na) * (vva / na) / (na - 1) + (vvb / nb) * (vvb / nb) / (nb - 1)), 2) AS dof,
         |  abs((ma - mb) / sqrt(vva / na + vvb / nb)) > 1.96 AS significant
+        |FROM a, b""".stripMargin,
+
+    // CUPED replay: DECIMAL-exact per-user period sums + pooled moments,
+    // theta via the one double conversion, adjusted moments on the same
+    // 1e6/1e4 integer grids as the Spark side.
+    "events_ab_cuped" ->
+      """WITH e AS (SELECT user_id, CAST(value AS DOUBLE) AS value, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        |           FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT (min(ep) + max(ep)) // 2 AS cut FROM e),
+        |pu AS (SELECT user_id AS u,
+        |         CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS g,
+        |         coalesce(sum(CASE WHEN ep < (SELECT cut FROM c) THEN CAST(value AS DECIMAL(18,2)) END), 0) AS x,
+        |         coalesce(sum(CASE WHEN ep >= (SELECT cut FROM c) THEN CAST(value AS DECIMAL(18,2)) END), 0) AS y
+        |       FROM e GROUP BY 1, 2),
+        |mom AS (SELECT count(*) AS n, sum(CAST(x AS DECIMAL(38,4))) AS sx, sum(CAST(y AS DECIMAL(38,4))) AS sy,
+        |          sum(CAST(x * y AS DECIMAL(38,4))) AS sxy, sum(CAST(x * x AS DECIMAL(38,4))) AS sxx FROM pu),
+        |th AS (SELECT n,
+        |         round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS th,
+        |         round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+        |         CAST(sx AS DOUBLE) / n AS mx FROM mom),
+        |ad AS (SELECT g, CAST(y AS DOUBLE) AS yd,
+        |         CAST(y AS DOUBLE) - th.th * (CAST(x AS DOUBLE) - th.mx) AS yadj
+        |       FROM pu CROSS JOIN th),
+        |bg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |         CAST(sum(CAST(round(yd * 1e6) AS BIGINT)) AS BIGINT) AS sy6,
+        |         CAST(sum(CAST(round(yd * yd * 1e4) AS BIGINT)) AS BIGINT) AS syy4,
+        |         CAST(sum(CAST(round(yadj * 1e6) AS BIGINT)) AS BIGINT) AS sa6,
+        |         CAST(sum(CAST(round(yadj * yadj * 1e4) AS BIGINT)) AS BIGINT) AS saa4
+        |       FROM ad GROUP BY 1),
+        |m AS (SELECT g, ng, sy6 / 1e6 / ng AS m_raw,
+        |        (syy4 / 1e4 - (sy6 / 1e6) * (sy6 / 1e6) / ng) / (ng - 1) AS v_raw,
+        |        sa6 / 1e6 / ng AS m_adj,
+        |        (saa4 / 1e4 - (sa6 / 1e6) * (sa6 / 1e6) / ng) / (ng - 1) AS v_adj
+        |      FROM bg),
+        |a AS (SELECT g AS group_a, ng AS na, m_raw AS mra, v_raw AS vra, m_adj AS maa, v_adj AS vaa FROM m ORDER BY g LIMIT 1),
+        |b AS (SELECT g AS group_b, ng AS nb, m_raw AS mrb, v_raw AS vrb, m_adj AS mab, v_adj AS vab FROM m ORDER BY g DESC LIMIT 1)
+        |SELECT (SELECT theta FROM th) AS theta, group_a, group_b, na AS n_a, nb AS n_b,
+        |  round(maa, 4) AS mean_adj_a, round(mab, 4) AS mean_adj_b,
+        |  round((mra - mrb) / sqrt(vra / na + vrb / nb), 4) AS t_raw,
+        |  round((maa - mab) / sqrt(vaa / na + vab / nb), 4) AS t_adj,
+        |  round(1.0 - (vaa + vab) / (vra + vrb), 4) AS var_reduction
         |FROM a, b""".stripMargin,
 
     // 8 explicit PRECEDING-day lag terms with dyadic weights — exact

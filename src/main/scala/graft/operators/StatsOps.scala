@@ -64,6 +64,90 @@ object StatsOps {
       (abs((col("ma") - col("mb")) / sqrt(se2)) > 1.96).as("significant"))
   }
 
+  /** CUPED variance reduction (Deng et al. 2013, "Improving the
+    * Sensitivity of Online Controlled Experiments by Utilizing Pre-
+    * Experiment Data"): adjust each unit's experiment-period metric by its
+    * PRE-period covariate, Y' = Y − θ·(X − mean(X)) with
+    * θ = cov(X, Y)/var(X) pooled over all units, then run the Welch test
+    * on Y'. Same decision, (often far) smaller variance — the standard
+    * trick every experimentation platform ships.
+    *
+    * Period split: the exact integer midpoint of the observed epoch range
+    * (the dq_value_drift_ks convention). Units absent from a period
+    * contribute 0 (a unit is every `userCol` with ANY event).
+    *
+    * Determinism contract: per-unit period sums are DECIMAL(18,2)-exact;
+    * the pooled moments Σx, Σy, Σxy, Σxx aggregate as DECIMAL(38,4)
+    * (exact under reorder) and convert to double ONCE for θ; per-unit
+    * adjusted contributions re-enter the variant moments on 1e6/1e4 LONG
+    * grids, so every cross-engine sum is integer-exact.
+    *
+    * Scale shape: two corpus-pass aggregations (per-unit sums, then the
+    * unit-keyed moments with map-side partials); everything after the
+    * per-unit table is unit-sized; the 1-row moment tables broadcast.
+    *
+    * Output (one row): theta, n/mean per variant, t on raw Y, t on
+    * adjusted Y', and the variance-reduction ratio. */
+  def cupedAdjustedTest(ev: DataFrame, userCol: String, valueCol: String,
+                        tsCol: String, grp: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val dec4 = org.apache.spark.sql.types.DecimalType(38, 4)
+    val e = ev.where(col(valueCol).isNotNull)
+      .withColumn("__ep", unix_timestamp(col(tsCol)))
+    val cut = e.agg(expr(
+      s"(CAST(floor(min(unix_timestamp($tsCol))) AS BIGINT) + " +
+      s"CAST(floor(max(unix_timestamp($tsCol))) AS BIGINT)) div 2").as("cut"))
+    val perUser = e.crossJoin(broadcast(cut))
+      .groupBy(col(userCol).as("u"))
+      .agg(first(grp).as("g"),
+        coalesce(sum(when(col("__ep") < col("cut"),
+          col(valueCol).cast(dec))), lit(0).cast(dec)).as("x"),
+        coalesce(sum(when(col("__ep") >= col("cut"),
+          col(valueCol).cast(dec))), lit(0).cast(dec)).as("y"))
+    val mom = perUser.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec4)).as("sx"), sum(col("y").cast(dec4)).as("sy"),
+      sum((col("x") * col("y")).cast(dec4)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec4)).as("sxx"))
+    val theta = ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+    val withAdj = perUser.crossJoin(broadcast(
+        mom.select(col("n"), round(theta, 9).as("th"),
+          (col("sx").cast("double") / col("n")).as("mx"))))
+      .withColumn("yd", col("y").cast("double"))
+      .withColumn("yadj",
+        col("yd") - col("th") * (col("x").cast("double") - col("mx")))
+    // variant moments on integer grids: 1e6 for sums, 1e4 for squares
+    val byG = withAdj.groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"),
+        sum(round(col("yd") * 1e6).cast("long")).as("sy6"),
+        sum(round(col("yd") * col("yd") * 1e4).cast("long")).as("syy4"),
+        sum(round(col("yadj") * 1e6).cast("long")).as("sa6"),
+        sum(round(col("yadj") * col("yadj") * 1e4).cast("long")).as("saa4"))
+      .withColumn("m_raw", col("sy6") / 1e6 / col("ng"))
+      .withColumn("v_raw", (col("syy4") / 1e4 -
+        (col("sy6") / 1e6) * (col("sy6") / 1e6) / col("ng")) / (col("ng") - 1))
+      .withColumn("m_adj", col("sa6") / 1e6 / col("ng"))
+      .withColumn("v_adj", (col("saa4") / 1e4 -
+        (col("sa6") / 1e6) * (col("sa6") / 1e6) / col("ng")) / (col("ng") - 1))
+    val a = byG.orderBy(col("g")).limit(1).select(col("g").as("group_a"),
+      col("ng").as("na"), col("m_raw").as("mra"), col("v_raw").as("vra"),
+      col("m_adj").as("maa"), col("v_adj").as("vaa"))
+    val b = byG.orderBy(col("g").desc).limit(1).select(col("g").as("group_b"),
+      col("ng").as("nb"), col("m_raw").as("mrb"), col("v_raw").as("vrb"),
+      col("m_adj").as("mab"), col("v_adj").as("vab"))
+    def tStat(ma: Column, mb: Column, va: Column, vb: Column) =
+      (ma - mb) / sqrt(va / col("na") + vb / col("nb"))
+    a.crossJoin(b).crossJoin(broadcast(mom.select(round(theta, 6).as("theta"))))
+      .select(col("theta"), col("group_a"), col("group_b"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("maa"), 4).as("mean_adj_a"),
+        round(col("mab"), 4).as("mean_adj_b"),
+        round(tStat(col("mra"), col("mrb"), col("vra"), col("vrb")), 4).as("t_raw"),
+        round(tStat(col("maa"), col("mab"), col("vaa"), col("vab")), 4).as("t_adj"),
+        round(lit(1.0) - (col("vaa") + col("vab")) / (col("vra") + col("vrb")), 4)
+          .as("var_reduction"))
+  }
+
   /** EWMA-smoothed daily counts per key with a deviation flag — the volume
     * drift monitor's trend-following cousin (events_volume_anomaly compares
     * against a global mean; this compares against the recent trend).

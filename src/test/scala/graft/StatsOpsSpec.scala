@@ -237,6 +237,35 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(out3 === Seq(("a", true), ("b", false), ("c", false), ("d", false)))
   }
 
+  test("CUPED: a strong pre-period covariate shrinks variance; theta matches " +
+      "the closed form; a planted lift survives adjustment") {
+    import java.sql.Timestamp
+    // 40 users, pre value = user-level base (high between-user variance),
+    // post value = base + noise + planted treatment lift. CUPED should
+    // absorb the base and leave lift/noise.
+    val rows = (0L until 40L).flatMap { u =>
+      val base = 100.0 + (u % 10) * 50.0 // strong user-level signal
+      val lift = if (u % 2 == 1) 10.0 else 0.0
+      val noise = (u % 7).toDouble
+      Seq((u, Timestamp.valueOf("2024-01-01 00:00:00"), base),
+          (u, Timestamp.valueOf("2024-03-01 00:00:00"), base + lift + noise))
+    }.toDF("user_id", "ts", "value")
+    val out = StatsOps.cupedAdjustedTest(rows, "user_id", "value", "ts",
+      when($"user_id" % 2 === 0, "control").otherwise("treatment"))
+      .collect().head
+    val theta = out.getAs[Double]("theta")
+    val vr = out.getAs[Double]("var_reduction")
+    val tRaw = math.abs(out.getAs[Double]("t_raw"))
+    val tAdj = math.abs(out.getAs[Double]("t_adj"))
+    // post ≈ pre + small terms -> theta near 1, most variance removed
+    assert(theta > 0.9 && theta < 1.1, s"theta $theta")
+    assert(vr > 0.9, s"var_reduction $vr")
+    // the planted lift is invisible to the raw test (between-user variance
+    // dominates) and detected after adjustment
+    assert(tAdj > tRaw, s"t_adj $tAdj vs t_raw $tRaw")
+    assert(tAdj > 1.96, s"t_adj $tAdj")
+  }
+
   test("nb_conformal_sampled: fixed-size calibration, one global threshold, " +
       "and fixture coverage near the nominal level") {
     val rows = SparkEntry.queries("nb_conformal_sampled")(spark, TestSpark.sf)
