@@ -2041,6 +2041,43 @@ object SparkEntry {
             / (col("sxx") - col("sx") * col("sx") / col("nv")), 4).as("slope"))
     }),
 
+    // Heaps' law fit V(N) ~ K·N^beta over the doc-ordered corpus stream:
+    // new-type counts per doc (first occurrence = min doc_id per token —
+    // one gram-keyed agg, the text_ngram_novelty shape), cumulative
+    // (N, V) pairs via TWO RangePrefix running sums sharing one grid, then
+    // the least-squares fit of ln V on ln N with 1e9-gridded ln terms and
+    // DECIMAL(38,0) cross moments (products overflow LONG). The
+    // vocabulary-growth exponent (~0.4-0.6 for natural language) that
+    // sizes tokenizer vocabularies and predicts distinct-type storage.
+    "vocab_heaps_law" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.wsTokens(lower(col("text")))).as("tok"))
+      val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
+      val firsts = toks.groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+        .groupBy(col("fd").as("doc_id")).agg(count(lit(1)).as("nv"))
+      val base = perDoc.join(firsts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("m"), coalesce(col("nv"), lit(0L)).as("nv"))
+      val cum = operators.RangePrefix.runningSum(
+        operators.RangePrefix.runningSum(
+          operators.RangePrefix.withBucket(base, col("doc_id")),
+          col("m"), Seq(col("doc_id")), "N"),
+        col("nv"), Seq(col("doc_id")), "V")
+      val xy = cum.where(col("N") > 0 && col("V") > 0)
+        .select(round(log(col("N").cast("double")) * 1e9).cast(dec).as("x"),
+          round(log(col("V").cast("double")) * 1e9).cast(dec).as("y"))
+      val betaExpr = (col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("np") * col("sxx") - col("sx") * col("sx")).cast("double")
+      xy.agg(count(lit(1)).cast(dec).as("np"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("np").cast("long").as("n_points"),
+          round(betaExpr, 4).as("beta"),
+          round(exp((col("sy").cast("double") - betaExpr * col("sx").cast("double"))
+            / col("np").cast("double") / 1e9), 4).as("k"))
+    }),
+
     // Vocabulary coverage curve: what fraction of the token STREAM the
     // top-k vocabulary covers, k in {100, 1k, 10k} — the number that sizes
     // a tokenizer vocabulary (diminishing-returns elbow). One frequency
@@ -4566,6 +4603,18 @@ object SparkEntry {
     "events_ab_cuped" -> ((s, d) => {
       StatsOps.cupedAdjustedTest(events(s, d), "user_id", "value", "ts",
         when(col("user_id") % 2 === 0, "control").otherwise("treatment"))
+    }),
+
+    // Always-valid sequential monitoring (mSPRT — see
+    // [[StatsOps.sequentialMsprtDaily]]): the per-day peek table with the
+    // anytime-valid p-value, the test an experimentation platform can
+    // stop on ANY day without alpha inflation. Day-spine cumulative
+    // frames only; exact decimal day sums.
+    "events_ab_sequential" -> ((s, d) => {
+      StatsOps.sequentialMsprtDaily(events(s, d), "value",
+          when(col("user_id") % 2 === 0, "control").otherwise("treatment"),
+          "ts", tau = 10.0)
+        .orderBy(col("day"))
     }),
 
     // EWMA trend monitor: daily counts per event type smoothed by the
@@ -8614,6 +8663,27 @@ object SparkEntry {
         |SELECT CAST(nv AS BIGINT) AS n_vocab,
         |  round((sxy - sx*sy/nv) / (sxx - sx*sx/nv), 4) AS slope FROM a""".stripMargin,
 
+    // Heaps fit replay: the cumulative (N, V) pairs via windows (the Spark
+    // side runs RangePrefix), ln terms on the 1e9 grid, HUGEINT moments.
+    "vocab_heaps_law" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok FROM documents),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM toks GROUP BY 1),
+        |fd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nv FROM (SELECT tok, min(doc_id) AS doc_id FROM toks GROUP BY tok) GROUP BY 1),
+        |base AS (SELECT pd.doc_id, pd.m, coalesce(fd.nv, 0) AS nv FROM pd LEFT JOIN fd USING (doc_id)),
+        |cum AS (SELECT doc_id,
+        |          CAST(sum(m) OVER (ORDER BY doc_id) AS BIGINT) AS N,
+        |          CAST(sum(nv) OVER (ORDER BY doc_id) AS BIGINT) AS V
+        |        FROM base),
+        |xy AS (SELECT CAST(round(ln(CAST(N AS DOUBLE)) * 1e9) AS HUGEINT) AS x,
+        |              CAST(round(ln(CAST(V AS DOUBLE)) * 1e9) AS HUGEINT) AS y
+        |       FROM cum WHERE N > 0 AND V > 0),
+        |a AS (SELECT CAST(count(*) AS HUGEINT) AS np, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+        |SELECT CAST(np AS BIGINT) AS n_points,
+        |  round(CAST(np * sxy - sx * sy AS DOUBLE) / CAST(np * sxx - sx * sx AS DOUBLE), 4) AS beta,
+        |  round(exp((CAST(sy AS DOUBLE) - (CAST(np * sxy - sx * sy AS DOUBLE) / CAST(np * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(np AS DOUBLE) / 1e9), 4) AS k
+        |FROM a""".stripMargin,
+
     "dedup_jaccard_ngram" ->
       """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS ws FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws)-2), i -> array_to_string(ws[i:i+2], ' ')))) AS shingle FROM w WHERE len(ws) > 2),
@@ -10233,6 +10303,43 @@ object SparkEntry {
         |  round((maa - mab) / sqrt(vaa / na + vab / nb), 4) AS t_adj,
         |  round(1.0 - (vaa + vab) / (vra + vrb), 4) AS var_reduction
         |FROM a, b""".stripMargin,
+
+    // mSPRT replay: exact decimal day sums, day-spine cumulative windows,
+    // the identical double lambda expression, running max on the 1e9
+    // lambda grid.
+    "events_ab_sequential" ->
+      """WITH e AS (SELECT date_trunc('day', ts) AS day,
+        |    CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS g,
+        |    CAST(CAST(value AS DOUBLE) AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |sg AS (SELECT (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) AS sig2 FROM
+        |       (SELECT count(*) AS n, sum(CAST(v AS DECIMAL(38,4))) AS s1,
+        |               sum(CAST(v * v AS DECIMAL(38,4))) AS s2 FROM e)),
+        |bd AS (SELECT day,
+        |    CAST(sum(CASE WHEN g = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS dnc,
+        |    CAST(sum(CASE WHEN g <> 'control' THEN 1 ELSE 0 END) AS BIGINT) AS dnt,
+        |    coalesce(sum(CASE WHEN g = 'control' THEN CAST(v AS DECIMAL(38,4)) END), 0) AS dsc,
+        |    coalesce(sum(CASE WHEN g <> 'control' THEN CAST(v AS DECIMAL(38,4)) END), 0) AS dst
+        |  FROM e GROUP BY 1),
+        |cm AS (SELECT day,
+        |    CAST(sum(dnc) OVER w AS BIGINT) AS nc, CAST(sum(dnt) OVER w AS BIGINT) AS nt,
+        |    sum(dsc) OVER w AS sc, sum(dst) OVER w AS st
+        |  FROM bd WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |lam AS (SELECT day, nc, nt,
+        |    CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc AS delta,
+        |    sig2 * (1.0 / nc + 1.0 / nt) AS s2
+        |  FROM cm CROSS JOIN sg WHERE nc > 0 AND nt > 0),
+        |lv AS (SELECT day, nc, nt, delta,
+        |    sqrt(s2 / (s2 + 100.0)) * exp(delta * delta * 100.0 / (2.0 * s2 * (s2 + 100.0))) AS lambda
+        |  FROM lam),
+        |mx AS (SELECT day, nc, nt, delta, lambda,
+        |    max(round(lambda, 9)) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lmax
+        |  FROM lv)
+        |SELECT day, nc AS n_c, nt AS n_t, round(delta, 4) AS delta,
+        |  round(lambda, 4) AS lambda,
+        |  round(least(1.0, 1.0 / lmax), 4) AS p_always_valid,
+        |  1.0 / lmax < 0.05 AS reject_95
+        |FROM mx ORDER BY day""".stripMargin,
 
     // 8 explicit PRECEDING-day lag terms with dyadic weights — exact
     // doubles, so the pre-round trend values are bit-identical; day 1 of

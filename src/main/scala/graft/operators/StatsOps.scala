@@ -148,6 +148,71 @@ object StatsOps {
           .as("var_reduction"))
   }
 
+  /** Sequential (always-valid) A/B monitoring via the mixture SPRT
+    * (Johari et al. 2017, "Peeking at A/B Tests"): per observation day t,
+    * the two-sample mean difference Δ_t over the CUMULATIVE samples, the
+    * normal-mixture likelihood ratio
+    *
+    *   Λ_t = sqrt(s²_t/(s²_t+τ²)) · exp(Δ²_t·τ²/(2·s²_t·(s²_t+τ²))),
+    *
+    * with s²_t = σ²·(1/n_c + 1/n_t) (σ² pooled over the whole stream —
+    * deterministic), and the always-valid p-value p_t = min(1, 1/max_{u<=t}
+    * Λ_u). Unlike the fixed-horizon t-test, p_t is valid at EVERY peek —
+    * the test an experimentation platform can stop on any day.
+    *
+    * Determinism: per-day per-variant sums are DECIMAL-exact; cumulative
+    * sums and the running max run over the DAY SPINE (observation-span
+    * frame — audited small, the kaplan-meier class); σ² from DECIMAL
+    * moments with one double conversion.
+    *
+    * Output per day: (day, n_c, n_t, delta, lambda, p_always_valid,
+    * reject_95). */
+  def sequentialMsprtDaily(ev: DataFrame, valueCol: String, grp: Column,
+                           tsCol: String, tau: Double = 10.0): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val dec4 = org.apache.spark.sql.types.DecimalType(38, 4)
+    val e = ev.where(col(valueCol).isNotNull)
+      .select(date_trunc("day", col(tsCol)).as("day"), grp.as("g"),
+        col(valueCol).cast(dec).as("v"))
+    // pooled sigma^2 from exact decimal moments (one double conversion)
+    val sig = e.agg(count(lit(1)).as("n"), sum(col("v").cast(dec4)).as("s1"),
+        sum((col("v") * col("v")).cast(dec4)).as("s2"))
+      .select(((col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+        (col("n") - 1)).as("sig2"))
+    val byDay = e.groupBy(col("day"))
+      .agg(sum(when(col("g") === "control", lit(1L)).otherwise(0L)).as("dnc"),
+        sum(when(col("g") =!= "control", lit(1L)).otherwise(0L)).as("dnt"),
+        coalesce(sum(when(col("g") === "control", col("v").cast(dec4))),
+          lit(0).cast(dec4)).as("dsc"),
+        coalesce(sum(when(col("g") =!= "control", col("v").cast(dec4))),
+          lit(0).cast(dec4)).as("dst"))
+    // day-spine-sized cumulative frame (bounded by the observation span)
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byDay
+      .withColumn("nc", sum(col("dnc")).over(w))
+      .withColumn("nt", sum(col("dnt")).over(w))
+      .withColumn("sc", sum(col("dsc")).over(w))
+      .withColumn("st", sum(col("dst")).over(w))
+      .where(col("nc") > 0 && col("nt") > 0)
+      .crossJoin(broadcast(sig))
+      .withColumn("delta", col("st").cast("double") / col("nt") -
+        col("sc").cast("double") / col("nc"))
+      .withColumn("s2", col("sig2") * (lit(1.0) / col("nc") + lit(1.0) / col("nt")))
+      .withColumn("lambda",
+        sqrt(col("s2") / (col("s2") + lit(tau * tau))) *
+        exp(col("delta") * col("delta") * lit(tau * tau) /
+          (lit(2.0) * col("s2") * (col("s2") + lit(tau * tau)))))
+    cum
+      .withColumn("lmax", max(round(col("lambda"), 9)).over(w))
+      .select(col("day"), col("nc").as("n_c"), col("nt").as("n_t"),
+        round(col("delta"), 4).as("delta"),
+        round(col("lambda"), 4).as("lambda"),
+        round(least(lit(1.0), lit(1.0) / col("lmax")), 4).as("p_always_valid"),
+        (lit(1.0) / col("lmax") < 0.05).as("reject_95"))
+  }
+
   /** EWMA-smoothed daily counts per key with a deviation flag — the volume
     * drift monitor's trend-following cousin (events_volume_anomaly compares
     * against a global mean; this compares against the recent trend).

@@ -46,9 +46,12 @@ class PlanSweepSpec extends AnyFunSuite {
     "pack_sequences",      // bucket-offsets prefix over the length-bucket
                            // totals (max_doc_tokens/50 rows — bounded by
                            // document length, not corpus size)
-    "nb_conformal_sampled" // order statistic over the fixed <=128-row
+    "nb_conformal_sampled", // order statistic over the fixed <=128-row
                            // md5-drawn calibration sample (constant by
                            // construction — the split-conformal shape)
+    "events_ab_sequential" // mSPRT cumulative/running-max over the DAY
+                           // SPINE (bounded by the observation span —
+                           // the kaplan-meier class)
   )
 
   test("unpartitioned WindowExec only where the frame is audited small") {

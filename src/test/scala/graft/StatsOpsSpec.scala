@@ -266,6 +266,28 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(tAdj > 1.96, s"t_adj $tAdj")
   }
 
+  test("mSPRT: always-valid p is non-increasing and a strong planted lift " +
+      "eventually rejects; a null effect never does") {
+    import java.sql.Timestamp
+    def mk(lift: Double) = (0 until 30).flatMap { day =>
+      (0 until 40).map { i =>
+        val g = if (i % 2 == 0) "c" else "t"
+        val v = 100.0 + (i % 5) + (if (g == "t") lift else 0.0)
+        (i.toLong % 2, Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00"), v)
+      }
+    }.toDF("uid", "ts", "value")
+    def run(lift: Double) = StatsOps.sequentialMsprtDaily(mk(lift), "value",
+        when($"uid" === 0, "control").otherwise("treatment"), "ts", tau = 10.0)
+      .orderBy($"day")
+      .select($"p_always_valid", $"reject_95").as[(Double, Boolean)].collect()
+    val shifted = run(8.0)
+    // anytime-valid: the p sequence never increases (it is 1/running-max)
+    assert(shifted.map(_._1).sliding(2).forall(w => w(1) <= w(0) + 1e-12))
+    assert(shifted.last._2, "a strong lift must eventually reject")
+    val nul = run(0.0)
+    assert(nul.forall(!_._2), "a null effect must never reject")
+  }
+
   test("nb_conformal_sampled: fixed-size calibration, one global threshold, " +
       "and fixture coverage near the nominal level") {
     val rows = SparkEntry.queries("nb_conformal_sampled")(spark, TestSpark.sf)
