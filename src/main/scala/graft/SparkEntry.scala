@@ -5656,6 +5656,57 @@ object SparkEntry {
     // hash-Bernoulli at the round-6 capped rate — far-from-seed vectors
     // oversample, the coreset property. All grid-disciplined: d2 round 8
     // (the Lloyd grid), total round 4, rate round 6.
+    // Greedy facility-location selection (submodular maximization, the
+    // 1-1/e-guaranteed greedy): pick k items maximizing corpus coverage
+    // sum_i max_{s in S} sim(i, s) — the diverse-representative selection
+    // used for instruction-data curation, complementary to d2 sampling
+    // (below: spread by DISTANCE; this: coverage by SIMILARITY). Scale
+    // shape: candidates are a fixed md5-drawn pool of 16 (broadcast), the
+    // corpus x pool similarity table computes ONCE (round-4, checkpointed,
+    // reused all rounds), each greedy round is one gridded-LONG gain
+    // aggregation + a 1-row argmax collect; coverage state is one column
+    // updated per round. k and the pool are constants — nothing scales
+    // with corpus size but the one sim pass.
+    "sample_facility_location" -> ((s, d) => {
+      import s.implicits._
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val cands = emb
+        .withColumn("draw", md5(concat_ws("#", col("vec_id"), lit("fl"))))
+        .orderBy(col("draw"), col("vec_id")).limit(16)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val sims = emb.crossJoin(broadcast(cands))
+        .select(col("vec_id"), col("c_id"),
+          round(VectorFunctions.cosineSimilarity(col("embedding"), col("c_vec")), 4)
+            .as("sim"))
+        .localCheckpoint()
+      var cur = emb.select(col("vec_id"), lit(0.0).as("cv"))
+      var chosen = List.empty[(Long, Long)] // (c_id, gain9)
+      for (_ <- 1 to 3) {
+        val picked = chosen.map(_._1)
+        val best = sims.where(!col("c_id").isin(picked: _*))
+          .join(cur, "vec_id")
+          .withColumn("g9", greatest(lit(0L),
+            round((col("sim") - col("cv")) * 1e9).cast("long")))
+          .groupBy(col("c_id")).agg(sum(col("g9")).as("gain9"))
+          .orderBy(col("gain9").desc, col("c_id")).limit(1)
+          .select(col("c_id"), col("gain9")).as[(Long, Long)].head()
+        chosen = chosen :+ best
+        cur = cur.join(
+            sims.where(col("c_id") === best._1).select(col("vec_id"), col("sim")),
+            "vec_id")
+          .select(col("vec_id"), greatest(col("cv"), col("sim")).as("cv"))
+          .localCheckpoint()
+      }
+      val cov = cur.agg((sum(round(col("cv") * 1e4).cast("long")) / 1e4).as("c"))
+        .select(col("c")).as[Double].head()
+      chosen.zipWithIndex.map { case ((cid, g9), i) =>
+        (i + 1, cid, g9 / 1e9, cov)
+      }.toDF("round", "c_id", "gain", "coverage_final")
+        .select(col("round"), col("c_id"), round(col("gain"), 4).as("gain"),
+          round(col("coverage_final"), 4).as("coverage_final"))
+        .orderBy(col("round"))
+    }),
+
     "sample_coreset_d2" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val seeds = KMeans.centroidsDF(emb, "embedding", "vec_id", k = 8, iters = 0)
@@ -8194,6 +8245,48 @@ object SparkEntry {
         |        list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS m
         |      FROM embeddings)
         |ORDER BY vec_id""".stripMargin,
+
+    // Greedy facility-location replay: all three rounds unrolled — gains
+    // on the 1e9 grid, argmax (gain desc, id), coverage state as the
+    // running max of round-4 sims, final coverage on the 1e4 grid.
+    "sample_facility_location" ->
+      """WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cd AS (SELECT vec_id AS c_id, v AS cv FROM
+        |        (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR) || '#fl') AS draw FROM dv
+        |         ORDER BY draw, vec_id LIMIT 16)),
+        |s0 AS (SELECT e.vec_id, c.c_id, list_dot_product(e.v, c.cv) AS dp,
+        |         sqrt(list_dot_product(e.v, e.v)) AS na, sqrt(list_dot_product(c.cv, c.cv)) AS nb
+        |       FROM dv e CROSS JOIN cd c),
+        |sims AS (SELECT vec_id, c_id,
+        |           round(CASE WHEN na * nb = 0 THEN 0 ELSE dp / (na * nb) END, 4) AS sim FROM s0),
+        |g1 AS (SELECT c_id, sum(greatest(0, CAST(round(sim * 1e9) AS BIGINT))) AS gain9 FROM sims GROUP BY 1),
+        |b1 AS (SELECT c_id, gain9 FROM g1 ORDER BY gain9 DESC, c_id LIMIT 1),
+        |cur1 AS (SELECT s.vec_id, greatest(0.0, s.sim) AS cv FROM sims s
+        |         WHERE s.c_id = (SELECT c_id FROM b1)),
+        |g2 AS (SELECT s.c_id, sum(greatest(0, CAST(round((s.sim - c.cv) * 1e9) AS BIGINT))) AS gain9
+        |       FROM sims s JOIN cur1 c USING (vec_id)
+        |       WHERE s.c_id <> (SELECT c_id FROM b1) GROUP BY 1),
+        |b2 AS (SELECT c_id, gain9 FROM g2 ORDER BY gain9 DESC, c_id LIMIT 1),
+        |cur2 AS (SELECT c.vec_id, greatest(c.cv, s.sim) AS cv FROM cur1 c
+        |         JOIN sims s ON s.vec_id = c.vec_id AND s.c_id = (SELECT c_id FROM b2)),
+        |g3 AS (SELECT s.c_id, sum(greatest(0, CAST(round((s.sim - c.cv) * 1e9) AS BIGINT))) AS gain9
+        |       FROM sims s JOIN cur2 c USING (vec_id)
+        |       WHERE s.c_id NOT IN (SELECT c_id FROM b1 UNION ALL SELECT c_id FROM b2) GROUP BY 1),
+        |b3 AS (SELECT c_id, gain9 FROM g3 ORDER BY gain9 DESC, c_id LIMIT 1),
+        |cur3 AS (SELECT c.vec_id, greatest(c.cv, s.sim) AS cv FROM cur2 c
+        |         JOIN sims s ON s.vec_id = c.vec_id AND s.c_id = (SELECT c_id FROM b3)),
+        |cov AS (SELECT sum(CAST(round(cv * 1e4) AS BIGINT)) / 1e4 AS c FROM cur3)
+        |SELECT * FROM (
+        |  SELECT 1 AS round, (SELECT c_id FROM b1) AS c_id,
+        |    round((SELECT gain9 FROM b1) / 1e9, 4) AS gain,
+        |    round((SELECT c FROM cov), 4) AS coverage_final
+        |  UNION ALL
+        |  SELECT 2, (SELECT c_id FROM b2), round((SELECT gain9 FROM b2) / 1e9, 4),
+        |    round((SELECT c FROM cov), 4)
+        |  UNION ALL
+        |  SELECT 3, (SELECT c_id FROM b3), round((SELECT gain9 FROM b3) / 1e9, 4),
+        |    round((SELECT c FROM cov), 4)
+        |) ORDER BY round""".stripMargin,
 
     "knn_topk" ->
       """WITH dv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

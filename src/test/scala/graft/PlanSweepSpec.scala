@@ -22,7 +22,8 @@ class PlanSweepSpec extends AnyFunSuite {
     "source_doc_quarantine", "source_csv", "source_json", "source_orc",
     "source_schema", "multimodal_", "ann_graph", "ann_ivf", "ann_pq",
     "bpe_", "embedding_kmeans", "embedding_power", "dedup_semantic",
-    "q18_salted")
+    "q18_salted", "sample_facility") // facility-location registration runs
+                                     // its driver-paced greedy rounds
 
   // Every unpartitioned WindowExec in the battery, audited: each entry
   // names the query and the reason its global window frame is SMALL BY
