@@ -2969,6 +2969,20 @@ object SparkEntry {
     // bounds fix the grid up front, the stream folds into nBuckets rows of
     // aggregation state, psiFromCounts scores the final table — gated
     // against the batch split-half arithmetic.
+    // Streaming twin of events_ab_sequential, gated on the SAME oracle:
+    // the per-day sufficient statistics build as complete-mode streaming
+    // aggregation state (longs + exact decimals add cell-wise), then the
+    // shared day-spine finish computes the identical peek table — the
+    // always-valid A/B monitor as a live stream.
+    "streaming_ab_sequential" -> ((s, d) => {
+      val days = graft.streaming.StreamingOps.msprtDayStateOnce(s,
+        s"$d/events.parquet",
+        when(col("user_id") % 2 === 0, "control").otherwise("treatment"),
+        "value", queryName = s"graft_msprt_$runNonce")
+      StatsOps.msprtFinishFromDays(days, tau = 10.0)
+        .orderBy(col("day"))
+    }),
+
     "streaming_drift_psi" -> ((s, d) => {
       val ev = events(s, d)
       val ref = ev.where(pmod(col("event_id"), lit(2)) === 0)
@@ -7149,6 +7163,40 @@ object SparkEntry {
   /** Shared by events_volume_anomaly AND its streamed-state twin. */
   /** Shared by events_ewma_trend AND streaming_ewma_trend (batch parity):
     * 8 preceding-day lag terms, dyadic weights, NULL trend on day 1. */
+  private val msprtOracleSql: String =
+      """WITH e AS (SELECT date_trunc('day', ts) AS day,
+        |    CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS g,
+        |    CAST(CAST(value AS DOUBLE) AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |sg AS (SELECT (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) AS sig2 FROM
+        |       (SELECT count(*) AS n, sum(CAST(v AS DECIMAL(38,4))) AS s1,
+        |               sum(CAST(v * v AS DECIMAL(38,4))) AS s2 FROM e)),
+        |bd AS (SELECT day,
+        |    CAST(sum(CASE WHEN g = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS dnc,
+        |    CAST(sum(CASE WHEN g <> 'control' THEN 1 ELSE 0 END) AS BIGINT) AS dnt,
+        |    coalesce(sum(CASE WHEN g = 'control' THEN CAST(v AS DECIMAL(38,4)) END), 0) AS dsc,
+        |    coalesce(sum(CASE WHEN g <> 'control' THEN CAST(v AS DECIMAL(38,4)) END), 0) AS dst
+        |  FROM e GROUP BY 1),
+        |cm AS (SELECT day,
+        |    CAST(sum(dnc) OVER w AS BIGINT) AS nc, CAST(sum(dnt) OVER w AS BIGINT) AS nt,
+        |    sum(dsc) OVER w AS sc, sum(dst) OVER w AS st
+        |  FROM bd WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |lam AS (SELECT day, nc, nt,
+        |    CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc AS delta,
+        |    sig2 * (1.0 / nc + 1.0 / nt) AS s2
+        |  FROM cm CROSS JOIN sg WHERE nc > 0 AND nt > 0),
+        |lv AS (SELECT day, nc, nt, delta,
+        |    sqrt(s2 / (s2 + 100.0)) * exp(delta * delta * 100.0 / (2.0 * s2 * (s2 + 100.0))) AS lambda
+        |  FROM lam),
+        |mx AS (SELECT day, nc, nt, delta, lambda,
+        |    max(round(lambda, 9)) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lmax
+        |  FROM lv)
+        |SELECT day, nc AS n_c, nt AS n_t, round(delta, 4) AS delta,
+        |  round(lambda, 4) AS lambda,
+        |  round(least(1.0, 1.0 / lmax), 4) AS p_always_valid,
+        |  1.0 / lmax < 0.05 AS reject_95
+        |FROM mx ORDER BY day""".stripMargin
+
   private val ewmaOracleSql: String =
     """WITH day AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1, 2),
       |l AS (SELECT event_type, day, n,
@@ -10399,40 +10447,10 @@ object SparkEntry {
 
     // mSPRT replay: exact decimal day sums, day-spine cumulative windows,
     // the identical double lambda expression, running max on the 1e9
-    // lambda grid.
-    "events_ab_sequential" ->
-      """WITH e AS (SELECT date_trunc('day', ts) AS day,
-        |    CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS g,
-        |    CAST(CAST(value AS DOUBLE) AS DECIMAL(18,2)) AS v
-        |  FROM events WHERE value IS NOT NULL),
-        |sg AS (SELECT (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1) AS sig2 FROM
-        |       (SELECT count(*) AS n, sum(CAST(v AS DECIMAL(38,4))) AS s1,
-        |               sum(CAST(v * v AS DECIMAL(38,4))) AS s2 FROM e)),
-        |bd AS (SELECT day,
-        |    CAST(sum(CASE WHEN g = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS dnc,
-        |    CAST(sum(CASE WHEN g <> 'control' THEN 1 ELSE 0 END) AS BIGINT) AS dnt,
-        |    coalesce(sum(CASE WHEN g = 'control' THEN CAST(v AS DECIMAL(38,4)) END), 0) AS dsc,
-        |    coalesce(sum(CASE WHEN g <> 'control' THEN CAST(v AS DECIMAL(38,4)) END), 0) AS dst
-        |  FROM e GROUP BY 1),
-        |cm AS (SELECT day,
-        |    CAST(sum(dnc) OVER w AS BIGINT) AS nc, CAST(sum(dnt) OVER w AS BIGINT) AS nt,
-        |    sum(dsc) OVER w AS sc, sum(dst) OVER w AS st
-        |  FROM bd WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |lam AS (SELECT day, nc, nt,
-        |    CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc AS delta,
-        |    sig2 * (1.0 / nc + 1.0 / nt) AS s2
-        |  FROM cm CROSS JOIN sg WHERE nc > 0 AND nt > 0),
-        |lv AS (SELECT day, nc, nt, delta,
-        |    sqrt(s2 / (s2 + 100.0)) * exp(delta * delta * 100.0 / (2.0 * s2 * (s2 + 100.0))) AS lambda
-        |  FROM lam),
-        |mx AS (SELECT day, nc, nt, delta, lambda,
-        |    max(round(lambda, 9)) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lmax
-        |  FROM lv)
-        |SELECT day, nc AS n_c, nt AS n_t, round(delta, 4) AS delta,
-        |  round(lambda, 4) AS lambda,
-        |  round(least(1.0, 1.0 / lmax), 4) AS p_always_valid,
-        |  1.0 / lmax < 0.05 AS reject_95
-        |FROM mx ORDER BY day""".stripMargin,
+    // lambda grid. Shared verbatim by the streaming twin (the day state
+    // is cell-wise addable, so streamed == batch row-for-row).
+    "events_ab_sequential" -> msprtOracleSql,
+    "streaming_ab_sequential" -> msprtOracleSql,
 
     // 8 explicit PRECEDING-day lag terms with dyadic weights — exact
     // doubles, so the pre-round trend values are bit-identical; day 1 of

@@ -168,25 +168,40 @@ object StatsOps {
     * Output per day: (day, n_c, n_t, delta, lambda, p_always_valid,
     * reject_95). */
   def sequentialMsprtDaily(ev: DataFrame, valueCol: String, grp: Column,
-                           tsCol: String, tau: Double = 10.0): DataFrame = {
+                           tsCol: String, tau: Double = 10.0): DataFrame =
+    msprtFinishFromDays(msprtDayState(ev, valueCol, grp, tsCol), tau)
+
+  /** The per-day sufficient statistics behind [[sequentialMsprtDaily]]:
+    * (day, dnc, dnt, dsc, dst, ds2) with DECIMAL-exact sums. Every column
+    * adds cell-wise, so a STREAMING aggregation building this table in
+    * complete mode equals the batch groupBy row-for-row — the mergeable-
+    * state law the streaming twin gates on. */
+  def msprtDayState(ev: DataFrame, valueCol: String, grp: Column,
+                    tsCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
     val dec4 = org.apache.spark.sql.types.DecimalType(38, 4)
-    val e = ev.where(col(valueCol).isNotNull)
+    ev.where(col(valueCol).isNotNull)
       .select(date_trunc("day", col(tsCol)).as("day"), grp.as("g"),
         col(valueCol).cast(dec).as("v"))
-    // pooled sigma^2 from exact decimal moments (one double conversion)
-    val sig = e.agg(count(lit(1)).as("n"), sum(col("v").cast(dec4)).as("s1"),
-        sum((col("v") * col("v")).cast(dec4)).as("s2"))
-      .select(((col("s2").cast("double") -
-        col("s1").cast("double") * col("s1").cast("double") / col("n")) /
-        (col("n") - 1)).as("sig2"))
-    val byDay = e.groupBy(col("day"))
+      .groupBy(col("day"))
       .agg(sum(when(col("g") === "control", lit(1L)).otherwise(0L)).as("dnc"),
         sum(when(col("g") =!= "control", lit(1L)).otherwise(0L)).as("dnt"),
         coalesce(sum(when(col("g") === "control", col("v").cast(dec4))),
           lit(0).cast(dec4)).as("dsc"),
         coalesce(sum(when(col("g") =!= "control", col("v").cast(dec4))),
-          lit(0).cast(dec4)).as("dst"))
+          lit(0).cast(dec4)).as("dst"),
+        sum((col("v") * col("v")).cast(dec4)).as("ds2"))
+  }
+
+  /** The day-spine finish of [[sequentialMsprtDaily]], shared with the
+    * streaming twin. Pooled sigma^2 folds from the day table's exact
+    * decimal sums (identical to a direct corpus aggregate). */
+  def msprtFinishFromDays(byDay: DataFrame, tau: Double): DataFrame = {
+    val sig = byDay.agg(sum(col("dnc") + col("dnt")).as("n"),
+        sum(col("dsc") + col("dst")).as("s1"), sum(col("ds2")).as("s2"))
+      .select(((col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+        (col("n") - 1)).as("sig2"))
     // day-spine-sized cumulative frame (bounded by the observation span)
     val w = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -487,6 +487,32 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** The mSPRT day-state table ([[graft.operators.StatsOps.msprtDayState]])
+    * as STREAMING aggregation state: every column is a cell-wise-addable
+    * sum (longs + exact decimals), so the complete-mode table equals the
+    * batch groupBy row-for-row and
+    * [[graft.operators.StatsOps.msprtFinishFromDays]] lands on the
+    * identical peek table — the always-valid monitor as a live stream,
+    * gated on the SAME oracle as the batch twin. State is one row per
+    * observation day. */
+  def msprtDayStateOnce(spark: SparkSession, eventsPath: String,
+                        grp: org.apache.spark.sql.Column,
+                        valueCol: String,
+                        queryName: String = "graft_stream_msprt"): DataFrame = {
+    val days = graft.operators.StatsOps.msprtDayState(
+      readEvents(spark, eventsPath), valueCol, grp, "ts")
+    withStatePartitions(spark) {
+      val q = days.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+  }
+
   /** Per-(type, day) event counts as streaming aggregation state — the
     * feed for the volume-anomaly monitor (counts add cell-wise, so the
     * streamed table equals the batch groupBy; the z-score step runs on the
