@@ -4619,6 +4619,18 @@ object SparkEntry {
         when(col("user_id") % 2 === 0, "control").otherwise("treatment"))
     }),
 
+    // Exact Bayesian A/B on per-user purchase conversion (see
+    // [[StatsOps.bayesAbBeta]]): Beta-Binomial posteriors and the exact
+    // closed-form P(treatment beats control) — every ln-Beta reduced to
+    // integer ln-factorials built as a RangePrefix running sum, so the
+    // posterior probability is a sum of exp'd exact integers (no lgamma,
+    // no quadrature, fully cross-engine).
+    "events_ab_bayes" -> ((s, d) => {
+      StatsOps.bayesAbBeta(events(s, d), "user_id",
+        when(col("user_id") % 2 === 0, "control").otherwise("treatment"),
+        col("event_type") === "purchase" && col("value") > 300)
+    }),
+
     // Always-valid sequential monitoring (mSPRT — see
     // [[StatsOps.sequentialMsprtDaily]]): the per-day peek table with the
     // anytime-valid p-value, the test an experimentation platform can
@@ -8305,7 +8317,7 @@ object SparkEntry {
         |s0 AS (SELECT e.vec_id, c.c_id, list_dot_product(e.v, c.cv) AS dp,
         |         sqrt(list_dot_product(e.v, e.v)) AS na, sqrt(list_dot_product(c.cv, c.cv)) AS nb
         |       FROM dv e CROSS JOIN cd c),
-        |sims AS (SELECT vec_id, c_id,
+        |sims AS MATERIALIZED (SELECT vec_id, c_id,
         |           round(CASE WHEN na * nb = 0 THEN 0 ELSE dp / (na * nb) END, 4) AS sim FROM s0),
         |g1 AS (SELECT c_id, sum(greatest(0, CAST(round(sim * 1e9) AS BIGINT))) AS gain9 FROM sims GROUP BY 1),
         |b1 AS (SELECT c_id, gain9 FROM g1 ORDER BY gain9 DESC, c_id LIMIT 1),
@@ -10451,6 +10463,46 @@ object SparkEntry {
     // is cell-wise addable, so streamed == batch row-for-row).
     "events_ab_sequential" -> msprtOracleSql,
     "streaming_ab_sequential" -> msprtOracleSql,
+
+    // Cook/Miller closed form with every ln-Beta as integer ln-factorials
+    // off ONE cumulative table (1e9 grid), terms exp'd and folded on the
+    // 1e12 grid — no lgamma in either engine.
+    "events_ab_bayes" ->
+      """WITH pu AS (SELECT user_id, CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS g,
+        |         max(CASE WHEN event_type = 'purchase' AND value > 300 THEN 1 ELSE 0 END) AS c
+        |       FROM events GROUP BY 1, 2),
+        |cnt AS (SELECT CAST(sum(CASE WHEN g = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |          CAST(sum(CASE WHEN g = 'control' THEN c ELSE 0 END) AS BIGINT) AS sc,
+        |          CAST(sum(CASE WHEN g <> 'control' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |          CAST(sum(CASE WHEN g <> 'control' THEN c ELSE 0 END) AS BIGINT) AS st FROM pu),
+        |pr AS MATERIALIZED (SELECT nc, sc, nt, st, sc + 1 AS ac, nc - sc + 1 AS bc, st + 1 AS at_, nt - st + 1 AS bt FROM cnt),
+        |js AS (SELECT unnest(generate_series(1, (SELECT ac + bc + bt + at_ FROM pr))) AS j),
+        |lf AS MATERIALIZED (SELECT j, CAST(sum(CAST(round(ln(CAST(j AS DOUBLE)) * 1e9) AS BIGINT))
+        |           OVER (ORDER BY j ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS lf
+        |       FROM js
+        |       UNION ALL SELECT 0, 0),
+        |c9 AS (SELECT (l1.lf - l2.lf - l3.lf + l4.lf) AS const9, l5.lf AS lfbt1 FROM pr p
+        |       JOIN lf l1 ON l1.j = p.bc + p.bt - 1
+        |       JOIN lf l2 ON l2.j = p.ac - 1
+        |       JOIN lf l3 ON l3.j = p.bc - 1
+        |       JOIN lf l4 ON l4.j = p.ac + p.bc - 1
+        |       JOIN lf l5 ON l5.j = p.bt - 1),
+        |ks AS (SELECT unnest(generate_series(0, (SELECT at_ - 1 FROM pr))) AS k),
+        |t AS (SELECT la.lf + c.const9 - lab.lf
+        |        - CAST(round(ln(CAST(k.k + p.bt AS DOUBLE)) * 1e9) AS BIGINT)
+        |        - lk.lf - c.lfbt1 + lkb.lf AS t9
+        |      FROM ks k CROSS JOIN pr p CROSS JOIN c9 c
+        |      JOIN lf la ON la.j = k.k + p.ac - 1
+        |      JOIN lf lk ON lk.j = k.k
+        |      JOIN lf lkb ON lkb.j = k.k + p.bt
+        |      JOIN lf lab ON lab.j = k.k + p.ac + p.bc + p.bt - 1),
+        |s AS (SELECT CAST(sum(CAST(round(exp(t9 / 1e9) * 1e12) AS BIGINT)) AS BIGINT) AS p12 FROM t)
+        |SELECT p.nc AS n_c, p.sc AS s_c, p.nt AS n_t, p.st AS s_t,
+        |  round(CAST(p.sc + 1 AS DOUBLE) / (p.nc + 2), 6) AS post_mean_c,
+        |  round(CAST(p.st + 1 AS DOUBLE) / (p.nt + 2), 6) AS post_mean_t,
+        |  round(s.p12 / 1e12, 4) AS p_t_beats_c,
+        |  (s.p12 / 1e12 > 0.95 OR s.p12 / 1e12 < 0.05) AS decisive_95
+        |FROM pr p CROSS JOIN s""".stripMargin,
 
     // 8 explicit PRECEDING-day lag terms with dyadic weights — exact
     // doubles, so the pre-round trend values are bit-identical; day 1 of

@@ -148,6 +148,81 @@ object StatsOps {
           .as("var_reduction"))
   }
 
+  /** Exact Bayesian A/B on per-unit conversion: Beta(1,1) priors, binomial
+    * likelihoods, and the CLOSED-FORM probability the treatment's rate
+    * beats control's (Cook's identity for integer-parameter Betas):
+    *
+    *   P(T > C) = Σ_{k=0}^{aT-1} exp( lnB(aC+k, bC+bT) − ln(bT+k)
+    *                                  − lnB(1+k, bT) − lnB(aC, bC) )
+    *
+    * with a = successes+1, b = failures+1. Every ln-Beta reduces to
+    * ln-factorials of INTEGERS (lnB(a,b) = LF(a−1)+LF(b−1)−LF(a+b−1),
+    * LF(n) = ln n!), and LF builds as a [[RangePrefix]] running sum of
+    * 1e9-gridded ln j — so the whole posterior probability is a sum of
+    * exp'd exact integers, replayable cross-engine with no lgamma.
+    *
+    * Scale shape: one corpus pass to per-unit conversions; the LF table
+    * and the k-sum are O(units) rows through running-sum/aggregate shapes
+    * (linear, partitioned); the final fold grids each term to 1e12 and
+    * sums LONGs. (At real scale one would use the normal approximation —
+    * this is the exact form, kept scalable anyway.)
+    *
+    * Output (one row): n/successes/posterior-mean per variant,
+    * p_t_beats_c, and the 95%-decision flag. */
+  def bayesAbBeta(ev: DataFrame, userCol: String, grp: Column,
+                  converted: Column): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val perUser = ev.groupBy(col(userCol))
+      .agg(first(grp).as("g"), max(converted.cast("int")).as("c"))
+    val cnt = perUser.agg(
+      sum(when(col("g") === "control", 1L).otherwise(0L)).as("nc"),
+      sum(when(col("g") === "control", col("c").cast("long")).otherwise(0L)).as("sc"),
+      sum(when(col("g") =!= "control", 1L).otherwise(0L)).as("nt"),
+      sum(when(col("g") =!= "control", col("c").cast("long")).otherwise(0L)).as("st"))
+      .as[(Long, Long, Long, Long)].head()
+    val (nc, sc, nt, st) = cnt
+    val (aC, bC, aT, bT) = (sc + 1, nc - sc + 1, st + 1, nt - st + 1)
+    val maxN = aC + bC + bT + aT // covers every LF argument below
+    // LF(n) = sum_{j<=n} round(ln j * 1e9), LF(0) = 0 — RangePrefix keeps
+    // the prefix scan partitioned at any n
+    val lnf = RangePrefix.runningSum(
+        RangePrefix.withBucket(
+          spark.range(1, maxN + 1).toDF("j"), col("j")),
+        round(log(col("j").cast("double")) * 1e9).cast("long"),
+        Seq(col("j")), "lf")
+      .select(col("j"), col("lf"))
+      .unionByName(Seq((0L, 0L)).toDF("j", "lf"))
+    def lfAt(key: Column, as: String)(ks: DataFrame): DataFrame =
+      ks.join(broadcast(lnf.withColumnRenamed("lf", as)),
+        key === col("j"), "left").drop("j")
+    // the five k-independent LF constants come from the SAME distributed
+    // table (one bounded 5-row collect — no driver-side ln loop to keep
+    // in sync, and nothing driver-paced scales with the unit count)
+    val constKeys = Seq(bC + bT - 1, aC - 1, bC - 1, aC + bC - 1, bT - 1)
+    val lfConst: Map[Long, Long] = lnf
+      .where(col("j").isin(constKeys: _*))
+      .as[(Long, Long)].collect().toMap
+    val const9 = lfConst(bC + bT - 1) -
+      (lfConst(aC - 1) + lfConst(bC - 1) - lfConst(aC + bC - 1))
+    val terms = spark.range(0, aT).toDF("k")
+      .transform(lfAt(col("k") + lit(aC - 1), "lf_a"))
+      .transform(lfAt(col("k"), "lf_k"))
+      .transform(lfAt(col("k") + lit(bT), "lf_kb"))
+      .transform(lfAt(col("k") + lit(aC + bC + bT - 1), "lf_ab"))
+      .withColumn("t9",
+        col("lf_a") + lit(const9) - col("lf_ab") -
+        round(log((col("k") + lit(bT)).cast("double")) * 1e9).cast("long") -
+        col("lf_k") - lit(lfConst(bT - 1)) + col("lf_kb"))
+      .agg(sum(round(exp(col("t9") / 1e9) * 1e12).cast("long")).as("p12"))
+    terms.select(lit(nc).as("n_c"), lit(sc).as("s_c"),
+      lit(nt).as("n_t"), lit(st).as("s_t"),
+      round(lit((sc + 1).toDouble / (nc + 2)), 6).as("post_mean_c"),
+      round(lit((st + 1).toDouble / (nt + 2)), 6).as("post_mean_t"),
+      round(col("p12") / 1e12, 4).as("p_t_beats_c"),
+      (col("p12") / 1e12 > 0.95 || col("p12") / 1e12 < 0.05).as("decisive_95"))
+  }
+
   /** Sequential (always-valid) A/B monitoring via the mixture SPRT
     * (Johari et al. 2017, "Peeking at A/B Tests"): per observation day t,
     * the two-sample mean difference Δ_t over the CUMULATIVE samples, the
