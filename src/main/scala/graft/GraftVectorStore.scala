@@ -154,6 +154,11 @@ final class GraftVectorStore(
             .localCheckpoint()
           merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(graphPath(alias))
+          // the merged graph changes the live node set — refresh the
+          // persisted entry file with it (a new deeper-layer node should
+          // become the HNSW entry; the flat md5 sample must track the
+          // node set), or serving walks start from stale entries
+          writeGraphEntries(alias)
         }
         }
       }
@@ -288,6 +293,16 @@ final class GraftVectorStore(
       .parquet(graphPath(alias))
     // persist the walk's entry point(s) — the exact convention each walk
     // uses, so serving skips the corpus-wide entry scan
+    writeGraphEntries(alias)
+  }
+
+  /** (Re)compute and persist the serving entry point(s) from the CURRENT
+    * latest nodes — a tiny TakeOrdered. Called by [[buildGraphIndex]] AND
+    * by the append path's incremental merge: a newly inserted node can be
+    * the hierarchy's new deepest (HNSW entry convention) and the flat
+    * graph's md5 sample must track the live node set, so an entry file
+    * that outlives the graph write serves stale walks. */
+  private def writeGraphEntries(alias: String): Unit = {
     val nids = graphNodes(alias).select(col("__nid"))
     val entries = if (graphLayers > 0)
         nids.withColumn("__lv",

@@ -3394,13 +3394,15 @@ object SparkEntry {
         .crossJoin(broadcast(ties2("q", "t2")))
         .crossJoin(broadcast(ties2("dsc", "u2")))
       val n0x2 = col("n") * (col("n") - 1)
-      // pair counts stay DECIMAL(38,0) in the OUTPUT too — they reach ~n²
-      // (past LONG at corpus scale), so a long cast here would overflow
-      // the very columns the exact-integer contract exists for. n itself
-      // is a row count (long-safe at any real scale).
+      // pair counts stay DECIMAL(38,0) INTERNALLY (they reach ~n², past
+      // LONG at corpus scale) but are emitted as STRING: raw decimals
+      // hash-canonicalize differently across engines (r8's one red row),
+      // so the exact integer leaves as its canonical digit string — the
+      // profile_decimal_money pattern. n itself is a row count
+      // (long-safe at any real scale).
       joined.select(col("n").cast("long").as("n"),
-        col("p").as("concordant"),
-        col("qd").as("discordant"),
+        col("p").cast("string").as("concordant"),
+        col("qd").cast("string").as("discordant"),
         // house convention: + 0 normalizes a possible IEEE -0.0
         (round(lit(2.0) * (col("p") - col("qd")).cast("double") /
           sqrt((n0x2 - col("t2")).cast("double") *
@@ -5556,12 +5558,14 @@ object SparkEntry {
       // er_fuzzy_match_subblocked and EntityResolutionSpec.
       val pairs = EntityResolution.candidatePairs(dirty, clean, "id", "name",
           Seq(fk, lk))
-        // codegen length+char-bag JW upper bound gates the O(l1*l2) UDF
+        // codegen length+char-bag JW upper bound gates the O(l1*l2) scan
         // (the EntityResolution.resolve verify ladder) — admissible, so
-        // the surviving pair set and every hash downstream are unchanged
+        // the surviving pair set and every hash downstream are unchanged;
+        // survivors score through the codegen JW expression (bit-identical
+        // to the UDF, no String-conversion fence)
         .where(plans.CharBagExpressions.jwUpperBound(
           col("dirty_name"), col("clean_name")) >= 0.85 - 1e-4)
-        .where(round(EntityResolution.jaroWinklerUdf(
+        .where(round(plans.JaroWinklerExpressions.jaroWinkler(
             col("dirty_name"), col("clean_name")), 4) >= 0.85 &&
           col("dirty_id") =!= col("clean_id"))
         .select(col("dirty_id").as("id1"), col("clean_id").as("id2"))
@@ -6374,9 +6378,9 @@ object SparkEntry {
         .select(col("doc_id").as("d_id"), dirtyName.as("d_name"))
       val clean = base.where(col("doc_id") % 5 === 0)
         .select(col("doc_id").as("c_id"), cleanName.as("c_name"))
-      val jw = udf((a: String, b: String) => EntityResolution.jaroWinkler(a, b))
       val truth = dirty.crossJoin(broadcast(clean))
-        .where(jw(col("d_name"), col("c_name")) >= 0.85)
+        .where(graft.plans.JaroWinklerExpressions.jaroWinkler(
+          col("d_name"), col("c_name")) >= 0.85)
         .select(col("d_id"), col("c_id")).localCheckpoint()
       def fk(c: Column) = element_at(split(c, " "), 1)
       def lk(c: Column) = element_at(split(c, " "), -1)
@@ -9629,8 +9633,8 @@ object SparkEntry {
         |       (SELECT q, sum(c) AS t FROM cells GROUP BY 1)),
         |r2 AS (SELECT sum(CAST(t AS HUGEINT) * (t - 1)) AS u2 FROM
         |       (SELECT dsc, sum(c) AS t FROM cells GROUP BY 1))
-        |SELECT CAST(n AS BIGINT) AS n, CAST(p AS DECIMAL(38,0)) AS concordant,
-        |  CAST(qd AS DECIMAL(38,0)) AS discordant,
+        |SELECT CAST(n AS BIGINT) AS n, CAST(CAST(p AS DECIMAL(38,0)) AS VARCHAR) AS concordant,
+        |  CAST(CAST(qd AS DECIMAL(38,0)) AS VARCHAR) AS discordant,
         |  round(2.0 * CAST(p - qd AS DOUBLE) /
         |    sqrt(CAST(n * (n - 1) - t2 AS DOUBLE) * CAST(n * (n - 1) - u2 AS DOUBLE)), 4) + 0 AS tau_b
         |FROM pq, nn, r1, r2""".stripMargin,

@@ -118,7 +118,11 @@ object EntityResolution {
       // the election are bit-identical. The 1e-4 margin covers round(.,4).
       .where(graft.plans.CharBagExpressions.jwUpperBound(
         col("dirty_name"), col("clean_name")) >= minScore - 1e-4)
-      .withColumn("jw", round(jaroWinklerUdf(col("dirty_name"), col("clean_name")), 4))
+      // codegen JW (bit-identical to jaroWinkler, pinned in the spec):
+      // survivors of the admissible cut stay inside WholeStageCodegen
+      // instead of paying the UDF's String-conversion + boxing fence
+      .withColumn("jw", round(graft.plans.JaroWinklerExpressions.jaroWinkler(
+        col("dirty_name"), col("clean_name")), 4))
       .where(col("jw") >= minScore)
       .groupBy(col("dirty_id"))
       .agg(

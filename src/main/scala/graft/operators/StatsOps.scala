@@ -108,8 +108,15 @@ object StatsOps {
       sum(col("x").cast(dec4)).as("sx"), sum(col("y").cast(dec4)).as("sy"),
       sum((col("x") * col("y")).cast(dec4)).as("sxy"),
       sum((col("x") * col("x")).cast(dec4)).as("sxx"))
-    val theta = ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+    // zero-variance pre-period (all events share one timestamp, so the
+    // midpoint split leaves x identical everywhere) => denominator 0 and
+    // theta = 0/0 = NaN, which non-ANSI round/cast would silently turn
+    // into wrong adjusted stats. theta=0 degrades CUPED to the raw Welch
+    // test — the statistically correct fallback.
+    val thDen = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val theta = when(thDen =!= 0.0,
+      (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") / thDen)
+      .otherwise(lit(0.0))
     val withAdj = perUser.crossJoin(broadcast(
         mom.select(col("n"), round(theta, 9).as("th"),
           (col("sx").cast("double") / col("n")).as("mx"))))
@@ -163,9 +170,11 @@ object StatsOps {
     *
     * Scale shape: one corpus pass to per-unit conversions; the LF table
     * and the k-sum are O(units) rows through running-sum/aggregate shapes
-    * (linear, partitioned); the final fold grids each term to 1e12 and
-    * sums LONGs. (At real scale one would use the normal approximation —
-    * this is the exact form, kept scalable anyway.)
+    * (linear, partitioned — the LF lookups are plain shuffled equi-joins,
+    * never forced broadcasts); the final fold grids each term to 1e12 and
+    * sums LONGs. The exact form REQUIRES total units < ~4e8 (the 1e9-grid
+    * LF running sum passes Long.MaxValue there) and raises loudly past it
+    * — at that scale the normal approximation is the right tool.
     *
     * Output (one row): n/successes/posterior-mean per variant,
     * p_t_beats_c, and the 95%-decision flag. */
@@ -184,6 +193,14 @@ object StatsOps {
     val (nc, sc, nt, st) = cnt
     val (aC, bC, aT, bT) = (sc + 1, nc - sc + 1, st + 1, nt - st + 1)
     val maxN = aC + bC + bT + aT // covers every LF argument below
+    // Exactness bound: LF(n) = Σ round(ln j · 1e9) reaches ~n·ln(n)·1e9,
+    // which passes Long.MaxValue near n ≈ 5e8. Past that the closed form
+    // is the wrong tool anyway (use the normal approximation — at 5e8
+    // units per arm the posterior is a point mass); fail loudly rather
+    // than overflow silently.
+    require(maxN < 400000000L,
+      s"bayesAbBeta exact form holds to ~4e8 total units (got $maxN); " +
+      "use the normal-approximation path at this scale")
     // LF(n) = sum_{j<=n} round(ln j * 1e9), LF(0) = 0 — RangePrefix keeps
     // the prefix scan partitioned at any n
     val lnf = RangePrefix.runningSum(
@@ -193,8 +210,12 @@ object StatsOps {
         Seq(col("j")), "lf")
       .select(col("j"), col("lf"))
       .unionByName(Seq((0L, 0L)).toDF("j", "lf"))
+    // no broadcast hint: lnf is O(units) rows — at real unit counts a
+    // forced broadcast blows the driver/broadcast limits. These are
+    // linear equi-joins; let them shuffle (AQE still broadcasts small
+    // instances on its own).
     def lfAt(key: Column, as: String)(ks: DataFrame): DataFrame =
-      ks.join(broadcast(lnf.withColumnRenamed("lf", as)),
+      ks.join(lnf.withColumnRenamed("lf", as),
         key === col("j"), "left").drop("j")
     // the five k-independent LF constants come from the SAME distributed
     // table (one bounded 5-row collect — no driver-side ln loop to keep

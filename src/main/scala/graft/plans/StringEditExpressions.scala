@@ -73,7 +73,7 @@ object EditDistance {
   /** Decode a UTF8String into a caller-provided char buffer without
     * allocating: ASCII bytes map 1:1; anything else takes the toString
     * path (still copied into the buffer so the DP never sees a String). */
-  private def decodeInto(s: UTF8String, out: Array[Char]): Int = {
+  private[plans] def decodeInto(s: UTF8String, out: Array[Char]): Int = {
     val nb = s.numBytes
     if (s.isFullAscii) {
       // read in place (getBytes would copy when the string sits inside an

@@ -371,7 +371,7 @@ object Probe {
           Seq(fkc, lkc)).localCheckpoint()
         timed("candidatePairs")(println(s"  pairs=${pairs.count()}"))
         val verified = pairs
-          .where(round(EntityResolution.jaroWinklerUdf(
+          .where(round(graft.plans.JaroWinklerExpressions.jaroWinkler(
               col("dirty_name"), col("clean_name")), 4) >= 0.85 &&
             col("dirty_id") =!= col("clean_id"))
           .select(col("dirty_id").as("id1"), col("clean_id").as("id2"))

@@ -20,11 +20,20 @@ object SessionBridge {
     classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession],
       df.queryExecution.logical)
 
-  /** A re-binder onto a fresh clone with its own
+  /** A re-binder onto a conf-inheriting clone with its own
     * `spark.sql.shuffle.partitions` — the loop-scoped shuffle-width dial
-    * shared by connectedComponents, the GraphAnn walks, and SemDedup. */
+    * shared by connectedComponents, the GraphAnn walks, and SemDedup.
+    *
+    * The clone comes from `cloneSession()` (private[sql]), NOT
+    * `newSession()`: newSession builds a fresh SessionState from the
+    * static SparkConf and silently DROPS runtime-set SQL confs (the
+    * `nanosAsLong` parquet legacy flag set at session init, streaming
+    * state-store overrides) — frames re-bound to such a clone re-plan
+    * under default confs, a latent divergence for any conf-sensitive
+    * read. cloneSession inherits the parent's live runtime conf; we then
+    * override only the shuffle width. */
   def scopedShuffle(spark: SparkSession, partitions: Int): DataFrame => DataFrame = {
-    val s = spark.newSession()
+    val s = spark.asInstanceOf[classic.SparkSession].cloneSession()
     s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     df => withSession(df, s)
   }

@@ -28,6 +28,38 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(jaroWinkler(null, "abc") === 0.0)
   }
 
+  test("codegen JaroWinklerSim is bit-identical to the String jaroWinkler") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def sim(a: String, b: String): Double =
+      graft.plans.JaroWinklerSim.similarity(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    val hand = Seq("martha" -> "marhta", "dwayne" -> "duane",
+      "crate" -> "trace", "abc" -> "abc", "abc" -> "xyz",
+      "aXXXX" -> "aYYYY", "abcdef" -> "bcadef", "ab" -> "ba",
+      "" -> "abc", "" -> "", "a1b2" -> "ab12", "Smith Jon" -> "jon smith",
+      "héllo wörld" -> "hello world") // non-ASCII takes the toString decode
+    for ((a, b) <- hand ++ hand.map(_.swap))
+      assert(sim(a, b) === jaroWinkler(a, b), s"($a, $b)")
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcAB 19-.é"
+    def rs(): String = Seq.fill(rnd.nextInt(14))(alpha(rnd.nextInt(alpha.length))).mkString
+    for (_ <- 1 to 5000) {
+      val a = rs(); val b = rs()
+      assert(sim(a, b) === jaroWinkler(a, b), s"counterexample: ('$a', '$b')")
+    }
+    // and through the EXPRESSION with codegen on: the generated static
+    // call must agree with the interpreted eval and the UDF twin
+    val df = Seq(("martha", "marhta"), ("dwayne", "duane"), ("", "x"),
+        ("abcdef", "bcadef"), ("héllo", "hello"))
+      .toDF("a", "b")
+      .withColumn("jw", graft.plans.JaroWinklerExpressions.jaroWinkler(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")))
+    val rows = df.collect()
+    for (r <- rows)
+      assert(r.getDouble(2) === jaroWinkler(r.getString(0), r.getString(1)))
+  }
+
   test("jwUpperBound is admissible: never below the true Jaro-Winkler") {
     import org.apache.spark.unsafe.types.UTF8String
     def ub(a: String, b: String): Double =

@@ -73,6 +73,38 @@ class PlanSweepSpec extends AnyFunSuite {
       s"stale audit entries: ${(auditedGlobalWindows -- offenders).toSeq.sorted.mkString(", ")}")
   }
 
+  // The driver's correctness gate hashes a canonical serialization of each
+  // result; Spark-parquet decimals and DuckDB decimals canonicalize
+  // DIFFERENTLY, so a raw DecimalType output column can pass the local
+  // float64-coercing comparator yet fail the driver's hash (r8's one red
+  // row, stats_kendall_tau). DECIMAL(38,0) is still the right INTERNAL
+  // carrier for exact >LONG integers — but it must leave a query as its
+  // canonical digit STRING (the profile_decimal_money pattern). This sweep
+  // makes that structural: no registered query's OUTPUT schema may contain
+  // a DecimalType anywhere (top level or nested).
+  test("no registered query emits a DecimalType output column") {
+    import org.apache.spark.sql.types._
+    def hasDecimal(dt: DataType): Boolean = dt match {
+      case _: DecimalType    => true
+      case s: StructType     => s.fields.exists(f => hasDecimal(f.dataType))
+      case a: ArrayType      => hasDecimal(a.elementType)
+      case m: MapType        => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case _                 => false
+    }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(n => excludePrefixes.exists(n.startsWith))
+    val offenders = names.flatMap { name =>
+      try {
+        val df = SparkEntry.queries(name)(spark, TestSpark.sf)
+        if (df.schema.fields.exists(f => hasDecimal(f.dataType))) Some(name)
+        else None
+      } catch { case _: Throwable => None } // covered by the cartesian sweep
+    }
+    assert(offenders.isEmpty,
+      s"DecimalType escapes to output schema in: ${offenders.mkString(", ")} " +
+      "(emit exact integers past LONG as cast('string') on both engines)")
+  }
+
   test("no registered batch query plans a CartesianProduct") {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => excludePrefixes.exists(n.startsWith))
