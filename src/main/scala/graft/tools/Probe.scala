@@ -483,6 +483,43 @@ object Probe {
             .minhashSourceSimilarity(docs, "text", "source", 32, 3, auditExact = true)
             .count())
 
+      case "hnswquery" =>
+        // the REAL registered ann_hnsw_search shape, phase-timed: persisted
+        // build (cold), edges re-read, then repeated full hnswSearch calls —
+        // min over warm reps is the number the bench grades
+        import graft.operators.GraphAnn
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        time("warmup count")(emb.count())
+        val gpath = java.nio.file.Files
+          .createTempDirectory("probe_hnswq").toString + "/g"
+        time("persisted build (cold)")(
+          GraphAnn.hnswGraphPersisted(emb, gpath, m = 4, nBits = 4,
+            nTables = 4, dim = 64, maxLayer = 2).count())
+        val qs = emb.where(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        for (i <- 1 to 4) {
+          spark.catalog.clearCache() // the Bench between-rep state
+          val edges = GraphAnn.hnswGraphPersisted(emb, gpath, m = 4,
+            nBits = 4, nTables = 4, dim = 64, maxLayer = 2).cache()
+          time(s"search full #$i")(
+            GraphAnn.hnswSearch(emb, edges, qs, k = 10, beam = 8, rounds = 3,
+              descentRounds = 2, maxLayer = 2).count())
+        }
+        // decompose one warm search: entry scan vs descent vs layer-0 walk
+        val edges = GraphAnn.hnswGraphPersisted(emb, gpath, m = 4, nBits = 4,
+          nTables = 4, dim = 64, maxLayer = 2).cache()
+        edges.count()
+        time("entry TakeOrdered only")(
+          emb.select(col("vec_id").cast("long").as("__cid"))
+            .select(col("__cid"),
+              least(GraphAnn.layerOf(col("__cid")), lit(2)).as("__lv"))
+            .orderBy(col("__lv").desc, md5(col("__cid").cast("string")),
+              col("__cid"))
+            .limit(1).count())
+        time("search warm (cached edges)")(
+          GraphAnn.hnswSearch(emb, edges, qs, k = 10, beam = 8, rounds = 3,
+            descentRounds = 2, maxLayer = 2).count())
+
       case "hnsw" =>
         // phase timings for the hierarchical search (ann_hnsw_search is the
         // battery's most expensive query — find which phase pays)
