@@ -71,7 +71,18 @@ final class GraftVectorStore(
     // only for the candidate sliver re-rank. probeDepth scales the
     // candidate pool. No persisted structure, so appends never invalidate
     // anything — the zero-maintenance approximate tier.
-    binaryCandidates: Option[Int] = None) {
+    binaryCandidates: Option[Int] = None,
+    // Graph-serving dispatch budget: when the tenant's on-disk footprint
+    // (one FS metadata read, no Spark job) fits, the driver-paced walk
+    // materializes the tenant's latest slice once and serves every
+    // per-round vector fetch from memory — measured ~2.5x faster at toy
+    // scale (RECALL.md round-8 table). Past the budget it point-reads node
+    // buckets per round (PartitionFilters on __node_bucket) — the only
+    // shape that exists at 100 TB, where no tenant slice fits anywhere.
+    // The footprint is a conservative overestimate of the latest slice
+    // (it counts superseded generations and tombstones), so the dispatch
+    // can only err toward the scale-safe pruned walk.
+    graphServingBudgetBytes: Long = 256L << 20) {
 
   require(Seq(lshBits, ivfCells, graphM, binaryCandidates).count(_.nonEmpty) <= 1,
     "choose ONE approximate layout: lshBits (sign-LSH buckets), ivfCells (IVF cells), graphM (k-NN graph), or binaryCandidates (Hamming sketch)")
@@ -90,12 +101,16 @@ final class GraftVectorStore(
   def indexExists(): Boolean = IndexTable.exists(spark, indexPath)
 
   /** D3. */
-  def dropIndex(): Unit = IndexTable.drop(spark, indexPath)
+  def dropIndex(): Unit = {
+    servingState.clear()
+    IndexTable.drop(spark, indexPath)
+  }
 
   /** E1: ingest a document table (document_path, text) into a namespace. */
   def addDocuments(docs: DataFrame, alias: String,
                    pageSize: Int = operators.Chunker.DefaultPageSize): Unit = {
     createIndex()
+    invalidateServing(alias)
     val records = IndexTable.ingestRecords(docs, resolveAlias(alias), model, seed, pageSize)
     (lshBits, ivfCells) match {
       case (Some(bits), _) => IndexTable.appendBucketed(records, indexPath, bits, dim, lshSeed)
@@ -188,6 +203,7 @@ final class GraftVectorStore(
     * a STALE vector (unlike a missing one) would keep steering the walk. */
   def deleteDocuments(paths: Seq[String], alias: String): Unit = {
     import org.apache.spark.sql.functions.col
+    invalidateServing(alias)
     val ids = IndexTable.readLatest(spark, indexPath, resolveAlias(alias))
       .where(col("document_path").isin(paths: _*))
       .select(col("id"))
@@ -259,12 +275,63 @@ final class GraftVectorStore(
 
   /** Drop the persisted graph AND its entry file together (an entry
     * without its graph, or vice versa, is a stale pair). */
-  private def invalidateGraph(alias: String): Unit =
+  private def invalidateGraph(alias: String): Unit = {
+    invalidateServing(alias)
     for (d <- Seq(graphPath(alias), graphEntriesPath(alias))) {
       val p = new org.apache.hadoop.fs.Path(d)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) { fs.delete(p, true); () }
     }
+  }
+
+  /** Memory-resident serving state for under-budget tenants, built ONCE
+    * per (store instance, alias) and reused across search calls:
+    *  - `slice`: the tenant's latest record rows (checkpointed DataFrame,
+    *    used only for the final k-row hit projection),
+    *  - `vecs` / `flatAdj` / `layerAdj`: driver-resident hash maps of node
+    *    vectors and adjacency — the walk runs as pure lookups through
+    *    [[operators.GraphAnn.beamWalkLocal]]/[[operators.GraphAnn.hnswWalkLocal]]
+    *    (the same selection core the Spark-backed walks delegate to), so a
+    *    prompt pays ZERO Spark jobs until the final hit projection,
+    *  - `entries`: the persisted walk entry ids.
+    * Driver memory is bounded by `graphServingBudgetBytes` BY CONSTRUCTION
+    * (the dispatch sends bigger tenants to the pruned walk). Every
+    * mutation through this facade invalidates the state; a mutation
+    * through a DIFFERENT store instance over the same path is not seen
+    * until this instance's next invalidation — the ordinary read-replica
+    * contract of a serving cache (the pruned mode has no such window: it
+    * reads the store per round). */
+  private val servingState =
+    scala.collection.mutable.Map[String, GraftVectorStore.GraphServing]()
+
+  private def invalidateServing(alias: String): Unit = {
+    servingState.remove(resolveAlias(alias)); ()
+  }
+
+  /** JVM md5 hex of the node id's decimal string — bit-identical to
+    * Spark's `md5(cast(id as string))`, so the local entry fallbacks rank
+    * nodes exactly as the distributed walks' TakeOrdered does. */
+  private def md5hex(id: Long): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  /** Local twin of [[operators.GraphAnn.layerOf]]: leading '0' run. */
+  private def layerOfLocal(id: Long): Int =
+    md5hex(id).takeWhile(_ == '0').length
+
+  /** Graph-serving dispatch (see `graphServingBudgetBytes`): true when the
+    * tenant's on-disk footprint exceeds the serving budget, i.e. the walk
+    * must point-read node buckets instead of materializing the latest
+    * slice. One `getContentSummary` FS metadata read — no Spark job — over
+    * the tenant's partition directory; a missing directory (nothing
+    * ingested yet) trivially fits. */
+  private[graft] def servesPruned(alias: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$indexPath/index_alias=${resolveAlias(alias)}")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.getContentSummary(p).getLength > graphServingBudgetBytes
+  }
 
   /** Record ids are sha1 hex strings; the graph walks 8-byte node ids, so
     * nodes are keyed by xxhash64(id) (collision over a tenant is ~n^2/2^64 —
@@ -279,6 +346,7 @@ final class GraftVectorStore(
   def buildGraphIndex(alias: String): Unit = {
     val m = graphM.getOrElse(throw new IllegalArgumentException(
       "buildGraphIndex requires the store to be constructed with graphM"))
+    invalidateServing(alias)
     val g = if (graphLayers > 0)
         GraphAnn.hnswGraph(graphNodes(alias), m = m, dim = dim,
           maxLayer = graphLayers, vecCol = "page_content_vector", idCol = "__nid")
@@ -348,35 +416,96 @@ final class GraftVectorStore(
     // so the walk materializes NO corpus-sized slice. Tombstoned ids have
     // no row in the pruned latest view → unscorable → unreachable (the
     // delete contract, unchanged).
-    val pointFetch = IndexTable.nodePointFetcher(spark, indexPath, resolveAlias(alias))
-    val prunedFetch: Seq[Long] => DataFrame = ids =>
-      pointFetch(ids)
-        .withColumn("__nid", xxhash64(col("id")))
-        .where(col("__nid").isin(ids: _*))
-    val entryNids: Seq[Long] = {
+    // Round 9: the fetch mode is DISPATCHED on tenant size (see the
+    // graphServingBudgetBytes scaladoc). Under budget, the tenant's latest
+    // slice, edge table, and entry points become MEMORY-RESIDENT serving
+    // state on this store instance — materialized once, reused across
+    // search calls, invalidated by every mutation through this facade
+    // (add/delete/compact/rebuild/drop) — so a prompt pays only the walk's
+    // in-memory keyed filters. Over budget, every per-round fetch is a
+    // node-bucket-pruned point read and nothing tenant-sized materializes.
+    def readEntryNids(): Seq[Long] = {
       val ep = new org.apache.hadoop.fs.Path(graphEntriesPath(alias))
       if (fs.exists(ep))
         spark.read.parquet(graphEntriesPath(alias)).as[Long].collect().toSeq
       else Seq.empty
     }
-    val hits = (if (graphLayers > 0)
-        GraphAnn.hnswSearchSingle(nodes, edges, qvec,
-          k = topN, beam = 8 * math.max(1, probeDepth), rounds = 3,
-          maxLayer = graphLayers,
-          corpusVec = "page_content_vector", corpusId = "__nid",
-          fetchVectors = Some(prunedFetch),
-          entryId = entryNids.headOption)
-      else
-        GraphAnn.beamSearchSingle(nodes, edges, qvec,
-          k = topN, beam = 8 * math.max(1, probeDepth), rounds = 3, nEntry = 8,
-          corpusVec = "page_content_vector", corpusId = "__nid",
-          fetchVectors = Some(prunedFetch),
-          entryIds = if (entryNids.nonEmpty) Some(entryNids) else None))
-      .toDF("__nid", "similarity", "rank")
-    // final projection: fetch the k hit records through the same pruned
-    // point lookup instead of re-scanning the tenant's full latest view
-    val hitRows = prunedFetch(
-      hits.select($"__nid").as[Long].collect().toSeq)
+    val beamW = 8 * math.max(1, probeDepth)
+    val (hitSeq: Seq[(Long, Double, Int)], hitFetch: (Seq[Long] => DataFrame)) =
+      if (servesPruned(alias)) {
+        val pointFetch = IndexTable.nodePointFetcher(spark, indexPath, resolveAlias(alias))
+        val prunedFetch: Seq[Long] => DataFrame = ids =>
+          pointFetch(ids)
+            .withColumn("__nid", xxhash64(col("id")))
+            .where(col("__nid").isin(ids: _*))
+        val entryNids = readEntryNids()
+        val s = (if (graphLayers > 0)
+            GraphAnn.hnswSearchSingle(nodes, edges, qvec,
+              k = topN, beam = beamW, rounds = 3,
+              maxLayer = graphLayers,
+              corpusVec = "page_content_vector", corpusId = "__nid",
+              fetchVectors = Some(prunedFetch),
+              entryId = entryNids.headOption)
+          else
+            GraphAnn.beamSearchSingle(nodes, edges, qvec,
+              k = topN, beam = beamW, rounds = 3, nEntry = 8,
+              corpusVec = "page_content_vector", corpusId = "__nid",
+              fetchVectors = Some(prunedFetch),
+              entryIds = if (entryNids.nonEmpty) Some(entryNids) else None))
+        (s, prunedFetch)
+      } else {
+        val st = servingState.getOrElseUpdate(resolveAlias(alias), {
+          val slice = graphNodes(alias).localCheckpoint()
+          val vecs = slice
+            .select($"__nid", $"page_content_vector".cast("array<float>"))
+            .as[(Long, Array[Float])].collect().toMap
+          val (flatAdj, layerAdj) =
+            if (graphLayers > 0)
+              (Map.empty[Long, Seq[Long]],
+               edges.select($"layer".cast("int"), $"src".cast("long"),
+                   $"dst".cast("long"))
+                 .as[(Int, Long, Long)].collect().toSeq
+                 .groupBy(_._1).map { case (l, rows) =>
+                   l -> rows.groupBy(_._2).map { case (s, r) =>
+                     s -> r.map(_._3).toSeq }
+                 })
+            else
+              (edges.select($"src".cast("long"), $"dst".cast("long"))
+                 .as[(Long, Long)].collect().toSeq
+                 .groupBy(_._1).map { case (s, r) => s -> r.map(_._2).toSeq },
+               Map.empty[Int, Map[Long, Seq[Long]]])
+          GraftVectorStore.GraphServing(slice, vecs, flatAdj, layerAdj,
+            readEntryNids())
+        })
+        def localVecRows(ids: Seq[Long]): Seq[(Long, Seq[Float])] =
+          ids.flatMap(id => st.vecs.get(id).map(v => (id, v.toSeq)))
+        val s = if (graphLayers > 0)
+            GraphAnn.hnswWalkLocal(qvec, k = topN, beam = beamW, rounds = 3,
+              descentRounds = 2, maxLayer = graphLayers,
+              vecRows = localVecRows,
+              neighborIds = (l, srcs) => srcs.flatMap(src =>
+                st.layerAdj.getOrElse(l, Map.empty)
+                  .getOrElse(src, Seq.empty)),
+              // entry fallback: deepest live node, (md5, id) ties — the
+              // identical convention, ranked over the resident node set
+              entryScan = () => st.vecs.keys.toSeq
+                .sortBy(id => (-math.min(layerOfLocal(id), graphLayers),
+                  md5hex(id), id)).take(1),
+              entryId = st.entries.headOption)
+          else
+            GraphAnn.beamWalkLocal(qvec, k = topN, beam = beamW, rounds = 3,
+              vecRows = localVecRows,
+              neighborIds = srcs => srcs.flatMap(src =>
+                st.flatAdj.getOrElse(src, Seq.empty)),
+              entryRows = () => localVecRows(st.vecs.keys.toSeq
+                .sortBy(id => (md5hex(id), id)).take(8)),
+              entryIds = if (st.entries.nonEmpty) Some(st.entries) else None)
+        (s, (ids: Seq[Long]) => st.slice.where(col("__nid").isin(ids: _*)))
+      }
+    val hits = hitSeq.toDF("__nid", "similarity", "rank")
+    // final projection: fetch the k hit records through the tier's keyed
+    // fetch instead of re-scanning the tenant's latest view
+    val hitRows = hitFetch(hitSeq.map(_._1))
     KnnSearch.hitProjection(
       hitRows.join(broadcast(hits), Seq("__nid")).orderBy(col("rank")))
   }
@@ -442,6 +571,7 @@ final class GraftVectorStore(
     * files (see [[IndexTable.compact]]). Returns surviving row count. */
   def compactIndex(alias: String,
                    retainMillis: Long = IndexTable.DefaultRetainMillis): Long = {
+    invalidateServing(alias)
     val gen = IndexTable.compact(spark, indexPath, resolveAlias(alias), retainMillis)
     // compaction folds tombstones/updates out of the tenant — the lazy
     // re-link point for a persisted graph ([[deleteDocuments]]): drop it
@@ -487,4 +617,16 @@ final class GraftVectorStore(
     log.synchronized { log.toSeq }.toDF("seq", "question", "n_answers")
       .orderBy(desc("seq"))
   }
+}
+
+object GraftVectorStore {
+  /** Memory-resident graph-serving state (see the servingState scaladoc in
+    * the class): the tenant's latest slice for the hit projection plus
+    * driver hash maps of vectors/adjacency the local walk cores run over. */
+  private[graft] final case class GraphServing(
+      slice: DataFrame,
+      vecs: Map[Long, Array[Float]],
+      flatAdj: Map[Long, Seq[Long]],
+      layerAdj: Map[Int, Map[Long, Seq[Long]]],
+      entries: Seq[Long])
 }

@@ -403,83 +403,103 @@ object GraphAnn {
                        fetchVectors: Option[Seq[Long] => DataFrame] = None,
                        fetchEdges: Option[Seq[Long] => DataFrame] = None,
                        entryIds: Option[Seq[Long]] = None): Seq[(Long, Double, Int)] = {
-    require(k >= 1 && beam >= 1 && rounds >= 0 && nEntry >= 1)
+    require(nEntry >= 1)
     val spark = corpus.sparkSession
     import spark.implicits._
     // every frame in the walk roots at the scoped clone (the whole body is
     // driver-paced eager work; the return is a plain Seq) — see walkSession
     val walk = walkSession(spark)
-    locally {
-      // serving-resident (id, vector) slice: one materialization, then
-      // every per-round fetch is an in-memory keyed filter. With
-      // `fetchVectors` (a partition-pruned point lookup — the store's
-      // node-bucketed layout) the full-corpus slice is NEVER materialized:
-      // each round reads only the frontier ids' files, the access shape
-      // that survives a 100 TB index.
-      lazy val c = walk(corpus).select(col(corpusId).cast("long").as("__cid"),
-          col(corpusVec).cast("array<float>").as("__cvec"))
-        .localCheckpoint()
-      lazy val e = walk(edges).select(col("src").cast("long").as("__esrc"),
-        col("dst").cast("long").as("__edst"))
-      def vecRows(ids: Seq[Long]): Array[(Long, Seq[Float])] = fetchVectors match {
-        case Some(f) => walk(f(ids))
-          .select(col(corpusId).cast("long"), col(corpusVec).cast("array<float>"))
-          .as[(Long, Seq[Float])].collect()
-        case None => c.where(col("__cid").isin(ids: _*))
-          .as[(Long, Seq[Float])].collect()
-      }
-      def neighborIds(srcs: Seq[Long]): Array[Long] = (fetchEdges match {
-        case Some(f) => walk(f(srcs))
-          .select(col("dst").cast("long")).distinct()
-        case None => e.where(col("__esrc").isin(srcs: _*))
-          .select(col("__edst")).distinct()
-      }).as[Long].collect()
-      def cos(v: Seq[Float]): Double = {
-        val n = math.min(v.length, queryVec.length)
-        var dp = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        while (i < n) {
-          val x = v(i).toDouble; val y = queryVec(i).toDouble
-          dp += x * y; na += x * x; nb += y * y
-          i += 1
-        }
-        val denom = math.sqrt(na) * math.sqrt(nb)
-        if (denom == 0.0) 0.0 else dp / denom
-      }
-      val visited = scala.collection.mutable.HashMap.empty[Long, Double]
-      def scoreRows(rows: Array[(Long, Seq[Float])]): Seq[(Long, Double)] =
-        rows.toSeq.map { case (id, v) => (id, cos(v)) }
-      def best(xs: Seq[(Long, Double)], n: Int): Seq[Long] =
-        xs.sortBy { case (id, s) => (-s, id) }.take(n).map(_._1)
-      // `entryIds` (persisted with the store's graph build) skips the
-      // corpus-wide md5 TakeOrdered — with it and the fetch closures set,
-      // the walk touches no corpus-sized frame at all
-      def entryScan(): Array[(Long, Seq[Float])] =
-        c.orderBy(md5(col("__cid").cast("string")), col("__cid"))
-          .limit(nEntry).as[(Long, Seq[Float])].collect()
-      val entryRows = entryIds match {
-        // persisted entries may all be tombstoned since the build — fall
-        // back to the live scan rather than returning an empty result
-        case Some(ids) => val r = vecRows(ids); if (r.nonEmpty) r else entryScan()
-        case None => entryScan()
-      }
-      var fresh = scoreRows(entryRows)
-      visited ++= fresh
-      var frontier = best(fresh, beam)
-      var r = 0
-      while (r < rounds && frontier.nonEmpty) {
-        val dsts = neighborIds(frontier).filterNot(visited.contains)
-        if (dsts.isEmpty) frontier = Nil
-        else {
-          fresh = scoreRows(vecRows(dsts.toSeq))
-          visited ++= fresh
-          frontier = best(fresh, beam)
-        }
-        r += 1
-      }
-      visited.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
-        .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }
+    // serving-resident (id, vector) slice: one materialization, then
+    // every per-round fetch is an in-memory keyed filter. With
+    // `fetchVectors` (a partition-pruned point lookup — the store's
+    // node-bucketed layout) the full-corpus slice is NEVER materialized:
+    // each round reads only the frontier ids' files, the access shape
+    // that survives a 100 TB index.
+    lazy val c = walk(corpus).select(col(corpusId).cast("long").as("__cid"),
+        col(corpusVec).cast("array<float>").as("__cvec"))
+      .localCheckpoint()
+    lazy val e = walk(edges).select(col("src").cast("long").as("__esrc"),
+      col("dst").cast("long").as("__edst"))
+    def vecRows(ids: Seq[Long]): Seq[(Long, Seq[Float])] = (fetchVectors match {
+      case Some(f) => walk(f(ids))
+        .select(col(corpusId).cast("long"), col(corpusVec).cast("array<float>"))
+        .as[(Long, Seq[Float])].collect()
+      case None => c.where(col("__cid").isin(ids: _*))
+        .as[(Long, Seq[Float])].collect()
+    }).toSeq
+    def neighborIds(srcs: Seq[Long]): Seq[Long] = (fetchEdges match {
+      case Some(f) => walk(f(srcs))
+        .select(col("dst").cast("long")).distinct()
+      case None => e.where(col("__esrc").isin(srcs: _*))
+        .select(col("__edst")).distinct()
+    }).as[Long].collect().toSeq
+    // `entryIds` (persisted with the store's graph build) skips the
+    // corpus-wide md5 TakeOrdered — with it and the fetch closures set,
+    // the walk touches no corpus-sized frame at all
+    def entryScan(): Seq[(Long, Seq[Float])] =
+      c.orderBy(md5(col("__cid").cast("string")), col("__cid"))
+        .limit(nEntry).as[(Long, Seq[Float])].collect().toSeq
+    beamWalkLocal(queryVec, k, beam, rounds, vecRows, neighborIds,
+      entryScan _, entryIds)
+  }
+
+  /** The flat serving walk's SELECTION CORE, parameterized over its three
+    * data accessors — vector rows by id, out-neighbor ids by src, and the
+    * entry fallback. [[beamSearchSingle]] wires Spark-backed closures in
+    * (keyed filters / pruned point reads); a memory-resident serving tier
+    * wires plain hash-map lookups and pays ZERO Spark jobs per query. One
+    * core, two tiers: the walk's arithmetic (float-widened double cosine,
+    * (sim desc, id asc) ties, visited-dedup per round) cannot drift
+    * between them. */
+  def beamWalkLocal(queryVec: Array[Float], k: Int, beam: Int, rounds: Int,
+                    vecRows: Seq[Long] => Seq[(Long, Seq[Float])],
+                    neighborIds: Seq[Long] => Seq[Long],
+                    entryRows: () => Seq[(Long, Seq[Float])],
+                    entryIds: Option[Seq[Long]] = None): Seq[(Long, Double, Int)] = {
+    require(k >= 1 && beam >= 1 && rounds >= 0)
+    val visited = scala.collection.mutable.HashMap.empty[Long, Double]
+    def scoreRows(rows: Seq[(Long, Seq[Float])]): Seq[(Long, Double)] =
+      rows.map { case (id, v) => (id, cosDouble(queryVec, v)) }
+    def best(xs: Seq[(Long, Double)], n: Int): Seq[Long] =
+      xs.sortBy { case (id, s) => (-s, id) }.take(n).map(_._1)
+    val entry = entryIds match {
+      // persisted entries may all be tombstoned since the build — fall
+      // back to the live scan rather than returning an empty result
+      case Some(ids) => val r = vecRows(ids); if (r.nonEmpty) r else entryRows()
+      case None => entryRows()
     }
+    var fresh = scoreRows(entry)
+    visited ++= fresh
+    var frontier = best(fresh, beam)
+    var r = 0
+    while (r < rounds && frontier.nonEmpty) {
+      val dsts = neighborIds(frontier).distinct.filterNot(visited.contains)
+      if (dsts.isEmpty) frontier = Nil
+      else {
+        fresh = scoreRows(vecRows(dsts))
+        visited ++= fresh
+        frontier = best(fresh, beam)
+      }
+      r += 1
+    }
+    visited.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+      .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }
+  }
+
+  /** Float-widened double cosine — exactly CosineSimilarityExpr's
+    * arithmetic, shared by both serving tiers so scores are bit-identical
+    * regardless of where the vectors were fetched from. */
+  def cosDouble(q: Array[Float], v: Seq[Float]): Double = {
+    val n = math.min(v.length, q.length)
+    var dp = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v(i).toDouble; val y = q(i).toDouble
+      dp += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dp / denom
   }
 
   /** Single-query HNSW serving walk, driver-paced — [[beamSearchSingle]]'s
@@ -506,89 +526,91 @@ object GraphAnn {
                        fetchVectors: Option[Seq[Long] => DataFrame] = None,
                        fetchEdges: Option[(Int, Seq[Long]) => DataFrame] = None,
                        entryId: Option[Long] = None): Seq[(Long, Double, Int)] = {
-    require(k >= 1 && beam >= 1 && rounds >= 0 && descentRounds >= 1 && maxLayer >= 0)
     val spark = corpus.sparkSession
     import spark.implicits._
     // same clone-scoped discipline as beamSearchSingle (see walkSession);
     // with the fetch closures + persisted entry the walk touches no
     // corpus-sized frame (node-bucketed point lookups per round)
     val walk = walkSession(spark)
-    locally {
-      lazy val c = walk(corpus).select(col(corpusId).cast("long").as("__cid"),
-          col(corpusVec).cast("array<float>").as("__cvec"))
-        .localCheckpoint()
-      def edgesAt(l: Int): DataFrame = walk(layeredEdges)
-        .where(col("layer") === l)
-        .select(col("src").cast("long").as("__esrc"),
-          col("dst").cast("long").as("__edst"))
-      def neighborIds(l: Int, srcs: Seq[Long]): Array[Long] = (fetchEdges match {
-        case Some(f) => walk(f(l, srcs)).select(col("dst").cast("long")).distinct()
-        case None => edgesAt(l).where(col("__esrc").isin(srcs: _*))
-          .select(col("__edst")).distinct()
-      }).as[Long].collect()
-      def cos(v: Seq[Float]): Double = {
-        val n = math.min(v.length, queryVec.length)
-        var dp = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        while (i < n) {
-          val x = v(i).toDouble; val y = queryVec(i).toDouble
-          dp += x * y; na += x * x; nb += y * y
-          i += 1
-        }
-        val denom = math.sqrt(na) * math.sqrt(nb)
-        if (denom == 0.0) 0.0 else dp / denom
-      }
-      val visited = scala.collection.mutable.HashMap.empty[Long, Double]
-      def fetchScore(ids: Seq[Long]): Seq[(Long, Double)] = {
-        val rows = fetchVectors match {
-          case Some(f) => walk(f(ids))
-            .select(col(corpusId).cast("long"), col(corpusVec).cast("array<float>"))
-            .as[(Long, Seq[Float])].collect()
-          case None => c.where(col("__cid").isin(ids: _*))
-            .as[(Long, Seq[Float])].collect()
-        }
-        val scored = rows.toSeq.map { case (id, v) => (id, cos(v)) }
-        visited ++= scored
-        scored
-      }
-      def best(xs: Seq[(Long, Double)], n: Int): Seq[Long] =
-        xs.sortBy { case (id, s) => (-s, id) }.take(n).map(_._1)
-      // global entry: the deepest node, (md5, id)-tie-broken — the same
-      // convention as the distributed hierarchy walk; `entryId` (persisted
-      // at build time) skips the corpus-wide scan
-      def entryScan(): Array[Long] = c
-        .select(col("__cid"), least(layerOf(col("__cid")), lit(maxLayer)).as("__lv"))
-        .orderBy(col("__lv").desc, md5(col("__cid").cast("string")), col("__cid"))
-        .limit(1).select(col("__cid")).as[Long].collect()
-      val entry = entryId.map(Array(_)).getOrElse(entryScan())
-      if (entry.isEmpty) return Seq.empty
-      var cur = fetchScore(entry.toSeq) // (id, sim) best-so-far, 1 element
-      if (cur.isEmpty && entryId.nonEmpty) {
-        // persisted entry tombstoned since the build — live rescan
-        val live = entryScan()
-        if (live.nonEmpty) cur = fetchScore(live.toSeq)
-      }
-      if (cur.isEmpty) return Seq.empty
-      for (l <- maxLayer to 1 by -1; _ <- 1 to descentRounds) {
-        val dsts = neighborIds(l, Seq(cur.head._1)).filterNot(visited.contains)
-        if (dsts.nonEmpty) {
-          val scored = fetchScore(dsts.toSeq)
-          // greedy best-1 over current ∪ neighbors, (sim desc, id asc) ties
-          cur = (cur ++ scored).sortBy { case (id, s) => (-s, id) }.take(1)
-        }
-      }
-      // layer-0 beam walk seeded by the descended entry
-      var frontier = cur.map(_._1)
-      var r = 0
-      while (r < rounds && frontier.nonEmpty) {
-        val dsts = neighborIds(0, frontier).filterNot(visited.contains)
-        if (dsts.isEmpty) frontier = Nil
-        else frontier = best(fetchScore(dsts.toSeq), beam)
-        r += 1
-      }
-      visited.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
-        .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }
+    lazy val c = walk(corpus).select(col(corpusId).cast("long").as("__cid"),
+        col(corpusVec).cast("array<float>").as("__cvec"))
+      .localCheckpoint()
+    def edgesAt(l: Int): DataFrame = walk(layeredEdges)
+      .where(col("layer") === l)
+      .select(col("src").cast("long").as("__esrc"),
+        col("dst").cast("long").as("__edst"))
+    def neighborIds(l: Int, srcs: Seq[Long]): Seq[Long] = (fetchEdges match {
+      case Some(f) => walk(f(l, srcs)).select(col("dst").cast("long")).distinct()
+      case None => edgesAt(l).where(col("__esrc").isin(srcs: _*))
+        .select(col("__edst")).distinct()
+    }).as[Long].collect().toSeq
+    def vecRows(ids: Seq[Long]): Seq[(Long, Seq[Float])] = (fetchVectors match {
+      case Some(f) => walk(f(ids))
+        .select(col(corpusId).cast("long"), col(corpusVec).cast("array<float>"))
+        .as[(Long, Seq[Float])].collect()
+      case None => c.where(col("__cid").isin(ids: _*))
+        .as[(Long, Seq[Float])].collect()
+    }).toSeq
+    // global entry: the deepest node, (md5, id)-tie-broken — the same
+    // convention as the distributed hierarchy walk; `entryId` (persisted
+    // at build time) skips the corpus-wide scan
+    def entryScan(): Seq[Long] = c
+      .select(col("__cid"), least(layerOf(col("__cid")), lit(maxLayer)).as("__lv"))
+      .orderBy(col("__lv").desc, md5(col("__cid").cast("string")), col("__cid"))
+      .limit(1).select(col("__cid")).as[Long].collect().toSeq
+    hnswWalkLocal(queryVec, k, beam, rounds, descentRounds, maxLayer,
+      vecRows, neighborIds, entryScan _, entryId)
+  }
+
+  /** The hierarchical serving walk's SELECTION CORE — the layered twin of
+    * [[beamWalkLocal]], parameterized the same way (vector rows by id,
+    * out-neighbors by (layer, src), entry fallback). [[hnswSearchSingle]]
+    * wires Spark-backed accessors; a memory-resident tier wires hash-map
+    * lookups. Same one-core-two-tiers guarantee: descent, beam, tie, and
+    * visited-pool decisions are the same code path in both. */
+  def hnswWalkLocal(queryVec: Array[Float], k: Int, beam: Int, rounds: Int,
+                    descentRounds: Int, maxLayer: Int,
+                    vecRows: Seq[Long] => Seq[(Long, Seq[Float])],
+                    neighborIds: (Int, Seq[Long]) => Seq[Long],
+                    entryScan: () => Seq[Long],
+                    entryId: Option[Long] = None): Seq[(Long, Double, Int)] = {
+    require(k >= 1 && beam >= 1 && rounds >= 0 && descentRounds >= 1 && maxLayer >= 0)
+    val visited = scala.collection.mutable.HashMap.empty[Long, Double]
+    def fetchScore(ids: Seq[Long]): Seq[(Long, Double)] = {
+      val scored = vecRows(ids).map { case (id, v) => (id, cosDouble(queryVec, v)) }
+      visited ++= scored
+      scored
     }
+    def best(xs: Seq[(Long, Double)], n: Int): Seq[Long] =
+      xs.sortBy { case (id, s) => (-s, id) }.take(n).map(_._1)
+    val entry = entryId.map(Seq(_)).getOrElse(entryScan())
+    if (entry.isEmpty) return Seq.empty
+    var cur = fetchScore(entry) // (id, sim) best-so-far, 1 element
+    if (cur.isEmpty && entryId.nonEmpty) {
+      // persisted entry tombstoned since the build — live rescan
+      val live = entryScan()
+      if (live.nonEmpty) cur = fetchScore(live)
+    }
+    if (cur.isEmpty) return Seq.empty
+    for (l <- maxLayer to 1 by -1; _ <- 1 to descentRounds) {
+      val dsts = neighborIds(l, Seq(cur.head._1)).distinct.filterNot(visited.contains)
+      if (dsts.nonEmpty) {
+        val scored = fetchScore(dsts)
+        // greedy best-1 over current ∪ neighbors, (sim desc, id asc) ties
+        cur = (cur ++ scored).sortBy { case (id, s) => (-s, id) }.take(1)
+      }
+    }
+    // layer-0 beam walk seeded by the descended entry
+    var frontier = cur.map(_._1)
+    var r = 0
+    while (r < rounds && frontier.nonEmpty) {
+      val dsts = neighborIds(0, frontier).distinct.filterNot(visited.contains)
+      if (dsts.isEmpty) frontier = Nil
+      else frontier = best(fetchScore(dsts), beam)
+      r += 1
+    }
+    visited.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+      .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }
   }
 
   /** Rank a [[beamVisited]] set: top-k per query, self-excluded by default. */

@@ -311,10 +311,14 @@ class GraftVectorStoreSpec extends AnyFunSuite {
   test("graph store: the walk's vector fetch file-prunes on the node bucket " +
       "and the entry point is persisted, not rescanned") {
     val path = java.nio.file.Files.createTempDirectory("graft_store_nb").toString + "/idx"
-    val store = new GraftVectorStore(spark, path, graphM = Some(8))
+    // budget 0 forces the pruned point-lookup serving mode regardless of
+    // tenant size — this test pins THAT path end to end
+    val store = new GraftVectorStore(spark, path, graphM = Some(8),
+      graphServingBudgetBytes = 0L)
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
       .select(concat_ws("/", $"source", $"doc_id").as("document_path"), $"text")
     store.addDocuments(docs, "t", pageSize = 32)
+    assert(store.servesPruned("t"), "budget 0 must dispatch to the pruned walk")
     // the index is written under the id-hash bucket layout
     val aliasDir = new java.io.File(s"$path/index_alias=t")
     assert(aliasDir.listFiles().exists(f =>
@@ -349,6 +353,32 @@ class GraftVectorStoreSpec extends AnyFunSuite {
     assert(after.where($"document_path" === victim).count() === 0,
       "tombstoned doc must be unreachable through the pruned walk")
     store.dropIndex()
+  }
+
+  test("graph serving dispatches on tenant size: cached slice under budget, " +
+      "pruned walk over it, identical hits either way") {
+    val path = java.nio.file.Files.createTempDirectory("graft_store_disp").toString + "/idx"
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(concat_ws("/", $"source", $"doc_id").as("document_path"), $"text")
+    // default budget (256 MiB): the toy tenant fits -> cached slice
+    val cached = new GraftVectorStore(spark, path, graphM = Some(8))
+    cached.addDocuments(docs, "t", pageSize = 32)
+    assert(!cached.servesPruned("t"),
+      "toy tenant under the default budget must serve the cached slice")
+    val hitsCached = cached.search("fast spark table scan query", "t",
+      topN = 5, approximate = true)
+      .select($"document_path", $"page_number").collect().toSeq
+    // forced-tiny budget over the SAME persisted store -> pruned walk,
+    // and the walk's decisions (entries, scores, ties) are identical
+    val pruned = new GraftVectorStore(spark, path, graphM = Some(8),
+      graphServingBudgetBytes = 1L)
+    assert(pruned.servesPruned("t"))
+    val hitsPruned = pruned.search("fast spark table scan query", "t",
+      topN = 5, approximate = true)
+      .select($"document_path", $"page_number").collect().toSeq
+    assert(hitsCached === hitsPruned,
+      "dispatch must change the access path, never the result")
+    cached.dropIndex()
   }
 
   test("persisted graph layout is validated against graphLayers: a store " +
