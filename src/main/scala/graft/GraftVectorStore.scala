@@ -340,6 +340,14 @@ final class GraftVectorStore(
     IndexTable.readLatest(spark, indexPath, resolveAlias(alias))
       .withColumn("__nid", xxhash64(col("id")))
 
+  /** True iff the tenant's persisted neighbor graph exists — the gate a
+    * continuous-ingest loop uses to decide build-vs-incremental-link
+    * (see [[streaming.StreamingIngest.ingestOnceGraph]]). */
+  def graphIndexExists(alias: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(graphPath(alias))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** (Re)build the tenant's persisted k-NN neighbor graph from the CURRENT
     * latest-per-id records — run after bulk ingest or [[compactIndex]], the
     * index-maintenance step every graph-ANN deployment schedules. */

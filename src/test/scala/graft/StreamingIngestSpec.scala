@@ -87,6 +87,53 @@ class StreamingIngestSpec extends AnyFunSuite {
       batch.select($"id").distinct().count())
   }
 
+  test("streaming graph ingest links new docs incrementally: stream edges " +
+      "== batch edges on the same waves, search stays live") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_graph").toString
+    // unique path per doc: waves must carry DISJOINT record ids, so the
+    // stream exercises the incremental NEW-node link, not the update path
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(concat_ws("/", $"source", $"doc_id").as("document_path"),
+        $"text", $"doc_id")
+    val wave1 = docs.where($"doc_id" % 2 === 0).drop("doc_id")
+    val wave2 = docs.where($"doc_id" % 2 === 1).drop("doc_id")
+    // wave 2 lands as parquet part-files for the stream to drain
+    wave2.write.parquet(s"$tmp/landing")
+    def seeded(path: String): GraftVectorStore = {
+      val st = new GraftVectorStore(spark, path, graphM = Some(4))
+      st.addDocuments(wave1, "t", pageSize = 64)
+      st.buildGraphIndex("t")
+      st
+    }
+    // streaming: wave 2 drains through foreachBatch -> incremental insert
+    val streamStore = seeded(s"$tmp/stream_idx")
+    val n = StreamingIngest.ingestOnceGraph(spark,
+      landingDir = s"$tmp/landing", globFilter = "*.parquet",
+      indexPath = s"$tmp/stream_idx", checkpointDir = s"$tmp/ckpt",
+      alias = "t", m = 4, pageSize = 64)
+    // batch twin: the same wave applied through the facade append path
+    val batchStore = seeded(s"$tmp/batch_idx")
+    batchStore.addDocuments(wave2, "t", pageSize = 64)
+    assert(n > 0)
+    assert(graft.operators.IndexTable
+      .readLatest(spark, s"$tmp/stream_idx", "t").count() ===
+      graft.operators.IndexTable
+      .readLatest(spark, s"$tmp/batch_idx", "t").count())
+    // the pin: IDENTICAL persisted edge tables — the stream linked the
+    // batch incrementally, decision-for-decision like the batch append
+    def edges(p: String) = spark.read.parquet(s"$p/_graft_knn_graph/t")
+      .select($"src", $"dst").as[(Long, Long)].collect().toSet
+    val se = edges(s"$tmp/stream_idx")
+    assert(se.nonEmpty && se === edges(s"$tmp/batch_idx"))
+    // wave-2 nodes are navigable immediately (no rebuild pending): a
+    // wave-2 doc's own text must surface itself through the graph walk
+    val probe = wave2.select($"text").as[String].head()
+      .split("\\s+").take(12).mkString(" ")
+    val hit = streamStore.search(probe, "t", topN = 3, approximate = true)
+    assert(hit.count() > 0)
+    streamStore.dropIndex(); batchStore.dropIndex()
+  }
+
   test("salted join equals plain inner join") {
     val left = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
       .select($"l_orderkey", $"l_quantity").limit(5000)
