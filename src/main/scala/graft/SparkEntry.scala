@@ -3409,6 +3409,161 @@ object SparkEntry {
                (n0x2 - col("u2")).cast("double")), 4) + 0).as("tau_b"))
     }),
 
+    // Krippendorff's alpha (nominal) — the inter-annotator agreement
+    // coefficient a labeling pipeline reports before trusting its labels.
+    // Three simulated annotators per document: each keeps the doc's lang
+    // unless its md5 draw (first hex digit of md5(doc_id || '#annK') in
+    // 0-2, p = 3/16 — the house md5-seed convention) flips it to the
+    // reversed string (a distinct nominal value; alpha is label-agnostic).
+    // With a FIXED 3 labels per unit, the observed-disagreement sum
+    // S_o = Σ_u Σ_c n_uc(3 − n_uc) is an exact integer (the 1/(m_u−1)
+    // denominators are all 2, folded into the closed form below), and the
+    // expected disagreement Σ_c n_c(n − n_c) is exact too:
+    //   α = 1 − S_o·(n−1) / (2·Σ_c n_c(n−n_c)).
+    // Both sums ride DECIMAL(38,0) internally (n² products pass LONG at
+    // corpus scale); ONE mirrored double expression at the end. Shape: a
+    // label-keyed and a (unit,label)-keyed agg — two linear passes, 1-row
+    // broadcasts, nothing corpus-sized crosses a join.
+    "stats_krippendorff_alpha" -> ((s, d) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      def ann(k: Int): DataFrame = docs.select(col("doc_id"),
+        when(substring(md5(concat_ws("#", col("doc_id"), lit("ann" + k))), 1, 1)
+            .isin("0", "1", "2"), reverse(col("lang")))
+          .otherwise(col("lang")).as("label"))
+      val labels = ann(1).unionByName(ann(2)).unionByName(ann(3))
+      val so = labels.groupBy(col("doc_id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * (lit(3) - col("c"))).cast(dec).as("s_o"))
+      val nc = labels.groupBy(col("label")).agg(count(lit(1)).as("cc"))
+      val tot = labels.agg(count(lit(1)).as("n"))
+      val de = nc.crossJoin(broadcast(tot))
+        .agg(first(col("n")).as("n"),
+          sum(col("cc").cast(dec) * (col("n") - col("cc"))).as("d_e"))
+      so.crossJoin(broadcast(de))
+        .select(col("n").cast("long").as("n_labels"),
+          col("s_o").cast("long").as("s_o"),
+          (round(lit(1.0) - (col("s_o") * (col("n") - 1).cast(dec)).cast("double") /
+            (lit(2.0) * col("d_e").cast("double")), 4) + 0).as("alpha"))
+    }),
+
+    // Disparate-impact audit of the Gopher quality filter across languages
+    // — the governance check a curation pipeline runs before shipping a
+    // filter: does it disproportionately remove one language's documents?
+    // Per-lang selection rate, ratio to the best-treated lang, and the
+    // EEOC four-fifths flag. Shape: the gopher pass is per-doc row-local,
+    // then one lang-keyed agg and a 1-row broadcast of the max rate.
+    "dq_filter_disparate_impact" -> ((s, d) => {
+      val g = CorpusStats.gopherQuality(t(s, d, "documents"), "text", "doc_id",
+          stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "was",
+            "for", "with"))
+        .select(col("doc_id"), col("gopher_pass"))
+      val byLang = t(s, d, "documents").select(col("doc_id"), col("lang"))
+        .join(g, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("n_pass"))
+        .withColumn("sel_rate", round(col("n_pass") / col("n_docs"), 4))
+      val mx = byLang.agg(max(col("sel_rate")).as("max_rate"))
+      val ratio = round(col("sel_rate") / col("max_rate"), 4)
+      byLang.crossJoin(broadcast(mx))
+        .select(col("lang"), col("n_docs"), col("n_pass"), col("sel_rate"),
+          ratio.as("impact_ratio"),
+          (ratio < 0.8).as("below_four_fifths"))
+        .orderBy(col("lang"))
+    }),
+
+    // Bradley-Terry pairwise-preference strengths via 3 unrolled MM
+    // iterations (Hunter 2004: w_i' = a_i / Σ_j n_ij/(w_i+w_j)) — the
+    // model an RLHF data pipeline fits over preference comparisons.
+    // Comparisons are derived deterministically from events: within each
+    // (user, day), the more-frequent event type beats the less-frequent
+    // one for every unordered type pair (count ties skipped — BT needs
+    // decisive outcomes). The per-user-day pair join is bounded by the
+    // event-type cardinality (≤ C(5,2) pairs per group), so comparison
+    // construction is linear in events; everything after the (i,j,n)/
+    // wins aggregation runs on type²-sized constant tables (checkpointed
+    // — 3 chained iterations referencing each w twice would otherwise
+    // replay the corpus agg 2^3 times in one plan). Per-iteration
+    // denominators grid each n_ij/(w_i+w_j) term to 1e9 and sum LONGs
+    // (the stats_chi_square convention); w rounds to 9 decimals per
+    // iteration, the normalizer grid-sums the final weights, and the
+    // output strength is ONE mirrored double expression. The oracle
+    // unrolls all three iterations as CTEs, decision-for-decision.
+    "preference_bradley_terry" -> ((s, d) => {
+      val e = events(s, d).select(date_trunc("day", col("ts")).as("day"),
+        col("user_id"), col("event_type"))
+      val cnt = e.groupBy(col("user_id"), col("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val a = cnt.select(col("user_id"), col("day"),
+        col("event_type").as("ta"), col("c").as("ca"))
+      val b = cnt.select(col("user_id"), col("day"),
+        col("event_type").as("tb"), col("c").as("cb"))
+      val comp = a.join(b, Seq("user_id", "day"))
+        .where(col("ta") < col("tb") && col("ca") =!= col("cb"))
+        .select(when(col("ca") > col("cb"), col("ta")).otherwise(col("tb")).as("winner"),
+          when(col("ca") > col("cb"), col("tb")).otherwise(col("ta")).as("loser"))
+        .localCheckpoint()
+      val pairs = comp.groupBy(least(col("winner"), col("loser")).as("i"),
+          greatest(col("winner"), col("loser")).as("j"))
+        .agg(count(lit(1)).as("n"))
+      val pairsSym = pairs.select(col("i"), col("j"), col("n"))
+        .unionByName(pairs.select(col("j").as("i"), col("i").as("j"), col("n")))
+        .localCheckpoint() // type²-sized, referenced once per iteration
+      val wins0 = pairsSym.select(col("i").as("item")).distinct()
+        .join(comp.groupBy(col("winner").as("item")).agg(count(lit(1)).as("a")),
+          Seq("item"), "left")
+        .select(col("item"), coalesce(col("a"), lit(0L)).as("a"))
+        .localCheckpoint() // items that only ever lose keep a = 0
+      def iterate(w: DataFrame): DataFrame = {
+        val wi = w.select(col("i2").as("i"), col("w").as("swi"))
+        val wj = w.select(col("i2").as("j"), col("w").as("swj"))
+        pairsSym.join(broadcast(wi), Seq("i")).join(broadcast(wj), Seq("j"))
+          .withColumn("t9",
+            round(lit(1e9) * col("n") / (col("swi") + col("swj"))).cast("long"))
+          .groupBy(col("i"))
+          .agg((sum(col("t9")) / 1e9).as("den"))
+          .join(broadcast(wins0), col("i") === col("item"))
+          .select(col("i").as("i2"), round(col("a") / col("den"), 9).as("w"))
+          .localCheckpoint()
+      }
+      var w = wins0.select(col("item").as("i2"), lit(1.0).as("w"))
+      for (_ <- 1 to 3) w = iterate(w)
+      val nrm = w.agg((sum(round(col("w") * 1e9).cast("long")) / 1e9).as("sw"))
+      w.join(broadcast(wins0), col("i2") === col("item"))
+        .crossJoin(broadcast(nrm))
+        .select(col("item").as("event_type"), col("a").as("wins"),
+          (round(col("w") / col("sw"), 4) + 0).as("strength"))
+        .orderBy(col("event_type"))
+    }),
+
+    // DPO pair construction — the preference-data prep step: per source,
+    // rank-align its 8 best and 8 worst documents by quality score
+    // ((score, id) ties) into (chosen, rejected) training pairs with the
+    // quality margin. Shape: two source-partitioned rank windows over one
+    // scored pass, then a k-bounded (source, rank) equi-join — pairs per
+    // source are CONSTANT (8), never quadratic in source size.
+    "pipeline_dpo_pairs" -> ((s, d) => {
+      val q = t(s, d, "documents").select(col("source"), col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("qs"))
+      val wTop = Window.partitionBy(col("source")).orderBy(col("qs").desc, col("doc_id"))
+      val wBot = Window.partitionBy(col("source")).orderBy(col("qs").asc, col("doc_id"))
+      val top = q.withColumn("r", row_number().over(wTop)).where(col("r") <= 8)
+        .select(col("source"), col("r"), col("doc_id").as("chosen_id"),
+          col("qs").as("q_chosen"))
+      val bot = q.withColumn("r", row_number().over(wBot)).where(col("r") <= 8)
+        .select(col("source"), col("r"), col("doc_id").as("rejected_id"),
+          col("qs").as("q_rejected"))
+      top.join(bot, Seq("source", "r"))
+        .where(col("chosen_id") =!= col("rejected_id") &&
+          col("q_chosen") > col("q_rejected"))
+        .select(col("source"), col("r").cast("int").as("pair_rank"),
+          col("chosen_id"), col("rejected_id"), col("q_chosen"),
+          col("q_rejected"),
+          round(col("q_chosen") - col("q_rejected"), 2).as("margin"))
+        .orderBy(col("source"), col("pair_rank"))
+    }),
+
     // Kruskal-Wallis H: the k-group extension of stats_mann_whitney (one-
     // way ANOVA on ranks — do the five event types draw values from one
     // distribution?). Same machinery: pooled average ranks as exact
@@ -7404,6 +7559,15 @@ object SparkEntry {
       "\nSELECT CAST(rank AS INT) AS rank, vec_id, relevance, CAST(score AS BIGINT) AS mmr_score_e5 FROM s10 ORDER BY rank"
   }
 
+  /** OUTPUT-TYPE RULE (enforced by PlanSweepSpec's DecimalType sweep): no
+    * query may emit a DECIMAL column — Spark-parquet decimals and DuckDB
+    * decimals serialize differently under the driver's hash
+    * canonicalization, so values that compare equal still hash-mismatch
+    * (round-8's one red row). DECIMAL(38,0)/HUGEINT stay the exact
+    * INTERNAL carriers; an exact integer past LONG leaves a query as its
+    * canonical digit string — `.cast("string")` here, `CAST(... AS
+    * VARCHAR)` in the oracle (see stats_kendall_tau,
+    * profile_decimal_money). */
   def oracleSql: Map[String, String] = Map(
 
     "knn_mmr" -> mmrOracleSql,
@@ -9638,6 +9802,101 @@ object SparkEntry {
         |  round(2.0 * CAST(p - qd AS DOUBLE) /
         |    sqrt(CAST(n * (n - 1) - t2 AS DOUBLE) * CAST(n * (n - 1) - u2 AS DOUBLE)), 4) + 0 AS tau_b
         |FROM pq, nn, r1, r2""".stripMargin,
+
+    // Closed-form nominal alpha with m_u = 3 fixed: exact-integer S_o and
+    // D_e (HUGEINT), one mirrored double expression.
+    "stats_krippendorff_alpha" ->
+      """WITH a AS (SELECT doc_id,
+        |    CASE WHEN substr(md5(doc_id || '#ann' || CAST(k AS VARCHAR)), 1, 1)
+        |              IN ('0', '1', '2')
+        |         THEN reverse(lang) ELSE lang END AS label
+        |  FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+        |so AS (SELECT CAST(sum(c * (3 - c)) AS HUGEINT) AS s_o FROM
+        |       (SELECT doc_id, label, count(*) AS c FROM a GROUP BY 1, 2)),
+        |nc AS (SELECT label, count(*) AS cc FROM a GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM a),
+        |de AS (SELECT sum(CAST(cc AS HUGEINT) * (n - cc)) AS d_e FROM nc, tot)
+        |SELECT CAST(n AS BIGINT) AS n_labels, CAST(s_o AS BIGINT) AS s_o,
+        |  round(1.0 - CAST(s_o * CAST(n - 1 AS HUGEINT) AS DOUBLE) /
+        |    (2.0 * CAST(d_e AS DOUBLE)), 4) + 0 AS alpha
+        |FROM so, de, tot""".stripMargin,
+
+    // Gopher CTEs verbatim from quality_gopher, then per-lang selection
+    // rates and the four-fifths ratio against the best-treated lang.
+    "dq_filter_disparate_impact" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |cf AS (SELECT doc_id, wd, count(*) AS c FROM (SELECT doc_id, unnest(ws) AS wd FROM w) GROUP BY 1, 2),
+        |e AS (SELECT doc_id, count(*) AS n_unique, sum(c) AS n_tot,
+        |      sum(c * ln(c)) AS clnc FROM cf GROUP BY doc_id),
+        |m AS (SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |      CASE WHEN len(ws) > 0 THEN round(len(array_to_string(ws, '')) * 1.0 / len(ws), 4) END AS mean_word_len,
+        |      CASE WHEN e.n_tot > 0 THEN round(e.n_unique * 1.0 / e.n_tot, 4) END AS frac_unique,
+        |      len(list_intersect(ws, ['the','a','of','and','to','in','is','was','for','with'])) >= 2 AS has_stopwords
+        |      FROM w LEFT JOIN e ON w.doc_id = e.doc_id),
+        |gp AS (SELECT doc_id, (n_words >= 50 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |       AND frac_unique >= 0.2 AND has_stopwords) AS gopher_pass FROM m),
+        |r AS (SELECT d.lang, count(*) AS n_docs,
+        |      sum(CASE WHEN gp.gopher_pass THEN 1 ELSE 0 END) AS n_pass
+        |      FROM documents d JOIN gp USING (doc_id) GROUP BY 1),
+        |sr AS (SELECT lang, n_docs, CAST(n_pass AS BIGINT) AS n_pass,
+        |       round(n_pass * 1.0 / n_docs, 4) AS sel_rate FROM r),
+        |mx AS (SELECT max(sel_rate) AS max_rate FROM sr)
+        |SELECT lang, n_docs, n_pass, sel_rate,
+        |  round(sel_rate / max_rate, 4) AS impact_ratio,
+        |  round(sel_rate / max_rate, 4) < 0.8 AS below_four_fifths
+        |FROM sr, mx ORDER BY lang""".stripMargin,
+
+    // Comparison construction + all three MM iterations unrolled; 1e9-grid
+    // denominators, round-9 weights, grid-summed normalizer — term for
+    // term the engine's expressions.
+    "preference_bradley_terry" ->
+      """WITH e AS (SELECT date_trunc('day', ts) AS day, user_id, event_type FROM events),
+        |cnt AS (SELECT user_id, day, event_type, count(*) AS c FROM e GROUP BY 1, 2, 3),
+        |comp AS (SELECT CASE WHEN a.c > b.c THEN a.event_type ELSE b.event_type END AS winner,
+        |                CASE WHEN a.c > b.c THEN b.event_type ELSE a.event_type END AS loser
+        |  FROM cnt a JOIN cnt b ON a.user_id = b.user_id AND a.day = b.day
+        |   AND a.event_type < b.event_type WHERE a.c <> b.c),
+        |pairs AS (SELECT least(winner, loser) AS i, greatest(winner, loser) AS j,
+        |          count(*) AS n FROM comp GROUP BY 1, 2),
+        |psym AS (SELECT i, j, n FROM pairs UNION ALL SELECT j, i, n FROM pairs),
+        |wins AS (SELECT it.item, coalesce(wc.a, 0) AS a FROM
+        |         (SELECT DISTINCT i AS item FROM psym) it LEFT JOIN
+        |         (SELECT winner AS item, count(*) AS a FROM comp GROUP BY 1) wc USING (item)),
+        |w0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS w FROM wins),
+        |d1 AS (SELECT p.i AS item, sum(CAST(round(1e9 * p.n / (wi.w + wj.w)) AS BIGINT)) / 1e9 AS den
+        |       FROM psym p JOIN w0 wi ON wi.item = p.i JOIN w0 wj ON wj.item = p.j GROUP BY 1),
+        |w1 AS (SELECT wins.item, round(wins.a / den, 9) AS w FROM wins JOIN d1 USING (item)),
+        |d2 AS (SELECT p.i AS item, sum(CAST(round(1e9 * p.n / (wi.w + wj.w)) AS BIGINT)) / 1e9 AS den
+        |       FROM psym p JOIN w1 wi ON wi.item = p.i JOIN w1 wj ON wj.item = p.j GROUP BY 1),
+        |w2 AS (SELECT wins.item, round(wins.a / den, 9) AS w FROM wins JOIN d2 USING (item)),
+        |d3 AS (SELECT p.i AS item, sum(CAST(round(1e9 * p.n / (wi.w + wj.w)) AS BIGINT)) / 1e9 AS den
+        |       FROM psym p JOIN w2 wi ON wi.item = p.i JOIN w2 wj ON wj.item = p.j GROUP BY 1),
+        |w3 AS (SELECT wins.item, round(wins.a / den, 9) AS w FROM wins JOIN d3 USING (item)),
+        |nrm AS (SELECT sum(CAST(round(w * 1e9) AS BIGINT)) / 1e9 AS sw FROM w3)
+        |SELECT w3.item AS event_type, CAST(wins.a AS BIGINT) AS wins,
+        |  round(w3.w / nrm.sw, 4) + 0 AS strength
+        |FROM w3 JOIN wins USING (item), nrm ORDER BY event_type""".stripMargin,
+
+    // Quality-score CTEs from quality_score, then the rank-aligned
+    // (top-8, bottom-8) pair join per source.
+    "pipeline_dpo_pairs" ->
+      s"""WITH w AS (SELECT source, doc_id, text, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ws FROM documents),
+         |m AS (SELECT source, doc_id, CAST(len(ws) AS DOUBLE) AS nw,
+         |   CAST(len(list_filter(ws, x -> lower(x) IN ($stopSql))) AS DOUBLE) AS stop_hits,
+         |   CAST(len(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) AS alnum,
+         |   CAST(len(text) AS DOUBLE) AS total FROM w),
+         |q AS (SELECT source, doc_id, round(40.0 * least(nw/100.0, 1.0)
+         |  + CASE WHEN nw = 0 THEN 0 ELSE 30.0 * least(3.0*stop_hits/nw, 1.0) END
+         |  + CASE WHEN total = 0 THEN 0 ELSE 30.0 * alnum/total END, 2) AS qs FROM m),
+         |top AS (SELECT source, row_number() OVER (PARTITION BY source ORDER BY qs DESC, doc_id) AS r,
+         |        doc_id AS chosen_id, qs AS q_chosen FROM q),
+         |bot AS (SELECT source, row_number() OVER (PARTITION BY source ORDER BY qs ASC, doc_id) AS r,
+         |        doc_id AS rejected_id, qs AS q_rejected FROM q)
+         |SELECT t.source, CAST(t.r AS INT) AS pair_rank, chosen_id, rejected_id,
+         |  q_chosen, q_rejected, round(q_chosen - q_rejected, 2) AS margin
+         |FROM top t JOIN bot b ON t.source = b.source AND t.r = b.r
+         |WHERE t.r <= 8 AND chosen_id <> rejected_id AND q_chosen > q_rejected
+         |ORDER BY t.source, pair_rank""".stripMargin,
 
     // AVI replay: gray pixels mean the decoder's (r+g+b) sums are 3×gray —
     // band mean = 24*(v(2b) + v(2b+1)) / (16*3*255), exact integers until
