@@ -3564,6 +3564,80 @@ object SparkEntry {
         .orderBy(col("source"), col("pair_rank"))
     }),
 
+    // Sample-ratio-mismatch guardrail — the FIRST check an experimentation
+    // platform runs before trusting any A/B readout: does the realized
+    // unit split match the designed 50/50? One chi-square on the two unit
+    // counts, dof 1, 0.05 critical value. Two splits audited side by side:
+    // the platform's real split (user_id parity — healthy by construction)
+    // and a deliberately biased split (7/16 of the hash space), proving
+    // the guardrail FIRES when it should. Exact integer counts; one
+    // mirrored double chi² expression. Shape: one distinct-user agg.
+    "events_srm_check" -> ((s, d) => {
+      val users = events(s, d).select(col("user_id")).distinct()
+      def audit(name: String, inA: Column): DataFrame = users
+        .agg(sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+          sum(when(inA, 0L).otherwise(1L)).as("n_b"))
+        .select(lit(name).as("split"), col("n_a"), col("n_b"),
+          round(((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+            .cast("double") / (col("n_a") + col("n_b")), 4).as("chi2"))
+        .withColumn("srm_detected", col("chi2") > 3.8415)
+      audit("parity", col("user_id") % 2 === 0)
+        .unionByName(audit("biased_7_16", pmod(col("user_id"), lit(16)) < 7))
+        .orderBy(col("split"))
+    }),
+
+    // Rendezvous (highest-random-weight) sharding, the stable-resharding
+    // scheme a 100 TB store wants: doc -> argmax over shards of
+    // md5(doc '#shard' s). Unlike mod-N, growing 8 -> 9 shards moves ONLY
+    // the docs whose new shard 8 wins (~1/9 in expectation) — the `moved`
+    // column exhibits the guarantee doc by doc. Entirely ROW-LOCAL (the
+    // argmax folds over a per-row literal array — no shuffle at all); the
+    // oracle recomputes both argmaxes via arg_max over an unnested series.
+    "shard_rendezvous_stability" -> ((s, d) => {
+      def best(n: Int): Column = array_max(transform(sequence(lit(0), lit(n - 1)),
+        sNo => struct(
+          md5(concat(col("doc_id").cast("string"), lit("#shard"),
+            sNo.cast("string"))).as("h"),
+          sNo.cast("int").as("s")))).getField("s")
+      t(s, d, "documents").select(col("doc_id"),
+          best(8).as("shard8"), best(9).as("shard9"))
+        .withColumn("moved", col("shard8") =!= col("shard9"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Two-model uplift readout by engagement segment: per user-frequency
+    // tier, treatment vs control purchase-conversion rates and their
+    // difference — where does the treatment actually move behavior? One
+    // per-user pass (count + converted + assignment), then a tier-keyed
+    // agg; exact integer counts, mirrored rate expressions.
+    "events_uplift_by_segment" -> ((s, d) => {
+      val perUser = events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ev"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"))
+        // scale-free conversion: purchase share above the 1-in-5 type base
+        // rate — splits users at every SF instead of saturating
+        .select(col("user_id"),
+          when(col("n_purch") * 5 > col("n_ev"), 1L).otherwise(0L).as("conv"),
+          // tiers split around the fixture's per-user activity median so
+          // all three segments are populated at every gated SF
+          when(col("n_ev") < 60, "low").when(col("n_ev") < 70, "mid")
+            .otherwise("high").as("segment"),
+          when(col("user_id") % 2 === 0, "control").otherwise("treatment").as("g"))
+      perUser.groupBy(col("segment"))
+        .agg(sum(when(col("g") === "control", 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("g") === "control", col("conv")).otherwise(0L)).as("conv_c"),
+          sum(when(col("g") =!= "control", 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("g") =!= "control", col("conv")).otherwise(0L)).as("conv_t"))
+        .select(col("segment"), col("n_c"), col("n_t"),
+          round(col("conv_c") / col("n_c"), 4).as("rate_c"),
+          round(col("conv_t") / col("n_t"), 4).as("rate_t"),
+          (round(col("conv_t") / col("n_t"), 4) -
+           round(col("conv_c") / col("n_c"), 4)).as("uplift_raw"))
+        .withColumn("uplift", round(col("uplift_raw"), 4) + 0)
+        .drop("uplift_raw")
+        .orderBy(col("segment"))
+    }),
+
     // Kruskal-Wallis H: the k-group extension of stats_mann_whitney (one-
     // way ANOVA on ranks — do the five event types draw values from one
     // distribution?). Same machinery: pooled average ranks as exact
@@ -9876,6 +9950,52 @@ object SparkEntry {
         |SELECT w3.item AS event_type, CAST(wins.a AS BIGINT) AS wins,
         |  round(w3.w / nrm.sw, 4) + 0 AS strength
         |FROM w3 JOIN wins USING (item), nrm ORDER BY event_type""".stripMargin,
+
+    // One distinct-user agg per audited split; chi² = (n_a − n_b)² / n.
+    "events_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |p AS (SELECT sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+        |             sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS n_b FROM u),
+        |q AS (SELECT sum(CASE WHEN user_id % 16 < 7 THEN 1 ELSE 0 END) AS n_a,
+        |             sum(CASE WHEN user_id % 16 < 7 THEN 0 ELSE 1 END) AS n_b FROM u),
+        |r AS (SELECT 'parity' AS split, n_a, n_b FROM p
+        |      UNION ALL SELECT 'biased_7_16', n_a, n_b FROM q)
+        |SELECT split, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 4) AS chi2,
+        |  round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 4) > 3.8415 AS srm_detected
+        |FROM r ORDER BY split""".stripMargin,
+
+    // arg_max over the unnested shard series recomputes both HRW argmaxes.
+    "shard_rendezvous_stability" ->
+      """WITH s8 AS (SELECT doc_id, arg_max(s, md5(doc_id || '#shard' || CAST(s AS VARCHAR))) AS shard8
+        |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) GROUP BY doc_id),
+        |s9 AS (SELECT doc_id, arg_max(s, md5(doc_id || '#shard' || CAST(s AS VARCHAR))) AS shard9
+        |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS s) GROUP BY doc_id)
+        |SELECT s8.doc_id, CAST(shard8 AS INT) AS shard8, CAST(shard9 AS INT) AS shard9,
+        |  shard8 <> shard9 AS moved
+        |FROM s8 JOIN s9 USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Per-user pass then tier-keyed rates; uplift mirrors the engine's
+    // round-then-subtract-then-round expression exactly.
+    "events_uplift_by_segment" ->
+      """WITH pu AS (SELECT user_id, count(*) AS n_ev,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch
+        |  FROM events GROUP BY 1),
+        |seg AS (SELECT user_id,
+        |    CASE WHEN n_purch * 5 > n_ev THEN 1 ELSE 0 END AS conv,
+        |    CASE WHEN n_ev < 60 THEN 'low' WHEN n_ev < 70 THEN 'mid' ELSE 'high' END AS segment,
+        |    CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS g FROM pu),
+        |r AS (SELECT segment,
+        |    sum(CASE WHEN g = 'control' THEN 1 ELSE 0 END) AS n_c,
+        |    sum(CASE WHEN g = 'control' THEN conv ELSE 0 END) AS conv_c,
+        |    sum(CASE WHEN g <> 'control' THEN 1 ELSE 0 END) AS n_t,
+        |    sum(CASE WHEN g <> 'control' THEN conv ELSE 0 END) AS conv_t
+        |  FROM seg GROUP BY 1)
+        |SELECT segment, CAST(n_c AS BIGINT) AS n_c, CAST(n_t AS BIGINT) AS n_t,
+        |  round(conv_c * 1.0 / n_c, 4) AS rate_c,
+        |  round(conv_t * 1.0 / n_t, 4) AS rate_t,
+        |  round(round(conv_t * 1.0 / n_t, 4) - round(conv_c * 1.0 / n_c, 4), 4) + 0 AS uplift
+        |FROM r ORDER BY segment""".stripMargin,
 
     // Quality-score CTEs from quality_score, then the rank-aligned
     // (top-8, bottom-8) pair join per source.
