@@ -1650,6 +1650,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Median-of-means robust corpus mean — the estimator that keeps its
+    // accuracy under heavy-tailed length distributions where the plain
+    // mean is dragged by outliers (and the theory workhorse behind robust
+    // mean estimation): 16 md5 buckets of docs, per-bucket means on a 1e9
+    // grid, exact interpolated median of the 16. One corpus pass, then
+    // everything is 16-row-sized.
+    "quality_median_of_means" -> ((s, d) => {
+      val b = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        .withColumn("b", pmod(conv(substring(md5(col("doc_id").cast("string")),
+          1, 8), 16, 10).cast("long"), lit(16)))
+      val byB = b.groupBy(col("b"))
+        .agg(count(lit(1)).as("nb"), sum(col("n_chars")).as("sb"))
+        .select(round(round(col("sb").cast("double") / col("nb"), 9) * 1e9)
+          .cast("long").as("mi"))
+      val tot = b.agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("st"))
+      byB.agg(expr("percentile(mi, 0.5)").as("mid"),
+          count(lit(1)).as("n_buckets"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_docs"), col("n_buckets"),
+          round(col("st").cast("double") / col("n_docs"), 6).as("mean_chars"),
+          round(col("mid") / 1e9, 6).as("mom_chars"))
+    }),
+
     // Padding-waste accounting for training-batch assembly: id-order
     // batches of 16 vs length-bucketed batches — the measured argument for
     // bucketed batching (every slot pads to its batch max). The length
@@ -4872,6 +4895,99 @@ object SparkEntry {
           when(col("user_id") % 2 === 0, "control").otherwise("treatment"),
           "ts", tau = 10.0)
         .orderBy(col("day"))
+    }),
+
+    // Delta-method ratio-metric test (see [[StatsOps.ratioDeltaTest]]):
+    // value-per-event where users are the randomization unit but events
+    // are the analysis unit — the estimator every experimentation
+    // platform needs for ratio metrics (CTR, revenue/session), since the
+    // naive iid-event variance is biased by within-user clustering.
+    "events_ab_ratio_delta" -> ((s, d) => {
+      StatsOps.ratioDeltaTest(events(s, d), "user_id", "value",
+        when(col("user_id") % 2 === 0, "control").otherwise("treatment"))
+    }),
+
+    // Bucketed delete-one-group jackknife (see [[StatsOps.jackknifeRatio]]):
+    // the O(B)-re-estimate variance method platforms run when closed-form
+    // delta variance is unavailable or distrusted — 16 md5 buckets of
+    // users, leave-one-bucket-out ratios, (B-1)/B-scaled spread.
+    "events_jackknife_ratio" -> ((s, d) => {
+      StatsOps.jackknifeRatio(events(s, d), "user_id", "value")
+    }),
+
+    // Exact permutation (randomization) test (see
+    // [[StatsOps.permutationTest]]): 64 md5-derived relabelings of users,
+    // p = (1+#extreme)/(B+1) — the assumption-free finite-sample
+    // cross-check on the t-test family; the B-fold blowup rides the
+    // per-user table, never the event corpus.
+    "events_permutation_test" -> ((s, d) => {
+      StatsOps.permutationTest(events(s, d), "user_id", "value",
+        when(col("user_id") % 2 === 0, "control").otherwise("treatment"))
+    }),
+
+    // Chapman capture-recapture estimate of the true distinct-user
+    // population from two observation windows (epoch-midpoint split, the
+    // dq_value_drift_ks convention): N̂ = (n₁+1)(n₂+1)/(m+1) − 1 — the
+    // ecology estimator data platforms reuse to size incomplete logs /
+    // coverage gaps. One corpus pass to per-user presence flags, then a
+    // 1-row exact-integer aggregate; n_true is in the output so the
+    // estimate is auditable against the observed union.
+    "events_capture_recapture" -> ((s, d) => {
+      val e = events(s, d).withColumn("__ep", unix_timestamp(col("ts")))
+      val cut = e.agg(expr(
+        "(CAST(floor(min(unix_timestamp(ts))) AS BIGINT) + " +
+        "CAST(floor(max(unix_timestamp(ts))) AS BIGINT)) div 2").as("cut"))
+      val perUser = e.crossJoin(broadcast(cut))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("__ep") < col("cut"), 1).otherwise(0)).as("in1"),
+          max(when(col("__ep") >= col("cut"), 1).otherwise(0)).as("in2"))
+      perUser.agg(sum(col("in1")).cast("long").as("n_first"),
+          sum(col("in2")).cast("long").as("n_second"),
+          sum(when(col("in1") === 1 && col("in2") === 1, 1).otherwise(0))
+            .cast("long").as("n_both"),
+          count(lit(1)).as("n_true"))
+        .select(col("n_first"), col("n_second"), col("n_both"), col("n_true"),
+          round((col("n_first") + lit(1.0)) * (col("n_second") + 1) /
+            (col("n_both") + 1) - 1, 4).as("n_hat"),
+          round(sqrt((col("n_first") + lit(1.0)) * (col("n_second") + 1) *
+            (col("n_first") - col("n_both")) * (col("n_second") - col("n_both")) /
+            ((col("n_both") + lit(1.0)) * (col("n_both") + 1) *
+              (col("n_both") + 2))), 4).as("se"))
+    }),
+
+    // Truncated discounted return per session (see
+    // [[operators.EventsOps.discountedSessionReturns]]): the reward-to-go
+    // an offline-RL / RLHF prep pipeline attaches to trajectories —
+    // γ = 9/10 as exact integer powers in DECIMAL(38,0), horizon 16, so
+    // the fold is integer-exact cross-engine.
+    "events_discounted_returns" -> ((s, d) => {
+      operators.EventsOps.discountedSessionReturns(events(s, d))
+    }),
+
+    // Functional-dependency audit over declared candidates — the
+    // data-quality check that catches key violations BEFORE they corrupt
+    // joins downstream (a → b holds iff no a maps to two b's). Per
+    // candidate: one two-phase hash aggregation (exact count-distinct per
+    // key, then a 1-row rollup); confidence = share of LHS groups with a
+    // single RHS value.
+    "dq_fd_discovery" -> ((s, d) => {
+      def audit(df: DataFrame, name: String, lhs: String, rhs: String): DataFrame =
+        df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("nd"))
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(when(col("nd") > 1, 1).otherwise(0)).cast("long").as("n_violating"))
+          .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+            round(lit(1.0) - col("n_violating") * lit(1.0) / col("n_lhs"), 6)
+              .as("confidence"),
+            (col("n_violating") === 0).as("holds"))
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      audit(o, "o_orderkey->o_orderstatus", "o_orderkey", "o_orderstatus")
+        .unionByName(audit(o, "o_custkey->o_orderpriority", "o_custkey",
+          "o_orderpriority"))
+        .unionByName(audit(l, "l_orderkey->l_returnflag", "l_orderkey",
+          "l_returnflag"))
+        .unionByName(audit(l, "l_partkey->l_suppkey", "l_partkey", "l_suppkey"))
+        .orderBy(col("fd"))
     }),
 
     // EWMA trend monitor: daily counts per event type smoothed by the
@@ -10886,6 +11002,167 @@ object SparkEntry {
         |  round(s.p12 / 1e12, 4) AS p_t_beats_c,
         |  (s.p12 / 1e12 > 0.95 OR s.p12 / 1e12 < 0.05) AS decisive_95
         |FROM pr p CROSS JOIN s""".stripMargin,
+
+    // per-user sums DECIMAL-exact; group moments DECIMAL(38,4)/BIGINT;
+    // each group ratio gridded to 1e-9 before the variance polynomial so
+    // both engines fold identical doubles.
+    "events_ab_ratio_delta" ->
+      """WITH e AS (SELECT user_id, value FROM events WHERE value IS NOT NULL),
+        |pu AS (SELECT user_id AS u,
+        |        CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS g,
+        |        coalesce(sum(CAST(value AS DECIMAL(18,2))), 0) AS x,
+        |        count(*) AS y
+        |       FROM e GROUP BY 1, 2),
+        |bg AS (SELECT g, count(*) AS n, sum(CAST(x AS DECIMAL(38,4))) AS sx, sum(y) AS sy,
+        |        sum(CAST(x * x AS DECIMAL(38,4))) AS sxx, sum(y * y) AS syy,
+        |        sum(CAST(x * y AS DECIMAL(38,4))) AS sxy
+        |       FROM pu GROUP BY 1),
+        |d AS (SELECT g, n,
+        |        round(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE), 9) AS r9,
+        |        CAST(sy AS DOUBLE) / n AS ybar,
+        |        (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS vx,
+        |        (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1) AS vy,
+        |        (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1) AS cxy
+        |      FROM bg),
+        |v AS (SELECT g, n, r9, (vx - 2 * r9 * cxy + r9 * r9 * vy) / (n * ybar * ybar) AS vr FROM d),
+        |a AS (SELECT g AS group_a, n AS n_a, r9 AS ra, vr AS va FROM v ORDER BY g LIMIT 1),
+        |b AS (SELECT g AS group_b, n AS n_b, r9 AS rb, vr AS vb FROM v ORDER BY g DESC LIMIT 1)
+        |SELECT group_a, group_b, n_a, n_b,
+        |  round(ra, 6) AS ratio_a, round(rb, 6) AS ratio_b,
+        |  round(rb - ra, 6) AS diff,
+        |  round(sqrt(va + vb), 6) AS se,
+        |  round((rb - ra) / sqrt(va + vb), 4) AS z_stat,
+        |  abs((rb - ra) / sqrt(va + vb)) > 1.96 AS significant
+        |FROM a CROSS JOIN b""".stripMargin,
+
+    // leave-one-out ratios on a 1e9 grid, squared deviations on 1e12 —
+    // the jackknife fold is integer-exact on both engines.
+    "events_jackknife_ratio" ->
+      s"""WITH e AS (SELECT user_id, value FROM events WHERE value IS NOT NULL),
+        |pu AS (SELECT user_id AS u, coalesce(sum(CAST(value AS DECIMAL(18,2))), 0) AS x, count(*) AS y
+        |       FROM e GROUP BY 1),
+        |hk AS (SELECT u, x, y, md5(CAST(u AS VARCHAR)) AS mh FROM pu),
+        |bk AS (SELECT x, y, (${hexToBigintSql("mh", 1)}) % 16 AS b FROM hk),
+        |bb AS (SELECT b, sum(CAST(x AS DECIMAL(38,4))) AS sxb, sum(y) AS syb FROM bk GROUP BY 1),
+        |tot AS (SELECT sum(sxb) AS tsx, sum(syb) AS tsy, count(*) AS nb FROM bb),
+        |nu AS (SELECT count(*) AS n_users FROM pu),
+        |loo AS (SELECT t.nb, t.tsx, t.tsy,
+        |         CAST(round(round(CAST(t.tsx - sxb AS DOUBLE) / CAST(t.tsy - syb AS DOUBLE), 9) * 1e9) AS BIGINT) AS ri
+        |        FROM bb CROSS JOIN tot t),
+        |m AS (SELECT nb, tsx, tsy, sum(ri) AS sri FROM loo GROUP BY 1, 2, 3),
+        |ss AS (SELECT l.nb, l.tsx, l.tsy,
+        |         sum(CAST(round((l.ri / 1e9 - mm.sri / (l.nb * 1e9)) * (l.ri / 1e9 - mm.sri / (l.nb * 1e9)) * 1e12) AS BIGINT)) AS sq
+        |       FROM loo l CROSS JOIN (SELECT sri FROM m) mm GROUP BY 1, 2, 3)
+        |SELECT
+        |  round(CAST(tsx AS DOUBLE) / CAST(tsy AS DOUBLE), 6) AS ratio,
+        |  round(sqrt((nb - 1) * 1.0 / nb * (sq / 1e12)), 6) AS jk_se,
+        |  round(round(CAST(tsx AS DOUBLE) / CAST(tsy AS DOUBLE), 9) - 1.96 * sqrt((nb - 1) * 1.0 / nb * (sq / 1e12)), 6) AS ci_low,
+        |  round(round(CAST(tsx AS DOUBLE) / CAST(tsy AS DOUBLE), 9) + 1.96 * sqrt((nb - 1) * 1.0 / nb * (sq / 1e12)), 6) AS ci_high,
+        |  nb AS n_buckets, (SELECT n_users FROM nu) AS n_users
+        |FROM ss""".stripMargin,
+
+    // 64 md5-parity relabelings of the per-user table; each permutation
+    // diff gridded to 1e9 integers before the >= comparison.
+    "events_permutation_test" ->
+      s"""WITH e AS (SELECT user_id, value FROM events WHERE value IS NOT NULL),
+        |pu AS (SELECT user_id AS u,
+        |        CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS g,
+        |        coalesce(sum(CAST(value AS DECIMAL(18,2))), 0) AS x
+        |       FROM e GROUP BY 1, 2),
+        |og AS (SELECT g, count(*) AS n, sum(CAST(x AS DECIMAL(38,4))) AS sx FROM pu GROUP BY 1),
+        |oa AS (SELECT g AS group_a, n AS n_a, sx AS sxa FROM og ORDER BY g LIMIT 1),
+        |ob AS (SELECT g AS group_b, n AS n_b, sx AS sxb FROM og ORDER BY g DESC LIMIT 1),
+        |obs AS (SELECT group_a, group_b,
+        |         CAST(round(round(CAST(sxb AS DOUBLE) / n_b - CAST(sxa AS DOUBLE) / n_a, 9) * 1e9) AS BIGINT) AS di
+        |        FROM oa CROSS JOIN ob),
+        |grid AS (SELECT unnest(generate_series(0, 63)) AS p),
+        |lb AS (SELECT p, x, md5(CAST(u AS VARCHAR) || ':' || CAST(p AS VARCHAR)) AS mh FROM pu CROSS JOIN grid),
+        |pl AS (SELECT p, x, (${hexToBigintSql("mh", 1)}) % 2 AS lbl FROM lb),
+        |pg AS (SELECT p,
+        |        sum(CASE WHEN lbl = 1 THEN CAST(x AS DECIMAL(38,4)) END) AS s1,
+        |        sum(CASE WHEN lbl = 0 THEN CAST(x AS DECIMAL(38,4)) END) AS s0,
+        |        sum(CASE WHEN lbl = 1 THEN 1 ELSE 0 END) AS n1,
+        |        sum(CASE WHEN lbl = 0 THEN 1 ELSE 0 END) AS n0
+        |       FROM pl GROUP BY 1),
+        |pd AS (SELECT abs(CAST(round(round(CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0, 9) * 1e9) AS BIGINT)) AS adi
+        |       FROM pg WHERE n1 > 0 AND n0 > 0),
+        |ext AS (SELECT count(*) AS n_perms,
+        |         CAST(sum(CASE WHEN adi >= abs((SELECT di FROM obs)) THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+        |        FROM pd)
+        |SELECT group_a, group_b,
+        |  round(di / 1e9, 6) AS diff_obs,
+        |  n_perms, n_extreme,
+        |  round((1 + n_extreme) * 1.0 / (n_perms + 1), 6) AS p_value
+        |FROM obs CROSS JOIN ext""".stripMargin,
+
+    // Chapman estimator on the epoch-midpoint window split; presence
+    // flags and counts are exact integers, the estimate one double expr.
+    "events_capture_recapture" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+        |c AS (SELECT (min(ep) + max(ep)) // 2 AS cut FROM e),
+        |pu AS (SELECT user_id,
+        |        max(CASE WHEN ep < (SELECT cut FROM c) THEN 1 ELSE 0 END) AS in1,
+        |        max(CASE WHEN ep >= (SELECT cut FROM c) THEN 1 ELSE 0 END) AS in2
+        |       FROM e GROUP BY 1),
+        |t AS (SELECT CAST(sum(in1) AS BIGINT) AS n_first, CAST(sum(in2) AS BIGINT) AS n_second,
+        |       CAST(sum(CASE WHEN in1 = 1 AND in2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |       count(*) AS n_true
+        |      FROM pu)
+        |SELECT n_first, n_second, n_both, n_true,
+        |  round((n_first + 1.0) * (n_second + 1) / (n_both + 1) - 1, 4) AS n_hat,
+        |  round(sqrt((n_first + 1.0) * (n_second + 1) * (n_first - n_both) * (n_second - n_both) / ((n_both + 1.0) * (n_both + 1) * (n_both + 2))), 4) AS se
+        |FROM t""".stripMargin,
+
+    // the sessionize replay + a row_number horizon cap; every discounted
+    // term is v6·9^k·10^(15−k) in DECIMAL(38,0) — an exact integer fold.
+    "events_discounted_returns" ->
+      """WITH g AS (SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, event_id, value,
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM g),
+        |k AS (SELECT user_id, session_seq, value,
+        |  row_number() OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id) - 1 AS k
+        |  FROM s),
+        |tt AS (SELECT user_id, session_seq, CAST(round(value * 1e6) AS BIGINT) AS v6, k
+        |  FROM k WHERE k < 16)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  round(CAST(sum(CAST(v6 AS DECIMAL(38,0)) * CAST(CAST(power(9, k) AS BIGINT) AS DECIMAL(38,0)) * CAST(CAST(power(10, 15 - k) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 1e21, 6) AS g_return
+        |FROM tt GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
+
+    // exact count-distinct per LHS key, then a 1-row rollup per candidate.
+    "dq_fd_discovery" ->
+      """WITH a1 AS (SELECT 'o_orderkey->o_orderstatus' AS fd, count(*) AS n_lhs,
+        |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+        |      FROM (SELECT o_orderkey, count(DISTINCT o_orderstatus) AS nd FROM orders GROUP BY 1)),
+        |a2 AS (SELECT 'o_custkey->o_orderpriority' AS fd, count(*) AS n_lhs,
+        |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+        |      FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd FROM orders GROUP BY 1)),
+        |a3 AS (SELECT 'l_orderkey->l_returnflag' AS fd, count(*) AS n_lhs,
+        |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+        |      FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS nd FROM lineitem GROUP BY 1)),
+        |a4 AS (SELECT 'l_partkey->l_suppkey' AS fd, count(*) AS n_lhs,
+        |       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+        |      FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS nd FROM lineitem GROUP BY 1)),
+        |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4)
+        |SELECT fd, n_lhs, n_violating,
+        |  round(1.0 - n_violating * 1.0 / n_lhs, 6) AS confidence,
+        |  n_violating = 0 AS holds
+        |FROM u ORDER BY fd""".stripMargin,
+
+    // bucket means on a 1e9 grid; the interpolated median of 16 integers
+    // is exact in doubles on both engines (quantile_cont == percentile).
+    "quality_median_of_means" ->
+      s"""WITH b AS (SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS mh FROM documents),
+        |bk AS (SELECT n_chars, (${hexToBigintSql("mh", 1)}) % 16 AS b FROM b),
+        |bb AS (SELECT b, count(*) AS nb, sum(n_chars) AS sb FROM bk GROUP BY 1),
+        |mi AS (SELECT CAST(round(round(CAST(sb AS DOUBLE) / nb, 9) * 1e9) AS BIGINT) AS mi FROM bb),
+        |tot AS (SELECT count(*) AS n_docs, sum(n_chars) AS st FROM documents)
+        |SELECT (SELECT n_docs FROM tot) AS n_docs,
+        |  (SELECT count(*) FROM mi) AS n_buckets,
+        |  round(CAST((SELECT st FROM tot) AS DOUBLE) / (SELECT n_docs FROM tot), 6) AS mean_chars,
+        |  round((SELECT quantile_cont(mi, 0.5) FROM mi) / 1e9, 6) AS mom_chars""".stripMargin,
 
     // 8 explicit PRECEDING-day lag terms with dyadic weights — exact
     // doubles, so the pre-round trend values are bit-identical; day 1 of

@@ -62,6 +62,54 @@ object EventsOps {
         round(sum(col("value")), 4).as("session_value"))
   }
 
+  /** Truncated discounted return per session — the RL-style data-prep
+    * reduction (the reward-to-go G = Σ_k γᵏ·v_k an offline-RL / RLHF
+    * pipeline attaches to each trajectory before training). Sessions are
+    * [[sessionize]]'s gap-split trajectories; the horizon truncates at 16
+    * steps (the standard fixed-horizon form) which ALSO makes the
+    * arithmetic exact: γ = 9/10 as exact integers, each term
+    * v6·9ᵏ·10^(H−1−k) in DECIMAL(38,0) (≤ ~1e24 at a 1e6 value grid), so
+    * the discounted sum is an exact integer fold on both engines, divided
+    * once at the end.
+    *
+    * Scale shape: one shuffle on user_id for the session windows (bounded
+    * per-user rows), then a keyed hash aggregation — no corpus window, no
+    * collect; the horizon cap bounds the per-row decimal arithmetic.
+    *
+    * Output: (user_id, session_seq, n_events, g_return), n_events counting
+    * the ≤ horizon events the return includes. */
+  def discountedSessionReturns(events: DataFrame, gapSeconds: Long = 1800L,
+                               horizon: Int = 16): DataFrame = {
+    require(horizon >= 1 && horizon <= 16,
+      s"horizon in [1,16] keeps 9^k*10^(H-1-k) terms exact, got $horizon")
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val bySession = Window.partitionBy(col("user_id"), col("session_seq"))
+      .orderBy(col("ts"), col("event_id"))
+    val withK = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSeconds, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("k", row_number().over(bySession) - 1)
+      .where(col("k") < horizon)
+    withK
+      .withColumn("v6", round(col("value") * 1e6).cast("long"))
+      .withColumn("term",
+        col("v6").cast(dec0) *
+          pow(lit(9.0), col("k")).cast("long").cast(dec0) *
+          pow(lit(10.0), lit(horizon - 1) - col("k")).cast("long").cast(dec0))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"), sum(col("term")).as("t"))
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        round(col("t").cast("double") /
+          lit(1e6 * math.pow(10.0, horizon - 1)), 6).as("g_return"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
   /** H2: the reference's "newest question first, top answer only" history
     * render (`app/app.py:309-334`, reverse at `:309`, `j==0` at `:324`) as a
     * window op: latest row per group. */

@@ -628,4 +628,207 @@ object StatsOps {
       .withColumn("reject", col("rank") <= col("__cut"))
       .drop("__cut", "__m")
   }
+
+  /** Delta-method z-test for a RATIO metric when the randomization unit
+    * (user) differs from the analysis unit (event) — Deng, Knoblich & Lu
+    * 2018, "Applying the Delta Method in Metric Analytics". Events cluster
+    * within users, so treating per-event values as iid understates the
+    * variance; the correct estimator works from per-USER numerator /
+    * denominator sums (Xᵢ, Yᵢ):
+    *
+    *   R_g = ΣX/ΣY,   var(R_g) ≈ (s²_x − 2R·s_xy + R²·s²_y) / (n·ȳ²)
+    *
+    * Determinism contract: per-user X sums are DECIMAL(18,2)-exact and Y
+    * is a count; the group moments (Σx, Σy, Σxy, Σxx, Σyy) aggregate as
+    * DECIMAL(38,4)/LONG (exact under reorder) and convert to double ONCE;
+    * each group's ratio is gridded to 1e-9 before it re-enters the
+    * variance formula, so both engines fold identical doubles.
+    *
+    * Scale shape: one corpus pass to the per-user table (map-side
+    * partials), one unit-keyed moment aggregation, then everything is a
+    * 2-row table. Nothing driver-paced, no window over raw rows.
+    *
+    * `grp` must take exactly two values; they order lexicographically
+    * (group_a < group_b) so the sign of `diff`/`z_stat` is deterministic.
+    * Output (one row): groups, unit counts, per-group ratio, diff, the
+    * delta-method se, z, and the 95% flag. */
+  def ratioDeltaTest(ev: DataFrame, userCol: String, valueCol: String,
+                     grp: Column): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val dec4 = org.apache.spark.sql.types.DecimalType(38, 4)
+    val e = ev.where(col(valueCol).isNotNull)
+    val perUser = e.groupBy(col(userCol).as("u"))
+      .agg(first(grp).as("g"),
+        coalesce(sum(col(valueCol).cast(dec)), lit(0).cast(dec)).as("x"),
+        count(lit(1)).as("y"))
+    val byG = perUser.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec4)).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast(dec4)).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum((col("x") * col("y")).cast(dec4)).as("sxy"))
+    // moments -> doubles once; ratio gridded to 1e-9 before reuse so the
+    // variance polynomial folds identical doubles on both engines
+    val d = byG.select(col("g"), col("n"), col("sy"),
+      round(col("sx").cast("double") / col("sy").cast("double"), 9).as("r9"),
+      (col("sy").cast("double") / col("n")).as("ybar"),
+      ((col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+        (col("n") - 1)).as("vx"),
+      ((col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double") / col("n")) /
+        (col("n") - 1)).as("vy"),
+      ((col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double") / col("n")) /
+        (col("n") - 1)).as("cxy"))
+    val v = d.select(col("g"), col("n"), col("r9"),
+      ((col("vx") - lit(2) * col("r9") * col("cxy") +
+        col("r9") * col("r9") * col("vy")) /
+        (col("n") * col("ybar") * col("ybar"))).as("vr"))
+    val a = v.orderBy(col("g")).limit(1).select(col("g").as("group_a"),
+      col("n").as("n_a"), col("r9").as("ra"), col("vr").as("va"))
+    val b = v.orderBy(col("g").desc).limit(1).select(col("g").as("group_b"),
+      col("n").as("n_b"), col("r9").as("rb"), col("vr").as("vb"))
+    a.crossJoin(b).select(
+      col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+      round(col("ra"), 6).as("ratio_a"), round(col("rb"), 6).as("ratio_b"),
+      round(col("rb") - col("ra"), 6).as("diff"),
+      round(sqrt(col("va") + col("vb")), 6).as("se"),
+      round((col("rb") - col("ra")) / sqrt(col("va") + col("vb")), 4)
+        .as("z_stat"),
+      (abs((col("rb") - col("ra")) / sqrt(col("va") + col("vb"))) > 1.96)
+        .as("significant"))
+  }
+
+  /** Delete-one-GROUP (bucketed) jackknife for a ratio metric — the
+    * variance estimator large platforms actually run at scale (per-unit
+    * jackknife is O(n) re-estimates; bucketed jackknife is O(B)). Units
+    * hash into B buckets by md5; each leave-one-bucket-out ratio
+    * R₍b₎ = (ΣX − Σx_b)/(ΣY − Σy_b), and
+    *
+    *   var_jk = (B−1)/B · Σ_b (R₍b₎ − R̄)²
+    *
+    * Determinism contract: per-user and per-bucket sums are DECIMAL/LONG
+    * exact; each R₍b₎ lands on a 1e9 integer grid, the squared deviations
+    * on a 1e12 grid, so the fold is integer-exact on both engines.
+    *
+    * Scale shape: corpus pass → per-user table → B-row bucket table; the
+    * 1-row totals broadcast back; every later step is B-sized.
+    *
+    * Output (one row): the full-sample ratio, the jackknife se, the 95%
+    * normal CI, bucket and unit counts. */
+  def jackknifeRatio(ev: DataFrame, userCol: String, valueCol: String,
+                     buckets: Int = 16): DataFrame = {
+    require(buckets >= 2, s"need >= 2 jackknife buckets, got $buckets")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val dec4 = org.apache.spark.sql.types.DecimalType(38, 4)
+    val e = ev.where(col(valueCol).isNotNull)
+    val perUser = e.groupBy(col(userCol).as("u"))
+      .agg(coalesce(sum(col(valueCol).cast(dec)), lit(0).cast(dec)).as("x"),
+        count(lit(1)).as("y"))
+    val bucketed = perUser.withColumn("b",
+      pmod(conv(substring(md5(col("u").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(buckets)))
+    val byB = bucketed.groupBy(col("b"))
+      .agg(sum(col("x").cast(dec4)).as("sxb"), sum(col("y")).as("syb"))
+    val tot = byB.agg(sum(col("sxb")).as("tsx"), sum(col("syb")).as("tsy"),
+      count(lit(1)).as("nb"))
+    val users = perUser.agg(count(lit(1)).as("n_users"))
+    val loo = byB.crossJoin(broadcast(tot))
+      .select(col("nb"), col("tsx"), col("tsy"),
+        round(round((col("tsx") - col("sxb")).cast("double") /
+          (col("tsy") - col("syb")).cast("double"), 9) * 1e9)
+          .cast("long").as("ri"))
+    val m = loo.groupBy(col("nb"), col("tsx"), col("tsy"))
+      .agg(sum(col("ri")).as("sri"))
+    val ss = loo.crossJoin(broadcast(m.select(col("sri"))))
+      .select(col("nb"), col("tsx"), col("tsy"),
+        (col("ri") / 1e9 - col("sri") / (col("nb") * lit(1e9))).as("dv"))
+      .groupBy(col("nb"), col("tsx"), col("tsy"))
+      .agg(sum(round(col("dv") * col("dv") * 1e12).cast("long")).as("sq"))
+    ss.crossJoin(broadcast(users)).select(
+      round(col("tsx").cast("double") / col("tsy").cast("double"), 6)
+        .as("ratio"),
+      round(sqrt((col("nb") - 1) * lit(1.0) / col("nb") *
+        (col("sq") / 1e12)), 6).as("jk_se"),
+      round(round(col("tsx").cast("double") / col("tsy").cast("double"), 9) -
+        lit(1.96) * sqrt((col("nb") - 1) * lit(1.0) / col("nb") *
+          (col("sq") / 1e12)), 6).as("ci_low"),
+      round(round(col("tsx").cast("double") / col("tsy").cast("double"), 9) +
+        lit(1.96) * sqrt((col("nb") - 1) * lit(1.0) / col("nb") *
+          (col("sq") / 1e12)), 6).as("ci_high"),
+      col("nb").as("n_buckets"), col("n_users"))
+  }
+
+  /** Fisher-style permutation (randomization) test on a per-unit metric:
+    * re-assign every unit to a variant under B deterministic md5-derived
+    * relabelings, recompute the mean difference under each, and report
+    *
+    *   p = (1 + #{|diff_perm| ≥ |diff_obs|}) / (B + 1)
+    *
+    * — the exact finite-sample test that needs NO normality or variance
+    * assumptions, the standard cross-check when a t-test's assumptions
+    * are in doubt. Relabelings are md5(unit ':' permId) parity, so both
+    * engines draw the identical permutation set.
+    *
+    * Determinism contract: per-unit sums DECIMAL-exact; each permutation's
+    * mean difference grids to 1e9 integers before the ≥ comparison, so
+    * the extreme-count is an integer comparison on both engines.
+    * Permutations that leave a side empty are dropped from the count
+    * (practically impossible beyond toy unit counts).
+    *
+    * Scale shape: ONE corpus pass to the per-unit table; the B-fold blowup
+    * rides the unit table (already corpus-reduced), labels are pure
+    * hashes (no extra shuffle to assign), and the per-permutation
+    * aggregation is a single hash-agg keyed by permId — embarrassingly
+    * parallel, nothing driver-paced grows with B or units.
+    *
+    * Output (one row): groups, observed diff (b − a), B, extreme count,
+    * p-value. */
+  def permutationTest(ev: DataFrame, userCol: String, valueCol: String,
+                      grp: Column, permutations: Int = 64): DataFrame = {
+    require(permutations >= 1, s"need >= 1 permutations, got $permutations")
+    val spark = ev.sparkSession
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val dec4 = org.apache.spark.sql.types.DecimalType(38, 4)
+    val e = ev.where(col(valueCol).isNotNull)
+    val perUser = e.groupBy(col(userCol).as("u"))
+      .agg(first(grp).as("g"),
+        coalesce(sum(col(valueCol).cast(dec)), lit(0).cast(dec)).as("x"))
+    val og = perUser.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(dec4)).as("sx"))
+    val oa = og.orderBy(col("g")).limit(1)
+      .select(col("g").as("group_a"), col("n").as("n_a"), col("sx").as("sxa"))
+    val ob = og.orderBy(col("g").desc).limit(1)
+      .select(col("g").as("group_b"), col("n").as("n_b"), col("sx").as("sxb"))
+    val obs = oa.crossJoin(ob).select(col("group_a"), col("group_b"),
+      round(round(col("sxb").cast("double") / col("n_b") -
+        col("sxa").cast("double") / col("n_a"), 9) * 1e9)
+        .cast("long").as("di"))
+    val grid = spark.range(0, permutations.toLong).toDF("p")
+    val labeled = perUser.crossJoin(broadcast(grid))
+      .select(col("p"), col("x"),
+        pmod(conv(substring(md5(concat(col("u").cast("string"), lit(":"),
+          col("p").cast("string"))), 1, 8), 16, 10).cast("long"), lit(2))
+          .as("lbl"))
+    val perPerm = labeled.groupBy(col("p"))
+      .agg(sum(when(col("lbl") === 1, col("x").cast(dec4))).as("s1"),
+        sum(when(col("lbl") === 0, col("x").cast(dec4))).as("s0"),
+        sum(when(col("lbl") === 1, 1).otherwise(0)).as("n1"),
+        sum(when(col("lbl") === 0, 1).otherwise(0)).as("n0"))
+      .where(col("n1") > 0 && col("n0") > 0)
+      .select(abs(round(round(col("s1").cast("double") / col("n1") -
+        col("s0").cast("double") / col("n0"), 9) * 1e9).cast("long"))
+        .as("adi"))
+    val ext = perPerm.crossJoin(broadcast(obs.select(col("di"))))
+      .agg(count(lit(1)).as("n_perms"),
+        sum(when(col("adi") >= abs(col("di")), 1).otherwise(0))
+          .cast("long").as("n_extreme"))
+    obs.crossJoin(broadcast(ext)).select(
+      col("group_a"), col("group_b"),
+      round(col("di") / 1e9, 6).as("diff_obs"),
+      col("n_perms"), col("n_extreme"),
+      round((lit(1) + col("n_extreme")) * lit(1.0) / (col("n_perms") + 1), 6)
+        .as("p_value"))
+  }
 }

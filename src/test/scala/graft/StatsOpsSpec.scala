@@ -307,4 +307,79 @@ class StatsOpsSpec extends AnyFunSuite {
     val cov = rows.map(_._3).sum.toDouble / rows.map(_._2).sum
     assert(cov >= 0.8, s"aggregate coverage $cov")
   }
+
+  test("ratioDeltaTest: hand-computed group ratios; planted per-event lift " +
+      "detected; symmetric AA fixture has zero diff") {
+    // 20 users x 2 events; control value exactly 2.0, treatment
+    // 3.0 + small per-user heterogeneity (so var(R) > 0)
+    val rows = (0L until 20L).flatMap { u =>
+      val v = if (u % 2 == 0) 2.0 else 3.0 + (u % 5) * 0.1
+      Seq((u, v), (u, v))
+    }.toDF("user_id", "value")
+    val r = StatsOps.ratioDeltaTest(rows, "user_id", "value",
+      when($"user_id" % 2 === 0, "control").otherwise("treatment")).head()
+    assert(r.getAs[String]("group_a") === "control")
+    assert(r.getAs[Long]("n_a") === 10L && r.getAs[Long]("n_b") === 10L)
+    assert(r.getAs[Double]("ratio_a") === 2.0)
+    // treatment per-event mean: avg over u in {1,3,..,19} of 3.0+(u%5)*0.1
+    // = 3.0 + 0.1*(1+3+0+2+4+1+3+0+2+4)/10 = 3.2
+    assert(r.getAs[Double]("ratio_b") === 3.2)
+    assert(r.getAs[Double]("diff") === 1.2)
+    assert(r.getAs[Double]("se") > 0.0)
+    assert(r.getAs[Boolean]("significant"), s"z=${r.getAs[Double]("z_stat")}")
+
+    // AA: identical value pattern in both groups -> diff exactly 0
+    val aa = (0L until 20L).flatMap { u =>
+      val v = 2.0 + (u / 2 % 5) * 0.1 // same sequence for even/odd pairs
+      Seq((u, v), (u, v))
+    }.toDF("user_id", "value")
+    val r2 = StatsOps.ratioDeltaTest(aa, "user_id", "value",
+      when($"user_id" % 2 === 0, "control").otherwise("treatment")).head()
+    assert(r2.getAs[Double]("diff") === 0.0)
+    assert(!r2.getAs[Boolean]("significant"))
+  }
+
+  test("jackknifeRatio: constant metric has zero jackknife se; heterogeneous " +
+      "metric has positive se around the exact full-sample ratio") {
+    val const = (0L until 48L).map(u => (u, 5.0)).toDF("user_id", "value")
+    val rc = StatsOps.jackknifeRatio(const, "user_id", "value").head()
+    assert(rc.getAs[Double]("ratio") === 5.0)
+    assert(rc.getAs[Double]("jk_se") === 0.0)
+    assert(rc.getAs[Double]("ci_low") === 5.0 && rc.getAs[Double]("ci_high") === 5.0)
+    assert(rc.getAs[Long]("n_users") === 48L)
+    assert(rc.getAs[Long]("n_buckets") <= 16L)
+
+    // 48 users, value u%7, 1-3 events each: ratio = sum(x)/sum(y) exactly
+    val het = (0L until 48L).flatMap { u =>
+      (0L to u % 3).map(_ => (u, (u % 7).toDouble))
+    }.toDF("user_id", "value")
+    val sx = (0L until 48L).map(u => (u % 7).toDouble * (u % 3 + 1)).sum
+    val sy = (0L until 48L).map(u => u % 3 + 1).sum
+    val rh = StatsOps.jackknifeRatio(het, "user_id", "value").head()
+    assert(math.abs(rh.getAs[Double]("ratio") - sx / sy) < 1e-6)
+    assert(rh.getAs[Double]("jk_se") > 0.0)
+    assert(rh.getAs[Double]("ci_low") < rh.getAs[Double]("ci_high"))
+  }
+
+  test("permutationTest: an extreme planted lift attains the minimum " +
+      "attainable p = 1/(B+1); an all-identical AA fixture attains p = 1") {
+    val lift = (0L until 40L).map { u =>
+      (u, if (u % 2 == 0) 1.0 else 100.0)
+    }.toDF("user_id", "value")
+    val g = when($"user_id" % 2 === 0, "control").otherwise("treatment")
+    val r = StatsOps.permutationTest(lift, "user_id", "value", g).head()
+    assert(r.getAs[String]("group_a") === "control")
+    assert(r.getAs[Double]("diff_obs") === 99.0)
+    assert(r.getAs[Long]("n_perms") === 64L)
+    // no md5 relabeling reproduces the pure split, so nothing is as extreme
+    assert(r.getAs[Long]("n_extreme") === 0L)
+    assert(math.abs(r.getAs[Double]("p_value") - 1.0 / 65) < 1e-6)
+
+    // all-identical values: every permutation diff is 0 = |observed| -> p = 1
+    val aa = (0L until 40L).map(u => (u, 3.0)).toDF("user_id", "value")
+    val r2 = StatsOps.permutationTest(aa, "user_id", "value", g).head()
+    assert(r2.getAs[Double]("diff_obs") === 0.0)
+    assert(r2.getAs[Long]("n_extreme") === 64L)
+    assert(r2.getAs[Double]("p_value") === 1.0)
+  }
 }
