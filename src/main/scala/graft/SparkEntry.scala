@@ -3930,6 +3930,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-document chrF (see [[operators.TextEval.chrfPerDoc]]): character
+    // n-gram F_2 over the whitespace-stripped first-64-token strings
+    // (128-char cap bounds the row-local O(G²) clipping), same
+    // drop-every-7th degraded candidate as BLEU/ROUGE — the
+    // tokenization-free third leg of the eval family.
+    "eval_chrf" -> ((s, d) => {
+      val toks = slice(TextFunctions.wsTokens(lower(col("text"))), 1, 64)
+      val base = t(s, d, "documents").select(col("doc_id"), toks.as("rt"))
+        .withColumn("ct", filter(col("rt"), (_, i) => (i + 1) % 7 =!= 0))
+        .select(col("doc_id"),
+          substring(array_join(col("rt"), ""), 1, 128).as("ref"),
+          substring(array_join(col("ct"), ""), 1, 128).as("cand"))
+      TextEval.chrfPerDoc(base, col("ref"), col("cand"), col("doc_id"))
+        .select(col("id").as("doc_id"), col("ref_nchars"), col("cand_nchars"),
+          col("chr_p"), col("chr_r"), col("chrf2"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Word + character error rate (see [[operators.TextEval.werCer]]):
     // token-level WER via the row-local ASCII-encode trick (per-pair union
     // vocabulary -> chr(33+i) -> built-in levenshtein IS the token edit
@@ -7508,6 +7526,41 @@ object SparkEntry {
       s"\nSELECT doc_id, CAST(ref_len AS INT) AS ref_len, CAST(cand_len AS INT) AS cand_len,\n  $cols\nFROM ct ORDER BY doc_id"
   }
 
+  /** eval_chrf oracle: char n-gram clipped counts per order 1..6 off the
+    * whitespace-stripped capped strings; fixed-order averages, F_2 —
+    * mirrors [[operators.TextEval.chrfPerDoc]]'s expression trees exactly. */
+  private val chrfOracleSql: String = {
+    def grams(s: String, n: Int): String =
+      if (n == 1) s"list_transform(generate_series(1, length($s)), i -> substr($s, i, 1))"
+      else s"CASE WHEN length($s) >= $n THEN list_transform(generate_series(1, length($s)-${n - 1}), i -> substr($s, i, $n)) ELSE [] END"
+    val gramCols = (1 to 6).flatMap(n => Seq(
+      s"${grams("ref", n)} AS rg$n", s"${grams("cand", n)} AS cg$n")).mkString(",\n  ")
+    val countCols = (1 to 6).flatMap(n => Seq(
+      s"coalesce(list_sum(list_transform(list_distinct(cg$n), g -> least(len(list_filter(cg$n, x -> x = g)), len(list_filter(rg$n, x -> x = g))))), 0) AS m$n",
+      s"greatest(cl - ${n - 1}, 0) AS ct$n",
+      s"greatest(rl - ${n - 1}, 0) AS rt$n")).mkString(",\n  ")
+    val pTerms = (1 to 6).map(n =>
+      s"CASE WHEN ct$n > 0 THEN CAST(m$n AS DOUBLE) / ct$n ELSE 0.0 END").mkString(" + ")
+    val rTerms = (1 to 6).map(n =>
+      s"CASE WHEN rt$n > 0 THEN CAST(m$n AS DOUBLE) / rt$n ELSE 0.0 END").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)[1:64] AS rt FROM documents),
+       |c AS (SELECT doc_id,
+       |  substr(array_to_string(rt, ''), 1, 128) AS ref,
+       |  substr(array_to_string(list_filter(rt, (x, i) -> i % 7 <> 0), ''), 1, 128) AS cand
+       |  FROM w),
+       |g AS (SELECT doc_id, length(ref) AS rl, length(cand) AS cl,
+       |  $gramCols
+       |  FROM c),
+       |m AS (SELECT doc_id, rl, cl,
+       |  $countCols
+       |  FROM g),
+       |p AS (SELECT doc_id, rl, cl, ($pTerms) / 6 AS chp, ($rTerms) / 6 AS chq FROM m)
+       |SELECT doc_id, CAST(rl AS INT) AS ref_nchars, CAST(cl AS INT) AS cand_nchars,
+       |  round(chp, 4) AS chr_p, round(chq, 4) AS chr_r,
+       |  CASE WHEN 4.0 * chp + chq > 0 THEN round(5.0 * chp * chq / (4.0 * chp + chq), 4) ELSE 0.0 END AS chrf2
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   private val bleuCorpusOracleSql: String = {
     val sums = (1 to 4).flatMap(n => Seq(
       s"CAST(sum(clipped_$n) AS BIGINT) AS clipped_$n",
@@ -7770,6 +7823,7 @@ object SparkEntry {
     "eval_bleu" -> bleuOracleSql,
     "eval_bleu_corpus" -> bleuCorpusOracleSql,
     "eval_rouge" -> rougeOracleSql,
+    "eval_chrf" -> chrfOracleSql,
     "vocab_coverage_curve" ->
       """WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok FROM documents),
         |vc AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),

@@ -93,6 +93,52 @@ object TextEval {
       .drop(ns.flatMap(n => Seq(s"__m$n", s"__rt$n", s"__ct$n")): _*)
   }
 
+  /** Per-document chrF (Popović 2015, "chrF: character n-gram F-score for
+    * automatic MT evaluation"): character n-gram precision/recall averaged
+    * over n = 1..`maxN` (default 6), combined as F_β with β = 2 (recall
+    * weighted 4×) — the tokenization-free eval metric that correlates
+    * better than BLEU on morphology-rich text. Inputs are STRINGS (the
+    * caller strips whitespace and caps length — chrF's standard
+    * space-removed form); n-grams are row-local substrings, the clipped
+    * matching is the same O(G²) in-projection machinery as BLEU — zero
+    * shuffles, cost bounded by the caller's length cap.
+    *
+    * Orders with an empty denominator contribute precision/recall 0 (a
+    * fixed-order average — deterministic, no effective-order dance).
+    * Output: (id, ref_nchars, cand_nchars, chr_p, chr_r, chrf2), floats
+    * round-4. */
+  def chrfPerDoc(pairs: DataFrame, refStr: Column, candStr: Column,
+                 idCol: Column, maxN: Int = 6): DataFrame = {
+    require(maxN >= 1 && maxN <= 6, s"maxN in [1,6], got $maxN")
+    def grams(s: Column, n: Int): Column =
+      when(length(s) >= n,
+        transform(sequence(lit(1), length(s) - (n - 1)), i => s.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    val base = pairs.select(idCol.as("id"), refStr.as("__r"), candStr.as("__c"))
+    val withN = (1 to maxN).foldLeft(base) { case (df, n) =>
+      df.withColumn(s"__m$n", clippedMatches(grams(col("__c"), n),
+          grams(col("__r"), n)))
+        .withColumn(s"__ct$n", greatest(length(col("__c")) - (n - 1), lit(0)))
+        .withColumn(s"__rt$n", greatest(length(col("__r")) - (n - 1), lit(0)))
+    }
+    val pSum = (1 to maxN).map(n =>
+      when(col(s"__ct$n") > 0, col(s"__m$n").cast("double") / col(s"__ct$n"))
+        .otherwise(lit(0.0))).reduceLeft(_ + _)
+    val rSum = (1 to maxN).map(n =>
+      when(col(s"__rt$n") > 0, col(s"__m$n").cast("double") / col(s"__rt$n"))
+        .otherwise(lit(0.0))).reduceLeft(_ + _)
+    withN
+      .withColumn("__p", pSum / lit(maxN))
+      .withColumn("__q", rSum / lit(maxN))
+      .select(col("id"), length(col("__r")).as("ref_nchars"),
+        length(col("__c")).as("cand_nchars"),
+        round(col("__p"), 4).as("chr_p"), round(col("__q"), 4).as("chr_r"),
+        when(lit(4.0) * col("__p") + col("__q") > 0,
+          round(lit(5.0) * col("__p") * col("__q") /
+            (lit(4.0) * col("__p") + col("__q")), 4))
+          .otherwise(lit(0.0)).as("chrf2"))
+  }
+
   /** Corpus BLEU: sum the per-document integer counts (exact,
     * order-independent), then one brevity penalty + geometric mean over the
     * corpus totals — the standard corpus-level definition (NOT the mean of

@@ -130,4 +130,27 @@ class TextEvalSpec extends AnyFunSuite {
       .select($"bp", $"bleu").as[(Double, Double)].head()
     assert(e === ((0.0, 0.0)))
   }
+
+  test("chrfPerDoc: hand-computed F_2 on a tiny pair; identical strings " +
+      "score 1; empty candidate scores 0 without division errors") {
+    val df = Seq((1L, "abab", "ab"), (2L, "abcdefgh", "abcdefgh"),
+      (3L, "abc", "")).toDF("doc_id", "ref", "cand")
+    val out = TextEval.chrfPerDoc(df, col("ref"), col("cand"), col("doc_id"))
+      .orderBy(col("id")).collect()
+    // ref=abab cand=ab: p1=1, p2=1, p3..6=0 -> chrP=1/3
+    // r1=2/4, r2=1/3, r3..6=0 -> chrR=5/36
+    // F2 = 5PR/(4P+R) = (25/108)/(53/36) = 900/5724 = 0.1572...
+    val r1 = out(0)
+    assert(r1.getAs[Int]("ref_nchars") === 4 && r1.getAs[Int]("cand_nchars") === 2)
+    assert(r1.getAs[Double]("chr_p") === 0.3333)
+    assert(r1.getAs[Double]("chr_r") === 0.1389)
+    assert(r1.getAs[Double]("chrf2") === 0.1572)
+    // identical 8-char strings: every order 1..6 has p=r=1 -> F2 = 1
+    val r2 = out(1)
+    assert(r2.getAs[Double]("chr_p") === 1.0 && r2.getAs[Double]("chr_r") === 1.0)
+    assert(r2.getAs[Double]("chrf2") === 1.0)
+    // empty candidate: all precisions/recalls 0, F2 = 0 (guarded denominator)
+    val r3 = out(2)
+    assert(r3.getAs[Double]("chr_p") === 0.0 && r3.getAs[Double]("chrf2") === 0.0)
+  }
 }
