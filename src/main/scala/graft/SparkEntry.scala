@@ -3006,6 +3006,19 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // Streaming twin of events_ab_ratio_delta, gated on the SAME oracle:
+    // the per-unit (Σx, count) sufficient statistics build as
+    // complete-mode streaming aggregation state, then the shared
+    // delta-method finisher computes the identical one-row test — the
+    // ratio-metric experiment monitor as a live stream.
+    "streaming_ab_ratio_delta" -> ((s, d) => {
+      val units = graft.streaming.StreamingOps.ratioUnitStateOnce(s,
+        s"$d/events.parquet",
+        when(col("user_id") % 2 === 0, "control").otherwise("treatment"),
+        "value", queryName = s"graft_ratio_units_$runNonce")
+      StatsOps.ratioDeltaFromUnits(units)
+    }),
+
     "streaming_drift_psi" -> ((s, d) => {
       val ev = events(s, d)
       val ref = ev.where(pmod(col("event_id"), lit(2)) === 0)
@@ -7577,6 +7590,39 @@ object SparkEntry {
   /** Shared by events_volume_anomaly AND its streamed-state twin. */
   /** Shared by events_ewma_trend AND streaming_ewma_trend (batch parity):
     * 8 preceding-day lag terms, dyadic weights, NULL trend on day 1. */
+  /** Shared by events_ab_ratio_delta AND its streamed-unit-state twin
+    * (batch parity): per-user sums DECIMAL-exact, group moments
+    * DECIMAL(38,4)/BIGINT, ratios gridded to 1e-9 before the delta-method
+    * variance polynomial. */
+  private val ratioDeltaOracleSql: String =
+    """WITH e AS (SELECT user_id, value FROM events WHERE value IS NOT NULL),
+      |pu AS (SELECT user_id AS u,
+      |        CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS g,
+      |        coalesce(sum(CAST(value AS DECIMAL(18,2))), 0) AS x,
+      |        count(*) AS y
+      |       FROM e GROUP BY 1, 2),
+      |bg AS (SELECT g, count(*) AS n, sum(CAST(x AS DECIMAL(38,4))) AS sx, sum(y) AS sy,
+      |        sum(CAST(x * x AS DECIMAL(38,4))) AS sxx, sum(y * y) AS syy,
+      |        sum(CAST(x * y AS DECIMAL(38,4))) AS sxy
+      |       FROM pu GROUP BY 1),
+      |d AS (SELECT g, n,
+      |        round(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE), 9) AS r9,
+      |        CAST(sy AS DOUBLE) / n AS ybar,
+      |        (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS vx,
+      |        (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1) AS vy,
+      |        (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1) AS cxy
+      |      FROM bg),
+      |v AS (SELECT g, n, r9, (vx - 2 * r9 * cxy + r9 * r9 * vy) / (n * ybar * ybar) AS vr FROM d),
+      |a AS (SELECT g AS group_a, n AS n_a, r9 AS ra, vr AS va FROM v ORDER BY g LIMIT 1),
+      |b AS (SELECT g AS group_b, n AS n_b, r9 AS rb, vr AS vb FROM v ORDER BY g DESC LIMIT 1)
+      |SELECT group_a, group_b, n_a, n_b,
+      |  round(ra, 6) AS ratio_a, round(rb, 6) AS ratio_b,
+      |  round(rb - ra, 6) AS diff,
+      |  round(sqrt(va + vb), 6) AS se,
+      |  round((rb - ra) / sqrt(va + vb), 4) AS z_stat,
+      |  abs((rb - ra) / sqrt(va + vb)) > 1.96 AS significant
+      |FROM a CROSS JOIN b""".stripMargin
+
   private val msprtOracleSql: String =
       """WITH e AS (SELECT date_trunc('day', ts) AS day,
         |    CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS g,
@@ -11059,35 +11105,10 @@ object SparkEntry {
 
     // per-user sums DECIMAL-exact; group moments DECIMAL(38,4)/BIGINT;
     // each group ratio gridded to 1e-9 before the variance polynomial so
-    // both engines fold identical doubles.
-    "events_ab_ratio_delta" ->
-      """WITH e AS (SELECT user_id, value FROM events WHERE value IS NOT NULL),
-        |pu AS (SELECT user_id AS u,
-        |        CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS g,
-        |        coalesce(sum(CAST(value AS DECIMAL(18,2))), 0) AS x,
-        |        count(*) AS y
-        |       FROM e GROUP BY 1, 2),
-        |bg AS (SELECT g, count(*) AS n, sum(CAST(x AS DECIMAL(38,4))) AS sx, sum(y) AS sy,
-        |        sum(CAST(x * x AS DECIMAL(38,4))) AS sxx, sum(y * y) AS syy,
-        |        sum(CAST(x * y AS DECIMAL(38,4))) AS sxy
-        |       FROM pu GROUP BY 1),
-        |d AS (SELECT g, n,
-        |        round(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE), 9) AS r9,
-        |        CAST(sy AS DOUBLE) / n AS ybar,
-        |        (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS vx,
-        |        (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1) AS vy,
-        |        (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1) AS cxy
-        |      FROM bg),
-        |v AS (SELECT g, n, r9, (vx - 2 * r9 * cxy + r9 * r9 * vy) / (n * ybar * ybar) AS vr FROM d),
-        |a AS (SELECT g AS group_a, n AS n_a, r9 AS ra, vr AS va FROM v ORDER BY g LIMIT 1),
-        |b AS (SELECT g AS group_b, n AS n_b, r9 AS rb, vr AS vb FROM v ORDER BY g DESC LIMIT 1)
-        |SELECT group_a, group_b, n_a, n_b,
-        |  round(ra, 6) AS ratio_a, round(rb, 6) AS ratio_b,
-        |  round(rb - ra, 6) AS diff,
-        |  round(sqrt(va + vb), 6) AS se,
-        |  round((rb - ra) / sqrt(va + vb), 4) AS z_stat,
-        |  abs((rb - ra) / sqrt(va + vb)) > 1.96 AS significant
-        |FROM a CROSS JOIN b""".stripMargin,
+    // both engines fold identical doubles. Shared verbatim by the
+    // streamed-unit-state twin (batch parity is the point).
+    "events_ab_ratio_delta" -> ratioDeltaOracleSql,
+    "streaming_ab_ratio_delta" -> ratioDeltaOracleSql,
 
     // leave-one-out ratios on a 1e9 grid, squared deviations on 1e12 —
     // the jackknife fold is integer-exact on both engines.

@@ -653,14 +653,28 @@ object StatsOps {
     * Output (one row): groups, unit counts, per-group ratio, diff, the
     * delta-method se, z, and the 95% flag. */
   def ratioDeltaTest(ev: DataFrame, userCol: String, valueCol: String,
+                     grp: Column): DataFrame =
+    ratioDeltaFromUnits(ratioUnitState(ev, userCol, valueCol, grp))
+
+  /** The per-unit sufficient-statistics table behind [[ratioDeltaTest]]:
+    * (u, g, x = Σvalue DECIMAL-exact, y = event count). Cell-wise addable,
+    * so it doubles as streaming aggregation state (complete mode) — the
+    * streamed table equals the batch groupBy and feeds the SAME finisher,
+    * which is exactly how a platform monitors a ratio metric live. */
+  def ratioUnitState(ev: DataFrame, userCol: String, valueCol: String,
                      grp: Column): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
-    val dec4 = org.apache.spark.sql.types.DecimalType(38, 4)
-    val e = ev.where(col(valueCol).isNotNull)
-    val perUser = e.groupBy(col(userCol).as("u"))
+    ev.where(col(valueCol).isNotNull)
+      .groupBy(col(userCol).as("u"))
       .agg(first(grp).as("g"),
         coalesce(sum(col(valueCol).cast(dec)), lit(0).cast(dec)).as("x"),
         count(lit(1)).as("y"))
+  }
+
+  /** [[ratioDeltaTest]]'s finisher over a (u, g, x, y) unit table —
+    * batch and streaming share it verbatim. */
+  def ratioDeltaFromUnits(perUser: DataFrame): DataFrame = {
+    val dec4 = org.apache.spark.sql.types.DecimalType(38, 4)
     val byG = perUser.groupBy(col("g"))
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast(dec4)).as("sx"), sum(col("y")).as("sy"),

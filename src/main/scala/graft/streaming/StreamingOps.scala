@@ -513,6 +513,33 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Per-unit ratio-metric sufficient statistics (u, g, Σx DECIMAL-exact,
+    * event count) as streaming aggregation state — the live feed for the
+    * delta-method ratio monitor ([[graft.operators.StatsOps.ratioDeltaTest]]).
+    * Sums and counts add cell-wise, so the streamed state table equals the
+    * batch per-unit groupBy exactly and the SAME batch finisher
+    * ([[graft.operators.StatsOps.ratioDeltaFromUnits]]) produces the
+    * identical one-row test — gated on the identical oracle. State is
+    * unit-count-sized (never event-sized); driven complete over the finite
+    * fixture for the batch-parity gate. */
+  def ratioUnitStateOnce(spark: SparkSession, eventsPath: String,
+                         grp: org.apache.spark.sql.Column,
+                         valueCol: String,
+                         queryName: String = "graft_stream_ratio_units"): DataFrame = {
+    val units = graft.operators.StatsOps.ratioUnitState(
+      readEvents(spark, eventsPath), "user_id", valueCol, grp)
+    withStatePartitions(spark) {
+      val q = units.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+  }
+
   /** Per-(type, day) event counts as streaming aggregation state — the
     * feed for the volume-anomaly monitor (counts add cell-wise, so the
     * streamed table equals the batch groupBy; the z-score step runs on the
