@@ -6332,6 +6332,26 @@ object SparkEntry {
     // kept by the pipeline should not just rank well (logloss, above) but
     // mean what it says when it outputs 0.8 — this is the query that
     // catches the difference.
+    // Platt scaling (see [[operators.QualityClassifier.plattScale]]): the
+    // PARAMETRIC calibration next to the isotonic bins and the ECE
+    // diagnostic — σ(a·s+b) fit by 3 closed-form Newton steps on the
+    // trained logreg margins, the whole fit replayed step by step in the
+    // oracle (the trainLogReg grid contract). Output includes the
+    // before/after log-loss so the calibration effect is the gate.
+    "classifier_platt_scaling" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val comps = graft.functions.Embedder
+        .hashedComponents(docs, "text", "doc_id", dim = 64).localCheckpoint()
+      val w = QualityClassifier.trainLogReg(docs, "text", "doc_id",
+        label = col("lang") === "en", steps = 3, precomputed = Some(comps))
+      val scored = QualityClassifier.score(docs, "text", "doc_id",
+          weights = Some(w), precomputed = Some(comps))
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("double").as("y")), Seq("doc_id"))
+        .select(col("margin").as("s"), col("y"))
+      QualityClassifier.plattScale(scored, "s", "y", steps = 3)
+    }),
+
     "classifier_calibration_ece" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val comps = graft.functions.Embedder
@@ -7305,6 +7325,51 @@ object SparkEntry {
          |        FROM w${k - 1} w LEFT JOIN g$k g USING (bucket))""".stripMargin
     }.mkString
     head + stepsSql
+  }
+
+  /** classifier_platt_scaling oracle: the trained-margin chain, then the
+    * 3 Newton iterations of [[operators.QualityClassifier.plattScale]]
+    * unrolled — per-row probabilities round-6, the five sufficient sums on
+    * the 1e-10 DECIMAL(38,0) grid, deltas round-8, params round-6. */
+  private val plattOracleSql: String = {
+    def iter(i: Int): String = {
+      val prev = if (i == 1) "ab0" else s"ab${i - 1}"
+      s""",
+         |pp$i AS (SELECT s, y, round(1.0 / (1.0 + exp(-(ab.a * s + ab.b))), 6) AS p FROM scp CROSS JOIN $prev ab),
+         |gg$i AS (SELECT
+         |  sum(CAST(round((p - y) * s * 1e10) AS DECIMAL(38,0))) AS ga,
+         |  sum(CAST(round((p - y) * 1e10) AS DECIMAL(38,0))) AS gb,
+         |  sum(CAST(round(round(p * (1.0 - p), 6) * s * s * 1e10) AS DECIMAL(38,0))) AS haa,
+         |  sum(CAST(round(round(p * (1.0 - p), 6) * s * 1e10) AS DECIMAL(38,0))) AS hab,
+         |  sum(CAST(round(round(p * (1.0 - p), 6) * 1e10) AS DECIMAL(38,0))) AS hbb
+         | FROM pp$i),
+         |dd$i AS (SELECT CAST(ga AS DOUBLE) / 1e10 AS ga, CAST(gb AS DOUBLE) / 1e10 AS gb,
+         |  CAST(haa AS DOUBLE) / 1e10 AS haa, CAST(hab AS DOUBLE) / 1e10 AS hab,
+         |  CAST(hbb AS DOUBLE) / 1e10 AS hbb FROM gg$i),
+         |ab$i AS (SELECT
+         |  round(ab.a - round((d.hbb * d.ga - d.hab * d.gb) / (d.haa * d.hbb - d.hab * d.hab), 8), 6) AS a,
+         |  round(ab.b - round((d.haa * d.gb - d.hab * d.ga) / (d.haa * d.hbb - d.hab * d.hab), 8), 6) AS b
+         | FROM dd$i d CROSS JOIN $prev ab)""".stripMargin
+    }
+    s"""$logregOracleCtes,
+       |sms AS (SELECT c.id, sum(CAST(round(c.component * w.w * 1e10) AS BIGINT)) AS s
+       |        FROM comp c JOIN w3 w USING (bucket) GROUP BY c.id),
+       |sm AS (SELECT id, CAST(CASE WHEN s >= 0 THEN (s + 5000) // 10000
+       |                            ELSE -((-s + 5000) // 10000) END AS DOUBLE) / 1e6 AS m
+       |       FROM sms),
+       |scp AS (SELECT sm.m AS s, l.y AS y FROM sm JOIN lbl l USING (id)),
+       |ab0 AS (SELECT 0.0 AS a, 0.0 AS b)""".stripMargin +
+      (1 to 3).map(iter).mkString +
+      s""",
+         |fin AS (SELECT s, y,
+         |  greatest(least(round(1.0 / (1.0 + exp(-s)), 4), 0.9999), 0.0001) AS praw,
+         |  greatest(least(round(1.0 / (1.0 + exp(-(ab.a * s + ab.b))), 4), 0.9999), 0.0001) AS pcal
+         | FROM scp CROSS JOIN ab3 ab)
+         |SELECT (SELECT a FROM ab3) AS a, (SELECT b FROM ab3) AS b,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  round(avg(-y * ln(praw) - (1.0 - y) * ln(1.0 - praw)), 4) AS logloss_raw,
+         |  round(avg(-y * ln(pcal) - (1.0 - y) * ln(1.0 - pcal)), 4) AS logloss_platt
+         |FROM fin""".stripMargin
   }
 
   /** The binary Hamming-sweep chain WITHOUT its final select (`rr` holds
@@ -11921,6 +11986,12 @@ object SparkEntry {
          |  round(CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / (2.0 * n1 * (n - n1)), 4) AS auc,
          |  round(2.0 * (CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / (2.0 * n1 * (n - n1))) - 1.0, 4) AS gini
          |FROM a""".stripMargin,
+
+    // Same margin chain, then the 3-step Newton Platt fit replayed
+    // iteration by iteration (probabilities round-6, sufficient sums on
+    // the 1e-10 DECIMAL grid, deltas round-8, params round-6 — the
+    // trainLogReg contract), and the before/after log-loss.
+    "classifier_platt_scaling" -> plattOracleSql,
 
     // Same scored chain (pv), binned to the reliability diagram + ECE.
     "classifier_calibration_ece" ->

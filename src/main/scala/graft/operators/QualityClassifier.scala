@@ -105,6 +105,64 @@ object QualityClassifier {
     w.zipWithIndex.map { case (v, b) => (b, v) }.toSeq.toDF("bucket", "w")
   }
 
+  /** Platt scaling (Platt 1999): fit p = σ(a·s + b) on (score, label) by
+    * `steps` full Newton iterations — the parametric calibration method
+    * next to the isotonic bins and the ECE diagnostic; two parameters, so
+    * the Hessian inverts in closed form.
+    *
+    * Grid discipline (the [[trainLogReg]] contract): per-row probabilities
+    * round to 6 (absorbs cross-engine exp ulps); the five sufficient
+    * sums (∇ and the 2×2 Hessian) quantize onto the 1e-10 grid and sum as
+    * DECIMAL(38,0) scaled integers; each Newton delta rounds to 8 and the
+    * parameters to 6 — the whole fit is replayable step by step.
+    *
+    * Scale shape: `steps` corpus passes of 5-column map-side-combined
+    * aggregation (1-row collects, Lloyd cadence), one final pass for the
+    * before/after log-loss. Probabilities clamp to [1e-4, 1−1e-4] inside
+    * the loss so a confidently-wrong row cannot produce ±Inf.
+    *
+    * Output (one row): a, b, n, logloss_raw (uncalibrated σ(s)),
+    * logloss_platt. */
+  def plattScale(scored: DataFrame, scoreCol: String, labelCol: String,
+                 steps: Int = 3): DataFrame = {
+    require(steps >= 1 && steps <= 5, s"steps in [1,5], got $steps")
+    val s = col(scoreCol)
+    val y = col(labelCol)
+    def rnd(x: Double, sc: Int): Double =
+      BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def gsum(c: Column) =
+      sum(round(c * lit(1e10), 0).cast("decimal(38,0)"))
+    var a = 0.0
+    var b = 0.0
+    for (_ <- 1 to steps) {
+      val p = round(lit(1.0) / (lit(1.0) + exp(-(lit(a) * s + lit(b)))), 6)
+      val pmy = p - y
+      val wgt = round(p * (lit(1.0) - p), 6)
+      val r = scored.agg(
+        gsum(pmy * s).as("ga"), gsum(pmy).as("gb"),
+        gsum(wgt * s * s).as("haa"), gsum(wgt * s).as("hab"),
+        gsum(wgt).as("hbb")).head()
+      def d(i: Int): Double =
+        BigInt(r.getDecimal(i).toBigInteger).toDouble / 1e10
+      val (ga, gb, haa, hab, hbb) = (d(0), d(1), d(2), d(3), d(4))
+      val da = (hbb * ga - hab * gb) / (haa * hbb - hab * hab)
+      val db = (haa * gb - hab * ga) / (haa * hbb - hab * hab)
+      a = rnd(a - rnd(da, 8), 6)
+      b = rnd(b - rnd(db, 8), 6)
+    }
+    def clamp(c: Column): Column =
+      greatest(least(c, lit(0.9999)), lit(0.0001))
+    val praw = clamp(round(lit(1.0) / (lit(1.0) + exp(-s)), 4))
+    val pcal = clamp(round(lit(1.0) / (lit(1.0) + exp(-(lit(a) * s + lit(b)))), 4))
+    scored.agg(count(lit(1)).as("n"),
+        round(avg(-y * log(praw) - (lit(1.0) - y) * log(lit(1.0) - praw)), 4)
+          .as("logloss_raw"),
+        round(avg(-y * log(pcal) - (lit(1.0) - y) * log(lit(1.0) - pcal)), 4)
+          .as("logloss_platt"))
+      .select(lit(a).as("a"), lit(b).as("b"), col("n"),
+        col("logloss_raw"), col("logloss_platt"))
+  }
+
   /** Per-document logistic score: (idCol, margin, quality_prob, keep).
     * `keep` thresholds the ROUNDED probability at 0.5 so the verdict is
     * engine-stable. */
