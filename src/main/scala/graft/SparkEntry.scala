@@ -2425,6 +2425,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Semi-hard triplet mining (Schroff et al. 2015, FaceNet): per anchor,
+    // positive = hardest same-label neighbor (max cosine), negative = the
+    // HARDEST negative still easier than the positive (max cosine among
+    // different-label vectors with sim < sim_ap) — the miner that trains
+    // metric embeddings without collapsing. Anchors with no semi-hard
+    // negative drop (every negative already violates the positive) —
+    // deterministic on the round-4 sim grid. Like the other pairs_ audits
+    // this is the all-pairs AUDIT form; the production candidate set rides
+    // the LSH/ANN index.
+    "pairs_semi_hard_triplets" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val a = emb.select(col("vec_id").as("a_id"), col("label").as("a_lbl"),
+        col("embedding").as("a_vec"))
+      val b = emb.select(col("vec_id").as("b_id"), col("label").as("b_lbl"),
+        col("embedding").as("b_vec"))
+      val sims = operators.Dedup.spread(a).join(broadcast(b),
+          col("a_id") =!= col("b_id"))
+        .withColumn("sim", round(graft.functions.VectorFunctions
+          .cosineSimilarity(col("a_vec"), col("b_vec")), 4))
+      val pos = sims.where(col("a_lbl") === col("b_lbl"))
+        .groupBy(col("a_id"))
+        .agg(max(struct(col("sim"), (-col("b_id")).as("nb"),
+          col("b_id"))).as("m"))
+        .select(col("a_id"), col("m.b_id").as("pos_id"),
+          col("m.sim").as("sim_ap"))
+      sims.where(col("a_lbl") =!= col("b_lbl"))
+        .join(pos, Seq("a_id"))
+        .where(col("sim") < col("sim_ap"))
+        .groupBy(col("a_id"), col("pos_id"), col("sim_ap"))
+        .agg(max(struct(col("sim"), (-col("b_id")).as("nb"),
+          col("b_id"))).as("m"))
+        .select(col("a_id").as("anchor_id"), col("pos_id"), col("sim_ap"),
+          col("m.b_id").as("neg_id"), col("m.sim").as("sim_an"),
+          round(col("sim_ap") - col("m.sim"), 4).as("gap"))
+        .orderBy(col("anchor_id"))
+    }),
+
     // PMI collocations (see [[CorpusStats.pmiCollocations]]): corpus
     // unigram/bigram counts as partial-agg hash aggs, vocabulary-sized
     // broadcast joins, TakeOrdered top-N.
@@ -4954,6 +4991,39 @@ object SparkEntry {
     "events_permutation_test" -> ((s, d) => {
       StatsOps.permutationTest(events(s, d), "user_id", "value",
         when(col("user_id") % 2 === 0, "control").otherwise("treatment"))
+    }),
+
+    // Pinball-loss evaluation of quantile forecasts — the proper scoring
+    // rule for P50/P90 capacity planning (a P90 that never exceeds is as
+    // wrong as one that always does). Train/test split at the epoch
+    // midpoint; the forecast is the train-day interpolated quantile
+    // (round-6 so the interpolation arithmetic is cross-engine), scored
+    // as mean max(q·(y−f), (q−1)·(y−f)) over test days. Daily counts are
+    // one hash-agg; everything after is day-spine-sized per key.
+    "events_forecast_pinball" -> ((s, d) => {
+      val e = events(s, d)
+      val cut = e.agg(expr(
+        "(CAST(floor(min(unix_timestamp(ts))) AS BIGINT) + " +
+        "CAST(floor(max(unix_timestamp(ts))) AS BIGINT)) div 2").as("cut"))
+      val daily = e.crossJoin(broadcast(cut))
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), first(col("cut")).as("cut"))
+        .withColumn("is_train", unix_timestamp(col("day")) < col("cut"))
+      val fc = daily.where(col("is_train"))
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(n, 0.5)"), 6).as("f50"),
+          round(expr("percentile(n, 0.9)"), 6).as("f90"))
+      def pin(q: Double, qm1: Double, f: Column) =
+        greatest(lit(q) * (col("n") - f), lit(qm1) * (col("n") - f))
+      daily.where(!col("is_train"))
+        .join(fc, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_test_days"),
+          round(first(col("f50")), 4).as("forecast_p50"),
+          round(first(col("f90")), 4).as("forecast_p90"),
+          round(avg(pin(0.5, -0.5, col("f50"))), 4).as("pinball_p50"),
+          round(avg(pin(0.9, -0.1, col("f90"))), 4).as("pinball_p90"))
+        .orderBy(col("event_type"))
     }),
 
     // Chapman capture-recapture estimate of the true distinct-user
@@ -9605,6 +9675,29 @@ object SparkEntry {
         |SELECT q_id AS doc_id, vec_id AS hard_neg_id, similarity
         |FROM rr WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    // all-pairs round-4 cosines; per anchor the same-label argmax then the
+    // hardest different-label vector strictly below it (row_number
+    // DESC-sim/ASC-id == the engine's struct-max tiebreak).
+    "pairs_semi_hard_triplets" ->
+      """WITH dv AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT a.vec_id AS a_id, a.label AS a_lbl, b.vec_id AS b_id, b.label AS b_lbl,
+        |             list_dot_product(a.v, b.v) AS dp,
+        |             sqrt(list_dot_product(a.v, a.v)) AS na,
+        |             sqrt(list_dot_product(b.v, b.v)) AS nb
+        |      FROM dv a, dv b WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT a_id, a_lbl, b_id, b_lbl,
+        |             round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS sim FROM s),
+        |p AS (SELECT a_id, b_id AS pos_id, sim AS sim_ap
+        |      FROM r WHERE a_lbl = b_lbl
+        |      QUALIFY row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) = 1),
+        |n AS (SELECT r.a_id AS anchor_id, p.pos_id, p.sim_ap, r.b_id AS neg_id, r.sim AS sim_an,
+        |             round(p.sim_ap - r.sim, 4) AS gap
+        |      FROM r JOIN p ON r.a_id = p.a_id
+        |      WHERE r.a_lbl <> r.b_lbl AND r.sim < p.sim_ap
+        |      QUALIFY row_number() OVER (PARTITION BY r.a_id ORDER BY r.sim DESC, r.b_id) = 1)
+        |SELECT anchor_id, pos_id, sim_ap, neg_id, sim_an, gap
+        |FROM n ORDER BY anchor_id""".stripMargin,
+
     "bm25_topk" -> bm25TopKOracleSql,
 
     // bm25 chain with the term filter replaced by the edit-distance-1
@@ -11234,6 +11327,27 @@ object SparkEntry {
         |  n_perms, n_extreme,
         |  round((1 + n_extreme) * 1.0 / (n_perms + 1), 6) AS p_value
         |FROM obs CROSS JOIN ext""".stripMargin,
+
+    // train-day interpolated quantiles round-6 (absorbs quantile_cont vs
+    // percentile interpolation ulps), pinball terms identical double trees.
+    "events_forecast_pinball" ->
+      """WITH e AS (SELECT event_type, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+        |c AS (SELECT (min(ep) + max(ep)) // 2 AS cut FROM e),
+        |daily AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n FROM e GROUP BY 1, 2),
+        |tg AS (SELECT event_type, day, n,
+        |        CAST(floor(epoch(day)) AS BIGINT) < (SELECT cut FROM c) AS is_train
+        |       FROM daily),
+        |fc AS (SELECT event_type, round(quantile_cont(n, 0.5), 6) AS f50,
+        |        round(quantile_cont(n, 0.9), 6) AS f90
+        |       FROM tg WHERE is_train GROUP BY 1)
+        |SELECT t.event_type, count(*) AS n_test_days,
+        |  round(min(fc.f50), 4) AS forecast_p50,
+        |  round(min(fc.f90), 4) AS forecast_p90,
+        |  round(avg(greatest(0.5 * (t.n - fc.f50), -0.5 * (t.n - fc.f50))), 4) AS pinball_p50,
+        |  round(avg(greatest(0.9 * (t.n - fc.f90), -0.1 * (t.n - fc.f90))), 4) AS pinball_p90
+        |FROM tg t JOIN fc ON t.event_type = fc.event_type
+        |WHERE NOT t.is_train
+        |GROUP BY 1 ORDER BY t.event_type""".stripMargin,
 
     // Chapman estimator on the epoch-midpoint window split; presence
     // flags and counts are exact integers, the estimate one double expr.
