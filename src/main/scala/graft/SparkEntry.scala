@@ -3056,6 +3056,17 @@ object SparkEntry {
       StatsOps.ratioDeltaFromUnits(units)
     }),
 
+    // Streaming twin of events_jackknife_ratio, gated on the SAME oracle:
+    // the identical per-unit state table (constant variant), bucketed
+    // jackknife finisher shared verbatim — live variance bars on a
+    // streaming ratio metric.
+    "streaming_jackknife_ratio" -> ((s, d) => {
+      val units = graft.streaming.StreamingOps.ratioUnitStateOnce(s,
+        s"$d/events.parquet", lit("all"), "value",
+        queryName = s"graft_jk_units_$runNonce")
+      StatsOps.jackknifeFromUnits(units)
+    }),
+
     "streaming_drift_psi" -> ((s, d) => {
       val ev = events(s, d)
       val ref = ev.where(pmod(col("event_id"), lit(2)) === 0)
@@ -7725,6 +7736,33 @@ object SparkEntry {
   /** Shared by events_volume_anomaly AND its streamed-state twin. */
   /** Shared by events_ewma_trend AND streaming_ewma_trend (batch parity):
     * 8 preceding-day lag terms, dyadic weights, NULL trend on day 1. */
+  /** Shared by events_jackknife_ratio AND its streamed-unit-state twin:
+    * leave-one-out ratios on a 1e9 grid, squared deviations on 1e12 — the
+    * jackknife fold is integer-exact on both engines. */
+  private val jackknifeOracleSql: String =
+    s"""WITH e AS (SELECT user_id, value FROM events WHERE value IS NOT NULL),
+       |pu AS (SELECT user_id AS u, coalesce(sum(CAST(value AS DECIMAL(18,2))), 0) AS x, count(*) AS y
+       |       FROM e GROUP BY 1),
+       |hk AS (SELECT u, x, y, md5(CAST(u AS VARCHAR)) AS mh FROM pu),
+       |bk AS (SELECT x, y, (${hexToBigintSql("mh", 1)}) % 16 AS b FROM hk),
+       |bb AS (SELECT b, sum(CAST(x AS DECIMAL(38,4))) AS sxb, sum(y) AS syb FROM bk GROUP BY 1),
+       |tot AS (SELECT sum(sxb) AS tsx, sum(syb) AS tsy, count(*) AS nb FROM bb),
+       |nu AS (SELECT count(*) AS n_users FROM pu),
+       |loo AS (SELECT t.nb, t.tsx, t.tsy,
+       |         CAST(round(round(CAST(t.tsx - sxb AS DOUBLE) / CAST(t.tsy - syb AS DOUBLE), 9) * 1e9) AS BIGINT) AS ri
+       |        FROM bb CROSS JOIN tot t),
+       |m AS (SELECT nb, tsx, tsy, sum(ri) AS sri FROM loo GROUP BY 1, 2, 3),
+       |ss AS (SELECT l.nb, l.tsx, l.tsy,
+       |         sum(CAST(round((l.ri / 1e9 - mm.sri / (l.nb * 1e9)) * (l.ri / 1e9 - mm.sri / (l.nb * 1e9)) * 1e12) AS BIGINT)) AS sq
+       |       FROM loo l CROSS JOIN (SELECT sri FROM m) mm GROUP BY 1, 2, 3)
+       |SELECT
+       |  round(CAST(tsx AS DOUBLE) / CAST(tsy AS DOUBLE), 6) AS ratio,
+       |  round(sqrt((nb - 1) * 1.0 / nb * (sq / 1e12)), 6) AS jk_se,
+       |  round(round(CAST(tsx AS DOUBLE) / CAST(tsy AS DOUBLE), 9) - 1.96 * sqrt((nb - 1) * 1.0 / nb * (sq / 1e12)), 6) AS ci_low,
+       |  round(round(CAST(tsx AS DOUBLE) / CAST(tsy AS DOUBLE), 9) + 1.96 * sqrt((nb - 1) * 1.0 / nb * (sq / 1e12)), 6) AS ci_high,
+       |  nb AS n_buckets, (SELECT n_users FROM nu) AS n_users
+       |FROM ss""".stripMargin
+
   /** Shared by events_ab_ratio_delta AND its streamed-unit-state twin
     * (batch parity): per-user sums DECIMAL-exact, group moments
     * DECIMAL(38,4)/BIGINT, ratios gridded to 1e-9 before the delta-method
@@ -11269,30 +11307,10 @@ object SparkEntry {
     "streaming_ab_ratio_delta" -> ratioDeltaOracleSql,
 
     // leave-one-out ratios on a 1e9 grid, squared deviations on 1e12 —
-    // the jackknife fold is integer-exact on both engines.
-    "events_jackknife_ratio" ->
-      s"""WITH e AS (SELECT user_id, value FROM events WHERE value IS NOT NULL),
-        |pu AS (SELECT user_id AS u, coalesce(sum(CAST(value AS DECIMAL(18,2))), 0) AS x, count(*) AS y
-        |       FROM e GROUP BY 1),
-        |hk AS (SELECT u, x, y, md5(CAST(u AS VARCHAR)) AS mh FROM pu),
-        |bk AS (SELECT x, y, (${hexToBigintSql("mh", 1)}) % 16 AS b FROM hk),
-        |bb AS (SELECT b, sum(CAST(x AS DECIMAL(38,4))) AS sxb, sum(y) AS syb FROM bk GROUP BY 1),
-        |tot AS (SELECT sum(sxb) AS tsx, sum(syb) AS tsy, count(*) AS nb FROM bb),
-        |nu AS (SELECT count(*) AS n_users FROM pu),
-        |loo AS (SELECT t.nb, t.tsx, t.tsy,
-        |         CAST(round(round(CAST(t.tsx - sxb AS DOUBLE) / CAST(t.tsy - syb AS DOUBLE), 9) * 1e9) AS BIGINT) AS ri
-        |        FROM bb CROSS JOIN tot t),
-        |m AS (SELECT nb, tsx, tsy, sum(ri) AS sri FROM loo GROUP BY 1, 2, 3),
-        |ss AS (SELECT l.nb, l.tsx, l.tsy,
-        |         sum(CAST(round((l.ri / 1e9 - mm.sri / (l.nb * 1e9)) * (l.ri / 1e9 - mm.sri / (l.nb * 1e9)) * 1e12) AS BIGINT)) AS sq
-        |       FROM loo l CROSS JOIN (SELECT sri FROM m) mm GROUP BY 1, 2, 3)
-        |SELECT
-        |  round(CAST(tsx AS DOUBLE) / CAST(tsy AS DOUBLE), 6) AS ratio,
-        |  round(sqrt((nb - 1) * 1.0 / nb * (sq / 1e12)), 6) AS jk_se,
-        |  round(round(CAST(tsx AS DOUBLE) / CAST(tsy AS DOUBLE), 9) - 1.96 * sqrt((nb - 1) * 1.0 / nb * (sq / 1e12)), 6) AS ci_low,
-        |  round(round(CAST(tsx AS DOUBLE) / CAST(tsy AS DOUBLE), 9) + 1.96 * sqrt((nb - 1) * 1.0 / nb * (sq / 1e12)), 6) AS ci_high,
-        |  nb AS n_buckets, (SELECT n_users FROM nu) AS n_users
-        |FROM ss""".stripMargin,
+    // the jackknife fold is integer-exact on both engines. Shared verbatim
+    // by the streamed-unit-state twin.
+    "events_jackknife_ratio" -> jackknifeOracleSql,
+    "streaming_jackknife_ratio" -> jackknifeOracleSql,
 
     // 64 md5-parity relabelings of the per-user table; each permutation
     // diff gridded to 1e9 integers before the >= comparison.

@@ -733,13 +733,21 @@ object StatsOps {
     * normal CI, bucket and unit counts. */
   def jackknifeRatio(ev: DataFrame, userCol: String, valueCol: String,
                      buckets: Int = 16): DataFrame = {
-    require(buckets >= 2, s"need >= 2 jackknife buckets, got $buckets")
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
-    val dec4 = org.apache.spark.sql.types.DecimalType(38, 4)
-    val e = ev.where(col(valueCol).isNotNull)
-    val perUser = e.groupBy(col(userCol).as("u"))
+    val perUser = ev.where(col(valueCol).isNotNull)
+      .groupBy(col(userCol).as("u"))
       .agg(coalesce(sum(col(valueCol).cast(dec)), lit(0).cast(dec)).as("x"),
         count(lit(1)).as("y"))
+    jackknifeFromUnits(perUser, buckets)
+  }
+
+  /** [[jackknifeRatio]]'s finisher over a (u, x, y) unit table — batch and
+    * the streamed-unit-state twin share it verbatim (the unit table is
+    * cell-wise-addable streaming aggregation state, like
+    * [[ratioUnitState]]'s). */
+  def jackknifeFromUnits(perUser: DataFrame, buckets: Int = 16): DataFrame = {
+    require(buckets >= 2, s"need >= 2 jackknife buckets, got $buckets")
+    val dec4 = org.apache.spark.sql.types.DecimalType(38, 4)
     val bucketed = perUser.withColumn("b",
       pmod(conv(substring(md5(col("u").cast("string")), 1, 8), 16, 10)
         .cast("long"), lit(buckets)))

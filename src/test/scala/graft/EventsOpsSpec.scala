@@ -81,4 +81,27 @@ class EventsOpsSpec extends AnyFunSuite {
       assert(relErr <= 0.05, s"$et: approx=$approx exact=$exact relErr=$relErr")
     }
   }
+
+  test("discountedSessionReturns: gamma-weighted sums per session, gap " +
+      "split, and the 16-event horizon cap") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    // user 1: session of (1, 2, 4) then, after a >30min gap, a lone 5;
+    // user 2: 20 identical 1.0 events 1s apart (horizon must cap at 16)
+    val rows =
+      Seq((1L, 1L, ts(0), 1.0), (1L, 2L, ts(10), 2.0), (1L, 3L, ts(20), 4.0),
+        (1L, 4L, ts(10000), 5.0)) ++
+        (0 until 20).map(i => (2L, 10L + i, ts(i.toLong), 1.0))
+    val df = rows.toDF("user_id", "event_id", "ts", "value")
+    val out = operators.EventsOps.discountedSessionReturns(df)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val byKey = out.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // 1 + 0.9*2 + 0.81*4 = 6.04, exactly (9/10 powers are exact decimals)
+    assert(byKey((1L, 1L)) === ((3L, 6.04)))
+    assert(byKey((1L, 2L)) === ((1L, 5.0)))
+    // sum_{k<16} 0.9^k = (1 - 0.9^16)/0.1 = 8.146980 on the round-6 grid
+    val (n2, g2) = byKey((2L, 1L))
+    assert(n2 === 16L, "horizon caps the counted events")
+    assert(g2 === 8.14698)
+  }
 }
