@@ -1650,6 +1650,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Horvitz-Thompson total estimation under unequal-probability (PPS)
+    // sampling: inclusion probability ∝ a cheap size proxy (n_chars),
+    // md5-drawn inclusion, and the estimator Σ y/π over the sample — HOW a
+    // platform prices a corpus-wide quantity (here: total tokens) from a
+    // weighted sample instead of a full pass. π and the draws grid to
+    // 1e-9; the estimator terms to 1e-6 LONGs; the output carries the true
+    // total so the estimate is auditable. One pass for totals, one for the
+    // sample — nothing driver-paced.
+    "sample_horvitz_thompson" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        col("n_chars").as("z"),
+        TextFunctions.tokenCountWs(col("text")).cast("long").as("y"))
+      val tot = docs.agg(count(lit(1)).as("n_pop"), sum(col("z")).as("zt"),
+        sum(col("y")).as("yt"))
+      val probed = docs.crossJoin(broadcast(tot))
+        .withColumn("pi", round(least(lit(1.0),
+          lit(64) * col("z") / col("zt").cast("double")), 9))
+        .withColumn("u", round(conv(substring(md5(concat(
+          col("doc_id").cast("string"), lit(":ht"))), 1, 8), 16, 10)
+          .cast("double") / lit(4294967296.0), 9))
+        .where(col("u") < col("pi"))
+      probed.groupBy(col("n_pop"), col("yt"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(round(col("y") / col("pi") * 1e6).cast("long")).as("s6"))
+        .select(col("n_pop"), col("n_sampled"), col("yt").as("true_total"),
+          round(col("s6") / 1e6, 4).as("ht_total"),
+          round(abs(col("s6") / 1e6 - col("yt")) / col("yt"), 6).as("rel_err"))
+    }),
+
     // Median-of-means robust corpus mean — the estimator that keeps its
     // accuracy under heavy-tailed length distributions where the plain
     // mean is dragged by outliers (and the theory workhorse behind robust
@@ -7177,6 +7206,20 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // One-sided CUSUM drift monitor (see [[StatsOps.cusumFromDayCounts]]):
+    // Page's cumulative-sum chart in its PREFIX form (S = P − min(0, min P)
+    // — two key-partitioned cumulative frames, no recursion, no driver
+    // loop), the detector that catches a sustained small shift a per-day
+    // z-score misses. Complements events_changepoint (retrospective best
+    // split) with the sequential/monitoring view.
+    "events_cusum_drift" -> ((s, d) => {
+      val day = events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      StatsOps.cusumFromDayCounts(day, "event_type")
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Johnson-Lindenstrauss random projection 64 -> 16 dims with the
     // seeded hyperplane family (scale sqrt(3/16): uniform(-1,1) entries
     // have variance 1/3). The VERDICT is the per-pair distance-distortion
@@ -11346,6 +11389,29 @@ object SparkEntry {
         |  round((1 + n_extreme) * 1.0 / (n_perms + 1), 6) AS p_value
         |FROM obs CROSS JOIN ext""".stripMargin,
 
+    // mu/sigma/k/h round-6 from exact sums; per-day terms on the 1e6 grid
+    // so both cumulative frames and the threshold compare are integers.
+    "events_cusum_drift" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type,
+        |        round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS mu,
+        |        round(sqrt((CAST(sum(n * n) AS DOUBLE) - CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE) / count(*)) / (count(*) - 1)), 6) AS sigma
+        |       FROM daily GROUP BY 1),
+        |kh AS (SELECT event_type, mu, round(0.5 * sigma, 6) AS k, round(4.0 * sigma, 6) AS h FROM st),
+        |dd AS (SELECT d.event_type, d.day, d.n, kh.h,
+        |        CAST(round((d.n - kh.mu - kh.k) * 1e6) AS BIGINT) AS d6
+        |       FROM daily d JOIN kh USING (event_type)),
+        |cp AS (SELECT event_type, day, n, h,
+        |        CAST(sum(d6) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p6
+        |       FROM dd),
+        |cm AS (SELECT event_type, day, n, h, p6,
+        |        least(CAST(min(p6) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 0) AS m6
+        |       FROM cp)
+        |SELECT event_type, day, n,
+        |  round((p6 - m6) / 1e6, 6) AS cusum,
+        |  p6 - m6 > CAST(round(h * 1e6) AS BIGINT) AS drifted
+        |FROM cm ORDER BY event_type, day""".stripMargin,
+
     // train-day interpolated quantiles round-6 (absorbs quantile_cont vs
     // percentile interpolation ulps), pinball terms identical double trees.
     "events_forecast_pinball" ->
@@ -11422,6 +11488,27 @@ object SparkEntry {
         |  round(1.0 - n_violating * 1.0 / n_lhs, 6) AS confidence,
         |  n_violating = 0 AS holds
         |FROM u ORDER BY fd""".stripMargin,
+
+    // pi and draws on the 1e-9 grid, estimator terms on 1e-6 LONGs; the
+    // strict u < pi compare is between identically-gridded doubles.
+    "sample_horvitz_thompson" ->
+      s"""WITH docs AS (SELECT doc_id, n_chars AS z,
+        |   CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS BIGINT) AS y
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n_pop, sum(z) AS zt, sum(y) AS yt FROM docs),
+        |hx AS (SELECT doc_id, y, z, md5(CAST(doc_id AS VARCHAR) || ':ht') AS mh FROM docs),
+        |pr AS (SELECT doc_id, y,
+        |   round(least(1.0, 64 * z / CAST((SELECT zt FROM tot) AS DOUBLE)), 9) AS pi,
+        |   round((${hexToBigintSql("mh", 1)}) / 4294967296.0, 9) AS u
+        |  FROM hx),
+        |sm AS (SELECT count(*) AS n_sampled,
+        |   CAST(sum(CAST(round(y / pi * 1e6) AS BIGINT)) AS BIGINT) AS s6
+        |  FROM pr WHERE u < pi)
+        |SELECT (SELECT n_pop FROM tot) AS n_pop, n_sampled,
+        |  CAST((SELECT yt FROM tot) AS BIGINT) AS true_total,
+        |  round(s6 / 1e6, 4) AS ht_total,
+        |  round(abs(s6 / 1e6 - CAST((SELECT yt FROM tot) AS BIGINT)) / CAST((SELECT yt FROM tot) AS BIGINT), 6) AS rel_err
+        |FROM sm""".stripMargin,
 
     // bucket means on a 1e9 grid; the interpolated median of 16 integers
     // is exact in doubles on both engines (quantile_cont == percentile).

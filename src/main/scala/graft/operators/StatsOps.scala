@@ -449,6 +449,47 @@ object StatsOps {
         col("__best.mean_after").as("mean_after"))
   }
 
+  /** One-sided (upward) CUSUM drift monitor over per-key day counts (Page
+    * 1954): S_t = max(0, S_{t−1} + (x_t − μ − k)) flags a sustained small
+    * shift long before a per-day z-score does. The recursion is computed
+    * in its PREFIX form S_t = P_t − min_{j≤t} P_j with
+    * P_t = Σ(x − μ − k) — two cumulative frames on the per-key day spine
+    * (key-partitioned windows, bounded by the observation span), never a
+    * corpus window and never a driver loop.
+    *
+    * Determinism: μ and σ come from exact per-key sums and round to 6;
+    * slack k = slackSigma·σ and threshold h = threshSigma·σ round to 6;
+    * per-day terms grid to 1e6 LONGs so both cumulative frames and the
+    * threshold comparison are integer-exact.
+    *
+    * Output: (key, day, n, cusum, drifted). */
+  def cusumFromDayCounts(day: DataFrame, keyCol: String,
+                         slackSigma: Double = 0.5,
+                         threshSigma: Double = 4.0): DataFrame = {
+    val stats = day.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("nd"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      .select(col(keyCol),
+        round(col("s1").cast("double") / col("nd"), 6).as("mu"),
+        round(sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") / col("nd")) /
+          (col("nd") - 1)), 6).as("sigma"))
+      .select(col(keyCol), col("mu"),
+        round(lit(slackSigma) * col("sigma"), 6).as("k"),
+        round(lit(threshSigma) * col("sigma"), 6).as("h"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    day.join(broadcast(stats), Seq(keyCol))
+      .withColumn("d6", round((col("n") - col("mu") - col("k")) * 1e6)
+        .cast("long"))
+      .withColumn("p6", sum(col("d6")).over(w))
+      .withColumn("m6", least(min(col("p6")).over(w), lit(0L)))
+      .select(col(keyCol), col("day"), col("n"),
+        round((col("p6") - col("m6")) / 1e6, 6).as("cusum"),
+        (col("p6") - col("m6") > round(col("h") * 1e6).cast("long"))
+          .as("drifted"))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * P(next event type | current), with counts. Sequence order is
     * (`tsCol`, `idCol`) — the unique tiebreak that makes `lead`

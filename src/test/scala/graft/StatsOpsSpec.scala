@@ -308,6 +308,27 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(cov >= 0.8, s"aggregate coverage $cov")
   }
 
+  test("cusumFromDayCounts: a sustained small shift accumulates past the " +
+      "threshold while the pre-shift period and a flat series stay quiet") {
+    def mk(counts: Seq[Long]) = counts.zipWithIndex.map { case (n, i) =>
+      ("k", java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00"), n)
+    }.toDF("key", "day", "n")
+    // 20 days at 100, then 10 days at 103: the +1.4-sigma-ish step is too
+    // small for a per-day z-score but CUSUM integrates it
+    val shifted = StatsOps.cusumFromDayCounts(
+      mk(Seq.fill(20)(100L) ++ Seq.fill(10)(103L)), "key")
+      .orderBy($"day").select($"cusum", $"drifted")
+      .as[(Double, Boolean)].collect()
+    assert(shifted.take(20).forall(!_._2), "pre-shift days must not flag")
+    assert(shifted.last._2, "the sustained shift must flag by day 30")
+    // cusum is non-decreasing across the shifted tail (it integrates)
+    val tail10 = shifted.drop(20).map(_._1)
+    assert(tail10.sliding(2).forall(w => w(1) >= w(0)))
+    val flat = StatsOps.cusumFromDayCounts(mk(Seq.fill(30)(100L)), "key")
+      .select($"drifted").as[Boolean].collect()
+    assert(flat.forall(!_), "a flat series never flags (sigma = 0)")
+  }
+
   test("ratioDeltaTest: hand-computed group ratios; planted per-event lift " +
       "detected; symmetric AA fixture has zero diff") {
     // 20 users x 2 events; control value exactly 2.0, treatment
