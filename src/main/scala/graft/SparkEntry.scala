@@ -3718,6 +3718,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Consistent-hash RING with virtual nodes — the other classic
+    // minimal-movement sharder next to rendezvous (shard_rendezvous_
+    // stability): 8 vnodes per shard on the 2^32 ring, owner = vnode with
+    // the smallest clockwise distance. Entirely row-local (the vnode ring
+    // is a constant-folded literal array; argmin folds per row, zero
+    // shuffle); adding a 9th shard moves ~1/9 of keys and ONLY to the new
+    // shard's vnode arcs.
+    "shard_ring_stability" -> ((s, d) => {
+      def owner(n: Int): Column = {
+        val cands = for { sNo <- 0 until n; v <- 0 until 8 } yield {
+          val h = conv(substring(md5(lit(s"ring:$sNo:$v")), 1, 8), 16, 10)
+            .cast("long")
+          struct(pmod(h - col("__p"), lit(4294967296L)).as("dist"),
+            lit(sNo).as("s"))
+        }
+        array_min(array(cands: _*)).getField("s")
+      }
+      t(s, d, "documents")
+        .withColumn("__p", conv(substring(md5(concat(lit("pt:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+        .select(col("doc_id"), owner(8).as("shard8"), owner(9).as("shard9"))
+        .withColumn("moved", col("shard8") =!= col("shard9"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Two-model uplift readout by engagement segment: per user-frequency
     // tier, treatment vs control purchase-conversion rates and their
     // difference — where does the treatment actually move behavior? One
@@ -10429,6 +10454,25 @@ object SparkEntry {
         |SELECT s8.doc_id, CAST(shard8 AS INT) AS shard8, CAST(shard9 AS INT) AS shard9,
         |  shard8 <> shard9 AS moved
         |FROM s8 JOIN s9 USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // vnode hashes and doc points replayed from md5 hex; argmin by
+    // (clockwise distance, shard) == the engine's struct array_min.
+    "shard_ring_stability" ->
+      s"""WITH vn AS (SELECT s, v, md5('ring:' || CAST(s AS VARCHAR) || ':' || CAST(v AS VARCHAR)) AS mh
+        |  FROM (SELECT unnest(generate_series(0, 8)) AS s) CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS v)),
+        |vh AS (SELECT s, v, (${hexToBigintSql("mh", 1)}) AS h FROM vn),
+        |px AS (SELECT doc_id, md5('pt:' || CAST(doc_id AS VARCHAR)) AS mh FROM documents),
+        |pt AS (SELECT doc_id, (${hexToBigintSql("mh", 1)}) AS p FROM px),
+        |c8 AS (SELECT p.doc_id, vh.s, (vh.h - p.p + 4294967296) % 4294967296 AS d
+        |  FROM pt p CROSS JOIN vh WHERE vh.s < 8),
+        |d8 AS (SELECT doc_id, CAST(s AS INT) AS shard8 FROM c8
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY d, s) = 1),
+        |c9 AS (SELECT p.doc_id, vh.s, (vh.h - p.p + 4294967296) % 4294967296 AS d
+        |  FROM pt p CROSS JOIN vh),
+        |d9 AS (SELECT doc_id, CAST(s AS INT) AS shard9 FROM c9
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY d, s) = 1)
+        |SELECT d8.doc_id, shard8, shard9, shard8 <> shard9 AS moved
+        |FROM d8 JOIN d9 ON d8.doc_id = d9.doc_id ORDER BY d8.doc_id""".stripMargin,
 
     // Per-user pass then tier-keyed rates; uplift mirrors the engine's
     // round-then-subtract-then-round expression exactly.
