@@ -814,8 +814,11 @@ object Dedup {
     val loopParts = math.max(1L, math.min(
       spark.conf.get("spark.sql.shuffle.partitions").toLong,
       nNodes / 1000000L + 1L))
-    val loopSession = spark.newSession()
-    loopSession.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    // conf-inheriting clone (NOT newSession — that would re-plan the loop
+    // frames under default confs, dropping e.g. the nanosAsLong parquet
+    // flag; the SessionBridge.scopedShuffle contract)
+    val rebind = org.apache.spark.sql.graftbridge.SessionBridge
+      .scopedShuffle(spark, loopParts.toInt)
     var it = 0
     var done = false
     while (!done && it < maxIter) {
@@ -830,11 +833,10 @@ object Dedup {
       // Round part 2: pointer jump — comp(v) <- comp(comp(v)). Labels always
       // point at smaller ids, so chains halve every round.
       val (next, cur) = checkpointWithChecksum(
-        org.apache.spark.sql.graftbridge.SessionBridge.withSession(afterNbr
+        rebind(afterNbr
           .join(afterNbr.select(col("id").as("comp"), col("comp").as("parent_comp")),
             Seq("comp"), "left")
-          .select(col("id"), coalesce(col("parent_comp"), col("comp")).as("comp")),
-          loopSession))
+          .select(col("id"), coalesce(col("parent_comp"), col("comp")).as("comp"))))
       done = cur.compareTo(prev) == 0
       prev = cur
       labels.unpersist()
