@@ -7231,6 +7231,58 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // EXACT Shapley-value attribution over touch-channel coalitions — the
+    // game-theoretic multi-touch model next to events_attribution_models'
+    // first/last/linear heuristics. The journey is each user's FIRST
+    // ACTIVE DAY (truncating touches at the conversion instead would
+    // anti-correlate exposure with conversion by construction, and the
+    // fixture's 30-min sessions are singletons); touches are the 4
+    // non-purchase channels that day, conversion = the day contains a
+    // qualifying purchase (value > 300, the events_ab_bayes convention).
+    // v(S) = conversion rate of journeys exposed to exactly coalition S
+    // (unobserved coalitions contribute 0). With 4 channels the
+    // 16-coalition value table is MODEL-sized, so the Shapley sum
+    //   φ_i = Σ_{S∌i} |S|!(3−|S|)!/4! · (v(S∪i) − v(S))
+    // runs on a 32-row literal grid with exact factorial weights (×24)
+    // and 1e9-gridded rates — one corpus pass, then integer arithmetic.
+    "events_attribution_shapley" -> ((s, d) => {
+      import s.implicits._
+      val chans = Seq("click", "error", "signup", "view")
+      val isConv = col("event_type") === "purchase" && col("value") > 300
+      val first = events(s, d)
+        .withColumn("fd", min(date_trunc("day", col("ts")))
+          .over(Window.partitionBy(col("user_id"))))
+        .where(date_trunc("day", col("ts")) === col("fd"))
+      val pu = first.groupBy(col("user_id"))
+        .agg(chans.zipWithIndex.map { case (c, i) =>
+            max(when(col("event_type") === c, lit(1L << i))
+              .otherwise(0L)) }.reduceLeft(_ + _).as("mask"),
+          max(when(isConv, 1).otherwise(0)).as("conv"))
+      val vS = pu.groupBy(col("mask"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+        .select(col("mask"),
+          round(round(col("c") * lit(1.0) / col("n"), 9) * 1e9)
+            .cast("long").as("v9"))
+      val wNum = Map(0 -> 6L, 1 -> 2L, 2 -> 2L, 3 -> 6L)
+      val grid = (for {
+        i <- 0 until 4
+        m <- 0 until 16 if (m & (1 << i)) == 0
+      } yield (chans(i), m.toLong, (m | (1 << i)).toLong,
+        wNum(Integer.bitCount(m)))).toDF("channel", "s_mask", "su_mask", "w_num")
+      grid
+        .join(vS.select(col("mask").as("s_mask"), col("v9").as("v_s")),
+          Seq("s_mask"), "left")
+        .join(vS.select(col("mask").as("su_mask"), col("v9").as("v_su")),
+          Seq("su_mask"), "left")
+        .select(col("channel"), (col("w_num") *
+          (coalesce(col("v_su"), lit(0L)) - coalesce(col("v_s"), lit(0L))))
+          .as("t"))
+        .groupBy(col("channel"))
+        .agg(sum(col("t")).as("ts"))
+        .select(col("channel"), round(col("ts") / 24.0 / 1e9, 6).as("shapley"))
+        .orderBy(col("channel"))
+    }),
+
     // One-sided CUSUM drift monitor (see [[StatsOps.cusumFromDayCounts]]):
     // Page's cumulative-sum chart in its PREFIX form (S = P − min(0, min P)
     // — two key-partitioned cumulative frames, no recursion, no driver
@@ -7804,6 +7856,39 @@ object SparkEntry {
   /** Shared by events_volume_anomaly AND its streamed-state twin. */
   /** Shared by events_ewma_trend AND streaming_ewma_trend (batch parity):
     * 8 preceding-day lag terms, dyadic weights, NULL trend on day 1. */
+  /** events_attribution_shapley oracle: pre-first-purchase exposure masks,
+    * exact-rate coalition values on the 1e9 grid, and the 32-row
+    * factorial-weight Shapley grid as a VALUES literal. */
+  private val shapleyOracleSql: String = {
+    val chans = Seq("click", "error", "signup", "view")
+    val wNum = Map(0 -> 6, 1 -> 2, 2 -> 2, 3 -> 6)
+    val gridRows = (for {
+      i <- 0 until 4
+      m <- 0 until 16 if (m & (1 << i)) == 0
+    } yield s"('${chans(i)}', $m, ${m | (1 << i)}, ${wNum(Integer.bitCount(m))})")
+      .mkString(", ")
+    val maskExpr = chans.zipWithIndex.map { case (c, i) =>
+      s"max(CASE WHEN event_type = '$c' THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH fs AS (SELECT user_id, event_type, value,
+       |    date_trunc('day', ts) AS dday,
+       |    min(date_trunc('day', ts)) OVER (PARTITION BY user_id) AS fd
+       |  FROM events),
+       |pu AS (SELECT user_id, $maskExpr AS mask,
+       |    max(CASE WHEN event_type = 'purchase' AND value > 300 THEN 1 ELSE 0 END) AS conv
+       |  FROM fs WHERE dday = fd GROUP BY 1),
+       |v AS (SELECT mask, CAST(round(round(sum(conv) * 1.0 / count(*), 9) * 1e9) AS BIGINT) AS v9
+       |  FROM pu GROUP BY 1),
+       |grid AS (SELECT * FROM (VALUES $gridRows) AS g(channel, s_mask, su_mask, w_num)),
+       |sh AS (SELECT g.channel,
+       |    sum(g.w_num * (coalesce(vu.v9, 0) - coalesce(vs.v9, 0))) AS tsum
+       |  FROM grid g
+       |  LEFT JOIN v vs ON g.s_mask = vs.mask
+       |  LEFT JOIN v vu ON g.su_mask = vu.mask
+       |  GROUP BY 1)
+       |SELECT channel, round(tsum / 24.0 / 1e9, 6) AS shapley FROM sh ORDER BY channel""".stripMargin
+  }
+
   /** Shared by events_jackknife_ratio AND its streamed-unit-state twin:
     * leave-one-out ratios on a 1e9 grid, squared deviations on 1e12 — the
     * jackknife fold is integer-exact on both engines. */
@@ -11432,6 +11517,10 @@ object SparkEntry {
         |  n_perms, n_extreme,
         |  round((1 + n_extreme) * 1.0 / (n_perms + 1), 6) AS p_value
         |FROM obs CROSS JOIN ext""".stripMargin,
+
+    // the pre-first-purchase exposure masks, 1e9-gridded coalition rates,
+    // and the 32-row factorial-weight grid replayed as VALUES.
+    "events_attribution_shapley" -> shapleyOracleSql,
 
     // mu/sigma/k/h round-6 from exact sums; per-day terms on the 1e6 grid
     // so both cumulative frames and the threshold compare are integers.
