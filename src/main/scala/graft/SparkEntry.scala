@@ -2520,6 +2520,29 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Measured recall@10 of the LSH tier against the exact brute-force
+    // top-10 — the accuracy side of the approximate-index trade, as a
+    // GATED number (both sides replayable, so the recall itself is
+    // hash-checked, not just eyeballed). Complements dedup_minhash_recall
+    // (pair recall) with the ANN-serving view.
+    "ann_lsh_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val exact = SimilaritySearch.bruteForceTopK(emb, qs, k = 10)
+        .select(col("q_id"), col("vec_id"))
+      val approx = SimilaritySearch.lshTopK(emb, qs, k = 10, nBits = 4, dim = 64)
+        .select(col("q_id").as("a_qid"), col("vec_id").as("a_vid"))
+      exact.join(approx,
+          col("q_id") === col("a_qid") && col("vec_id") === col("a_vid"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(when(col("a_vid").isNotNull, 1).otherwise(0)).cast("long").as("hits"))
+        .select(col("q_id"), col("k"), col("hits"),
+          round(col("hits") * lit(1.0) / col("k"), 4).as("recall"))
+        .orderBy(col("q_id"))
+    }),
+
     // IVF CONTRACT query: with nprobe = nCentroids every inverted list is
     // probed, and since each corpus vector lives in exactly ONE list, every
     // (query, corpus) pair is scored exactly once — the IVF machinery
@@ -9692,6 +9715,24 @@ object SparkEntry {
     "ann_lsh_bucketed" ->
       s"""WITH $lshTopKOracleCtes
          |SELECT q_id, vec_id, similarity, rank FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // the LSH chain AND the exact brute-force top-10 replayed, recall =
+    // overlap/k per query — the approximation's accuracy is itself gated.
+    "ann_lsh_recall" ->
+      s"""WITH $lshTopKOracleCtes,
+         |ap AS (SELECT q_id, vec_id FROM rr WHERE rank <= 10),
+         |bq AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < 5),
+         |bz AS (SELECT q.q_id, e.vec_id, list_dot_product(e.v, q.qv) AS dp,
+         |       sqrt(list_dot_product(e.v, e.v)) AS na, sqrt(list_dot_product(q.qv, q.qv)) AS nb
+         |       FROM emb e CROSS JOIN bq q WHERE e.vec_id <> q.q_id),
+         |br AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM bz),
+         |bx AS (SELECT q_id, vec_id FROM br
+         |       QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) <= 10),
+         |j AS (SELECT b.q_id, CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |      FROM bx b LEFT JOIN ap ON b.q_id = ap.q_id AND b.vec_id = ap.vec_id)
+         |SELECT q_id, count(*) AS k, CAST(sum(hit) AS BIGINT) AS hits,
+         |  round(CAST(sum(hit) AS BIGINT) * 1.0 / count(*), 4) AS recall
+         |FROM j GROUP BY 1 ORDER BY q_id""".stripMargin,
 
     // The IVF nprobe serving path, fully replayed (possible since the
     // build moved onto the portable Lloyd arithmetic): c0 seeds → a1
