@@ -2520,6 +2520,56 @@ object SparkEntry {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // The IVF recall-vs-nprobe CURVE — the tuning artifact an ANN
+    // deployment actually reads (how many cells must I probe for the
+    // recall I need?). ONE index build and one scoring pass over the
+    // nprobe=4 candidate superset; each smaller nprobe is a filter + a
+    // bounded per-query top-k cut, so the curve costs one chain, not
+    // three. Nested probe sets make recall non-decreasing in nprobe by
+    // construction; both sides replay, so the curve itself is gated.
+    "ann_ivf_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val exact = SimilaritySearch.bruteForceTopK(emb, qs, k = 10)
+        .select(col("q_id"), col("vec_id")).localCheckpoint()
+      val (centroids, assigned) =
+        SimilaritySearch.ivfIndex(emb, nCentroids = 8, iters = 1)
+      val qw = Window.partitionBy(col("q_id"))
+        .orderBy(asc("qdist"), asc("centroid_id"))
+      val probes = qs.join(broadcast(centroids))
+        .withColumn("qdist", graft.functions.VectorFunctions
+          .euclideanDistance(col("q_vec"), col("centroid")))
+        .withColumn("rn", row_number().over(qw))
+        .where(col("rn") <= 4)
+        .select(col("q_id"), col("q_vec"), col("centroid_id"), col("rn"))
+      // query-candidate-sized (nprobe/nCentroids of the corpus per query)
+      val cand = assigned.join(probes, Seq("centroid_id"))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(graft.functions.VectorFunctions
+            .cosineSimilarity(col("embedding"), col("q_vec")), 4)
+            .as("similarity"),
+          col("rn")).localCheckpoint()
+      def recallAt(np: Int): DataFrame = {
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(desc("similarity"), asc("vec_id"))
+        val ap = cand.where(col("rn") <= np)
+          .withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+          .select(col("q_id").as("a_qid"), col("vec_id").as("a_vid"))
+        exact.join(ap,
+            col("q_id") === col("a_qid") && col("vec_id") === col("a_vid"),
+            "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(when(col("a_vid").isNotNull, 1).otherwise(0)).cast("long")
+              .as("hits"))
+          .select(lit(np).as("nprobe"), col("n_truth"), col("hits"),
+            round(col("hits") * lit(1.0) / col("n_truth"), 4).as("recall"))
+      }
+      recallAt(1).unionByName(recallAt(2)).unionByName(recallAt(4))
+        .orderBy(col("nprobe"))
+    }),
+
     // Measured recall@10 of the LSH tier against the exact brute-force
     // top-10 — the accuracy side of the approximate-index trade, as a
     // GATED number (both sides replayable, so the recall itself is
@@ -9715,6 +9765,43 @@ object SparkEntry {
     "ann_lsh_bucketed" ->
       s"""WITH $lshTopKOracleCtes
          |SELECT q_id, vec_id, similarity, rank FROM rr WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // the full Lloyd chain, the nprobe=4 candidate superset scored once,
+    // each curve point a filter + per-query top-10 cut, brute-force truth
+    // replayed alongside — the tuning curve is itself hash-gated.
+    "ann_ivf_recall" -> {
+      val npBlocks = Seq(1, 2, 4).map { np =>
+        s"""ap$np AS (SELECT q_id, vec_id FROM csc WHERE rn <= $np
+           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) <= 10),
+           |rec$np AS (SELECT $np AS nprobe, count(*) AS n_truth,
+           |    CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           |    round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / count(*), 4) AS recall
+           |  FROM bx b LEFT JOIN ap$np ap ON b.q_id = ap.q_id AND b.vec_id = ap.vec_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $kmeansCtePrefix,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 5),
+         |probe AS (SELECT q_id, cid, rn FROM (
+         |  SELECT q.q_id, c.cid, row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |    sqrt(list_reduce(list_transform(generate_series(1, len(q.qv)), i -> (q.qv[i] - c.cent[i]) * (q.qv[i] - c.cent[i])), (x, y) -> x + y)), c.cid) AS rn
+         |  FROM q CROSS JOIN c1 c) WHERE rn <= 4),
+         |cand AS (SELECT p.q_id, a.vec_id, p.rn FROM probe p JOIN a1 a ON a.cluster = p.cid WHERE a.vec_id <> p.q_id),
+         |csc AS (SELECT cd.q_id, cd.vec_id, cd.rn, round(CASE WHEN cd.na*cd.nb = 0 THEN 0 ELSE cd.dp/(cd.na*cd.nb) END, 4) AS similarity FROM
+         |  (SELECT cd0.q_id, cd0.vec_id, cd0.rn, list_dot_product(e.v, q2.v) AS dp,
+         |          sqrt(list_dot_product(e.v, e.v)) AS na, sqrt(list_dot_product(q2.v, q2.v)) AS nb
+         |   FROM cand cd0 JOIN v e ON e.vec_id = cd0.vec_id JOIN v q2 ON q2.vec_id = cd0.q_id) cd),
+         |bq AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 5),
+         |bz AS (SELECT q.q_id, e.vec_id, list_dot_product(e.v, q.qv) AS dp,
+         |       sqrt(list_dot_product(e.v, e.v)) AS na, sqrt(list_dot_product(q.qv, q.qv)) AS nb
+         |       FROM v e CROSS JOIN bq q WHERE e.vec_id <> q.q_id),
+         |br AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM bz),
+         |bx AS (SELECT q_id, vec_id FROM br
+         |       QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) <= 10),
+         |$npBlocks
+         |SELECT nprobe, n_truth, hits, recall FROM rec1
+         |UNION ALL SELECT nprobe, n_truth, hits, recall FROM rec2
+         |UNION ALL SELECT nprobe, n_truth, hits, recall FROM rec4
+         |ORDER BY nprobe""".stripMargin
+    },
 
     // the LSH chain AND the exact brute-force top-10 replayed, recall =
     // overlap/k per query — the approximation's accuracy is itself gated.
