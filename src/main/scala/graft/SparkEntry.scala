@@ -3816,6 +3816,53 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Qini curve — the out-of-sample EVALUATION of an uplift targeting
+    // policy (events_uplift_by_segment is the readout; this grades it):
+    // md5-split users into train/test, rank segments by TRAIN uplift,
+    // then on TEST users compute the cumulative incremental conversions
+    // Q = CT − CC·NT/NC at each targeting cut. Segment ranking is a 3×3
+    // broadcast triangle join (no corpus window); everything else is two
+    // per-user passes and exact integer folds.
+    "events_qini_uplift" -> ((s, d) => {
+      val perUser = events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ev"),
+          sum(when(col("event_type") === "purchase" && col("value") > 300, 1L)
+            .otherwise(0L)).as("n_conv"))
+        .select(col("user_id"),
+          when(col("n_conv") > 0, 1L).otherwise(0L).as("conv"),
+          when(col("n_ev") < 60, "low").when(col("n_ev") < 70, "mid")
+            .otherwise("high").as("segment"),
+          when(col("user_id") % 2 === 0, "control").otherwise("treatment").as("g"),
+          (pmod(conv(substring(md5(concat(col("user_id").cast("string"),
+            lit(":qini"))), 1, 8), 16, 10).cast("long"), lit(2)) === 0)
+            .as("is_train"))
+      def cells(df: DataFrame) = df.groupBy(col("segment"))
+        .agg(sum(when(col("g") === "treatment", col("conv")).otherwise(0L)).as("ct"),
+          sum(when(col("g") === "treatment", 1L).otherwise(0L)).as("nt"),
+          sum(when(col("g") === "control", col("conv")).otherwise(0L)).as("cc"),
+          sum(when(col("g") === "control", 1L).otherwise(0L)).as("nc"))
+      val trainU = cells(perUser.where(col("is_train")))
+        .select(col("segment"), round(col("ct") * lit(1.0) / col("nt") -
+          col("cc") * lit(1.0) / col("nc"), 6).as("uplift"))
+      val testSeg = cells(perUser.where(!col("is_train")))
+      trainU.select(col("segment").as("s1"), col("uplift").as("u1"))
+        .join(broadcast(trainU.select(col("segment").as("s2"),
+          col("uplift").as("u2"))),
+          col("u2") > col("u1") ||
+            (col("u2") === col("u1") && col("s2") <= col("s1")))
+        .join(broadcast(testSeg.withColumnRenamed("segment", "s2")), Seq("s2"))
+        .groupBy(col("s1"), col("u1"))
+        .agg(count(lit(1)).as("n_segments_targeted"),
+          sum(col("ct")).as("sct"), sum(col("nt")).as("snt"),
+          sum(col("cc")).as("scc"), sum(col("nc")).as("snc"))
+        .select(col("s1").as("cut_segment"), col("u1").as("train_uplift"),
+          col("n_segments_targeted"),
+          col("snt").as("n_treated"), col("snc").as("n_control"),
+          round(col("sct") - col("scc") * lit(1.0) * col("snt") / col("snc"), 6)
+            .as("qini"))
+        .orderBy(desc("train_uplift"), col("cut_segment"))
+    }),
+
     // Two-model uplift readout by engagement segment: per user-frequency
     // tier, treatment vs control purchase-conversion rates and their
     // difference — where does the treatment actually move behavior? One
@@ -10686,6 +10733,38 @@ object SparkEntry {
         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY d, s) = 1)
         |SELECT d8.doc_id, shard8, shard9, shard8 <> shard9 AS moved
         |FROM d8 JOIN d9 ON d8.doc_id = d9.doc_id ORDER BY d8.doc_id""".stripMargin,
+
+    // md5-parity train/test split, train-ranked triangle join, exact
+    // integer cumulative cells, one mirrored Qini expression.
+    "events_qini_uplift" ->
+      s"""WITH pu AS (SELECT user_id, count(*) AS n_ev,
+        |    sum(CASE WHEN event_type = 'purchase' AND value > 300 THEN 1 ELSE 0 END) AS n_conv
+        |  FROM events GROUP BY 1),
+        |hx AS (SELECT user_id, n_ev, n_conv, md5(CAST(user_id AS VARCHAR) || ':qini') AS mh FROM pu),
+        |seg AS (SELECT user_id,
+        |    CASE WHEN n_conv > 0 THEN 1 ELSE 0 END AS conv,
+        |    CASE WHEN n_ev < 60 THEN 'low' WHEN n_ev < 70 THEN 'mid' ELSE 'high' END AS segment,
+        |    CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS g,
+        |    (${hexToBigintSql("mh", 1)}) % 2 = 0 AS is_train
+        |  FROM hx),
+        |tr AS (SELECT segment,
+        |    round(sum(CASE WHEN g = 'treatment' THEN conv ELSE 0 END) * 1.0 / sum(CASE WHEN g = 'treatment' THEN 1 ELSE 0 END)
+        |        - sum(CASE WHEN g = 'control' THEN conv ELSE 0 END) * 1.0 / sum(CASE WHEN g = 'control' THEN 1 ELSE 0 END), 6) AS uplift
+        |  FROM seg WHERE is_train GROUP BY 1),
+        |te AS (SELECT segment,
+        |    CAST(sum(CASE WHEN g = 'treatment' THEN conv ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN g = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN g = 'control' THEN conv ELSE 0 END) AS BIGINT) AS cc,
+        |    CAST(sum(CASE WHEN g = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        |  FROM seg WHERE NOT is_train GROUP BY 1)
+        |SELECT a.segment AS cut_segment, a.uplift AS train_uplift,
+        |  count(*) AS n_segments_targeted,
+        |  CAST(sum(te.nt) AS BIGINT) AS n_treated, CAST(sum(te.nc) AS BIGINT) AS n_control,
+        |  round(CAST(sum(te.ct) AS BIGINT) - CAST(sum(te.cc) AS BIGINT) * 1.0 * CAST(sum(te.nt) AS BIGINT) / CAST(sum(te.nc) AS BIGINT), 6) AS qini
+        |FROM tr a JOIN tr b ON (b.uplift > a.uplift OR (b.uplift = a.uplift AND b.segment <= a.segment))
+        |JOIN te ON te.segment = b.segment
+        |GROUP BY 1, 2
+        |ORDER BY train_uplift DESC, cut_segment""".stripMargin,
 
     // Per-user pass then tier-keyed rates; uplift mirrors the engine's
     // round-then-subtract-then-round expression exactly.
