@@ -7417,6 +7417,17 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // Streaming twin of events_cusum_drift, gated on the SAME oracle: the
+    // per-(type, day) counts build as complete-mode streaming aggregation
+    // state (the volume-anomaly feed), then the shared prefix-form CUSUM
+    // finisher — Page's chart as a live monitor.
+    "streaming_cusum_drift" -> ((s, d) => {
+      val day = graft.streaming.StreamingOps.dayCountsOnce(s,
+        s"$d/events.parquet", queryName = s"graft_cusum_days_$runNonce")
+      StatsOps.cusumFromDayCounts(day, "event_type")
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Johnson-Lindenstrauss random projection 64 -> 16 dims with the
     // seeded hyperplane family (scale sqrt(3/16): uniform(-1,1) entries
     // have variance 1/3). The VERDICT is the per-pair distance-distortion
@@ -7976,7 +7987,31 @@ object SparkEntry {
   /** Shared by events_volume_anomaly AND its streamed-state twin. */
   /** Shared by events_ewma_trend AND streaming_ewma_trend (batch parity):
     * 8 preceding-day lag terms, dyadic weights, NULL trend on day 1. */
-  /** events_attribution_shapley oracle: pre-first-purchase exposure masks,
+  /** Shared by events_cusum_drift AND its streamed-day-count twin:
+    * mu/sigma/k/h round-6 from exact sums; per-day terms on the 1e6 grid
+    * so both cumulative frames and the threshold compare are integers. */
+  private val cusumOracleSql: String =
+    """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type,
+      |        round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS mu,
+      |        round(sqrt((CAST(sum(n * n) AS DOUBLE) - CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE) / count(*)) / (count(*) - 1)), 6) AS sigma
+      |       FROM daily GROUP BY 1),
+      |kh AS (SELECT event_type, mu, round(0.5 * sigma, 6) AS k, round(4.0 * sigma, 6) AS h FROM st),
+      |dd AS (SELECT d.event_type, d.day, d.n, kh.h,
+      |        CAST(round((d.n - kh.mu - kh.k) * 1e6) AS BIGINT) AS d6
+      |       FROM daily d JOIN kh USING (event_type)),
+      |cp AS (SELECT event_type, day, n, h,
+      |        CAST(sum(d6) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p6
+      |       FROM dd),
+      |cm AS (SELECT event_type, day, n, h, p6,
+      |        least(CAST(min(p6) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 0) AS m6
+      |       FROM cp)
+      |SELECT event_type, day, n,
+      |  round((p6 - m6) / 1e6, 6) AS cusum,
+      |  p6 - m6 > CAST(round(h * 1e6) AS BIGINT) AS drifted
+      |FROM cm ORDER BY event_type, day""".stripMargin
+
+  /** events_attribution_shapley oracle: first-active-day exposure masks,
     * exact-rate coalition values on the 1e9 grid, and the 32-row
     * factorial-weight Shapley grid as a VALUES literal. */
   private val shapleyOracleSql: String = {
@@ -11725,32 +11760,15 @@ object SparkEntry {
         |  round((1 + n_extreme) * 1.0 / (n_perms + 1), 6) AS p_value
         |FROM obs CROSS JOIN ext""".stripMargin,
 
-    // the pre-first-purchase exposure masks, 1e9-gridded coalition rates,
+    // the first-active-day exposure masks, 1e9-gridded coalition rates,
     // and the 32-row factorial-weight grid replayed as VALUES.
     "events_attribution_shapley" -> shapleyOracleSql,
 
     // mu/sigma/k/h round-6 from exact sums; per-day terms on the 1e6 grid
     // so both cumulative frames and the threshold compare are integers.
-    "events_cusum_drift" ->
-      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1, 2),
-        |st AS (SELECT event_type,
-        |        round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS mu,
-        |        round(sqrt((CAST(sum(n * n) AS DOUBLE) - CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE) / count(*)) / (count(*) - 1)), 6) AS sigma
-        |       FROM daily GROUP BY 1),
-        |kh AS (SELECT event_type, mu, round(0.5 * sigma, 6) AS k, round(4.0 * sigma, 6) AS h FROM st),
-        |dd AS (SELECT d.event_type, d.day, d.n, kh.h,
-        |        CAST(round((d.n - kh.mu - kh.k) * 1e6) AS BIGINT) AS d6
-        |       FROM daily d JOIN kh USING (event_type)),
-        |cp AS (SELECT event_type, day, n, h,
-        |        CAST(sum(d6) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p6
-        |       FROM dd),
-        |cm AS (SELECT event_type, day, n, h, p6,
-        |        least(CAST(min(p6) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 0) AS m6
-        |       FROM cp)
-        |SELECT event_type, day, n,
-        |  round((p6 - m6) / 1e6, 6) AS cusum,
-        |  p6 - m6 > CAST(round(h * 1e6) AS BIGINT) AS drifted
-        |FROM cm ORDER BY event_type, day""".stripMargin,
+    // Shared verbatim by the streamed-day-count twin (batch parity).
+    "events_cusum_drift" -> cusumOracleSql,
+    "streaming_cusum_drift" -> cusumOracleSql,
 
     // train-day interpolated quantiles round-6 (absorbs quantile_cont vs
     // percentile interpolation ulps), pinball terms identical double trees.

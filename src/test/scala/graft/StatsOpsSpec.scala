@@ -308,6 +308,45 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(cov >= 0.8, s"aggregate coverage $cov")
   }
 
+  test("events_attribution_shapley: a causally-loaded channel dominates " +
+      "the exact Shapley split on a planted-journey fixture") {
+    import java.sql.Timestamp
+    // 4 journey shapes x 10 users, all on one day: {click} converts 8/10,
+    // {view} 1/10, {click,view} 8/10, {error} 1/10 — click carries the
+    // conversion signal, view adds nothing on top of click
+    val rows = (0L until 40L).flatMap { u =>
+      val i = u / 4
+      val touches = (u % 4) match {
+        case 0 => Seq("click")
+        case 1 => Seq("view")
+        case 2 => Seq("click", "view")
+        case _ => Seq("error")
+      }
+      val conv = (u % 4) match {
+        case 0 | 2 => i < 8
+        case _ => i < 1
+      }
+      val base = 1704067200L + u * 60 // 2024-01-01, one day for everyone
+      val touchEvents = touches.zipWithIndex.map { case (c, k) =>
+        (u * 100 + k, new Timestamp((base + k) * 1000L), u, c, 1.0, "{}")
+      }
+      val purchase = (u * 100 + 50, new Timestamp((base + 50) * 1000L), u,
+        "purchase", if (conv) 400.0 else 10.0, "{}")
+      touchEvents :+ purchase
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shap").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("events_attribution_shapley")(spark, dir)
+      .as[(String, Double)].collect().toMap
+    // exact hand-computed values: click (4.8+1.4-0.2)/24 = 0.25; view
+    // (0.6-0.2)/24; error and the never-seen signup go negative under the
+    // unobserved-coalition-is-0 convention
+    assert(math.abs(out("click") - 0.25) < 1e-6, s"click=${out("click")}")
+    assert(out("click") > out("view") && out("view") > out("error"),
+      s"ordering: $out")
+    assert(out("view") < 0.05 && out("signup") < 0.0)
+  }
+
   test("cusumFromDayCounts: a sustained small shift accumulates past the " +
       "threshold while the pre-shift period and a flat series stay quiet") {
     def mk(counts: Seq[Long]) = counts.zipWithIndex.map { case (n, i) =>
