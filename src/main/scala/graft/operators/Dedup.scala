@@ -752,9 +752,24 @@ object Dedup {
     *
     * Input: a pair DataFrame with two id columns (any near-dup pair source:
     * [[minhashNearDupPairs]], [[ngramJaccardPairs]], [[embeddingNearDupPairs]]).
-    * Output: (id, comp) for every node that appears in a pair. */
+    * Output: (id, comp) for every node that appears in a pair.
+    *
+    * Size dispatch (the graph-serving tier discipline applied to CC):
+    * blocked/thresholded MATCH graphs are routinely tiny relative to the
+    * corpus that produced them, and the distributed loop's cost there is
+    * pure fixed-job overhead (rounds × scheduling, measured 2.2–4.3 s on
+    * er_golden_record's 454k-edge graph). When the symmetrized edge count
+    * (observed during the seed pass — no extra job) fits
+    * `driverEdgeBudget` AND ids are LONGs, the edges collect to the
+    * driver and a union-find with union-by-MIN-root runs locally — by
+    * induction each set's root is its minimum member, so the labels are
+    * IDENTICAL to min-label propagation (spec-pinned equality). Budget is
+    * in edge rows (≈16 bytes each: the default 2M ≈ 32 MB on the driver);
+    * over budget — the only possibility at true 100 TB pair volumes — the
+    * distributed loop runs unchanged. */
   def connectedComponents(pairs: DataFrame, idCol1: String = "id1",
-                          idCol2: String = "id2", maxIter: Int = 50): DataFrame = {
+                          idCol2: String = "id2", maxIter: Int = 50,
+                          driverEdgeBudget: Long = 2000000L): DataFrame = {
     // Symmetrize in ONE scan of `pairs` (explode, not union: a union's two
     // branches each re-run the whole upstream pair-generation plan when the
     // caller hands us an unpersisted pipeline — for jaccard pairs that is
@@ -788,7 +803,9 @@ object Dedup {
     // also counts the nodes so the iteration can size its shuffles.
     val spark = pairs.sparkSession
     val seedObs = org.apache.spark.sql.Observation()
-    val seed = edges.groupBy("src")
+    val edgeObs = org.apache.spark.sql.Observation()
+    val seed = edges.observe(edgeObs, count(lit(1)).as("ne"))
+      .groupBy("src")
       .agg(min(col("dst")).as("nbr"))
       .select(col("src").as("id"), least(col("src"), col("nbr")).as("comp"))
       .observe(seedObs,
@@ -801,6 +818,41 @@ object Dedup {
       case cs => cs.asInstanceOf[java.math.BigDecimal]
     }
     val nNodes = seedObs.get("n").asInstanceOf[Long]
+    // an all-empty pair source can optimize the CollectMetrics node away
+    // entirely (PropagateEmptyRelation) — no metric means no edges
+    val nEdges = try edgeObs.get("ne").asInstanceOf[Long] catch {
+      case _: NoSuchElementException => 0L
+    }
+    // Driver-resident tier: union-find with union-by-MIN-root (labels are
+    // provably identical to the loop's min-label fixpoint). LONG ids only
+    // (every in-repo pair source); other id types take the loop.
+    if (nEdges <= driverEdgeBudget &&
+        edges.schema("src").dataType == org.apache.spark.sql.types.LongType) {
+      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](
+        math.min(nNodes * 2 + 16, Int.MaxValue.toLong).toInt)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+        r
+      }
+      edges.select(col("src"), col("dst")).collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      edges.unpersist()
+      import scala.jdk.CollectionConverters._
+      import spark.implicits._
+      val out = parent.keySet().asScala.toSeq
+        .map(k => (k.longValue(), find(k.longValue())))
+      return spark.createDataset(out).toDF("id", "comp")
+    }
     // Every round is 2 joins + an agg over NODE-sized frames; at the
     // session's corpus-tuned shuffle-partition count a small graph pays
     // rounds x partitions of empty-task scheduling (measured 2.44 -> 1.78 s

@@ -278,12 +278,30 @@ class DedupSpec extends AnyFunSuite {
 
   test("connected components: 64-node chain converges via pointer jumping") {
     // worst-case topology for plain min-propagation (diameter 63); pointer
-    // jumping must still resolve everything to the chain head
+    // jumping must still resolve everything to the chain head. Budget 0
+    // forces the DISTRIBUTED loop (the fixture would otherwise take the
+    // driver-resident tier).
     val chain = (1L until 64L).map(i => (i, i + 1)).toDF("id1", "id2")
-    val comps = Dedup.connectedComponents(chain)
+    val comps = Dedup.connectedComponents(chain, driverEdgeBudget = 0L)
       .as[(Long, Long)].collect().toMap
     assert(comps.size === 64)
     assert(comps.values.toSet === Set(1L))
+  }
+
+  test("connected components: the driver-resident union-find tier labels " +
+      "exactly like the distributed loop (chain + cliques + singleton pair)") {
+    // chain 1..20, a 5-clique on 100..104, a triangle with shared min 1
+    // (joins the chain's component), and an isolated pair
+    val edges = ((1L until 20L).map(i => (i, i + 1)) ++
+      (for { a <- 100L to 104L; b <- 100L to 104L if a < b } yield (a, b)) ++
+      Seq((1L, 500L), (500L, 501L), (900L, 901L))).toDF("id1", "id2")
+    val viaDriver = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap // fixture is far under the budget
+    val viaLoop = Dedup.connectedComponents(edges, driverEdgeBudget = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver === viaLoop)
+    assert(viaDriver(501L) === 1L && viaDriver(104L) === 100L &&
+      viaDriver(901L) === 900L)
   }
 
   test("iterative loops never write the shared session conf (concurrent " +
@@ -307,8 +325,9 @@ class DedupSpec extends AnyFunSuite {
     })
     poller.start()
     try {
+      // budget 0 forces the distributed loop — the conf-write hazard under test
       val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id1", "id2")
-      assert(Dedup.connectedComponents(chain).count() === 40)
+      assert(Dedup.connectedComponents(chain, driverEdgeBudget = 0L).count() === 40)
       val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
       val edges = graft.operators.GraphAnn.knnGraph(
         emb.where($"vec_id" < 200), m = 4, nBits = 3, nTables = 2, dim = 64)
