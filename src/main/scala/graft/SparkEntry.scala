@@ -2441,16 +2441,45 @@ object SparkEntry {
     // Hard-negative mining for contrastive training (the standard upgrade
     // over pairs_contrastive's random negatives — the most-confusable
     // non-pair IS the training signal): each vector's top-1 cosine
-    // neighbor. Every corpus vector is a query here, so the gate's
-    // broadcast form is fixture-sized by design; at 100 TB the query fan
-    // routes through the LSH/IVF/graph candidate tiers (same TopKBy cut),
-    // which is exactly what dedup_embedding_cosine's bucketed path does.
+    // neighbor. This is the all-pairs AUDIT form (every corpus vector a
+    // broadcast query — fixture-sized by design, the
+    // pairs_semi_hard_triplets convention); the production tier-routed
+    // shape is gated separately as pairs_hard_negatives_ann below.
     "pairs_hard_negatives" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val qs = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       SimilaritySearch.bruteForceTopK(emb, qs, k = 1)
         .select(col("q_id").as("doc_id"), col("vec_id").as("hard_neg_id"),
           col("similarity"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The PRODUCTION-shaped hard-negative miner (pairs_hard_negatives is
+    // the all-pairs AUDIT form, like pairs_semi_hard_triplets): candidates
+    // come from the IVF tier — every vector routed to its nprobe=2 of 8
+    // inverted lists, exact cosine re-rank to top-1 inside the probed
+    // cells only — so the plan the audit's scaladoc merely claimed at
+    // 100 TB is now the plan the gate hash-checks. The in-query recall
+    // CONTRACT (the ann_pq_contract pattern) rides along: each query's
+    // exact top-1 joins in with a match flag, so the tier's measured
+    // agreement with truth is itself part of the hashed surface — a
+    // codebook/routing regression hash-fails rather than silently
+    // degrading the mined negatives. The exact column is the fixture-scale
+    // audit rider; at index scale it drops and the contract becomes a
+    // sampled monitor.
+    "pairs_hard_negatives_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val ann = SimilaritySearch.ivfTopK(emb, qs, k = 1, nCentroids = 8,
+          nprobe = 2)
+        .select(col("q_id"), col("vec_id").as("hard_neg_id"),
+          col("similarity"))
+      val exact = SimilaritySearch.bruteForceTopK(emb, qs, k = 1)
+        .select(col("q_id").as("e_qid"), col("vec_id").as("exact_neg_id"))
+      ann.join(exact, col("q_id") === col("e_qid"))
+        .select(col("q_id").as("doc_id"), col("hard_neg_id"),
+          col("similarity"), col("exact_neg_id"),
+          (col("hard_neg_id") === col("exact_neg_id")).as("top1_match"))
         .orderBy(col("doc_id"))
     }),
 
@@ -10075,6 +10104,35 @@ object SparkEntry {
         |       row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS rn FROM r)
         |SELECT q_id AS doc_id, vec_id AS hard_neg_id, similarity
         |FROM rr WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // the IVF-tier replay (kmeansCtePrefix c1 routing + a1 lists, the
+    // ann_ivf machinery) with EVERY vector as a query and a top-1 cut,
+    // joined against the all-pairs exact top-1 for the contract columns.
+    "pairs_hard_negatives_ann" ->
+      s"""WITH $kmeansCtePrefix,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM v),
+         |probe AS (SELECT q_id, cid FROM (
+         |  SELECT q.q_id, c.cid, row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |    sqrt(list_reduce(list_transform(generate_series(1, len(q.qv)), i -> (q.qv[i] - c.cent[i]) * (q.qv[i] - c.cent[i])), (x, y) -> x + y)), c.cid) AS rn
+         |  FROM q CROSS JOIN c1 c) WHERE rn <= 2),
+         |cand AS (SELECT p.q_id, a.vec_id FROM probe p JOIN a1 a ON a.cluster = p.cid
+         |         WHERE a.vec_id <> p.q_id),
+         |ivsc AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM
+         |  (SELECT cd.q_id, cd.vec_id, list_dot_product(e.v, q2.v) AS dp,
+         |          sqrt(list_dot_product(e.v, e.v)) AS na,
+         |          sqrt(list_dot_product(q2.v, q2.v)) AS nb
+         |   FROM cand cd JOIN v e ON e.vec_id = cd.vec_id JOIN v q2 ON q2.vec_id = cd.q_id)),
+         |annx AS (SELECT q_id, vec_id, similarity FROM ivsc
+         |         QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) = 1),
+         |bz AS (SELECT q.vec_id AS q_id, e.vec_id, list_dot_product(e.v, q.v) AS dp,
+         |       sqrt(list_dot_product(e.v, e.v)) AS na, sqrt(list_dot_product(q.v, q.v)) AS nb
+         |       FROM v e JOIN v q ON e.vec_id <> q.vec_id),
+         |br AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM bz),
+         |bx AS (SELECT q_id, vec_id FROM br
+         |       QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) = 1)
+         |SELECT a.q_id AS doc_id, a.vec_id AS hard_neg_id, a.similarity,
+         |       b.vec_id AS exact_neg_id, (a.vec_id = b.vec_id) AS top1_match
+         |FROM annx a JOIN bx b ON a.q_id = b.q_id ORDER BY doc_id""".stripMargin,
 
     // all-pairs round-4 cosines; per anchor the same-label argmax then the
     // hardest different-label vector strictly below it (row_number

@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Spark's `round()` on DoubleType: decimal string -> HALF_UP -> double.
+    * The driver-resident tiers must round THROUGH the same path or a value
+    * sitting on a .00005 boundary could diverge from the distributed loop. */
+  private def round4(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** Weighted PageRank with a fixed iteration count.
     *
     * `edges` is a DIRECTED weighted edge list (undirected graphs pass both
@@ -33,22 +40,48 @@ object Graph {
     * persisted. The dangling mass is a one-row aggregate that re-enters the
     * plan via a broadcast cross join (never a per-iteration collect). The
     * only driver-side scalar is the node count.
-    */
+    *
+    * Size dispatch (the [[Dedup.connectedComponents]] pattern): each
+    * iteration is 1 join + 1 agg over node-sized frames — on a small graph
+    * that is pure rounds x fixed-job scheduling overhead. The edge count is
+    * observed during the seed pass (zero extra jobs); when it fits
+    * `driverEdgeBudget` (edge rows — the default 2M is tens of MB on the
+    * driver) the edges collect and the SAME power iteration runs locally:
+    * identical p = w/wdeg flow, identical teleport/dangling terms,
+    * identical round-4 output (spec-pinned equal to the loop). Over budget
+    * — the only possibility at real corpus-graph volumes — the distributed
+    * loop runs unchanged. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                weightCol: String, iters: Int, damping: Double = 0.85,
-               redistributeDangling: Boolean = false): DataFrame = {
+               redistributeDangling: Boolean = false,
+               driverEdgeBudget: Long = 2000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0, s"damping in (0,1), got $damping")
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(weightCol).cast("double").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val obs = org.apache.spark.sql.Observation()
     val nodes = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(e0.select(col("dst").as("node")))
+      .observe(obs, count(lit(1)).as("n2"))
+      .distinct().localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge set")
+    // the union scans the edge list twice, so the observed count is 2E
+    val ne = (try obs.get("n2").asInstanceOf[Long] catch {
+      case _: NoSuchElementException => 0L
+    }) / 2
+    if (ne <= driverEdgeBudget) {
+      val rows = e0.select(col("src"), col("dst"), col("w")).collect()
+      e0.unpersist()
+      return pageRankLocal(edges.sparkSession, e0.schema("src").dataType,
+        rows, iters, damping, redistributeDangling)
+    }
     val wdeg = e0.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
     val ep = e0.join(wdeg, "src")
       .select(col("src"), col("dst"), (col("w") / col("wdeg")).as("p"))
       .localCheckpoint()
+    e0.unpersist()
     // dangling nodes: hold rank but have no out-edges (only possible on
     // directed inputs); node-count sized, broadcastable
     lazy val dangling = nodes
@@ -81,6 +114,53 @@ object Graph {
     ranks.select(col("node"), round(col("rank"), 4).as("pagerank"))
   }
 
+  /** The under-budget tier of [[pageRank]]: the identical power iteration
+    * over driver-resident adjacency (node keys stay whatever type the edge
+    * list carried). Arithmetic mirrors the loop term for term — seed 1/n,
+    * per-edge flow rank(src) * (w/wdeg(src)), teleport (1-d)/n, optional
+    * uniform dangling redistribution — and the output rounds through
+    * [[round4]], Spark's own double-round path. */
+  private def pageRankLocal(spark: org.apache.spark.sql.SparkSession,
+                            nodeType: org.apache.spark.sql.types.DataType,
+                            rows: Array[org.apache.spark.sql.Row], iters: Int,
+                            damping: Double,
+                            redistributeDangling: Boolean): DataFrame = {
+    val wdeg = scala.collection.mutable.HashMap.empty[Any, Double]
+    val nodesL = scala.collection.mutable.LinkedHashSet.empty[Any]
+    rows.foreach { r =>
+      nodesL += r.get(0); nodesL += r.get(1)
+      wdeg(r.get(0)) = wdeg.getOrElse(r.get(0), 0.0) + r.getDouble(2)
+    }
+    val n = nodesL.size
+    require(n > 0, "pageRank needs a non-empty edge set")
+    var rank = nodesL.iterator.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.HashMap.empty[Any, Double]
+      rows.foreach { r =>
+        val p = r.getDouble(2) / wdeg(r.get(0))
+        contrib(r.get(1)) = contrib.getOrElse(r.get(1), 0.0) + rank(r.get(0)) * p
+      }
+      val dmass =
+        if (redistributeDangling)
+          nodesL.iterator.filterNot(wdeg.contains).map(rank).sum
+        else 0.0
+      rank = nodesL.iterator.map { v =>
+        v -> ((1.0 - damping) / n +
+          damping * (contrib.getOrElse(v, 0.0) +
+            (if (redistributeDangling) dmass / n else 0.0)))
+      }.toMap
+    }
+    val out = nodesL.iterator
+      .map(v => org.apache.spark.sql.Row(v, round4(rank(v)))).toSeq
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(out).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("pagerank",
+          org.apache.spark.sql.types.DoubleType))))
+  }
+
   /** Personalized PageRank (random walk with restart): teleport mass
     * returns ONLY to the `seeds` node set — the graph-expansion /
     * related-items primitive (rank concentrates around the seeds instead
@@ -91,16 +171,25 @@ object Graph {
     * dst-keyed map-side-partial inflow agg, one-row dangling aggregate via
     * broadcast cross join); the seed flag is joined ONCE into a
     * checkpointed node frame and rides along. Driver scalars: the seed
-    * count (model-sized, like n). */
+    * count (model-sized, like n).
+    *
+    * Size-dispatched like [[pageRank]]: under `driverEdgeBudget` the edges
+    * and the (node, is_seed) frame collect and the identical seeded
+    * iteration runs driver-local (spec-pinned equal to the loop). */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            weightCol: String, seeds: DataFrame, iters: Int,
-                           damping: Double = 0.85): DataFrame = {
+                           damping: Double = 0.85,
+                           driverEdgeBudget: Long = 2000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0, s"damping in (0,1), got $damping")
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(weightCol).cast("double").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val obs = org.apache.spark.sql.Observation()
     val nodes = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node"))).distinct()
+      .union(e0.select(col("dst").as("node")))
+      .observe(obs, count(lit(1)).as("n2"))
+      .distinct()
     val seedSet = seeds.select(col(seeds.columns.head).as("node")).distinct()
     val marked = nodes
       .join(broadcast(seedSet.withColumn("__seed", lit(1.0))), Seq("node"), "left")
@@ -108,10 +197,20 @@ object Graph {
       .localCheckpoint()
     val ns = marked.agg(sum(col("is_seed"))).head().getDouble(0)
     require(ns > 0, "personalizedPageRank needs at least one seed present in the graph")
+    val ne = (try obs.get("n2").asInstanceOf[Long] catch {
+      case _: NoSuchElementException => 0L
+    }) / 2
+    if (ne <= driverEdgeBudget) {
+      val rows = e0.select(col("src"), col("dst"), col("w")).collect()
+      e0.unpersist()
+      return pprLocal(edges.sparkSession, e0.schema("src").dataType, rows,
+        marked.collect(), ns, iters, damping)
+    }
     val wdeg = e0.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
     val ep = e0.join(wdeg, "src")
       .select(col("src"), col("dst"), (col("w") / col("wdeg")).as("p"))
       .localCheckpoint()
+    e0.unpersist()
     val dangling = marked.select(col("node"))
       .join(ep.select(col("src").as("node")).distinct(), Seq("node"), "left_anti")
       .localCheckpoint()
@@ -134,6 +233,47 @@ object Graph {
     ranks.select(col("node"), round(col("rank"), 4).as("ppr"))
   }
 
+  /** Under-budget tier of [[personalizedPageRank]]: the same seeded
+    * restart iteration over collected adjacency. `markedRows` is the
+    * checkpointed (node, is_seed) frame — node-sized, already bounded by
+    * the edge budget that admitted us here. */
+  private def pprLocal(spark: org.apache.spark.sql.SparkSession,
+                       nodeType: org.apache.spark.sql.types.DataType,
+                       rows: Array[org.apache.spark.sql.Row],
+                       markedRows: Array[org.apache.spark.sql.Row],
+                       ns: Double, iters: Int, damping: Double): DataFrame = {
+    val wdeg = scala.collection.mutable.HashMap.empty[Any, Double]
+    rows.foreach { r =>
+      wdeg(r.get(0)) = wdeg.getOrElse(r.get(0), 0.0) + r.getDouble(2)
+    }
+    // iterate in the marked frame's order for determinism; it carries the
+    // full node set by construction (built from the same edge union)
+    val nodesL = markedRows.map(_.get(0))
+    val isSeed = markedRows.map(r => r.get(0) -> r.getDouble(1)).toMap
+    var rank = markedRows.map(r => r.get(0) -> r.getDouble(1) / ns).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.HashMap.empty[Any, Double]
+      rows.foreach { r =>
+        val p = r.getDouble(2) / wdeg(r.get(0))
+        contrib(r.get(1)) = contrib.getOrElse(r.get(1), 0.0) + rank(r.get(0)) * p
+      }
+      val dmass = nodesL.iterator.filterNot(wdeg.contains).map(rank).sum
+      rank = nodesL.iterator.map { v =>
+        v -> ((1.0 - damping) * isSeed(v) / ns +
+          damping * (contrib.getOrElse(v, 0.0) + isSeed(v) * dmass / ns))
+      }.toMap
+    }
+    val out = nodesL.iterator
+      .map(v => org.apache.spark.sql.Row(v, round4(rank(v)))).toSeq
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(out).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("ppr",
+          org.apache.spark.sql.types.DoubleType))))
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999), fixed iteration count over a
     * DIRECTED edge list. Per iteration: authority(v) = Σ_{u→v} hub(u), then
     * L1-normalize; hub(u) = Σ_{u→v} authority(v), then L1-normalize — the
@@ -146,12 +286,23 @@ object Graph {
     * Scale shape mirrors [[pageRank]]: the edge table is checkpointed once,
     * each half-round is one src- or dst-keyed join + map-side-partial
     * aggregate, score frames are node-sized, and lineage is truncated
-    * every 3 rounds. Returns (node, hub, authority), round-4. */
+    * every 3 rounds. Returns (node, hub, authority), round-4.
+    *
+    * Size-dispatched like [[pageRank]]: the deduped edge count is observed
+    * on the checkpoint (zero extra jobs); under `driverEdgeBudget` the
+    * identical mutual-reinforcement rounds run driver-local. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           iters: Int): DataFrame = {
+           iters: Int, driverEdgeBudget: Long = 2000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    val obs = org.apache.spark.sql.Observation()
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().observe(obs, count(lit(1)).as("ne")).localCheckpoint()
+    val ne = try obs.get("ne").asInstanceOf[Long] catch {
+      case _: NoSuchElementException => 0L
+    }
+    if (ne <= driverEdgeBudget)
+      return hitsLocal(edges.sparkSession, e0.schema("src").dataType,
+        e0.collect(), iters)
     val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct().localCheckpoint()
     val n = nodes.count()
@@ -182,6 +333,46 @@ object Graph {
     hub.join(auth, Seq("node"))
       .select(col("node"), round(col("h"), 4).as("hub"),
         round(col("a"), 4).as("authority"))
+  }
+
+  /** Under-budget tier of [[hits]]: the same L1-normalized
+    * mutual-reinforcement rounds over the collected (deduped) edge list. */
+  private def hitsLocal(spark: org.apache.spark.sql.SparkSession,
+                        nodeType: org.apache.spark.sql.types.DataType,
+                        rows: Array[org.apache.spark.sql.Row],
+                        iters: Int): DataFrame = {
+    val nodesL = scala.collection.mutable.LinkedHashSet.empty[Any]
+    rows.foreach { r => nodesL += r.get(0); nodesL += r.get(1) }
+    val n = nodesL.size
+    require(n > 0, "hits needs a non-empty edge set")
+    var hub = nodesL.iterator.map(_ -> 1.0 / n).toMap
+    var auth = nodesL.iterator.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val araw = scala.collection.mutable.HashMap.empty[Any, Double]
+      rows.foreach { r =>
+        araw(r.get(1)) = araw.getOrElse(r.get(1), 0.0) + hub(r.get(0))
+      }
+      val as = nodesL.iterator.map(v => araw.getOrElse(v, 0.0)).sum
+      auth = nodesL.iterator.map(v => v -> araw.getOrElse(v, 0.0) / as).toMap
+      val hraw = scala.collection.mutable.HashMap.empty[Any, Double]
+      rows.foreach { r =>
+        hraw(r.get(0)) = hraw.getOrElse(r.get(0), 0.0) + auth(r.get(1))
+      }
+      val hs = nodesL.iterator.map(v => hraw.getOrElse(v, 0.0)).sum
+      hub = nodesL.iterator.map(v => v -> hraw.getOrElse(v, 0.0) / hs).toMap
+    }
+    val out = nodesL.iterator
+      .map(v => org.apache.spark.sql.Row(v, round4(hub(v)), round4(auth(v))))
+      .toSeq
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(out).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
+        org.apache.spark.sql.types.StructField("hub",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("authority",
+          org.apache.spark.sql.types.DoubleType))))
   }
 
   /** Batch-synchronous multi-source BFS: shortest hop-distance from each

@@ -294,4 +294,48 @@ class GraphSpec extends AnyFunSuite {
     // triangle: every pair is already an edge -> empty
     assert(Graph.linkPrediction(edges, "x", "y", maxMiddleDegree = 10).count() === 0)
   }
+
+  // ---- driver-resident tier ≡ distributed loop (the CC union-find
+  // discipline: budget 0 forces the loop, so BOTH code paths stay covered
+  // and the dispatch provably cannot change a result) ----
+
+  private val tierEdges = Seq(
+    ("s1", "h", 1.0), ("s2", "h", 2.0), ("s3", "h", 1.0),
+    ("s1", "s2", 1.0), ("s2", "s3", 1.0), ("h", "s1", 1.0),
+    ("h", "sink", 3.0), ("lone", "h", 0.5))
+
+  test("pageRank: driver tier equals the distributed loop, both dangling modes") {
+    val df = tierEdges.toDF("src", "dst", "w")
+    for (redis <- Seq(false, true)) {
+      val local = Graph.pageRank(df, "src", "dst", "w", iters = 5,
+        damping = 0.85, redistributeDangling = redis)
+        .as[(String, Double)].collect().toMap
+      val loop = Graph.pageRank(df, "src", "dst", "w", iters = 5,
+        damping = 0.85, redistributeDangling = redis, driverEdgeBudget = 0L)
+        .as[(String, Double)].collect().toMap
+      assert(local === loop, s"redistributeDangling=$redis")
+    }
+  }
+
+  test("personalizedPageRank: driver tier equals the distributed loop") {
+    val df = tierEdges.toDF("src", "dst", "w")
+    val seeds = Seq("s1", "lone").toDF("node")
+    val local = Graph.personalizedPageRank(df, "src", "dst", "w", seeds,
+      iters = 5, damping = 0.85).as[(String, Double)].collect().toMap
+    val loop = Graph.personalizedPageRank(df, "src", "dst", "w", seeds,
+        iters = 5, damping = 0.85, driverEdgeBudget = 0L)
+      .as[(String, Double)].collect().toMap
+    assert(local === loop)
+  }
+
+  test("hits: driver tier equals the distributed loop") {
+    val df = tierEdges.map(e => (e._1, e._2)).toDF("src", "dst")
+    val local = Graph.hits(df, "src", "dst", iters = 3)
+      .as[(String, Double, Double)].collect()
+      .map { case (n, h, a) => n -> (h, a) }.toMap
+    val loop = Graph.hits(df, "src", "dst", iters = 3, driverEdgeBudget = 0L)
+      .as[(String, Double, Double)].collect()
+      .map { case (n, h, a) => n -> (h, a) }.toMap
+    assert(local === loop)
+  }
 }
