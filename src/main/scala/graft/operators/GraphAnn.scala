@@ -165,8 +165,28 @@ object GraphAnn {
                  k: Int = 10, beam: Int = 8, rounds: Int = 3,
                  descentRounds: Int = 2, maxLayer: Int = 2,
                  corpusVec: String = "embedding", corpusId: String = "vec_id",
-                 queryVec: String = "q_vec", queryId: String = "q_id"): DataFrame = {
-    require(k >= 1 && beam >= 1 && rounds >= 0 && descentRounds >= 1 && maxLayer >= 0)
+                 queryVec: String = "q_vec", queryId: String = "q_id"): DataFrame =
+    hnswSearchBeams(corpus, layeredEdges, queries, k, Seq(beam), rounds,
+      descentRounds, maxLayer, corpusVec, corpusId, queryVec, queryId)
+      .drop("beam")
+
+  /** [[hnswSearch]] at SEVERAL beam widths off ONE cascade — the
+    * recall-vs-beam tuning curve's engine. The hierarchy descent and the
+    * seed score are beam-INDEPENDENT (greedy best-1 per upper layer, then
+    * one scored entry per query), so they run once; only the layer-0
+    * walk's per-round frontier cut differs per width, and each width
+    * re-walks from the shared materialized seed. Returns the
+    * [[hnswSearch]] rows with a leading `beam` column. */
+  def hnswSearchBeams(corpus: DataFrame, layeredEdges: DataFrame,
+                      queries: DataFrame, k: Int, beams: Seq[Int],
+                      rounds: Int = 3, descentRounds: Int = 2,
+                      maxLayer: Int = 2,
+                      corpusVec: String = "embedding",
+                      corpusId: String = "vec_id",
+                      queryVec: String = "q_vec",
+                      queryId: String = "q_id"): DataFrame = {
+    require(k >= 1 && beams.nonEmpty && beams.forall(_ >= 1) && rounds >= 0
+      && descentRounds >= 1 && maxLayer >= 0)
     val spark = corpus.sparkSession
     // walk-sized shuffles run on a session CLONE scoped to
     // WalkShufflePartitions (own SQLConf — no shared-conf mutation to race
@@ -219,34 +239,41 @@ object GraphAnn {
             struct(col("similarity"), (-col("__cid")).as("n"))).as("__cid"))
           .localCheckpoint()
       }
-      // layer-0 beam walk seeded with the descended entry (nEntry = 1)
+      // layer-0 beam walk seeded with the descended entry (nEntry = 1);
+      // the seed score is beam-independent — materialized once, every
+      // width walks from it
       val e0 = edgesAt(0)
-      val topBeam = udaf(graft.functions.TopKBy(beam))
-      def bestNew(scored: DataFrame): DataFrame =
-        scored.groupBy(col("__qid"))
-          .agg(topBeam(col("similarity"), col("__cid")).as("__f"))
-          .select(col("__qid"), explode(col("__f")).as("x"))
-          .select(col("__qid"), col("x._2").as("__cid"))
-      var visited = score(cur).localCheckpoint()
-      var frontier = bestNew(visited)
-      for (_ <- 1 to rounds) {
-        val expanded = e0
-          .join(broadcast(frontier), frontier("__cid") === col("__esrc"))
-          .select(col("__qid"), col("__edst").as("__cid")).distinct()
-        val fresh = expanded.join(visited.select(col("__qid"), col("__cid")),
-          Seq("__qid", "__cid"), "left_anti")
-        // checkpoint the round's delta (see beamVisitedImpl): flattens the
-        // frontier lineage without rewriting the cumulative set each round
-        val freshScored = score(fresh).localCheckpoint()
-        visited = visited.unionByName(freshScored)
-        frontier = bestNew(freshScored)
-      }
-      org.apache.spark.sql.graftbridge.SessionBridge.withSession(
+      val seed = score(cur).localCheckpoint()
+      val perBeam = beams.map { beam =>
+        val topBeam = udaf(graft.functions.TopKBy(beam))
+        def bestNew(scored: DataFrame): DataFrame =
+          scored.groupBy(col("__qid"))
+            .agg(topBeam(col("similarity"), col("__cid")).as("__f"))
+            .select(col("__qid"), explode(col("__f")).as("x"))
+            .select(col("__qid"), col("x._2").as("__cid"))
+        var visited = seed
+        var frontier = bestNew(visited)
+        for (_ <- 1 to rounds) {
+          val expanded = e0
+            .join(broadcast(frontier), frontier("__cid") === col("__esrc"))
+            .select(col("__qid"), col("__edst").as("__cid")).distinct()
+          val fresh = expanded.join(visited.select(col("__qid"), col("__cid")),
+            Seq("__qid", "__cid"), "left_anti")
+          // checkpoint the round's delta (see beamVisitedImpl): flattens
+          // the frontier lineage without rewriting the cumulative set
+          val freshScored = score(fresh).localCheckpoint()
+          visited = visited.unionByName(freshScored)
+          frontier = bestNew(freshScored)
+        }
         SimilaritySearch.topKPerQuery(
           visited.where(col("__cid") =!= col("__qid"))
             .withColumnRenamed("__qid", queryId).withColumnRenamed("__cid", corpusId),
-          k, queryId, corpusId),
-        spark)
+          k, queryId, corpusId)
+          .select(lit(beam).as("beam"), col(queryId), col(corpusId),
+            col("similarity"), col("rank"))
+      }
+      org.apache.spark.sql.graftbridge.SessionBridge.withSession(
+        perBeam.reduce(_ unionByName _), spark)
     }
   }
 

@@ -122,6 +122,56 @@ object StreamingIngest {
     * Scale shape: per batch O(|batch|) embed+append, an O(|batch|)
     * beam-walk link against the persisted graph, and one entry-file
     * TakeOrdered — never an O(corpus) pass while ids stay new. */
+  /** Vector-native continuous graph ingest — the [[ingestOnceGraph]] shape
+    * with the embed pipeline factored out: micro-batches of PRE-EMBEDDED
+    * vectors land and each batch links into the persisted flat
+    * [[graft.operators.GraphAnn.knnGraph]] edge table via
+    * [[graft.operators.GraphAnn.insertNodes]] (beam-walk link against the
+    * existing graph + LSH-bounded batch-internal candidates + touched-list
+    * re-cap). Because every arithmetic step is the walk/build's portable
+    * grid, the MERGED edge table is ANSI-replayable — this is the routine
+    * behind the streaming_graph_insert gate.
+    *
+    * `corpus` must carry vectors for both old and new ids (the latest
+    * view). Batch ids must be NEW — the [[graft.operators.GraphAnn
+    * .insertNodes]] update contract; id-rewriting streams go through the
+    * facade ([[ingestOnceGraph]]), which detects updates and rebuilds.
+    * The merged table is materialized (localCheckpoint) BEFORE the
+    * overwrite so the sink never reads the files it is replacing.
+    *
+    * Scale shape per batch: O(|batch|) walk + batch-local LSH build + a
+    * touched-adjacency re-cap — never an O(corpus) pass. Returns the
+    * final edge-row count. */
+  def ingestOnceVectors(spark: SparkSession, landingDir: String,
+                        globFilter: String, graphPath: String,
+                        checkpointDir: String, corpus: DataFrame,
+                        m: Int, beam: Int = 8, rounds: Int = 3,
+                        nEntry: Int = 8, nBits: Int = 4, nTables: Int = 8,
+                        dim: Int = 64, seed: Long = 7L,
+                        vecCol: String = "embedding",
+                        idCol: String = "vec_id"): Long = {
+    val schema = spark.read.option("pathGlobFilter", globFilter)
+      .parquet(landingDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", globFilter).parquet(landingDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val edges = spark.read.parquet(graphPath).localCheckpoint()
+        val merged = graft.operators.GraphAnn.insertNodes(corpus, edges,
+            batch.toDF(), m, beam, rounds, nEntry, nBits, nTables, dim,
+            seed, vecCol, idCol)
+          .localCheckpoint()
+        merged.write.mode("overwrite").parquet(graphPath)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(graphPath).count()
+  }
+
   def ingestOnceGraph(spark: SparkSession, landingDir: String, globFilter: String,
                       indexPath: String, checkpointDir: String, alias: String,
                       m: Int, layers: Int = 0,
