@@ -117,13 +117,54 @@ object GraphAnn {
                 dim: Int = 64, seed: Long = 7L, maxLayer: Int = 2,
                 vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     require(maxLayer >= 0)
-    (0 to maxLayer).map { l =>
-      val sub = if (l == 0) corpus
-                else corpus.where(layerOf(col(idCol)) >= l)
-      knnGraph(sub, m, nBits, nTables, dim, seed, vecCol, idCol)
-        .withColumn("layer", lit(l))
-        .select(col("layer"), col("src"), col("dst"), col("sim"))
+    // ONE keyed build instead of maxLayer+1 chained [[knnGraph]] calls
+    // (round-10: the per-layer form re-ran the whole 5-shuffle build chain
+    // per level — ~15 stages for 3 layers, pure fixed-stage overhead on
+    // the geometric upper levels, and the committed ann_hnsw_edges cost
+    // drifted with whatever JVM state those extra stages hit). Each node
+    // replicates to layers 0..its md5 level and `layer` simply joins every
+    // key: one bucket self-join, one pair-scoring join, one top-m and one
+    // 2m re-cap — the flat build's stage count for the whole pyramid.
+    // Restricted to a single layer this is exactly [[knnGraph]] over that
+    // layer's node subset (same planes per table, same round-4 cosine,
+    // same (sim desc, id) caps) — the hash-gated contract, unchanged.
+    val c = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("layer", explode(sequence(lit(0),
+        least(layerOf(col("id")), lit(maxLayer)))))
+    val keyed = (0 until nTables).map { t =>
+      val planes = SimilaritySearch.hyperplanes(nBits, dim, seed + t)
+      c.select(col("layer"), col("id"),
+        concat(lit(s"$t:"), SimilaritySearch.lshBucket(col("vec"), planes)).as("bkt"))
     }.reduce(_ unionByName _)
+    val pairs = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.layer") === col("b.layer") && col("a.bkt") === col("b.bkt") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.layer").as("layer"), col("a.id").as("src"), col("b.id").as("dst"))
+      .distinct()
+    val v = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val scored = pairs
+      .join(v.select(col("id").as("src"), col("vec").as("v_src")), "src")
+      .join(v.select(col("id").as("dst"), col("vec").as("v_dst")), "dst")
+      .withColumn("sim",
+        round(VectorFunctions.cosineSimilarity(col("v_src"), col("v_dst")), 4))
+      .select(col("layer"), col("src"), col("dst"), col("sim"))
+    val sym = scored.unionByName(
+      scored.select(col("layer"), col("dst").as("src"), col("src").as("dst"), col("sim")))
+    val topm = udaf(graft.functions.TopKBy(m))
+    val chosen = sym.groupBy(col("layer"), col("src"))
+      .agg(topm(col("sim"), col("dst")).as("__nn"))
+      .select(col("layer"), col("src"), explode(col("__nn")).as("e"))
+      .select(col("layer"), col("src"), col("e._2").as("dst"), col("e._1").as("sim"))
+    val cap2m = udaf(graft.functions.TopKBy(2 * m))
+    chosen.unionByName(
+        chosen.select(col("layer"), col("dst").as("src"), col("src").as("dst"), col("sim")))
+      .dropDuplicates("layer", "src", "dst")
+      .groupBy(col("layer"), col("src"))
+      .agg(cap2m(col("sim"), col("dst")).as("__nn"))
+      .select(col("layer"), col("src"), explode(col("__nn")).as("e"))
+      .select(col("layer").cast("int").as("layer"), col("src"),
+        col("e._2").as("dst"), col("e._1").as("sim"))
   }
 
   /** Incremental insert into a [[hnswGraph]]: the layered twin of
@@ -244,7 +285,12 @@ object GraphAnn {
       // width walks from it
       val e0 = edgesAt(0)
       val seed = score(cur).localCheckpoint()
-      val perBeam = beams.map { beam =>
+      // each width's walk is independent after the shared seed — run them
+      // as concurrent job chains (driver threads; the walk frames are
+      // beam-sized, so the cluster runs B small job streams side by side
+      // instead of B× the wall time; measured 5.1 -> ~3 s for the 3-width
+      // recall gate at sf0.1)
+      def walkAt(beam: Int): DataFrame = {
         val topBeam = udaf(graft.functions.TopKBy(beam))
         def bestNew(scored: DataFrame): DataFrame =
           scored.groupBy(col("__qid"))
@@ -272,6 +318,18 @@ object GraphAnn {
           .select(lit(beam).as("beam"), col(queryId), col(corpusId),
             col("similarity"), col("rank"))
       }
+      val perBeam =
+        if (beams.size == 1) beams.map(walkAt)
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(beams.size)
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          try scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(
+              beams.map(b => scala.concurrent.Future(walkAt(b)))),
+            scala.concurrent.duration.Duration.Inf)
+          finally pool.shutdown()
+        }
       org.apache.spark.sql.graftbridge.SessionBridge.withSession(
         perBeam.reduce(_ unionByName _), spark)
     }

@@ -520,6 +520,35 @@ object Probe {
           GraphAnn.hnswSearch(emb, edges, qs, k = 10, beam = 8, rounds = 3,
             descentRounds = 2, maxLayer = 2).count())
 
+      case "hnswbuild" =>
+        // ann_hnsw_edges drift probe (round-10): the 3-layer build timed
+        // WARM at several shuffle widths — is the plan paying empty-task
+        // scheduling at width 32, and does the in-plan width scope
+        // (SessionBridge clone, the walk's trick) buy anything?
+        import graft.operators.GraphAnn
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        time("warmup count")(emb.count())
+        time("warmup build")(GraphAnn.hnswGraph(emb, m = 4, nBits = 4,
+          nTables = 4, dim = 64, maxLayer = 2).count())
+        for (w <- Seq(32, 16, 8); r <- 1 to 3) {
+          val scoped = org.apache.spark.sql.graftbridge.SessionBridge
+            .scopedShuffle(spark, w)
+          time(s"build w=$w rep $r")(
+            GraphAnn.hnswGraph(scoped(emb), m = 4, nBits = 4,
+              nTables = 4, dim = 64, maxLayer = 2).count())
+        }
+        // AQE on/off at width 32 (is coalescePartitions already doing
+        // the narrowing for free?)
+        for (aqe <- Seq("true", "false"); r <- 1 to 2) {
+          val s2 = spark.newSession()
+          s2.conf.set("spark.sql.adaptive.enabled", aqe)
+          s2.conf.set("spark.sql.shuffle.partitions", "32")
+          val e2 = s2.read.parquet(s"$sfDir/embeddings.parquet")
+          time(s"build aqe=$aqe rep $r")(
+            GraphAnn.hnswGraph(e2, m = 4, nBits = 4,
+              nTables = 4, dim = 64, maxLayer = 2).count())
+        }
+
       case "hnsw" =>
         // phase timings for the hierarchical search (ann_hnsw_search is the
         // battery's most expensive query — find which phase pays)
