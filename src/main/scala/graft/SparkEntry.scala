@@ -407,6 +407,37 @@ object SparkEntry {
        |          (SELECT src, dst, sim, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rn FROM ${p}bidir)
        |          WHERE rn <= ${2 * m})""".stripMargin
 
+  /** Round-4 cosine scoring subquery against (`embCte`, `qCte`) — the
+    * ONE walk-oracle scorer; the four walk oracles parameterize it by
+    * their emb/q CTE names the way [[knnGraphOracleCtesP]] parameterizes
+    * the build, so a tiebreak or scoring fix lands everywhere at once. */
+  private def walkCosineSql(embCte: String, qCte: String)(fromClause: String): String =
+    s"""(SELECT q_id, cid, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS sim FROM
+       |   (SELECT __f.q_id, __f.cid, list_dot_product(c.v, q.qv) AS dp,
+       |           sqrt(list_dot_product(c.v, c.v)) AS na,
+       |           sqrt(list_dot_product(q.qv, q.qv)) AS nb
+       |    FROM $fromClause __f
+       |    JOIN $embCte c ON c.vec_id = __f.cid JOIN $qCte q ON q.q_id = __f.q_id))""".stripMargin
+
+  /** The greedy-walk ROUND blocks (frontier-edge expansion, visited
+    * anti-join, scoring, beam cut) shared by every walk oracle. CTE names
+    * carry prefix `p` (empty for the single-walk oracles; the per-beam
+    * recall oracle passes "w<beam>"); callers supply `${p}vis0`/`${p}f0`. */
+  private def walkRoundsSql(p: String, edgesCte: String, beam: Int,
+                            rounds: Int, cosine: String => String): String =
+    (1 to rounds).map { k =>
+      s""",
+         |${p}exp$k AS (SELECT DISTINCT f.q_id, e.dst AS cid FROM ${p}f${k - 1} f JOIN $edgesCte e ON e.src = f.cid),
+         |${p}fresh$k AS (SELECT x.q_id, x.cid FROM ${p}exp$k x
+         |            LEFT JOIN ${p}vis${k - 1} v ON v.q_id = x.q_id AND v.cid = x.cid
+         |            WHERE v.cid IS NULL),
+         |${p}sc$k AS MATERIALIZED (SELECT * FROM ${cosine(s"${p}fresh$k")}),
+         |${p}vis$k AS MATERIALIZED (SELECT * FROM ${p}vis${k - 1} UNION ALL SELECT * FROM ${p}sc$k),
+         |${p}f$k AS (SELECT q_id, cid FROM
+         |        (SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cid) AS rn FROM ${p}sc$k)
+         |        WHERE rn <= $beam)""".stripMargin
+    }.mkString
+
   /** ann_graph_beam oracle: the 8-table m=16 build ([[knnGraphOracleCtes]])
     * + the greedy walk UNROLLED — md5-ordered entry sample, then per round
     * frontier-edge expansion, visited anti-join, cosine scoring, and the
@@ -414,25 +445,8 @@ object SparkEntry {
     * selections compare (round-4 sim, id) — grid values, no float-order
     * hazard anywhere. */
   private lazy val graphBeamOracleSql: String = {
-    def cosine(fromClause: String): String =
-      s"""(SELECT q_id, cid, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS sim FROM
-         |   (SELECT __f.q_id, __f.cid, list_dot_product(c.v, q.qv) AS dp,
-         |           sqrt(list_dot_product(c.v, c.v)) AS na,
-         |           sqrt(list_dot_product(q.qv, q.qv)) AS nb
-         |    FROM $fromClause __f
-         |    JOIN gemb c ON c.vec_id = __f.cid JOIN gq q ON q.q_id = __f.q_id))""".stripMargin
-    val rounds = (1 to 3).map { k =>
-      s""",
-         |exp$k AS (SELECT DISTINCT f.q_id, e.dst AS cid FROM f${k - 1} f JOIN gedges e ON e.src = f.cid),
-         |fresh$k AS (SELECT x.q_id, x.cid FROM exp$k x
-         |            LEFT JOIN vis${k - 1} v ON v.q_id = x.q_id AND v.cid = x.cid
-         |            WHERE v.cid IS NULL),
-         |sc$k AS MATERIALIZED (SELECT * FROM ${cosine(s"fresh$k")}),
-         |vis$k AS MATERIALIZED (SELECT * FROM vis${k - 1} UNION ALL SELECT * FROM sc$k),
-         |f$k AS (SELECT q_id, cid FROM
-         |        (SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cid) AS rn FROM sc$k)
-         |        WHERE rn <= 8)""".stripMargin
-    }.mkString
+    val cosine = walkCosineSql("gemb", "gq") _
+    val rounds = walkRoundsSql("", "gedges", beam = 8, rounds = 3, cosine)
     s"""WITH ${knnGraphOracleCtes(nTables = 8, m = 16)},
        |gq AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM gemb WHERE vec_id < 5),
        |gentry AS (SELECT vec_id AS cid FROM gemb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
@@ -461,21 +475,12 @@ object SparkEntry {
       knnGraphOracleCtesP(s"h$l", nTables, m, w)
     }.mkString(",\n")
 
-  /** ann_hnsw_search oracle: the h0..h2 layer builds + the hierarchical
-    * walk unrolled — single deepest-node entry, 2 greedy best-1 rounds per
-    * upper layer, then the 3-round beam-8 layer-0 walk (the
-    * [[graphBeamOracleSql]] machinery seeded by the descent). */
-  private lazy val hnswSearchOracleSql: String = {
-    def cosine(fromClause: String): String =
-      s"""(SELECT q_id, cid, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS sim FROM
-         |   (SELECT __f.q_id, __f.cid, list_dot_product(c.v, q.qv) AS dp,
-         |           sqrt(list_dot_product(c.v, c.v)) AS na,
-         |           sqrt(list_dot_product(q.qv, q.qv)) AS nb
-         |    FROM $fromClause __f
-         |    JOIN h0emb c ON c.vec_id = __f.cid JOIN hq q ON q.q_id = __f.q_id))""".stripMargin
-    // descent steps: (layer 2, round 1..2), (layer 1, round 1..2)
+  /** The HNSW descent blocks (2 greedy best-1 rounds per upper layer,
+    * layers 2 then 1) shared by the hnsw search and recall oracles —
+    * emits hc1/hs1/hd1..hc4/hs4/hd4 off a caller-supplied `hd0`. */
+  private def hnswDescentSql(cosine: String => String): String = {
     val descSteps = Seq((2, 1), (2, 2), (1, 1), (1, 2))
-    val descent = descSteps.zipWithIndex.map { case ((l, _), i0) =>
+    descSteps.zipWithIndex.map { case ((l, _), i0) =>
       val i = i0 + 1
       s""",
          |hc$i AS (SELECT q_id, cid FROM hd${i - 1}
@@ -485,18 +490,16 @@ object SparkEntry {
          |         (SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cid) AS rn FROM hs$i)
          |         WHERE rn = 1)""".stripMargin
     }.mkString
-    val rounds = (1 to 3).map { k =>
-      s""",
-         |exp$k AS (SELECT DISTINCT f.q_id, e.dst AS cid FROM f${k - 1} f JOIN h0edges e ON e.src = f.cid),
-         |fresh$k AS (SELECT x.q_id, x.cid FROM exp$k x
-         |            LEFT JOIN vis${k - 1} v ON v.q_id = x.q_id AND v.cid = x.cid
-         |            WHERE v.cid IS NULL),
-         |sc$k AS MATERIALIZED (SELECT * FROM ${cosine(s"fresh$k")}),
-         |vis$k AS MATERIALIZED (SELECT * FROM vis${k - 1} UNION ALL SELECT * FROM sc$k),
-         |f$k AS (SELECT q_id, cid FROM
-         |        (SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cid) AS rn FROM sc$k)
-         |        WHERE rn <= 8)""".stripMargin
-    }.mkString
+  }
+
+  /** ann_hnsw_search oracle: the h0..h2 layer builds + the hierarchical
+    * walk unrolled — single deepest-node entry, 2 greedy best-1 rounds per
+    * upper layer, then the 3-round beam-8 layer-0 walk (the
+    * [[graphBeamOracleSql]] machinery seeded by the descent). */
+  private lazy val hnswSearchOracleSql: String = {
+    val cosine = walkCosineSql("h0emb", "hq") _
+    val descent = hnswDescentSql(cosine)
+    val rounds = walkRoundsSql("", "h0edges", beam = 8, rounds = 3, cosine)
     s"""WITH ${hnswLayerCtes(nTables = 4, m = 4, maxLayer = 2)},
        |hq AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM h0emb WHERE vec_id < 5),
        |hent AS (SELECT vec_id AS cid FROM
@@ -518,37 +521,10 @@ object SparkEntry {
     * only beam-dependent piece — mirrors [[operators.GraphAnn
     * .hnswSearchBeams]]), each ending in a recall@10 cell. */
   private lazy val hnswRecallOracleSql: String = {
-    def cosine(fromClause: String): String =
-      s"""(SELECT q_id, cid, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS sim FROM
-         |   (SELECT __f.q_id, __f.cid, list_dot_product(c.v, q.qv) AS dp,
-         |           sqrt(list_dot_product(c.v, c.v)) AS na,
-         |           sqrt(list_dot_product(q.qv, q.qv)) AS nb
-         |    FROM $fromClause __f
-         |    JOIN h0emb c ON c.vec_id = __f.cid JOIN hq q ON q.q_id = __f.q_id))""".stripMargin
-    val descSteps = Seq((2, 1), (2, 2), (1, 1), (1, 2))
-    val descent = descSteps.zipWithIndex.map { case ((l, _), i0) =>
-      val i = i0 + 1
-      s""",
-         |hc$i AS (SELECT q_id, cid FROM hd${i - 1}
-         |         UNION SELECT d.q_id, e.dst AS cid FROM hd${i - 1} d JOIN h${l}edges e ON e.src = d.cid),
-         |hs$i AS MATERIALIZED (SELECT * FROM ${cosine(s"hc$i")}),
-         |hd$i AS (SELECT q_id, cid FROM
-         |         (SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cid) AS rn FROM hs$i)
-         |         WHERE rn = 1)""".stripMargin
-    }.mkString
+    val cosine = walkCosineSql("h0emb", "hq") _
+    val descent = hnswDescentSql(cosine)
     def beamWalk(b: Int): String = {
-      val rounds = (1 to 3).map { k =>
-        s""",
-           |w${b}exp$k AS (SELECT DISTINCT f.q_id, e.dst AS cid FROM w${b}f${k - 1} f JOIN h0edges e ON e.src = f.cid),
-           |w${b}fresh$k AS (SELECT x.q_id, x.cid FROM w${b}exp$k x
-           |            LEFT JOIN w${b}vis${k - 1} v ON v.q_id = x.q_id AND v.cid = x.cid
-           |            WHERE v.cid IS NULL),
-           |w${b}sc$k AS MATERIALIZED (SELECT * FROM ${cosine(s"w${b}fresh$k")}),
-           |w${b}vis$k AS MATERIALIZED (SELECT * FROM w${b}vis${k - 1} UNION ALL SELECT * FROM w${b}sc$k),
-           |w${b}f$k AS (SELECT q_id, cid FROM
-           |        (SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cid) AS rn FROM w${b}sc$k)
-           |        WHERE rn <= $b)""".stripMargin
-      }.mkString
+      val rounds = walkRoundsSql(s"w$b", "h0edges", beam = b, rounds = 3, cosine)
       s""",
          |w${b}vis0 AS (SELECT * FROM vis0),
          |w${b}f0 AS (SELECT q_id, cid FROM vis0)$rounds,
@@ -589,25 +565,8 @@ object SparkEntry {
     * touched adjacency list re-caps at 2m=8 by (sim desc, dst) over the
     * DISTINCT pooled edges; untouched rows pass through. */
   private lazy val streamingGraphInsertOracleSql: String = {
-    def cosine(fromClause: String): String =
-      s"""(SELECT q_id, cid, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS sim FROM
-         |   (SELECT __f.q_id, __f.cid, list_dot_product(c.v, q.qv) AS dp,
-         |           sqrt(list_dot_product(c.v, c.v)) AS na,
-         |           sqrt(list_dot_product(q.qv, q.qv)) AS nb
-         |    FROM $fromClause __f
-         |    JOIN femb c ON c.vec_id = __f.cid JOIN fq q ON q.q_id = __f.q_id))""".stripMargin
-    val rounds = (1 to 2).map { k =>
-      s""",
-         |exp$k AS (SELECT DISTINCT f.q_id, e.dst AS cid FROM f${k - 1} f JOIN aedges e ON e.src = f.cid),
-         |fresh$k AS (SELECT x.q_id, x.cid FROM exp$k x
-         |            LEFT JOIN vis${k - 1} v ON v.q_id = x.q_id AND v.cid = x.cid
-         |            WHERE v.cid IS NULL),
-         |sc$k AS MATERIALIZED (SELECT * FROM ${cosine(s"fresh$k")}),
-         |vis$k AS MATERIALIZED (SELECT * FROM vis${k - 1} UNION ALL SELECT * FROM sc$k),
-         |f$k AS (SELECT q_id, cid FROM
-         |        (SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cid) AS rn FROM sc$k)
-         |        WHERE rn <= 8)""".stripMargin
-    }.mkString
+    val cosine = walkCosineSql("femb", "fq") _
+    val rounds = walkRoundsSql("", "aedges", beam = 8, rounds = 2, cosine)
     s"""WITH ${knnGraphOracleCtesP("a", nTables = 4, m = 4, embWhere = "WHERE vec_id % 2 = 0")},
        |${knnGraphOracleCtesP("b", nTables = 4, m = 4, embWhere = "WHERE vec_id % 2 = 1")},
        |femb AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -2975,7 +2934,12 @@ object SparkEntry {
       GraphAnn.knnGraphPersisted(emb.where(col("vec_id") % 2 === 0), gpath,
         m = 4, nBits = 4, nTables = 4, dim = 64)
       val landing = s"$root/landing"
-      if (!new java.io.File(landing).exists())
+      // Hadoop FS existence probe, not java.io.File — the scratch root
+      // lives on whatever filesystem the session writes (the
+      // knnGraphPersisted idiom two lines up)
+      val lp = new org.apache.hadoop.fs.Path(landing)
+      val fs = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(lp))
         emb.where(col("vec_id") % 2 === 1).write.parquet(landing)
       graft.streaming.StreamingIngest.ingestOnceVectors(s, landing,
         "*.parquet", gpath, s"$root/ckpt", corpus = emb, m = 4, beam = 8,

@@ -45,8 +45,8 @@ object Graph {
     * iteration is 1 join + 1 agg over node-sized frames — on a small graph
     * that is pure rounds x fixed-job scheduling overhead. The edge count is
     * observed during the seed pass (zero extra jobs); when it fits
-    * `driverEdgeBudget` (edge rows — the default 2M is tens of MB on the
-    * driver) the edges collect and the SAME power iteration runs locally:
+    * `driverEdgeBudget` (edge rows — the default 500k stays tens of MB on
+    * the driver even with string node ids and boxed Row fields) the edges collect and the SAME power iteration runs locally:
     * identical p = w/wdeg flow, identical teleport/dangling terms,
     * identical round-4 output (spec-pinned equal to the loop). Over budget
     * — the only possibility at real corpus-graph volumes — the distributed
@@ -54,7 +54,7 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                weightCol: String, iters: Int, damping: Double = 0.85,
                redistributeDangling: Boolean = false,
-               driverEdgeBudget: Long = 2000000L): DataFrame = {
+               driverEdgeBudget: Long = 500000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0, s"damping in (0,1), got $damping")
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
@@ -67,11 +67,14 @@ object Graph {
       .distinct().localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty edge set")
-    // the union scans the edge list twice, so the observed count is 2E
+    // the union scans the edge list twice, so the observed count is 2E.
+    // A missing metric (optimized-away CollectMetrics) must fail SAFE:
+    // force the distributed loop, never the driver collect.
     val ne = (try obs.get("n2").asInstanceOf[Long] catch {
-      case _: NoSuchElementException => 0L
+      case _: NoSuchElementException => Long.MaxValue
     }) / 2
-    if (ne <= driverEdgeBudget) {
+    if (ne <= driverEdgeBudget &&
+        e0.schema("src").dataType == e0.schema("dst").dataType) {
       val rows = e0.select(col("src"), col("dst"), col("w")).collect()
       e0.unpersist()
       return pageRankLocal(edges.sparkSession, e0.schema("src").dataType,
@@ -179,7 +182,7 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            weightCol: String, seeds: DataFrame, iters: Int,
                            damping: Double = 0.85,
-                           driverEdgeBudget: Long = 2000000L): DataFrame = {
+                           driverEdgeBudget: Long = 500000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0, s"damping in (0,1), got $damping")
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
@@ -200,7 +203,8 @@ object Graph {
     val ne = (try obs.get("n2").asInstanceOf[Long] catch {
       case _: NoSuchElementException => 0L
     }) / 2
-    if (ne <= driverEdgeBudget) {
+    if (ne <= driverEdgeBudget &&
+        e0.schema("src").dataType == e0.schema("dst").dataType) {
       val rows = e0.select(col("src"), col("dst"), col("w")).collect()
       e0.unpersist()
       return pprLocal(edges.sparkSession, e0.schema("src").dataType, rows,
@@ -292,15 +296,17 @@ object Graph {
     * on the checkpoint (zero extra jobs); under `driverEdgeBudget` the
     * identical mutual-reinforcement rounds run driver-local. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           iters: Int, driverEdgeBudget: Long = 2000000L): DataFrame = {
+           iters: Int, driverEdgeBudget: Long = 500000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val obs = org.apache.spark.sql.Observation()
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().observe(obs, count(lit(1)).as("ne")).localCheckpoint()
+    // missing metric fails SAFE: the distributed loop, never the collect
     val ne = try obs.get("ne").asInstanceOf[Long] catch {
-      case _: NoSuchElementException => 0L
+      case _: NoSuchElementException => Long.MaxValue
     }
-    if (ne <= driverEdgeBudget)
+    if (ne <= driverEdgeBudget &&
+        e0.schema("src").dataType == e0.schema("dst").dataType)
       return hitsLocal(edges.sparkSession, e0.schema("src").dataType,
         e0.collect(), iters)
     val nodes = e0.select(col("src").as("node"))

@@ -102,26 +102,6 @@ object StreamingIngest {
     graft.operators.IndexTable.read(spark, indexPath, alias).count()
   }
 
-  /** Continuous ingest INTO THE GRAPH-ANN STORE: each micro-batch appends
-    * to the node-bucketed layout AND keeps the persisted neighbor graph
-    * LIVE — brand-new documents link in incrementally via the facade's
-    * append path ([[graft.operators.GraphAnn.hnswInsert]] /
-    * [[graft.operators.GraphAnn.insertNodes]]: LSH-bounded batch-internal
-    * candidates + a beam-walk link against the existing graph, entry file
-    * refreshed with the merged graph), so approximate search never waits
-    * for a rebuild between batches. The first batch builds the graph if
-    * none exists yet.
-    *
-    * Idempotence under foreachBatch replays (at-least-once): a replayed
-    * batch's rows re-append and resolve by latest-per-id like any upsert,
-    * and its ids are then EXISTING graph nodes, which the merge detects as
-    * updates — it invalidates the graph and this loop immediately rebuilds
-    * from the latest view. A replay can therefore cost a rebuild, never a
-    * duplicate edge or a stale-vector walk.
-    *
-    * Scale shape: per batch O(|batch|) embed+append, an O(|batch|)
-    * beam-walk link against the persisted graph, and one entry-file
-    * TakeOrdered — never an O(corpus) pass while ids stay new. */
   /** Vector-native continuous graph ingest — the [[ingestOnceGraph]] shape
     * with the embed pipeline factored out: micro-batches of PRE-EMBEDDED
     * vectors land and each batch links into the persisted flat
@@ -172,6 +152,26 @@ object StreamingIngest {
     spark.read.parquet(graphPath).count()
   }
 
+  /** Continuous ingest INTO THE GRAPH-ANN STORE: each micro-batch appends
+    * to the node-bucketed layout AND keeps the persisted neighbor graph
+    * LIVE — brand-new documents link in incrementally via the facade's
+    * append path ([[graft.operators.GraphAnn.hnswInsert]] /
+    * [[graft.operators.GraphAnn.insertNodes]]: LSH-bounded batch-internal
+    * candidates + a beam-walk link against the existing graph, entry file
+    * refreshed with the merged graph), so approximate search never waits
+    * for a rebuild between batches. The first batch builds the graph if
+    * none exists yet.
+    *
+    * Idempotence under foreachBatch replays (at-least-once): a replayed
+    * batch's rows re-append and resolve by latest-per-id like any upsert,
+    * and its ids are then EXISTING graph nodes, which the merge detects as
+    * updates — it invalidates the graph and this loop immediately rebuilds
+    * from the latest view. A replay can therefore cost a rebuild, never a
+    * duplicate edge or a stale-vector walk.
+    *
+    * Scale shape: per batch O(|batch|) embed+append, an O(|batch|)
+    * beam-walk link against the persisted graph, and one entry-file
+    * TakeOrdered — never an O(corpus) pass while ids stay new. */
   def ingestOnceGraph(spark: SparkSession, landingDir: String, globFilter: String,
                       indexPath: String, checkpointDir: String, alias: String,
                       m: Int, layers: Int = 0,

@@ -63,7 +63,8 @@ def main():
         a, b = old[name], new[name]
         if max(a, b) < floor:
             continue
-        move = (b - a) / a * 100.0
+        # a == 0.0 (degenerate old cell) is infinite drift, not a crash
+        move = (b - a) / a * 100.0 if a > 0 else float("inf")
         if abs(move) >= pct:
             drifted.append((move, name, a, b))
     for move, name, a, b in sorted(drifted, reverse=True):
