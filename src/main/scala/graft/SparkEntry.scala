@@ -2440,7 +2440,7 @@ object SparkEntry {
       val qs = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       BinaryQuant.ivfBinaryTopK(emb, qs, k = 10, candidates = 32,
-          nCentroids = 8, nprobe = 8)
+          nCentroids = 8, nprobe = 8, indexPath = Some(scratch(d, "ivf_idx")))
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -2580,7 +2580,7 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val qs = emb.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val ann = SimilaritySearch.ivfTopK(emb, qs, k = 1, nCentroids = 8,
-          nprobe = 2)
+          nprobe = 2, indexPath = Some(scratch(d, "ivf_idx")))
         .select(col("q_id"), col("vec_id").as("hard_neg_id"),
           col("similarity"))
       val exact = SimilaritySearch.bruteForceTopK(emb, qs, k = 1)
@@ -2654,7 +2654,8 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val qs = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      SimilaritySearch.ivfTopK(emb, qs, k = 10, nCentroids = 8, nprobe = 2)
+      SimilaritySearch.ivfTopK(emb, qs, k = 10, nCentroids = 8, nprobe = 2,
+          indexPath = Some(scratch(d, "ivf_idx")))
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -2671,8 +2672,8 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val exact = SimilaritySearch.bruteForceTopK(emb, qs, k = 10)
         .select(col("q_id"), col("vec_id")).localCheckpoint()
-      val (centroids, assigned) =
-        SimilaritySearch.ivfIndex(emb, nCentroids = 8, iters = 1)
+      val (centroids, assigned) = SimilaritySearch.ivfIndexPersisted(
+        emb, scratch(d, "ivf_idx"), nCentroids = 8, iters = 1)
       val qw = Window.partitionBy(col("q_id"))
         .orderBy(asc("qdist"), asc("centroid_id"))
       val probes = qs.join(broadcast(centroids))
@@ -2743,7 +2744,8 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val qs = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      SimilaritySearch.ivfTopK(emb, qs, k = 10, nCentroids = 8, nprobe = 8)
+      SimilaritySearch.ivfTopK(emb, qs, k = 10, nCentroids = 8, nprobe = 8,
+          indexPath = Some(scratch(d, "ivf_idx")))
         .orderBy(col("q_id"), col("rank"))
     }),
 

@@ -104,11 +104,16 @@ object BinaryQuant {
   def ivfBinaryTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                     candidates: Int, nCentroids: Int = 8, nprobe: Int = 2,
                     corpusVec: String = "embedding", corpusId: String = "vec_id",
-                    queryVec: String = "q_vec", queryId: String = "q_id"): DataFrame = {
+                    queryVec: String = "q_vec", queryId: String = "q_id",
+                    indexPath: Option[String] = None): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
     import org.apache.spark.sql.expressions.Window
-    val (centroids0, assigned) =
-      SimilaritySearch.ivfIndex(corpus, nCentroids, iters = 1, corpusVec, corpusId)
+    val (centroids0, assigned) = indexPath match {
+      case Some(pth) => SimilaritySearch.ivfIndexPersisted(corpus, pth,
+        nCentroids, iters = 1, corpusVec, corpusId)
+      case None =>
+        SimilaritySearch.ivfIndex(corpus, nCentroids, iters = 1, corpusVec, corpusId)
+    }
     val centroids = centroids0.cache()
     val qw = Window.partitionBy(col(queryId)).orderBy(asc("qdist"), asc("centroid_id"))
     val (q0, q1) = pack64(col(queryVec))

@@ -198,16 +198,46 @@ object SimilaritySearch {
     (centroids, assigned)
   }
 
+  /** [[ivfIndex]] under the build-once persistence contract of
+    * [[GraphAnn.knnGraphPersisted]] / the store's `_graft_centroids`: the
+    * first call writes the routing codebook and the assigned inverted
+    * lists under `path`; later calls read them back. A production IVF
+    * index is built once and amortized over every query against it — and
+    * at the gate, every ann_ivf*-family query sharing a path now shares
+    * ONE Lloyd chain instead of re-deriving it per query. */
+  def ivfIndexPersisted(corpus: DataFrame, path: String, nCentroids: Int,
+                        iters: Int = 1, vecCol: String = "embedding",
+                        idCol: String = "vec_id"): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val (c, a) = ivfIndex(corpus, nCentroids, iters, vecCol, idCol)
+      c.write.mode("ignore").parquet(s"$path/centroids")
+      a.write.mode("ignore").parquet(s"$path/assigned")
+      a.unpersist()
+    }
+    (spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/assigned"))
+  }
+
   /** IVF probe: route each query to its `nprobe` nearest centroids, scan only
     * those inverted lists, exact-rerank. At scale the corpus is written
-    * bucketed by centroid_id so the probe join is co-located. */
+    * bucketed by centroid_id so the probe join is co-located. With
+    * `indexPath` the index comes from [[ivfIndexPersisted]] (build once,
+    * amortize over queries — the graph tier's contract). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nprobe: Int = 2,
               corpusVec: String = "embedding", corpusId: String = "vec_id",
               queryVec: String = "q_vec", queryId: String = "q_id",
-              materializeChain: Boolean = false): DataFrame = {
-    val (centroids0, assigned) = ivfIndex(corpus, nCentroids, iters = 1, corpusVec, corpusId,
-      materializeChain = materializeChain)
+              materializeChain: Boolean = false,
+              indexPath: Option[String] = None): DataFrame = {
+    val (centroids0, assigned) = indexPath match {
+      case Some(pth) =>
+        ivfIndexPersisted(corpus, pth, nCentroids, iters = 1, corpusVec, corpusId)
+      case None => ivfIndex(corpus, nCentroids, iters = 1, corpusVec, corpusId,
+        materializeChain = materializeChain)
+    }
     val centroids = centroids0.cache()
     val qw = Window.partitionBy(col(queryId)).orderBy(asc("qdist"), asc("centroid_id"))
     val probes = queries.join(broadcast(centroids))
