@@ -2756,8 +2756,8 @@ object SparkEntry {
     // run (seeds -> 2 Lloyd rounds -> final assignment) in CTEs and
     // hash-match the per-vector cluster ids.
     "embedding_kmeans" -> ((s, d) => {
-      KMeans.assign(t(s, d, "embeddings"), "embedding", "vec_id",
-          k = 8, iters = 2)
+      KMeans.assignPersisted(t(s, d, "embeddings"),
+          scratch(d, "kmeans_idx"), "embedding", "vec_id", k = 8, iters = 2)
         .orderBy(col("vec_id"))
     }),
 
@@ -2777,7 +2777,8 @@ object SparkEntry {
     // the full Lloyd run in CTEs, then the pair threshold and verdict.
     "dedup_semantic" -> ((s, d) => {
       SemDedup.prune(t(s, d, "embeddings"), "embedding", "vec_id",
-          k = 8, iters = 2, threshold = 0.4)
+          k = 8, iters = 2, threshold = 0.4,
+          assignPath = Some(scratch(d, "kmeans_idx")))
         .orderBy(col("vec_id"))
     }),
 
@@ -2803,7 +2804,8 @@ object SparkEntry {
     // centroids, and the election.
     "dedup_semantic_resolve" -> ((s, d) => {
       SemDedup.resolveGroups(t(s, d, "embeddings"), "embedding", "vec_id",
-          k = 8, iters = 2, threshold = 0.4)
+          k = 8, iters = 2, threshold = 0.4,
+          assignPath = Some(scratch(d, "kmeans_idx")))
         .orderBy(col("cluster_id"))
     }),
 
@@ -7767,7 +7769,8 @@ object SparkEntry {
     val quality = QualityClassifier.score(docs, "text", "doc_id")
       .where(col("keep")).select(col("doc_id"))
     val semDropped = SemDedup.prune(t(s, d, "embeddings"), "embedding",
-        "vec_id", k = 8, iters = 2, threshold = 0.4)
+        "vec_id", k = 8, iters = 2, threshold = 0.4,
+        assignPath = Some(scratch(d, "kmeans_idx")))
       .where(!col("kept")).select(col("vec_id").as("doc_id"))
     docs.join(quality, Seq("doc_id"), "left_semi")
       .join(semDropped, Seq("doc_id"), "left_anti")

@@ -53,6 +53,22 @@ object KMeans {
       .select(col("__kid").as(idCol), col("cluster"))
   }
 
+  /** [[assign]] under the build-once persistence contract of
+    * [[SimilaritySearch.ivfIndexPersisted]] / `knnGraphPersisted`: the
+    * first call writes the trained (id, cluster) table under `path`,
+    * later calls read it back. A clustering run is trained once and
+    * amortized over every consumer — the semantic-dedup gates sharing a
+    * path share ONE Lloyd chain. */
+  def assignPersisted(df: DataFrame, path: String, vecCol: String,
+                      idCol: String, k: Int, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      assign(df, vecCol, idCol, k, iters).write.mode("ignore").parquet(path)
+    spark.read.parquet(path)
+  }
+
   /** The final (cid, centroid) table after `iters` Lloyd rounds — the
     * trained model, exposed so serving paths (streaming assignment, IVF
     * -style routing) can bind the SAME centroids the batch training run

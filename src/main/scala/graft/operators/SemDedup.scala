@@ -44,9 +44,12 @@ object SemDedup {
     * Cosine is rounded to 4 before the threshold so the verdict is
     * engine-stable (same recipe as [[Dedup.embeddingNearDupPairs]]). */
   def prune(df: DataFrame, vecCol: String, idCol: String,
-            k: Int, iters: Int, threshold: Double): DataFrame = {
+            k: Int, iters: Int, threshold: Double,
+            assignPath: Option[String] = None): DataFrame = {
     require(k >= 1 && threshold > 0 && threshold <= 1)
-    val assigned = KMeans.assign(df, vecCol, idCol, k, iters)
+    val assigned = assignPath
+      .map(KMeans.assignPersisted(df, _, vecCol, idCol, k, iters))
+      .getOrElse(KMeans.assign(df, vecCol, idCol, k, iters))
     val av = assigned
       .join(df.select(col(idCol), col(vecCol)), idCol)
       .select(col(idCol).as("id"), col("cluster"), col(vecCol).as("v"))
@@ -87,7 +90,8 @@ object SemDedup {
     * double vector and must not be re-quantized), rounded 4 before the
     * min so the elected member is engine-stable. */
   def resolveGroups(df: DataFrame, vecCol: String, idCol: String,
-                    k: Int, iters: Int, threshold: Double): DataFrame = {
+                    k: Int, iters: Int, threshold: Double,
+                    assignPath: Option[String] = None): DataFrame = {
     // the pair graph and its component labels are dup-set-sized (orders of
     // magnitude below the corpus) — scope the shuffle width down for the
     // iterative section, as GraphAnn.beamVisited does for its walk. The
@@ -97,13 +101,17 @@ object SemDedup {
     val scoped = org.apache.spark.sql.graftbridge.SessionBridge
       .scopedShuffle(spark, 8)
     org.apache.spark.sql.graftbridge.SessionBridge.withSession(
-      resolveGroupsImpl(scoped(df), vecCol, idCol, k, iters, threshold),
+      resolveGroupsImpl(scoped(df), vecCol, idCol, k, iters, threshold,
+        assignPath),
       spark)
   }
 
   private def resolveGroupsImpl(df: DataFrame, vecCol: String, idCol: String,
-                                k: Int, iters: Int, threshold: Double): DataFrame = {
-    val assigned = KMeans.assign(df, vecCol, idCol, k, iters)
+                                k: Int, iters: Int, threshold: Double,
+                                assignPath: Option[String]): DataFrame = {
+    val assigned = assignPath
+      .map(KMeans.assignPersisted(df, _, vecCol, idCol, k, iters))
+      .getOrElse(KMeans.assign(df, vecCol, idCol, k, iters))
     // three consumers fan out from the assignment (pair graph, centroids,
     // similarity scoring) and connectedComponents adds iterative actions on
     // top — materialize the Lloyd run ONCE (the same lineage-truncation
