@@ -20,6 +20,35 @@ object Graph {
     java.math.BigDecimal.valueOf(v)
       .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** An Ordering over collected node/label values that matches Spark's
+    * sort order for the type — integers numerically, strings as UNSIGNED
+    * UTF-8 bytes (UTF8String's binary comparison; java String.compareTo
+    * would disagree on supplementary characters). Types without an exact
+    * reproduction return None and take the distributed loop. */
+  private def labelOrdering(dt: org.apache.spark.sql.types.DataType)
+      : Option[Ordering[Any]] = dt match {
+    case org.apache.spark.sql.types.LongType =>
+      Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
+    case org.apache.spark.sql.types.IntegerType =>
+      Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
+    case org.apache.spark.sql.types.StringType =>
+      Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = {
+          val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          val n = math.min(x.length, y.length)
+          while (i < n) {
+            val c = (x(i) & 0xff) - (y(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          x.length - y.length
+        }
+      })
+    case _ => None
+  }
+
   /** Weighted PageRank with a fixed iteration count.
     *
     * `edges` is a DIRECTED weighted edge list (undirected graphs pass both
@@ -389,10 +418,56 @@ object Graph {
     * pruned) frontiers. Returns (seed, node, dist), dist 0 for the seed
     * itself. */
   def multiSourceBfs(edges: DataFrame, srcCol: String, dstCol: String,
-                     seeds: DataFrame, rounds: Int): DataFrame = {
+                     seeds: DataFrame, rounds: Int,
+                     driverEdgeBudget: Long = 500000L): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val obs = org.apache.spark.sql.Observation()
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
-      .distinct().localCheckpoint()
+      .distinct().observe(obs, count(lit(1)).as("ne")).localCheckpoint()
+    // hop distances are exact integers and node identity is plain equality
+    // (post-select the columns share one coerced type only when src/dst
+    // matched — the dispatch guard), so the under-budget tier is the same
+    // BFS over driver-resident adjacency; missing metric fails SAFE to the
+    // distributed loop (the pageRank convention).
+    val ne = try obs.get("ne").asInstanceOf[Long] catch {
+      case _: NoSuchElementException => Long.MaxValue
+    }
+    if (ne <= driverEdgeBudget &&
+        e.schema("__s").dataType == e.schema("__d").dataType) {
+      val adj = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+      e.collect().foreach { r =>
+        adj.getOrElseUpdate(r.get(0),
+          scala.collection.mutable.ArrayBuffer.empty[Any]) += r.get(1)
+      }
+      val seedVals = seeds.select(col(seeds.columns.head)).distinct()
+        .collect().map(_.get(0))
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      seedVals.foreach { s =>
+        val dist = scala.collection.mutable.HashMap[Any, Int](s -> 0)
+        var frontier: Seq[Any] = Seq(s)
+        var r = 1
+        while (r <= rounds && frontier.nonEmpty) {
+          val next = frontier.flatMap(adj.getOrElse(_, Nil))
+            .distinct.filterNot(dist.contains)
+          next.foreach(dist(_) = r)
+          frontier = next
+          r += 1
+        }
+        dist.foreach { case (n, d) =>
+          out += org.apache.spark.sql.Row(s, n, d)
+        }
+      }
+      val nt = e.schema("__s").dataType
+      return edges.sparkSession.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(out.toSeq).asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("seed", nt),
+          org.apache.spark.sql.types.StructField("node", nt),
+          org.apache.spark.sql.types.StructField("dist",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+    }
     var vis = seeds.select(col(seeds.columns.head).as("seed")).distinct()
       .select(col("seed"), col("seed").as("node"), lit(0).as("dist"))
       .localCheckpoint()
@@ -505,16 +580,42 @@ object Graph {
     * Returns surviving nodes with their final in-core degree.
     */
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
-            rounds: Int): DataFrame = {
+            rounds: Int, driverEdgeBudget: Long = 500000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val und = edges
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .where(col("a") =!= col("b")).distinct()
+    val obs = org.apache.spark.sql.Observation()
     var sym = und.select(col("a").as("src"), col("b").as("dst"))
       .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .observe(obs, count(lit(1)).as("ne"))
       .localCheckpoint()
+    // peeling is pure integer degree arithmetic over the canonicalized
+    // (type-coerced) edge list — under budget it runs driver-local;
+    // missing metric fails SAFE to the loop (the pageRank convention)
+    val ne = try obs.get("ne").asInstanceOf[Long] catch {
+      case _: NoSuchElementException => Long.MaxValue
+    }
+    if (ne <= driverEdgeBudget) {
+      var es = sym.collect().map(r => (r.get(0), r.get(1))).toSeq
+      for (_ <- 1 to rounds) {
+        val deg = es.groupBy(_._1).view.mapValues(_.size).toMap
+        val keep = deg.collect { case (n, d) if d >= k => n }.toSet
+        es = es.filter { case (s, d2) => keep(s) && keep(d2) }
+      }
+      val counts = es.groupBy(_._1).view.mapValues(_.size.toLong).toSeq
+      val nt = sym.schema("src").dataType
+      return edges.sparkSession.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(counts.map { case (n, c) =>
+            org.apache.spark.sql.Row(n, c) }).asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", nt),
+          org.apache.spark.sql.types.StructField("core_deg",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
     for (_ <- 1 to rounds) {
       val keep = sym.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
@@ -546,15 +647,54 @@ object Graph {
     * `iters` keeps the gate deterministic either way.
     */
   def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
-                       iters: Int): DataFrame = {
+                       iters: Int,
+                       driverEdgeBudget: Long = 500000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val und = edges
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .where(col("a") =!= col("b")).distinct()
+    val obs = org.apache.spark.sql.Observation()
     val sym = und.select(col("a").as("src"), col("b").as("dst"))
       .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .observe(obs, count(lit(1)).as("ne"))
       .localCheckpoint()
+    // the (count desc, label asc) argmax needs an ordering over label
+    // values — the local tier runs only for the types whose Spark sort
+    // order it reproduces exactly ([[labelOrdering]]: integers, and
+    // strings compared as UTF-8 bytes, Spark's binary collation); missing
+    // metric fails SAFE to the loop (the pageRank convention)
+    val ne = try obs.get("ne").asInstanceOf[Long] catch {
+      case _: NoSuchElementException => Long.MaxValue
+    }
+    val ord = labelOrdering(sym.schema("src").dataType)
+    if (ne <= driverEdgeBudget && ord.isDefined) {
+      implicit val o: Ordering[Any] = ord.get
+      val es = sym.collect().map(r => (r.get(0), r.get(1)))
+      val nodes = es.map(_._1).distinct
+      var lbl = nodes.map(n => n -> n).toMap
+      for (_ <- 1 to iters) {
+        val counts = scala.collection.mutable.HashMap.empty[(Any, Any), Long]
+        es.foreach { case (s, d) =>
+          val key = (d, lbl(s))
+          counts(key) = counts.getOrElse(key, 0L) + 1L
+        }
+        lbl = counts.toSeq
+          .map { case ((n, l), c) => (n, l, c) }
+          .groupBy(_._1).view
+          .mapValues(_.minBy { case (_, l, c) => (-c, l) }(
+            Ordering.Tuple2(Ordering.Long, o))._2)
+          .toMap
+      }
+      val nt = sym.schema("src").dataType
+      return edges.sparkSession.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(nodes.map(n =>
+            org.apache.spark.sql.Row(n, lbl(n))).toSeq).asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", nt),
+          org.apache.spark.sql.types.StructField("community", nt))))
+    }
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (_ <- 1 to iters) {

@@ -328,6 +328,38 @@ class GraphSpec extends AnyFunSuite {
     assert(local === loop)
   }
 
+  test("labelPropagation: driver tier equals the distributed loop") {
+    val df = (tierEdges.map(e => (e._1, e._2)) ++ Seq(("x1", "x2"), ("x2", "x3")))
+      .toDF("a", "b")
+    val local = Graph.labelPropagation(df, "a", "b", iters = 3)
+      .as[(String, String)].collect().toMap
+    val loop = Graph.labelPropagation(df, "a", "b", iters = 3,
+      driverEdgeBudget = 0L).as[(String, String)].collect().toMap
+    assert(local === loop)
+  }
+
+  test("kCore: driver tier equals the distributed loop") {
+    val df = (tierEdges.map(e => (e._1, e._2)) ++
+      Seq(("s1", "s3"), ("s2", "lone"), ("x1", "x2"))).toDF("a", "b")
+    for (k <- Seq(2, 3)) {
+      val local = Graph.kCore(df, "a", "b", k = k, rounds = 3)
+        .as[(String, Long)].collect().toMap
+      val loop = Graph.kCore(df, "a", "b", k = k, rounds = 3,
+        driverEdgeBudget = 0L).as[(String, Long)].collect().toMap
+      assert(local === loop, s"k=$k")
+    }
+  }
+
+  test("multiSourceBfs: driver tier equals the distributed loop") {
+    val df = tierEdges.map(e => (e._1, e._2)).toDF("a", "b")
+    val seeds = Seq("s1", "lone").toDF("node")
+    val local = Graph.multiSourceBfs(df, "a", "b", seeds, rounds = 3)
+      .as[(String, String, Int)].collect().toSet
+    val loop = Graph.multiSourceBfs(df, "a", "b", seeds, rounds = 3,
+      driverEdgeBudget = 0L).as[(String, String, Int)].collect().toSet
+    assert(local === loop)
+  }
+
   test("hits: driver tier equals the distributed loop") {
     val df = tierEdges.map(e => (e._1, e._2)).toDF("src", "dst")
     val local = Graph.hits(df, "src", "dst", iters = 3)
