@@ -144,6 +144,40 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(again === fresh, "existing index must be reused, never rebuilt")
   }
 
+  test("hnswSearchBeams: each width's slice equals the standalone single-beam search") {
+    val edges = GraphAnn.hnswGraph(emb, m = 4, nBits = 4, nTables = 4,
+      dim = 64, maxLayer = 2).cache()
+    val multi = GraphAnn.hnswSearchBeams(emb, edges, qs, k = 10,
+        beams = Seq(2, 8), rounds = 3, descentRounds = 2, maxLayer = 2)
+      .as[(Int, Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4, t._5)).toSet)
+      .toMap
+    for (b <- Seq(2, 8)) {
+      val single = GraphAnn.hnswSearch(emb, edges, qs, k = 10, beam = b,
+          rounds = 3, descentRounds = 2, maxLayer = 2)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      // the shared descent/seed and the concurrent walk threads may change
+      // scheduling but never a result row
+      assert(multi(b) === single, s"beam $b")
+    }
+  }
+
+  test("ivfIndexPersisted: built once, round-trips ivfIndex exactly, reused not rebuilt") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfp").toString + "/idx"
+    val (cFresh, aFresh) = SimilaritySearch.ivfIndex(emb, nCentroids = 8, iters = 1)
+    val (cP, aP) = SimilaritySearch.ivfIndexPersisted(emb, path, nCentroids = 8, iters = 1)
+    assert(cP.orderBy("centroid_id").collect().toSeq ===
+      cFresh.orderBy("centroid_id").collect().toSeq)
+    assert(aP.select(col("vec_id"), col("centroid_id")).as[(Long, Long)].collect().toSet ===
+      aFresh.select(col("vec_id"), col("centroid_id")).as[(Long, Long)].collect().toSet)
+    aFresh.unpersist()
+    // reuse contract: a poisoned corpus must not trigger a rebuild
+    val (cAgain, _) = SimilaritySearch.ivfIndexPersisted(emb.limit(5), path, nCentroids = 8, iters = 1)
+    assert(cAgain.orderBy("centroid_id").collect().toSeq ===
+      cFresh.orderBy("centroid_id").collect().toSeq,
+      "existing IVF index must be reused, never rebuilt")
+  }
+
   test("insertNodes: append ≡ rebuild — new nodes link bidirectionally, " +
        "degree cap holds, and recall stays within tolerance of a full rebuild") {
     val base = emb.where(col("vec_id") % 10 =!= 0)

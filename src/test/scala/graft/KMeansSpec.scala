@@ -58,6 +58,20 @@ class KMeansSpec extends AnyFunSuite {
     assert(rep === want, "assignment must be partitioning-invariant")
   }
 
+  test("assignPersisted: round-trips assign exactly, reused not rebuilt") {
+    val path = java.nio.file.Files.createTempDirectory("graft_kmp").toString + "/idx"
+    val fresh = KMeans.assign(emb, "embedding", "vec_id", k = 8, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    val p = KMeans.assignPersisted(emb, path, "embedding", "vec_id", k = 8, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(p === fresh)
+    // reuse contract: a poisoned corpus must not trigger a rebuild
+    val again = KMeans.assignPersisted(emb.limit(5), path, "embedding",
+        "vec_id", k = 8, iters = 2)
+      .as[(Long, Int)].collect().toMap
+    assert(again === fresh, "existing assignment must be reused, never rebuilt")
+  }
+
   test("iters=0 assigns each seed vector to its own cluster") {
     val got = KMeans.assign(emb, "embedding", "vec_id", k = 4, iters = 0)
       .as[(Long, Int)].collect().toMap
