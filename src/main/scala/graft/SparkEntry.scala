@@ -81,9 +81,14 @@ object SparkEntry {
     * feature table for scoring lend it to a cold-memo training run. */
   private val logregMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Double)]]()
+  // The canonical training recipe every classifier_ gate shares. Folded
+  // into the memo key so a future gate that trains with a different
+  // label/steps/dim/seed gets its own entry instead of silently reading
+  // another recipe's weights.
+  private val LogregRecipe = "label=lang:en|steps=3|dim=64"
   private def trainedLogreg(s: SparkSession, d: String,
                             comps: Option[DataFrame]): DataFrame = {
-    val vals = logregMemo.computeIfAbsent(d, _ => {
+    val vals = logregMemo.computeIfAbsent(s"$d|$LogregRecipe", _ => {
       val docs = t(s, d, "documents")
       val c = comps.getOrElse(graft.functions.Embedder
         .hashedComponents(docs, "text", "doc_id", dim = 64).localCheckpoint())
@@ -381,9 +386,10 @@ object SparkEntry {
     * optional WHERE on the embedding subset — the HNSW layers reuse the
     * whole build replay once per layer over nested node subsets. */
   private def knnGraphOracleCtesP(p: String, nTables: Int, m: Int,
-                                  embWhere: String): String =
+                                  embWhere: String,
+                                  src: String = "embeddings"): String =
     s"""${p}planes AS (SELECT * FROM (VALUES ${graphPlaneValuesFor(nTables)}) AS t(tid, pid, p)),
-       |${p}emb AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings $embWhere),
+       |${p}emb AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM $src $embWhere),
        |${p}bits AS (SELECT e.vec_id, pl.tid, pl.pid,
        |          CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN '1' ELSE '0' END AS bit
        |          FROM ${p}emb e CROSS JOIN ${p}planes pl),
@@ -469,10 +475,11 @@ object SparkEntry {
   /** The three per-layer knnGraph replays behind both HNSW gates: CTE
     * prefixes h0/h1/h2, layer ℓ's embedding subset filtered to
     * [[hnswLvlSql]] ≥ ℓ. */
-  private def hnswLayerCtes(nTables: Int, m: Int, maxLayer: Int): String =
+  private def hnswLayerCtes(nTables: Int, m: Int, maxLayer: Int,
+                            src: String = "embeddings"): String =
     (0 to maxLayer).map { l =>
       val w = if (l == 0) "" else s"WHERE ${hnswLvlSql("vec_id")} >= $l"
-      knnGraphOracleCtesP(s"h$l", nTables, m, w)
+      knnGraphOracleCtesP(s"h$l", nTables, m, w, src)
     }.mkString(",\n")
 
   /** The HNSW descent blocks (2 greedy best-1 rounds per upper layer,
@@ -520,7 +527,14 @@ object SparkEntry {
     * once, then the 3-round layer-0 walk replayed per beam width (the
     * only beam-dependent piece — mirrors [[operators.GraphAnn
     * .hnswSearchBeams]]), each ending in a recall@10 cell. */
-  private lazy val hnswRecallOracleSql: String = {
+  private lazy val hnswRecallOracleSql: String =
+    hnswRecallOracleFor(m = 4, nTables = 4, src = "embeddings", prelude = "")
+
+  /** The recall-curve oracle body, parameterized over the build size and
+    * the corpus CTE so the planted-cluster gate replays the same walk
+    * machinery over its synthesized corpus (`prelude` prepends that CTE). */
+  private def hnswRecallOracleFor(m: Int, nTables: Int, src: String,
+                                  prelude: String): String = {
     val cosine = walkCosineSql("h0emb", "hq") _
     val descent = hnswDescentSql(cosine)
     def beamWalk(b: Int): String = {
@@ -536,7 +550,7 @@ object SparkEntry {
          |    round(CAST(sum(CASE WHEN ap.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / count(*), 4) AS recall
          |  FROM bx t LEFT JOIN w${b}ap ap ON t.q_id = ap.q_id AND t.vec_id = ap.cid)""".stripMargin
     }
-    s"""WITH ${hnswLayerCtes(nTables = 4, m = 4, maxLayer = 2)},
+    s"""WITH $prelude${hnswLayerCtes(nTables = nTables, m = m, maxLayer = 2, src = src)},
        |hq AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM h0emb WHERE vec_id < 5),
        |hent AS (SELECT vec_id AS cid FROM
        |         (SELECT vec_id, least(${hnswLvlSql("vec_id")}, 2) AS lv FROM h0emb)
@@ -554,6 +568,25 @@ object SparkEntry {
        |UNION ALL SELECT beam, n_truth, hits, recall FROM w8rec
        |ORDER BY beam""".stripMargin
   }
+
+  /** ann_hnsw_recall_planted oracle: the identical walk machinery over the
+    * PLANTED corpus — embeddings ∪ 10 exact copies of each query vector
+    * (new ids, zero new float arithmetic, the multimodal_phash_pairs
+    * planted-mutant trick). Ground truth per query is exactly its 10
+    * copies (sim 1.0), so the gated recall is INFORMATIVE: finding the
+    * planted neighborhood requires the walk to actually navigate, and a
+    * walk/link regression collapses the cell instead of nudging 0.06 to
+    * 0.04 on near-orthogonal noise. */
+  private lazy val hnswRecallPlantedOracleSql: String =
+    hnswRecallOracleFor(m = 12, nTables = 8, src = "pcorp",
+      prelude =
+        """pcorp AS MATERIALIZED (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT 1000000 + q.vec_id * 100 + j.j AS vec_id, q.embedding
+          |  FROM embeddings q CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS j) j
+          |  WHERE q.vec_id < 5),
+          |""".stripMargin)
 
   /** streaming_graph_insert oracle: the full incremental-ingest replay.
     * Wave-1 build (a-prefix, evens) and the batch-internal wave-2 build
@@ -1311,11 +1344,24 @@ object SparkEntry {
     }),
 
     // P5/D4 exact reference digest: sha1(path + '_' + i) (utilities.py:344).
-    // DuckDB 1.0 has no sha1 -> rows-only check.
+    // DuckDB 1.0 has no sha1 (checked again r11: `sha1` missing, the
+    // crypto extension can't install offline) -> rows-only check.
     "doc_keys_sha1" -> ((s, d) => {
       t(s, d, "documents")
         .select(col("doc_id"),
           sha1(concat_ws("_", col("source"), col("doc_id"))).as("doc_key"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ... and a SECOND hash-gated digest twin: DuckDB 1.0 does ship
+    // sha256, so the same keying pipeline is oracle-checked through a
+    // cryptographic digest too (md5 twin above proves the concat
+    // convention; this pins the SHA-2 codepath the production keyer
+    // would actually use).
+    "doc_keys_sha256" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          sha2(concat_ws("_", col("source"), col("doc_id")), 256).as("doc_key"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2902,6 +2948,48 @@ object SparkEntry {
       val exact = SimilaritySearch.bruteForceTopK(emb, qs, k = 10)
         .select(col("q_id"), col("vec_id")).localCheckpoint()
       val ap = GraphAnn.hnswSearchBeams(emb, edges, qs, k = 10,
+          beams = Seq(2, 4, 8), rounds = 3, descentRounds = 2, maxLayer = 2)
+        .select(col("beam"), col("q_id").as("a_qid"), col("vec_id").as("a_vid"))
+        .localCheckpoint()
+      Seq(2, 4, 8).map { b =>
+        exact.join(ap.where(col("beam") === b),
+            col("q_id") === col("a_qid") && col("vec_id") === col("a_vid"),
+            "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(when(col("a_vid").isNotNull, 1).otherwise(0)).cast("long")
+              .as("hits"))
+          .select(lit(b).as("beam"), col("n_truth"), col("hits"),
+            round(col("hits") * lit(1.0) / col("n_truth"), 4).as("recall"))
+      }.reduce(_ unionByName _).orderBy(col("beam"))
+    }),
+
+    // The recall curve on a PLANTED corpus (r10 verdict item 5: the random
+    // fixture's cells are 0.04-0.08 — a regression detector, not an
+    // informative recall). Corpus = embeddings ∪ 10 exact copies of each
+    // query vector under fresh ids (no new float arithmetic — the
+    // multimodal_phash_pairs planted-mutant pattern, so the oracle
+    // synthesizes the identical corpus in SQL). Ground truth@10 per query
+    // is exactly its copies at sim 1.0; the gate value measures whether
+    // the hierarchical walk actually NAVIGATES to the planted
+    // neighborhood, and a walk/link regression collapses it. m=8 here
+    // (vs the random gate's 4) keeps the planted cliques bridged to the
+    // backbone after the 2m re-cap.
+    "ann_hnsw_recall_planted" -> ((s, d) => {
+      val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val copies = base.where(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0L), lit(9L))).as("j"))
+        .select((lit(1000000L) + col("vec_id") * lit(100L) + col("j"))
+          .as("vec_id"), col("embedding"))
+      val corpus = base.unionByName(copies).localCheckpoint()
+      val edges = GraphAnn.hnswGraphPersisted(corpus,
+        scratch(d, "hnsw_planted_idx"),
+        m = 12, nBits = 4, nTables = 8, dim = 64, maxLayer = 2).cache()
+      val qs = base.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val exact = SimilaritySearch.bruteForceTopK(corpus, qs, k = 10)
+        .select(col("q_id"), col("vec_id")).localCheckpoint()
+      val ap = GraphAnn.hnswSearchBeams(corpus, edges, qs, k = 10,
           beams = Seq(2, 4, 8), rounds = 3, descentRounds = 2, maxLayer = 2)
         .select(col("beam"), col("q_id").as("a_qid"), col("vec_id").as("a_vid"))
         .localCheckpoint()
@@ -9378,6 +9466,10 @@ object SparkEntry {
       """SELECT doc_id, md5(source || '_' || CAST(doc_id AS VARCHAR)) AS doc_key
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "doc_keys_sha256" ->
+      """SELECT doc_id, sha256(source || '_' || CAST(doc_id AS VARCHAR)) AS doc_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "embed_hashed_sparse" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), t -> len(t) > 0)) AS tok FROM documents),
         |h AS (SELECT doc_id, md5(tok || '#42') AS hx FROM toks),
@@ -10187,6 +10279,7 @@ object SparkEntry {
          |ORDER BY layer, src, dst""".stripMargin,
 
     "ann_hnsw_search" -> hnswSearchOracleSql,
+    "ann_hnsw_recall_planted" -> hnswRecallPlantedOracleSql,
 
     "streaming_graph_insert" -> streamingGraphInsertOracleSql,
 

@@ -229,8 +229,10 @@ object Graph {
       .localCheckpoint()
     val ns = marked.agg(sum(col("is_seed"))).head().getDouble(0)
     require(ns > 0, "personalizedPageRank needs at least one seed present in the graph")
+    // missing metric fails SAFE: the distributed loop, never the collect
+    // (the pageRank convention — MaxValue keeps the budget guard closed).
     val ne = (try obs.get("n2").asInstanceOf[Long] catch {
-      case _: NoSuchElementException => 0L
+      case _: NoSuchElementException => Long.MaxValue
     }) / 2
     if (ne <= driverEdgeBudget &&
         e0.schema("src").dataType == e0.schema("dst").dataType) {
@@ -433,7 +435,8 @@ object Graph {
       case _: NoSuchElementException => Long.MaxValue
     }
     if (ne <= driverEdgeBudget &&
-        e.schema("__s").dataType == e.schema("__d").dataType) {
+        e.schema("__s").dataType == e.schema("__d").dataType &&
+        seeds.schema.head.dataType == e.schema("__s").dataType) {
       val adj = scala.collection.mutable.HashMap
         .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
       e.collect().foreach { r =>

@@ -225,7 +225,8 @@ object GraphAnn {
                       corpusVec: String = "embedding",
                       corpusId: String = "vec_id",
                       queryVec: String = "q_vec",
-                      queryId: String = "q_id"): DataFrame = {
+                      queryId: String = "q_id",
+                      driverCorpusBudget: Long = WalkDriverCorpusBudget): DataFrame = {
     require(k >= 1 && beams.nonEmpty && beams.forall(_ >= 1) && rounds >= 0
       && descentRounds >= 1 && maxLayer >= 0)
     val spark = corpus.sparkSession
@@ -241,9 +242,13 @@ object GraphAnn {
       // and re-decodes the corpus parquet — measured ~25% of the warm
       // query at sf0.1. One materialization per query BATCH is the batch
       // walk's amortized access shape (the serving path's point lookups
-      // live in beamSearchSingle/hnswSearchSingle instead).
+      // live in beamSearchSingle/hnswSearchSingle instead). The corpus
+      // count rides this already-paid checkpoint as an Observation — the
+      // size-dispatch probe, zero extra passes.
+      val obs = org.apache.spark.sql.Observation()
       val c = walk(corpus).select(col(corpusId).cast("long").as("__cid"),
           col(corpusVec).as("__cvec"))
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint()
       // q is broadcast inside EVERY score() job (~10 of them) — checkpoint
       // it too so each broadcast collects from memory instead of re-running
@@ -251,6 +256,42 @@ object GraphAnn {
       val q = walk(queries).select(col(queryId).cast("long").as("__qid"),
           col(queryVec).as("__qvec"))
         .localCheckpoint()
+      // Driver tier (the Graph.pageRank dispatch brought to the cascade):
+      // under budget the WHOLE hierarchy walk — descent, seed, every beam
+      // width's rounds — runs on collected maps with the identical
+      // portable arithmetic, replacing ~10 jobs x |beams| of fixed
+      // scheduler overhead with three collects of already-materialized
+      // frames. Missing metric or any type surprise fails SAFE to the
+      // distributed cascade below (the only shape at real index volumes).
+      val n = try obs.get("n").asInstanceOf[Long] catch {
+        case _: NoSuchElementException => Long.MaxValue
+      }
+      if (driverCorpusBudget > 0L && n <= driverCorpusBudget &&
+          isFloatArray(corpus.schema(corpusVec).dataType) &&
+          isFloatArray(queries.schema(queryVec).dataType) &&
+          layeredEdges.schema("src").dataType == org.apache.spark.sql.types.LongType &&
+          layeredEdges.schema("dst").dataType == org.apache.spark.sql.types.LongType) {
+        val el = walk(layeredEdges)
+          .where(col("layer") >= 0 && col("layer") <= maxLayer)
+          .select(col("layer").cast("int"), col("src").cast("long"),
+            col("dst").cast("long"))
+          .where(col("src").isNotNull && col("dst").isNotNull)
+        if (el.count() <= WalkDriverEdgeBudget) {
+          val vecMap = vecMapOf(c.where(col("__cid").isNotNull &&
+              col("__cvec").isNotNull).collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
+          val qArr = q.where(col("__qid").isNotNull && col("__qvec").isNotNull)
+            .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          val byLayer = el.collect()
+            .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
+            .groupBy(_._1).map { case (l, xs) =>
+              (l, adjacencyOf(xs.map(_._2))) }
+          val rows = hnswBeamsLocal(vecMap, byLayer, qArr, k, beams, rounds,
+            descentRounds, maxLayer)
+          return localWalkFrame(spark, rows, Seq(queryId, corpusId),
+            withBeam = Some("beam"))
+        }
+      }
       def score(cand: DataFrame): DataFrame =
         c.join(broadcast(cand), Seq("__cid"))
           .join(broadcast(q), Seq("__qid"))
@@ -454,8 +495,60 @@ object GraphAnn {
                  corpusVec: String = "embedding", corpusId: String = "vec_id",
                  queryVec: String = "q_vec", queryId: String = "q_id",
                  excludeSelf: Boolean = true,
-                 portable: Boolean = true): DataFrame = {
+                 portable: Boolean = true,
+                 driverCorpusBudget: Long = WalkDriverCorpusBudget): DataFrame = {
     require(k >= 1)
+    // Size dispatch (the Graph.pageRank pattern brought to the gated
+    // walks): the entry TakeOrdered is an id-column scan BOTH tiers need,
+    // so the corpus count rides it as an Observation — zero extra passes;
+    // a missing metric fails SAFE to the distributed loop. Under budget the
+    // whole walk runs driver-resident with the portable arithmetic
+    // (round-4 sims, md5 entries — bit-identical, spec-pinned); over
+    // budget the distributed loop runs unchanged, seeded with the entry
+    // ids this probe already ranked.
+    if (portable && driverCorpusBudget > 0L &&
+        isFloatArray(corpus.schema(corpusVec).dataType) &&
+        isFloatArray(queries.schema(queryVec).dataType)) {
+      val obs = org.apache.spark.sql.Observation()
+      val ids = corpus.select(col(corpusId).cast("long").as("__cid"))
+        .observe(obs, count(lit(1)).as("n"))
+      val entryIds = ids.orderBy(md5(col("__cid").cast("string")), col("__cid"))
+        .limit(nEntry).collect().map(_.getLong(0)).toSeq
+      val n = try obs.get("n").asInstanceOf[Long] catch {
+        case _: NoSuchElementException => Long.MaxValue
+      }
+      if (n <= driverCorpusBudget &&
+          edges.schema("src").dataType == org.apache.spark.sql.types.LongType &&
+          edges.schema("dst").dataType == org.apache.spark.sql.types.LongType) {
+        val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+          .where(col("src").isNotNull && col("dst").isNotNull)
+        if (e.count() <= WalkDriverEdgeBudget) {
+          val vecMap = vecMapOf(collectIdVec(corpus, corpusId, corpusVec))
+          val qArr = collectIdVec(queries, queryId, queryVec)
+          val adj = adjacencyOf(e.collect().map(r => (r.getLong(0), r.getLong(1))))
+          val rows = qArr.toSeq.flatMap { case (qid, qvec) =>
+            val visited = new scala.collection.mutable.LongMap[Double]()
+            val entryScored = entryIds.flatMap(id =>
+              vecMap.get(id).map(v => (id, round4(cosDouble(qvec, v)))))
+            entryScored.foreach { case (id, s) => visited(id) = s }
+            val frontier0 = entryScored
+              .sortBy { case (id, s) => (-s, id) }.take(beam).map(_._1)
+            localPortableRounds(qvec, vecMap, adj, visited, frontier0, beam, rounds)
+            visited.toSeq
+              .filter { case (id, _) => !excludeSelf || id != qid }
+              .sortBy { case (id, s) => (-s, id) }.take(k)
+              .zipWithIndex.map { case ((id, s), i) =>
+                org.apache.spark.sql.Row(qid, id, s, i + 1) }
+          }
+          return localWalkFrame(corpus.sparkSession, rows,
+            Seq(queryId, corpusId), withBeam = None)
+        }
+      }
+      val visited = beamVisited(corpus, edges, queries, beam, rounds, nEntry,
+        corpusVec, corpusId, queryVec, queryId, portable,
+        entryIdsOpt = Some(entryIds))
+      return topKFromVisited(visited, k, corpusId, queryId, excludeSelf)
+    }
     val visited = beamVisited(corpus, edges, queries, beam, rounds, nEntry,
       corpusVec, corpusId, queryVec, queryId, portable)
     topKFromVisited(visited, k, corpusId, queryId, excludeSelf)
@@ -748,7 +841,8 @@ object GraphAnn {
                   beam: Int = 8, rounds: Int = 3, nEntry: Int = 8,
                   corpusVec: String = "embedding", corpusId: String = "vec_id",
                   queryVec: String = "q_vec", queryId: String = "q_id",
-                  portable: Boolean = true): DataFrame = {
+                  portable: Boolean = true,
+                  entryIdsOpt: Option[Seq[Long]] = None): DataFrame = {
     require(beam >= 1 && rounds >= 0 && nEntry >= 1)
     val spark = corpus.sparkSession
     // the walk's eager checkpoints run on the scoped clone; the returned
@@ -757,7 +851,7 @@ object GraphAnn {
     val walk = walkSession(spark)
     org.apache.spark.sql.graftbridge.SessionBridge.withSession(
       beamVisitedImpl(walk(corpus), walk(edges), walk(queries), beam, rounds,
-        nEntry, corpusVec, corpusId, queryVec, queryId, portable),
+        nEntry, corpusVec, corpusId, queryVec, queryId, portable, entryIdsOpt),
       spark)
   }
 
@@ -765,7 +859,8 @@ object GraphAnn {
                               beam: Int, rounds: Int, nEntry: Int,
                               corpusVec: String, corpusId: String,
                               queryVec: String, queryId: String,
-                              portable: Boolean): DataFrame = {
+                              portable: Boolean,
+                              entryIdsOpt: Option[Seq[Long]] = None): DataFrame = {
     val c = corpus.select(col(corpusId).cast("long").as("__cid"),
       col(corpusVec).as("__cvec"))
     // q re-broadcasts inside every round's score() job — checkpoint it so
@@ -802,8 +897,17 @@ object GraphAnn {
     // the serving form equals the gated twin's by construction (the only
     // serving delta is unrounded scores, which moves near-ties only). The
     // md5 ranking is one TakeOrdered over ids — noise next to the walk.
-    val entries = c.select(col("__cid"))
-      .orderBy(md5(col("__cid").cast("string")), col("__cid")).limit(nEntry)
+    val entries = entryIdsOpt match {
+      // the size-dispatch probe in beamSearch already ranked the entry
+      // sample (same md5 TakeOrdered) — reuse the ids as a literal frame
+      // so the first checkpoint's broadcast skips the corpus id scan
+      case Some(ids) =>
+        val sp = corpus.sparkSession
+        import sp.implicits._
+        ids.toDF("__cid")
+      case None => c.select(col("__cid"))
+        .orderBy(md5(col("__cid").cast("string")), col("__cid")).limit(nEntry)
+    }
     var visited = score(q.select(col("__qid")).crossJoin(entries)).localCheckpoint()
     var frontier = bestNew(visited)
     for (_ <- 1 to rounds) {
@@ -825,5 +929,174 @@ object GraphAnn {
       frontier = bestNew(freshScored)
     }
     visited.withColumnRenamed("__qid", queryId).withColumnRenamed("__cid", corpusId)
+  }
+
+  // ---- driver-resident tier for the PORTABLE gated walks ------------------
+
+  /** Corpus-row budget under which the portable batch walks ([[beamSearch]],
+    * [[hnswSearchBeams]]) run driver-resident: walk state is at most
+    * |queries| × beam × 2m rows, so at fixture scale the join-per-round
+    * distributed loop is pure fixed job/stage overhead — the same economics
+    * that moved the iterative graph family onto [[Graph.pageRank]]'s driver
+    * tier. Over budget the distributed loop runs unchanged (the only shape
+    * at real index volumes); under it the IDENTICAL portable arithmetic
+    * (round-4 sims, md5 entry ranking, (sim desc, id asc) ties) runs on
+    * collected maps — spec-pinned equal, oracle hashes unchanged. */
+  val WalkDriverCorpusBudget = 100000L
+
+  /** Edge-row cap for the same tier (out-degree ≤ 2m makes edges the
+    * binding constraint when m is large). Counted with one cheap job only
+    * after the corpus is already known to be under budget. */
+  val WalkDriverEdgeBudget = 4000000L
+
+  private val EmptyLongArray = Array.empty[Long]
+
+  /** Spark `round(_, 4)` on DoubleType reproduced exactly (decimal string →
+    * HALF_UP → double) — the [[Graph]] driver-tier convention; a value on a
+    * .00005 boundary must not diverge between tiers. */
+  private def round4(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Lowercase-hex md5 of a string — byte-identical to Spark's `md5()`, so
+    * the driver-side entry ranking and [[layerOf]] reproduce the
+    * distributed orderings character for character (hex is ASCII, where
+    * java String ordering equals UTF8String's binary ordering). */
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach { b =>
+      sb.append(Character.forDigit((b >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(b & 0xf, 16))
+    }
+    sb.toString
+  }
+
+  private def isFloatArray(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+
+  /** Collect (id, vector) pairs; null ids/vectors drop, matching the
+    * distributed walk where a null key never survives the score join. */
+  private def collectIdVec(df: DataFrame, idCol: String,
+                           vecCol: String): Array[(Long, Array[Float])] =
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  private def vecMapOf(arr: Array[(Long, Array[Float])])
+      : scala.collection.mutable.LongMap[Array[Float]] = {
+    val m = new scala.collection.mutable.LongMap[Array[Float]](math.max(arr.length, 1))
+    arr.foreach { case (id, v) => m(id) = v }
+    m
+  }
+
+  private def adjacencyOf(edges: Array[(Long, Long)])
+      : scala.collection.mutable.LongMap[Array[Long]] = {
+    val b = new scala.collection.mutable
+      .LongMap[scala.collection.mutable.ArrayBuffer[Long]]()
+    edges.foreach { case (s, d) =>
+      b.getOrElseUpdate(s,
+        scala.collection.mutable.ArrayBuffer.empty[Long]) += d
+    }
+    val out = new scala.collection.mutable.LongMap[Array[Long]](math.max(b.size, 1))
+    b.foreach { case (s, ds) => out(s) = ds.toArray }
+    out
+  }
+
+  /** The portable walk's round loop, driver-resident: expand-distinct →
+    * visited anti-join → round-4 score → TopKBy(beam) frontier, decision
+    * for decision the [[beamVisitedImpl]] loop. Mutates `visited`. Ids
+    * with no vector drop exactly like the distributed score()'s inner
+    * join. */
+  private def localPortableRounds(
+      qvec: Array[Float],
+      vecMap: scala.collection.mutable.LongMap[Array[Float]],
+      adj: scala.collection.mutable.LongMap[Array[Long]],
+      visited: scala.collection.mutable.LongMap[Double],
+      frontier0: Seq[Long], beam: Int, rounds: Int): Unit = {
+    var frontier = frontier0
+    var r = 0
+    while (r < rounds && frontier.nonEmpty) {
+      val fresh = frontier.iterator
+        .flatMap(s => adj.getOrElse(s, EmptyLongArray).iterator)
+        .toArray.distinct
+        .filterNot(visited.contains)
+      val scored = fresh.flatMap(id =>
+        vecMap.get(id).map(v => (id, round4(cosDouble(qvec, v)))))
+      scored.foreach { case (id, s) => visited(id) = s }
+      frontier = scored.sortBy { case (id, s) => (-s, id) }
+        .take(beam).map(_._1).toSeq
+      r += 1
+    }
+  }
+
+  /** The hierarchical cascade, driver-resident — [[hnswSearchBeams]]'s
+    * under-budget tier. Entry, descent (cand = {cur} ∪ nbrs re-scored per
+    * round on the round-4 grid, max by (sim, -id)), the beam-independent
+    * seed, and each width's layer-0 rounds replay the distributed cascade
+    * decision for decision; descent scores do NOT join the walk's visited
+    * pool (the distributed visited starts at the seed). */
+  private def hnswBeamsLocal(
+      vecMap: scala.collection.mutable.LongMap[Array[Float]],
+      layerAdj: Map[Int, scala.collection.mutable.LongMap[Array[Long]]],
+      qArr: Array[(Long, Array[Float])],
+      k: Int, beams: Seq[Int], rounds: Int,
+      descentRounds: Int, maxLayer: Int): Seq[org.apache.spark.sql.Row] = {
+    if (vecMap.isEmpty || qArr.isEmpty) return Seq.empty
+    // global entry: (min(layerOf, maxLayer) desc, md5 asc, id asc) — the
+    // distributed TakeOrdered's exact key
+    val entryId = vecMap.keys.iterator.map { id =>
+      val h = md5Hex(id.toString)
+      val lv = math.min(h.takeWhile(_ == '0').length, maxLayer)
+      (-lv, h, id)
+    }.min(Ordering.Tuple3(Ordering.Int, Ordering.String, Ordering.Long))._3
+    val adj0 = layerAdj.getOrElse(0,
+      new scala.collection.mutable.LongMap[Array[Long]](1))
+    qArr.toSeq.flatMap { case (qid, qvec) =>
+      var cur = entryId
+      for (l <- maxLayer to 1 by -1; _ <- 1 to descentRounds) {
+        val nbrs = layerAdj.get(l).map(_.getOrElse(cur, EmptyLongArray))
+          .getOrElse(EmptyLongArray)
+        val cand = (Array(cur) ++ nbrs).distinct
+        val scored = cand.flatMap(id =>
+          vecMap.get(id).map(v => (id, round4(cosDouble(qvec, v)))))
+        if (scored.nonEmpty)
+          cur = scored.minBy { case (id, s) => (-s, id) }._1
+      }
+      val seedSim = round4(cosDouble(qvec, vecMap(cur)))
+      beams.flatMap { b =>
+        val visited = new scala.collection.mutable.LongMap[Double]()
+        visited(cur) = seedSim
+        localPortableRounds(qvec, vecMap, adj0, visited, Seq(cur), b, rounds)
+        visited.toSeq.filter(_._1 != qid)
+          .sortBy { case (id, s) => (-s, id) }.take(k)
+          .zipWithIndex.map { case ((id, s), i) =>
+            org.apache.spark.sql.Row(b, qid, id, s, i + 1) }
+      }
+    }
+  }
+
+  /** Materialize a local walk's result with the distributed output schema:
+    * [beam,] queryId, corpusId, similarity, rank. */
+  private def localWalkFrame(spark: org.apache.spark.sql.SparkSession,
+                             rows: Seq[org.apache.spark.sql.Row],
+                             idCols: Seq[String],
+                             withBeam: Option[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields = withBeam.map(StructField(_, IntegerType)).toSeq ++
+      Seq(StructField(idCols.head, LongType),
+        StructField(idCols(1), LongType),
+        StructField("similarity", DoubleType),
+        StructField("rank", IntegerType))
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      StructType(fields))
   }
 }

@@ -132,8 +132,17 @@ object StreamingIngest {
                         idCol: String = "vec_id"): Long = {
     val schema = spark.read.option("pathGlobFilter", globFilter)
       .parquet(landingDir).schema
+    // Single-batch contract, pinned: the insertNodes update rule treats the
+    // whole landing wave as ONE batch (batch-internal LSH candidates are
+    // computed across the wave), so the source must drain every available
+    // file per trigger. maxFilesPerTrigger is set explicitly rather than
+    // relying on the file source's unlimited default — a caller-supplied or
+    // future-default read limit would split the wave into per-batch inserts
+    // and diverge from the oracle's single-batch replay.
     val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", globFilter).parquet(landingDir)
+      .option("pathGlobFilter", globFilter)
+      .option("maxFilesPerTrigger", Int.MaxValue.toString)
+      .parquet(landingDir)
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val edges = spark.read.parquet(graphPath).localCheckpoint()

@@ -309,4 +309,30 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(frac < 0.5, s"visited fraction $frac — the walk must stay sub-linear")
     edges.unpersist(false)
   }
+
+  test("beamSearch: driver tier equals the distributed loop (forced budget 0)") {
+    val edges = GraphAnn.knnGraph(emb, m = 8, nBits = 4, nTables = 8, dim = 64).cache()
+    edges.count()
+    def run(budget: Long): Set[(Long, Long, Double, Int)] =
+      GraphAnn.beamSearch(emb, edges, qs, k = 10, beam = 8, rounds = 3,
+          nEntry = 8, driverCorpusBudget = budget)
+        .as[(Long, Long, Double, Int)].collect().toSet
+    // default budget → driver-resident at fixture scale; 0 → the
+    // distributed join-per-round loop. Bit-identical on the round-4 grid.
+    assert(run(GraphAnn.WalkDriverCorpusBudget) === run(0L))
+    edges.unpersist(false)
+  }
+
+  test("hnswSearchBeams: driver tier equals the distributed cascade (forced budget 0)") {
+    val edges = GraphAnn.hnswGraph(emb, m = 4, nBits = 4, nTables = 4,
+      dim = 64, maxLayer = 2).cache()
+    edges.count()
+    def run(budget: Long): Set[(Int, Long, Long, Double, Int)] =
+      GraphAnn.hnswSearchBeams(emb, edges, qs, k = 10, beams = Seq(2, 4, 8),
+          rounds = 3, descentRounds = 2, maxLayer = 2,
+          driverCorpusBudget = budget)
+        .as[(Int, Long, Long, Double, Int)].collect().toSet
+    assert(run(GraphAnn.WalkDriverCorpusBudget) === run(0L))
+    edges.unpersist(false)
+  }
 }
