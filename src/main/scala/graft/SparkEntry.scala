@@ -7067,7 +7067,14 @@ object SparkEntry {
       val toks = prepared.select(col("doc_id"), explode(col("toks")).as("term"))
       val fbtf = toks.join(broadcast(fb), Seq("doc_id"))
         .groupBy(col("term")).agg(count(lit(1)).as("tf_fb"))
-      val dfq = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      // df stats only for terms the feedback docs actually contain (the
+      // inner join with fbtf discards every other term anyway): the
+      // countDistinct shuffle carries candidate-term tokens, not the whole
+      // corpus vocabulary — at web scale the difference between a
+      // feedback-vocab-sized exchange and a corpus-vocab-sized one.
+      val dfq = toks
+        .join(broadcast(fbtf.select(col("term"))), Seq("term"), "left_semi")
+        .groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
       val nd = docs.agg(count(lit(1)).as("nd"))
       val expTerms = fbtf.join(dfq, Seq("term")).crossJoin(broadcast(nd))
         .where(!col("term").isin(bm25QueryTerms: _*))

@@ -512,8 +512,12 @@ object GraphAnn {
       val obs = org.apache.spark.sql.Observation()
       val ids = corpus.select(col(corpusId).cast("long").as("__cid"))
         .observe(obs, count(lit(1)).as("n"))
+      // null ids may occupy entry slots in the TakeOrdered exactly as in
+      // the in-plan entry sample; they are dropped here the same way the
+      // distributed score()'s inner join drops them — never scored.
       val entryIds = ids.orderBy(md5(col("__cid").cast("string")), col("__cid"))
-        .limit(nEntry).collect().map(_.getLong(0)).toSeq
+        .limit(nEntry).collect()
+        .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
       val n = try obs.get("n").asInstanceOf[Long] catch {
         case _: NoSuchElementException => Long.MaxValue
       }
