@@ -178,6 +178,29 @@ class GraphAnnSpec extends AnyFunSuite {
       "existing IVF index must be reused, never rebuilt")
   }
 
+  test("ivfIndexPersisted: a partial build (no readiness marker) is swept " +
+      "and rebuilt, not served") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfr").toString + "/idx"
+    // simulate a writer that died between the two table writes: centroids
+    // exist (poisoned content so a wrong 'reuse' is detectable), assigned
+    // and the marker do not
+    emb.limit(3).select(col("vec_id").cast("long").as("centroid_id"),
+        col("embedding").as("centroid"))
+      .write.parquet(s"$path/centroids")
+    val (cFresh, aFresh) = SimilaritySearch.ivfIndex(emb, nCentroids = 8, iters = 1)
+    val (cP, aP) = SimilaritySearch.ivfIndexPersisted(emb, path, nCentroids = 8, iters = 1)
+    assert(cP.orderBy("centroid_id").collect().toSeq ===
+      cFresh.orderBy("centroid_id").collect().toSeq,
+      "partial build must be swept and rebuilt from the corpus")
+    assert(aP.select(col("vec_id"), col("centroid_id")).as[(Long, Long)].collect().toSet ===
+      aFresh.select(col("vec_id"), col("centroid_id")).as[(Long, Long)].collect().toSet)
+    aFresh.unpersist()
+    // and the rebuild is now marked ready: a later call reuses it
+    val (cAgain, _) = SimilaritySearch.ivfIndexPersisted(emb.limit(5), path, nCentroids = 8, iters = 1)
+    assert(cAgain.orderBy("centroid_id").collect().toSeq ===
+      cFresh.orderBy("centroid_id").collect().toSeq)
+  }
+
   test("insertNodes: append ≡ rebuild — new nodes link bidirectionally, " +
        "degree cap holds, and recall stays within tolerance of a full rebuild") {
     val base = emb.where(col("vec_id") % 10 =!= 0)

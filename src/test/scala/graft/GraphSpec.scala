@@ -360,6 +360,26 @@ class GraphSpec extends AnyFunSuite {
     assert(local === loop)
   }
 
+  test("multiSourceBfs: mismatched seed type falls to the distributed " +
+      "loop and matches it (no boxed-equality miss in the local tier)") {
+    // IntegerType seeds against LongType edges: the distributed join
+    // coerces and finds full reachability; a local-tier lookup with raw
+    // JVM equality would miss every adjacency (boxed Integer != Long).
+    // The dispatch guard must route this shape to the loop.
+    val df = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val seeds = Seq(1, 3).toDF("node") // Int, not Long
+    val dispatched = Graph.multiSourceBfs(df, "a", "b", seeds, rounds = 3)
+      .select(col("seed").cast("long"), col("node").cast("long"), col("dist"))
+      .as[(Long, Long, Int)].collect().toSet
+    val loop = Graph.multiSourceBfs(df, "a", "b", seeds, rounds = 3,
+        driverEdgeBudget = 0L)
+      .select(col("seed").cast("long"), col("node").cast("long"), col("dist"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(dispatched === loop)
+    // and the reachability is the coerced one, not the empty boxed miss
+    assert(dispatched.contains((1L, 4L, 3)) && dispatched.contains((3L, 4L, 1)))
+  }
+
   test("hits: driver tier equals the distributed loop") {
     val df = tierEdges.map(e => (e._1, e._2)).toDF("src", "dst")
     val local = Graph.hits(df, "src", "dst", iters = 3)
