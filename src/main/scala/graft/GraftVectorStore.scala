@@ -128,9 +128,9 @@ final class GraftVectorStore(
     // stale out-edges would stay navigable, so invalidate and let the next
     // approximate search rebuild from the latest view
     if (graphM.nonEmpty) {
-      val p = new org.apache.hadoop.fs.Path(graphPath(alias))
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) {
+      // readiness marker, not bare existence: a torn build must not be
+      // merged into — it reads as absent and the next search rebuilds
+      if (graphReady(alias)) {
         val edges = spark.read.parquet(graphPath(alias))
         if (!graphLayoutMatches(edges)) {
           // the persisted index was built under a DIFFERENT graphLayers
@@ -174,6 +174,7 @@ final class GraftVectorStore(
           // become the HNSW entry; the flat md5 sample must track the
           // node set), or serving walks start from stale entries
           writeGraphEntries(alias)
+          markGraphReady(alias)
         }
         }
       }
@@ -340,12 +341,31 @@ final class GraftVectorStore(
     IndexTable.readLatest(spark, indexPath, resolveAlias(alias))
       .withColumn("__nid", xxhash64(col("id")))
 
-  /** True iff the tenant's persisted neighbor graph exists — the gate a
-    * continuous-ingest loop uses to decide build-vs-incremental-link
-    * (see [[streaming.StreamingIngest.ingestOnceGraph]]). */
-  def graphIndexExists(alias: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(graphPath(alias))
+  /** True iff the tenant's persisted neighbor graph is COMPLETE — the gate
+    * a continuous-ingest loop uses to decide build-vs-incremental-link
+    * (see [[streaming.StreamingIngest.ingestOnceGraph]]). Keyed on the
+    * readiness marker, not the bare path (the [[graft.core.PersistedBuild]]
+    * contract): a build that died mid-write leaves a directory but no
+    * marker, and must read as absent so the next consumer rebuilds instead
+    * of serving a torn index forever. */
+  def graphIndexExists(alias: String): Boolean = graphReady(alias)
+
+  private def graphMarkerPath(alias: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(graphPath(alias),
+      graft.core.PersistedBuild.MarkerName)
+
+  private def graphReady(alias: String): Boolean = {
+    val p = graphMarkerPath(alias)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Stamp the readiness marker; called after EVERY complete graph+entries
+    * write (full build and incremental merge — SaveMode.Overwrite removes
+    * the previous marker together with the old files). */
+  private def markGraphReady(alias: String): Unit = {
+    val p = graphMarkerPath(alias)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true).close()
   }
 
   /** (Re)build the tenant's persisted k-NN neighbor graph from the CURRENT
@@ -370,6 +390,7 @@ final class GraftVectorStore(
     // persist the walk's entry point(s) — the exact convention each walk
     // uses, so serving skips the corpus-wide entry scan
     writeGraphEntries(alias)
+    markGraphReady(alias)
   }
 
   /** (Re)compute and persist the serving entry point(s) from the CURRENT
@@ -397,7 +418,7 @@ final class GraftVectorStore(
     import spark.implicits._
     val p = new org.apache.hadoop.fs.Path(graphPath(alias))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) buildGraphIndex(alias)
+    if (!graphReady(alias)) buildGraphIndex(alias)
     val nodes = graphNodes(alias)
     val edges = {
       val persisted = spark.read.parquet(graphPath(alias))

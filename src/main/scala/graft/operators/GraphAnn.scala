@@ -387,15 +387,10 @@ object GraphAnn {
   def knnGraphPersisted(corpus: DataFrame, path: String,
                         m: Int = 8, nBits: Int = 4, nTables: Int = 8,
                         dim: Int = 64, seed: Long = 7L,
-                        vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val spark = corpus.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      knnGraph(corpus, m, nBits, nTables, dim, seed, vecCol, idCol)
-        .write.mode("ignore").parquet(path)
-    spark.read.parquet(path)
-  }
+                        vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    graft.core.PersistedBuild.table(
+      knnGraph(corpus, m, nBits, nTables, dim, seed, vecCol, idCol),
+      path, corpus.sparkSession)
 
   /** [[hnswGraph]] under the same build-once persistence contract as
     * [[knnGraphPersisted]]. Beyond amortizing the build, persistence keeps
@@ -407,15 +402,10 @@ object GraphAnn {
   def hnswGraphPersisted(corpus: DataFrame, path: String,
                          m: Int = 8, nBits: Int = 4, nTables: Int = 8,
                          dim: Int = 64, seed: Long = 7L, maxLayer: Int = 2,
-                         vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val spark = corpus.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      hnswGraph(corpus, m, nBits, nTables, dim, seed, maxLayer, vecCol, idCol)
-        .write.mode("ignore").parquet(path)
-    spark.read.parquet(path)
-  }
+                         vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    graft.core.PersistedBuild.table(
+      hnswGraph(corpus, m, nBits, nTables, dim, seed, maxLayer, vecCol, idCol),
+      path, corpus.sparkSession)
 
   /** HNSW-style incremental insert: link a batch of NEW nodes into an
     * existing [[knnGraph]] edge table without rebuilding it — the

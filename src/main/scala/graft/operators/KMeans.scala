@@ -60,14 +60,9 @@ object KMeans {
     * amortized over every consumer — the semantic-dedup gates sharing a
     * path share ONE Lloyd chain. */
   def assignPersisted(df: DataFrame, path: String, vecCol: String,
-                      idCol: String, k: Int, iters: Int): DataFrame = {
-    val spark = df.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      assign(df, vecCol, idCol, k, iters).write.mode("ignore").parquet(path)
-    spark.read.parquet(path)
-  }
+                      idCol: String, k: Int, iters: Int): DataFrame =
+    graft.core.PersistedBuild.table(
+      assign(df, vecCol, idCol, k, iters), path, df.sparkSession)
 
   /** The final (cid, centroid) table after `iters` Lloyd rounds — the
     * trained model, exposed so serving paths (streaming assignment, IVF

@@ -209,20 +209,16 @@ object SimilaritySearch {
                         iters: Int = 1, vecCol: String = "embedding",
                         idCol: String = "vec_id"): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // Readiness is keyed on a marker written AFTER both tables land, not on
     // the parent path: a writer that dies between the centroids and the
     // assigned write leaves no marker, so the next caller sweeps the partial
-    // build and rebuilds instead of permanently failing the assigned read.
-    val marker = new org.apache.hadoop.fs.Path(p, "_GRAFT_INDEX_READY")
-    if (!fs.exists(marker)) {
-      if (fs.exists(p)) fs.delete(p, true)
+    // build and rebuilds instead of permanently failing the assigned read
+    // (graft.core.PersistedBuild — the contract every persisted index uses).
+    graft.core.PersistedBuild.ensure(spark, path) {
       val (c, a) = ivfIndex(corpus, nCentroids, iters, vecCol, idCol)
       c.write.mode("overwrite").parquet(s"$path/centroids")
       a.write.mode("overwrite").parquet(s"$path/assigned")
       a.unpersist()
-      fs.create(marker, true).close()
     }
     (spark.read.parquet(s"$path/centroids"),
       spark.read.parquet(s"$path/assigned"))
