@@ -106,6 +106,53 @@ class GraftVectorStoreSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$path/_graft_knn_graph").exists())
   }
 
+  test("torn graph build (no readiness marker) reads as absent and is " +
+      "rebuilt, never served") {
+    val path = java.nio.file.Files.createTempDirectory("graft_store_torn").toString + "/idx"
+    val store = new GraftVectorStore(spark, path, graphM = Some(8))
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select($"source".as("document_path"), $"text")
+    store.addDocuments(docs, "t", pageSize = 32)
+    val before = store.search("fast spark table scan query", "t", topN = 5,
+      approximate = true, probeDepth = 2)
+      .select($"id", round($"similarity", 4)).as[(String, Double)].collect().toSet
+    assert(store.graphIndexExists("t"))
+    // simulate a build that died mid-write: the directory stays, the
+    // marker and the data files are gone — a bare-exists gate would serve
+    // this torn index (and fail) forever
+    val gdir = new java.io.File(s"$path/_graft_knn_graph/t")
+    assert(gdir.isDirectory)
+    gdir.listFiles().foreach { f =>
+      if (f.getName == graft.core.PersistedBuild.MarkerName ||
+          f.getName.startsWith("part-")) f.delete()
+    }
+    val store2 = new GraftVectorStore(spark, path, graphM = Some(8))
+    assert(!store2.graphIndexExists("t"),
+      "an unmarked graph directory must read as ABSENT")
+    // the next approximate search rebuilds from the (unchanged) latest
+    // view and serves exactly what the healthy index served
+    val after = store2.search("fast spark table scan query", "t", topN = 5,
+      approximate = true, probeDepth = 2)
+      .select($"id", round($"similarity", 4)).as[(String, Double)].collect().toSet
+    assert(store2.graphIndexExists("t"), "the rebuild must be marked ready")
+    assert(after === before,
+      "post-rebuild approximate results must match the healthy index")
+    // and a torn graph is unmergeable: tear again, then append through the
+    // facade — the append must NOT read the torn files (it would throw),
+    // and search still works by rebuilding on demand
+    gdir.listFiles().foreach { f =>
+      if (f.getName == graft.core.PersistedBuild.MarkerName ||
+          f.getName.startsWith("part-")) f.delete()
+    }
+    store2.addDocuments(
+      docs.limit(1).select(lit("post_tear_doc").as("document_path"),
+        lit("totally fresh text after the tear").as("text")), "t", pageSize = 32)
+    val fresh = store2.search("totally fresh text after the tear", "t",
+      topN = 3, approximate = true, probeDepth = 4)
+    assert(fresh.where($"document_path" === "post_tear_doc").count() >= 1)
+    store2.dropIndex()
+  }
+
   test("HNSW store: layered graph persists, descent search works, inserts stay incremental") {
     val path = java.nio.file.Files.createTempDirectory("graft_store_hnsw").toString + "/idx"
     val store = new GraftVectorStore(spark, path, graphM = Some(8), graphLayers = 2)
