@@ -67,10 +67,14 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val perRep = (1 to reps).map { r =>
         val s0 = listener.snap()
+        val tier0 = graft.core.TierStats.snapshot()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (debug) System.err.println(f"[bench] $name rep $r: $dt%.2f s")
+        val tiers = graft.core.TierStats.diff(tier0, graft.core.TierStats.snapshot())
+        if (debug) System.err.println(f"[bench] $name rep $r: $dt%.2f s" +
+          (if (tiers.nonEmpty) tiers.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+            .mkString(" [", ",", "]") else ""))
         // operators may persist() reusable intermediates; drop them between
         // runs so cached blocks never leak work across timings.
         try {
@@ -81,27 +85,54 @@ object Bench {
         // per-rep delta is complete (diagnostic counters, not timings)
         Thread.sleep(50)
         val s1 = listener.snap()
-        (dt, s1._1 - s0._1, s1._2 - s0._2, s1._3 - s0._3)
+        (dt, s1._1 - s0._1, s1._2 - s0._2, s1._3 - s0._3, tiers)
       }
       // report the metrics of the min-time rep: that's the timing the
       // driver grades, and cached-fragment reps can under-scan
       name -> perRep.minBy(_._1)
     }
+    // Host-speed anchor: a fixed CPU-bound in-JVM kernel (no Spark, no
+    // allocation) timed on this host in this session. Host windows swing
+    // 25-40% between sessions (NOTES_r11's paired worktree battery), so
+    // round-over-round comparison needs a same-artifact calibration
+    // constant — bench_drift.py normalizes the per-query deltas by the
+    // anchor ratio. Warmup rep first (JIT), then min-of-3.
+    def anchorOnce(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var acc = 0L
+      var i = 0
+      while (i < 400000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        acc += x
+        i += 1
+      }
+      // keep `acc` live so the loop cannot be eliminated
+      if (acc == 42L) System.err.println("[bench] anchor fixed point")
+      (System.nanoTime() - t0) / 1e9
+    }
+    anchorOnce()
+    val anchor = (1 to 3).map(_ => anchorOnce()).min
+    if (debug) System.err.println(f"[bench] host anchor: $anchor%.3f s")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
     val ms = results.map { case (k, v) =>
+      val tiers =
+        if (v._5.isEmpty) ""
+        else v._5.toSeq.sorted.map { case (t, n) => s"\"" + t + "\":" + n }
+          .mkString(",\"tiers\":{", ",", "}")
       s"\"" + k + "\":{\"shuffleBytes\":" + v._2 + ",\"rowsScanned\":" + v._3 +
-        ",\"bytesScanned\":" + v._4 + "}"
+        ",\"bytesScanned\":" + v._4 + tiers + "}"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","anchor_sec":$anchor,"queries":$qs,"metrics":$ms,"sf":"$sfDir"}"""
     // Compact summary WITHOUT the bulky per-query metrics map — this is
     // the line the driver's tail capture must parse, so it goes LAST
     // (r6's single giant line overflowed the capture window from the
     // front and the round's headline survived only in the file).
     val compactJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","anchor_sec":$anchor,"queries":$qs,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (fullJson + "\n").getBytes("UTF-8"))

@@ -828,6 +828,7 @@ object Dedup {
     // (every in-repo pair source); other id types take the loop.
     if (nEdges <= driverEdgeBudget &&
         edges.schema("src").dataType == org.apache.spark.sql.types.LongType) {
+      graft.core.TierStats.record("connectedComponents", "driver")
       val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](
         math.min(nNodes * 2 + 16, Int.MaxValue.toLong).toInt)
       def find(x: Long): Long = {
@@ -863,6 +864,7 @@ object Dedup {
     // on a SESSION CLONE (own SQLConf, shared context/cache) and only the
     // loop's eager checkpoints execute under it — round 8's fix for the
     // conf-mutation race two concurrent queries on one session would hit.
+    graft.core.TierStats.record("connectedComponents", "distributed")
     val loopParts = math.max(1L, math.min(
       spark.conf.get("spark.sql.shuffle.partitions").toLong,
       nNodes / 1000000L + 1L))

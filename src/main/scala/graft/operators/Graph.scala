@@ -104,11 +104,13 @@ object Graph {
     }) / 2
     if (ne <= driverEdgeBudget &&
         e0.schema("src").dataType == e0.schema("dst").dataType) {
+      graft.core.TierStats.record("pageRank", "driver")
       val rows = e0.select(col("src"), col("dst"), col("w")).collect()
       e0.unpersist()
       return pageRankLocal(edges.sparkSession, e0.schema("src").dataType,
         rows, iters, damping, redistributeDangling)
     }
+    graft.core.TierStats.record("pageRank", "distributed")
     val wdeg = e0.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
     val ep = e0.join(wdeg, "src")
       .select(col("src"), col("dst"), (col("w") / col("wdeg")).as("p"))
@@ -236,11 +238,13 @@ object Graph {
     }) / 2
     if (ne <= driverEdgeBudget &&
         e0.schema("src").dataType == e0.schema("dst").dataType) {
+      graft.core.TierStats.record("personalizedPageRank", "driver")
       val rows = e0.select(col("src"), col("dst"), col("w")).collect()
       e0.unpersist()
       return pprLocal(edges.sparkSession, e0.schema("src").dataType, rows,
         marked.collect(), ns, iters, damping)
     }
+    graft.core.TierStats.record("personalizedPageRank", "distributed")
     val wdeg = e0.groupBy(col("src")).agg(sum(col("w")).as("wdeg"))
     val ep = e0.join(wdeg, "src")
       .select(col("src"), col("dst"), (col("w") / col("wdeg")).as("p"))
@@ -337,9 +341,12 @@ object Graph {
       case _: NoSuchElementException => Long.MaxValue
     }
     if (ne <= driverEdgeBudget &&
-        e0.schema("src").dataType == e0.schema("dst").dataType)
+        e0.schema("src").dataType == e0.schema("dst").dataType) {
+      graft.core.TierStats.record("hits", "driver")
       return hitsLocal(edges.sparkSession, e0.schema("src").dataType,
         e0.collect(), iters)
+    }
+    graft.core.TierStats.record("hits", "distributed")
     val nodes = e0.select(col("src").as("node"))
       .union(e0.select(col("dst").as("node"))).distinct().localCheckpoint()
     val n = nodes.count()
@@ -437,6 +444,7 @@ object Graph {
     if (ne <= driverEdgeBudget &&
         e.schema("__s").dataType == e.schema("__d").dataType &&
         seeds.schema.head.dataType == e.schema("__s").dataType) {
+      graft.core.TierStats.record("multiSourceBfs", "driver")
       val adj = scala.collection.mutable.HashMap
         .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
       e.collect().foreach { r =>
@@ -471,6 +479,7 @@ object Graph {
           org.apache.spark.sql.types.StructField("dist",
             org.apache.spark.sql.types.IntegerType, nullable = false))))
     }
+    graft.core.TierStats.record("multiSourceBfs", "distributed")
     var vis = seeds.select(col(seeds.columns.head).as("seed")).distinct()
       .select(col("seed"), col("seed").as("node"), lit(0).as("dist"))
       .localCheckpoint()
@@ -602,6 +611,7 @@ object Graph {
       case _: NoSuchElementException => Long.MaxValue
     }
     if (ne <= driverEdgeBudget) {
+      graft.core.TierStats.record("kCore", "driver")
       var es = sym.collect().map(r => (r.get(0), r.get(1))).toSeq
       for (_ <- 1 to rounds) {
         val deg = es.groupBy(_._1).view.mapValues(_.size).toMap
@@ -619,6 +629,7 @@ object Graph {
           org.apache.spark.sql.types.StructField("core_deg",
             org.apache.spark.sql.types.LongType, nullable = false))))
     }
+    graft.core.TierStats.record("kCore", "distributed")
     for (_ <- 1 to rounds) {
       val keep = sym.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("deg"))
@@ -672,6 +683,7 @@ object Graph {
     }
     val ord = labelOrdering(sym.schema("src").dataType)
     if (ne <= driverEdgeBudget && ord.isDefined) {
+      graft.core.TierStats.record("labelPropagation", "driver")
       implicit val o: Ordering[Any] = ord.get
       val es = sym.collect().map(r => (r.get(0), r.get(1)))
       val nodes = es.map(_._1).distinct
@@ -698,6 +710,7 @@ object Graph {
           org.apache.spark.sql.types.StructField("node", nt),
           org.apache.spark.sql.types.StructField("community", nt))))
     }
+    graft.core.TierStats.record("labelPropagation", "distributed")
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
     for (_ <- 1 to iters) {

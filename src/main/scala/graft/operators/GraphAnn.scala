@@ -248,7 +248,15 @@ object GraphAnn {
       val obs = org.apache.spark.sql.Observation()
       val c = walk(corpus).select(col(corpusId).cast("long").as("__cid"),
           col(corpusVec).as("__cvec"))
-        .observe(obs, count(lit(1)).as("n"))
+        .observe(obs, count(lit(1)).as("n"),
+          // non-null id/vector counts ride the same pass: the driver
+          // tier's entry ranking iterates the collected (null-dropped)
+          // vector map, while the distributed TakeOrdered ranks EVERY row
+          // (least(null, maxLayer) = maxLayer, md5(null) sorts first), so
+          // a corpus with null ids/vectors must dispatch to the
+          // distributed cascade — the tiers pick different entries there
+          // (round-12 review fix; NullIdCorpus spec pins the dispatch).
+          count(col("__cid")).as("nid"), count(col("__cvec")).as("nvec"))
         .localCheckpoint()
       // q is broadcast inside EVERY score() job (~10 of them) — checkpoint
       // it too so each broadcast collects from memory instead of re-running
@@ -266,7 +274,14 @@ object GraphAnn {
       val n = try obs.get("n").asInstanceOf[Long] catch {
         case _: NoSuchElementException => Long.MaxValue
       }
+      // nulls observed => -1 on a missing metric, which never equals n —
+      // either failure mode keeps the driver tier closed (fail SAFE)
+      val nNonNull = try
+        math.min(obs.get("nid").asInstanceOf[Long],
+          obs.get("nvec").asInstanceOf[Long])
+      catch { case _: NoSuchElementException => -1L }
       if (driverCorpusBudget > 0L && n <= driverCorpusBudget &&
+          nNonNull == n &&
           isFloatArray(corpus.schema(corpusVec).dataType) &&
           isFloatArray(queries.schema(queryVec).dataType) &&
           layeredEdges.schema("src").dataType == org.apache.spark.sql.types.LongType &&
@@ -288,10 +303,12 @@ object GraphAnn {
               (l, adjacencyOf(xs.map(_._2))) }
           val rows = hnswBeamsLocal(vecMap, byLayer, qArr, k, beams, rounds,
             descentRounds, maxLayer)
+          graft.core.TierStats.record("hnswSearchBeams", "driver")
           return localWalkFrame(spark, rows, Seq(queryId, corpusId),
             withBeam = Some("beam"))
         }
       }
+      graft.core.TierStats.record("hnswSearchBeams", "distributed")
       def score(cand: DataFrame): DataFrame =
         c.join(broadcast(cand), Seq("__cid"))
           .join(broadcast(q), Seq("__qid"))
@@ -534,15 +551,18 @@ object GraphAnn {
               .zipWithIndex.map { case ((id, s), i) =>
                 org.apache.spark.sql.Row(qid, id, s, i + 1) }
           }
+          graft.core.TierStats.record("beamSearch", "driver")
           return localWalkFrame(corpus.sparkSession, rows,
             Seq(queryId, corpusId), withBeam = None)
         }
       }
+      graft.core.TierStats.record("beamSearch", "distributed")
       val visited = beamVisited(corpus, edges, queries, beam, rounds, nEntry,
         corpusVec, corpusId, queryVec, queryId, portable,
         entryIdsOpt = Some(entryIds))
       return topKFromVisited(visited, k, corpusId, queryId, excludeSelf)
     }
+    graft.core.TierStats.record("beamSearch", "distributed")
     val visited = beamVisited(corpus, edges, queries, beam, rounds, nEntry,
       corpusVec, corpusId, queryVec, queryId, portable)
     topKFromVisited(visited, k, corpusId, queryId, excludeSelf)

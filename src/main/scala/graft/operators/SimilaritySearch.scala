@@ -214,10 +214,10 @@ object SimilaritySearch {
     // assigned write leaves no marker, so the next caller sweeps the partial
     // build and rebuilds instead of permanently failing the assigned read
     // (graft.core.PersistedBuild — the contract every persisted index uses).
-    graft.core.PersistedBuild.ensure(spark, path) {
+    graft.core.PersistedBuild.ensure(spark, path) { stage =>
       val (c, a) = ivfIndex(corpus, nCentroids, iters, vecCol, idCol)
-      c.write.mode("overwrite").parquet(s"$path/centroids")
-      a.write.mode("overwrite").parquet(s"$path/assigned")
+      c.write.mode("overwrite").parquet(s"$stage/centroids")
+      a.write.mode("overwrite").parquet(s"$stage/assigned")
       a.unpersist()
     }
     (spark.read.parquet(s"$path/centroids"),

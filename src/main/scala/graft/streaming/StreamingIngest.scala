@@ -151,6 +151,14 @@ object StreamingIngest {
             seed, vecCol, idCol)
           .localCheckpoint()
         merged.write.mode("overwrite").parquet(graphPath)
+        // The overwrite removed the readiness marker knnGraphPersisted (or
+        // a previous batch) stamped — re-stamp it AFTER the merged payload
+        // lands, or a later call on the same path (the multi-rep same-JVM
+        // scenario above) reads the merged graph as torn, sweeps it, and
+        // rebuilds the wave-1-only graph while the stream checkpoint
+        // drains zero batches (round-12 review fix; two-invocation test in
+        // StreamingIngestSpec pins it).
+        graft.core.PersistedBuild.markReady(spark, graphPath)
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -134,6 +134,38 @@ class StreamingIngestSpec extends AnyFunSuite {
     streamStore.dropIndex(); batchStore.dropIndex()
   }
 
+  test("ingestOnceVectors re-stamps the readiness marker: a second " +
+      "invocation (the multi-rep same-JVM gate scenario) reuses the MERGED " +
+      "graph instead of sweeping it and rebuilding wave 1 only") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sgi_twice").toString
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val gpath = s"$tmp/graph"
+    def rep(): Set[(Long, Long)] = {
+      // the gate's per-rep prelude: build-or-reuse the wave-1 graph...
+      graft.operators.GraphAnn.knnGraphPersisted(
+        emb.where($"vec_id" % 2 === 0), gpath, m = 4, nBits = 4,
+        nTables = 4, dim = 64)
+      // ...then drain the landing dir (rep 2 drains ZERO batches — the
+      // checkpoint remembers wave 2)
+      StreamingIngest.ingestOnceVectors(spark, s"$tmp/landing", "*.parquet",
+        gpath, s"$tmp/ckpt", corpus = emb, m = 4, beam = 8, rounds = 2,
+        nEntry = 8, nBits = 4, nTables = 4, dim = 64)
+      spark.read.parquet(gpath).select($"src", $"dst")
+        .as[(Long, Long)].collect().toSet
+    }
+    emb.where($"vec_id" % 2 === 1).write.parquet(s"$tmp/landing")
+    val first = rep()
+    // the merged graph must carry wave-2 (odd) nodes
+    assert(first.exists { case (s, _) => s % 2 == 1 },
+      "the first rep must have linked wave 2 into the graph")
+    // marker re-stamped after the merge overwrite: without it, rep 2's
+    // knnGraphPersisted reads the merged graph as torn, sweeps it, and
+    // rebuilds the wave-1-only graph while the stream drains nothing
+    val second = rep()
+    assert(second === first,
+      "a second invocation must serve the SAME merged graph, not a rebuild")
+  }
+
   test("salted join equals plain inner join") {
     val left = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
       .select($"l_orderkey", $"l_quantity").limit(5000)

@@ -26,6 +26,22 @@ import re
 import sys
 
 
+def anchor_of(path):
+    """Host-speed anchor (fixed CPU kernel seconds) if the artifact carries
+    one (round-12+); None otherwise. Used to normalize away host-window
+    swings (25-40% between sessions, NOTES_r11) before flagging drift."""
+    d = json.load(open(path))
+    if "anchor_sec" in d:
+        return float(d["anchor_sec"])
+    if d.get("parsed") and "anchor_sec" in d["parsed"]:
+        return float(d["parsed"]["anchor_sec"])
+    for line in reversed(d.get("tail", "").splitlines()):
+        m = re.search(r'"anchor_sec":([0-9.]+)', line)
+        if m:
+            return float(m.group(1))
+    return None
+
+
 def queries_of(path):
     d = json.load(open(path))
     if "queries" in d:
@@ -58,17 +74,29 @@ def main():
     pct = float(sys.argv[3]) if len(sys.argv) > 3 else 25.0
     floor = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
     old, new = queries_of(old_p), queries_of(new_p)
+    # Anchor normalization: when BOTH artifacts carry the fixed CPU-kernel
+    # anchor, rescale the new side by old_anchor/new_anchor so a uniformly
+    # slower/faster host window doesn't read as per-query drift. Raw values
+    # are still printed next to the normalized ones.
+    a_old, a_new = anchor_of(old_p), anchor_of(new_p)
+    scale = 1.0
+    if a_old and a_new and a_old > 0 and a_new > 0:
+        scale = a_old / a_new
+        print(f"anchors: old {a_old:.3f} s, new {a_new:.3f} s -> "
+              f"normalizing new x {scale:.3f}")
     drifted = []
     for name in sorted(set(old) & set(new)):
         a, b = old[name], new[name]
-        if max(a, b) < floor:
+        bn = b * scale
+        if max(a, bn) < floor:
             continue
         # a == 0.0 (degenerate old cell) is infinite drift, not a crash
-        move = (b - a) / a * 100.0 if a > 0 else float("inf")
+        move = (bn - a) / a * 100.0 if a > 0 else float("inf")
         if abs(move) >= pct:
-            drifted.append((move, name, a, b))
-    for move, name, a, b in sorted(drifted, reverse=True):
-        print(f"DRIFT {name}: {a:.2f} -> {b:.2f} s ({move:+.0f}%)")
+            drifted.append((move, name, a, b, bn))
+    for move, name, a, b, bn in sorted(drifted, reverse=True):
+        norm = f" [norm {bn:.2f}]" if scale != 1.0 else ""
+        print(f"DRIFT {name}: {a:.2f} -> {b:.2f} s{norm} ({move:+.0f}%)")
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
     def show(names):
@@ -77,7 +105,7 @@ def main():
         print(f"added ({len(added)}): {show(added)}")
     if removed:
         print(f"removed ({len(removed)}): {show(removed)}")
-    slow = [(move, n, a, b) for move, n, a, b in drifted if move > 0]
+    slow = [d for d in drifted if d[0] > 0]
     print(f"{len(slow)} slower / {len(drifted) - len(slow)} faster beyond "
           f"{pct:.0f}% (floor {floor} s) across {len(set(old) & set(new))} "
           f"shared queries")
