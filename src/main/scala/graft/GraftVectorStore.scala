@@ -82,7 +82,17 @@ final class GraftVectorStore(
     // The footprint is a conservative overestimate of the latest slice
     // (it counts superseded generations and tombstones), so the dispatch
     // can only err toward the scale-safe pruned walk.
-    graphServingBudgetBytes: Long = 256L << 20) {
+    graphServingBudgetBytes: Long = 256L << 20,
+    // Pluggable embedding model (None = the murmur hashing-trick default):
+    // `docCol` embeds the cleansed page column at ingest, `query` embeds a
+    // prompt driver-side at search — the model-registry swap a deployment
+    // makes when it changes embedding models. The hash-gated facade
+    // queries pass the portable md5 dense twin
+    // ([[Embedder.embedPortableCol]]/[[Embedder.embedPortable]]) so the
+    // composed store path is ANSI-replayable end to end; the murmur
+    // embedder stays the production fast path (the embed_documents /
+    // embed_hashed_sparse twin discipline).
+    embedder: Option[GraftVectorStore.Embedding] = None) {
 
   require(Seq(lshBits, ivfCells, graphM, binaryCandidates).count(_.nonEmpty) <= 1,
     "choose ONE approximate layout: lshBits (sign-LSH buckets), ivfCells (IVF cells), graphM (k-NN graph), or binaryCandidates (Hamming sketch)")
@@ -91,6 +101,12 @@ final class GraftVectorStore(
 
   private def resolveAlias(alias: String): String =
     if (encryptAlias) IndexTable.encodeAlias(alias) else alias
+
+  /** Prompt -> query vector under this store's embedding model (the
+    * pluggable `embedder`, or the default murmur embedder). */
+  private def queryVec(prompt: String): Array[Float] =
+    embedder.map(_.query(prompt))
+      .getOrElse(Embedder.embedQuery(prompt, model, seed))
 
   private def dim: Int = ModelRegistry.dim(model)
 
@@ -111,7 +127,8 @@ final class GraftVectorStore(
                    pageSize: Int = operators.Chunker.DefaultPageSize): Unit = {
     createIndex()
     invalidateServing(alias)
-    val records = IndexTable.ingestRecords(docs, resolveAlias(alias), model, seed, pageSize)
+    val records = IndexTable.ingestRecords(docs, resolveAlias(alias), model,
+      seed, pageSize, embed = embedder.map(_.docCol))
     (lshBits, ivfCells) match {
       case (Some(bits), _) => IndexTable.appendBucketed(records, indexPath, bits, dim, lshSeed)
       case (_, Some(cells)) => IndexTable.appendIvf(records, indexPath, cells)
@@ -223,7 +240,7 @@ final class GraftVectorStore(
     * executors. */
   def search(prompt: String, alias: String, topN: Int = 10,
              approximate: Boolean = false, probeDepth: Int = 1): DataFrame = {
-    val qvec = Embedder.embedQuery(prompt, model, seed)
+    val qvec = queryVec(prompt)
     if (approximate && graphM.nonEmpty)
       return graphSearch(qvec, alias, topN, probeDepth)
     if (approximate && binaryCandidates.nonEmpty)
@@ -362,11 +379,8 @@ final class GraftVectorStore(
   /** Stamp the readiness marker; called after EVERY complete graph+entries
     * write (full build and incremental merge — SaveMode.Overwrite removes
     * the previous marker together with the old files). */
-  private def markGraphReady(alias: String): Unit = {
-    val p = graphMarkerPath(alias)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .create(p, true).close()
-  }
+  private def markGraphReady(alias: String): Unit =
+    graft.core.PersistedBuild.markReady(spark, graphPath(alias))
 
   /** (Re)build the tenant's persisted k-NN neighbor graph from the CURRENT
     * latest-per-id records — run after bulk ingest or [[compactIndex]], the
@@ -549,39 +563,58 @@ final class GraftVectorStore(
     * "hybrid queries"; here it is one plan over the same serving slice).
     *
     * Both branches read ONE cached serving slice; each produces a
-    * `kEach`-bounded ranked list (vector = TakeOrdered, lexical =
-    * TopKBy via [[graft.operators.Bm25.topKStringIds]]), so the fusion
-    * join, the rank windows, and the hit-projection join-back all run on
-    * k-bounded frames — the MMR cadence, never a corpus operation. */
+    * `kEach`-bounded ranked list (vector = TakeOrdered, lexical = the
+    * bounded threshold cut of [[graft.operators.Bm25.topKPathPage]]), so
+    * the fusion join, the rank windows, and the hit-projection join-back
+    * all run on k-bounded frames — the MMR cadence, never a corpus
+    * operation.
+    *
+    * Every ordering in the chain — both cuts, both rank windows, the
+    * fused rank — ties on (document_path, page_number), the natural
+    * unique business key (1:1 with the sha1 `id`). Round-12: the previous
+    * tie keys (sha1 `id` on the vector/fusion side, a xxhash64 surrogate
+    * inside the lexical cut) were engine-private, which kept the composed
+    * path out of the oracle gate; (path, page) is just as deterministic
+    * and ANSI-replayable, so store_hybrid_e2e can hash-check this method
+    * end to end. */
   def searchHybrid(prompt: String, alias: String, topN: Int = 10,
                    kEach: Int = 50, rrfC: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qvec = Embedder.embedQuery(prompt, model, seed)
+    val qvec = queryVec(prompt)
     val slice = IndexTable.readLatest(spark, indexPath, resolveAlias(alias)).cache()
     try {
-      val vec = KnnSearch.topK(slice, qvec, kEach)
-        .select(col("id"), col("similarity"))
+      val vec = slice
+        .withColumn("similarity", graft.functions.VectorFunctions
+          .cosineSimilarity(col("page_content_vector"), typedlit(qvec)))
+        .orderBy(desc("similarity"), asc("document_path"), asc("page_number"))
+        .limit(kEach)
         .withColumn("rank", row_number().over( // kEach-bounded frame
-          Window.orderBy(desc("similarity"), asc("id"))))
+          Window.orderBy(desc("similarity"), asc("document_path"),
+            asc("page_number"))))
+        .select(col("document_path"), col("page_number"), col("rank"))
       val terms = prompt.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
       // a whitespace-only prompt has no lexical side: degrade to
       // vector-only ranks instead of refusing the search
       val lex =
         if (terms.nonEmpty)
-          graft.operators.Bm25.topKStringIds(slice, "page_content", "id", terms, kEach)
-        else vec.limit(0).select(col("id"), col("similarity").as("score"), col("rank"))
-      val fused = lex.select(col("id"), col("rank").cast("double").as("ra"))
-        .join(vec.select(col("id"), col("rank").cast("double").as("rb")),
-          Seq("id"), "full_outer")
-        .select(col("id"), round(
+          graft.operators.Bm25.topKPathPage(slice, "page_content",
+            "document_path", "page_number", terms, kEach)
+        else vec.limit(0)
+      val keys = Seq("document_path", "page_number")
+      val fused = lex.select(col("document_path"), col("page_number"),
+          col("rank").cast("double").as("ra"))
+        .join(vec.select(col("document_path"), col("page_number"),
+          col("rank").cast("double").as("rb")), keys, "full_outer")
+        .select(col("document_path"), col("page_number"), round(
           coalesce(lit(1.0) / (lit(rrfC.toDouble) + col("ra")), lit(0.0)) +
             coalesce(lit(1.0) / (lit(rrfC.toDouble) + col("rb")), lit(0.0)),
           6).as("rrf_score"))
         .withColumn("rank", row_number().over( // <= 2*kEach rows
-          Window.orderBy(desc("rrf_score"), asc("id"))))
+          Window.orderBy(desc("rrf_score"), asc("document_path"),
+            asc("page_number"))))
         .where(col("rank") <= topN)
       fused.join(slice.select(col("id"), col("index_alias"),
-          col("document_path"), col("page_number"), col("page_content")), Seq("id"))
+          col("document_path"), col("page_number"), col("page_content")), keys)
         .select(col("id"), col("index_alias"), col("document_path"),
           col("page_number"), col("page_content"), col("rrf_score"), col("rank"))
         .orderBy(col("rank"))
@@ -591,7 +624,7 @@ final class GraftVectorStore(
 
   def searchAsOf(prompt: String, alias: String, genId: Long,
                  topN: Int = 10): DataFrame = {
-    val qvec = Embedder.embedQuery(prompt, model, seed)
+    val qvec = queryVec(prompt)
     val slice = IndexTable.readGeneration(spark, indexPath, resolveAlias(alias), genId)
     KnnSearch.hitProjection(KnnSearch.topK(slice, qvec, topN))
   }
@@ -649,6 +682,15 @@ final class GraftVectorStore(
 }
 
 object GraftVectorStore {
+  /** A pluggable embedding model for the store: `docCol` the distributed
+    * column form (cleansed page text -> array<float> vector), `query` the
+    * driver-side prompt form. The two MUST compute the same function of
+    * the text, or ingest-side and query-side vectors live in different
+    * spaces. */
+  final case class Embedding(
+      docCol: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      query: String => Array[Float])
+
   /** Memory-resident graph-serving state (see the servingState scaladoc in
     * the class): the tenant's latest slice for the hit projection plus
     * driver hash maps of vectors/adjacency the local walk cores run over. */

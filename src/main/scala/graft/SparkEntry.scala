@@ -103,6 +103,23 @@ object SparkEntry {
   private def scratch(d: String, tag: String): String =
     s"/tmp/graft_${tag}_${new java.io.File(d).getName}_$runNonce"
 
+  /** (base, planted) corpora for the `*_recall_planted` gates: planted =
+    * embeddings ∪ 10 exact copies of each query vector (vec_id < 5) under
+    * fresh ids 1000000 + q*100 + j — the Spark twin of
+    * [[plantedCorpusCte]]. Ground truth@10 per query is exactly its
+    * copies at sim 1.0, so the recall cells measure whether an index tier
+    * actually ROUTES/NAVIGATES to the planted neighborhood. */
+  private def plantedCorpus(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val copies = base.where(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0L), lit(9L))).as("j"))
+      .select((lit(1000000L) + col("vec_id") * lit(100L) + col("j"))
+        .as("vec_id"), col("embedding"))
+    (base, base.unionByName(copies).localCheckpoint())
+  }
+
   /** ANSI bit-interleave expression mirroring [[operators.ZOrder.zValue2]]
     * term for term, so the zorder_cluster oracle checks the Morton code
     * bit-exactly. */
@@ -188,7 +205,12 @@ object SparkEntry {
     * compiled loop — and every rounding (dist 8, mean 6) mirrors
     * [[operators.KMeans]] exactly; see its scaladoc for why that makes the
     * argmin engine-stable. */
-  private val kmeansCtePrefix: String = {
+  private val kmeansCtePrefix: String = kmeansCtePrefixFor("embeddings")
+
+  /** [[kmeansCtePrefix]] parameterized over the corpus source table/CTE —
+    * the planted IVF recall gate replays the identical Lloyd chain over
+    * its synthesized corpus (`pcorp`). */
+  private def kmeansCtePrefixFor(src: String): String = {
     def assignCte(name: String, cents: String): String =
       s"""$name AS (SELECT vec_id, v, cid AS cluster FROM (
          |  SELECT t.vec_id, t.v, c.cid, row_number() OVER (PARTITION BY t.vec_id ORDER BY
@@ -199,7 +221,7 @@ object SparkEntry {
          |  SELECT a.cluster, ii.i, round(avg(a.v[ii.i]), 6) AS m
          |  FROM $assigned a CROSS JOIN (SELECT unnest(generate_series(1, (SELECT max(len(v)) FROM v))) AS i) ii
          |  GROUP BY a.cluster, ii.i) GROUP BY cluster)""".stripMargin
-    s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    s"""v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM $src),
        |sd AS (SELECT vec_id, v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM v),
        |c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, list_transform(v, x -> round(x, 6)) AS cent FROM sd WHERE rn <= 8),
        |${assignCte("a1", "c0")},
@@ -360,6 +382,92 @@ object SparkEntry {
        |      FROM cand c JOIN emb e1 ON e1.vec_id = c.vec_id JOIN emb e2 ON e2.vec_id = c.q_id),
        |r AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM z),
        |rr AS (SELECT q_id, vec_id, similarity, CAST(row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS INT) AS rank FROM r)""".stripMargin
+
+  /** The ann_ivf_recall oracle body parameterized over its leading CTE
+    * chain (`ctes` must end in the Lloyd chain's v/c0/a1/c1 names): the
+    * random-corpus gate passes [[kmeansCtePrefix]], the planted gate
+    * prepends [[plantedCorpusCte]] and sources the chain from `pcorp`.
+    * Full Lloyd replay, the nprobe=4 candidate superset scored once, each
+    * curve point a filter + per-query top-10 cut, brute-force truth
+    * replayed alongside. */
+  private def ivfRecallOracleSqlFor(ctes: String): String = {
+    val npBlocks = Seq(1, 2, 4).map { np =>
+      s"""ap$np AS (SELECT q_id, vec_id FROM csc WHERE rn <= $np
+         |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) <= 10),
+         |rec$np AS (SELECT $np AS nprobe, count(*) AS n_truth,
+         |    CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |    round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / count(*), 4) AS recall
+         |  FROM bx b LEFT JOIN ap$np ap ON b.q_id = ap.q_id AND b.vec_id = ap.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ctes,
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 5),
+       |probe AS (SELECT q_id, cid, rn FROM (
+       |  SELECT q.q_id, c.cid, row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |    sqrt(list_reduce(list_transform(generate_series(1, len(q.qv)), i -> (q.qv[i] - c.cent[i]) * (q.qv[i] - c.cent[i])), (x, y) -> x + y)), c.cid) AS rn
+       |  FROM q CROSS JOIN c1 c) WHERE rn <= 4),
+       |cand AS (SELECT p.q_id, a.vec_id, p.rn FROM probe p JOIN a1 a ON a.cluster = p.cid WHERE a.vec_id <> p.q_id),
+       |csc AS (SELECT cd.q_id, cd.vec_id, cd.rn, round(CASE WHEN cd.na*cd.nb = 0 THEN 0 ELSE cd.dp/(cd.na*cd.nb) END, 4) AS similarity FROM
+       |  (SELECT cd0.q_id, cd0.vec_id, cd0.rn, list_dot_product(e.v, q2.v) AS dp,
+       |          sqrt(list_dot_product(e.v, e.v)) AS na, sqrt(list_dot_product(q2.v, q2.v)) AS nb
+       |   FROM cand cd0 JOIN v e ON e.vec_id = cd0.vec_id JOIN v q2 ON q2.vec_id = cd0.q_id) cd),
+       |bq AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 5),
+       |bz AS (SELECT q.q_id, e.vec_id, list_dot_product(e.v, q.qv) AS dp,
+       |       sqrt(list_dot_product(e.v, e.v)) AS na, sqrt(list_dot_product(q.qv, q.qv)) AS nb
+       |       FROM v e CROSS JOIN bq q WHERE e.vec_id <> q.q_id),
+       |br AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM bz),
+       |bx AS (SELECT q_id, vec_id FROM br
+       |       QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) <= 10),
+       |$npBlocks
+       |SELECT nprobe, n_truth, hits, recall FROM rec1
+       |UNION ALL SELECT nprobe, n_truth, hits, recall FROM rec2
+       |UNION ALL SELECT nprobe, n_truth, hits, recall FROM rec4
+       |ORDER BY nprobe""".stripMargin
+  }
+
+  /** ann_lsh_recall_planted oracle: one bucket build over the planted
+    * corpus, two nested probe sets (radius 0 = the base bucket, radius 1 =
+    * base + every hamming-1 flip), each exact-cosine-ranked to top-10 and
+    * scored against the brute-force truth — the [[lshTopKOracleCtes]]
+    * machinery with the curve axis added. */
+  private lazy val lshRecallPlantedOracleSql: String = {
+    def recBlock(tag: String, cand: String, radius: Int): String =
+      s"""z$tag AS (SELECT c.q_id, c.vec_id, list_dot_product(e1.v, e2.v) AS dp,
+         |      sqrt(list_dot_product(e1.v, e1.v)) AS na, sqrt(list_dot_product(e2.v, e2.v)) AS nb
+         |      FROM $cand c JOIN emb e1 ON e1.vec_id = c.vec_id JOIN emb e2 ON e2.vec_id = c.q_id),
+         |r$tag AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM z$tag),
+         |ap$tag AS (SELECT q_id, vec_id FROM r$tag
+         |        QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) <= 10),
+         |rec$tag AS (SELECT $radius AS probe_radius, count(*) AS n_truth,
+         |    CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |    round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / count(*), 4) AS recall
+         |  FROM bx b LEFT JOIN ap$tag ap ON b.q_id = ap.q_id AND b.vec_id = ap.vec_id)""".stripMargin
+    s"""WITH ${plantedCorpusCte}planes AS (SELECT * FROM (VALUES $lshOraclePlaneValues) AS t(pid, p)),
+       |emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM pcorp),
+       |bits AS (SELECT e.vec_id, pl.pid, CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN '1' ELSE '0' END AS bit
+       |         FROM emb e CROSS JOIN planes pl),
+       |bucket AS (SELECT vec_id, string_agg(bit, '' ORDER BY pid) AS bucket FROM bits GROUP BY vec_id),
+       |qs AS (SELECT vec_id AS q_id, bucket AS qb FROM bucket WHERE vec_id < 5),
+       |probes AS (
+       |  SELECT q_id, qb AS probe FROM qs
+       |  UNION
+       |  SELECT q_id, substr(qb,1,i-1) || (CASE WHEN substr(qb,i,1)='1' THEN '0' ELSE '1' END) || substr(qb,i+1) AS probe
+       |  FROM qs, (SELECT unnest(generate_series(1,4)) AS i) t
+       |),
+       |cand0 AS (SELECT q.q_id, b.vec_id FROM qs q JOIN bucket b ON b.bucket = q.qb WHERE b.vec_id <> q.q_id),
+       |cand1 AS (SELECT p.q_id, b.vec_id FROM probes p JOIN bucket b ON b.bucket = p.probe WHERE b.vec_id <> p.q_id),
+       |bq AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < 5),
+       |bz AS (SELECT q.q_id, e.vec_id, list_dot_product(e.v, q.qv) AS dp,
+       |       sqrt(list_dot_product(e.v, e.v)) AS na, sqrt(list_dot_product(q.qv, q.qv)) AS nb
+       |       FROM emb e CROSS JOIN bq q WHERE e.vec_id <> q.q_id),
+       |br AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM bz),
+       |bx AS (SELECT q_id, vec_id FROM br
+       |       QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) <= 10),
+       |${recBlock("0", "cand0", 0)},
+       |${recBlock("1", "cand1", 1)}
+       |SELECT probe_radius, n_truth, hits, recall FROM rec0
+       |UNION ALL SELECT probe_radius, n_truth, hits, recall FROM rec1
+       |ORDER BY probe_radius""".stripMargin
+  }
 
   /** The knnGraph hyperplane families (`nTables` × 4 planes, seeds 7+t) as
     * SQL literals — the [[lshOraclePlaneValues]] replay trick per table,
@@ -579,14 +687,21 @@ object SparkEntry {
     * 0.04 on near-orthogonal noise. */
   private lazy val hnswRecallPlantedOracleSql: String =
     hnswRecallOracleFor(m = 12, nTables = 8, src = "pcorp",
-      prelude =
-        """pcorp AS MATERIALIZED (
-          |  SELECT vec_id, embedding FROM embeddings
-          |  UNION ALL
-          |  SELECT 1000000 + q.vec_id * 100 + j.j AS vec_id, q.embedding
-          |  FROM embeddings q CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS j) j
-          |  WHERE q.vec_id < 5),
-          |""".stripMargin)
+      prelude = plantedCorpusCte)
+
+  /** The planted-corpus CTE shared by every `*_recall_planted` oracle:
+    * embeddings ∪ 10 exact copies of each query vector under fresh ids —
+    * zero new float arithmetic (the multimodal_phash_pairs planted-mutant
+    * trick), so DuckDB synthesizes the IDENTICAL corpus the Spark gates
+    * build with union + explode. */
+  private val plantedCorpusCte: String =
+    """pcorp AS MATERIALIZED (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT 1000000 + q.vec_id * 100 + j.j AS vec_id, q.embedding
+      |  FROM embeddings q CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS j) j
+      |  WHERE q.vec_id < 5),
+      |""".stripMargin
 
   /** streaming_graph_insert oracle: the full incremental-ingest replay.
     * Wave-1 build (a-prefix, evens) and the batch-internal wave-2 build
@@ -2584,6 +2699,36 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // The STORE facade's hybrid path, hash-gated end to end (upgrades
+    // hybrid_rrf's operator-level fusion to the composed store-level
+    // chain): a real GraftVectorStore built on the portable md5 dense
+    // embedder (the embed_documents/embed_hashed_sparse twin discipline —
+    // the facade machinery is IDENTICAL, only the embedding function
+    // swaps), ingested through addDocuments (chunk 32 -> cleanse ->
+    // non-empty -> embed -> sha1 keys), then searchHybrid: cached serving
+    // slice, exact-cosine kEach cut, BM25 threshold cut
+    // ([[operators.Bm25.topKPathPage]]), reciprocal-rank fusion, top-10.
+    // Every ordering ties on (document_path, page_number), so the oracle
+    // replays ingest + both chains + fusion decision-for-decision; the
+    // sha1 id (DuckDB 1.0 ships no sha1) stays out of the projection AND
+    // out of every ordering. Store built once per JVM (the persisted-index
+    // amortization convention — later reps serve reads).
+    "store_hybrid_e2e" -> ((s, d) => {
+      val store = new graft.GraftVectorStore(s, scratch(d, "hybrid_store"),
+        embedder = Some(graft.GraftVectorStore.Embedding(
+          c => Embedder.embedPortableCol(c, 64),
+          p => Embedder.embedPortable(p, 64))))
+      if (!store.indexExists()) {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id").cast("string").as("document_path"), col("text"))
+        store.addDocuments(docs, "hyb", pageSize = 32)
+      }
+      store.searchHybrid(fixedPrompt, "hyb", topN = 10, kEach = 20)
+        .select(col("document_path"), col("page_number"),
+          col("rrf_score"), col("rank"))
+        .orderBy(col("rank"))
+    }),
+
     // Contrastive (anchor, positive, negative) training triples (see
     // [[Contrastive.pairs]]): positives off each doc's chunk array (zero
     // joins), negatives via the shift-by-hash trick (neg != doc by
@@ -2776,6 +2921,88 @@ object SparkEntry {
         .select(col("q_id"), col("k"), col("hits"),
           round(col("hits") * lit(1.0) / col("k"), 4).as("recall"))
         .orderBy(col("q_id"))
+    }),
+
+    // The IVF recall curve on the PLANTED corpus (the r11
+    // ann_hnsw_recall_planted pattern extended to the space-partitioning
+    // tiers — the random fixture's near-orthogonal cells measure noise
+    // sensitivity, not routing): corpus = embeddings ∪ 10 exact copies of
+    // each query vector, truth@10 per query is exactly its copies at sim
+    // 1.0, ALL assigned to one Lloyd cell. The gate therefore pins the
+    // END-TO-END routing contract: the query's rank-1 probe cell must BE
+    // the planted cell (assignment and routing share the distance
+    // arithmetic), so the curve reads 1.0 at every nprobe and a
+    // seeding/assignment/routing regression collapses it to 0 — a binary
+    // navigation gate, not a noise dial. Oracle replays Lloyd + routing +
+    // probe over the synthesized corpus.
+    "ann_ivf_recall_planted" -> ((s, d) => {
+      val (base, corpus) = plantedCorpus(s, d)
+      val qs = base.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val exact = SimilaritySearch.bruteForceTopK(corpus, qs, k = 10)
+        .select(col("q_id"), col("vec_id")).localCheckpoint()
+      val (centroids, assigned) = SimilaritySearch.ivfIndexPersisted(
+        corpus, scratch(d, "ivf_planted_idx"), nCentroids = 8, iters = 1)
+      val qw = Window.partitionBy(col("q_id"))
+        .orderBy(asc("qdist"), asc("centroid_id"))
+      val probes = qs.join(broadcast(centroids))
+        .withColumn("qdist", graft.functions.VectorFunctions
+          .euclideanDistance(col("q_vec"), col("centroid")))
+        .withColumn("rn", row_number().over(qw))
+        .where(col("rn") <= 4)
+        .select(col("q_id"), col("q_vec"), col("centroid_id"), col("rn"))
+      val cand = assigned.join(probes, Seq("centroid_id"))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(graft.functions.VectorFunctions
+            .cosineSimilarity(col("embedding"), col("q_vec")), 4)
+            .as("similarity"),
+          col("rn")).localCheckpoint()
+      def recallAt(np: Int): DataFrame = {
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(desc("similarity"), asc("vec_id"))
+        val ap = cand.where(col("rn") <= np)
+          .withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+          .select(col("q_id").as("a_qid"), col("vec_id").as("a_vid"))
+        exact.join(ap,
+            col("q_id") === col("a_qid") && col("vec_id") === col("a_vid"),
+            "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(when(col("a_vid").isNotNull, 1).otherwise(0)).cast("long")
+              .as("hits"))
+          .select(lit(np).as("nprobe"), col("n_truth"), col("hits"),
+            round(col("hits") * lit(1.0) / col("n_truth"), 4).as("recall"))
+      }
+      recallAt(1).unionByName(recallAt(2)).unionByName(recallAt(4))
+        .orderBy(col("nprobe"))
+    }),
+
+    // ... and the LSH twin: exact copies share the query's sign-LSH bucket
+    // in EVERY table by construction, so recall is 1.0 at probe radius 0
+    // (base bucket only) and stays 1.0 at radius 1 (nested probe sets) —
+    // the gate value is the end-to-end bucket/probe/rank contract, which a
+    // bucketing or probe-expansion regression collapses. Both radii replay
+    // in the oracle off one bucket build.
+    "ann_lsh_recall_planted" -> ((s, d) => {
+      val (base, corpus) = plantedCorpus(s, d)
+      val qs = base.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val exact = SimilaritySearch.bruteForceTopK(corpus, qs, k = 10)
+        .select(col("q_id"), col("vec_id")).localCheckpoint()
+      def recallAt(mp: Int): DataFrame = {
+        val ap = SimilaritySearch.lshTopK(corpus, qs, k = 10, nBits = 4,
+            dim = 64, multiProbe = mp)
+          .select(col("q_id").as("a_qid"), col("vec_id").as("a_vid"))
+        exact.join(ap,
+            col("q_id") === col("a_qid") && col("vec_id") === col("a_vid"),
+            "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(when(col("a_vid").isNotNull, 1).otherwise(0)).cast("long")
+              .as("hits"))
+          .select(lit(mp).as("probe_radius"), col("n_truth"), col("hits"),
+            round(col("hits") * lit(1.0) / col("n_truth"), 4).as("recall"))
+      }
+      recallAt(0).unionByName(recallAt(1)).orderBy(col("probe_radius"))
     }),
 
     // IVF CONTRACT query: with nprobe = nCentroids every inverted list is
@@ -2971,9 +3198,11 @@ object SparkEntry {
     // synthesizes the identical corpus in SQL). Ground truth@10 per query
     // is exactly its copies at sim 1.0; the gate value measures whether
     // the hierarchical walk actually NAVIGATES to the planted
-    // neighborhood, and a walk/link regression collapses it. m=8 here
-    // (vs the random gate's 4) keeps the planted cliques bridged to the
-    // backbone after the 2m re-cap.
+    // neighborhood, and a walk/link regression collapses it. m=12 with 8
+    // tables here (vs the random gate's m=4 x 4) keeps the planted cliques
+    // bridged to the backbone after the 2m re-cap — RECALL.md records the
+    // m=8 x 4 build measuring 0.46 flat (cliques self-saturate their
+    // adjacency lists and detach).
     "ann_hnsw_recall_planted" -> ((s, d) => {
       val base = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val copies = base.where(col("vec_id") < 5)
@@ -8561,6 +8790,97 @@ object SparkEntry {
        |SELECT CAST(0 AS BIGINT) AS q_id, doc_id, score, rank FROM b_rank
        |WHERE rank <= 10 ORDER BY rank""".stripMargin
 
+  /** store_hybrid_e2e oracle: the WHOLE facade hybrid chain replayed —
+    * ingest (32-word chunk, cleanse, non-empty filter, md5 dense embed
+    * with REAL narrowing — the store persists float32), the exact-cosine
+    * kEach=20 cut, the BM25 kEach=20 threshold cut over the RAW page
+    * content, reciprocal-rank fusion round-6, top-10. Every ordering ties
+    * on (document_path, page_number) — the round-12 portable-ordering
+    * contract that makes the composed store path hash-checkable (sha1 ids
+    * appear nowhere). Chunk/cleanse/embed CTEs follow the proven
+    * vector_search_hashed_e2e replay; the dense-vector assembly is the
+    * kmeans updateCte cross-join-index pattern so both engines fold the
+    * cosine in INDEX order. */
+  private lazy val storeHybridE2eOracleSql: String = {
+    val termsSql = fixedPrompt.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH pages AS (
+       |  SELECT CAST(doc_id AS VARCHAR) AS document_path, g AS page_number,
+       |    coalesce(array_to_string(words[(g*32+1):(g*32+32)], ' '), '') AS page_content
+       |  FROM (SELECT doc_id, words, unnest(generate_series(0, CAST(len(words) // 32 AS BIGINT))) AS g
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents))),
+       |ne AS (SELECT document_path, page_number, page_content,
+       |       replace(replace(page_content, chr(10), ' '), '  ', ' ') AS txt FROM pages),
+       |nef AS MATERIALIZED (SELECT * FROM ne WHERE length(trim(txt)) > 0),
+       |toks AS (SELECT document_path, page_number, unnest(list_filter(string_split_regex(lower(txt), '[^a-z0-9_]+'), t -> len(t) > 0)) AS tok FROM nef),
+       |h AS (SELECT document_path, page_number, md5(tok || '#42') AS hx FROM toks),
+       |w AS (SELECT document_path, page_number,
+       |        CAST(((strpos('0123456789abcdef', substr(hx,1,1)) - 1) * 16 +
+       |              (strpos('0123456789abcdef', substr(hx,2,1)) - 1)) % 64 AS INT) AS bucket,
+       |        CASE WHEN (strpos('0123456789abcdef', substr(hx,3,1)) - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign
+       |      FROM h),
+       |agg AS (SELECT document_path, page_number, bucket, sum(sign) AS w
+       |        FROM w GROUP BY 1, 2, 3 HAVING sum(sign) <> 0),
+       |nrm AS (SELECT document_path, page_number, sqrt(sum(w*w)) AS norm FROM agg GROUP BY 1, 2),
+       |comp AS (SELECT a.document_path, a.page_number, a.bucket,
+       |         CAST(CAST(round(a.w / nrm.norm, 4) AS REAL) AS DOUBLE) AS c
+       |         FROM agg a JOIN nrm USING (document_path, page_number)),
+       |idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+       |dv AS (SELECT n.document_path, n.page_number, list(coalesce(c.c, 0.0) ORDER BY ii.i) AS v
+       |       FROM nef n CROSS JOIN idx ii
+       |       LEFT JOIN comp c ON c.document_path = n.document_path
+       |         AND c.page_number = n.page_number AND c.bucket = ii.i
+       |       GROUP BY 1, 2),
+       |ptoks AS (SELECT unnest(list_filter(string_split_regex(lower('$fixedPrompt'), '[^a-z0-9_]+'), t -> len(t) > 0)) AS tok),
+       |ph AS (SELECT md5(tok || '#42') AS hx FROM ptoks),
+       |pw AS (SELECT CAST(((strpos('0123456789abcdef', substr(hx,1,1)) - 1) * 16 +
+       |              (strpos('0123456789abcdef', substr(hx,2,1)) - 1)) % 64 AS INT) AS bucket,
+       |        CASE WHEN (strpos('0123456789abcdef', substr(hx,3,1)) - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign
+       |       FROM ph),
+       |pagg AS (SELECT bucket, sum(sign) AS w FROM pw GROUP BY bucket HAVING sum(sign) <> 0),
+       |pn AS (SELECT sqrt(sum(w*w)) AS norm FROM pagg),
+       |qv AS (SELECT list(coalesce(CAST(CAST(round(p.w / (SELECT norm FROM pn), 4) AS REAL) AS DOUBLE), 0.0) ORDER BY ii.i) AS v
+       |       FROM idx ii LEFT JOIN pagg p ON p.bucket = ii.i),
+       |vs AS (SELECT d.document_path, d.page_number,
+       |       list_dot_product(d.v, q.v) AS dp,
+       |       sqrt(list_dot_product(d.v, d.v)) AS na, sqrt(list_dot_product(q.v, q.v)) AS nb
+       |       FROM dv d CROSS JOIN qv q),
+       |vsim AS (SELECT document_path, page_number,
+       |        CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END AS sim FROM vs),
+       |vcut AS (SELECT document_path, page_number,
+       |        CAST(row_number() OVER (ORDER BY sim DESC, document_path, page_number) AS INT) AS vrank
+       |        FROM vsim QUALIFY vrank <= 20),
+       |bdl AS (SELECT document_path, page_number,
+       |        list_filter(string_split_regex(lower(page_content), '\\s+'), x -> len(x) > 0) AS btoks
+       |        FROM nef),
+       |bdl2 AS (SELECT document_path, page_number, CAST(len(btoks) AS DOUBLE) AS dl FROM bdl),
+       |bstats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl) AS sum_dl FROM bdl2),
+       |bqt AS (SELECT document_path, page_number, term, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM (SELECT document_path, page_number, unnest(btoks) AS term FROM bdl)
+       |  WHERE term IN ($termsSql) GROUP BY 1, 2, 3),
+       |bdfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df_t FROM bqt GROUP BY term),
+       |bsc AS (SELECT q.document_path, q.page_number,
+       |    ln(1.0 + (s.n_docs - f.df_t + 0.5) / (f.df_t + 0.5)) *
+       |    (q.tf * (1.2 + 1.0)) /
+       |    (q.tf + 1.2 * (0.25 + 0.75 * d.dl / (s.sum_dl / s.n_docs))) AS contrib
+       |  FROM bqt q JOIN bdfreq f USING (term)
+       |  JOIN bdl2 d USING (document_path, page_number) CROSS JOIN bstats s),
+       |bagg AS (SELECT document_path, page_number, round(sum(contrib), 4) AS score
+       |         FROM bsc GROUP BY 1, 2),
+       |lcut AS (SELECT document_path, page_number,
+       |        CAST(row_number() OVER (ORDER BY score DESC, document_path, page_number) AS INT) AS lrank
+       |        FROM bagg QUALIFY lrank <= 20),
+       |fuse AS (SELECT coalesce(l.document_path, v.document_path) AS document_path,
+       |        coalesce(l.page_number, v.page_number) AS page_number,
+       |        round(coalesce(1.0 / (60 + l.lrank), 0) + coalesce(1.0 / (60 + v.vrank), 0), 6) AS rrf_score
+       |        FROM lcut l FULL OUTER JOIN vcut v
+       |          ON l.document_path = v.document_path AND l.page_number = v.page_number)
+       |SELECT document_path, CAST(page_number AS INT) AS page_number, rrf_score,
+       |       CAST(row_number() OVER (ORDER BY rrf_score DESC, document_path, page_number) AS INT) AS rank
+       |FROM fuse
+       |QUALIFY rank <= 10 ORDER BY rank""".stripMargin
+  }
+
   /** graph_ppr oracle: the directed overlap graph, seeds = two smallest
     * node names (re-derived in a CTE), 5 PPR rounds unrolled — teleport
     * AND dangling mass return only to the seeds, the exact arithmetic of
@@ -10162,39 +10482,13 @@ object SparkEntry {
     // the full Lloyd chain, the nprobe=4 candidate superset scored once,
     // each curve point a filter + per-query top-10 cut, brute-force truth
     // replayed alongside — the tuning curve is itself hash-gated.
-    "ann_ivf_recall" -> {
-      val npBlocks = Seq(1, 2, 4).map { np =>
-        s"""ap$np AS (SELECT q_id, vec_id FROM csc WHERE rn <= $np
-           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) <= 10),
-           |rec$np AS (SELECT $np AS nprobe, count(*) AS n_truth,
-           |    CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
-           |    round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / count(*), 4) AS recall
-           |  FROM bx b LEFT JOIN ap$np ap ON b.q_id = ap.q_id AND b.vec_id = ap.vec_id)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $kmeansCtePrefix,
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 5),
-         |probe AS (SELECT q_id, cid, rn FROM (
-         |  SELECT q.q_id, c.cid, row_number() OVER (PARTITION BY q.q_id ORDER BY
-         |    sqrt(list_reduce(list_transform(generate_series(1, len(q.qv)), i -> (q.qv[i] - c.cent[i]) * (q.qv[i] - c.cent[i])), (x, y) -> x + y)), c.cid) AS rn
-         |  FROM q CROSS JOIN c1 c) WHERE rn <= 4),
-         |cand AS (SELECT p.q_id, a.vec_id, p.rn FROM probe p JOIN a1 a ON a.cluster = p.cid WHERE a.vec_id <> p.q_id),
-         |csc AS (SELECT cd.q_id, cd.vec_id, cd.rn, round(CASE WHEN cd.na*cd.nb = 0 THEN 0 ELSE cd.dp/(cd.na*cd.nb) END, 4) AS similarity FROM
-         |  (SELECT cd0.q_id, cd0.vec_id, cd0.rn, list_dot_product(e.v, q2.v) AS dp,
-         |          sqrt(list_dot_product(e.v, e.v)) AS na, sqrt(list_dot_product(q2.v, q2.v)) AS nb
-         |   FROM cand cd0 JOIN v e ON e.vec_id = cd0.vec_id JOIN v q2 ON q2.vec_id = cd0.q_id) cd),
-         |bq AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 5),
-         |bz AS (SELECT q.q_id, e.vec_id, list_dot_product(e.v, q.qv) AS dp,
-         |       sqrt(list_dot_product(e.v, e.v)) AS na, sqrt(list_dot_product(q.qv, q.qv)) AS nb
-         |       FROM v e CROSS JOIN bq q WHERE e.vec_id <> q.q_id),
-         |br AS (SELECT q_id, vec_id, round(CASE WHEN na*nb = 0 THEN 0 ELSE dp/(na*nb) END, 4) AS similarity FROM bz),
-         |bx AS (SELECT q_id, vec_id FROM br
-         |       QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) <= 10),
-         |$npBlocks
-         |SELECT nprobe, n_truth, hits, recall FROM rec1
-         |UNION ALL SELECT nprobe, n_truth, hits, recall FROM rec2
-         |UNION ALL SELECT nprobe, n_truth, hits, recall FROM rec4
-         |ORDER BY nprobe""".stripMargin
-    },
+    "ann_ivf_recall" -> ivfRecallOracleSqlFor(kmeansCtePrefix),
+
+    // the planted twin: the identical Lloyd + routing + probe replay over
+    // the synthesized planted corpus (see ann_ivf_recall_planted's gate
+    // comment — the curve pins end-to-end routing, flat at 1.0).
+    "ann_ivf_recall_planted" -> ivfRecallOracleSqlFor(
+      plantedCorpusCte + kmeansCtePrefixFor("pcorp")),
 
     // the LSH chain AND the exact brute-force top-10 replayed, recall =
     // overlap/k per query — the approximation's accuracy is itself gated.
@@ -10213,6 +10507,8 @@ object SparkEntry {
          |SELECT q_id, count(*) AS k, CAST(sum(hit) AS BIGINT) AS hits,
          |  round(CAST(sum(hit) AS BIGINT) * 1.0 / count(*), 4) AS recall
          |FROM j GROUP BY 1 ORDER BY q_id""".stripMargin,
+
+    "ann_lsh_recall_planted" -> lshRecallPlantedOracleSql,
 
     // The IVF nprobe serving path, fully replayed (possible since the
     // build moved onto the portable Lloyd arithmetic): c0 seeds → a1
@@ -10485,6 +10781,8 @@ object SparkEntry {
          |rr AS (SELECT doc_id, rrf_score,
          |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank FROM fuse)
          |SELECT doc_id, rrf_score, rank FROM rr WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "store_hybrid_e2e" -> storeHybridE2eOracleSql,
 
     // Replays Contrastive.pairs: the reference chunker (//32 + empty-tail
     // trim, re-indexed), adjacent-chunk positives, md5-32 shift-by-hash

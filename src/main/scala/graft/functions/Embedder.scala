@@ -88,6 +88,71 @@ object Embedder {
     * explode/md5 chain twice (measured 2× on the logreg training path).
     * The shuffle carries at most (docs × dim) tiny rows, no dense
     * vectors. */
+  /** Engine-portable DENSE twin of [[embed]]: the [[hashedComponents]]
+    * arithmetic (md5 token hash, first-two-hex-digit bucket, third-digit
+    * sign parity, round-4 L2-normalized components) assembled into a
+    * `dim`-length float array — so a store built on it is shaped exactly
+    * like the murmur store (array<float> vector column, the same cosine
+    * serving path) while every component is ANSI-replayable. This is the
+    * embedder the hash-gated store-facade queries plug in
+    * ([[graft.GraftVectorStore]]'s `embedder` knob); the murmur embedder
+    * stays the production fast path — the embed_documents /
+    * embed_hashed_sparse twin discipline, extended to dense form. */
+  def embedPortableCol(c: Column, dim: Int, seed: Int = DefaultSeed): Column = {
+    import org.apache.spark.sql.functions._
+    val hexVal: Column => Column = x => instr(lit("0123456789abcdef"), x) - 1
+    val toks = filter(split(lower(c), "[^a-z0-9_]+"),
+      (t: Column) => length(t) > 0)
+    // hash each token ONCE into (bucket, sign), then fold per output slot:
+    // bucket weights are sums of ±1 — exact small integers in double, so
+    // the fold order can never move a value
+    val bs = transform(toks, (tok: Column) => {
+      val h = md5(concat(tok, lit("#" + seed)))
+      struct(
+        pmod(hexVal(substring(h, 1, 1)) * 16 + hexVal(substring(h, 2, 1)),
+          lit(dim)).cast("int").as("b"),
+        when(pmod(hexVal(substring(h, 3, 1)), lit(2)) === 0, lit(1.0d))
+          .otherwise(lit(-1.0d)).as("s"))
+    })
+    val weights = transform(sequence(lit(0), lit(dim - 1)), (i: Column) =>
+      aggregate(bs, lit(0.0d), (acc: Column, p: Column) =>
+        acc + when(p.getField("b") === i, p.getField("s")).otherwise(lit(0.0d))))
+    val norm = sqrt(aggregate(weights, lit(0.0d),
+      (a: Column, x: Column) => a + x * x))
+    transform(weights, (x: Column) =>
+      when(norm > 0, round(x / norm, 4)).otherwise(lit(0.0d)).cast("float"))
+  }
+
+  /** Driver-side scalar twin of [[embedPortableCol]] — the prompt-side
+    * embed for a portable store. Bit-identical by construction: same md5
+    * (lowercase hex over UTF-8), same bucket/sign digits, HALF_UP round-4
+    * on the double grid (Spark's `round`), float narrowing last. */
+  def embedPortable(text: String, dim: Int, seed: Int = DefaultSeed): Array[Float] = {
+    val v = new Array[Double](dim)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    text.toLowerCase.split("[^a-z0-9_]+").foreach { t =>
+      if (t.nonEmpty) {
+        val d = md.digest((t + "#" + seed).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val h0 = (d(0) >> 4) & 0xf; val h1 = d(0) & 0xf; val h2 = (d(1) >> 4) & 0xf
+        val bucket = math.floorMod(h0 * 16 + h1, dim)
+        v(bucket) += (if (h2 % 2 == 0) 1.0 else -1.0)
+      }
+    }
+    var ss = 0.0
+    v.foreach(x => ss += x * x)
+    val out = new Array[Float](dim)
+    if (ss > 0) {
+      val n = math.sqrt(ss)
+      var j = 0
+      while (j < dim) {
+        out(j) = java.math.BigDecimal.valueOf(v(j) / n)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue().toFloat
+        j += 1
+      }
+    }
+    out
+  }
+
   def hashedComponents(df: org.apache.spark.sql.DataFrame, textCol: String,
                        idCol: String, dim: Int, seed: Int = DefaultSeed)
       : org.apache.spark.sql.DataFrame = {

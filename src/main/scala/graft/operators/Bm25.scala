@@ -279,6 +279,67 @@ object Bm25 {
       .select(col("__sid").as(idCol), col("similarity").as("score"), col("rank"))
   }
 
+  /** BM25 top-k keyed on the store's natural business key
+    * (document_path, page_number) with a fully PORTABLE total order —
+    * round-12's oracle-replayable lexical cut behind
+    * [[graft.GraftVectorStore.searchHybrid]]. [[topKStringIds]] cuts with
+    * TopKBy on a xxhash64 surrogate, which decides boundary ties by an
+    * engine-specific hash; here ties order by (score desc, path asc, page
+    * asc) end to end, so an ANSI oracle replays the cut CONTENT too.
+    *
+    * Scale shape: the heavy cut is still bounded — TopKBy finds the k-th
+    * score VALUE (a statistic of the score multiset, surrogate-
+    * independent), a broadcast threshold filter keeps k + boundary-ties
+    * rows, and only that bounded frame pays the ordering window. Two
+    * passes over the term-pruned token stream; the slice behind it is the
+    * facade's cached serving slice. */
+  def topKPathPage(df: DataFrame, textCol: String, pathCol: String,
+                   pageCol: String, queryTerms: Seq[String], k: Int = 10,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.forall(t => t == t.toLowerCase),
+      "queryTerms must be lowercase (the token stream is lowercased)")
+    val docs = Dedup.spread(df).select(col(pathCol).as("__path"),
+        col(pageCol).as("__page"),
+        TextFunctions.wsTokens(lower(col(textCol))).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val toks = docs.select(col("__path"), col("__page"), col("dl"),
+        explode(col("toks")).as("term"))
+      .where(col("term").isInCollection(queryTerms))
+    val tf = toks.groupBy(col("__path"), col("__page"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df_t"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val perDoc = scored.groupBy(col("__path"), col("__page"))
+      .agg(round(sum(col("contrib")), 4).as("score"))
+      .localCheckpoint() // two consumers: the threshold cut and the filter
+    // k-th score VALUE via the bounded-buffer cut (surrogate order cannot
+    // change a score statistic), then boundary-INCLUSIVE filter + window
+    val thr = SimilaritySearch.topKPerQuery(
+        perDoc.withColumn("q_id", lit(0L))
+          .withColumn("similarity", col("score"))
+          .withColumn("__surr", xxhash64(col("__path"), col("__page"))),
+        k, "q_id", "__surr")
+      .agg(min(col("similarity")).as("__thr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score"), asc("__path"), asc("__page"))
+    perDoc.crossJoin(broadcast(thr))
+      .where(col("score") >= col("__thr")) // k + boundary-ties rows
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__path").as(pathCol), col("__page").as(pageCol),
+        col("score"), col("rank"))
+  }
+
   /** Reciprocal-rank fusion of two ranked lists (Cormack et al.): score =
     * 1/(c + rank_a) + 1/(c + rank_b), a list contributing 0 where the doc is
     * absent. Rank-based, so the two lists' score scales never need

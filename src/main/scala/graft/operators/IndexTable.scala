@@ -80,12 +80,22 @@ object IndexTable {
   def ingestRecords(docs: DataFrame, alias: String,
                     model: String = graft.core.ModelRegistry.default,
                     seed: Int = Embedder.DefaultSeed,
-                    pageSize: Int = Chunker.DefaultPageSize): DataFrame = {
+                    pageSize: Int = Chunker.DefaultPageSize,
+                    // None = the default murmur hashing-trick embedder;
+                    // Some(f) swaps the document-side embedding column
+                    // function (the model-registry swap a deployment makes
+                    // when it changes embedding models — and the hook the
+                    // hash-gated store queries use to plug the portable
+                    // md5 twin in)
+                    embed: Option[org.apache.spark.sql.Column =>
+                      org.apache.spark.sql.Column] = None): DataFrame = {
     val chunked = Chunker.chunk(docs.select("document_path", "text"), "text", pageSize)
+    val embedFn = embed.getOrElse((c: org.apache.spark.sql.Column) =>
+      Embedder.embedCol(c, model, seed))
     chunked
       .withColumn("page_content_cleansed", TextFunctions.cleanseText(col("page_content")))
       .where(TextFunctions.nonEmpty(col("page_content_cleansed")))
-      .withColumn("page_content_vector", Embedder.embedCol(col("page_content_cleansed"), model, seed))
+      .withColumn("page_content_vector", embedFn(col("page_content_cleansed")))
       .withColumn("id", sha1(concat_ws("_", col("document_path"), col("page_number"))))
       .withColumn("index_alias", lit(alias))
       .select("id", "index_alias", "document_path", "page_number", "page_content",

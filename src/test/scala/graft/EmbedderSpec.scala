@@ -112,4 +112,30 @@ class EmbedderSpec extends AnyFunSuite {
       assert(math.abs(ss - 1.0) < 1e-2, s"doc $id norm^2 = $ss") // 4-decimal rounding slack
     }
   }
+
+  test("portable dense twin: embedPortableCol == embedPortable (driver) == " +
+      "hashedComponents (sparse), element for element") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(30)
+    val dense = docs
+      .select(col("doc_id"), Embedder.embedPortableCol(col("text"), 64).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val texts = docs.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // distributed column form == driver scalar form, bit for bit (the
+    // store embeds documents with the former and prompts with the latter;
+    // any drift would put them in different spaces)
+    texts.foreach { case (id, t) =>
+      assert(dense(id).toSeq === Embedder.embedPortable(t, 64).toSeq, s"doc $id")
+    }
+    // dense nonzero slots == the sparse hashedComponents rows
+    val sparse = Embedder.hashedComponents(docs, "text", "doc_id", dim = 64)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2))).toMap
+    dense.foreach { case (id, v) =>
+      v.zipWithIndex.foreach { case (x, i) =>
+        val want = sparse.getOrElse((id, i), 0.0).toFloat
+        assert(x === want, s"doc $id bucket $i: dense $x vs sparse $want")
+      }
+    }
+  }
 }

@@ -148,4 +148,29 @@ class GatedQueryFixtureSpec extends AnyFunSuite {
     assert(recalls.last >= 0.5, s"recall@beam8 ${recalls.last}")
     assert(recalls.sorted === recalls, s"beam curve must be monotone: $recalls")
   }
+
+  test("ann_ivf_recall_planted: truth is the planted copies (one Lloyd cell) " +
+      "and the routing contract holds at every nprobe") {
+    val out = SparkEntry.queries("ann_ivf_recall_planted")(spark, TestSpark.sf)
+      .collect().sortBy(_.getAs[Int]("nprobe"))
+    assert(out.map(_.getAs[Int]("nprobe")).toSeq === Seq(1, 2, 4))
+    assert(out.forall(_.getAs[Long]("n_truth") === 50L))
+    val recalls = out.map(_.getAs[Double]("recall")).toSeq
+    // identical copies assign to ONE cell and the query's rank-1 probe IS
+    // that cell (assignment and routing share the distance arithmetic) —
+    // a seeding/assignment/routing regression collapses this to ~0
+    assert(recalls.head >= 0.5, s"recall@nprobe1 ${recalls.head}")
+    assert(recalls.sorted === recalls, s"nprobe curve must be monotone: $recalls")
+  }
+
+  test("ann_lsh_recall_planted: exact copies share the query's bucket, so " +
+      "the bucket/probe/rank contract reads full recall at both radii") {
+    val out = SparkEntry.queries("ann_lsh_recall_planted")(spark, TestSpark.sf)
+      .collect().sortBy(_.getAs[Int]("probe_radius"))
+    assert(out.map(_.getAs[Int]("probe_radius")).toSeq === Seq(0, 1))
+    assert(out.forall(_.getAs[Long]("n_truth") === 50L))
+    val recalls = out.map(_.getAs[Double]("recall")).toSeq
+    assert(recalls.head >= 0.5, s"recall@radius0 ${recalls.head}")
+    assert(recalls.sorted === recalls, s"radius curve must be monotone: $recalls")
+  }
 }
