@@ -7283,35 +7283,44 @@ object SparkEntry {
     // in_base_topk marks which final hits round 1 alone would have found.
     "bm25_prf_expansion" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      // One Bm25.prepare definition feeds round 1, the expansion pick, and
-      // round 2. Deliberately NOT checkpointed: measured at sf0.1 (5-rep
-      // min 3.35 s lazy vs 3.69 s materialized), re-running the codegen'd
-      // tokenizer per branch beats serializing the corpus-sized token
-      // arrays — the same holds at cluster scale, where a corpus-sized
-      // intermediate is exactly what you don't persist.
       val prepared = Bm25.prepare(docs, "text", "doc_id")
-      val r1 = Bm25.topKPrepared(prepared, bm25QueryTerms, k = 10)
+      // Round-12 shape: tokenize ONCE. The exploded (doc_id, dl, term)
+      // stream materializes via localCheckpoint and all four downstream
+      // aggregates — round 1, feedback TF, corpus DF, round 2 — read it
+      // ([[Bm25.topKTokens]]); only the tiny stats row pays a second
+      // tokenizer pass. The old shape ran the split/lower/explode chain
+      // ~6x (2 per scoring round + dfq + fbtf); two earlier dead ends
+      // remain documented: semi-join pruning dfq to fb terms serializes
+      // the aggregates behind the fbtf broadcast (+0.5 s, r11), and
+      // fusing them into one groupBy(sum, countDistinct) plans an Expand
+      // that doubles the token stream (8.2 s vs 3.8, r11). Note the r11
+      // lazy-vs-materialized measurement was about the token-ARRAY frame
+      // (`prepared`, 3.35 lazy vs 3.69 materialized); the FLAT exploded
+      // stream columnar-compresses and measured the other way: 5-rep
+      // isolated min 4.47 -> 3.33 s at sf0.1, r12, and the win is
+      // understated — the after-window was SLOWER (host anchor
+      // 0.621 -> 0.727 s), so anchor-normalized it reads ~4.47 -> 2.84.
+      val toksAll = prepared.select(col("doc_id"), col("dl"),
+          explode(col("toks")).as("term"))
+        .localCheckpoint()
+      val stats = prepared.agg(count(lit(1)).cast("double").as("n_docs"),
+        sum(col("dl")).as("sum_dl")).localCheckpoint()
+      val r1 = Bm25.topKTokens(toksAll, stats, bm25QueryTerms, k = 10)
         .localCheckpoint()
       val fb = r1.select(col("doc_id"))
-      val toks = prepared.select(col("doc_id"), explode(col("toks")).as("term"))
       // fb term frequency and corpus df as two INDEPENDENT term-keyed
-      // aggregates joined on term. Two measured dead ends (r11): semi-join
-      // pruning dfq to fb terms serializes the two aggregates behind the
-      // fbtf broadcast (+0.5 s); fusing them into one groupBy(sum,
-      // countDistinct) plans an Expand that doubles the token stream
-      // (8.2 s vs 3.8). The independent pair keeps both map-side partial
-      // and lets the scheduler overlap them.
-      val fbtf = toks.join(broadcast(fb), Seq("doc_id"))
+      // aggregates joined on term (see dead-end notes above).
+      val fbtf = toksAll.join(broadcast(fb), Seq("doc_id"))
         .groupBy(col("term")).agg(count(lit(1)).as("tf_fb"))
-      val dfq = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
-      val nd = docs.agg(count(lit(1)).as("nd"))
-      val expTerms = fbtf.join(dfq, Seq("term")).crossJoin(broadcast(nd))
+      val dfq = toksAll.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val expTerms = fbtf.join(dfq, Seq("term")).crossJoin(broadcast(stats))
         .where(!col("term").isin(bm25QueryTerms: _*))
         .withColumn("escore",
-          round(col("tf_fb") * log(col("nd").cast("double") / col("df")), 6))
+          round(col("tf_fb") * log(col("n_docs") / col("df")), 6))
         .orderBy(col("escore").desc, col("term")).limit(3)
         .select(col("term")).collect().map(_.getString(0)).toSeq
-      Bm25.topKPrepared(prepared, bm25QueryTerms ++ expTerms, k = 10)
+      Bm25.topKTokens(toksAll, stats, bm25QueryTerms ++ expTerms, k = 10)
         .join(r1.select(col("doc_id"), lit(true).as("ib")), Seq("doc_id"), "left")
         .select(col("rank"), col("doc_id"), col("score"),
           coalesce(col("ib"), lit(false)).as("in_base_topk"))

@@ -145,6 +145,38 @@ object Bm25 {
         col("similarity").as("score"), col("rank"))
   }
 
+  /** [[topKPrepared]] over an already-EXPLODED token stream `(doc_id, dl,
+    * term)` and a precomputed corpus-stats frame `(n_docs, sum_dl)` — for
+    * callers that run SEVERAL scoring rounds over one corpus (the PRF
+    * query): one tokenization is materialized and every round's pruned
+    * aggregate reads it, instead of re-running the split/lower/explode
+    * chain per round. Arithmetic is identical to [[topKPrepared]]. */
+  def topKTokens(toks: DataFrame, stats: DataFrame,
+                 queryTerms: Seq[String], k: Int = 10, qId: Long = 0L,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.forall(t => t == t.toLowerCase),
+      "queryTerms must be lowercase (the token stream is lowercased)")
+    val pruned = toks.where(col("term").isInCollection(queryTerms))
+    val tf = pruned.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df_t"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 4).as("similarity"))
+      .withColumn("q_id", lit(qId))
+    SimilaritySearch.topKPerQuery(perDoc, k, "q_id", "doc_id")
+      .select(col("q_id"), col("doc_id"),
+        col("similarity").as("score"), col("rank"))
+  }
+
   /** Expand query terms to every vocabulary term within `maxDist` edits —
     * typo tolerance for the lexical path ("sprak" still finds "spark").
     * The vocabulary is model-sized (distinct tokens), so the expansion is
