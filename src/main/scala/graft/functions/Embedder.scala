@@ -97,30 +97,20 @@ object Embedder {
     * embedder the hash-gated store-facade queries plug in
     * ([[graft.GraftVectorStore]]'s `embedder` knob); the murmur embedder
     * stays the production fast path — the embed_documents /
-    * embed_hashed_sparse twin discipline, extended to dense form. */
+    * embed_hashed_sparse twin discipline, extended to dense form.
+    *
+    * UDF-backed, deliberately: the higher-order-function formulation
+    * (per-token (bucket, sign) array folded into a dense accumulator)
+    * re-evaluates the CAPTURED token-hash expression once per output
+    * slot — lambda-captured subtrees don't CSE — so it computes
+    * dim × tokens md5s per row (measured minutes for a gate-sized ingest
+    * that the O(tokens) scalar kernel does in seconds). EmbedderSpec pins
+    * bit-equality of this column, [[embedPortable]], and
+    * [[hashedComponents]]. */
   def embedPortableCol(c: Column, dim: Int, seed: Int = DefaultSeed): Column = {
-    import org.apache.spark.sql.functions._
-    val hexVal: Column => Column = x => instr(lit("0123456789abcdef"), x) - 1
-    val toks = filter(split(lower(c), "[^a-z0-9_]+"),
-      (t: Column) => length(t) > 0)
-    // hash each token ONCE into (bucket, sign), then fold per output slot:
-    // bucket weights are sums of ±1 — exact small integers in double, so
-    // the fold order can never move a value
-    val bs = transform(toks, (tok: Column) => {
-      val h = md5(concat(tok, lit("#" + seed)))
-      struct(
-        pmod(hexVal(substring(h, 1, 1)) * 16 + hexVal(substring(h, 2, 1)),
-          lit(dim)).cast("int").as("b"),
-        when(pmod(hexVal(substring(h, 3, 1)), lit(2)) === 0, lit(1.0d))
-          .otherwise(lit(-1.0d)).as("s"))
-    })
-    val weights = transform(sequence(lit(0), lit(dim - 1)), (i: Column) =>
-      aggregate(bs, lit(0.0d), (acc: Column, p: Column) =>
-        acc + when(p.getField("b") === i, p.getField("s")).otherwise(lit(0.0d))))
-    val norm = sqrt(aggregate(weights, lit(0.0d),
-      (a: Column, x: Column) => a + x * x))
-    transform(weights, (x: Column) =>
-      when(norm > 0, round(x / norm, 4)).otherwise(lit(0.0d)).cast("float"))
+    val f = udf((s: String) =>
+      if (s == null) null else embedPortable(s, dim, seed))
+    f(c)
   }
 
   /** Driver-side scalar twin of [[embedPortableCol]] — the prompt-side
