@@ -476,6 +476,7 @@ final class GraftVectorStore(
     val beamW = 8 * math.max(1, probeDepth)
     val (hitSeq: Seq[(Long, Double, Int)], hitFetch: (Seq[Long] => DataFrame)) =
       if (servesPruned(alias)) {
+        graft.core.TierStats.record("storeGraphServe", "distributed")
         val pointFetch = IndexTable.nodePointFetcher(spark, indexPath, resolveAlias(alias))
         val prunedFetch: Seq[Long] => DataFrame = ids =>
           pointFetch(ids)
@@ -497,6 +498,7 @@ final class GraftVectorStore(
               entryIds = if (entryNids.nonEmpty) Some(entryNids) else None))
         (s, prunedFetch)
       } else {
+        graft.core.TierStats.record("storeGraphServe", "driver")
         val st = servingState.getOrElseUpdate(resolveAlias(alias), {
           val slice = graphNodes(alias).localCheckpoint()
           val vecs = slice

@@ -412,17 +412,25 @@ class GraftVectorStoreSpec extends AnyFunSuite {
     cached.addDocuments(docs, "t", pageSize = 32)
     assert(!cached.servesPruned("t"),
       "toy tenant under the default budget must serve the cached slice")
+    val s0 = graft.core.TierStats.snapshot()
     val hitsCached = cached.search("fast spark table scan query", "t",
       topN = 5, approximate = true)
       .select($"document_path", $"page_number").collect().toSeq
+    assert(graft.core.TierStats.diff(s0, graft.core.TierStats.snapshot())
+      .getOrElse("storeGraphServe:driver", 0L) >= 1L,
+      "under-budget search must record the cached (driver) tier")
     // forced-tiny budget over the SAME persisted store -> pruned walk,
     // and the walk's decisions (entries, scores, ties) are identical
     val pruned = new GraftVectorStore(spark, path, graphM = Some(8),
       graphServingBudgetBytes = 1L)
     assert(pruned.servesPruned("t"))
+    val s1 = graft.core.TierStats.snapshot()
     val hitsPruned = pruned.search("fast spark table scan query", "t",
       topN = 5, approximate = true)
       .select($"document_path", $"page_number").collect().toSeq
+    assert(graft.core.TierStats.diff(s1, graft.core.TierStats.snapshot())
+      .getOrElse("storeGraphServe:distributed", 0L) >= 1L,
+      "over-budget search must record the pruned (distributed) tier")
     assert(hitsCached === hitsPruned,
       "dispatch must change the access path, never the result")
     cached.dropIndex()
