@@ -7803,9 +7803,14 @@ object SparkEntry {
       val sc = NaiveBayes.scores(
         toks.where(col("doc_id") % 2 === 0),
         toks.where(col("doc_id") % 2 === 1), "doc_id", "lang", "tok")
+      // one row per held-out doc, consumed by THREE subtrees (cal feeds
+      // the rank window and the n_cal count, tst the coverage agg) —
+      // materialize once so the 6-aggregate NB train/score chain doesn't
+      // replay per consumer. Bounded by the corpus row count (2 cols).
       val a = sc.groupBy(col("doc_id"), col("true_label"))
         .agg((max(when(col("cls") =!= col("true_label"), col("score"))) -
           max(when(col("cls") === col("true_label"), col("score")))).as("nc"))
+        .localCheckpoint()
       val cal = a.where(col("doc_id") % 4 === 1)
       val tst = a.where(col("doc_id") % 4 === 3)
       // the calibration set is a QUARTER OF THE CORPUS, so the order
@@ -7850,9 +7855,11 @@ object SparkEntry {
       val sc = NaiveBayes.scores(
         toks.where(col("doc_id") % 2 === 0),
         toks.where(col("doc_id") % 2 === 1), "doc_id", "lang", "tok")
+      // same three-consumer materialization as nb_conformal above
       val a = sc.groupBy(col("doc_id"), col("true_label"))
         .agg((max(when(col("cls") =!= col("true_label"), col("score"))) -
           max(when(col("cls") === col("true_label"), col("score")))).as("nc"))
+        .localCheckpoint()
       val cal = a.where(col("doc_id") % 4 === 1)
         .withColumn("draw", md5(concat_ws("#", col("doc_id"), lit("cal"))))
         .orderBy(col("draw"), col("doc_id")).limit(128)
