@@ -5940,7 +5940,10 @@ object SparkEntry {
           .when(col("doc_id") % 3 === 1,
             expr("substring(concat_ws(' ', ws[0], ws[1], ws[2]), 1, length(concat_ws(' ', ws[0], ws[1], ws[2])) - 1)"))
           .otherwise(cleanName).as("name"))
-      EntityResolution.resolve(dirty, clean, "doc_id", "name",
+      // resolve's blocking evaluates each side ~4x (freq gates + semi-
+      // joins x two keys) — materialize the narrow (id, name) frames once
+      EntityResolution.resolve(dirty.localCheckpoint(),
+          clean.localCheckpoint(), "doc_id", "name",
           blockKeys = Seq(
             n => element_at(split(n, " "), 1),
             n => element_at(split(n, " "), -1)),
@@ -5969,7 +5972,10 @@ object SparkEntry {
           .when(col("doc_id") % 3 === 1,
             expr("substring(concat_ws(' ', ws[0], ws[1], ws[2]), 1, length(concat_ws(' ', ws[0], ws[1], ws[2])) - 1)"))
           .otherwise(cleanName).as("name"))
-      EntityResolution.resolve(dirty, clean, "doc_id", "name",
+      // hot-block re-key adds two MORE evaluations per side on top of the
+      // cold path's four — the materialized-once cut matters even more here
+      EntityResolution.resolve(dirty.localCheckpoint(),
+          clean.localCheckpoint(), "doc_id", "name",
           blockKeys = Seq(
             n => element_at(split(n, " "), 1),
             n => element_at(split(n, " "), -1)),
@@ -6710,8 +6716,14 @@ object SparkEntry {
         .when(col("doc_id") % 3 === 1,
           expr("substring(concat_ws(' ', ws[0], ws[1], ws[2]), 1, length(concat_ws(' ', ws[0], ws[1], ws[2])) - 1)"))
         .otherwise(cleanName)
+      // candidatePairs evaluates each side ~4x (per-key freq gate + two
+      // semi-joins x two blocking keys) — materialize the narrow
+      // (id, name) frames once so the documents scan + split + name
+      // mangling doesn't replay per pass. Two columns, one row per doc.
       val dirty = base.select(col("doc_id").as("id"), dirtyName.as("name"))
+        .localCheckpoint()
       val clean = base.select(col("doc_id").as("id"), cleanName.as("name"))
+        .localCheckpoint()
       def fk(c: Column) = element_at(split(c, " "), 1)
       def lk(c: Column) = element_at(split(c, " "), -1)
       // candidate generation goes through the operator's capped path
