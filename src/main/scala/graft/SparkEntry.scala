@@ -103,6 +103,17 @@ object SparkEntry {
   private def scratch(d: String, tag: String): String =
     s"/tmp/graft_${tag}_${new java.io.File(d).getName}_$runNonce"
 
+  /** The corpus near-dup pair graph at the production setting
+    * (12 hashes x 4 bands, tau 0.30), build-once-per-JVM and shared by
+    * dedup_minhash_lsh / dedup_survivorship / dedup_minhash_recall (the
+    * SCALE.md shared-build convention): rep 1 of the first consumer pays
+    * the shingle->minhash->band->verify chain, everyone else reads the
+    * published parquet. */
+  private def minhashPairsShared(s: SparkSession, d: String): DataFrame =
+    operators.Dedup.minhashNearDupPairsPersisted(t(s, d, "documents"),
+      scratch(d, "minhash_pairs_12b4t030"), "text", "doc_id",
+      numHashes = 12, bands = 4, threshold = 0.30)
+
   /** (base, planted) corpora for the `*_recall_planted` gates: planted =
     * embeddings ∪ 10 exact copies of each query vector (vec_id < 5) under
     * fresh ids 1000000 + q*100 + j — the Spark twin of
@@ -2196,9 +2207,7 @@ object SparkEntry {
     }),
 
     "dedup_minhash_lsh" -> ((s, d) => {
-      Dedup.minhashNearDupPairs(t(s, d, "documents"), "text", "doc_id",
-        numHashes = 12, bands = 4, threshold = 0.30)
-        .orderBy(col("id1"), col("id2"))
+      minhashPairsShared(s, d).orderBy(col("id1"), col("id2"))
     }),
 
     // k-anonymity screen over the quasi-identifier (lang, source): groups
@@ -2226,8 +2235,7 @@ object SparkEntry {
       val exactDropped = fp.join(keep, "fingerprint")
         .where(col("doc_id") =!= col("keep_id"))
         .select(col("doc_id"), lit(1).as("e"))
-      val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
-        numHashes = 12, bands = 4, threshold = 0.30)
+      val pairs = minhashPairsShared(s, d)
       val flagged = pairs.select(col("id1").as("doc_id"))
         .union(pairs.select(col("id2").as("doc_id")))
         .distinct().withColumn("f", lit(1))
@@ -2263,8 +2271,7 @@ object SparkEntry {
     // rows still verify.
     "dedup_minhash_recall" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val lsh = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
-        numHashes = 12, bands = 4, threshold = 0.30).select(col("id1"), col("id2"))
+      val lsh = minhashPairsShared(s, d).select(col("id1"), col("id2"))
       val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
         n = 2, threshold = 0.30).select(col("id1"), col("id2"))
       val nL = lsh.agg(count(lit(1)).as("n_lsh"))

@@ -295,6 +295,21 @@ object Dedup {
     a.length < b.length
   }
 
+  /** [[minhashNearDupPairs]] through the build-once persisted contract
+    * ([[graft.core.PersistedBuild]]): the deterministic pair graph is an
+    * index-like derived artifact consumed by several downstream views
+    * (the pair gate itself, the survivorship report, the recall audit) —
+    * production pipelines persist it next to the corpus rather than
+    * re-hashing per consumer. First caller on `path` builds + publishes
+    * atomically; everyone else reads the parquet. */
+  def minhashNearDupPairsPersisted(df: DataFrame, path: String,
+                                   textCol: String, idCol: String,
+                                   numHashes: Int, bands: Int,
+                                   threshold: Double): DataFrame =
+    graft.core.PersistedBuild.table(
+      minhashNearDupPairs(df, textCol, idCol, numHashes, bands, threshold),
+      path, df.sparkSession)
+
   /** MinHash-LSH near-dup pairs: shingle -> minhash -> band -> bucket
     * self-join -> exact Jaccard verify on the candidates only.
     *
