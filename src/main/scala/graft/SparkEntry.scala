@@ -1902,14 +1902,23 @@ object SparkEntry {
     "profile_lineitem" -> ((s, d) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val li = t(s, d, "lineitem")
+      // n countDistincts in ONE aggregate plan an Expand that replicates
+      // every input row n+1 times through the shuffle. Split instead:
+      // the non-distinct moments ride one full-width pass, and each NDV
+      // is its own column-pruned distinct subplan (scan reads ONE column,
+      // map-side partial dedup bounds its exchange by the column's NDV
+      // per partition) — the independent one-row results cross-join back.
+      // Same shape win as bm25's two-aggregate form (see SCALE.md).
       val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
         sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"${c}_null"),
-        countDistinct(col(c)).as(s"${c}_dist"),
         round(min(col(c)).cast("double"), 4).as(s"${c}_min"),
         round(max(col(c)).cast("double"), 4).as(s"${c}_max"),
         round(avg(col(c).cast("double")), 4).as(s"${c}_mean"))
       }
-      val one = li.agg(aggs.head, aggs.tail: _*)
+      val one = cols.foldLeft(li.agg(aggs.head, aggs.tail: _*)) { (acc, c) =>
+        acc.crossJoin(li.where(col(c).isNotNull).select(col(c)).distinct()
+          .agg(count(lit(1)).as(s"${c}_dist")))
+      }
       val stackArgs = cols.map(c =>
         s"'$c', ${c}_null, ${c}_dist, ${c}_min, ${c}_max, ${c}_mean").mkString(", ")
       one.select(col("n_rows"), expr(
@@ -6576,14 +6585,31 @@ object SparkEntry {
     "profile_table_stats" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val n = count(lit(1))
-      def stats(c: String) = struct(
-        countDistinct(col(c)).as("ndv"),
+      // NDVs split out of the wide aggregate (the profile_lineitem
+      // anti-Expand shape): each is a one-column distinct subplan,
+      // cross-joined back as a one-row frame.
+      def stats(c: String, ndv: Column) = struct(
+        ndv.as("ndv"),
         round(min(col(c)).cast("double"), 4).as("min_v"),
         round(max(col(c)).cast("double"), 4).as("max_v"),
         round(sum(when(col(c).isNull, 1).otherwise(0)) / n.cast("double"), 6).as("null_frac"))
-      val agg = li.agg(n.as("n_rows"), stats("l_quantity").as("q"),
-        stats("l_extendedprice").as("p"), stats("l_suppkey").as("s"),
-        stats("l_discount").as("dd"))
+      val pcols = Seq("l_quantity", "l_extendedprice", "l_suppkey", "l_discount")
+      val ndvs = pcols.map(c => li.where(col(c).isNotNull)
+        .select(col(c)).distinct().agg(count(lit(1)).as(s"__ndv_$c")))
+      val withNdv = ndvs.foldLeft(
+        li.agg(n.as("n_rows"),
+          stats("l_quantity", first(lit(0L))).as("q0"),
+          stats("l_extendedprice", first(lit(0L))).as("p0"),
+          stats("l_suppkey", first(lit(0L))).as("s0"),
+          stats("l_discount", first(lit(0L))).as("dd0")))((a, b) => a.crossJoin(b))
+      def patch(st: String, c: String) = struct(
+        col(s"__ndv_$c").as("ndv"), col(s"$st.min_v").as("min_v"),
+        col(s"$st.max_v").as("max_v"), col(s"$st.null_frac").as("null_frac"))
+      val agg = withNdv.select(col("n_rows"),
+        patch("q0", "l_quantity").as("q"),
+        patch("p0", "l_extendedprice").as("p"),
+        patch("s0", "l_suppkey").as("s"),
+        patch("dd0", "l_discount").as("dd"))
       agg.select(col("n_rows"),
           explode(map(
             lit("l_quantity"), col("q"), lit("l_extendedprice"), col("p"),
