@@ -1916,8 +1916,9 @@ object SparkEntry {
         round(avg(col(c).cast("double")), 4).as(s"${c}_mean"))
       }
       val one = cols.foldLeft(li.agg(aggs.head, aggs.tail: _*)) { (acc, c) =>
-        acc.crossJoin(li.where(col(c).isNotNull).select(col(c)).distinct()
-          .agg(count(lit(1)).as(s"${c}_dist")))
+        acc.crossJoin(broadcast(
+          li.where(col(c).isNotNull).select(col(c)).distinct()
+            .agg(count(lit(1)).as(s"${c}_dist"))))
       }
       val stackArgs = cols.map(c =>
         s"'$c', ${c}_null, ${c}_dist, ${c}_min, ${c}_max, ${c}_mean").mkString(", ")
@@ -6601,7 +6602,8 @@ object SparkEntry {
           stats("l_quantity", first(lit(0L))).as("q0"),
           stats("l_extendedprice", first(lit(0L))).as("p0"),
           stats("l_suppkey", first(lit(0L))).as("s0"),
-          stats("l_discount", first(lit(0L))).as("dd0")))((a, b) => a.crossJoin(b))
+          stats("l_discount", first(lit(0L))).as("dd0")))(
+          (a, b) => a.crossJoin(broadcast(b)))
       def patch(st: String, c: String) = struct(
         col(s"__ndv_$c").as("ndv"), col(s"$st.min_v").as("min_v"),
         col(s"$st.max_v").as("max_v"), col(s"$st.null_frac").as("null_frac"))
