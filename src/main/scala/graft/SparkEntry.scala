@@ -8172,11 +8172,18 @@ object SparkEntry {
 
   /** Shared by the graph queries: the source-pair overlap matrix on the
     * 8-word-prefix fingerprint (same definition as `source_overlap`). */
-  private def sourceFpOverlap(s: SparkSession, d: String): DataFrame = {
-    val prefixFp = md5(array_join(
-      slice(TextFunctions.wsTokens(lower(col("text"))), 1, 8), " "))
-    CorpusStats.sourceOverlapMatrix(t(s, d, "documents"), prefixFp, "source")
-  }
+  private def sourceFpOverlap(s: SparkSession, d: String): DataFrame =
+    // build-once-per-JVM (the SCALE.md shared-build convention): the
+    // source-overlap matrix is the shared edge table of the whole graph
+    // family (pagerank/hits/closeness/ppr/triangles/lpa/kcore/modularity/
+    // q27) — ten gates re-derived the identical corpus pass + fingerprint
+    // self-join before round 12. First consumer builds + publishes
+    // atomically; the rest read the tiny sources x sources parquet.
+    graft.core.PersistedBuild.table({
+      val prefixFp = md5(array_join(
+        slice(TextFunctions.wsTokens(lower(col("text"))), 1, 8), " "))
+      CorpusStats.sourceOverlapMatrix(t(s, d, "documents"), prefixFp, "source")
+    }, scratch(d, "source_fp_overlap"), s)
 
   /** Exact cosine top-k over the embeddings fixture (queries = vec_id < 5,
     * self excluded, k = 10, tiebreak (similarity desc, vec_id asc)) — the
