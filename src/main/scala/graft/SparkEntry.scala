@@ -103,6 +103,14 @@ object SparkEntry {
   private def scratch(d: String, tag: String): String =
     s"/tmp/graft_${tag}_${new java.io.File(d).getName}_$runNonce"
 
+  /** The exact trigram-Jaccard pair graph (n=3, tau 0.30), build-once-
+    * per-JVM and shared by dedup_jaccard_ngram and the cluster family
+    * (dedup_clusters / dedup_resolve / dedup_cluster_sizes). */
+  private def jaccard3PairsShared(s: SparkSession, d: String): DataFrame =
+    operators.Dedup.ngramJaccardPairsPersisted(t(s, d, "documents"),
+      scratch(d, "jaccard_pairs_n3t030"), "text", "doc_id",
+      n = 3, threshold = 0.30)
+
   /** The corpus near-dup pair graph at the production setting
     * (12 hashes x 4 bands, tau 0.30), build-once-per-JVM and shared by
     * dedup_minhash_lsh / dedup_survivorship / dedup_minhash_recall (the
@@ -2456,9 +2464,7 @@ object SparkEntry {
     }),
 
     "dedup_jaccard_ngram" -> ((s, d) => {
-      Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
-        n = 3, threshold = 0.30)
-        .orderBy(col("id1"), col("id2"))
+      jaccard3PairsShared(s, d).orderBy(col("id1"), col("id2"))
     }),
 
     // Edit-distance near-dup over the cleansed 128-char prefix window:
@@ -2487,8 +2493,7 @@ object SparkEntry {
     // under-dedups chains a~b~c). cluster_id = min reachable doc_id = the
     // canonical keep under keep-lowest-id.
     "dedup_clusters" -> ((s, d) => {
-      val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
-        n = 3, threshold = 0.30)
+      val pairs = jaccard3PairsShared(s, d)
       Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
         .orderBy(col("doc_id"))
@@ -2499,8 +2504,7 @@ object SparkEntry {
     // map-side-partial max_by, not a window sort.
     "dedup_resolve" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
-        n = 3, threshold = 0.30)
+      val pairs = jaccard3PairsShared(s, d)
       val clusters = Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
       val scored = docs.select(col("doc_id"),
@@ -4781,10 +4785,7 @@ object SparkEntry {
     // (md5 of the 8-word prefix): distinct (source, fp) then a
     // fingerprint-keyed self-join — fan-out bounded by sources-per-fp.
     "source_overlap" -> ((s, d) => {
-      val prefixFp = md5(array_join(
-        slice(TextFunctions.wsTokens(lower(col("text"))), 1, 8), " "))
-      CorpusStats.sourceOverlapMatrix(t(s, d, "documents"), prefixFp, "source")
-        .orderBy(col("source_a"), col("source_b"))
+      sourceFpOverlap(s, d).orderBy(col("source_a"), col("source_b"))
     }),
 
     // Bloom-filter membership dedup (see [[BloomSketch]]): build the m=1024
@@ -4837,8 +4838,7 @@ object SparkEntry {
     // duplication a long tail of pairs or a few megaclusters? Two
     // metadata-keyed aggregations after the pair/CC stages.
     "dedup_cluster_sizes" -> ((s, d) => {
-      val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id",
-        n = 3, threshold = 0.30)
+      val pairs = jaccard3PairsShared(s, d)
       val clusters = Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
       CorpusStats.clusterSizeHistogram(clusters)

@@ -310,6 +310,16 @@ object Dedup {
       minhashNearDupPairs(df, textCol, idCol, numHashes, bands, threshold),
       path, df.sparkSession)
 
+  /** [[ngramJaccardPairs]] through the build-once persisted contract —
+    * same rationale as [[minhashNearDupPairsPersisted]]: the exact-Jaccard
+    * pair graph feeds the pair gate and the whole cluster family. */
+  def ngramJaccardPairsPersisted(df: DataFrame, path: String,
+                                 textCol: String, idCol: String,
+                                 n: Int, threshold: Double): DataFrame =
+    graft.core.PersistedBuild.table(
+      ngramJaccardPairs(df, textCol, idCol, n, threshold), path,
+      df.sparkSession)
+
   /** MinHash-LSH near-dup pairs: shingle -> minhash -> band -> bucket
     * self-join -> exact Jaccard verify on the candidates only.
     *
