@@ -103,6 +103,21 @@ object SparkEntry {
   private def scratch(d: String, tag: String): String =
     s"/tmp/graft_${tag}_${new java.io.File(d).getName}_$runNonce"
 
+  /** The language NaiveBayes scores frame (train = even doc_ids, test =
+    * odd; whitespace tokens of lowercased text), build-once-per-JVM and
+    * shared by nb_lang_confusion / nb_conformal / nb_conformal_sampled:
+    * one row per (test doc, class) with the double log-likelihood score —
+    * the model-scored view all three gates fold differently. */
+  private def nbScoresShared(s: SparkSession, d: String): DataFrame =
+    graft.core.PersistedBuild.table({
+      val toks = t(s, d, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          explode(TextFunctions.wsTokens(lower(col("text")))).as("tok"))
+      NaiveBayes.scores(
+        toks.where(col("doc_id") % 2 === 0),
+        toks.where(col("doc_id") % 2 === 1), "doc_id", "lang", "tok")
+    }, scratch(d, "nb_scores_lang"), s)
+
   /** The exact trigram-Jaccard pair graph (n=3, tau 0.30), build-once-
     * per-JVM and shared by dedup_jaccard_ngram and the cluster family
     * (dedup_clusters / dedup_resolve / dedup_cluster_sizes). */
@@ -6730,13 +6745,7 @@ object SparkEntry {
     // confusion matrix; argmax margins (>= 4.9e-4 at every SF, measured)
     // dwarf cross-engine ln() ulps, so the predictions are hash-stable.
     "nb_lang_confusion" -> ((s, d) => {
-      val toks = t(s, d, "documents").where(col("text").isNotNull)
-        .select(col("doc_id"), col("lang"),
-          explode(TextFunctions.wsTokens(lower(col("text")))).as("tok"))
-      NaiveBayes.confusion(
-          toks.where(col("doc_id") % 2 === 0),
-          toks.where(col("doc_id") % 2 === 1),
-          "doc_id", "lang", "tok")
+      NaiveBayes.confusionFromScores(nbScoresShared(s, d), "doc_id")
         .select(col("true_label").as("true_lang"),
           col("pred_label").as("pred_lang"), col("n"))
         .orderBy(col("true_lang"), col("pred_lang"))
@@ -7851,12 +7860,7 @@ object SparkEntry {
     // audited per class on the disjoint test quarter. Distribution-free
     // uncertainty for the in-engine classifier, all in one plan.
     "nb_conformal" -> ((s, d) => {
-      val toks = t(s, d, "documents").where(col("text").isNotNull)
-        .select(col("doc_id"), col("lang"),
-          explode(TextFunctions.wsTokens(lower(col("text")))).as("tok"))
-      val sc = NaiveBayes.scores(
-        toks.where(col("doc_id") % 2 === 0),
-        toks.where(col("doc_id") % 2 === 1), "doc_id", "lang", "tok")
+      val sc = nbScoresShared(s, d)
       // one row per held-out doc, consumed by THREE subtrees (cal feeds
       // the rank window and the n_cal count, tst the coverage agg) —
       // materialize once so the 6-aggregate NB train/score chain doesn't
@@ -7903,12 +7907,7 @@ object SparkEntry {
     // constant in corpus size, audited in PlanSweepSpec. Coverage >= 1-a
     // in expectation is pinned empirically in StatsOpsSpec.
     "nb_conformal_sampled" -> ((s, d) => {
-      val toks = t(s, d, "documents").where(col("text").isNotNull)
-        .select(col("doc_id"), col("lang"),
-          explode(TextFunctions.wsTokens(lower(col("text")))).as("tok"))
-      val sc = NaiveBayes.scores(
-        toks.where(col("doc_id") % 2 === 0),
-        toks.where(col("doc_id") % 2 === 1), "doc_id", "lang", "tok")
+      val sc = nbScoresShared(s, d)
       // same three-consumer materialization as nb_conformal above
       val a = sc.groupBy(col("doc_id"), col("true_label"))
         .agg((max(when(col("cls") =!= col("true_label"), col("score"))) -

@@ -57,21 +57,31 @@ object NaiveBayes {
       col("__l").as("cls"), col("__score").as("score"))
   }
 
+  /** The argmax fold of a [[scores]] frame: one row per test document,
+    * `(id, true_label, pred_label)` — split out so callers that persist
+    * the scores frame once (it feeds prediction AND conformal views) can
+    * fold it without re-running the train/score chain. */
+  def predictFromScores(scored: DataFrame, idCol: String): DataFrame =
+    scored.groupBy(col(idCol), col("true_label"))
+      .agg(min_by(col("cls"), struct((-col("score")).as("ns"), col("cls")))
+        .as("pred_label"))
+
   /** Train on `(idCol, labelCol, tokCol)` token rows, score a held-out
     * token stream of the same shape; returns one row per test document:
     * `(id, true_label, pred_label)`. */
   def trainPredict(train: DataFrame, test: DataFrame, idCol: String,
                    labelCol: String, tokCol: String): DataFrame =
-    scores(train, test, idCol, labelCol, tokCol)
-      .groupBy(col(idCol), col("true_label"))
-      .agg(min_by(col("cls"), struct((-col("score")).as("ns"), col("cls")))
-        .as("pred_label"))
+    predictFromScores(scores(train, test, idCol, labelCol, tokCol), idCol)
+
+  /** [[predictFromScores]] folded to the confusion matrix. */
+  def confusionFromScores(scored: DataFrame, idCol: String): DataFrame =
+    predictFromScores(scored, idCol)
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
 
   /** [[trainPredict]] folded to the confusion matrix — the integer-valued
     * gate surface (counts, not rounded log-likelihoods). */
   def confusion(train: DataFrame, test: DataFrame, idCol: String,
                 labelCol: String, tokCol: String): DataFrame =
-    trainPredict(train, test, idCol, labelCol, tokCol)
-      .groupBy(col("true_label"), col("pred_label"))
-      .agg(count(lit(1)).as("n"))
+    confusionFromScores(scores(train, test, idCol, labelCol, tokCol), idCol)
 }
