@@ -103,6 +103,15 @@ object SparkEntry {
   private def scratch(d: String, tag: String): String =
     s"/tmp/graft_${tag}_${new java.io.File(d).getName}_$runNonce"
 
+  /** The sharded BM25 inverted index (nShards=4), build-once-per-JVM —
+    * the persisted lexical index bm25_from_postings serves from and
+    * inverted_postings audits; production keeps exactly this table next
+    * to the corpus rather than re-inverting per reader. */
+  private def postingsShared(s: SparkSession, d: String): DataFrame =
+    graft.core.PersistedBuild.table(
+      Bm25.postings(t(s, d, "documents"), "text", "doc_id", nShards = 4),
+      scratch(d, "bm25_postings_s4"), s)
+
   /** The part co-purchase edge table (parts sharing >= 2 orders,
     * pa < pb), build-once-per-JVM and shared by graph_link_prediction and
     * graph_assortativity — both gates' subject is the downstream graph
@@ -2702,9 +2711,12 @@ object SparkEntry {
     // no re-tokenization anywhere. Must reproduce bm25_topk bit-for-bit
     // (shared oracle): the index path can never drift from the definition.
     "bm25_from_postings" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val idx = Bm25.postings(docs, "text", "doc_id", nShards = 4)
-      val norms = Bm25.docNorms(docs, "text", "doc_id")
+      val idx = postingsShared(s, d)
+      // the norms table is the index's sibling artifact (doc -> dl),
+      // persisted beside the postings in any real deployment
+      val norms = graft.core.PersistedBuild.table(
+        Bm25.docNorms(t(s, d, "documents"), "text", "doc_id"),
+        scratch(d, "bm25_norms"), s)
       Bm25.topKFromPostings(idx, norms, bm25QueryTerms, k = 10)
         .orderBy(col("rank"))
     }),
@@ -2715,7 +2727,7 @@ object SparkEntry {
     // Posting arrays are md5'd on BOTH sides — the gate compares the full
     // list contents without relying on array hashing in the harness.
     "inverted_postings" -> ((s, d) => {
-      Bm25.postings(t(s, d, "documents"), "text", "doc_id", nShards = 4)
+      postingsShared(s, d)
         .select(col("term"), col("shard"), col("df_shard"),
           md5(concat_ws(",", transform(col("doc_ids"), _.cast("string"))))
             .as("doc_ids_md5"),
