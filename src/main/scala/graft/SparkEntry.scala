@@ -90,8 +90,7 @@ object SparkEntry {
                             comps: Option[DataFrame]): DataFrame = {
     val vals = logregMemo.computeIfAbsent(s"$d|$LogregRecipe", _ => {
       val docs = t(s, d, "documents")
-      val c = comps.getOrElse(graft.functions.Embedder
-        .hashedComponents(docs, "text", "doc_id", dim = 64).localCheckpoint())
+      val c = comps.getOrElse(hashedComps64Shared(s, d))
       operators.QualityClassifier.trainLogReg(docs, "text", "doc_id",
           label = col("lang") === "en", steps = 3, precomputed = Some(c))
         .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
@@ -102,6 +101,16 @@ object SparkEntry {
 
   private def scratch(d: String, tag: String): String =
     s"/tmp/graft_${tag}_${new java.io.File(d).getName}_$runNonce"
+
+  /** The hashing-trick sparse component frame of the corpus (dim 64) —
+    * the featurized view the whole classifier family trains and scores
+    * on, plus the embed_hashed_sparse math gate. Build-once-per-JVM:
+    * seven call sites derived it independently before round 12. */
+  private def hashedComps64Shared(s: SparkSession, d: String): DataFrame =
+    graft.core.PersistedBuild.table(
+      graft.functions.Embedder.hashedComponents(
+        t(s, d, "documents"), "text", "doc_id", dim = 64),
+      scratch(d, "hashed_comps_64"), s)
 
   /** The sharded BM25 inverted index (nShards=4), build-once-per-JVM —
     * the persisted lexical index bm25_from_postings serves from and
@@ -1585,7 +1594,7 @@ object SparkEntry {
     // murmur embedder (embed_documents below) stays the fast production
     // path; this pins the embedding MATH end to end.
     "embed_hashed_sparse" -> ((s, d) => {
-      Embedder.hashedComponents(t(s, d, "documents"), "text", "doc_id", dim = 64)
+      hashedComps64Shared(s, d)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("bucket"))
     }),
@@ -7139,8 +7148,7 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       // one hashed-feature build shared by training and scoring — the
       // corpus-scan half of the cost, otherwise paid twice
-      val comps = graft.functions.Embedder
-        .hashedComponents(docs, "text", "doc_id", dim = 64).localCheckpoint()
+      val comps = hashedComps64Shared(s, d)
       val w = trainedLogreg(s, d, Some(comps))
       val p = col("quality_prob")
       val y = col("is_en").cast("double")
@@ -7166,8 +7174,7 @@ object SparkEntry {
     // corpus size. Gini = 2·AUC − 1 rides along.
     "classifier_roc_auc" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val comps = graft.functions.Embedder
-        .hashedComponents(docs, "text", "doc_id", dim = 64).localCheckpoint()
+      val comps = hashedComps64Shared(s, d)
       val w = trainedLogreg(s, d, Some(comps))
       val sc = QualityClassifier.score(docs, "text", "doc_id",
           weights = Some(w), precomputed = Some(comps))
@@ -7206,8 +7213,7 @@ object SparkEntry {
     // before/after log-loss so the calibration effect is the gate.
     "classifier_platt_scaling" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val comps = graft.functions.Embedder
-        .hashedComponents(docs, "text", "doc_id", dim = 64).localCheckpoint()
+      val comps = hashedComps64Shared(s, d)
       val w = trainedLogreg(s, d, Some(comps))
       val scored = QualityClassifier.score(docs, "text", "doc_id",
           weights = Some(w), precomputed = Some(comps))
@@ -7219,8 +7225,7 @@ object SparkEntry {
 
     "classifier_calibration_ece" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val comps = graft.functions.Embedder
-        .hashedComponents(docs, "text", "doc_id", dim = 64).localCheckpoint()
+      val comps = hashedComps64Shared(s, d)
       val w = trainedLogreg(s, d, Some(comps))
       val scoredDf = QualityClassifier.score(docs, "text", "doc_id",
           weights = Some(w), precomputed = Some(comps))
@@ -7251,8 +7256,7 @@ object SparkEntry {
     // the raw frac_pos violates monotonicity the pooled level shows.
     "classifier_calibration_isotonic" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val comps = graft.functions.Embedder
-        .hashedComponents(docs, "text", "doc_id", dim = 64).localCheckpoint()
+      val comps = hashedComps64Shared(s, d)
       val w = trainedLogreg(s, d, Some(comps))
       val bins = QualityClassifier.score(docs, "text", "doc_id",
           weights = Some(w), precomputed = Some(comps))
