@@ -81,6 +81,19 @@ object SparkEntry {
     * feature table for scoring lend it to a cold-memo training run. */
   private val logregMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Double)]]()
+
+  /** Collected (cid, centroid) VALUES of the canonical k=8 x 2-round
+    * Lloyd run over the embeddings fixture — the trained codebook two
+    * serving-side gates (streaming_kmeans_assign, dedup_cluster_quality)
+    * bind driver-side. Value memo per the established rule: memoize
+    * collected values, never checkpointed frames. */
+  private val kmeansCentroidsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Array[Double])]]()
+  private def kmeansCentroids8x2(s: SparkSession, d: String): Seq[(Int, Array[Double])] =
+    kmeansCentroidsMemo.computeIfAbsent(s"$d|k=8|iters=2", _ =>
+      KMeans.centroidsDF(t(s, d, "embeddings"), "embedding", "vec_id",
+          k = 8, iters = 2)
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq)
   // The canonical training recipe every classifier_ gate shares. Folded
   // into the memo key so a future gate that trains with a different
   // label/steps/dim/seed gets its own entry instead of silently reading
@@ -6700,9 +6713,7 @@ object SparkEntry {
     // only k count rows of state. Gated against the batch trainer's
     // cluster histogram through the full Lloyd oracle replay.
     "streaming_kmeans_assign" -> ((s, d) => {
-      val cents = KMeans.centroidsDF(t(s, d, "embeddings"), "embedding",
-          "vec_id", k = 8, iters = 2)
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      val cents = kmeansCentroids8x2(s, d).toArray.sortBy(_._1)
       graft.streaming.StreamingOps.clusterCountsOnce(
           s, s"$d/embeddings.parquet", "embedding", cents,
           queryName = s"graft_km_$runNonce")
@@ -7103,8 +7114,7 @@ object SparkEntry {
     // model-sized collect; distances are row-local folds.
     "dedup_cluster_quality" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val cents = KMeans.centroidsDF(emb, "embedding", "vec_id", k = 8, iters = 2)
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      val cents = kmeansCentroids8x2(s, d).toArray
       val distsU = udf { (v: Seq[Double], cl: Int) =>
         def dist(c: Array[Double]): Double = {
           var s = 0.0; var i = 0
