@@ -115,6 +115,13 @@ object SparkEntry {
   private def scratch(d: String, tag: String): String =
     s"/tmp/graft_${tag}_${new java.io.File(d).getName}_$runNonce"
 
+  /** The BM25 norms table (doc -> dl) — the inverted index's sibling
+    * artifact, persisted beside [[postingsShared]] in any deployment. */
+  private def bm25NormsShared(s: SparkSession, d: String): DataFrame =
+    graft.core.PersistedBuild.table(
+      Bm25.docNorms(t(s, d, "documents"), "text", "doc_id"),
+      scratch(d, "bm25_norms"), s)
+
   /** The hashing-trick sparse component frame of the corpus (dim 64) —
     * the featurized view the whole classifier family trains and scores
     * on, plus the embed_hashed_sparse math gate. Build-once-per-JVM:
@@ -2734,11 +2741,7 @@ object SparkEntry {
     // (shared oracle): the index path can never drift from the definition.
     "bm25_from_postings" -> ((s, d) => {
       val idx = postingsShared(s, d)
-      // the norms table is the index's sibling artifact (doc -> dl),
-      // persisted beside the postings in any real deployment
-      val norms = graft.core.PersistedBuild.table(
-        Bm25.docNorms(t(s, d, "documents"), "text", "doc_id"),
-        scratch(d, "bm25_norms"), s)
+      val norms = bm25NormsShared(s, d)
       Bm25.topKFromPostings(idx, norms, bm25QueryTerms, k = 10)
         .orderBy(col("rank"))
     }),
@@ -2780,8 +2783,12 @@ object SparkEntry {
     // are k-bounded lists, so the fusion join is broadcast-sized regardless
     // of corpus size.
     "hybrid_rrf" -> ((s, d) => {
-      val lex = Bm25.topK(t(s, d, "documents"), "text", "doc_id",
-        bm25QueryTerms, k = 50)
+      // the lexical side serves from the persisted inverted index + norms
+      // (bm25_from_postings pins the index path bit-equal to the
+      // tokenize-on-the-fly definition, which bm25_topk keeps exercising
+      // from scratch) — production hybrid retrieval reads the index
+      val lex = Bm25.topKFromPostings(postingsShared(s, d),
+        bm25NormsShared(s, d), bm25QueryTerms, k = 50)
       val emb = t(s, d, "embeddings")
       val qs = emb.where(col("vec_id") === 7)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
