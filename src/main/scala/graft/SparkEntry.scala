@@ -6859,10 +6859,21 @@ object SparkEntry {
     // (the dedup_exact shape); grams via the compiled shingle pass.
     "text_ngram_novelty" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // Round-12 shape: first-occurrence via ONE window over the hashed
+      // gram instead of groupBy(gram) + join-back. The old form ran the
+      // scan+tokenize+explode chain twice and BROADCAST the entire
+      // distinct-gram -> min-doc table (vocabulary-sized — the one shape
+      // that cannot ship at corpus scale); this form tokenizes once and
+      // pays exactly one hash exchange of (gh, doc_id) 16-byte rows. The
+      // join key was already xxhash64-narrowed in spirit elsewhere
+      // (Dedup.ngramJaccardPairs); same 64-bit collision caveat
+      // (p ~ k²/2^65, and the oracle re-proves equality on every fixture).
       val grams = docs.select(col("doc_id"),
-        explode(Dedup.shinglesFast(8)(col("text"))).as("gram"))
-      val firstDoc = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
-      val per = grams.join(firstDoc, Seq("gram"))
+          explode(Dedup.shinglesFast(8)(col("text"))).as("gram"))
+        .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      val per = grams
+        .withColumn("first_doc",
+          min(col("doc_id")).over(Window.partitionBy(col("gh"))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("ng"),
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("nv"))
@@ -7550,12 +7561,19 @@ object SparkEntry {
       val lined = c4LinedDocs(t(s, d, "documents").where(col("text").isNotNull))
       val paras = lined.select(col("doc_id"),
         posexplode(split(col("text_lines"), "\n")).as(Seq("pos", "para")))
-      val keeper = paras.groupBy(col("para"))
-        .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
-        .select(col("para"), col("k.doc_id").as("k_doc"), col("k.pos").as("k_pos"))
-      paras.join(keeper, Seq("para"))
+      // Round-12 shape: keeper election via ONE window over the paragraph
+      // partition instead of groupBy(para) + join-back. The old form ran
+      // the scan+line-synthesis+posexplode chain twice and BROADCAST the
+      // keeper table (one row per DISTINCT paragraph, text included —
+      // vocabulary-sized, unshippable at corpus scale); this form pays one
+      // hash exchange of the paragraph rows, which the final per-doc
+      // aggregate needed shuffled anyway. Exact — the partition key is the
+      // paragraph text itself, no hashing involved.
+      paras
+        .withColumn("k", min(struct(col("doc_id"), col("pos")))
+          .over(Window.partitionBy(col("para"))))
         .withColumn("kept",
-          col("doc_id") === col("k_doc") && col("pos") === col("k_pos"))
+          col("doc_id") === col("k.doc_id") && col("pos") === col("k.pos"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_paras"),
           sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"),
