@@ -2317,8 +2317,13 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val fp = docs.withColumn("fingerprint",
         TextFunctions.fingerprintMd5(col("text")))
-      val keep = fp.groupBy(col("fingerprint")).agg(min(col("doc_id")).as("keep_id"))
-      val exactDropped = fp.join(keep, "fingerprint")
+      // keeper election via one window over the fingerprint partition
+      // (the text_ngram_novelty / dedup_paragraph_exact round-12 rewrite):
+      // the old groupBy+join-back ran the scan+md5 chain twice and
+      // broadcast the distinct-fingerprint table — corpus-sized at scale.
+      val exactDropped = fp
+        .withColumn("keep_id", min(col("doc_id"))
+          .over(Window.partitionBy(col("fingerprint"))))
         .where(col("doc_id") =!= col("keep_id"))
         .select(col("doc_id"), lit(1).as("e"))
       val pairs = minhashPairsShared(s, d)
@@ -2728,11 +2733,30 @@ object SparkEntry {
     // set. The deliberately-misspelled gate terms prove the expansion is
     // load-bearing — unexpanded they would match NOTHING.
     "bm25_fuzzy" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val terms = Bm25.fuzzyExpandTerms(docs, "text",
-        Seq("sprak", "joim", "windw", "stream"), maxDist = 1)
-      Bm25.topKTermFrame(docs, "text", "doc_id", terms, k = 10)
-        .orderBy(col("rank"))
+      // Round-12 shape: serve fuzzy search from the persisted inverted
+      // index (the hybrid_rrf treatment). The vocabulary IS the index's
+      // term column (every corpus token has a posting row by
+      // construction), and scoring rides Bm25.topKFromPostings, which
+      // bm25_from_postings pins bit-equal to the tokenize-on-the-fly
+      // definition. The old form re-ran the corpus tokenizer three times
+      // per call (vocab pass + stats pass + token-stream pass). The
+      // expansion set is vocabulary-bounded and edit-distance-pruned
+      // (a handful of terms), so the driver-side collect is model-sized —
+      // the PRF expansion-term precedent.
+      import s.implicits._
+      val idx = postingsShared(s, d)
+      val fq = Seq("sprak", "joim", "windw", "stream")
+      val expTerms = idx.select(col("term")).distinct()
+        .select(col("term"), explode(array(fq.map(lit(_)): _*)).as("q"))
+        .where(levenshtein(col("term"), col("q")) <= 1)
+        .select(col("term")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (expTerms.isEmpty)
+        Seq.empty[(Long, Long, Double, Int)]
+          .toDF("q_id", "doc_id", "score", "rank")
+      else
+        Bm25.topKFromPostings(idx, bm25NormsShared(s, d), expTerms, k = 10)
+          .orderBy(col("rank"))
     }),
 
     // The index-SERVING path (see [[Bm25.topKFromPostings]]): postings +
