@@ -2381,17 +2381,24 @@ object SparkEntry {
     // expected duplicate count, not the corpus count.)
     "dedup_minhash_recall_sampled" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val sampled = docs
-        .where(substring(md5(col("doc_id").cast("string")), 1, 1)
-          .isin("0", "1", "2", "3"))
+      def inSample(c: Column) =
+        substring(md5(c.cast("string")), 1, 1).isin("0", "1", "2", "3")
+      val sampled = docs.where(inSample(col("doc_id")))
       // signatures and band keys are per-doc (independent of the rest of
       // the corpus), so the production pair set restricted to sampled
-      // endpoints ≡ the pair set of the sampled docs alone — filter the
-      // corpus BEFORE the chain and BOTH sides of the audit pay sample²
-      // cost (the oracle keeps the filter-after-full formulation, so the
-      // gate proves the equivalence)
-      val lsh = Dedup.minhashNearDupPairs(sampled, "text", "doc_id",
-        numHashes = 12, bands = 4, threshold = 0.30).select(col("id1"), col("id2"))
+      // endpoints ≡ the pair set of the sampled docs alone — which is
+      // exactly the oracle's filter-after-full formulation. Serve the LSH
+      // side from the SHARED persisted pair graph (the production
+      // artifact the lsh/survivorship/recall gates already read) with an
+      // endpoint filter, instead of re-running the whole
+      // shingle->minhash->band->verify chain on the sample: the audit's
+      // quadratic cost stays on the exact side only. (The r12 rewrite;
+      // equivalence needs every full-corpus band bucket under the
+      // maxBucket skew bound, which dedup_minhash_lsh's own unbounded
+      // oracle proves at every gate SF.)
+      val lsh = minhashPairsShared(s, d)
+        .where(inSample(col("id1")) && inSample(col("id2")))
+        .select(col("id1"), col("id2"))
       val exact = Dedup.ngramJaccardPairs(sampled,
         "text", "doc_id", n = 2, threshold = 0.30).select(col("id1"), col("id2"))
       val nL = lsh.agg(count(lit(1)).as("n_lsh"))
